@@ -1,0 +1,15 @@
+package graft
+
+import graft.operators._
+
+/** The single list backing SparkEntry.queries / SparkEntry.oracleSql.
+  * Grown monotonically: a query is only added once it passes the local
+  * DuckDB parity loop (tools/parity.py), per SURVEY.md §7's session
+  * protocol. */
+object Registry {
+  val all: Seq[GQuery] =
+    AggQueries.all
+
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names in Registry")
+}
