@@ -8,7 +8,8 @@ import graft.operators._
   * protocol. */
 object Registry {
   val all: Seq[GQuery] =
-    AggQueries.all
+    ScanQueries.all ++ FilterQueries.all ++ JoinQueries.all ++
+      AggQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

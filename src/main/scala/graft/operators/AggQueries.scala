@@ -18,14 +18,27 @@ import graft.sources.Tables
   */
 object AggQueries {
 
-  /** TPC-H Q1 shape: pricing summary by returnflag × linestatus. */
+  /** TPC-H Q1 shape: pricing summary by returnflag × linestatus.
+    *
+    * The discounted/charged sums use exact decimal arithmetic: the money
+    * columns are 2-decimal-exact doubles (verified in FIXTURES), so
+    * their products are exact 4/6-decimal numbers whose sums can land
+    * EXACTLY on a half-cent boundary — there round(float-sum, 2) is
+    * decided by summation-order noise and diverges across engines.
+    * Decimal sums are order-independent and both engines round exact
+    * decimals half-up (verified), so the result is stable at any scale
+    * and parallelism. */
   val aggPricingSummary: GQuery = GQuery(
     "agg_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2)      AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+      |    AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
       |  round(avg(l_quantity), 2)      AS avg_qty,
       |  round(avg(l_extendedprice), 2) AS avg_price,
       |  round(avg(l_discount), 4)      AS avg_disc,
@@ -34,16 +47,19 @@ object AggQueries {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        round(sum(price * (lit(1) - disc)), 2).cast("double")
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(price * (lit(1) - disc) * (lit(1) + tax)), 2)
+          .cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
         round(avg(col("l_extendedprice")), 2).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -51,5 +67,171 @@ object AggQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val all: Seq[GQuery] = Seq(aggPricingSummary)
+  /** Exact distinct counts per group (expand-based, shuffle on
+    * (group, distinct-key) pairs — at scale prefer approx below unless
+    * exactness is contractual). */
+  val aggDistinct: GQuery = GQuery(
+    "agg_distinct",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** HLL++ approximate distinct users per event type. no-oracle: sketch
+    * estimates differ engine-to-engine; bounded-error vs exact is
+    * asserted in AggSpec instead. At 100 TB this is THE distinct-count
+    * operator: fixed-size sketch state, single shuffle of sketches. */
+  val aggApproxDistinct: GQuery = GQuery.noOracle("agg_approx_distinct") {
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))
+  }
+
+  /** ROLLUP over (nation, order year) with grouping flags exposed so the
+    * subtotal rows order deterministically cross-engine. */
+  val aggRollup: GQuery = GQuery(
+    "agg_rollup",
+    """SELECT CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |  CAST(GROUPING(order_year) AS INT) AS g_year,
+      |  n_name, order_year,
+      |  round(sum(o_totalprice), 2) AS total_sales,
+      |  count(*) AS n_orders
+      |FROM (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+      |    o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY ROLLUP (n_name, order_year)
+      |ORDER BY g_nation, g_year, n_name NULLS FIRST, order_year NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          year(col("o_orderdate")).cast("int").as("order_year"),
+          col("o_totalprice"))
+        .rollup(col("n_name"), col("order_year"))
+        .agg(
+          grouping(col("n_name")).cast("int").as("g_nation"),
+          grouping(col("order_year")).cast("int").as("g_year"),
+          round(sum(col("o_totalprice")), 2).as("total_sales"),
+          count(lit(1)).as("n_orders"))
+        .select(col("g_nation"), col("g_year"), col("n_name"),
+          col("order_year"), col("total_sales"), col("n_orders"))
+        .orderBy(col("g_nation"), col("g_year"),
+          col("n_name").asc_nulls_first, col("order_year").asc_nulls_first)
+  }
+
+  /** CUBE over (order status, priority). */
+  val aggCube: GQuery = GQuery(
+    "agg_cube",
+    """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  o_orderstatus, o_orderpriority,
+      |  round(sum(o_totalprice), 2) AS total_sales,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        round(sum(col("o_totalprice")), 2).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+      .select(col("g_status"), col("g_prio"), col("o_orderstatus"),
+        col("o_orderpriority"), col("total_sales"), col("n_orders"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS: ((mktsegment), (orderpriority), ()). */
+  val aggGroupingSets: GQuery = GQuery(
+    "agg_grouping_sets",
+    """SELECT CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  c_mktsegment, o_orderpriority,
+      |  round(sum(o_totalprice), 2) AS total_sales,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+      |ORDER BY g_seg, g_prio, c_mktsegment NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("gs_customer")
+    s.sql(
+      """SELECT CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  c_mktsegment, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS total_sales,
+        |  count(*) AS n_orders
+        |FROM gs_orders JOIN gs_customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        |ORDER BY g_seg, g_prio, c_mktsegment ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Post-aggregation filter (HAVING): busy customers only. */
+  val aggHaving: GQuery = GQuery(
+    "agg_having",
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_spent
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(*) > 12
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spent"))
+      .filter(col("n_orders") > 12)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Stats family over events.value per type: min/max/avg/stddev and an
+    * exact interpolated median (percentile ~ DuckDB quantile_cont). */
+  val aggStats: GQuery = GQuery(
+    "agg_stats",
+    """SELECT event_type,
+      |  round(min(value), 4) AS min_v,
+      |  round(max(value), 4) AS max_v,
+      |  round(avg(value), 4) AS avg_v,
+      |  round(stddev_samp(value), 4) AS std_v,
+      |  round(quantile_cont(value, 0.5), 4) AS median_v,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        round(avg(col("value")), 4).as("avg_v"),
+        round(stddev_samp(col("value")), 4).as("std_v"),
+        round(percentile(col("value"), lit(0.5)), 4).as("median_v"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
+    aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
+    aggStats)
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Join family (SURVEY.md §2.3).
+  *
+  * Scale notes per variant:
+  *  - dimension joins (nation/region/customer) are explicitly
+  *    `broadcast()` so no shuffle of the fact side happens — at 1000
+  *    executors the dim table ships once per executor, not per task;
+  *  - the fact-fact join (`join_sortmerge`) is pinned to sort-merge via
+  *    hint, the right choice when both sides are 100 TB-scale and
+  *    neither fits in memory (SMJ spills gracefully);
+  *  - `join_theta_range` keeps an equi-conjunct (`l_partkey =
+  *    p_partkey`) so Spark plans a hash join with a residual range
+  *    filter instead of a BroadcastNestedLoop cross product;
+  *  - `join_asof` is expressed as a window over a single shuffle of
+  *    events (partition by user), not a self-join — one shuffle, no
+  *    quadratic pair blowup, and the same shape works on a billion
+  *    users because state per key is one running max.
+  */
+object JoinQueries {
+
+  /** Inner equi-join orders ⋈ customer. */
+  val joinHashEqui: GQuery = GQuery(
+    "join_hash_equi",
+    """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Dimension join nation ⋈ region with an explicit broadcast hint. */
+  val joinBroadcast: GQuery = GQuery(
+    "join_broadcast",
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Fact-fact join pinned to sort-merge (the 100 TB-safe strategy). */
+  val joinSortmerge: GQuery = GQuery(
+    "join_sortmerge",
+    """SELECT l_orderkey, l_linenumber, round(o_totalprice, 2) AS total,
+      |  CAST(year(o_orderdate) AS INT) AS order_year
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin) {
+    (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).hint("merge")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("o_totalprice"), 2).as("total"),
+        year(col("o_orderdate")).cast("int").as("order_year"))
+  }
+
+  /** 4-way join (TPC-H Q10 shape): revenue of returned items per nation. */
+  val joinMultiway: GQuery = GQuery(
+    "join_multiway",
+    """SELECT n_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+      |    AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left outer join: every customer with order count incl. zero. */
+  val joinLeftOuter: GQuery = GQuery(
+    "join_left_outer",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi: customers having at least one order (EXISTS). */
+  val joinSemi: GQuery = GQuery(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti: customers with no URGENT order (NOT EXISTS, TPC-H Q22
+    * shape; the filter keeps the result non-empty — every customer has
+    * some order in the fixtures). */
+  val joinAnti: GQuery = GQuery(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Non-equi range join, kept hash-joinable by the partkey equi
+    * conjunct with the BETWEEN as residual. */
+  val joinThetaRange: GQuery = GQuery(
+    "join_theta_range",
+    """SELECT l_orderkey, l_linenumber, p_partkey, l_quantity, p_size
+      |FROM lineitem JOIN part
+      |  ON l_partkey = p_partkey
+      | AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin) {
+    (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p),
+      li("l_partkey") === p("p_partkey")
+        && li("l_quantity").between(p("p_size") - 5, p("p_size") + 5))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        col("l_quantity"), col("p_size"))
+  }
+
+  /** As-of join: for each purchase event, the latest prior click of the
+    * same user. Implemented as a running window max over one shuffle of
+    * events (no self-join); `max` skips the nulls of non-click rows, so
+    * the frame `UNBOUNDED PRECEDING .. 1 PRECEDING` carries exactly
+    * "latest click strictly before me". Output times as epoch micros
+    * (BIGINT) for exact cross-engine compare. */
+  val joinAsof: GQuery = GQuery(
+    "join_asof",
+    """SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+      |  epoch_us(last_click) AS click_us
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("last_click")).as("click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
+    joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
+    joinAsof)
+}
