@@ -9,7 +9,8 @@ import graft.operators._
 object Registry {
   val all: Seq[GQuery] =
     ScanQueries.all ++ FilterQueries.all ++ JoinQueries.all ++
-      AggQueries.all
+      AggQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
+      FuncQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

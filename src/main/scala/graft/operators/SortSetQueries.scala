@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Sort / limit / top-k / set operations (SURVEY.md §2.6).
+  *
+  * Scale notes: `orderBy(...).limit(k)` compiles to
+  * TakeOrderedAndProject — per-partition top-k then a driver-side merge
+  * of k·partitions rows, never a global sort. Set ops with DISTINCT
+  * semantics are hash aggregations on the full row; UNION ALL is a
+  * metadata-only concatenation (no shuffle at all).
+  */
+object SortSetQueries {
+
+  private def activeKeys(s: SparkSession, dir: String, yr: Int) =
+    Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+
+  /** Multi-key sort (desc price, asc date, key tiebreak) + LIMIT → the
+    * top-k plan. */
+  val sortMultiKey: GQuery = GQuery(
+    "sort_multi_key",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+      |  o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("o_totalprice"))
+      .limit(100)
+  }
+
+  /** UNION ALL of 1995 vs 1998 active customer keys (tagged by year so
+    * the multiset is totally ordered). */
+  val setopUnionAll: GQuery = GQuery(
+    "setop_union_all",
+    """SELECT o_custkey, 1995 AS yr FROM orders WHERE year(o_orderdate) = 1995
+      |UNION ALL
+      |SELECT o_custkey, 1998 AS yr FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY yr, o_custkey""".stripMargin) { (s, dir) =>
+    activeKeys(s, dir, 1995).withColumn("yr", lit(1995))
+      .unionAll(activeKeys(s, dir, 1998).withColumn("yr", lit(1998)))
+      .orderBy(col("yr"), col("o_custkey"))
+  }
+
+  /** UNION (distinct) of the same two key sets. */
+  val setopUnionDistinct: GQuery = GQuery(
+    "setop_union_distinct",
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |UNION
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    activeKeys(s, dir, 1995)
+      .union(activeKeys(s, dir, 1998)).distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  /** INTERSECT (distinct): customers active in both years. */
+  val setopIntersect: GQuery = GQuery(
+    "setop_intersect",
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    activeKeys(s, dir, 1995)
+      .intersect(activeKeys(s, dir, 1998))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** EXCEPT (distinct): active in 1995, not in 1998. */
+  val setopExcept: GQuery = GQuery(
+    "setop_except",
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    activeKeys(s, dir, 1995)
+      .except(activeKeys(s, dir, 1998))
+      .orderBy(col("o_custkey"))
+  }
+
+  val all: Seq[GQuery] = Seq(sortMultiKey, setopUnionAll,
+    setopUnionDistinct, setopIntersect, setopExcept)
+}

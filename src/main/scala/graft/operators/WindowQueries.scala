@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Window functions (SURVEY.md §2.5).
+  *
+  * Scale notes: each query is one shuffle on the partition key, then a
+  * sort within partitions — Spark's WindowExec streams frames without
+  * materializing the whole partition except for unbounded-following
+  * frames (not used here). Partition keys (segment, user, customer)
+  * have bounded per-key cardinality, so no skew blowup at 100 TB; for
+  * the rank-topk query the window+filter form beats a global sort
+  * because the top-k filter happens before any global ordering.
+  */
+object WindowQueries {
+
+  /** Top-3 orders by price per market segment (ranking + filter). */
+  val winRankTopkPerGroup: GQuery = GQuery(
+    "win_rank_topk_per_group",
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Ranking family: rank / dense_rank / percent_rank over order years
+    * (plenty of ties) + ntile(4) with a unique tiebreak. */
+  val winRankDensePct: GQuery = GQuery(
+    "win_rank_dense_pct",
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(year(o_orderdate) AS INT) AS order_year,
+      |  rank() OVER wy AS rnk,
+      |  dense_rank() OVER wy AS drnk,
+      |  round(percent_rank() OVER wy, 8) AS prnk,
+      |  ntile(4) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY year(o_orderdate), o_orderkey) AS quartile
+      |FROM orders
+      |WINDOW wy AS (PARTITION BY o_orderstatus ORDER BY year(o_orderdate))
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val wy = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(year(col("o_orderdate")))
+    val wt = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(year(col("o_orderdate")), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast("int").as("order_year"),
+        rank().over(wy).as("rnk"),
+        dense_rank().over(wy).as("drnk"),
+        round(percent_rank().over(wy), 8).as("prnk"),
+        ntile(4).over(wt).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** lag/lead of event value per user, time-ordered. */
+  val winAnalytic: GQuery = GQuery(
+    "win_analytic",
+    """SELECT event_id, user_id, value,
+      |  lag(value) OVER w AS prev_value,
+      |  lead(value) OVER w AS next_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** 7-row (≈ weekly) moving average over daily sales. The daily sum is
+    * rounded first so the moving-average inputs are identical across
+    * engines; the final round lands far from any boundary (see the
+    * rounding discipline note in GQuery). */
+  val winFrameRows: GQuery = GQuery(
+    "win_frame_rows",
+    """SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  daily_sales,
+      |  round(avg(daily_sales) OVER (ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg_7d
+      |FROM (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    round(sum(o_totalprice), 2) AS daily_sales
+      |  FROM orders GROUP BY 1)
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("daily_sales"))
+      .withColumn("avg_7d", round(avg(col("daily_sales")).over(w), 2))
+      .orderBy(col("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("daily_sales"), col("avg_7d"))
+  }
+
+  /** Running cumulative revenue per customer over time (RANGE frame:
+    * same-day orders collapse into the same cumulative value). */
+  val winFrameRange: GQuery = GQuery(
+    "win_frame_range",
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS cum_spent
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        round(sum(col("o_totalprice")).over(w), 2).as("cum_spent"))
+      .orderBy(col("o_custkey"), col("order_day"), col("o_orderkey"))
+  }
+
+  val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
+    winAnalytic, winFrameRows, winFrameRange)
+}
