@@ -10,7 +10,8 @@ object Registry {
   val all: Seq[GQuery] =
     ScanQueries.all ++ FilterQueries.all ++ JoinQueries.all ++
       AggQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
-      FuncQueries.all
+      FuncQueries.all ++ DedupQueries.all ++ SimQueries.all ++
+      TextQueries.all ++ MultimodalQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

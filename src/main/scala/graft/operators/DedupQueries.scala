@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Deduplication operators for LLM-training-data pipelines
+  * (SURVEY.md §2.8): exact, MinHash+LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine near-dup.
+  *
+  * Portability design: every hash is derived from md5 (identical bytes
+  * in every engine) — 12 hex chars → a 48-bit non-negative BIGINT — so
+  * the DuckDB oracle can replay the *same* signatures, not just the
+  * same decisions. Engine-native `hash()` differs between Spark
+  * (Murmur3) and DuckDB and would force no-oracle.
+  *
+  * Scale notes:
+  *  - exact dedup shuffles once on the text hash; the kept-row choice
+  *    (min doc_id) is deterministic, not "whichever arrived first";
+  *  - MinHash signatures reduce each doc to 8 ints (shuffle payload is
+  *    tiny); LSH banding (4 bands × 2 rows) turns the quadratic
+  *    all-pairs search into 4 equi-joins on band keys — the only pairs
+  *    ever materialized are bucket collisions, which is what makes
+  *    near-dedup feasible at 100 TB;
+  *  - SimHash pairs use a bounded self-join here (500 docs); at scale
+  *    the same signature joins on bit-bands like MinHash;
+  *  - n-gram Jaccard joins through an inverted shingle index (pairs
+  *    sharing ≥1 shingle), never the full cross product.
+  */
+object DedupQueries {
+
+  /** Portable 48-bit hash: seed-prefixed md5, first 12 hex chars. */
+  private def pHash(seedAndVal: String): String =
+    s"CAST(conv(substr(md5($seedAndVal), 1, 12), 16, 10) AS BIGINT)"
+
+  /** DuckDB spelling of the same hash. */
+  private def duckHash(seedAndVal: String): String =
+    s"CAST(concat('0x', substr(md5($seedAndVal), 1, 12)) AS BIGINT)"
+
+  /** Word 3-gram shingles, distinct per doc (Spark side). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |                 element_at(t, i + 2)))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+
+  private val duckShingles =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |          for i in generate_series(1, len(t) - 2)]) AS shingle
+      |  FROM toks)""".stripMargin
+
+  /** Exact dedup on text (keep min doc_id), survivors per lang. */
+  val dedupExact: GQuery = GQuery(
+    "dedup_exact",
+    """SELECT lang, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc
+      |FROM (SELECT doc_id, lang,
+      |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn = 1
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+  }
+
+  /** MinHash (8 portable hash functions) + LSH banding (4 bands × 2
+    * rows) → candidate pairs with estimated Jaccard ≥ 0.5. */
+  val dedupNearMinhash: GQuery = {
+    val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val mh = shingles(s, dir)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, 7),
+             |  i -> ${pHash("concat(cast(i AS STRING), ':', shingle)")})"""
+            .stripMargin)).as(Seq("i", "h")))
+        .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+      val sigCols = (0 to 7).map(k =>
+        min(when(col("i") === k, col("mh"))).as(s"h$k"))
+      val sig = mh.groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail: _*)
+      val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val candidates = bands.map { case (x, y) =>
+        a.join(b, col(s"a_h$x") === col(s"b_h$x")
+          && col(s"a_h$y") === col(s"b_h$y")
+          && col("a_doc_id") < col("b_doc_id"))
+      }.reduce(_.unionAll(_)).distinct()
+      val agree = (0 to 7).map(k =>
+        when(col(s"a_h$k") === col(s"b_h$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      candidates
+        .select(col("a_doc_id").as("doc1"), col("b_doc_id").as("doc2"),
+          (agree.cast("double") / 8).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("doc1"), col("doc2"))
+    }
+    val h = duckHash("CAST(i AS VARCHAR) || ':' || shingle")
+    val bandCond = bands.map { case (x, y) =>
+      s"(a.h$x = b.h$x AND a.h$y = b.h$y)" }.mkString(" OR ")
+    val agree = (0 to 7).map(k =>
+      s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END").mkString(" + ")
+    GQuery("dedup_near_minhash",
+      s"""$duckShingles,
+         |mh AS (SELECT doc_id, i, min($h) AS mh
+         |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS i)
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id,
+         |  ${(0 to 7).map(k => s"min(CASE WHEN i = $k THEN mh END) AS h$k")
+             .mkString(", ")}
+         |  FROM mh GROUP BY doc_id)
+         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST($agree AS DOUBLE) / 8 AS est_jaccard
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND ($bandCond)
+         |WHERE CAST($agree AS DOUBLE) / 8 >= 0.5
+         |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
+  }
+
+  /** 16-bit SimHash over distinct tokens; near-dup pairs = Hamming
+    * distance ≤ 3. */
+  val dedupSimhash: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+        .withColumn("h", expr(pHash("term")))
+      val sim = tok
+        .select(col("doc_id"), col("h"),
+          explode(expr("sequence(0, 15)")).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as("bal"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END"))
+          .as("simhash"))
+      val a = sim.select(col("doc_id").as("doc1"), col("simhash").as("s1"))
+      val b = sim.select(col("doc_id").as("doc2"), col("simhash").as("s2"))
+      a.join(b, col("doc1") < col("doc2"))
+        .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc1"), col("doc2"), col("hamming"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+    GQuery("dedup_simhash",
+      s"""WITH tok AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split(text, ' ')) AS term FROM documents),
+         |th AS (SELECT doc_id, term, ${duckHash("term")} AS h FROM tok),
+         |bits AS (SELECT doc_id, j,
+         |    sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS bal
+         |  FROM th, (SELECT unnest(generate_series(0, 15)) AS j)
+         |  GROUP BY doc_id, j),
+         |sim AS (SELECT doc_id,
+         |    sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+         |      AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
+  }
+
+  /** Exact word-3-gram Jaccard ≥ 0.5 through an inverted shingle index
+    * (only pairs sharing a shingle are ever considered). */
+  val dedupNgramJaccard: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("d1"), col("shingle"))
+        .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n", "n1")), Seq("d1"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n", "n2")), Seq("d2"))
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+    GQuery("dedup_ngram_jaccard",
+      s"""$duckShingles,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1 AS doc1, d2 AS doc2,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON d1 = sa.doc_id
+         |JOIN sizes sb ON d2 = sb.doc_id
+         |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+         |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
+  }
+
+  /** Embedding-cosine near-dup: global pairs with cosine ≥ 0.4
+    * (bounded corpus here; the 100 TB path is the LSH-bucketed variant
+    * in SimQueries.simTopkLsh). */
+  val dedupEmbedCosine: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      a.join(b, col("v1") < col("v2"))
+        .withColumn("cosine", round(
+          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+            / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= 0.4)
+        .select(col("v1"), col("v2"), col("cosine"))
+        .orderBy(col("v1"), col("v2"))
+    }
+    GQuery("dedup_embed_cosine",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        |ORDER BY v1, v2""".stripMargin)(sparkImpl)
+  }
+
+  val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash, dedupSimhash,
+    dedupNgramJaccard, dedupEmbedCosine)
+}

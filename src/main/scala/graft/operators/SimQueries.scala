@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Similarity search over the embedding column (SURVEY.md §2.8).
+  *
+  * Cosine is computed in DOUBLE on both engines (Spark: higher-order
+  * `zip_with`+`aggregate` fold — codegen'd, no UDF; DuckDB:
+  * `list_dot_product` on a DOUBLE[] cast) and rounded to 6 places
+  * before any ranking, so tie-breaks are deterministic cross-engine.
+  *
+  * Scale notes: brute-force top-k is the correctness baseline — it
+  * broadcasts the (tiny) probe set against the corpus, so the corpus
+  * is never shuffled; cost is one scan × K probes. The 100 TB path is
+  * `sim_topk_lsh`: sign-LSH buckets computed per-vector (one scan, no
+  * shuffle), probes search only their bucket — candidate set shrinks
+  * ~2^bits×; recall is property-tested against brute force in
+  * SimSpec.
+  */
+object SimQueries {
+
+  /** doubles + L2 norm, shared by the queries below. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+
+  private val dot =
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+
+  /** Exact top-5 cosine neighbors for probe vectors vec_id < 5
+    * (self excluded): the brute-force baseline. */
+  val simCosineTopk: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val e = vecs(s, dir)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("va"),
+          col("nrm").as("na"))
+      val corpus = e.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cosine",
+          round(expr(dot) / (col("na") * col("nb")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("probe_id"), col("rk"))
+    }
+    GQuery("sim_cosine_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cosine
+        |  FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id != p.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT probe_id, rk, neighbor_id, cosine
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY probe_id, rk""".stripMargin)(sparkImpl)
+  }
+
+  /** All same-label pairs with cosine ≥ 0.3 (label is the blocking
+    * key, so the join is equi on label + residual threshold). */
+  val simPairThreshold: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val e = vecs(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("v1"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("v2"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("v1") < col("v2"))
+        .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= 0.3)
+        .select(col("label").cast("int").as("label"), col("v1"), col("v2"),
+          col("cosine"))
+        .orderBy(col("label"), col("v1"), col("v2"))
+    }
+    GQuery("sim_pair_threshold",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM e)
+        |SELECT CAST(a.label AS INT) AS label, a.vec_id AS v1,
+        |  b.vec_id AS v2,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+        |ORDER BY label, v1, v2""".stripMargin)(sparkImpl)
+  }
+
+  /** Sign-LSH approximate top-3: bucket = sign bits of the first 8
+    * dimensions; probes search only their own bucket. no-oracle (an
+    * approximate index, not a SQL-expressible relation); recall vs
+    * brute force is asserted in SimSpec. */
+  val simTopkLsh: GQuery = GQuery.noOracle("sim_topk_lsh") { (s, dir) =>
+    val e = vecs(s, dir).withColumn("bucket", expr(
+      """aggregate(transform(slice(v, 1, 8),
+        |  x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN 1 ELSE 0 END),
+        |  0, (acc, b) -> acc * 2 + b)""".stripMargin))
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("bucket"), col("vec_id").as("probe_id"),
+        col("v").as("va"), col("nrm").as("na"))
+    val corpus = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  val all: Seq[GQuery] = Seq(simCosineTopk, simPairThreshold, simTopkLsh)
+}

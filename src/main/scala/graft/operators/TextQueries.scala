@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Text analysis for LLM-training-data pipelines (SURVEY.md §2.8 +
+  * builder prompt): tokenization/TF, TF-IDF, n-grams, language
+  * profiling, language ID (token log-prob heuristic), quality scoring,
+  * token counting, rolling-hash fingerprinting.
+  *
+  * Everything is expressed with codegen'd built-ins (split / explode /
+  * higher-order functions) — tokenization never leaves the JVM and the
+  * explode pipelines are narrow (project + generate), so the only
+  * shuffles are the final small aggregations. Transcendentals (ln) are
+  * rounded to 8 places before use so libm last-ulp drift can't leak
+  * into rankings (ranking always on a rounded score + lexical
+  * tiebreak).
+  */
+object TextQueries {
+
+  private def pHash(seedAndVal: String): String =
+    s"CAST(conv(substr(md5($seedAndVal), 1, 12), 16, 10) AS BIGINT)"
+  private def duckHash(seedAndVal: String): String =
+    s"CAST(concat('0x', substr(md5($seedAndVal), 1, 12)) AS BIGINT)"
+
+  /** tokens with multiplicity: (doc_id, lang, term). */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+
+  /** Wordcount: top-20 terms overall. */
+  val textTokensTf: GQuery = GQuery(
+    "text_tokens_tf",
+    """SELECT term, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term
+      |ORDER BY cnt DESC, term
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    tokens(s, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(20)
+  }
+
+  /** TF-IDF: highest-scoring term per document. idf is rounded before
+    * the tf× multiply; ranking is on the rounded score with a term
+    * tiebreak, so the winner is deterministic cross-engine. */
+  val textTfidfTopterm: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val tf = tokens(s, dir)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf")
+          * round(log(col("n").cast("double") / col("df")), 8), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("score"))
+        .orderBy(col("doc_id"))
+    }
+    GQuery("text_tfidf_topterm",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * round(ln(CAST(n AS DOUBLE) / df), 8), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term AS top_term, score
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)(sparkImpl)
+  }
+
+  /** Bigram counts, top-20. */
+  val textNgrams: GQuery = GQuery(
+    "text_ngrams",
+    """SELECT bigram, count(*) AS cnt
+      |FROM (
+      |  SELECT unnest([t[i] || ' ' || t[i+1]
+      |                 for i in generate_series(1, len(t) - 1)]) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+      |GROUP BY bigram
+      |ORDER BY cnt DESC, bigram
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"""
+          .stripMargin)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Per-language corpus profile. Averages are emitted at 6 places
+    * alongside the exact integer sums they derive from. */
+  val textLangProfile: GQuery = GQuery(
+    "text_lang_profile",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6)
+      |    AS avg_tokens,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("avg_chars"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Language ID by additive-smoothed token log-probability against
+    * per-language profiles learned from the corpus itself (n-gram
+    * heuristic LID). Scores are sums of 8-place-rounded log-probs,
+    * re-rounded to 6 before the argmax, with a lang tiebreak. */
+  val textLangId: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val tok = tokens(s, dir)
+      val prof = tok.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .withColumnRenamed("lang", "cand")
+      val tot = tok.groupBy(col("lang")).agg(count(lit(1)).as("t"))
+        .withColumnRenamed("lang", "cand")
+      val vocab = tok.agg(countDistinct(col("term")).as("v"))
+      val docTok = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("m"))
+      val langs = Tables.documents(s, dir).select(col("lang").as("cand"))
+        .distinct()
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cand"))
+      val scores = docTok
+        .crossJoin(broadcast(langs))
+        .join(broadcast(prof), Seq("cand", "term"), "left")
+        .join(broadcast(tot), Seq("cand"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"), col("cand"))
+        .agg(round(sum(col("m") * round(log(
+          (coalesce(col("c"), lit(0L)) + lit(1)).cast("double")
+            / (col("t") + col("v"))), 8)), 6).as("score"))
+      scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          col("lang").as("actual_lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("cand").as("pred_lang"),
+          col("actual_lang"),
+          (col("cand") === col("actual_lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    }
+    GQuery("text_lang_id",
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |prof AS (SELECT lang AS cand, term, count(*) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lang AS cand, count(*) AS t FROM tok GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT term) AS v FROM tok),
+        |doc_tok AS (SELECT doc_id, term, count(*) AS m
+        |  FROM tok GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |scores AS (
+        |  SELECT d.doc_id, l.cand,
+        |    round(sum(d.m * round(ln(
+        |      CAST(coalesce(p.c, 0) + 1 AS DOUBLE) / (t.t + v.v)), 8)), 6)
+        |      AS score
+        |  FROM doc_tok d
+        |  CROSS JOIN langs l
+        |  LEFT JOIN prof p ON p.cand = l.cand AND p.term = d.term
+        |  JOIN tot t ON t.cand = l.cand
+        |  CROSS JOIN vocab v
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT doc_id, cand,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn
+        |  FROM scores)
+        |SELECT r.doc_id, r.cand AS pred_lang, d.lang AS actual_lang,
+        |  (r.cand = d.lang) AS correct
+        |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+        |WHERE r.rn = 1
+        |ORDER BY r.doc_id""".stripMargin)(sparkImpl)
+  }
+
+  /** Per-document quality score: uniqueness ratio, mean token length,
+    * stopword ratio, length saturation — combined into one score. */
+  val textQualityScore: GQuery = {
+    val stop = "('a','the','and','of','to','in','is','on','for','with')"
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val t = tokens(s, dir)
+      val perDoc = t.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_distinct"),
+          sum(length(col("term"))).as("sum_len"),
+          sum(when(col("term").isin("a", "the", "and", "of", "to", "in",
+            "is", "on", "for", "with"), 1L).otherwise(0L)).as("n_stop"))
+      perDoc
+        .withColumn("uniq_ratio",
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+        .withColumn("avg_token_len",
+          round(col("sum_len").cast("double") / col("n_tokens"), 6))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 6))
+        // exact decimal combine: the rounded ratios sit on a 1e-6 grid,
+        // so the weighted sum can land exactly on a half-boundary where
+        // double rounding splits across engines; decimal arithmetic on
+        // the grid values is exact and rounds identically (half-up).
+        .withColumn("quality", expr(
+          """CAST(round(0.5 * CAST(uniq_ratio AS DECIMAL(12,6))
+            |  + 0.3 * (1 - CAST(stop_ratio AS DECIMAL(12,6)))
+            |  + 0.002 * least(n_tokens, 100), 6) AS DOUBLE)""".stripMargin))
+        .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
+          col("avg_token_len"), col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }
+    GQuery("text_quality_score",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |per_doc AS (SELECT doc_id,
+         |    count(*) AS n_tokens,
+         |    count(DISTINCT term) AS n_distinct,
+         |    sum(length(term)) AS sum_len,
+         |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+         |  round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |  CAST(round(
+         |    0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+         |               AS DECIMAL(12,6))
+         |    + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+         |                      AS DECIMAL(12,6)))
+         |    + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
+         |FROM per_doc
+         |ORDER BY doc_id""".stripMargin)(sparkImpl)
+  }
+
+  /** Token counting three ways: whitespace, word-regex, and a BPE-ish
+    * chars/4 estimate. */
+  val textTokenCount: GQuery = GQuery(
+    "text_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_split_to_array(text, '[^a-zA-Z0-9]+')) AS INT)
+      |    AS re_tokens,
+      |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS INT) AS bpe_est
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(split(col("text"), "[^a-zA-Z0-9]+")).as("re_tokens"),
+        ceil(col("n_chars").cast("double") / 4).cast("int").as("bpe_est"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash document fingerprint: min portable hash over 8-char
+    * shingles, under two seeds (a 2-perm winnowing sketch). */
+  val textFingerprint: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 7), i -> substr(text, i, 8))"))
+          .as("gram"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(expr(pHash("concat('fp1:', gram)"))).as("fp1"),
+          min(expr(pHash("concat('fp2:', gram)"))).as("fp2"))
+        .orderBy(col("doc_id"))
+    }
+    GQuery("text_fingerprint",
+      s"""SELECT doc_id,
+         |  min(${duckHash("'fp1:' || gram")}) AS fp1,
+         |  min(${duckHash("'fp2:' || gram")}) AS fp2
+         |FROM (SELECT doc_id,
+         |    unnest([substr(text, i, 8)
+         |            for i in generate_series(1, length(text) - 7)]) AS gram
+         |  FROM documents)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)(sparkImpl)
+  }
+
+  val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
+    textLangProfile, textLangId, textQualityScore, textTokenCount,
+    textFingerprint)
+}
