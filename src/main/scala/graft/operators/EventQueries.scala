@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Event-time semantics over the events table (SURVEY.md §2.9), batch
+  * form — each query here has a Structured Streaming twin in
+  * graft.streaming.EventStreams whose equivalence is asserted in
+  * EventStreamsSpec (the oracle is batch DuckDB, so only the batch
+  * form is in the contract).
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations
+  * on (window_start, type) — bounded key space, map-side partials,
+  * tiny shuffle. Sessionization is one shuffle on user_id + a sorted
+  * window pass (state per user = last timestamp), the same shape
+  * `session_window` uses in streaming.
+  */
+object EventQueries {
+
+  /** 1-day tumbling windows per event type. value is 2-decimal-exact
+    * so round(sum, 2) sits on the grid, never a boundary. */
+  val evTumbling: GQuery = GQuery(
+    "ev_tumbling",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** 1-day windows sliding every 6 hours (each event lands in 4
+    * windows). The oracle reproduces Spark's epoch-aligned window set
+    * with integer epoch-µs arithmetic. */
+  val evSliding: GQuery = GQuery(
+    "ev_sliding",
+    """SELECT win_start_us, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT event_type, value,
+      |    unnest([(epoch_us(ts) // 21600000000 - k) * 21600000000
+      |            for k in [0, 1, 2, 3]]) AS win_start_us
+      |  FROM events)
+      |GROUP BY 1, 2
+      |ORDER BY win_start_us, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("win.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+  }
+
+  /** Sessionization (30-min inactivity gap) via gaps-and-islands: lag
+    * → new-session flag → running sum = session id. Identical SQL
+    * shape on both engines; all time math in exact epoch-µs ints. */
+  val evSession: GQuery = GQuery(
+    "ev_session",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT user_id, us,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |           IS NULL THEN 1
+      |         WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |           > 1800000000 THEN 1
+      |         ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (SELECT user_id, us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (SELECT user_id, sid, count(*) AS n_events,
+      |    max(us) - min(us) AS len_us
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(max(len_us) AS BIGINT) AS max_len_us,
+      |  round(CAST(sum(len_us) AS DOUBLE) / count(*) / 1000000, 6)
+      |    AS avg_len_sec
+      |FROM sess
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(byUser).isNull, 1)
+          .when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("len_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("bigint").as("n_events"),
+        max(col("len_us")).cast("bigint").as("max_len_us"),
+        round(sum(col("len_us")).cast("double") / count(lit(1)) / 1000000, 6)
+          .as("avg_len_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Deduplication on a business key (user, day, type), keeping the
+    * earliest event — the batch shape of streaming
+    * dropDuplicatesWithinWatermark. */
+  val evDedupStream: GQuery = GQuery(
+    "ev_dedup_stream",
+    """SELECT event_type, count(*) AS n_survivors,
+      |  CAST(min(event_id) AS BIGINT) AS min_event_id
+      |FROM (
+      |  SELECT event_id, event_type,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, date_trunc('day', ts), event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window
+      .partitionBy(col("user_id"), date_trunc("day", col("ts")),
+        col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_survivors"),
+        min(col("event_id")).as("min_event_id"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
+    evDedupStream)
+}

@@ -102,25 +102,37 @@ object SimQueries {
         |ORDER BY label, v1, v2""".stripMargin)(sparkImpl)
   }
 
-  /** Sign-LSH approximate top-3: bucket = sign bits of the first 8
-    * dimensions; probes search only their own bucket. no-oracle (an
-    * approximate index, not a SQL-expressible relation); recall vs
-    * brute force is asserted in SimSpec. */
+  /** Multi-table sign-LSH approximate top-3: 8 hash tables, each
+    * bucketing on the sign bits of a distinct group of 4 dimensions;
+    * a probe's candidate set is the union of its 8 buckets, so a true
+    * neighbor is missed only if it disagrees on some sign in EVERY
+    * table (recall ≈ 1 − (1 − p⁴)⁸, property-tested vs brute force).
+    * no-oracle (an approximate index, not a SQL-expressible relation).
+    *
+    * Scale shape: bucketing is a per-row projection (no shuffle); the
+    * candidate join is equi on (table, bucket) — the full pairwise
+    * cosine computation never happens. */
   val simTopkLsh: GQuery = GQuery.noOracle("sim_topk_lsh") { (s, dir) =>
-    val e = vecs(s, dir).withColumn("bucket", expr(
-      """aggregate(transform(slice(v, 1, 8),
-        |  x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN 1 ELSE 0 END),
-        |  0, (acc, b) -> acc * 2 + b)""".stripMargin))
+    val e = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(expr(
+        """transform(sequence(0, 7), t ->
+          |  aggregate(transform(slice(v, 4 * t + 1, 4),
+          |    x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN 1 ELSE 0 END),
+          |    0, (acc, b) -> acc * 2 + b))""".stripMargin))
+        .as(Seq("tbl", "bucket")))
     val probes = e.filter(col("vec_id") < 50)
-      .select(col("bucket"), col("vec_id").as("probe_id"),
+      .select(col("tbl"), col("bucket"), col("vec_id").as("probe_id"),
         col("v").as("va"), col("nrm").as("na"))
-    val corpus = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
-      col("v").as("vb"), col("nrm").as("nb"))
+    val corpus = e.select(col("tbl"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus.join(broadcast(probes), Seq("bucket"))
+    corpus.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")), 6))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
+      .distinct()
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Property checks for the operators whose contract entry is
+  * no-oracle (sketches / approximate indexes), plus algebraic
+  * invariants of the dedup family (SURVEY.md §5.2). */
+class OperatorPropertySpec extends SparkTestBase {
+  initQuiet()
+  import spark.implicits._
+
+  test("approx_count_distinct is within 10% of exact per event type") {
+    val approx = AggQueries.aggApproxDistinct.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.10,
+        s"$k: approx $ap vs exact $ex out of bounds")
+    }
+  }
+
+  test("minhash estimated jaccard tracks exact ngram jaccard on high-sim pairs") {
+    val est = DedupQueries.dedupNearMinhash.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = DedupQueries.dedupNgramJaccard.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every truly near-duplicate pair (exact j >= 0.8) must be caught
+    // by the LSH candidate generation with a high estimate
+    val hot = exact.filter(_._2 >= 0.8)
+    assert(hot.nonEmpty, "fixture should contain near-duplicate pairs")
+    hot.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"LSH missed near-dup pair $pair (j=$j)")
+      assert(est(pair) >= 0.5, s"estimate too low for $pair")
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    val once = DedupQueries.dedupExact.fn(spark, sfDir).collect()
+    val again = DedupQueries.dedupExact.fn(spark, sfDir).collect()
+    assert(once.toSeq == again.toSeq)
+    // survivors never exceed input docs and cover all langs
+    val total = once.map(_.getLong(1)).sum
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(total <= docs && total > 0)
+  }
+
+  test("LSH top-k recall >= 0.5 vs brute force (bucketed search is approximate)") {
+    val lsh = SimQueries.simTopkLsh.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = {
+      val e = Tables.embeddings(spark, sfDir).select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val rows = e.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      rows.keys.filter(_ < 50).flatMap { p =>
+        rows.toSeq.filter(_._1 != p)
+          .map { case (id, v) => (id, cos(rows(p), v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(3)
+          .map { case (id, _) => (p, id) }
+      }.toSet
+    }
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+    info(f"LSH top-3 recall vs brute force: $recall%.2f")
+  }
+
+  test("union/except algebra: (A union B) except B subset-of A") {
+    val a = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === 1995).select($"o_custkey")
+    val b = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === 1998).select($"o_custkey")
+    val lhs = a.union(b).except(b)
+    assert(lhs.except(a).count() == 0)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming twins (SURVEY.md §2.9): each batch event-time query must
+  * produce the same result when run as a Structured Streaming query
+  * over the same finite input, and watermarks must drop late data. */
+class EventStreamsSpec extends SparkTestBase {
+  initQuiet()
+  import spark.implicits._
+
+  private def t(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  /** Fixture events as a typed in-memory collection. */
+  private lazy val fixture: Seq[Ev] = Tables.events(spark, sfDir)
+    .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    .as[Ev].collect().toSeq
+
+  /** Far-future sentinel that pushes the watermark past every real
+    * window so Append mode flushes them all. */
+  private def sentinel: Ev = {
+    val maxTs = fixture.map(_.ts.getTime).max
+    Ev(-1L, new Timestamp(maxTs + 10L * 86400 * 1000), -1L, "sentinel", 0.0)
+  }
+
+  /** Run a streaming transform over the rows (fixture + sentinel) and
+    * return the sink contents. */
+  private def runStream(name: String, rows: Seq[Seq[Ev]],
+      transform: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    rows.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  private def asMap(df: DataFrame): Map[Seq[Any], Long] =
+    df.collect().map(r => r.toSeq).groupBy(identity).map {
+      case (k, v) => (k, v.size.toLong) }
+
+  test("tumbling: streaming ≡ batch on the same finite input") {
+    val got = runStream("tumbling_sink",
+      Seq(fixture, Seq(sentinel)), EventStreams.tumbling)
+      .filter($"event_type" =!= "sentinel")
+    val want = EventStreams.tumbling(fixture.toDF())
+    assert(asMap(got) == asMap(want))
+  }
+
+  test("sliding: streaming ≡ batch on the same finite input") {
+    val got = runStream("sliding_sink",
+      Seq(fixture, Seq(sentinel)), EventStreams.sliding)
+      .filter($"event_type" =!= "sentinel")
+    val want = EventStreams.sliding(fixture.toDF())
+    assert(asMap(got) == asMap(want))
+  }
+
+  test("sessions: streaming ≡ batch gaps-and-islands session count") {
+    val got = runStream("session_sink",
+      Seq(fixture, Seq(sentinel)), EventStreams.sessions)
+      .filter($"user_id" =!= -1L)
+    // session_window semantics = gaps-and-islands with the same gap:
+    // compare per-user session counts and total events.
+    val gotAgg = got.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+    val want = graft.operators.EventQueries.evSession.fn(spark, sfDir)
+      .select($"user_id", $"n_sessions", $"n_events")
+    assert(asMap(gotAgg.select($"user_id", $"n_sessions", $"n_events"))
+      == asMap(want))
+  }
+
+  test("dedup: duplicate event ids within the watermark are dropped") {
+    val rows = Seq(
+      Ev(1, t(1000), 1, "click", 1.0),
+      Ev(1, t(1010), 1, "click", 1.0), // dup id, within watermark
+      Ev(2, t(1020), 1, "view", 2.0))
+    val got = runStream("dedup_sink", Seq(rows, Seq(sentinel)),
+      EventStreams.dedup).filter($"event_id" =!= -1L)
+    assert(got.count() == 2)
+    assert(got.select($"event_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("late data beyond the watermark is excluded from its window") {
+    val base = 86400L // day 2 boundary, seconds
+    val batch1 = Seq(
+      Ev(1, t(base + 100), 1, "click", 1.0),   // day 2 early
+      Ev(2, t(base + 100000), 1, "click", 1.0)) // day 3 — watermark
+    val lateAndMore = Seq(
+      Ev(3, t(base + 200), 1, "click", 1.0))   // day 2 again, but now
+                                               // > 1h behind watermark
+    val got = runStream("late_sink",
+      Seq(batch1, lateAndMore, Seq(sentinel)), EventStreams.tumbling)
+      .filter($"event_type" =!= "sentinel")
+    val day2 = got.filter($"win_start" === t(base)).select($"n")
+      .as[Long].collect()
+    assert(day2.toSeq == Seq(1L),
+      s"late event must be dropped, got counts ${day2.toSeq}")
+  }
+}
