@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram generation as a single-pass native expression.
+  *
+  * The composable form — `transform(sequence(...), i -> concat_ws(...))`
+  * — evaluates an interpreted lambda per n-gram (higher-order functions
+  * are CodegenFallback), which made shingle generation the hottest
+  * stage of the dedup pipeline. This expression emits the whole n-gram
+  * array in one JVM pass over the token array: one virtual call per
+  * ROW instead of per ELEMENT.
+  *
+  * Registered as `word_ngrams(tokens, n)` via
+  * [[TextExpressions.register]].
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+  private val space = UTF8String.fromString(" ")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val m = toks.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** Character n-gram (sliding substring) generation, one pass per row —
+  * same motivation as [[WordNgrams]]; used by the fingerprint sketch.
+  * Registered as `char_ngrams(str, n)`. */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = s.substring(i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Idempotently register word_ngrams(tokens, n) / char_ngrams(s, n). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNgrams(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("char_ngrams",
+      exprs => CharNgrams(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+  }
+}

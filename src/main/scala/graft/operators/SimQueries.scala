@@ -24,16 +24,19 @@ import graft.sources.Tables
   */
 object SimQueries {
 
-  /** doubles + L2 norm, shared by the queries below. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** doubles + L2 norm, shared by the queries below. Norm and dot use
+    * the codegen'd native expressions in graft.functions (the
+    * higher-order zip_with/aggregate forms are interpreted and
+    * dominate all-pairs joins). */
+  private[operators] def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+  }
 
-  private val dot =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+  private val dot = "vec_dot(va, vb)"
 
   /** Exact top-5 cosine neighbors for probe vectors vec_id < 5
     * (self excluded): the brute-force baseline. */

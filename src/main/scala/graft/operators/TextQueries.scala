@@ -98,12 +98,9 @@ object TextQueries {
       |GROUP BY bigram
       |ORDER BY cnt DESC, bigram
       |LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.functions.TextExpressions.register(s)
     Tables.documents(s, dir)
-      .select(split(col("text"), " ").as("t"))
-      .select(explode(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"""
-          .stripMargin)).as("bigram"))
+      .select(explode(expr("word_ngrams(split(text, ' '), 2)")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
@@ -282,29 +279,31 @@ object TextQueries {
   }
 
   /** Rolling-hash document fingerprint: min portable hash over 8-char
-    * shingles, under two seeds (a 2-perm winnowing sketch). */
+    * shingles, two independent 32-bit permutations sliced from ONE md5
+    * digest per gram (md5 is the kernel cost — one digest, two mins). */
   val textFingerprint: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
+      graft.functions.TextExpressions.register(s)
       Tables.documents(s, dir)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 7), i -> substr(text, i, 8))"))
-          .as("gram"))
+        .select(col("doc_id"),
+          explode(expr("char_ngrams(text, 8)")).as("gram"))
+        .withColumn("m", md5(col("gram")))
         .groupBy(col("doc_id"))
         .agg(
-          min(expr(pHash("concat('fp1:', gram)"))).as("fp1"),
-          min(expr(pHash("concat('fp2:', gram)"))).as("fp2"))
+          min(expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)")).as("fp1"),
+          min(expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)")).as("fp2"))
         .orderBy(col("doc_id"))
     }
     GQuery("text_fingerprint",
-      s"""SELECT doc_id,
-         |  min(${duckHash("'fp1:' || gram")}) AS fp1,
-         |  min(${duckHash("'fp2:' || gram")}) AS fp2
-         |FROM (SELECT doc_id,
-         |    unnest([substr(text, i, 8)
-         |            for i in generate_series(1, length(text) - 7)]) AS gram
-         |  FROM documents)
-         |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin)(sparkImpl)
+      """SELECT doc_id,
+        |  min(CAST(concat('0x', substr(m, 1, 8)) AS BIGINT)) AS fp1,
+        |  min(CAST(concat('0x', substr(m, 9, 8)) AS BIGINT)) AS fp2
+        |FROM (SELECT doc_id,
+        |    md5(unnest([substr(text, i, 8)
+        |                for i in generate_series(1, length(text) - 7)])) AS m
+        |  FROM documents)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)(sparkImpl)
   }
 
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
