@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Demonstrations of the 100 TB-scale mechanics on small data
+  * (SURVEY.md §7 M5): source/sink roundtrips, partitioned layouts with
+  * partition pruning, and skew-salting that preserves results.
+  */
+class ScalePostureSpec extends SparkTestBase {
+  initQuiet()
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv and json sinks roundtrip the lineitem sample losslessly") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag")
+    val csvDir = tmp("graft_csv")
+    val jsonDir = tmp("graft_json")
+    li.write.mode("overwrite").option("header", "true").csv(csvDir)
+    li.write.mode("overwrite").json(jsonDir)
+    val csvBack = spark.read.option("header", "true")
+      .schema(li.schema).csv(csvDir)
+    val jsonBack = spark.read.schema(li.schema).json(jsonDir)
+    assert(csvBack.count() == li.count())
+    assert(jsonBack.count() == li.count())
+    assert(csvBack.except(li).count() == 0 && li.except(csvBack).count() == 0)
+    assert(jsonBack.except(li).count() == 0 && li.except(jsonBack).count() == 0)
+  }
+
+  test("partitioned parquet layout prunes partitions in the scan") {
+    val dir = tmp("graft_part")
+    Tables.orders(spark, sfDir)
+      .withColumn("order_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"order_year" === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter must be applied at planning (pruned directories),
+    // not as a post-scan row filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("order_year"), s"no partition pruning in:\n$plan")
+    val expected = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === 1997).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("salted aggregation equals direct aggregation (skew pattern)") {
+    // two-phase: salt the (potentially skewed) group key, partial-agg
+    // on (key, salt), then final-agg on key. Result must be identical.
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("s"))
+    val salted = ev
+      .withColumn("salt", pmod(hash($"event_id"), lit(8)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value").as("ps"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), round(sum($"ps"), 2).as("s"))
+    assert(direct.except(salted).count() == 0
+      && salted.except(direct).count() == 0)
+  }
+
+  test("bucketed tables co-locate the fact-fact join (no exchange on the bucketed key)") {
+    val wh = tmp("graft_wh")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucket_db LOCATION '$wh'")
+    Tables.lineitem(spark, sfDir).write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bucket_db.li_bucketed")
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bucket_db.o_bucketed")
+    val joined = spark.table("graft_bucket_db.li_bucketed")
+      .join(spark.table("graft_bucket_db.o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == Tables.lineitem(spark, sfDir).count())
+    spark.sql("DROP DATABASE graft_bucket_db CASCADE")
+  }
+}
