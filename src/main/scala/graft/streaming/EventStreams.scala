@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming twins of the batch event-time queries in
   * graft.operators.EventQueries (SURVEY.md §2.9). Each transform takes
@@ -52,4 +53,27 @@ object EventStreams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user lifetime stats via explicit keyed state
+    * (`flatMapGroupsWithState`) — the custom-state escape hatch for
+    * semantics no built-in window covers. State per key is one
+    * (count, sum) pair, so a billion users is a billion tiny state
+    * entries in the state store, updated incrementally per batch. */
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserStats[E](events: Dataset[E], uid: E => Long,
+      value: E => Double): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(uid)
+      .flatMapGroupsWithState[(Long, Double), UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[E], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { e => n += 1; s += value(e) }
+          state.update((n, s))
+          Iterator(UserStats(user, n, s))
+      }
+  }
 }

@@ -92,6 +92,25 @@ class EventStreamsSpec extends SparkTestBase {
       == Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningUserStats[Ev](mem.toDS(), _.user_id, _.value)
+      .writeStream.format("memory").queryName("state_sink")
+      .outputMode("update").start()
+    mem.addData(Ev(1, t(100), 7, "click", 2.0), Ev(2, t(200), 7, "view", 3.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, t(300), 7, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: one row per batch per touched key; the LAST row for
+    // user 7 must carry the accumulated (3 events, 10.0 total)
+    val rows = spark.table("state_sink")
+      .filter($"user_id" === 7L).collect()
+    assert(rows.map(_.getLong(1)).max == 3L)
+    assert(math.abs(rows.map(_.getDouble(2)).max - 10.0) < 1e-9)
+  }
+
   test("late data beyond the watermark is excluded from its window") {
     val base = 86400L // day 2 boundary, seconds
     val batch1 = Seq(
