@@ -11,7 +11,8 @@ object Registry {
     ScanQueries.all ++ FilterQueries.all ++ JoinQueries.all ++
       AggQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
       FuncQueries.all ++ DedupQueries.all ++ SimQueries.all ++
-      TextQueries.all ++ MultimodalQueries.all ++ EventQueries.all
+      TextQueries.all ++ MultimodalQueries.all ++ EventQueries.all ++
+      ReshapeQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

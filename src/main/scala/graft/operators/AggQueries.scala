@@ -231,7 +231,50 @@ object AggQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Bivariate statistics per group: correlation and covariance of
+    * quantity vs price (rounded: co-moment accumulation order differs
+    * across engines in the last ulp). */
+  val aggCorrCovar: GQuery = GQuery(
+    "agg_corr_covar",
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_pq,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_qp"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("slope_pq"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered string aggregation (LISTAGG shape), expressed portably as
+    * sort-then-join so both engines emit the identical string. */
+  val aggListagg: GQuery = GQuery(
+    "agg_listagg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"))
+      .orderBy(col("r_name"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
-    aggStats)
+    aggStats, aggCorrCovar, aggListagg)
 }

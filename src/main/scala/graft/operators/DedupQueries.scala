@@ -87,9 +87,11 @@ object DedupQueries {
     * instruction of the signature pass, so this is a ~4× kernel win
     * with identical statistical behavior (independent 32-bit
     * universals), and the oracle slices the same digests. */
-  val dedupNearMinhash: GQuery = {
-    val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
-    val sparkImpl = (s: SparkSession, dir: String) => {
+  private val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+
+  /** (doc1, doc2, est_jaccard ≥ 0.5) candidate pairs — shared by the
+    * minhash contract query and the edit-distance refinement. */
+  private def minhashPairsSpark(s: SparkSession, dir: String): DataFrame = {
       val hashCols = (0 to 7).map { i =>
         val m = i / 4; val j = i % 4
         expr(s"CAST(conv(substr(m$m, ${1 + 8 * j}, 8), 16, 10) AS BIGINT)")
@@ -138,8 +140,11 @@ object DedupQueries {
         .select(col("doc1"), col("doc2"),
           (agree.cast("double") / 8).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
-        .orderBy(col("doc1"), col("doc2"))
-    }
+  }
+
+  /** DuckDB CTE chain ending in `pairs(doc1, doc2, est_jaccard)` —
+    * the oracle twin of [[minhashPairsSpark]]. */
+  private val minhashPairsCte: String = {
     val bandCond = bands.map { case (x, y) =>
       s"(a.h$x = b.h$x AND a.h$y = b.h$y)" }.mkString(" OR ")
     val agree = (0 to 7).map(k =>
@@ -148,17 +153,48 @@ object DedupQueries {
       val m = i / 4; val j = i % 4
       s"min(CAST(concat('0x', substr(m$m, ${1 + 8 * j}, 8)) AS BIGINT)) AS h$i"
     }.mkString(", ")
-    GQuery("dedup_near_minhash",
-      s"""$duckShingles,
-         |dig AS (SELECT doc_id, md5('0:' || shingle) AS m0,
-         |    md5('1:' || shingle) AS m1 FROM sh),
-         |sig AS (SELECT doc_id, $duckMins FROM dig GROUP BY doc_id)
-         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-         |  CAST($agree AS DOUBLE) / 8 AS est_jaccard
-         |FROM sig a JOIN sig b
-         |  ON a.doc_id < b.doc_id AND ($bandCond)
-         |WHERE CAST($agree AS DOUBLE) / 8 >= 0.5
-         |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
+    s"""$duckShingles,
+       |dig AS (SELECT doc_id, md5('0:' || shingle) AS m0,
+       |    md5('1:' || shingle) AS m1 FROM sh),
+       |sig AS (SELECT doc_id, $duckMins FROM dig GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       |    CAST($agree AS DOUBLE) / 8 AS est_jaccard
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id < b.doc_id AND ($bandCond)
+       |  WHERE CAST($agree AS DOUBLE) / 8 >= 0.5)""".stripMargin
+  }
+
+  val dedupNearMinhash: GQuery = GQuery(
+    "dedup_near_minhash",
+    s"""$minhashPairsCte
+       |SELECT doc1, doc2, est_jaccard FROM pairs
+       |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+    minhashPairsSpark(s, dir).orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Edit-distance refinement of the MinHash candidates: exact
+    * Levenshtein over the (tiny) candidate pair set — the classic
+    * two-stage near-dedup: cheap sketch prunes, exact metric decides.
+    * The quadratic-cost metric only ever touches candidate pairs. */
+  val dedupEditDistance: GQuery = GQuery(
+    "dedup_edit_distance",
+    s"""$minhashPairsCte
+       |SELECT p.doc1, p.doc2, p.est_jaccard,
+       |  CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+       |FROM pairs p
+       |JOIN documents da ON p.doc1 = da.doc_id
+       |JOIN documents db ON p.doc2 = db.doc_id
+       |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    minhashPairsSpark(s, dir)
+      .join(broadcast(docs.select(col("doc_id").as("doc1"),
+        col("text").as("text1"))), Seq("doc1"))
+      .join(broadcast(docs.select(col("doc_id").as("doc2"),
+        col("text").as("text2"))), Seq("doc2"))
+      .select(col("doc1"), col("doc2"), col("est_jaccard"),
+        levenshtein(col("text1"), col("text2")).cast("int").as("edit_dist"))
+      .orderBy(col("doc1"), col("doc2"))
   }
 
   /** 16-bit SimHash over distinct tokens; near-dup pairs = Hamming
@@ -284,6 +320,6 @@ object DedupQueries {
         |ORDER BY v1, v2""".stripMargin)(sparkImpl)
   }
 
-  val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash, dedupSimhash,
-    dedupNgramJaccard, dedupEmbedCosine)
+  val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
+    dedupEditDistance, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine)
 }
