@@ -274,7 +274,33 @@ object AggQueries {
       .orderBy(col("r_name"))
   }
 
+  /** Equi-width histogram of event values (width_bucket semantics,
+    * spelled as explicit arithmetic — DuckDB v1.0 has no width_bucket).
+    * The shuffle carries only (bucket, count), never rows. */
+  val aggHistogram: GQuery = {
+    val bucket =
+      """CASE WHEN value < 0 THEN 0
+        |     WHEN value >= 100 THEN 11
+        |     ELSE CAST(floor(value / 10) AS BIGINT) + 1 END""".stripMargin
+    GQuery(
+      "agg_histogram",
+      s"""SELECT CAST($bucket AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  round(min(value), 2) AS lo,
+         |  round(max(value), 2) AS hi
+         |FROM events
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(expr(bucket).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
-    aggStats, aggCorrCovar, aggListagg)
+    aggStats, aggCorrCovar, aggListagg, aggHistogram)
 }

@@ -111,6 +111,26 @@ class EventStreamsSpec extends SparkTestBase {
     assert(math.abs(rows.map(_.getDouble(2)).max - 10.0) < 1e-9)
   }
 
+  test("checkpointed query restarts without reprocessing (exactly-once sink)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val mem = MemoryStream[Ev]
+    def start() = EventStreams.dedup(mem.toDF()).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    mem.addData(Ev(1, t(100), 1, "click", 1.0), Ev(2, t(200), 1, "view", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint: only NEW data may land in the sink
+    val q2 = start()
+    mem.addData(Ev(3, t(300), 1, "click", 3.0))
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(out).select($"event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"expected exactly-once ids, got $ids")
+  }
+
   test("late data beyond the watermark is excluded from its window") {
     val base = 86400L // day 2 boundary, seconds
     val batch1 = Seq(

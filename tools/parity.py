@@ -69,12 +69,14 @@ def main():
         spark_path = Path(out_dir, name)
         if not spark_path.exists():
             failures.append((name, "spark output missing (query threw?)"))
+            print(f"FAIL {name}: spark output missing (query threw?)")
             continue
         try:
             got = norm(pd.read_parquet(spark_path))
             want = norm(con.execute(oracle[name]).df())
         except Exception as e:
             failures.append((name, f"load/oracle error: {e}"))
+            print(f"FAIL {name}: load/oracle error: {e}")
             continue
         probs = []
         if list(got.columns) != list(want.columns):
