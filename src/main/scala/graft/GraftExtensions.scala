@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CharNgrams, TextExpressions, VecDot, VecNorm, WordNgrams}
+
+/** Session-extension entry point: makes the engine's native functions
+  * available to ANY session (including pure-SQL users on a cluster)
+  * via config, with no code changes:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * The per-session `register(spark)` helpers on VectorExpressions /
+  * TextExpressions stay for programmatic use; this class is the
+  * deployment-grade path (functions resolve before any query runs,
+  * on every session derived from the config).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a double array"),
+      (exprs: Seq[Expression]) => VecNorm(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(tokens, n) - sliding word n-grams"),
+      (exprs: Seq[Expression]) => WordNgrams(exprs.head, intLit(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(s, n) - sliding character n-grams"),
+      (exprs: Seq[Expression]) => CharNgrams(exprs.head, intLit(exprs(1)))))
+  }
+}
