@@ -88,4 +88,55 @@ object MultimodalPipeline {
       }
     }
   }
+
+  /** STUB — image resize. Deterministic byte subsampling to a
+    * w×h-byte thumbnail (a real kernel swaps the body for bilinear
+    * resampling over decoded pixels; signature and metadata update are
+    * the real contract). */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(1, w * h)
+    val out = new Array[Byte](math.min(n, payload.length))
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** STUB — video frame sampling: split the payload into `n` chunks
+    * ("frames") and featurize each. Real path: demux + decode every
+    * k-th frame; the per-frame fan-out shape (one row in, n typed rows
+    * out via flatMap) is the real mechanism. */
+  case class FrameFeature(doc_id: Long, frame_no: Int, n_bytes: Int,
+      features: Array[Float])
+
+  def sampleFrames(media: DataFrame, n: Int)(
+      implicit spark: SparkSession): Dataset[FrameFeature] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val chunk = math.max(1, r.payload.length / n)
+      (0 until n).iterator.takeWhile(i => i * chunk < r.payload.length)
+        .map { i =>
+          val bytes = r.payload.slice(i * chunk,
+            math.min((i + 1) * chunk, r.payload.length))
+          FrameFeature(r.doc_id, i, bytes.length, decodeStub(bytes, r.meta))
+        }
+    }
+  }
+
+  /** Resize as a pipeline stage: payload replaced by its thumbnail,
+    * metadata updated to the new dimensions. */
+  def resize(media: DataFrame, w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        MediaRow(r.doc_id, resizeStub(r.payload, w, h),
+          r.meta.copy(width = w, height = h))
+      }
+    }
+  }
 }

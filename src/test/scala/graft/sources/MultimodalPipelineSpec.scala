@@ -47,6 +47,33 @@ class MultimodalPipelineSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("resize produces w*h-byte thumbnails with updated metadata") {
+    implicit val s = spark
+    val small = MultimodalPipeline.resize(syntheticMedia(spark, sfDir), 4, 4)
+    val rows = small.collect()
+    assert(rows.forall(r => r.payload.length <= 16))
+    assert(rows.forall(r => r.meta.width == 4 && r.meta.height == 4))
+    // deterministic: same input, same thumbnail
+    val again = MultimodalPipeline.resize(syntheticMedia(spark, sfDir), 4, 4)
+      .collect()
+    assert(rows.sortBy(_.doc_id).map(_.payload.toSeq).toSeq
+      == again.sortBy(_.doc_id).map(_.payload.toSeq).toSeq)
+  }
+
+  test("frame sampling fans each payload into n featurized frames") {
+    implicit val s = spark
+    val frames = MultimodalPipeline.sampleFrames(
+      syntheticMedia(spark, sfDir), 4)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.size == 500)
+    assert(byDoc.values.forall(f => f.length >= 1 && f.length <= 4))
+    assert(byDoc.values.flatten.forall(_.features.length == 8))
+    // frame numbering is dense from 0
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frame_no).sorted.toSeq == (0 until fs.length))
+    }
+  }
+
   test("decode preserves partitioning (no shuffle in the stage)") {
     implicit val s = spark
     val media = syntheticMedia(spark, sfDir).repartition(4)
