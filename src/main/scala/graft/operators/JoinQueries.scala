@@ -199,7 +199,46 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** FULL OUTER join: 1995 vs 1998 per-customer activity — customers
+    * active in either year survive, with zero-filled counts. */
+  val joinFullOuter: GQuery = GQuery(
+    "join_full_outer",
+    """SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+      |  coalesce(a.n, 0) AS n_1995,
+      |  coalesce(b.n, 0) AS n_1998
+      |FROM (SELECT o_custkey, count(*) AS n FROM orders
+      |      WHERE year(o_orderdate) = 1995 GROUP BY 1) a
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey, count(*) AS n FROM orders
+      |      WHERE year(o_orderdate) = 1998 GROUP BY 1) b
+      |  ON a.o_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    def yearly(yr: Int) = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val a = yearly(1995).withColumnRenamed("o_custkey", "ck_a")
+      .withColumnRenamed("n", "n_a")
+    val b = yearly(1998).withColumnRenamed("o_custkey", "ck_b")
+      .withColumnRenamed("n", "n_b")
+    a.join(b, col("ck_a") === col("ck_b"), "full_outer")
+      .select(coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+        coalesce(col("n_a"), lit(0L)).as("n_1995"),
+        coalesce(col("n_b"), lit(0L)).as("n_1998"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Explicit CROSS join of the two smallest dims (125 rows) — the
+    * one place a cartesian product is the intended plan. */
+  val joinCross: GQuery = GQuery(
+    "join_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof)
+    joinAsof, joinFullOuter, joinCross)
 }

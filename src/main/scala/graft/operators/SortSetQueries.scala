@@ -88,6 +88,28 @@ object SortSetQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** unionByName with missing columns: schemas aligned by NAME (not
+    * position), absent columns null-filled — the schema-evolution
+    * union. */
+  val setopUnionByName: GQuery = GQuery(
+    "setop_union_by_name",
+    """SELECT kind, key, val, extra FROM (
+      |  SELECT 'c' AS kind, c_custkey AS key, c_acctbal AS val,
+      |    c_mktsegment AS extra FROM customer
+      |  UNION ALL
+      |  SELECT 's' AS kind, s_suppkey AS key, s_acctbal AS val,
+      |    CAST(NULL AS VARCHAR) AS extra FROM supplier)
+      |ORDER BY kind, key""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+      .select(lit("c").as("kind"), col("c_custkey").as("key"),
+        col("c_acctbal").as("val"), col("c_mktsegment").as("extra"))
+    val sup = Tables.supplier(s, dir)
+      .select(lit("s").as("kind"), col("s_suppkey").as("key"),
+        col("s_acctbal").as("val"))
+    c.unionByName(sup, allowMissingColumns = true)
+      .orderBy(col("kind"), col("key"))
+  }
+
   val all: Seq[GQuery] = Seq(sortMultiKey, setopUnionAll,
-    setopUnionDistinct, setopIntersect, setopExcept)
+    setopUnionDistinct, setopIntersect, setopExcept, setopUnionByName)
 }

@@ -134,6 +134,24 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("order_day"), col("o_orderkey"))
   }
 
+  /** cume_dist over tied keys (order years) — completes the ranking
+    * family; exact rational output, no rounding needed, but rounded
+    * anyway per the transcendental discipline (engines agree on the
+    * small-integer division). */
+  val winCumeDist: GQuery = GQuery(
+    "win_cume_dist",
+    """SELECT o_orderkey,
+      |  round(cume_dist() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY year(o_orderdate)), 8) AS cd
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(year(col("o_orderdate")))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), round(cume_dist().over(w), 8).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
-    winAnalytic, winFrameRows, winFrameRange)
+    winAnalytic, winFrameRows, winFrameRange, winCumeDist)
 }
