@@ -26,8 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
 
-  private def intLit(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
+  private def intLit(name: String, e: Expression): Int =
+    TextExpressions.intLitArg(name, e)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
@@ -38,9 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => VecNorm(exprs.head)))
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(tokens, n) - sliding word n-grams"),
-      (exprs: Seq[Expression]) => WordNgrams(exprs.head, intLit(exprs(1)))))
+      (exprs: Seq[Expression]) => WordNgrams(exprs.head,
+        intLit("word_ngrams", exprs(1)))))
     ext.injectFunction((FunctionIdentifier("char_ngrams"),
       info("char_ngrams", "char_ngrams(s, n) - sliding character n-grams"),
-      (exprs: Seq[Expression]) => CharNgrams(exprs.head, intLit(exprs(1)))))
+      (exprs: Seq[Expression]) => CharNgrams(exprs.head,
+        intLit("char_ngrams", exprs(1)))))
   }
 }

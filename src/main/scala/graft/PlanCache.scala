@@ -1,0 +1,42 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo for persisted intermediate frames.
+  *
+  * The dedup family shares expensive intermediates (the shingle set,
+  * the MinHash signature table, the SimHash table) across several
+  * contract queries. A bare `.persist()` inside each query fn pins a
+  * NEW copy of the blocks on every invocation and never releases them
+  * (the fn returns a lazy plan, so it cannot unpersist before the
+  * caller has executed it). This memo fixes both problems:
+  *
+  *  - repeat invocations for the same (session, sfDir, key) return the
+  *    SAME persisted frame — the cache footprint is bounded by the
+  *    number of distinct intermediates, not the number of calls;
+  *  - queries that share lineage (dedup_near_minhash /
+  *    dedup_edit_distance / dedup_ngram_jaccard) compute the corpus
+  *    scan + tokenize + hash pipeline once per session instead of once
+  *    per query — at 100 TB the signature table is the thing you
+  *    materialize, and you materialize it exactly once.
+  *
+  * `clear()` unpersists everything — harness mains call it before
+  * `spark.stop()`, and specs use it to assert no leaked blocks.
+  */
+object PlanCache {
+  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def memo(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((s, dir, key), build.persist())
+
+  /** Number of live memoized frames (for leak assertions in specs). */
+  def size: Int = cache.size
+
+  def clear(): Unit = {
+    cache.values.foreach(_.unpersist(blocking = false))
+    cache.clear()
+  }
+}

@@ -24,7 +24,14 @@ case class WordNgrams(child: Expression, n: Int)
   require(n >= 1, "ngram size must be >= 1")
   private val space = UTF8String.fromString(" ")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // UTF8String.concat returns null when any token is null, so a
+  // null-admitting input array yields null n-gram elements — the
+  // declared type must admit them or downstream codegen would treat
+  // the array as null-free (undefined behavior).
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[ArrayData]
@@ -78,16 +85,31 @@ case class CharNgrams(child: Expression, n: Int)
 }
 
 object TextExpressions {
+
+  /** Resolve the n argument of an n-gram function: must be a foldable
+    * non-null integer — anything else is an analysis error, not an
+    * NPE/ClassCastException at resolution time. */
+  private[graft] def intLitArg(fname: String, e: Expression): Int = {
+    def bad(what: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException("INTERNAL_ERROR",
+        Map("message" ->
+          s"$fname: the n argument must be an integer literal, got $what"))
+    if (!e.foldable) bad(s"non-foldable expression ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case null => bad("NULL")
+      case other => bad(s"${other.getClass.getSimpleName} literal")
+    }
+  }
+
   /** Idempotently register word_ngrams(tokens, n) / char_ngrams(s, n). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("word_ngrams",
-      exprs => WordNgrams(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => WordNgrams(exprs.head, intLitArg("word_ngrams", exprs(1))),
       "built-in")
     reg.createOrReplaceTempFunction("char_ngrams",
-      exprs => CharNgrams(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => CharNgrams(exprs.head, intLitArg("char_ngrams", exprs(1))),
       "built-in")
   }
 }

@@ -71,7 +71,7 @@ object EventQueries {
       |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
       |           IS NULL THEN 1
       |         WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-      |           > 1800000000 THEN 1
+      |           >= 1800000000 THEN 1
       |         ELSE 0 END AS new_s
       |  FROM e),
       |s AS (SELECT user_id, us,
@@ -94,7 +94,10 @@ object EventQueries {
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .withColumn("new_s",
         when(lag(col("us"), 1).over(byUser).isNull, 1)
-          .when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+          // >= (not >): streaming session_window is half-open
+          // [t, t+gap), so an event at exactly start+gap opens a NEW
+          // session — the batch twin must agree on boundary gaps.
+          .when(col("us") - lag(col("us"), 1).over(byUser) >= 1800000000L, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("new_s"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
