@@ -49,7 +49,7 @@ object DedupQueries {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "shingles") {
       graft.functions.TextExpressions.register(s)
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"),
           explode(expr("word_ngrams(split(text, ' '), 3)")).as("shingle"))
         .distinct()
@@ -222,7 +222,7 @@ object DedupQueries {
       // (map-side partial) instead of a 16× row explosion + 2 shuffles.
       // Memoized: both sides of the band join share it.
       val sim = PlanCache.memo(s, dir, "simhash_sig") {
-        val tok = Tables.documents(s, dir)
+        val tok = Tables.documentsSpread(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .distinct()
           .withColumn("h", expr(pHash("term")))
@@ -244,13 +244,32 @@ object DedupQueries {
         col("doc_id").as("doc1"), col("simhash").as("s1"))
       val b = banded.select(col("band"), col("bk"),
         col("doc_id").as("doc2"), col("simhash").as("s2"))
-      a.join(b, Seq("band", "bk"))
+      // stream side pinned to full ROUND-ROBIN parallelism: the band
+      // join is output-explosive (~20k banded rows fan out to millions
+      // of candidate pairs) so AQE must not coalesce the input, and
+      // the band buckets are heavily skewed on a near-dup-rich corpus,
+      // so partitioning BY the band key would pin a hot bucket's whole
+      // fan-out on one task — a broadcast join needs no co-partition,
+      // and round-robin spreads a hot bucket's stream rows evenly.
+      // The build side is 4 rows/doc of two longs — always
+      // broadcastable (at cluster scale: still just the signature
+      // table, rebuild threshold permitting, else swap to shuffle join
+      // with salting).
+      a.repartition(s.sessionState.conf.numShufflePartitions)
+        .join(broadcast(b), Seq("band", "bk"))
         .filter(col("doc1") < col("doc2"))
+        // a pair can collide in several bands: keep it ONLY in its
+        // FIRST equal band (cheap bit ops on values already in the
+        // row) so every pair survives exactly once and no distinct
+        // shuffle is needed on the multi-million-row candidate stream
+        .filter(expr(
+          """band = CASE WHEN (s1 & 15) = (s2 & 15) THEN 0
+            |  WHEN (shiftright(s1, 4) & 15) = (shiftright(s2, 4) & 15) THEN 1
+            |  WHEN (shiftright(s1, 8) & 15) = (shiftright(s2, 8) & 15) THEN 2
+            |  ELSE 3 END""".stripMargin))
         .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
         .filter(col("hamming") <= 3)
-        // a pair can collide in several bands → dedup the (small)
-        // post-filter result, not the candidate stream
-        .select(col("doc1"), col("doc2"), col("hamming")).distinct()
+        .select(col("doc1"), col("doc2"), col("hamming"))
         .orderBy(col("doc1"), col("doc2"))
     }
     GQuery("dedup_simhash",
@@ -274,8 +293,41 @@ object DedupQueries {
          |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
   }
 
-  /** Exact word-3-gram Jaccard ≥ 0.5 via prefix filtering
-    * (AllPairs/PPJoin), lossless:
+  /** Shingle document frequencies, memoized: the PPJoin global order,
+    * the strategy cost probe, and the doc-array build all read it. */
+  private def shingleDfreq(s: SparkSession, dir: String): DataFrame =
+    PlanCache.memo(s, dir, "shingle_dfreq") {
+      shingles(s, dir).groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    }
+
+  /** Direct inverted-index plan: join every posting pair, aggregate
+    * intersection sizes. Optimal when no shingle is hot (the join
+    * output is Σ df·(df−1)/2 rows — near-linear on a flat df
+    * distribution), quadratic disaster when one is. */
+  private[operators] def ngramJaccardInverted(
+      s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.select(col("doc_id").as("d1"), col("shingle"))
+      // pinned partition count: the posting list is small in bytes but
+      // the join output is quadratic per shingle — don't let AQE
+      // coalesce the input of an output-explosive join
+      .repartition(s.sessionState.conf.numShufflePartitions, col("shingle"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n", "n1")), Seq("d1"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n", "n2")), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
+  }
+
+  /** Prefix-filtered plan (AllPairs/PPJoin), lossless:
     *
     * Under any global shingle order, J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉
     * and ≥ ⌈t·|B|⌉; the first common shingle (in that order) then sits
@@ -284,46 +336,87 @@ object DedupQueries {
     * PREFIXES — ordered rarest-first (ascending document frequency) so
     * hot shingles land at the end and never generate candidates; the
     * full Jaccard is then verified on candidates only against the
-    * complete shingle sets. This keeps the inverted-index join linear
-    * on a skewed real-text corpus where the hottest shingle alone
-    * would otherwise produce a quadratic blow-up, and the result set
-    * is provably identical to the all-pairs answer (the DuckDB oracle
-    * keeps the naive inverted-index SQL). */
+    * complete shingle sets. Survives a skewed corpus where the hottest
+    * shingle alone would make [[ngramJaccardInverted]] quadratic. */
+  private[operators] def ngramJaccardPPJoin(
+      s: SparkSession, dir: String): DataFrame = {
+    // per-doc shingle ARRAY, sorted rarest-first under the global
+    // (document frequency, shingle) total order — built once and
+    // memoized; both candidate generation (prefix slices) and
+    // verification (array_intersect) read it.
+    val docArr = PlanCache.memo(s, dir, "shingle_arrays") {
+      shingles(s, dir).join(shingleDfreq(s, dir), Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+          .as("ss"))
+        .select(col("doc_id"),
+          expr("transform(ss, x -> x.shingle)").as("arr"),
+          size(col("ss")).as("n"))
+    }
+    // candidate generation: only each doc's PREFIX (the rarest
+    // ⌊n/2⌋+1 = n − ⌈t·n⌉ + 1 shingles for t = 0.5) is indexed, with
+    // the PPJoin length filter (2·min(n1,n2) ≥ max) and positional
+    // filter (3·(1 + min(n1−rk1, n2−rk2)) ≥ n1+n2, i.e. the overlap
+    // upper bound at the first shared prefix shingle must reach the
+    // required ⌈(n1+n2)/3⌉) — both integer-exact and lossless.
+    val pref = docArr.select(col("doc_id"), col("n"),
+      posexplode(expr("slice(arr, 1, shiftright(n, 1) + 1)"))
+        .as(Seq("pos", "shingle")))
+    // prefix join pinned to full key-parallelism: the prefix index
+    // is only a few MB (AQE would coalesce it to one partition) but
+    // the self-join fans out quadratically per shingle; shingle df
+    // is bounded by the prefix construction, so keyed partitioning
+    // is skew-safe here.
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val cand = pref.select(col("doc_id").as("d1"), col("n").as("n1"),
+        (col("pos") + 1).as("rk1"), col("shingle"))
+      .repartition(nPart, col("shingle"))
+      .join(pref.select(col("doc_id").as("d2"), col("n").as("n2"),
+        (col("pos") + 1).as("rk2"), col("shingle")), Seq("shingle"))
+      .filter(col("d1") < col("d2") &&
+        least(col("n1"), col("n2")) * 2 >= greatest(col("n1"), col("n2")) &&
+        (lit(1) + least(col("n1") - col("rk1"), col("n2") - col("rk2"))) * 3
+          >= col("n1") + col("n2"))
+      .select(col("d1"), col("d2")).distinct()
+    // verify: exact intersection of the full (distinct) shingle
+    // arrays, one codegen'd array_intersect per surviving candidate.
+    // Candidates are round-robin-spread first: the pair list is tiny
+    // in bytes (AQE would coalesce it) but each row carries an
+    // array-intersection's worth of CPU.
+    cand.repartition(nPart)
+      .join(docArr.select(col("doc_id").as("d1"), col("arr").as("a1"),
+        col("n").as("n1")), Seq("d1"))
+      .join(docArr.select(col("doc_id").as("d2"), col("arr").as("a2"),
+        col("n").as("n2")), Seq("d2"))
+      .withColumn("i", size(array_intersect(col("a1"), col("a2"))))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
+  }
+
+  /** Exact word-3-gram Jaccard ≥ 0.5, strategy chosen from df STATS
+    * (the same move AQE makes from runtime shuffle stats): the exact
+    * output cardinality of the inverted-index posting join is
+    * Σ df·(df−1)/2 — one tiny aggregate over the memoized df table.
+    * When that is within a small constant of the posting-list size
+    * (flat df distribution — no hot shingle), the direct join is both
+    * optimal and cheaper than building prefixes; when any shingle is
+    * hot the bound explodes and the PPJoin path caps the blow-up.
+    * Both plans provably produce the all-pairs answer, so the oracle
+    * keeps the naive inverted-index SQL either way. */
   val dedupNgramJaccard: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // global rarest-first total order: (document frequency, shingle)
-      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      val byRarity = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df"), col("shingle"))
-      val prefix = sh.join(dfreq, Seq("shingle"))
-        .withColumn("rk", row_number().over(byRarity))
-        .join(broadcast(sizes), Seq("doc_id"))
-        .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
-        .select(col("doc_id"), col("shingle"))
-      val cand = prefix.select(col("doc_id").as("d1"), col("shingle"))
-        .join(prefix.select(col("doc_id").as("d2"), col("shingle")),
-          Seq("shingle"))
-        .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
-      // verify: exact intersection over the FULL shingle sets, but only
-      // for candidate pairs (broadcast — candidates are the rare event)
-      val inter = broadcast(cand)
-        .join(sh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("shingle")),
-          Seq("d2", "shingle"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-      inter
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
-          .withColumnRenamed("n", "n1")), Seq("d1"))
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
-          .withColumnRenamed("n", "n2")), Seq("d2"))
-        .withColumn("jaccard",
-          round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
-        .orderBy(col("doc1"), col("doc2"))
+      val stats = shingleDfreq(s, dir)
+        .agg(sum(expr("df * (df - 1)")).as("pairs2x"),
+          sum(col("df")).as("postings"))
+        .head()
+      val naivePairs = if (stats.isNullAt(0)) 0L else stats.getLong(0) / 2
+      val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      val plan =
+        if (naivePairs <= 20L * postings) ngramJaccardInverted(s, dir)
+        else ngramJaccardPPJoin(s, dir)
+      plan.orderBy(col("doc1"), col("doc2"))
     }
     GQuery("dedup_ngram_jaccard",
       s"""$duckShingles,
@@ -372,8 +465,13 @@ object DedupQueries {
       // explicit exchange the planner may broadcast one side and run
       // the whole pair loop in ONE task — repartitioning on the join
       // key guarantees the B(B+1)/2 key groups spread across the
-      // cluster whichever join strategy is picked.
-      lft.repartition(col("lo"), col("hi")).join(rgt, Seq("lo", "hi"))
+      // cluster whichever join strategy is picked. The partition count
+      // is pinned because this join is output-explosive (n²/2 pairs
+      // from ~n·B/2 input rows): AQE's input-byte coalescing would
+      // otherwise fold the tiny input back into one partition and
+      // serialize the pair loop.
+      lft.repartition(s.sessionState.conf.numShufflePartitions,
+          col("lo"), col("hi")).join(rgt, Seq("lo", "hi"))
         .filter(col("lo") =!= col("hi") || col("id1") < col("id2"))
         .withColumn("cosine", round(
           expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6))

@@ -27,9 +27,11 @@ object TextQueries {
   private def duckHash(seedAndVal: String): String =
     s"CAST(concat('0x', substr(md5($seedAndVal), 1, 12)) AS BIGINT)"
 
-  /** tokens with multiplicity: (doc_id, lang, term). */
+  /** tokens with multiplicity: (doc_id, lang, term). Reads the spread
+    * corpus so the explode fan-out parallelizes (the small-SF corpus
+    * is a single parquet split). */
   private def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("term"))
 
@@ -99,7 +101,7 @@ object TextQueries {
       |ORDER BY cnt DESC, bigram
       |LIMIT 20""".stripMargin) { (s, dir) =>
     graft.functions.TextExpressions.register(s)
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(explode(expr("word_ngrams(split(text, ' '), 2)")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
@@ -284,7 +286,7 @@ object TextQueries {
   val textFingerprint: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
       graft.functions.TextExpressions.register(s)
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"),
           explode(expr("char_ngrams(text, 8)")).as("gram"))
         .withColumn("m", md5(col("gram")))

@@ -26,6 +26,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
+  /** documents spread across the session's shuffle parallelism.
+    *
+    * The small-SF corpus is a single parquet split, so a
+    * tokenize/explode/hash pipeline rooted at the plain scan runs its
+    * entire map side in ONE task until the first shuffle. Heavy text
+    * pipelines (shingling, simhash terms, language profiles) read
+    * through this loader instead: one tiny up-front exchange of the
+    * raw docs buys a fully parallel map side. On a real cluster the
+    * scan has many splits and the exchange is a cheap rebalance.
+    *
+    * The partition COUNT is pinned (not just the keys): a keys-only
+    * repartition is an AQE-coalescible shuffle, and the raw docs are
+    * small enough that AQE folds them back into one partition — the
+    * downstream explode is exactly the output-explosive stage AQE's
+    * input-byte heuristic cannot see. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(
+      s.sessionState.conf.numShufflePartitions, col("doc_id"))
+
   /** `events.ts` is Parquet TIMESTAMP(NANOS,false); Spark 4.1.2's default
     * read throws [PARQUET_TYPE_ILLEGAL]. Verified recipe (SURVEY.md
     * §5.3.1): read nanos as Long via the legacy conf, then convert to a

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkTestBase
+import graft.{PlanCache, SparkTestBase}
 import graft.sources.Tables
 
 /** Property checks for the operators whose contract entry is
@@ -39,6 +39,36 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(est.contains(pair), s"LSH missed near-dup pair $pair (j=$j)")
       assert(est(pair) >= 0.5, s"estimate too low for $pair")
     }
+  }
+
+  test("ngram jaccard: PPJoin prefix path equals inverted-index path") {
+    // the contract query picks a strategy from df stats; this pins the
+    // two plans to the same answer so the unpicked path stays correct
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val inv = DedupQueries.ngramJaccardInverted(spark, sfDir)
+      .collect().map(key).toSet
+    val pp = DedupQueries.ngramJaccardPPJoin(spark, sfDir)
+      .collect().map(key).toSet
+    assert(inv == pp)
+    assert(inv.nonEmpty, "fixture should contain qualifying pairs")
+  }
+
+  test("plan cache stays bounded under repeated invocations") {
+    PlanCache.clear()
+    // non-PlanCache persists from other suites sharing the session
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    DedupQueries.dedupNearMinhash.fn(spark, sfDir).count()
+    val after1 = PlanCache.size
+    DedupQueries.dedupNearMinhash.fn(spark, sfDir).count()
+    DedupQueries.dedupNgramJaccard.fn(spark, sfDir).count()
+    DedupQueries.dedupNgramJaccard.fn(spark, sfDir).count()
+    assert(PlanCache.size <= after1 + 2,
+      "repeat invocations must reuse memoized frames, not stack copies")
+    PlanCache.clear()
+    assert(PlanCache.size == 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == base,
+      "clear() must unpersist every memoized frame")
   }
 
   test("exact dedup is idempotent") {
