@@ -2,17 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 object IsoBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     for (name <- args; r <- 1 to 2) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"$name run$r: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"$name run$r [local[$cpus]]: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
+    PlanCache.clear()
     spark.stop()
   }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** CSV / JSON source coverage as CONTRACT queries (SURVEY.md §2.1):
+  * each query derives a text-format copy of a fixture table inside the
+  * query fn (deterministic bytes under a deterministic path), reads it
+  * back through the corresponding Spark source with an explicit
+  * schema, and aggregates. The DuckDB oracle runs the same relational
+  * derivation straight over the parquet table — the results agree iff
+  * the text-format roundtrip is lossless (Spark writes doubles in
+  * shortest-round-trip form, so read-back is bit-exact).
+  *
+  * Aggregates are restricted to order-independent, exactly
+  * representable shapes (counts, integer sums, min/max) so the compare
+  * is deterministic regardless of parallel accumulation order.
+  *
+  * Scale note: explicit schemas (never inferSchema — that is a second
+  * full scan at 100 TB), header on CSV, line-delimited JSON; both
+  * sources split by line across executors, so the read side
+  * parallelizes like any other scan.
+  */
+object SourceQueries {
+
+  private def tmpDir(kind: String, dir: String): String =
+    s"/tmp/graft_src/${kind}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** supplier → CSV (header, quoted strings) → read with explicit
+    * schema → per-nation aggregate. */
+  val sourceCsvScan: GQuery = GQuery(
+    "source_csv_scan",
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+      |  min(s_name) AS first_name,
+      |  min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+    val path = tmpDir("csv_supplier", dir)
+    Tables.supplier(s, dir)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType.fromDDL(
+      "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+    s.read.option("header", "true").schema(schema).csv(path)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_suppkey")).as("key_sum"),
+        min(col("s_name")).as("first_name"),
+        min(col("s_acctbal")).as("min_bal"),
+        max(col("s_acctbal")).as("max_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** part → line-delimited JSON → read with explicit schema →
+    * per-brand aggregate. */
+  val sourceJsonScan: GQuery = GQuery(
+    "source_json_scan",
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(p_size) AS BIGINT) AS size_sum,
+      |  min(p_name) AS first_name,
+      |  max(p_retailprice) AS max_price
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    val path = tmpDir("json_part", dir)
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType.fromDDL(
+      "p_partkey BIGINT, p_name STRING, p_brand STRING, " +
+        "p_size INT, p_retailprice DOUBLE")
+    s.read.schema(schema).json(path)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_size")).as("size_sum"),
+        min(col("p_name")).as("first_name"),
+        max(col("p_retailprice")).as("max_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan)
+}

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -64,6 +66,34 @@ class ScalePostureSpec extends SparkTestBase {
       .agg(sum($"pn").as("n"), round(sum($"ps"), 2).as("s"))
     assert(direct.except(salted).count() == 0
       && salted.except(direct).count() == 0)
+  }
+
+  test("AQE rewrites a skewed sort-merge join into skew-split tasks") {
+    // isolated session: thresholds lowered so a unit-test-sized skew
+    // triggers the same OptimizeSkewedJoin rewrite a 100 TB hot key
+    // would (one giant partition split into parallel sub-joins).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // left: 100k rows on ONE hot key + a sprinkle of others
+    val left = s2.range(100000).select(
+      when($"id" % 100 === 0, $"id" % 7 + 1).otherwise(lit(0L)).as("k"),
+      $"id".as("v"))
+    val right = s2.range(8).select($"id".as("k"), ($"id" * 10).as("w"))
+    val joined = left.join(right, Seq("k"))
+    // execute THIS dataset (count() would spawn its own query
+    // execution and leave joined's adaptive plan unfinalized)
+    val n = joined.toLocalIterator().asScala.length
+    assert(n == left.join(right.hint("broadcast"), Seq("k")).count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE skew-join rewrite did not fire:\n$plan")
   }
 
   test("bucketed tables co-locate the fact-fact join (no exchange on the bucketed key)") {
