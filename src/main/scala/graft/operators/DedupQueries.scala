@@ -103,20 +103,31 @@ object DedupQueries {
         expr(s"CAST(conv(substr(m$m, ${1 + 8 * j}, 8), 16, 10) AS BIGINT)")
           .as(s"x$i")
       }
+      // md5 is the kernel cost of the signature pass: digest each
+      // DISTINCT shingle once (the memoized df table already holds the
+      // dictionary — ~10× fewer digests than hashing every posting)
+      // and broadcast the tiny (shingle → 8 slices) dictionary back
+      // onto the postings. At a scale where the dictionary outgrows
+      // broadcast, inline per-posting hashing is the right plan again
+      // (cheaper than a shuffle join) — this is a bounded-dictionary
+      // optimization, not the only shape.
+      val dict = shingleDfreq(s, dir)
+        .withColumn("m0", expr("md5(concat('0:', shingle))"))
+        .withColumn("m1", expr("md5(concat('1:', shingle))"))
+        .select(col("shingle") +: hashCols: _*)
       // columnar signature: 8 per-shingle hash columns → one partial
       // (map-side) 8-way min aggregate; no row explosion, one shuffle
       // of 8 longs per doc.
-      val hashed = shingles(s, dir)
-        .withColumn("m0", expr("md5(concat('0:', shingle))"))
-        .withColumn("m1", expr("md5(concat('1:', shingle))"))
-        .select(col("doc_id") +: hashCols: _*)
       val sigCols = (0 to 7).map(k => min(col(s"x$k")).as(s"h$k"))
-      hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      shingles(s, dir).join(broadcast(dict), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     }
 
   /** (doc1, doc2, est_jaccard ≥ 0.5) candidate pairs — shared by the
-    * minhash contract query and the edit-distance refinement. */
-  private def minhashPairsSpark(s: SparkSession, dir: String): DataFrame = {
+    * minhash contract query, the edit-distance refinement, and
+    * cluster formation; memoized so the band join runs once. */
+  private def minhashPairsSpark(s: SparkSession, dir: String): DataFrame =
+    PlanCache.memo(s, dir, "minhash_pairs") {
       val sig = minhashSig(s, dir)
       // single equi-join on an exploded (band, key1, key2) instead of a
       // union of 4 joins — one exchange, one build side.
@@ -201,6 +212,67 @@ object DedupQueries {
       .select(col("doc1"), col("doc2"), col("est_jaccard"),
         levenshtein(col("text1"), col("text2")).cast("int").as("edit_dist"))
       .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Near-dup CLUSTER formation — the step that turns the pair list
+    * into "keep one document per duplicate group": connected
+    * components over the MinHash candidate-pair graph, labels = the
+    * component's minimum doc_id, reported as (cluster_rep, n_members).
+    *
+    * Spark side: iterative min-label propagation (the Pregel/
+    * hash-to-min shape) — per round, every node takes the min of its
+    * own label and its neighbors'; monotone decreasing and bounded
+    * below, so it converges in O(component diameter) rounds. Each
+    * round is ONE equi-join + ONE partial-aggregating groupBy on the
+    * (tiny relative to the corpus) edge list, `localCheckpoint`ed to
+    * truncate lineage — the distributed shape that holds when the
+    * pair graph has billions of edges. The driver only checks the
+    * converged flag (a count), never the data.
+    *
+    * Oracle: DuckDB recursive CTE builds the transitive closure of
+    * the same edges and takes the min reachable node per member. */
+  val dedupClusters: GQuery = GQuery(
+    "dedup_clusters",
+    s"""${minhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+       |      UNION ALL SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS cluster_rep
+       |        FROM reach GROUP BY a)
+       |SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members
+       |FROM lab GROUP BY cluster_rep
+       |ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val pairs = minhashPairsSpark(s, dir).select(col("doc1"), col("doc2"))
+    val edges = pairs
+      .union(pairs.select(col("doc2"), col("doc1")))
+      .toDF("a", "b")
+      .localCheckpoint(true)
+    // seed with the ONE-HOP min (node ∧ min neighbor): duplicate
+    // clusters are mostly cliques/stars, which then converge in zero
+    // or one round instead of two.
+    var lab = edges
+      .groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("node"), col("label"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val prop = lab.join(edges, lab("node") === edges("a"))
+        .select(col("b").as("node"), col("label"))
+      val next = lab.union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(lab.withColumnRenamed("label", "old"),
+        Seq("node"))
+        .filter(col("label") =!= col("old")).isEmpty
+      lab = next
+    }
+    lab.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
   }
 
   /** 16-bit SimHash over distinct tokens; near-dup pairs = Hamming
@@ -491,5 +563,6 @@ object DedupQueries {
   }
 
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
-    dedupEditDistance, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine)
+    dedupEditDistance, dedupClusters, dedupSimhash, dedupNgramJaccard,
+    dedupEmbedCosine)
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Deterministic sampling for training-data pipelines (SURVEY.md
+  * §2.8 extras): reproducible subsets a 100 TB pipeline can re-derive
+  * bit-identically on any engine.
+  *
+  * Both samplers key on the portable 48-bit md5-derived hash (the
+  * same construction the dedup family uses) instead of engine RNG —
+  * `Dataset.sample` is seed-stable only within one Spark version and
+  * not reproducible in another engine, which makes held-out splits
+  * unauditable. Hash-mod sampling is a pure per-row filter (pushed
+  * into the scan pipeline, no shuffle); stratified top-k-by-hash is
+  * one window per stratum — the standard "deterministic reservoir"
+  * at scale.
+  */
+object SampleQueries {
+
+  private def pHash(seedAndVal: String): String =
+    s"CAST(conv(substr(md5($seedAndVal), 1, 12), 16, 10) AS BIGINT)"
+  private def duckHash(seedAndVal: String): String =
+    s"CAST(concat('0x', substr(md5($seedAndVal), 1, 12)) AS BIGINT)"
+
+  /** ~10% Bernoulli sample by hash bucket: every engine picks the
+    * SAME rows. Reported as per-lang counts + exact char sum. */
+  val sampleHashMod: GQuery = GQuery(
+    "sample_hash_mod",
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |WHERE ${duckHash("concat('smp:', CAST(doc_id AS VARCHAR))")} % 10 = 0
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(expr(
+        s"${pHash("concat('smp:', CAST(doc_id AS STRING))")} % 10 = 0"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Stratified fixed-size sample: the k = 20 docs with the smallest
+    * salted hash per lang — a deterministic per-stratum reservoir.
+    * Emits the sampled rows themselves (doc_id is the unique sort
+    * tiebreak). */
+  val sampleStratified: GQuery = GQuery(
+    "sample_stratified",
+    s"""SELECT lang, doc_id, n_chars
+       |FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${duckHash("concat('str:', CAST(doc_id AS VARCHAR))")},
+       |               doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 20
+       |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    val h = expr(s"${pHash("concat('str:', CAST(doc_id AS STRING))")}")
+    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified)
+}

@@ -29,11 +29,16 @@ object TextQueries {
 
   /** tokens with multiplicity: (doc_id, lang, term). Reads the spread
     * corpus so the explode fan-out parallelizes (the small-SF corpus
-    * is a single parquet split). */
+    * is a single parquet split). Memoized + persisted: four contract
+    * queries consume it (TF, TF-IDF, language ID, quality scoring) —
+    * at 100 TB the tokenized corpus is materialized once, not
+    * re-exploded per consumer. */
   private def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documentsSpread(s, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("term"))
+    graft.PlanCache.memo(s, dir, "doc_tokens") {
+      Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+    }
 
   /** Wordcount: top-20 terms overall. */
   val textTokensTf: GQuery = GQuery(
@@ -59,15 +64,21 @@ object TextQueries {
       val df = tf.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term"))
+      // argmax as a partial-aggregating min over (−score, term): same
+      // winner as row_number ordered by (score DESC, term ASC), but a
+      // map-side-combining hash aggregate instead of a full window
+      // shuffle + sort of every (doc, term) row — the shape that holds
+      // at 100 TB. (−score is safe: tf ≥ 1 and ln ≥ 0, so score ≥ +0.0
+      // and negation cannot manufacture −0.0 on the output path.)
       tf.join(broadcast(df), Seq("term"))
         .crossJoin(broadcast(n))
         .withColumn("score", round(col("tf")
           * round(log(col("n").cast("double") / col("df")), 8), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("term").as("top_term"), col("score"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("score")).as("ns"), col("term").as("term")))
+          .as("m"))
+        .select(col("doc_id"), col("m.term").as("top_term"),
+          (-col("m.ns")).as("score"))
         .orderBy(col("doc_id"))
     }
     GQuery("text_tfidf_topterm",
@@ -144,34 +155,43 @@ object TextQueries {
   val textLangId: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
       val tok = tokens(s, dir)
-      val prof = tok.groupBy(col("lang"), col("term"))
-        .agg(count(lit(1)).as("c"))
-        .withColumnRenamed("lang", "cand")
-      val tot = tok.groupBy(col("lang")).agg(count(lit(1)).as("t"))
-        .withColumnRenamed("lang", "cand")
+      // the language set is a BOUNDED dimension (like a date or region
+      // dim): realize it on the driver, then score against a per-TERM
+      // log-prob dictionary — one row per (term) with one score column
+      // per language, pivoted once and broadcast — instead of
+      // replicating every (doc, term) row per candidate language and
+      // window-sorting the result. The per-doc aggregate is a
+      // map-side-combining hash agg over the doc-token table; the
+      // argmax is array_min over (−score, lang) structs, matching the
+      // (score DESC, lang ASC) ranking exactly.
+      val langSeq = Tables.documents(s, dir).select(col("lang"))
+        .distinct().orderBy(col("lang")).collect()
+        .map(_.getString(0)).toSeq
+      val totMap = tok.groupBy(col("lang")).agg(count(lit(1)).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val vocab = tok.agg(countDistinct(col("term")).as("v"))
+        .head.getLong(0)
+      val dict = langSeq.zipWithIndex.foldLeft(
+        tok.groupBy(col("term")).pivot("lang", langSeq).agg(count(lit(1)))) {
+        case (d, (l, i)) => d.withColumn(s"s$i",
+          round(log((coalesce(col(s"`$l`"), lit(0L)) + lit(1)).cast("double")
+            / lit((totMap(l) + vocab).toDouble)), 8))
+      }.select(col("term") +: langSeq.indices.map(i => col(s"s$i")): _*)
       val docTok = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("m"))
-      val langs = Tables.documents(s, dir).select(col("lang").as("cand"))
-        .distinct()
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("cand"))
-      val scores = docTok
-        .crossJoin(broadcast(langs))
-        .join(broadcast(prof), Seq("cand", "term"), "left")
-        .join(broadcast(tot), Seq("cand"))
-        .crossJoin(broadcast(vocab))
-        .groupBy(col("doc_id"), col("cand"))
-        .agg(round(sum(col("m") * round(log(
-          (coalesce(col("c"), lit(0L)) + lit(1)).cast("double")
-            / (col("t") + col("v"))), 8)), 6).as("score"))
-      scores.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .join(Tables.documents(s, dir).select(col("doc_id"),
-          col("lang").as("actual_lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("cand").as("pred_lang"),
+      val aggCols = langSeq.indices.map(i =>
+        round(sum(col("m") * col(s"s$i")), 6).as(s"sc$i"))
+      val pick = array_min(array(langSeq.zipWithIndex.map { case (l, i) =>
+        struct((-col(s"sc$i")).as("ns"), lit(l).as("cand")) }: _*))
+      docTok.join(broadcast(dict), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("pick", pick)
+        .join(broadcast(Tables.documents(s, dir).select(col("doc_id"),
+          col("lang").as("actual_lang"))), Seq("doc_id"))
+        .select(col("doc_id"), col("pick.cand").as("pred_lang"),
           col("actual_lang"),
-          (col("cand") === col("actual_lang")).as("correct"))
+          (col("pick.cand") === col("actual_lang")).as("correct"))
         .orderBy(col("doc_id"))
     }
     GQuery("text_lang_id",
