@@ -9,7 +9,17 @@ import graft.sources.Tables
 
 /** Deduplication operators for LLM-training-data pipelines
   * (SURVEY.md §2.8): exact, MinHash+LSH, SimHash, n-gram Jaccard and
-  * embedding-cosine near-dup.
+  * embedding-cosine near-dup, plus cluster formation.
+  *
+  * Published algorithms re-expressed Spark-first: MinHash signatures
+  * and banded LSH (Broder, "On the resemblance and containment of
+  * documents", 1997; banding per Leskovec/Rajaraman/Ullman, Mining of
+  * Massive Datasets ch. 3), SimHash with Hamming-band search (Charikar,
+  * STOC 2002; Manku/Jain/Sarma, WWW 2007), prefix-filtered set-
+  * similarity join (Bayardo/Ma/Srikant "All Pairs", WWW 2007;
+  * Xiao et al. "PPJoin", WWW 2008), and min-label-propagation
+  * connected components (the hash-to-min shape of Rastogi et al.,
+  * ICDE 2013).
   *
   * Portability design: every hash is derived from md5 (identical bytes
   * in every engine) — 12 hex chars → a 48-bit non-negative BIGINT — so

@@ -30,7 +30,12 @@ object SimQueries {
     * dominate all-pairs joins). */
   private[operators] def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
+    // pinned-count spread: the small-SF embeddings table is a single
+    // parquet split, and every consumer fans it out (pair joins,
+    // probe×bucket candidate joins) — one tiny exchange up front keeps
+    // the dot-product stages parallel (see Tables.documentsSpread).
     Tables.embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))

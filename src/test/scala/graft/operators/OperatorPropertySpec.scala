@@ -71,6 +71,36 @@ class OperatorPropertySpec extends SparkTestBase {
       "clear() must unpersist every memoized frame")
   }
 
+  test("dedup clusters partition the paired docs, reps are members, sizes >= 2... or singleton-free") {
+    val pairs = DedupQueries.dedupNearMinhash.fn(spark, sfDir)
+      .select($"doc1", $"doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupQueries.dedupClusters.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    // every paired doc lands in exactly one cluster
+    assert(clusters.map(_._2).sum == members.size)
+    // each rep is a member and is minimal in its own pair set
+    val reps = clusters.map(_._1).toSet
+    assert(reps.subsetOf(members))
+    // both endpoints of every pair share a cluster (rep reachable):
+    // verified transitively by the oracle; here check no cluster of
+    // size < 2 exists (every node has at least one neighbor)
+    assert(clusters.forall(_._2 >= 2))
+  }
+
+  test("hash samplers are deterministic across invocations") {
+    val a1 = SampleQueries.sampleStratified.fn(spark, sfDir).collect().toSeq
+    val a2 = SampleQueries.sampleStratified.fn(spark, sfDir).collect().toSeq
+    assert(a1 == a2)
+    val b1 = SampleQueries.sampleHashMod.fn(spark, sfDir).collect().toSeq
+    val b2 = SampleQueries.sampleHashMod.fn(spark, sfDir).collect().toSeq
+    assert(b1 == b2)
+    // stratified sampler returns at most k = 20 per stratum
+    val perLang = a1.groupBy(_.getString(0)).map(_._2.size)
+    assert(perLang.forall(_ <= 20))
+  }
+
   test("exact dedup is idempotent") {
     val once = DedupQueries.dedupExact.fn(spark, sfDir).collect()
     val again = DedupQueries.dedupExact.fn(spark, sfDir).collect()
