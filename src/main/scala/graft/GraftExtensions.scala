@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     TextExpressions.intLitArg(name, e)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(graft.plans.IntersectSizeRewrite(_))
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))

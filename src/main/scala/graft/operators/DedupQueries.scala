@@ -422,6 +422,9 @@ object DedupQueries {
     * shingle alone would make [[ngramJaccardInverted]] quadratic. */
   private[operators] def ngramJaccardPPJoin(
       s: SparkSession, dir: String): DataFrame = {
+    // verify step computes size(array_intersect(...)) per candidate —
+    // install the counting rewrite so no intermediate array is built
+    graft.plans.IntersectSizeRewrite.install(s)
     // per-doc shingle ARRAY, sorted rarest-first under the global
     // (document frequency, shingle) total order — built once and
     // memoized; both candidate generation (prefix slices) and

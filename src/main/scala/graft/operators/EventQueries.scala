@@ -84,8 +84,8 @@ object EventQueries {
       |SELECT user_id, count(*) AS n_sessions,
       |  CAST(sum(n_events) AS BIGINT) AS n_events,
       |  CAST(max(len_us) AS BIGINT) AS max_len_us,
-      |  round(CAST(sum(len_us) AS DOUBLE) / count(*) / 1000000, 6)
-      |    AS avg_len_sec
+      |  CAST((2 * sum(len_us) + count(*)) // (2 * count(*)) AS DOUBLE)
+      |    / 1000000 AS avg_len_sec
       |FROM sess
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
@@ -108,8 +108,13 @@ object EventQueries {
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).cast("bigint").as("n_events"),
         max(col("len_us")).cast("bigint").as("max_len_us"),
-        round(sum(col("len_us")).cast("double") / count(lit(1)) / 1000000, 6)
-          .as("avg_len_sec"))
+        // mean session length at 6 places, rounded half-up in EXACT
+        // integer µs — (2s + n) div (2n) — then ONE double divide.
+        // round(double/double/1e6, 6) sat on a half-µs boundary at
+        // sf0.1 where Spark's BigDecimal HALF_UP and DuckDB's libm
+        // rounding disagreed by 1 ulp in the 6th place.
+        (expr("(2 * sum(len_us) + count(1)) div (2 * count(1))")
+          .cast("double") / 1000000).as("avg_len_sec"))
       .orderBy(col("user_id"))
   }
 

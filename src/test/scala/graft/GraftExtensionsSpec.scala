@@ -38,6 +38,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getDouble(1) == 5.0)
       assert(row.getSeq[String](2) == Seq("a b", "b c"))
       assert(row.getSeq[String](3) == Seq("ab", "bc", "cd"))
+
+      // the injected optimizer rule rewrites size(array_intersect) to
+      // the counting expression (inputs must be non-foldable — all-
+      // literal forms are constant-folded before user rules run)
+      val q = spark.range(1).selectExpr(
+        "size(array_intersect(array(CAST(id AS STRING),'b','b','c'), array('b','c','d'))) AS n")
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains("array_intersect_size"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.head().getInt(0) == 2)
+      // composed-form semantics on edge cases (each carries an
+      // id-dependent element so it reaches execution): duplicates
+      // counted once, null element once when in both, null array ->
+      // null, empty intersection -> 0, long element type
+      val edge = spark.range(1).selectExpr(
+        "size(array_intersect(array('x','x',concat('z',id)), array('x'))) AS dup",
+        "size(array_intersect(array('x',NULL,NULL,concat('z',id)), array(NULL,'y'))) AS nul",
+        "size(array_intersect(CASE WHEN id >= 0 THEN CAST(NULL AS ARRAY<STRING>) ELSE array('x') END, array('x'))) AS na",
+        "size(array_intersect(array(concat('z',id)), array('y'))) AS empty",
+        "size(array_intersect(array(id + 1L, 2L, 2L), array(2L, 3L))) AS lng")
+      assert(edge.queryExecution.optimizedPlan.toString
+        .contains("array_intersect_size"))
+      val er = edge.head()
+      assert(er.getInt(0) == 1)
+      assert(er.getInt(1) == 1)
+      assert(er.isNullAt(2))
+      assert(er.getInt(3) == 0)
+      assert(er.getInt(4) == 1)
+      // unsupported element types keep the composed form (no rewrite)
+      val dq = spark.range(1).selectExpr(
+        "size(array_intersect(array(CAST(id AS DOUBLE), 1.5D), array(1.5D))) AS d")
+      assert(!dq.queryExecution.optimizedPlan.toString
+        .contains("array_intersect_size"))
+      assert(dq.head().getInt(0) == 1)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
