@@ -12,7 +12,8 @@ object Registry {
       AggQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
       FuncQueries.all ++ DedupQueries.all ++ SimQueries.all ++
       TextQueries.all ++ MultimodalQueries.all ++ EventQueries.all ++
-      ReshapeQueries.all ++ SourceQueries.all ++ SampleQueries.all
+      ReshapeQueries.all ++ SourceQueries.all ++ SampleQueries.all ++
+      MiningQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -138,6 +138,17 @@ class OperatorPropertySpec extends SparkTestBase {
     info(f"LSH top-3 recall vs brute force: $recall%.2f")
   }
 
+  test("kmeans clusters partition the embeddings and are deterministic") {
+    val r1 = MiningQueries.miningKmeans.fn(spark, sfDir).collect()
+    val r2 = MiningQueries.miningKmeans.fn(spark, sfDir).collect()
+    assert(r1.toSeq == r2.toSeq, "fixed-seed unrolled kmeans must be deterministic")
+    val total = r1.map(_.getLong(1)).sum
+    assert(total == Tables.embeddings(spark, sfDir).count())
+    assert(r1.length <= 4 && r1.nonEmpty)
+    // inertia is non-negative and finite
+    assert(r1.forall(r => r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN))
+  }
+
   test("union/except algebra: (A union B) except B subset-of A") {
     val a = Tables.orders(spark, sfDir)
       .filter(year($"o_orderdate") === 1995).select($"o_custkey")
