@@ -61,13 +61,13 @@ object MiningQueries {
   }
 
   /** squared euclidean distance via the codegen'd dot products. */
-  private val d2 = "vec_dot(v, v) - 2 * vec_dot(v, c) + vec_dot(c, c)"
+  private[operators] val d2 = "vec_dot(v, v) - 2 * vec_dot(v, c) + vec_dot(c, c)"
 
   /** nearest-center assignment: min over (distance², center id).
     * Groups on the scalar vec_id only (never the array column — array
     * hashing in the aggregate would dominate) and carries the vector
     * through with first(). */
-  private def assign(e: DataFrame, centers: DataFrame): DataFrame =
+  private[operators] def assign(e: DataFrame, centers: DataFrame): DataFrame =
     e.crossJoin(broadcast(centers))
       .withColumn("d2", expr(d2))
       .groupBy(col("vec_id"))
@@ -79,7 +79,7 @@ object MiningQueries {
   /** new centers: per-dimension mean via posexplode + groupBy — one
     * map-side-combining aggregate, no per-group array building until
     * the k×64 collect at the end. */
-  private def recenter(assigned: DataFrame): DataFrame =
+  private[operators] def recenter(assigned: DataFrame): DataFrame =
     assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
       .groupBy(col("cid"))
@@ -103,15 +103,7 @@ object MiningQueries {
       val e = PlanCache.memo(s, dir, "kmeans_vecs") {
         SimQueries.vecs(s, dir).select(col("vec_id"), col("v"))
       }
-      val seed = e.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-      // checkpoint the k-row center frame each round: materializing
-      // 4×64 doubles is free, and it keeps the unrolled plan SHALLOW —
-      // without it every round re-plans (and re-codegens) the whole
-      // preceding lineage, which dominates wall time at small k.
-      val centers = (1 to rounds).foldLeft(seed) { (cs, _) =>
-        recenter(assign(e, cs)).localCheckpoint(true)
-      }
+      val centers = trainCenters(e, k, rounds)
       assign(e, centers)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
@@ -119,6 +111,33 @@ object MiningQueries {
         .orderBy(col("cid"))
     }
     GQuery.noOracle("mining_kmeans")(sparkImpl)
+  }
+
+  /** top-n nearest centers per vector (for IVF multi-cell probing):
+    * same distance expression, rank over (d2, cid) per vec_id. */
+  private[operators] def assignTopN(
+      e: DataFrame, centers: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cid"))
+    e.crossJoin(broadcast(centers))
+      .withColumn("d2", expr(d2))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** fixed-round Lloyd training, deterministic smallest-id seeds.
+    * Checkpoints the k-row center frame each round: materializing
+    * k×64 doubles is free, and it keeps the unrolled plan SHALLOW —
+    * without it every round re-plans (and re-codegens) the whole
+    * preceding lineage, which dominates wall time at small k. */
+  private[operators] def trainCenters(
+      e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val seed = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    (1 to rounds).foldLeft(seed) { (cs, _) =>
+      recenter(assign(e, cs)).localCheckpoint(true)
+    }
   }
 
   val all: Seq[GQuery] = Seq(miningCopurchase, miningKmeans)

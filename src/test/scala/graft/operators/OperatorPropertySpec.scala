@@ -138,6 +138,20 @@ class OperatorPropertySpec extends SparkTestBase {
     info(f"LSH top-3 recall vs brute force: $recall%.2f")
   }
 
+  test("IVF top-k recall >= 0.5 vs brute force (cell-probed search is approximate)") {
+    val ivf = SimQueries.simTopkIvf.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = SimQueries.simCosineTopk.fn(spark, sfDir)
+      .filter(col("rk") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // brute query uses probes vec_id < 5; restrict ivf to the same
+    val ivf5 = ivf.filter(_._1 < 5)
+    val brute5 = brute.filter(_._1 < 5)
+    val recall = (ivf5 & brute5).size.toDouble / brute5.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    info(f"IVF top-3 recall vs brute force: $recall%.2f")
+  }
+
   test("kmeans clusters partition the embeddings and are deterministic") {
     val r1 = MiningQueries.miningKmeans.fn(spark, sfDir).collect()
     val r2 = MiningQueries.miningKmeans.fn(spark, sfDir).collect()
