@@ -59,10 +59,14 @@ object DedupQueries {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "shingles") {
       graft.functions.TextExpressions.register(s)
+      // per-doc set semantics via array_distinct BEFORE the explode:
+      // the dedup key is (doc_id, shingle), so deduping inside the row
+      // needs NO shuffle — a .distinct() here would shuffle every raw
+      // shingle occurrence (~5× the distinct count) across the cluster.
       Tables.documentsSpread(s, dir)
         .select(col("doc_id"),
-          explode(expr("word_ngrams(split(text, ' '), 3)")).as("shingle"))
-        .distinct()
+          explode(expr("array_distinct(word_ngrams(split(text, ' '), 3))"))
+            .as("shingle"))
     }
 
   private val duckShingles =
@@ -304,9 +308,10 @@ object DedupQueries {
       // (map-side partial) instead of a 16× row explosion + 2 shuffles.
       // Memoized: both sides of the band join share it.
       val sim = PlanCache.memo(s, dir, "simhash_sig") {
+        // per-doc distinct terms without a shuffle (see shingles)
         val tok = Tables.documentsSpread(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .distinct()
+          .select(col("doc_id"),
+            explode(expr("array_distinct(split(text, ' '))")).as("term"))
           .withColumn("h", expr(pHash("term")))
         val balCols = (0 to 15).map(j =>
           sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
