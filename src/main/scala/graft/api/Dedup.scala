@@ -1,0 +1,283 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public, fixture-independent deduplication API: every operator the
+  * contract queries exercise, parameterized on the caller's column
+  * names. The graft.operators.* contract queries are thin bindings of
+  * these functions onto the test corpus — the library surface a user
+  * programs against is THIS.
+  *
+  * Conventions: inputs are plain DataFrames; outputs use stable
+  * column names documented per function; nothing here persists or
+  * caches (callers own materialization — see graft.PlanCache for the
+  * session-scoped memo the harness uses). All hashes are portable
+  * md5-derived 48/32-bit integers, so results are reproducible on any
+  * engine.
+  */
+object Dedup {
+
+  private def pHash(seedAndVal: String): String =
+    s"CAST(conv(substr(md5($seedAndVal), 1, 12), 16, 10) AS BIGINT)"
+
+  private def nPart(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Set semantics come from array_distinct INSIDE the row — no
+    * shuffle. Caller should spread a single-split source first. */
+  def wordShingles(docs: DataFrame, id: String, text: String,
+      n: Int = 3): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.select(col(id),
+      explode(expr(s"array_distinct(word_ngrams(split($text, ' '), $n))"))
+        .as("shingle"))
+  }
+
+  /** 8-permutation MinHash signatures from a shingle table:
+    * (id, h0..h7). The 8 hash functions are 32-bit slices of two md5
+    * digests computed once per DISTINCT shingle and broadcast back
+    * onto the postings. `distinctShingles` lets a caller who already
+    * has the dictionary (e.g. a df table) donate it and skip the
+    * distinct pass. */
+  def minhashSignatures(shingles: DataFrame, id: String,
+      shingle: String = "shingle",
+      distinctShingles: Option[DataFrame] = None): DataFrame = {
+    val hashCols = (0 to 7).map { i =>
+      val m = i / 4; val j = i % 4
+      expr(s"CAST(conv(substr(m$m, ${1 + 8 * j}, 8), 16, 10) AS BIGINT)")
+        .as(s"x$i")
+    }
+    val dict = distinctShingles
+      .getOrElse(shingles.select(col(shingle)).distinct())
+      .select(col(shingle))
+      .withColumn("m0", expr(s"md5(concat('0:', $shingle))"))
+      .withColumn("m1", expr(s"md5(concat('1:', $shingle))"))
+      .select(col(shingle) +: hashCols: _*)
+    val sigCols = (0 to 7).map(k => min(col(s"x$k")).as(s"h$k"))
+    shingles.join(broadcast(dict), Seq(shingle))
+      .groupBy(col(id)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH-banded MinHash candidate pairs with estimated Jaccard:
+    * (doc1, doc2, est_jaccard), est ≥ `minEst`. 4 bands × 2 rows over
+    * the 8-hash signature table from [[minhashSignatures]]. */
+  def minhashBandPairs(sig: DataFrame, id: String,
+      minEst: Double = 0.5): DataFrame = {
+    val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+    val bandArr = bands.zipWithIndex.map { case ((x, y), bi) =>
+      s"named_struct('b', $bi, 'k1', h$x, 'k2', h$y)"
+    }.mkString("array(", ", ", ")")
+    val banded = sig.select(col(id),
+      explode(expr(bandArr)).as("band"))
+      .select(col(id), col("band.b").as("b"),
+        col("band.k1").as("k1"), col("band.k2").as("k2"))
+    val candidates = banded.select(col(id).as("doc1"), col("b"),
+      col("k1"), col("k2"))
+      .join(banded.select(col(id).as("doc2"), col("b"),
+        col("k1"), col("k2")), Seq("b", "k1", "k2"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+    val agree = (0 to 7).map(k =>
+      when(col(s"a_h$k") === col(s"b_h$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val aSig = (0 to 7).foldLeft(sig.withColumnRenamed(id, "doc1")) {
+      (d, k) => d.withColumnRenamed(s"h$k", s"a_h$k") }
+    val bSig = (0 to 7).foldLeft(sig.withColumnRenamed(id, "doc2")) {
+      (d, k) => d.withColumnRenamed(s"h$k", s"b_h$k") }
+    candidates
+      .join(broadcast(aSig), Seq("doc1"))
+      .join(broadcast(bSig), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        (agree.cast("double") / 8).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** 16-bit SimHash signatures over distinct tokens: (id, simhash). */
+  def simhashSignatures(docs: DataFrame, id: String,
+      text: String): DataFrame = {
+    val tok = docs.select(col(id),
+      explode(expr(s"array_distinct(split($text, ' '))")).as("term"))
+      .withColumn("h", expr(pHash("term")))
+    val balCols = (0 to 15).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"bal$j"))
+    val simExpr = (0 to 15).map(j =>
+      s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    tok.groupBy(col(id))
+      .agg(balCols.head, balCols.tail: _*)
+      .select(col(id), expr(simExpr).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3) over 16 bits:
+    * (doc1, doc2, hamming). Banded pigeonhole equi-join — exact, and
+    * every pair survives exactly once (first-equal-band filter). */
+  def simhashPairs(sim: DataFrame, id: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x4-bit banding is exact only for Hamming <= 3")
+    val banded = sim.select(col(id), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bk",
+        expr("CAST(shiftright(simhash, band * 4) & 15 AS INT)"))
+    val a = banded.select(col("band"), col("bk"),
+      col(id).as("doc1"), col("simhash").as("s1"))
+    val b = banded.select(col("band"), col("bk"),
+      col(id).as("doc2"), col("simhash").as("s2"))
+    a.repartition(nPart(sim))
+      .join(broadcast(b), Seq("band", "bk"))
+      .filter(col("doc1") < col("doc2"))
+      .filter(expr(
+        """band = CASE WHEN (s1 & 15) = (s2 & 15) THEN 0
+          |  WHEN (shiftright(s1, 4) & 15) = (shiftright(s2, 4) & 15) THEN 1
+          |  WHEN (shiftright(s1, 8) & 15) = (shiftright(s2, 8) & 15) THEN 2
+          |  ELSE 3 END""".stripMargin))
+      .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+  }
+
+  /** Exact Jaccard ≥ num/den pairs from a shingle table:
+    * (doc1, doc2, jaccard). Strategy chosen from df stats: the direct
+    * inverted-index join when its exact output bound Σ df·(df−1)/2 is
+    * near-linear, the PPJoin prefix-filtered plan when any shingle is
+    * hot. The threshold is a RATIONAL (num/den) so every filter bound
+    * is integer-exact — no floating ceil can over-prune. */
+  def jaccardPairs(shingles: DataFrame, id: String,
+      num: Int = 1, den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    val stats = shingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(expr("df * (df - 1)")).as("pairs2x"),
+        sum(col("df")).as("postings"))
+      .head()
+    val naivePairs = if (stats.isNullAt(0)) 0L else stats.getLong(0) / 2
+    val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (naivePairs <= 20L * postings)
+      jaccardPairsInverted(shingles, id, num, den)
+    else jaccardPairsPPJoin(shingles, id, num, den)
+  }
+
+  /** Direct inverted-index Jaccard plan (flat df distributions). */
+  def jaccardPairsInverted(shingles: DataFrame, id: String,
+      num: Int, den: Int): DataFrame = {
+    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    shingles.select(col(id).as("d1"), col("shingle"))
+      .repartition(nPart(shingles), col("shingle"))
+      .join(shingles.select(col(id).as("d2"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.withColumnRenamed(id, "d1")
+        .withColumnRenamed("n", "n1")), Seq("d1"))
+      .join(broadcast(sizes.withColumnRenamed(id, "d2")
+        .withColumnRenamed("n", "n2")), Seq("d2"))
+      .filter(col("i") * den >= (col("n1") + col("n2") - col("i")) * num)
+      .select(col("d1").as("doc1"), col("d2").as("doc2"),
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6)
+          .as("jaccard"))
+  }
+
+  /** PPJoin prefix-filtered Jaccard plan (skew-safe; see
+    * graft.operators.DedupQueries for the lossless-ness argument). */
+  def jaccardPairsPPJoin(shingles: DataFrame, id: String,
+      num: Int, den: Int): DataFrame = {
+    val p = nPart(shingles)
+    val dfreq = shingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val docArr = shingles.join(dfreq, Seq("shingle"))
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+        .as("ss"))
+      .select(col(id),
+        expr("transform(ss, x -> x.shingle)").as("arr"),
+        size(col("ss")).as("n"))
+    // prefix length n − ⌈t·n⌉ + 1, exact in integers
+    val pref = docArr
+      .withColumn("plen", expr(s"n - ((n * $num + $den - 1) div $den) + 1"))
+      .select(col(id), col("n"),
+        posexplode(expr("slice(arr, 1, CAST(plen AS INT))"))
+          .as(Seq("pos", "shingle")))
+    // required overlap α = ⌈num·(n1+n2)/(den+num)⌉ — integer-exact via
+    // α ≤ x  ⟺  num·(n1+n2) ≤ (den+num)·x
+    val cand = pref.select(col(id).as("d1"), col("n").as("n1"),
+        (col("pos") + 1).as("rk1"), col("shingle"))
+      .repartition(p, col("shingle"))
+      .join(pref.select(col(id).as("d2"), col("n").as("n2"),
+        (col("pos") + 1).as("rk2"), col("shingle")), Seq("shingle"))
+      .filter(col("d1") < col("d2") &&
+        least(col("n1"), col("n2")) * den >=
+          greatest(col("n1"), col("n2")) * num &&
+        (lit(1) + least(col("n1") - col("rk1"), col("n2") - col("rk2")))
+          * (den + num) >= (col("n1") + col("n2")) * num)
+      .select(col("d1"), col("d2")).distinct()
+    cand.repartition(p)
+      .join(docArr.select(col(id).as("d1"), col("arr").as("a1"),
+        col("n").as("n1")), Seq("d1"))
+      .join(docArr.select(col(id).as("d2"), col("arr").as("a2"),
+        col("n").as("n2")), Seq("d2"))
+      .withColumn("i", size(array_intersect(col("a1"), col("a2"))))
+      .filter(col("i") * den >= (col("n1") + col("n2") - col("i")) * num)
+      .select(col("d1").as("doc1"), col("d2").as("doc2"),
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6)
+          .as("jaccard"))
+  }
+
+  /** Exact all-pairs cosine ≥ tau over a vector table (id, vec:
+    * array<double>): (v1, v2, cosine). Block-pair equi-join — every
+    * unordered pair meets under exactly one (lo, hi) key, so recall
+    * is provably 1.0 while the O(n²) work spreads across
+    * blocks·(blocks+1)/2 shuffle keys. */
+  def cosinePairs(vecs: DataFrame, id: String, vec: String,
+      tau: Double, blocks: Int = 16): DataFrame = {
+    graft.functions.VectorExpressions.register(vecs.sparkSession)
+    val e = vecs
+      .select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+      .withColumn("blk", pmod(col("vid"), lit(blocks)).cast("int"))
+    val lft = e.select(col("vid").as("id1"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("lo"),
+      explode(expr(s"sequence(blk, ${blocks - 1})")).as("hi"))
+    val rgt = e.select(col("vid").as("id2"), col("v").as("vb"),
+      col("nrm").as("nb"), explode(expr("sequence(0, blk)")).as("lo"),
+      col("blk").as("hi"))
+    lft.repartition(nPart(vecs), col("lo"), col("hi"))
+      .join(rgt, Seq("lo", "hi"))
+      .filter(col("lo") =!= col("hi") || col("id1") < col("id2"))
+      .withColumn("cosine", round(
+        expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(least(col("id1"), col("id2")).as("v1"),
+        greatest(col("id1"), col("id2")).as("v2"), col("cosine"))
+  }
+
+  /** Connected components over an undirected pair list: (node,
+    * label), label = min node id of the component. Iterative
+    * min-label propagation, localCheckpointed per round. */
+  def connectedComponents(pairs: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val edges = pairs.select(col(src), col(dst))
+      .union(pairs.select(col(dst), col(src)))
+      .toDF("a", "b")
+      .localCheckpoint(true)
+    var lab = edges
+      .groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("node"), col("label"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val prop = lab.join(edges, lab("node") === edges("a"))
+        .select(col("b").as("node"), col("label"))
+      val next = lab.union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(lab.withColumnRenamed("label", "old"),
+        Seq("node"))
+        .filter(col("label") =!= col("old")).isEmpty
+      lab = next
+    }
+    lab
+  }
+}

@@ -58,15 +58,8 @@ object DedupQueries {
     * consume it, so the corpus is tokenized once per session. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "shingles") {
-      graft.functions.TextExpressions.register(s)
-      // per-doc set semantics via array_distinct BEFORE the explode:
-      // the dedup key is (doc_id, shingle), so deduping inside the row
-      // needs NO shuffle — a .distinct() here would shuffle every raw
-      // shingle occurrence (~5× the distinct count) across the cluster.
-      Tables.documentsSpread(s, dir)
-        .select(col("doc_id"),
-          explode(expr("array_distinct(word_ngrams(split(text, ' '), 3))"))
-            .as("shingle"))
+      graft.api.Dedup.wordShingles(
+        Tables.documentsSpread(s, dir), "doc_id", "text", n = 3)
     }
 
   private val duckShingles =
@@ -112,29 +105,11 @@ object DedupQueries {
     * thing you materialize, and the corpus is scanned exactly once. */
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "minhash_sig") {
-      val hashCols = (0 to 7).map { i =>
-        val m = i / 4; val j = i % 4
-        expr(s"CAST(conv(substr(m$m, ${1 + 8 * j}, 8), 16, 10) AS BIGINT)")
-          .as(s"x$i")
-      }
-      // md5 is the kernel cost of the signature pass: digest each
-      // DISTINCT shingle once (the memoized df table already holds the
-      // dictionary — ~10× fewer digests than hashing every posting)
-      // and broadcast the tiny (shingle → 8 slices) dictionary back
-      // onto the postings. At a scale where the dictionary outgrows
-      // broadcast, inline per-posting hashing is the right plan again
-      // (cheaper than a shuffle join) — this is a bounded-dictionary
-      // optimization, not the only shape.
-      val dict = shingleDfreq(s, dir)
-        .withColumn("m0", expr("md5(concat('0:', shingle))"))
-        .withColumn("m1", expr("md5(concat('1:', shingle))"))
-        .select(col("shingle") +: hashCols: _*)
-      // columnar signature: 8 per-shingle hash columns → one partial
-      // (map-side) 8-way min aggregate; no row explosion, one shuffle
-      // of 8 longs per doc.
-      val sigCols = (0 to 7).map(k => min(col(s"x$k")).as(s"h$k"))
-      shingles(s, dir).join(broadcast(dict), Seq("shingle"))
-        .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // the memoized df table donates the shingle dictionary, so md5
+      // runs once per DISTINCT shingle (~10× fewer digests than
+      // hashing every posting)
+      graft.api.Dedup.minhashSignatures(shingles(s, dir), "doc_id",
+        distinctShingles = Some(shingleDfreq(s, dir)))
     }
 
   /** (doc1, doc2, est_jaccard ≥ 0.5) candidate pairs — shared by the
@@ -142,36 +117,8 @@ object DedupQueries {
     * cluster formation; memoized so the band join runs once. */
   private def minhashPairsSpark(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "minhash_pairs") {
-      val sig = minhashSig(s, dir)
-      // single equi-join on an exploded (band, key1, key2) instead of a
-      // union of 4 joins — one exchange, one build side.
-      val bandArr = bands.zipWithIndex.map { case ((x, y), bi) =>
-        s"named_struct('b', $bi, 'k1', h$x, 'k2', h$y)"
-      }.mkString("array(", ", ", ")")
-      val banded = sig.select(col("doc_id"),
-        explode(expr(bandArr)).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"),
-          col("band.k1").as("k1"), col("band.k2").as("k2"))
-      val candidates = banded.select(col("doc_id").as("doc1"), col("b"),
-        col("k1"), col("k2"))
-        .join(banded.select(col("doc_id").as("doc2"), col("b"),
-          col("k1"), col("k2")), Seq("b", "k1", "k2"))
-        .filter(col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2")).distinct()
-      val agree = (0 to 7).map(k =>
-        when(col(s"a_h$k") === col(s"b_h$k"), 1).otherwise(0))
-        .reduce(_ + _)
-      val aSig = (0 to 7).foldLeft(sig.withColumnRenamed("doc_id", "doc1")) {
-        (d, k) => d.withColumnRenamed(s"h$k", s"a_h$k") }
-      val bSig = (0 to 7).foldLeft(sig.withColumnRenamed("doc_id", "doc2")) {
-        (d, k) => d.withColumnRenamed(s"h$k", s"b_h$k") }
-      candidates
-        .join(broadcast(aSig), Seq("doc1"))
-        .join(broadcast(bSig), Seq("doc2"))
-        .select(col("doc1"), col("doc2"),
-          (agree.cast("double") / 8).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
-  }
+      graft.api.Dedup.minhashBandPairs(minhashSig(s, dir), "doc_id")
+    }
 
   /** DuckDB CTE chain ending in `pairs(doc1, doc2, est_jaccard)` —
     * the oracle twin of [[minhashPairsSpark]]. */
@@ -260,31 +207,8 @@ object DedupQueries {
        |FROM lab GROUP BY cluster_rep
        |ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
     val pairs = minhashPairsSpark(s, dir).select(col("doc1"), col("doc2"))
-    val edges = pairs
-      .union(pairs.select(col("doc2"), col("doc1")))
-      .toDF("a", "b")
-      .localCheckpoint(true)
-    // seed with the ONE-HOP min (node ∧ min neighbor): duplicate
-    // clusters are mostly cliques/stars, which then converge in zero
-    // or one round instead of two.
-    var lab = edges
-      .groupBy(col("a"))
-      .agg(least(col("a"), min(col("b"))).as("label"))
-      .select(col("a").as("node"), col("label"))
-      .localCheckpoint(true)
-    var converged = false
-    while (!converged) {
-      val prop = lab.join(edges, lab("node") === edges("a"))
-        .select(col("b").as("node"), col("label"))
-      val next = lab.union(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      converged = next.join(lab.withColumnRenamed("label", "old"),
-        Seq("node"))
-        .filter(col("label") =!= col("old")).isEmpty
-      lab = next
-    }
-    lab.groupBy(col("label").as("cluster_rep"))
+    graft.api.Dedup.connectedComponents(pairs, "doc1", "doc2")
+      .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_rep"))
   }
@@ -304,59 +228,11 @@ object DedupQueries {
     * pinned O(n²) work on one task. */
   val dedupSimhash: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
-      // columnar bit balance: 16 per-bit signed sums in ONE aggregate
-      // (map-side partial) instead of a 16× row explosion + 2 shuffles.
-      // Memoized: both sides of the band join share it.
       val sim = PlanCache.memo(s, dir, "simhash_sig") {
-        // per-doc distinct terms without a shuffle (see shingles)
-        val tok = Tables.documentsSpread(s, dir)
-          .select(col("doc_id"),
-            explode(expr("array_distinct(split(text, ' '))")).as("term"))
-          .withColumn("h", expr(pHash("term")))
-        val balCols = (0 to 15).map(j =>
-          sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
-            .as(s"bal$j"))
-        val simExpr = (0 to 15).map(j =>
-          s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
-          .mkString(" + ")
-        tok.groupBy(col("doc_id"))
-          .agg(balCols.head, balCols.tail: _*)
-          .select(col("doc_id"), expr(simExpr).as("simhash"))
+        graft.api.Dedup.simhashSignatures(
+          Tables.documentsSpread(s, dir), "doc_id", "text")
       }
-      val banded = sim.select(col("doc_id"), col("simhash"),
-        explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bk",
-          expr("CAST(shiftright(simhash, band * 4) & 15 AS INT)"))
-      val a = banded.select(col("band"), col("bk"),
-        col("doc_id").as("doc1"), col("simhash").as("s1"))
-      val b = banded.select(col("band"), col("bk"),
-        col("doc_id").as("doc2"), col("simhash").as("s2"))
-      // stream side pinned to full ROUND-ROBIN parallelism: the band
-      // join is output-explosive (~20k banded rows fan out to millions
-      // of candidate pairs) so AQE must not coalesce the input, and
-      // the band buckets are heavily skewed on a near-dup-rich corpus,
-      // so partitioning BY the band key would pin a hot bucket's whole
-      // fan-out on one task — a broadcast join needs no co-partition,
-      // and round-robin spreads a hot bucket's stream rows evenly.
-      // The build side is 4 rows/doc of two longs — always
-      // broadcastable (at cluster scale: still just the signature
-      // table, rebuild threshold permitting, else swap to shuffle join
-      // with salting).
-      a.repartition(s.sessionState.conf.numShufflePartitions)
-        .join(broadcast(b), Seq("band", "bk"))
-        .filter(col("doc1") < col("doc2"))
-        // a pair can collide in several bands: keep it ONLY in its
-        // FIRST equal band (cheap bit ops on values already in the
-        // row) so every pair survives exactly once and no distinct
-        // shuffle is needed on the multi-million-row candidate stream
-        .filter(expr(
-          """band = CASE WHEN (s1 & 15) = (s2 & 15) THEN 0
-            |  WHEN (shiftright(s1, 4) & 15) = (shiftright(s2, 4) & 15) THEN 1
-            |  WHEN (shiftright(s1, 8) & 15) = (shiftright(s2, 8) & 15) THEN 2
-            |  ELSE 3 END""".stripMargin))
-        .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc1"), col("doc2"), col("hamming"))
+      graft.api.Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
         .orderBy(col("doc1"), col("doc2"))
     }
     GQuery("dedup_simhash",
@@ -392,27 +268,9 @@ object DedupQueries {
     * output is Σ df·(df−1)/2 rows — near-linear on a flat df
     * distribution), quadratic disaster when one is. */
   private[operators] def ngramJaccardInverted(
-      s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    sh.select(col("doc_id").as("d1"), col("shingle"))
-      // pinned partition count: the posting list is small in bytes but
-      // the join output is quadratic per shingle — don't let AQE
-      // coalesce the input of an output-explosive join
-      .repartition(s.sessionState.conf.numShufflePartitions, col("shingle"))
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")),
-        Seq("shingle"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n", "n1")), Seq("d1"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n", "n2")), Seq("d2"))
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.jaccardPairsInverted(shingles(s, dir), "doc_id",
+      num = 1, den = 2)
 
   /** Prefix-filtered plan (AllPairs/PPJoin), lossless:
     *
@@ -430,59 +288,8 @@ object DedupQueries {
     // verify step computes size(array_intersect(...)) per candidate —
     // install the counting rewrite so no intermediate array is built
     graft.plans.IntersectSizeRewrite.install(s)
-    // per-doc shingle ARRAY, sorted rarest-first under the global
-    // (document frequency, shingle) total order — built once and
-    // memoized; both candidate generation (prefix slices) and
-    // verification (array_intersect) read it.
-    val docArr = PlanCache.memo(s, dir, "shingle_arrays") {
-      shingles(s, dir).join(shingleDfreq(s, dir), Seq("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
-          .as("ss"))
-        .select(col("doc_id"),
-          expr("transform(ss, x -> x.shingle)").as("arr"),
-          size(col("ss")).as("n"))
-    }
-    // candidate generation: only each doc's PREFIX (the rarest
-    // ⌊n/2⌋+1 = n − ⌈t·n⌉ + 1 shingles for t = 0.5) is indexed, with
-    // the PPJoin length filter (2·min(n1,n2) ≥ max) and positional
-    // filter (3·(1 + min(n1−rk1, n2−rk2)) ≥ n1+n2, i.e. the overlap
-    // upper bound at the first shared prefix shingle must reach the
-    // required ⌈(n1+n2)/3⌉) — both integer-exact and lossless.
-    val pref = docArr.select(col("doc_id"), col("n"),
-      posexplode(expr("slice(arr, 1, shiftright(n, 1) + 1)"))
-        .as(Seq("pos", "shingle")))
-    // prefix join pinned to full key-parallelism: the prefix index
-    // is only a few MB (AQE would coalesce it to one partition) but
-    // the self-join fans out quadratically per shingle; shingle df
-    // is bounded by the prefix construction, so keyed partitioning
-    // is skew-safe here.
-    val nPart = s.sessionState.conf.numShufflePartitions
-    val cand = pref.select(col("doc_id").as("d1"), col("n").as("n1"),
-        (col("pos") + 1).as("rk1"), col("shingle"))
-      .repartition(nPart, col("shingle"))
-      .join(pref.select(col("doc_id").as("d2"), col("n").as("n2"),
-        (col("pos") + 1).as("rk2"), col("shingle")), Seq("shingle"))
-      .filter(col("d1") < col("d2") &&
-        least(col("n1"), col("n2")) * 2 >= greatest(col("n1"), col("n2")) &&
-        (lit(1) + least(col("n1") - col("rk1"), col("n2") - col("rk2"))) * 3
-          >= col("n1") + col("n2"))
-      .select(col("d1"), col("d2")).distinct()
-    // verify: exact intersection of the full (distinct) shingle
-    // arrays, one codegen'd array_intersect per surviving candidate.
-    // Candidates are round-robin-spread first: the pair list is tiny
-    // in bytes (AQE would coalesce it) but each row carries an
-    // array-intersection's worth of CPU.
-    cand.repartition(nPart)
-      .join(docArr.select(col("doc_id").as("d1"), col("arr").as("a1"),
-        col("n").as("n1")), Seq("d1"))
-      .join(docArr.select(col("doc_id").as("d2"), col("arr").as("a2"),
-        col("n").as("n2")), Seq("d2"))
-      .withColumn("i", size(array_intersect(col("a1"), col("a2"))))
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
+    graft.api.Dedup.jaccardPairsPPJoin(shingles(s, dir), "doc_id",
+      num = 1, den = 2)
   }
 
   /** Exact word-3-gram Jaccard ≥ 0.5, strategy chosen from df STATS
@@ -541,33 +348,10 @@ object DedupQueries {
     * scales with n on a cluster. Replication cost is (B+1)/2 ≈ 8 small
     * rows per vector. */
   val dedupEmbedCosine: GQuery = {
-    val B = 16
     val sparkImpl = (s: SparkSession, dir: String) => {
-      val e = SimQueries.vecs(s, dir)
-        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
-      val lft = e.select(col("vec_id").as("id1"), col("v").as("va"),
-        col("nrm").as("na"), col("blk").as("lo"),
-        explode(expr(s"sequence(blk, ${B - 1})")).as("hi"))
-      val rgt = e.select(col("vec_id").as("id2"), col("v").as("vb"),
-        col("nrm").as("nb"), explode(expr("sequence(0, blk)")).as("lo"),
-        col("blk").as("hi"))
-      // a small-SF parquet corpus is a single scan split: without an
-      // explicit exchange the planner may broadcast one side and run
-      // the whole pair loop in ONE task — repartitioning on the join
-      // key guarantees the B(B+1)/2 key groups spread across the
-      // cluster whichever join strategy is picked. The partition count
-      // is pinned because this join is output-explosive (n²/2 pairs
-      // from ~n·B/2 input rows): AQE's input-byte coalescing would
-      // otherwise fold the tiny input back into one partition and
-      // serialize the pair loop.
-      lft.repartition(s.sessionState.conf.numShufflePartitions,
-          col("lo"), col("hi")).join(rgt, Seq("lo", "hi"))
-        .filter(col("lo") =!= col("hi") || col("id1") < col("id2"))
-        .withColumn("cosine", round(
-          expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6))
-        .filter(col("cosine") >= 0.4)
-        .select(least(col("id1"), col("id2")).as("v1"),
-          greatest(col("id1"), col("id2")).as("v2"), col("cosine"))
+      graft.api.Dedup.cosinePairs(
+        SimQueries.vecs(s, dir).select(col("vec_id"), col("v")),
+        "vec_id", "v", tau = 0.4, blocks = 16)
         .orderBy(col("v1"), col("v2"))
     }
     GQuery("dedup_embed_cosine",

@@ -47,20 +47,9 @@ object SimQueries {
     * (self excluded): the brute-force baseline. */
   val simCosineTopk: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
-      val e = vecs(s, dir)
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("v").as("va"),
-          col("nrm").as("na"))
-      val corpus = e.select(col("vec_id").as("neighbor_id"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
-        .withColumn("cosine",
-          round(expr(dot) / (col("na") * col("nb")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      graft.api.Similarity.cosineTopK(ev, ev.filter(col("vec_id") < 5),
+        "vec_id", "v", k = 5)
         .orderBy(col("probe_id"), col("rk"))
     }
     GQuery("sim_cosine_topk",
@@ -121,29 +110,9 @@ object SimQueries {
     * candidate join is equi on (table, bucket) — the full pairwise
     * cosine computation never happens. */
   val simTopkLsh: GQuery = GQuery.noOracle("sim_topk_lsh") { (s, dir) =>
-    val e = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(expr(
-        """transform(sequence(0, 7), t ->
-          |  aggregate(transform(slice(v, 4 * t + 1, 4),
-          |    x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN 1 ELSE 0 END),
-          |    0, (acc, b) -> acc * 2 + b))""".stripMargin))
-        .as(Seq("tbl", "bucket")))
-    val probes = e.filter(col("vec_id") < 50)
-      .select(col("tbl"), col("bucket"), col("vec_id").as("probe_id"),
-        col("v").as("va"), col("nrm").as("na"))
-    val corpus = e.select(col("tbl"), col("bucket"),
-      col("vec_id").as("neighbor_id"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus.join(broadcast(probes), Seq("tbl", "bucket"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
-      .distinct()
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    graft.api.Similarity.signLshTopK(ev, ev.filter(col("vec_id") < 50),
+      "vec_id", "v", k = 3, tables = 8, bits = 4)
       .orderBy(col("probe_id"), col("rk"))
   }
 

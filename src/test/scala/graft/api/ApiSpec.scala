@@ -1,0 +1,75 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+
+import graft.{PlanCache, SparkTestBase}
+import graft.operators.{DedupQueries, SimQueries}
+import graft.sources.Tables
+
+/** The public graft.api surface must (a) accept arbitrary column
+  * names and (b) produce exactly what the oracle-verified contract
+  * queries produce — the contract queries are thin bindings of the
+  * API, so this pins the binding. */
+class ApiSpec extends SparkTestBase {
+  initQuiet()
+
+  // fixture docs under USER column names
+  private def myDocs = Tables.documents(spark, sfDir)
+    .select(col("doc_id").as("post_id"), col("text").as("body"))
+
+  private def myVecs = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id").as("item"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+
+  test("minhash pipeline on renamed columns matches the contract query") {
+    val sh = Dedup.wordShingles(myDocs, "post_id", "body")
+    val sig = Dedup.minhashSignatures(sh, "post_id")
+    val pairs = Dedup.minhashBandPairs(sig, "post_id")
+      .orderBy(col("doc1"), col("doc2"))
+    val want = DedupQueries.dedupNearMinhash.fn(spark, sfDir)
+    assert(pairs.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("simhash pipeline on renamed columns matches the contract query") {
+    val sim = Dedup.simhashSignatures(myDocs, "post_id", "body")
+    val pairs = Dedup.simhashPairs(sim, "post_id")
+      .orderBy(col("doc1"), col("doc2"))
+    val want = DedupQueries.dedupSimhash.fn(spark, sfDir)
+    assert(pairs.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("jaccard strategy paths on renamed columns match the contract query") {
+    val sh = Dedup.wordShingles(myDocs, "post_id", "body")
+    val inv = Dedup.jaccardPairsInverted(sh, "post_id", 1, 2)
+      .orderBy(col("doc1"), col("doc2"))
+    val pp = Dedup.jaccardPairsPPJoin(sh, "post_id", 1, 2)
+      .orderBy(col("doc1"), col("doc2"))
+    val want = DedupQueries.dedupNgramJaccard.fn(spark, sfDir)
+    assert(inv.collect().toSeq == want.collect().toSeq)
+    assert(pp.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("cosine pair + topk APIs on renamed columns match the contract queries") {
+    val pairs = Dedup.cosinePairs(myVecs, "item", "emb", tau = 0.4)
+      .orderBy(col("v1"), col("v2"))
+    val wantPairs = DedupQueries.dedupEmbedCosine.fn(spark, sfDir)
+    assert(pairs.collect().toSeq == wantPairs.collect().toSeq)
+
+    val topk = Similarity.cosineTopK(myVecs,
+      myVecs.filter(col("item") < 5), "item", "emb", k = 5)
+      .orderBy(col("probe_id"), col("rk"))
+    val wantTopk = SimQueries.simCosineTopk.fn(spark, sfDir)
+    assert(topk.collect().toSeq == wantTopk.collect().toSeq)
+  }
+
+  test("connected components labels every paired node with its component min") {
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L)))
+      .toDF("x", "y")
+    val lab = Dedup.connectedComponents(pairs, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    PlanCache.clear()
+  }
+}
