@@ -1,0 +1,117 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Public, fixture-independent text-analysis API (see [[Dedup]] for
+  * conventions): tokenization, quality scoring, token counting,
+  * fingerprinting, and naive-Bayes language ID — the text family the
+  * contract queries exercise, over caller-named columns.
+  */
+object Text {
+
+  private def pHash(seedAndVal: String): String =
+    s"CAST(conv(substr(md5($seedAndVal), 1, 12), 16, 10) AS BIGINT)"
+
+  /** whitespace tokens with multiplicity: (id, token). */
+  def tokenize(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      explode(split(col(text), " ")).as("token"))
+
+  /** Per-document quality score: uniqueness ratio, mean token length,
+    * stopword ratio, length saturation — combined on an exact decimal
+    * grid (half-boundary-proof): (id, n_tokens, uniq_ratio,
+    * avg_token_len, stop_ratio, quality). */
+  def qualityScore(docs: DataFrame, id: String, text: String,
+      stopwords: Seq[String] = defaultStopwords): DataFrame =
+    qualityScoreFromTokens(tokenize(docs, id, text), id, "token", stopwords)
+
+  val defaultStopwords: Seq[String] = Seq("a", "the", "and", "of", "to",
+    "in", "is", "on", "for", "with")
+
+  /** [[qualityScore]] over a pre-tokenized (id, token) frame — for
+    * callers who materialize the token table once and share it. */
+  def qualityScoreFromTokens(t: DataFrame, id: String,
+      token: String = "token",
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val tok = t.select(col(id), col(token).as("token"))
+    tok.groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"),
+        sum(length(col("token"))).as("sum_len"),
+        sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L))
+          .as("n_stop"))
+      .withColumn("uniq_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_token_len",
+        round(col("sum_len").cast("double") / col("n_tokens"), 6))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality", expr(
+        """CAST(round(0.5 * CAST(uniq_ratio AS DECIMAL(12,6))
+          |  + 0.3 * (1 - CAST(stop_ratio AS DECIMAL(12,6)))
+          |  + 0.002 * least(n_tokens, 100), 6) AS DOUBLE)""".stripMargin))
+      .select(col(id), col("n_tokens"), col("uniq_ratio"),
+        col("avg_token_len"), col("stop_ratio"), col("quality"))
+  }
+
+  /** Rolling-hash document fingerprint over character n-grams: two
+    * independent 32-bit min-hashes sliced from one md5 digest per
+    * gram: (id, fp1, fp2). */
+  def fingerprint(docs: DataFrame, id: String, text: String,
+      gram: Int = 8): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.select(col(id),
+      explode(expr(s"char_ngrams($text, $gram)")).as("g"))
+      .withColumn("m", md5(col("g")))
+      .groupBy(col(id))
+      .agg(
+        min(expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)")).as("fp1"),
+        min(expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)")).as("fp2"))
+  }
+
+  /** Token counting three ways — whitespace split, word-regex split,
+    * and a BPE-ish chars/4 estimate: (id, ws_tokens, re_tokens,
+    * bpe_est). */
+  def tokenCounts(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      size(split(col(text), " ")).as("ws_tokens"),
+      size(split(col(text), "[^a-zA-Z0-9]+")).as("re_tokens"),
+      ceil(length(col(text)).cast("double") / 4).cast("int").as("bpe_est"))
+
+  /** Additive-smoothed naive-Bayes language ID against per-language
+    * token profiles learned from a labeled corpus: (id, pred_lang).
+    * The language set is realized on the driver (a bounded dimension)
+    * and scoring runs against a per-TERM log-prob dictionary pivoted
+    * once — see graft.operators.TextQueries.textLangId for the full
+    * rationale. */
+  def langId(docs: DataFrame, id: String, text: String, lang: String,
+      preTokenized: Option[DataFrame] = None): DataFrame = {
+    val tok = preTokenized.getOrElse(docs.select(col(id), col(lang),
+      explode(split(col(text), " ")).as("token")))
+    val langSeq = docs.select(col(lang)).distinct()
+      .orderBy(col(lang)).collect().map(_.getString(0)).toSeq
+    val totMap = tok.groupBy(col(lang)).agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = tok.agg(countDistinct(col("token")).as("v"))
+      .head.getLong(0)
+    val dict = langSeq.zipWithIndex.foldLeft(
+      tok.groupBy(col("token")).pivot(lang, langSeq).agg(count(lit(1)))) {
+      case (d, (l, i)) => d.withColumn(s"s$i",
+        round(log((coalesce(col(s"`$l`"), lit(0L)) + lit(1)).cast("double")
+          / lit((totMap(l) + vocab).toDouble)), 8))
+    }.select(col("token") +: langSeq.indices.map(i => col(s"s$i")): _*)
+    val docTok = tok.groupBy(col(id), col("token"))
+      .agg(count(lit(1)).as("m"))
+    val aggCols = langSeq.indices.map(i =>
+      round(sum(col("m") * col(s"s$i")), 6).as(s"sc$i"))
+    val pick = array_min(array(langSeq.zipWithIndex.map { case (l, i) =>
+      struct((-col(s"sc$i")).as("ns"), lit(l).as("cand")) }: _*))
+    docTok.join(broadcast(dict), Seq("token"))
+      .groupBy(col(id))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("pick", pick)
+      .select(col(id), col("pick.cand").as("pred_lang"))
+  }
+}

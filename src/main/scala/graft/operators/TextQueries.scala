@@ -154,44 +154,17 @@ object TextQueries {
     * re-rounded to 6 before the argmax, with a lang tiebreak. */
   val textLangId: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
-      val tok = tokens(s, dir)
-      // the language set is a BOUNDED dimension (like a date or region
-      // dim): realize it on the driver, then score against a per-TERM
-      // log-prob dictionary — one row per (term) with one score column
-      // per language, pivoted once and broadcast — instead of
-      // replicating every (doc, term) row per candidate language and
-      // window-sorting the result. The per-doc aggregate is a
-      // map-side-combining hash agg over the doc-token table; the
-      // argmax is array_min over (−score, lang) structs, matching the
-      // (score DESC, lang ASC) ranking exactly.
-      val langSeq = Tables.documents(s, dir).select(col("lang"))
-        .distinct().orderBy(col("lang")).collect()
-        .map(_.getString(0)).toSeq
-      val totMap = tok.groupBy(col("lang")).agg(count(lit(1)).as("t"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val vocab = tok.agg(countDistinct(col("term")).as("v"))
-        .head.getLong(0)
-      val dict = langSeq.zipWithIndex.foldLeft(
-        tok.groupBy(col("term")).pivot("lang", langSeq).agg(count(lit(1)))) {
-        case (d, (l, i)) => d.withColumn(s"s$i",
-          round(log((coalesce(col(s"`$l`"), lit(0L)) + lit(1)).cast("double")
-            / lit((totMap(l) + vocab).toDouble)), 8))
-      }.select(col("term") +: langSeq.indices.map(i => col(s"s$i")): _*)
-      val docTok = tok.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("m"))
-      val aggCols = langSeq.indices.map(i =>
-        round(sum(col("m") * col(s"s$i")), 6).as(s"sc$i"))
-      val pick = array_min(array(langSeq.zipWithIndex.map { case (l, i) =>
-        struct((-col(s"sc$i")).as("ns"), lit(l).as("cand")) }: _*))
-      docTok.join(broadcast(dict), Seq("term"))
-        .groupBy(col("doc_id"))
-        .agg(aggCols.head, aggCols.tail: _*)
-        .withColumn("pick", pick)
+      // the language set is a BOUNDED dimension: graft.api.Text.langId
+      // realizes it on the driver and scores against a pivoted
+      // per-term log-prob dictionary (see its Scaladoc); the memoized
+      // token table is donated so the corpus is tokenized once.
+      graft.api.Text.langId(Tables.documents(s, dir), "doc_id", "text",
+        "lang", preTokenized =
+          Some(tokens(s, dir).withColumnRenamed("term", "token")))
         .join(broadcast(Tables.documents(s, dir).select(col("doc_id"),
           col("lang").as("actual_lang"))), Seq("doc_id"))
-        .select(col("doc_id"), col("pick.cand").as("pred_lang"),
-          col("actual_lang"),
-          (col("pick.cand") === col("actual_lang")).as("correct"))
+        .select(col("doc_id"), col("pred_lang"), col("actual_lang"),
+          (col("pred_lang") === col("actual_lang")).as("correct"))
         .orderBy(col("doc_id"))
     }
     GQuery("text_lang_id",
@@ -231,31 +204,8 @@ object TextQueries {
   val textQualityScore: GQuery = {
     val stop = "('a','the','and','of','to','in','is','on','for','with')"
     val sparkImpl = (s: SparkSession, dir: String) => {
-      val t = tokens(s, dir)
-      val perDoc = t.groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("term")).as("n_distinct"),
-          sum(length(col("term"))).as("sum_len"),
-          sum(when(col("term").isin("a", "the", "and", "of", "to", "in",
-            "is", "on", "for", "with"), 1L).otherwise(0L)).as("n_stop"))
-      perDoc
-        .withColumn("uniq_ratio",
-          round(col("n_distinct").cast("double") / col("n_tokens"), 6))
-        .withColumn("avg_token_len",
-          round(col("sum_len").cast("double") / col("n_tokens"), 6))
-        .withColumn("stop_ratio",
-          round(col("n_stop").cast("double") / col("n_tokens"), 6))
-        // exact decimal combine: the rounded ratios sit on a 1e-6 grid,
-        // so the weighted sum can land exactly on a half-boundary where
-        // double rounding splits across engines; decimal arithmetic on
-        // the grid values is exact and rounds identically (half-up).
-        .withColumn("quality", expr(
-          """CAST(round(0.5 * CAST(uniq_ratio AS DECIMAL(12,6))
-            |  + 0.3 * (1 - CAST(stop_ratio AS DECIMAL(12,6)))
-            |  + 0.002 * least(n_tokens, 100), 6) AS DOUBLE)""".stripMargin))
-        .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
-          col("avg_token_len"), col("stop_ratio"), col("quality"))
+      graft.api.Text.qualityScoreFromTokens(
+        tokens(s, dir).withColumnRenamed("term", "token"), "doc_id")
         .orderBy(col("doc_id"))
     }
     GQuery("text_quality_score",
@@ -305,15 +255,8 @@ object TextQueries {
     * digest per gram (md5 is the kernel cost — one digest, two mins). */
   val textFingerprint: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
-      graft.functions.TextExpressions.register(s)
-      Tables.documentsSpread(s, dir)
-        .select(col("doc_id"),
-          explode(expr("char_ngrams(text, 8)")).as("gram"))
-        .withColumn("m", md5(col("gram")))
-        .groupBy(col("doc_id"))
-        .agg(
-          min(expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)")).as("fp1"),
-          min(expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)")).as("fp2"))
+      graft.api.Text.fingerprint(
+        Tables.documentsSpread(s, dir), "doc_id", "text", gram = 8)
         .orderBy(col("doc_id"))
     }
     GQuery("text_fingerprint",

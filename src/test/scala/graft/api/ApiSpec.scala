@@ -62,6 +62,28 @@ class ApiSpec extends SparkTestBase {
     assert(topk.collect().toSeq == wantTopk.collect().toSeq)
   }
 
+  test("text APIs on renamed columns match the contract queries") {
+    import graft.operators.TextQueries
+    val q = Text.qualityScore(myDocs, "post_id", "body")
+      .orderBy(col("post_id"))
+    val wantQ = TextQueries.textQualityScore.fn(spark, sfDir)
+    assert(q.collect().toSeq == wantQ.collect().toSeq)
+
+    val fp = Text.fingerprint(myDocs, "post_id", "body")
+      .orderBy(col("post_id"))
+    val wantFp = TextQueries.textFingerprint.fn(spark, sfDir)
+    assert(fp.collect().toSeq == wantFp.collect().toSeq)
+
+    val myLabeled = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("post_id"), col("text").as("body"),
+        col("lang").as("language"))
+    val lid = Text.langId(myLabeled, "post_id", "body", "language")
+      .orderBy(col("post_id"))
+    val wantLid = TextQueries.textLangId.fn(spark, sfDir)
+      .select(col("doc_id"), col("pred_lang"))
+    assert(lid.collect().toSeq == wantLid.collect().toSeq)
+  }
+
   test("connected components labels every paired node with its component min") {
     val pairs = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L)))
