@@ -36,9 +36,8 @@ object SampleQueries {
        |WHERE ${duckHash("concat('smp:', CAST(doc_id AS VARCHAR))")} % 10 = 0
        |GROUP BY lang
        |ORDER BY lang""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
-      .filter(expr(
-        s"${pHash("concat('smp:', CAST(doc_id AS STRING))")} % 10 = 0"))
+    graft.api.Sampling.hashBernoulli(
+      Tables.documents(s, dir), "doc_id", modulus = 10)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"),
         sum(col("n_chars")).cast("bigint").as("sum_chars"))
@@ -60,13 +59,10 @@ object SampleQueries {
        |  FROM documents)
        |WHERE rn <= 20
        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
-    val h = expr(s"${pHash("concat('str:', CAST(doc_id AS STRING))")}")
-    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
-    Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"), col("n_chars"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
-      .select(col("lang"), col("doc_id"), col("n_chars"))
+    graft.api.Sampling.stratifiedTopK(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "doc_id", k = 20)
       .orderBy(col("lang"), col("doc_id"))
   }
 
