@@ -213,6 +213,57 @@ object DedupQueries {
       .orderBy(col("cluster_rep"))
   }
 
+  /** The end-to-end dedup DECISION — what a training-data pipeline
+    * actually ships: one row per document with its fate.
+    * `drop_exact` = byte-identical text, not the smallest doc_id;
+    * `drop_near`  = member of a MinHash near-dup cluster but not its
+    * representative (min doc_id); `keep` otherwise. Exact wins over
+    * near on precedence. Composed entirely from already-verified
+    * building blocks (exact window + band pairs +
+    * connectedComponents). */
+  val dedupKeepList: GQuery = GQuery(
+    "dedup_keep_list",
+    s"""${minhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+       |      UNION ALL SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS rep
+       |        FROM reach GROUP BY a),
+       |ex AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.rn > 1 THEN 'drop_exact'
+       |       WHEN lab.node IS NOT NULL AND lab.rep <> d.doc_id
+       |         THEN 'drop_near'
+       |       ELSE 'keep' END AS status
+       |FROM documents d
+       |JOIN ex ON d.doc_id = ex.doc_id
+       |LEFT JOIN lab ON d.doc_id = lab.node
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val exw = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val ex = docs.select(col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(exw))
+      .select(col("doc_id"), col("rn"))
+    val lab = graft.api.Dedup.connectedComponents(
+      minhashPairsSpark(s, dir).select(col("doc1"), col("doc2")),
+      "doc1", "doc2")
+      .select(col("node").as("doc_id"), col("label").as("rep"))
+    docs.select(col("doc_id"))
+      .join(ex, Seq("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("rn") > 1, "drop_exact")
+          .when(col("rep").isNotNull && col("rep") =!= col("doc_id"),
+            "drop_near")
+          .otherwise("keep").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 16-bit SimHash over distinct tokens; near-dup pairs = Hamming
     * distance ≤ 3.
     *
@@ -365,6 +416,6 @@ object DedupQueries {
   }
 
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
-    dedupEditDistance, dedupClusters, dedupSimhash, dedupNgramJaccard,
-    dedupEmbedCosine)
+    dedupEditDistance, dedupClusters, dedupKeepList, dedupSimhash,
+    dedupNgramJaccard, dedupEmbedCosine)
 }
