@@ -42,11 +42,8 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
-  /** Portable 48-bit hash: seed-prefixed md5, first 12 hex chars. */
-  private def pHash(seedAndVal: String): String =
-    s"CAST(conv(substr(md5($seedAndVal), 1, 12), 16, 10) AS BIGINT)"
-
-  /** DuckDB spelling of the same hash. */
+  /** DuckDB spelling of the portable 48-bit md5 hash (the Spark side
+    * lives in graft.api). */
   private def duckHash(seedAndVal: String): String =
     s"CAST(concat('0x', substr(md5($seedAndVal), 1, 12)) AS BIGINT)"
 

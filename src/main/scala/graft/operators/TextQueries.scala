@@ -22,8 +22,6 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  private def pHash(seedAndVal: String): String =
-    s"CAST(conv(substr(md5($seedAndVal), 1, 12), 16, 10) AS BIGINT)"
   private def duckHash(seedAndVal: String): String =
     s"CAST(concat('0x', substr(md5($seedAndVal), 1, 12)) AS BIGINT)"
 
