@@ -80,6 +80,29 @@ object Text {
       size(split(col(text), "[^a-zA-Z0-9]+")).as("re_tokens"),
       ceil(length(col(text)).cast("double") / 4).cast("int").as("bpe_est"))
 
+  /** Highest-TF-IDF term per document: (id, top_term, score). The
+    * idf is rounded to 8 places before the tf× multiply and the
+    * argmax is a partial-aggregating min over (−score, term) — same
+    * winner as ranking by (score DESC, term ASC) with no window
+    * shuffle. */
+  def tfidfTopTerm(docs: DataFrame, id: String, text: String,
+      preTokenized: Option[DataFrame] = None): DataFrame = {
+    val tf = preTokenized.getOrElse(tokenize(docs, id, text))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(countDistinct(col(id)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf")
+        * round(log(col("n").cast("double") / col("df")), 8), 6))
+      .groupBy(col(id))
+      .agg(min(struct((-col("score")).as("ns"), col("token").as("term")))
+        .as("m"))
+      .select(col(id), col("m.term").as("top_term"),
+        (-col("m.ns")).as("score"))
+  }
+
   /** Additive-smoothed naive-Bayes language ID against per-language
     * token profiles learned from a labeled corpus: (id, pred_lang).
     * The language set is realized on the driver (a bounded dimension)

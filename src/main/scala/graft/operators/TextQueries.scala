@@ -57,26 +57,9 @@ object TextQueries {
     * tiebreak, so the winner is deterministic cross-engine. */
   val textTfidfTopterm: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
-      val tf = tokens(s, dir)
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-      // argmax as a partial-aggregating min over (−score, term): same
-      // winner as row_number ordered by (score DESC, term ASC), but a
-      // map-side-combining hash aggregate instead of a full window
-      // shuffle + sort of every (doc, term) row — the shape that holds
-      // at 100 TB. (−score is safe: tf ≥ 1 and ln ≥ 0, so score ≥ +0.0
-      // and negation cannot manufacture −0.0 on the output path.)
-      tf.join(broadcast(df), Seq("term"))
-        .crossJoin(broadcast(n))
-        .withColumn("score", round(col("tf")
-          * round(log(col("n").cast("double") / col("df")), 8), 6))
-        .groupBy(col("doc_id"))
-        .agg(min(struct((-col("score")).as("ns"), col("term").as("term")))
-          .as("m"))
-        .select(col("doc_id"), col("m.term").as("top_term"),
-          (-col("m.ns")).as("score"))
+      graft.api.Text.tfidfTopTerm(Tables.documents(s, dir), "doc_id",
+        "text", preTokenized =
+          Some(tokens(s, dir).withColumnRenamed("term", "token")))
         .orderBy(col("doc_id"))
     }
     GQuery("text_tfidf_topterm",

@@ -74,6 +74,11 @@ class ApiSpec extends SparkTestBase {
     val wantFp = TextQueries.textFingerprint.fn(spark, sfDir)
     assert(fp.collect().toSeq == wantFp.collect().toSeq)
 
+    val tfidf = Text.tfidfTopTerm(myDocs, "post_id", "body")
+      .orderBy(col("post_id"))
+    val wantTfidf = TextQueries.textTfidfTopterm.fn(spark, sfDir)
+    assert(tfidf.collect().toSeq == wantTfidf.collect().toSeq)
+
     val myLabeled = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("post_id"), col("text").as("body"),
         col("lang").as("language"))
