@@ -56,7 +56,11 @@ object Dedup {
       .withColumn("m1", expr(s"md5(concat('1:', $shingle))"))
       .select(col(shingle) +: hashCols: _*)
     val sigCols = (0 to 7).map(k => min(col(s"x$k")).as(s"h$k"))
-    shingles.join(broadcast(dict), Seq(shingle))
+    // NO broadcast hint: the dictionary is vocabulary-cardinality
+    // (grows with the corpus), so forcing a broadcast would hit the
+    // 8 GB cap long before 100 TB. AQE promotes the join to broadcast
+    // from runtime stats whenever the dictionary is actually small.
+    shingles.join(dict, Seq(shingle))
       .groupBy(col(id)).agg(sigCols.head, sigCols.tail: _*)
   }
 
@@ -86,9 +90,13 @@ object Dedup {
       (d, k) => d.withColumnRenamed(s"h$k", s"a_h$k") }
     val bSig = (0 to 7).foldLeft(sig.withColumnRenamed(id, "doc2")) {
       (d, k) => d.withColumnRenamed(s"h$k", s"b_h$k") }
+    // NO broadcast hints: the signature table is corpus-cardinality —
+    // an unconditional broadcast caps at 8 GB (~100M docs). Keyed
+    // shuffle joins scale unboundedly; AQE broadcasts from runtime
+    // stats when the table is genuinely small (as on test fixtures).
     candidates
-      .join(broadcast(aSig), Seq("doc1"))
-      .join(broadcast(bSig), Seq("doc2"))
+      .join(aSig, Seq("doc1"))
+      .join(bSig, Seq("doc2"))
       .select(col("doc1"), col("doc2"),
         (agree.cast("double") / 8).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
@@ -125,8 +133,12 @@ object Dedup {
       col(id).as("doc1"), col("simhash").as("s1"))
     val b = banded.select(col("band"), col("bk"),
       col(id).as("doc2"), col("simhash").as("s2"))
+    // the pinned round-robin repartition parallelizes the explosive
+    // probe side (AQE respects user-specified counts); the build side
+    // carries no broadcast hint — it is corpus-cardinality, so the
+    // join strategy is left to AQE's runtime stats
     a.repartition(nPart(sim))
-      .join(broadcast(b), Seq("band", "bk"))
+      .join(b, Seq("band", "bk"))
       .filter(col("doc1") < col("doc2"))
       .filter(expr(
         """band = CASE WHEN (s1 & 15) = (s2 & 15) THEN 0
@@ -169,10 +181,12 @@ object Dedup {
         Seq("shingle"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes.withColumnRenamed(id, "d1")
-        .withColumnRenamed("n", "n1")), Seq("d1"))
-      .join(broadcast(sizes.withColumnRenamed(id, "d2")
-        .withColumnRenamed("n", "n2")), Seq("d2"))
+      // per-doc size frames are corpus-cardinality: no broadcast hint
+      // (AQE picks broadcast from runtime stats when they are small)
+      .join(sizes.withColumnRenamed(id, "d1")
+        .withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed(id, "d2")
+        .withColumnRenamed("n", "n2"), Seq("d2"))
       .filter(col("i") * den >= (col("n1") + col("n2") - col("i")) * num)
       .select(col("d1").as("doc1"), col("d2").as("doc2"),
         round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6)

@@ -92,7 +92,10 @@ object Text {
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(id)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    tf.join(broadcast(df), Seq("token"))
+    // df is a term-level (vocabulary-cardinality) table — no broadcast
+    // hint; the 1-row corpus count IS provably bounded, so its hint
+    // stays. AQE broadcasts df from runtime stats when small.
+    tf.join(df, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf")
         * round(log(col("n").cast("double") / col("df")), 8), 6))
@@ -131,7 +134,10 @@ object Text {
       round(sum(col("m") * col(s"s$i")), 6).as(s"sc$i"))
     val pick = array_min(array(langSeq.zipWithIndex.map { case (l, i) =>
       struct((-col(s"sc$i")).as("ns"), lit(l).as("cand")) }: _*))
-    docTok.join(broadcast(dict), Seq("token"))
+    // the pivoted log-prob dictionary is vocabulary-cardinality (one
+    // row per distinct token) — no broadcast hint; AQE promotes when
+    // the vocabulary is actually small
+    docTok.join(dict, Seq("token"))
       .groupBy(col(id))
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("pick", pick)

@@ -119,7 +119,9 @@ object AggQueries {
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // customer scales with SF (150k × SF rows) — no broadcast hint,
+      // AQE decides; nation is bounded at 25 rows, its hint stays
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"),
           year(col("o_orderdate")).cast("int").as("order_year"),

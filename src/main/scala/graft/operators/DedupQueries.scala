@@ -162,11 +162,14 @@ object DedupQueries {
        |JOIN documents db ON p.doc2 = db.doc_id
        |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
+    // full document TEXTS attach on both sides — the one frame in the
+    // repo that must NEVER carry a broadcast hint (corpus-cardinality
+    // payloads); keyed shuffle joins scale, AQE broadcasts when small
     minhashPairsSpark(s, dir)
-      .join(broadcast(docs.select(col("doc_id").as("doc1"),
-        col("text").as("text1"))), Seq("doc1"))
-      .join(broadcast(docs.select(col("doc_id").as("doc2"),
-        col("text").as("text2"))), Seq("doc2"))
+      .join(docs.select(col("doc_id").as("doc1"),
+        col("text").as("text1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"),
+        col("text").as("text2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"), col("est_jaccard"),
         levenshtein(col("text1"), col("text2")).cast("int").as("edit_dist"))
       .orderBy(col("doc1"), col("doc2"))

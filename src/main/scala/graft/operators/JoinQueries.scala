@@ -10,9 +10,13 @@ import graft.sources.Tables
 /** Join family (SURVEY.md §2.3).
   *
   * Scale notes per variant:
-  *  - dimension joins (nation/region/customer) are explicitly
-  *    `broadcast()` so no shuffle of the fact side happens — at 1000
-  *    executors the dim table ships once per executor, not per task;
+  *  - BOUNDED dimension joins (nation ≤ 25 rows, region ≤ 5) are
+  *    explicitly `broadcast()` so no shuffle of the fact side
+  *    happens — at 1000 executors the dim table ships once per
+  *    executor, not per task. Tables whose cardinality scales with SF
+  *    (customer, part) carry NO hint: an unconditional broadcast hits
+  *    Spark's 8 GB cap long before 100 TB, so the strategy is left to
+  *    AQE's runtime stats (broadcast when actually small);
   *  - the fact-fact join (`join_sortmerge`) is pinned to sort-merge via
   *    hint, the right choice when both sides are 100 TB-scale and
   *    neither fits in memory (SMJ spills gracefully);
@@ -90,8 +94,10 @@ object JoinQueries {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
+    // customer scales with SF — no broadcast hint (AQE decides);
+    // nation is bounded at 25 rows, so its hint stays
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -159,7 +165,10 @@ object JoinQueries {
     (s, dir) =>
     val li = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
-    li.join(broadcast(p),
+    // part scales with SF — no broadcast hint; the equi conjunct keeps
+    // the join hash/sort-merge-able with the BETWEEN as residual, so
+    // it shuffles on partkey at scale and AQE broadcasts when small
+    li.join(p,
       li("l_partkey") === p("p_partkey")
         && li("l_quantity").between(p("p_size") - 5, p("p_size") + 5))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),

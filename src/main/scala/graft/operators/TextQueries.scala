@@ -142,8 +142,10 @@ object TextQueries {
       graft.api.Text.langId(Tables.documents(s, dir), "doc_id", "text",
         "lang", preTokenized =
           Some(tokens(s, dir).withColumnRenamed("term", "token")))
-        .join(broadcast(Tables.documents(s, dir).select(col("doc_id"),
-          col("lang").as("actual_lang"))), Seq("doc_id"))
+        // actual-lang attach is a corpus-cardinality join — no
+        // broadcast hint (AQE decides from runtime stats)
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          col("lang").as("actual_lang")), Seq("doc_id"))
         .select(col("doc_id"), col("pred_lang"), col("actual_lang"),
           (col("pred_lang") === col("actual_lang")).as("correct"))
         .orderBy(col("doc_id"))

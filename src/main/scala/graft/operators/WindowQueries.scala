@@ -34,7 +34,8 @@ object WindowQueries {
     val c = Tables.customer(s, dir)
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer scales with SF — no broadcast hint, AQE decides
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
