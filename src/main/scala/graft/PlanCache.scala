@@ -29,8 +29,28 @@ object PlanCache {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def memo(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((s, dir, key), build.persist())
+      build: => DataFrame): DataFrame = {
+    pruneStopped()
+    // fast path lock-free; the build+persist runs under a lock so two
+    // racing threads can't both persist (TrieMap.getOrElseUpdate may
+    // evaluate the thunk twice and silently leak the loser's blocks).
+    // Reentrant, so memoized builds may call memo() for sub-frames.
+    cache.get((s, dir, key)).getOrElse(synchronized {
+      cache.getOrElseUpdate((s, dir, key), build.persist())
+    })
+  }
+
+  /** Evict entries owned by stopped sessions: a long-lived service
+    * that creates and stops many SparkSessions must not have them (or
+    * their cached blocks) pinned forever by this map's strong keys.
+    * The blocks themselves died with the session's BlockManager, so
+    * dropping the reference is the whole cleanup. */
+  private def pruneStopped(): Unit = evictWhere(_.sparkContext.isStopped)
+
+  /** Eviction core, exposed for specs (a test cannot stop a second
+    * session in-process — newSession() shares the one SparkContext). */
+  private[graft] def evictWhere(p: SparkSession => Boolean): Unit =
+    cache.keys.foreach { k => if (p(k._1)) cache.remove(k) }
 
   /** Number of live memoized frames (for leak assertions in specs). */
   def size: Int = cache.size
