@@ -267,31 +267,68 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list: (node,
-    * label), label = min node id of the component. Iterative
-    * min-label propagation, localCheckpointed per round. */
+    * label), label = min node id of the component.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): each round is
+    * two groupBy+join passes over the edge list, and the edge set
+    * converges to per-component stars rooted at the minimum node in
+    * O(log n) rounds REGARDLESS of component shape — unlike min-label
+    * propagation, whose round count is the component DIAMETER (a
+    * chain-shaped duplicate cluster, e.g. crawl mirrors, makes that
+    * unbounded). Each round is localCheckpointed to truncate lineage.
+    */
   def connectedComponents(pairs: DataFrame, src: String,
-      dst: String): DataFrame = {
-    val edges = pairs.select(col(src), col(dst))
-      .union(pairs.select(col(dst), col(src)))
-      .toDF("a", "b")
+      dst: String): DataFrame =
+    connectedComponentsWithRounds(pairs, src, dst)._1
+
+  /** [[connectedComponents]] plus the number of alternating rounds it
+    * took to converge (for logarithmic-convergence assertions). */
+  def connectedComponentsWithRounds(pairs: DataFrame, src: String,
+      dst: String, maxRounds: Int = 64): (DataFrame, Int) = {
+    // canonical orientation (a > b), deduped, self-loops dropped
+    var cur = pairs.select(col(src).as("x"), col(dst).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("a"),
+        least(col("x"), col("y")).as("b"))
+      .distinct()
       .localCheckpoint(true)
-    var lab = edges
-      .groupBy(col("a"))
-      .agg(least(col("a"), min(col("b"))).as("label"))
-      .select(col("a").as("node"), col("label"))
-      .localCheckpoint(true)
-    var converged = false
-    while (!converged) {
-      val prop = lab.join(edges, lab("node") === edges("a"))
-        .select(col("b").as("node"), col("label"))
-      val next = lab.union(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+    var curCnt = cur.count()
+    var rounds = 0
+    var done = curCnt == 0L
+    while (!done && rounds < maxRounds) {
+      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      val nbrL = cur.select(col("a").as("u"), col("b").as("v"))
+        .union(cur.select(col("b").as("u"), col("a").as("v")))
+      val mL = nbrL.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val ls = nbrL.join(mL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
         .localCheckpoint(true)
-      converged = next.join(lab.withColumnRenamed("label", "old"),
-        Seq("node"))
-        .filter(col("label") =!= col("old")).isEmpty
-      lab = next
+      // small-star: every neighbor v ≤ u (and u itself) links to the
+      // minimum of that set — edges stay (bigger, smaller) oriented
+      val nbrS = ls.select(col("a").as("u"), col("b").as("v"))
+      val mS = nbrS.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = nbrS.join(mS, Seq("u"))
+        .select(col("v").as("n"), col("m"))
+        .union(mS.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("a"), col("m").as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      rounds += 1
+      val ssCnt = ss.count()
+      // both frames are distinct sets, so equal count + empty
+      // one-direction diff ⇒ set equality ⇒ fixed point reached
+      done = ssCnt == curCnt && ss.except(cur).isEmpty
+      cur = ss
+      curCnt = ssCnt
     }
-    lab
+    val lab = cur.select(col("a").as("node"), col("b").as("label"))
+      .union(cur.select(col("b").as("node"), col("b").as("label")))
+      .distinct()
+    (lab, rounds)
   }
 }

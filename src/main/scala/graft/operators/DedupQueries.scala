@@ -17,9 +17,8 @@ import graft.sources.Tables
   * Massive Datasets ch. 3), SimHash with Hamming-band search (Charikar,
   * STOC 2002; Manku/Jain/Sarma, WWW 2007), prefix-filtered set-
   * similarity join (Bayardo/Ma/Srikant "All Pairs", WWW 2007;
-  * Xiao et al. "PPJoin", WWW 2008), and min-label-propagation
-  * connected components (the hash-to-min shape of Rastogi et al.,
-  * ICDE 2013).
+  * Xiao et al. "PPJoin", WWW 2008), and alternating large-star/
+  * small-star connected components (Kiveris et al., SoCC 2014).
   *
   * Portability design: every hash is derived from md5 (identical bytes
   * in every engine) — 12 hex chars → a 48-bit non-negative BIGINT — so
@@ -180,15 +179,16 @@ object DedupQueries {
     * components over the MinHash candidate-pair graph, labels = the
     * component's minimum doc_id, reported as (cluster_rep, n_members).
     *
-    * Spark side: iterative min-label propagation (the Pregel/
-    * hash-to-min shape) — per round, every node takes the min of its
-    * own label and its neighbors'; monotone decreasing and bounded
-    * below, so it converges in O(component diameter) rounds. Each
-    * round is ONE equi-join + ONE partial-aggregating groupBy on the
-    * (tiny relative to the corpus) edge list, `localCheckpoint`ed to
-    * truncate lineage — the distributed shape that holds when the
-    * pair graph has billions of edges. The driver only checks the
-    * converged flag (a count), never the data.
+    * Spark side: alternating large-star/small-star contraction
+    * (graft.api.Dedup.connectedComponents) — each round is two
+    * groupBy+join passes over the edge list and the round count is
+    * O(log n) regardless of component SHAPE, so a chain-shaped
+    * duplicate cluster (crawl mirrors) converges as fast as a clique
+    * (min-label propagation, the previous implementation, needed
+    * O(component diameter) rounds — unbounded on chains). Rounds are
+    * `localCheckpoint`ed to truncate lineage — the distributed shape
+    * that holds when the pair graph has billions of edges. The driver
+    * only checks the converged flag (a count), never the data.
     *
     * Oracle: DuckDB recursive CTE builds the transitive closure of
     * the same edges and takes the min reachable node per member. */

@@ -1,0 +1,66 @@
+package graft.api
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Convergence + correctness properties of the alternating large-star/
+  * small-star connected components (round-2 VERDICT item 3): the round
+  * count must be logarithmic in component size even for the worst
+  * SHAPE (a path, where min-label propagation needs diameter rounds),
+  * and labels must equal a union-find oracle on arbitrary graphs.
+  */
+class ConnectedComponentsSpec extends SparkTestBase {
+  initQuiet()
+  import spark.implicits._
+
+  /** in-test union-find oracle */
+  private def ufLabels(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n.toLong.toInt)(i => i)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(v => v -> find(v.toInt).toLong).toMap
+  }
+
+  test("a 500-node chain converges in O(log n) rounds, not O(diameter)") {
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("s", "d")
+    val (lab, rounds) = Dedup.connectedComponentsWithRounds(chain, "s", "d")
+    val got = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 500 && got.values.forall(_ == 0L),
+      "every chain node must label to the component minimum 0")
+    // diameter = 499; label propagation would need ~499 rounds. The
+    // alternating-star bound is O(log n): allow a generous 2·log2(500)+4
+    val budget = 2 * (math.log(500) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= budget, s"took $rounds rounds (budget $budget)")
+  }
+
+  test("labels equal a union-find oracle on random graphs") {
+    val rnd = new Random(20260812L)
+    (1 to 3).foreach { trial =>
+      val n = 200
+      // sparse random graph: ~n*0.7 edges → many non-trivial components
+      val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = ufLabels(n, edges)
+      val got = Dedup.connectedComponents(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial mismatch")
+    }
+  }
+
+  test("two disjoint cliques keep separate minimum labels") {
+    val k1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val k2 = for (a <- 10L to 14L; b <- 10L to 14L if a < b) yield (a, b)
+    val lab = Dedup.connectedComponents((k1 ++ k2).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 4L).foreach(v => assert(lab(v) == 0L))
+    (10L to 14L).foreach(v => assert(lab(v) == 10L))
+  }
+}
