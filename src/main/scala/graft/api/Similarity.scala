@@ -72,4 +72,63 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Build and SAVE an IVF (inverted-file) ANN index: a coarse
+    * k-means quantizer ([[VecKMeans.train]]) partitions the corpus
+    * into `k` cells; cell assignments (with the vector and its norm)
+    * are written as cid-PARTITIONED parquet at `path/cells`, the k
+    * centers at `path/centers`.
+    *
+    * This is the 100 TB serving story: the expensive quantizer
+    * training and corpus assignment run ONCE at build time, and every
+    * [[ivfTopK]] probe afterwards reads only its nProbe cells'
+    * partition directories (partition pruning) — the amortization an
+    * in-query re-train can never give. */
+  def ivfBuild(corpus: DataFrame, id: String, vec: String, path: String,
+      k: Int = 8, rounds: Int = 2): Unit = {
+    val e = prep(corpus, id, vec)
+    val ev = e.select(col("vid").as("vec_id"), col("v"))
+    val centers = VecKMeans.train(ev, k, rounds)
+    centers.write.mode("overwrite").parquet(s"$path/centers")
+    VecKMeans.assign(ev, centers)
+      .join(e.select(col("vid").as("vec_id"), col("nrm")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /** Approximate top-k cosine over a SAVED [[ivfBuild]] index:
+    * (probe_id, rk, neighbor_id, cosine). Each probe is assigned to
+    * its `nProbe` nearest cells; the probed cell ids — at most k of
+    * them, a bounded set — are realized on the driver so the cells
+    * scan carries a LITERAL `cid IN (...)` predicate that Catalyst
+    * turns into PartitionFilters: only the probed partition
+    * directories are ever read. The probe set (bounded) is broadcast;
+    * the index is scanned once, never shuffled. */
+  def ivfTopK(probes: DataFrame, id: String, vec: String, path: String,
+      k: Int, nProbe: Int = 3): DataFrame = {
+    val spark = probes.sparkSession
+    val centers = spark.read.parquet(s"$path/centers")
+    val p = prep(probes, id, vec)
+    val probeCells = VecKMeans
+      .assignTopN(p.select(col("vid").as("vec_id"), col("v")), centers, nProbe)
+      .join(p.select(col("vid").as("vec_id"), col("nrm")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("probe_id"),
+        col("v").as("va"), col("nrm").as("na"))
+    val cids = probeCells.select(col("cid")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(cids: _*))
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cells.join(broadcast(probeCells), Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
 }

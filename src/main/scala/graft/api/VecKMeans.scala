@@ -1,0 +1,74 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public coarse k-means over vector frames — the quantizer behind
+  * `mining_kmeans` and the IVF index ([[Similarity.ivfBuild]]).
+  *
+  * Column contract (fixed, unlike the caller-named id/text modules:
+  * these frames are engine-internal intermediates): input is
+  * `(vec_id, v: array<double>)`; centers are `(cid: int,
+  * c: array<double>)`; assignments add `cid` (and `d2`).
+  *
+  * Scale shape: every operation is one k-row center broadcast plus
+  * map-side-combining aggregates — nothing quadratic, nothing
+  * corpus-cardinality on a build side.
+  */
+object VecKMeans {
+
+  /** squared euclidean distance via the codegen'd dot products. */
+  private[graft] val d2 = "vec_dot(v, v) - 2 * vec_dot(v, c) + vec_dot(c, c)"
+
+  /** nearest-center assignment: min over (distance², center id).
+    * Groups on the scalar vec_id only (never the array column — array
+    * hashing in the aggregate would dominate) and carries the vector
+    * through with first(). */
+  def assign(e: DataFrame, centers: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(e.sparkSession)
+    e.crossJoin(broadcast(centers))
+      .withColumn("d2", expr(d2))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cid").as("cid"),
+        col("m.d2").as("d2"))
+  }
+
+  /** new centers: per-dimension mean via posexplode + groupBy — one
+    * map-side-combining aggregate, no per-group array building until
+    * the k×dims collect at the end. */
+  def recenter(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("c"))
+
+  /** top-n nearest centers per vector (IVF multi-cell probing):
+    * same distance expression, rank over (d2, cid) per vec_id. */
+  def assignTopN(e: DataFrame, centers: DataFrame, n: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(e.sparkSession)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cid"))
+    e.crossJoin(broadcast(centers))
+      .withColumn("d2", expr(d2))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** fixed-round Lloyd training, deterministic smallest-id seeds.
+    * Checkpoints the k-row center frame each round: materializing
+    * k×dims doubles is free, and it keeps the unrolled plan SHALLOW —
+    * without it every round re-plans (and re-codegens) the whole
+    * preceding lineage, which dominates wall time at small k. */
+  def train(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val seed = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    (1 to rounds).foldLeft(seed) { (cs, _) =>
+      recenter(assign(e, cs)).localCheckpoint(true)
+    }
+  }
+}

@@ -60,31 +60,11 @@ object MiningQueries {
       .orderBy(col("brand"), col("rk"))
   }
 
-  /** squared euclidean distance via the codegen'd dot products. */
-  private[operators] val d2 = "vec_dot(v, v) - 2 * vec_dot(v, c) + vec_dot(c, c)"
-
-  /** nearest-center assignment: min over (distance², center id).
-    * Groups on the scalar vec_id only (never the array column — array
-    * hashing in the aggregate would dominate) and carries the vector
-    * through with first(). */
+  // the k-means kernels moved to the public graft.api.VecKMeans
+  // (column contract (vec_id, v) / (cid, c)); these forwarders keep
+  // the operator-local names
   private[operators] def assign(e: DataFrame, centers: DataFrame): DataFrame =
-    e.crossJoin(broadcast(centers))
-      .withColumn("d2", expr(d2))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("m.cid").as("cid"),
-        col("m.d2").as("d2"))
-
-  /** new centers: per-dimension mean via posexplode + groupBy — one
-    * map-side-combining aggregate, no per-group array building until
-    * the k×64 collect at the end. */
-  private[operators] def recenter(assigned: DataFrame): DataFrame =
-    assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("c"))
+    graft.api.VecKMeans.assign(e, centers)
 
   /** k-means over the embeddings: k = 4 centers seeded from the 4
     * smallest vec_ids, 3 unrolled Lloyd rounds, squared-euclidean
@@ -113,32 +93,13 @@ object MiningQueries {
     GQuery.noOracle("mining_kmeans")(sparkImpl)
   }
 
-  /** top-n nearest centers per vector (for IVF multi-cell probing):
-    * same distance expression, rank over (d2, cid) per vec_id. */
   private[operators] def assignTopN(
-      e: DataFrame, centers: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("cid"))
-    e.crossJoin(broadcast(centers))
-      .withColumn("d2", expr(d2))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= n)
-      .select(col("vec_id"), col("v"), col("cid"))
-  }
+      e: DataFrame, centers: DataFrame, n: Int): DataFrame =
+    graft.api.VecKMeans.assignTopN(e, centers, n)
 
-  /** fixed-round Lloyd training, deterministic smallest-id seeds.
-    * Checkpoints the k-row center frame each round: materializing
-    * k×64 doubles is free, and it keeps the unrolled plan SHALLOW —
-    * without it every round re-plans (and re-codegens) the whole
-    * preceding lineage, which dominates wall time at small k. */
   private[operators] def trainCenters(
-      e: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val seed = e.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-    (1 to rounds).foldLeft(seed) { (cs, _) =>
-      recenter(assign(e, cs)).localCheckpoint(true)
-    }
-  }
+      e: DataFrame, k: Int, rounds: Int): DataFrame =
+    graft.api.VecKMeans.train(e, k, rounds)
 
   val all: Seq[GQuery] = Seq(miningCopurchase, miningKmeans)
 }

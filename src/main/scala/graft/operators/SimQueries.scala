@@ -116,47 +116,28 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
-  /** IVF (inverted-file) approximate top-3 — the other classic ANN
-    * scale path next to sign-LSH: a coarse k-means quantizer (k = 8
-    * cells, trained by MiningQueries.trainCenters) partitions the
-    * corpus into cells; each probe searches only its nProbe = 3
-    * nearest cells, so the exact-cosine work drops by ~k/nProbe while
-    * recall is governed by how often a true neighbor falls in a
-    * probed cell (property-tested vs brute force in
-    * OperatorPropertySpec). no-oracle (an approximate index).
+  /** IVF (inverted-file) approximate top-3 over a SAVED index — the
+    * other classic ANN scale path next to sign-LSH, now with the real
+    * serving story: `Similarity.ivfBuild` trains a coarse k-means
+    * quantizer (k = 8 cells) and writes cell assignments as
+    * cid-PARTITIONED parquet; `Similarity.ivfTopK` assigns each probe
+    * to its nProbe = 3 nearest cells and reads ONLY those cells'
+    * partition directories (literal `cid IN (...)` → PartitionFilters,
+    * asserted in IvfIndexSpec). Recall is governed by how often a
+    * true neighbor falls in a probed cell (property-tested vs brute
+    * force in OperatorPropertySpec). no-oracle (approximate index).
     *
-    * Scale shape: training touches the corpus `rounds` times (k-row
-    * broadcast each); the index is ONE cell id per vector (a
-    * partition key at 100 TB — each cell is a prunable partition);
-    * the probe join is equi on cell id with the tiny probe set
-    * broadcast. */
+    * The contract query rebuilds the index every invocation so its timing
+    * is self-contained and deterministic; at 100 TB the build runs
+    * once and every probe afterwards pays only the nProbe-partition
+    * scan. */
   val simTopkIvf: GQuery = GQuery.noOracle("sim_topk_ivf") { (s, dir) =>
-    val k = 8
-    val nProbe = 3
-    val e = vecs(s, dir)
-    val ev = e.select(col("vec_id"), col("v"))
-    val centers = MiningQueries.trainCenters(ev, k, rounds = 2)
-    // index: nearest cell per corpus vector
-    val indexed = MiningQueries.assign(ev, centers)
-      .join(e.select(col("vec_id"), col("nrm")), Seq("vec_id"))
-      .select(col("cid"), col("vec_id").as("neighbor_id"),
-        col("v").as("vb"), col("nrm").as("nb"))
-    // probes: nProbe nearest cells each
-    val probeCells = MiningQueries
-      .assignTopN(ev.filter(col("vec_id") < 50), centers, nProbe)
-      .join(e.select(col("vec_id"), col("nrm")), Seq("vec_id"))
-      .select(col("cid"), col("vec_id").as("probe_id"),
-        col("v").as("va"), col("nrm").as("na"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    indexed.join(broadcast(probeCells), Seq("cid"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
-      .distinct()
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+    val ivfPath = "/tmp/graft_ivf/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    graft.api.Similarity.ivfBuild(ev, "vec_id", "v", ivfPath,
+      k = 8, rounds = 2)
+    graft.api.Similarity.ivfTopK(ev.filter(col("vec_id") < 50),
+      "vec_id", "v", ivfPath, k = 3, nProbe = 3)
       .orderBy(col("probe_id"), col("rk"))
   }
 
