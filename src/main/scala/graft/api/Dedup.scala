@@ -197,9 +197,14 @@ object Dedup {
     * graft.operators.DedupQueries for the lossless-ness argument). */
   def jaccardPairsPPJoin(shingles: DataFrame, id: String,
       num: Int, den: Int): DataFrame = {
+    graft.functions.SetExpressions.register(shingles.sparkSession)
     val p = nPart(shingles)
     val dfreq = shingles.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
+    // arr is ordered rarest-first (df, shingle) for prefix generation;
+    // sarr is the SAME set shingle-sorted, feeding the early-exit
+    // merge-count in the verify stage (one in-memory sort per doc —
+    // no extra shuffle)
     val docArr = shingles.join(dfreq, Seq("shingle"))
       .groupBy(col(id))
       .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
@@ -207,6 +212,7 @@ object Dedup {
       .select(col(id),
         expr("transform(ss, x -> x.shingle)").as("arr"),
         size(col("ss")).as("n"))
+      .withColumn("sarr", array_sort(col("arr")))
     // prefix length n − ⌈t·n⌉ + 1, exact in integers
     val pref = docArr
       .withColumn("plen", expr(s"n - ((n * $num + $den - 1) div $den) + 1"))
@@ -226,12 +232,19 @@ object Dedup {
         (lit(1) + least(col("n1") - col("rk1"), col("n2") - col("rk2")))
           * (den + num) >= (col("n1") + col("n2")) * num)
       .select(col("d1"), col("d2")).distinct()
+    // verify: early-exit sorted-merge count. i ≥ α ⟺ J ≥ num/den with
+    // α = ⌈num·(n1+n2)/(den+num)⌉ (integer-exact); pairs that cannot
+    // reach α bail out mid-merge and return a partial count < α, which
+    // the threshold filter drops — identical result set, and the bulk
+    // of candidates (dissimilar pairs on dup-dense corpora, where the
+    // verify stage is output-bound) stop at their first divergence
     cand.repartition(p)
-      .join(docArr.select(col(id).as("d1"), col("arr").as("a1"),
+      .join(docArr.select(col(id).as("d1"), col("sarr").as("a1"),
         col("n").as("n1")), Seq("d1"))
-      .join(docArr.select(col(id).as("d2"), col("arr").as("a2"),
+      .join(docArr.select(col(id).as("d2"), col("sarr").as("a2"),
         col("n").as("n2")), Seq("d2"))
-      .withColumn("i", size(array_intersect(col("a1"), col("a2"))))
+      .withColumn("i", expr(s"sorted_intersect_count(a1, a2, " +
+        s"CAST((($num * (n1 + n2)) + ${den + num - 1}) div ${den + num} AS INT))"))
       .filter(col("i") * den >= (col("n1") + col("n2") - col("i")) * num)
       .select(col("d1").as("doc1"), col("d2").as("doc2"),
         round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6)

@@ -336,8 +336,9 @@ object DedupQueries {
     * shingle alone would make [[ngramJaccardInverted]] quadratic. */
   private[operators] def ngramJaccardPPJoin(
       s: SparkSession, dir: String): DataFrame = {
-    // verify step computes size(array_intersect(...)) per candidate —
-    // install the counting rewrite so no intermediate array is built
+    // the verify step now merge-counts with early exit
+    // (sorted_intersect_count); the size(array_intersect) counting
+    // rewrite stays installed for API users composing the built-ins
     graft.plans.IntersectSizeRewrite.install(s)
     graft.api.Dedup.jaccardPairsPPJoin(shingles(s, dir), "doc_id",
       num = 1, den = 2)

@@ -46,6 +46,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(empty.isEmpty)
   }
 
+  test("sorted_intersect_count: exact when reachable, < min when bailing") {
+    SetExpressions.register(spark)
+    def cnt(a: Seq[String], b: Seq[String], m: Int): Int =
+      Seq((a, b)).toDF("a", "b")
+        .selectExpr(s"sorted_intersect_count(a, b, $m)").as[Int].head()
+    // minNeeded reachable -> exact merge count
+    assert(cnt(Seq("a", "b", "c", "d"), Seq("b", "c", "e"), 1) == 2)
+    assert(cnt(Seq("a", "b"), Seq("a", "b"), 2) == 2)
+    assert(cnt(Seq(), Seq("a"), 0) == 0)
+    assert(cnt(Seq("a", "c"), Seq("b", "d"), 1) == 0)
+    // unreachable minNeeded -> early exit; result must stay < minNeeded
+    assert(cnt(Seq("a", "b", "c", "d"), Seq("b", "c", "e"), 3) < 3)
+    assert(cnt(Seq("x"), Seq("y", "z"), 2) < 2)
+    // agreement with size(array_intersect) whenever the threshold
+    // passes, on random sorted distinct arrays
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toString)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toString)
+        .distinct.sorted
+      val exact = a.toSet.intersect(b.toSet).size
+      assert(cnt(a, b, exact) == exact, s"exact count wrong for $a vs $b")
+      assert(cnt(a, b, exact + 1) <= exact)
+    }
+  }
+
   test("gini aggregator: pure and uniform label distributions") {
     spark.udf.register("gini", udaf(GiniAggregator))
     val pure = Seq(1, 1, 1, 1).toDF("label")
