@@ -30,9 +30,10 @@ object Dedup {
   def wordShingles(docs: DataFrame, id: String, text: String,
       n: Int = 3): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
+    // Column-built (no SQL-text splicing of the caller's column name)
     docs.select(col(id),
-      explode(expr(s"array_distinct(word_ngrams(split($text, ' '), $n))"))
-        .as("shingle"))
+      explode(array_distinct(call_function("word_ngrams",
+        split(col(text), " "), lit(n)))).as("shingle"))
   }
 
   /** 8-permutation MinHash signatures from a shingle table:
@@ -52,8 +53,8 @@ object Dedup {
     val dict = distinctShingles
       .getOrElse(shingles.select(col(shingle)).distinct())
       .select(col(shingle))
-      .withColumn("m0", expr(s"md5(concat('0:', $shingle))"))
-      .withColumn("m1", expr(s"md5(concat('1:', $shingle))"))
+      .withColumn("m0", md5(concat(lit("0:"), col(shingle))))
+      .withColumn("m1", md5(concat(lit("1:"), col(shingle))))
       .select(col(shingle) +: hashCols: _*)
     val sigCols = (0 to 7).map(k => min(col(s"x$k")).as(s"h$k"))
     // NO broadcast hint: the dictionary is vocabulary-cardinality
@@ -106,7 +107,7 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, id: String,
       text: String): DataFrame = {
     val tok = docs.select(col(id),
-      explode(expr(s"array_distinct(split($text, ' '))")).as("term"))
+      explode(array_distinct(split(col(text), " "))).as("term"))
       .withColumn("h", expr(pHash("term")))
     val balCols = (0 to 15).map(j =>
       sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
@@ -155,20 +156,27 @@ object Dedup {
     * inverted-index join when its exact output bound Σ df·(df−1)/2 is
     * near-linear, the PPJoin prefix-filtered plan when any shingle is
     * hot. The threshold is a RATIONAL (num/den) so every filter bound
-    * is integer-exact — no floating ceil can over-prune. */
+    * is integer-exact — no floating ceil can over-prune. This is THE
+    * single copy of the strategy heuristic; the contract query
+    * delegates here. A caller who already materialized the
+    * (shingle, df) document-frequency table donates it via `dfreq`
+    * and skips both the probe's and PPJoin's recount. */
   def jaccardPairs(shingles: DataFrame, id: String,
-      num: Int = 1, den: Int = 2): DataFrame = {
+      num: Int = 1, den: Int = 2, shingle: String = "shingle",
+      dfreq: Option[DataFrame] = None): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
-    val stats = shingles.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
+    val sh = shingles.select(col(id), col(shingle).as("shingle"))
+    val df = dfreq.getOrElse(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+    val stats = df
       .agg(sum(expr("df * (df - 1)")).as("pairs2x"),
         sum(col("df")).as("postings"))
       .head()
     val naivePairs = if (stats.isNullAt(0)) 0L else stats.getLong(0) / 2
     val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     if (naivePairs <= 20L * postings)
-      jaccardPairsInverted(shingles, id, num, den)
-    else jaccardPairsPPJoin(shingles, id, num, den)
+      jaccardPairsInverted(sh, id, num, den)
+    else jaccardPairsPPJoin(sh, id, num, den, dfreq = Some(df))
   }
 
   /** Direct inverted-index Jaccard plan (flat df distributions). */
@@ -196,16 +204,16 @@ object Dedup {
   /** PPJoin prefix-filtered Jaccard plan (skew-safe; see
     * graft.operators.DedupQueries for the lossless-ness argument). */
   def jaccardPairsPPJoin(shingles: DataFrame, id: String,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, dfreq: Option[DataFrame] = None): DataFrame = {
     graft.functions.SetExpressions.register(shingles.sparkSession)
     val p = nPart(shingles)
-    val dfreq = shingles.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
+    val dfreqT = dfreq.getOrElse(shingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")))
     // arr is ordered rarest-first (df, shingle) for prefix generation;
     // sarr is the SAME set shingle-sorted, feeding the early-exit
     // merge-count in the verify stage (one in-memory sort per doc —
     // no extra shuffle)
-    val docArr = shingles.join(dfreq, Seq("shingle"))
+    val docArr = shingles.join(dfreqT, Seq("shingle"))
       .groupBy(col(id))
       .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
         .as("ss"))

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,16 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private def h(id: String, salt: String): String =
-    s"CAST(conv(substr(md5(concat('$salt', CAST($id AS STRING))), 1, 12)," +
-      " 16, 10) AS BIGINT)"
+  /** The portable salted 48-bit hash both samplers key on, built from
+    * Column operations (no SQL-text splicing: column names that need
+    * backticks and salts containing quotes are safe). */
+  def portableHash(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 12),
+      16, 10).cast("long")
 
   /** ~1/`modulus` Bernoulli sample by hash bucket: a pure per-row
-    * filter, no shuffle. */
+    * filter, no shuffle — stateless, so the same call runs unchanged
+    * on a streaming frame (see graft.streaming.SampleStreams). */
   def hashBernoulli(df: DataFrame, id: String, modulus: Int,
       salt: String = "smp:"): DataFrame = {
     require(modulus > 0, "modulus must be positive")
-    df.filter(expr(s"${h(id, salt)} % $modulus = 0"))
+    df.filter(portableHash(col(id), salt) % modulus === 0)
   }
 
   /** Deterministic per-stratum reservoir: the k rows with the
@@ -30,7 +34,7 @@ object Sampling {
   def stratifiedTopK(df: DataFrame, stratum: String, id: String,
       k: Int, salt: String = "str:"): DataFrame = {
     val w = Window.partitionBy(col(stratum))
-      .orderBy(expr(h(id, salt)), col(id))
+      .orderBy(portableHash(col(id), salt), col(id))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")

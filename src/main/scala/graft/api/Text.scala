@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  private def pHash(seedAndVal: String): String =
-    s"CAST(conv(substr(md5($seedAndVal), 1, 12), 16, 10) AS BIGINT)"
-
   /** whitespace tokens with multiplicity: (id, token). */
   def tokenize(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id),
       explode(split(col(text), " ")).as("token"))
+
+  /** word n-grams with multiplicity: (id, ngram) — the single-pass
+    * native word_ngrams expression over the whitespace tokens. */
+  def ngrams(docs: DataFrame, id: String, text: String,
+      n: Int = 2): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.select(col(id),
+      explode(call_function("word_ngrams", split(col(text), " "),
+        lit(n))).as("ngram"))
+  }
 
   /** Per-document quality score: uniqueness ratio, mean token length,
     * stopword ratio, length saturation — combined on an exact decimal
@@ -63,7 +70,7 @@ object Text {
       gram: Int = 8): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
     docs.select(col(id),
-      explode(expr(s"char_ngrams($text, $gram)")).as("g"))
+      explode(call_function("char_ngrams", col(text), lit(gram))).as("g"))
       .withColumn("m", md5(col("g")))
       .groupBy(col(id))
       .agg(
@@ -108,39 +115,43 @@ object Text {
 
   /** Additive-smoothed naive-Bayes language ID against per-language
     * token profiles learned from a labeled corpus: (id, pred_lang).
-    * The language set is realized on the driver (a bounded dimension)
-    * and scoring runs against a per-TERM log-prob dictionary pivoted
-    * once — see graft.operators.TextQueries.textLangId for the full
-    * rationale. */
+    *
+    * Fully relational — ZERO driver actions: the dense (token ×
+    * candidate) log-prob dictionary is a crossJoin of the distinct
+    * tokens with the bounded language dim, left-joined to the profile
+    * counts so missing cells get the +1-smoothing default; scoring is
+    * one fan-out join (×|langs|) plus two partial-aggregating
+    * groupBys, and the argmax is a min over (−score, candidate)
+    * structs — no pivot, no window, no collect. Broadcast hints only
+    * on the provably bounded sides (the language dim, the per-lang
+    * totals, the 1-row vocabulary count); the vocabulary-cardinality
+    * dictionary itself is never hinted — AQE promotes it from runtime
+    * stats when small. */
   def langId(docs: DataFrame, id: String, text: String, lang: String,
       preTokenized: Option[DataFrame] = None): DataFrame = {
     val tok = preTokenized.getOrElse(docs.select(col(id), col(lang),
       explode(split(col(text), " ")).as("token")))
-    val langSeq = docs.select(col(lang)).distinct()
-      .orderBy(col(lang)).collect().map(_.getString(0)).toSeq
-    val totMap = tok.groupBy(col(lang)).agg(count(lit(1)).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val vocab = tok.agg(countDistinct(col("token")).as("v"))
-      .head.getLong(0)
-    val dict = langSeq.zipWithIndex.foldLeft(
-      tok.groupBy(col("token")).pivot(lang, langSeq).agg(count(lit(1)))) {
-      case (d, (l, i)) => d.withColumn(s"s$i",
-        round(log((coalesce(col(s"`$l`"), lit(0L)) + lit(1)).cast("double")
-          / lit((totMap(l) + vocab).toDouble)), 8))
-    }.select(col("token") +: langSeq.indices.map(i => col(s"s$i")): _*)
+    val langs = docs.select(col(lang).as("cand")).distinct()
+    val prof = tok.groupBy(col(lang).as("cand"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tok.groupBy(col(lang).as("cand")).agg(count(lit(1)).as("t"))
+    val vocabDf = tok.agg(countDistinct(col("token")).as("v"))
+    val dict = tok.select(col("token")).distinct()
+      .crossJoin(broadcast(langs))
+      .join(prof, Seq("token", "cand"), "left")
+      .join(broadcast(tot), Seq("cand"))
+      .crossJoin(broadcast(vocabDf))
+      .select(col("token"), col("cand"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double")
+          / (col("t") + col("v")).cast("double")), 8).as("lp"))
     val docTok = tok.groupBy(col(id), col("token"))
       .agg(count(lit(1)).as("m"))
-    val aggCols = langSeq.indices.map(i =>
-      round(sum(col("m") * col(s"s$i")), 6).as(s"sc$i"))
-    val pick = array_min(array(langSeq.zipWithIndex.map { case (l, i) =>
-      struct((-col(s"sc$i")).as("ns"), lit(l).as("cand")) }: _*))
-    // the pivoted log-prob dictionary is vocabulary-cardinality (one
-    // row per distinct token) — no broadcast hint; AQE promotes when
-    // the vocabulary is actually small
     docTok.join(dict, Seq("token"))
+      .groupBy(col(id), col("cand"))
+      .agg(round(sum(col("m") * col("lp")), 6).as("score"))
       .groupBy(col(id))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("pick", pick)
+      .agg(min(struct((-col("score")).as("ns"), col("cand").as("cand")))
+        .as("pick"))
       .select(col(id), col("pick.cand").as("pred_lang"))
   }
 }

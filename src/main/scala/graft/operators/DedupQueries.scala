@@ -356,16 +356,13 @@ object DedupQueries {
     * keeps the naive inverted-index SQL either way. */
   val dedupNgramJaccard: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
-      val stats = shingleDfreq(s, dir)
-        .agg(sum(expr("df * (df - 1)")).as("pairs2x"),
-          sum(col("df")).as("postings"))
-        .head()
-      val naivePairs = if (stats.isNullAt(0)) 0L else stats.getLong(0) / 2
-      val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      val plan =
-        if (naivePairs <= 20L * postings) ngramJaccardInverted(s, dir)
-        else ngramJaccardPPJoin(s, dir)
-      plan.orderBy(col("doc1"), col("doc2"))
+      // delegate to the ONE copy of the stats-driven strategy chooser
+      // in graft.api, donating the memoized df table so the probe and
+      // the PPJoin global order never recount postings
+      graft.plans.IntersectSizeRewrite.install(s)
+      graft.api.Dedup.jaccardPairs(shingles(s, dir), "doc_id",
+        num = 1, den = 2, dfreq = Some(shingleDfreq(s, dir)))
+        .orderBy(col("doc1"), col("doc2"))
     }
     GQuery("dedup_ngram_jaccard",
       s"""$duckShingles,

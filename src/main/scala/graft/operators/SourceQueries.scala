@@ -42,7 +42,12 @@ object SourceQueries {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
     val path = tmpDir("csv_supplier", dir)
+    // explicit column selection before the write: the read-back schema
+    // is applied POSITIONALLY (enforceSchema), so fixture-column drift
+    // must not be able to shift the written order silently
     Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
       .write.mode("overwrite").option("header", "true").csv(path)
     val schema = StructType.fromDDL(
       "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")

@@ -92,9 +92,9 @@ object TextQueries {
       |GROUP BY bigram
       |ORDER BY cnt DESC, bigram
       |LIMIT 20""".stripMargin) { (s, dir) =>
-    graft.functions.TextExpressions.register(s)
-    Tables.documentsSpread(s, dir)
-      .select(explode(expr("word_ngrams(split(text, ' '), 2)")).as("bigram"))
+    graft.api.Text.ngrams(Tables.documentsSpread(s, dir),
+      "doc_id", "text", n = 2)
+      .select(col("ngram").as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
@@ -135,10 +135,9 @@ object TextQueries {
     * re-rounded to 6 before the argmax, with a lang tiebreak. */
   val textLangId: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
-      // the language set is a BOUNDED dimension: graft.api.Text.langId
-      // realizes it on the driver and scores against a pivoted
-      // per-term log-prob dictionary (see its Scaladoc); the memoized
-      // token table is donated so the corpus is tokenized once.
+      // fully relational scoring — no pivot, no driver collects (see
+      // graft.api.Text.langId); the memoized token table is donated
+      // so the corpus is tokenized once.
       graft.api.Text.langId(Tables.documents(s, dir), "doc_id", "text",
         "lang", preTokenized =
           Some(tokens(s, dir).withColumnRenamed("term", "token")))

@@ -47,6 +47,12 @@ class ApiSpec extends SparkTestBase {
     val want = DedupQueries.dedupNgramJaccard.fn(spark, sfDir)
     assert(inv.collect().toSeq == want.collect().toSeq)
     assert(pp.collect().toSeq == want.collect().toSeq)
+    // the stats-driven chooser itself, under a renamed shingle column
+    val chosen = Dedup.jaccardPairs(
+      sh.withColumnRenamed("shingle", "gram"), "post_id",
+      num = 1, den = 2, shingle = "gram")
+      .orderBy(col("doc1"), col("doc2"))
+    assert(chosen.collect().toSeq == want.collect().toSeq)
   }
 
   test("cosine pair + topk APIs on renamed columns match the contract queries") {
@@ -87,6 +93,19 @@ class ApiSpec extends SparkTestBase {
     val wantLid = TextQueries.textLangId.fn(spark, sfDir)
       .select(col("doc_id"), col("pred_lang"))
     assert(lid.collect().toSeq == wantLid.collect().toSeq)
+
+    val ng = Text.ngrams(myDocs, "post_id", "body", n = 2)
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(20)
+    val wantNg = TextQueries.textNgrams.fn(spark, sfDir)
+    assert(ng.collect().toSeq == wantNg.collect().toSeq)
+
+    val tc = Text.tokenCounts(myDocs, "post_id", "body")
+      .orderBy(col("post_id"))
+    val wantTc = TextQueries.textTokenCount.fn(spark, sfDir)
+    assert(tc.collect().map(_.toSeq.drop(1)).toSeq
+      == wantTc.collect().map(_.toSeq.drop(1)).toSeq)
   }
 
   test("connected components labels every paired node with its component min") {

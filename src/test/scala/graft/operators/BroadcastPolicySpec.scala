@@ -45,7 +45,10 @@ class BroadcastPolicySpec extends SparkTestBase {
     // + index/probe assignment) + the ≤ 50×nProbe probe-cell set
     "sim_topk_ivf" -> 8,
     "mining_kmeans" -> 8,     // k-row center broadcast per Lloyd round
-    "text_tfidf_topterm" -> 1 // 1-row corpus-count scalar
+    "text_tfidf_topterm" -> 1, // 1-row corpus-count scalar
+    // bounded language dim (distinct of a low-cardinality label),
+    // per-lang totals (same cardinality), 1-row vocabulary count
+    "text_lang_id" -> 3
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a
@@ -77,19 +80,21 @@ class BroadcastPolicySpec extends SparkTestBase {
     val fixed = Seq("dedup_near_minhash", "dedup_edit_distance",
       "dedup_clusters", "dedup_keep_list", "dedup_ngram_jaccard",
       "text_tfidf_topterm", "text_lang_id", "dedup_simhash")
+    // the only hints these queries may keep are bounded-by-
+    // construction scalars/dims: tfidf's 1-row corpus count;
+    // lang_id's language dim + per-lang totals + 1-row vocab count
+    val allowedBounded = Map("text_tfidf_topterm" -> 1, "text_lang_id" -> 3)
     val byName = Registry.all.map(q => q.name -> q).toMap
     fixed.foreach { n =>
       val sides = hintedSides(byName(n).fn(spark, sfDir))
-      // text_tfidf_topterm keeps exactly its 1-row scalar hint
-      val allowed = if (n == "text_tfidf_topterm") 1 else 0
-      assert(sides.size <= allowed,
+      assert(sides.size <= allowedBounded.getOrElse(n, 0),
         s"$n regained a corpus-cardinality broadcast hint")
-      // and none of the hinted sides may be an SF-scaling raw scan
-      // without a bounding aggregate (the tfidf count() aggregates
-      // documents to ONE row — its subtree string is an Aggregate)
+      // every hinted side must be rooted at a cardinality-bounding
+      // operator (Aggregate → ≤ one row per group key set; Deduplicate
+      // → the bounded label dim), never a raw SF-scaling scan
       sides.foreach { p =>
         val s = p.toString()
-        assert(s.startsWith("Aggregate") ||
+        assert(s.startsWith("Aggregate") || s.startsWith("Deduplicate") ||
           !sfScalingScans.exists(s.contains),
           s"$n broadcasts an unbounded SF-scaling frame:\n$s")
       }

@@ -18,6 +18,7 @@ class PlanShapeSpec extends SparkTestBase {
     "join_theta_range", // non-equi theta join — BNLJ with broadcast dim IS the plan
     "sim_cosine_topk",  // brute-force baseline: tiny probe set broadcast, corpus streamed
     "text_tfidf_topterm", // 1-row corpus-size scalar attached via broadcast cross join
+    "text_lang_id",     // bounded language dim + 1-row vocab scalar cross joins
     "mining_kmeans",    // k-row center table broadcast per Lloyd round
     "sim_topk_ivf")     // same k-row center broadcast (quantizer training + probing)
 

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+case class SEv(event_id: Long, event_type: String)
+
+/** Streaming twins of the deterministic samplers: streaming ≡ batch
+  * on the same finite input, across multiple batches. */
+class SampleStreamsSpec extends SparkTestBase {
+  initQuiet()
+  import spark.implicits._
+
+  private lazy val fixture: Seq[SEv] = Tables.events(spark, sfDir)
+    .select($"event_id", $"event_type").as[SEv].collect().toSeq
+
+  test("hash-Bernoulli sampler: streaming ≡ batch (stateless filter)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val q = SampleStreams.hashBernoulli(mem.toDF(), "event_id", 7)
+      .writeStream.format("memory").queryName("bern_sink")
+      .outputMode("append").start()
+    fixture.grouped(500).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("bern_sink").select($"event_id")
+      .as[Long].collect().sorted.toSeq
+    val want = graft.api.Sampling
+      .hashBernoulli(fixture.toDF(), "event_id", 7)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("stratified reservoir: final streaming state ≡ batch top-k per stratum") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val q = SampleStreams.stratifiedTopK(mem.toDF(), "event_type",
+        "event_id", k = 5)
+      .writeStream.format("memory").queryName("strat_sink")
+      .outputMode("update").start()
+    // three batches so the state genuinely merges across batches
+    fixture.grouped(fixture.size / 3 + 1).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode emits one row per touched stratum per batch; the
+    // LAST row per stratum is the final sample
+    val lastPerStratum = spark.table("strat_sink")
+      .withColumn("seq", monotonically_increasing_id())
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.maxBy(_.getLong(2)).getSeq[Long](1).toSet }
+    val want = graft.api.Sampling
+      .stratifiedTopK(fixture.toDF(), "event_type", "event_id", k = 5)
+      .collect()
+      .groupBy(_.getString(1))
+      .map { case (s, rows) => s -> rows.map(_.getLong(0)).toSet }
+    assert(lastPerStratum == want)
+    assert(want.values.forall(_.size == 5))
+  }
+}
