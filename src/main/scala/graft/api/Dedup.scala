@@ -318,7 +318,10 @@ object Dedup {
     var rounds = 0
     var done = curCnt == 0L
     while (!done && rounds < maxRounds) {
-      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u}).
+      // No distinct/checkpoint here: the output is ≤ |cur| rows (one
+      // per (u, v>u) edge), and small-star dedups right after — one
+      // materialization per round, not two
       val nbrL = cur.select(col("a").as("u"), col("b").as("v"))
         .union(cur.select(col("b").as("u"), col("a").as("v")))
       val mL = nbrL.groupBy(col("u"))
@@ -326,8 +329,6 @@ object Dedup {
       val ls = nbrL.join(mL, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .distinct()
-        .localCheckpoint(true)
       // small-star: every neighbor v ≤ u (and u itself) links to the
       // minimum of that set — edges stay (bigger, smaller) oriented
       val nbrS = ls.select(col("a").as("u"), col("b").as("v"))
