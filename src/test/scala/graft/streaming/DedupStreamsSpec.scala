@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+case class Doc(doc_id: Long, text: String)
+
+/** Continuous-ingestion near-dedup: per-row streaming signatures must
+  * equal the batch dictionary-join signatures, and the stream-static
+  * band join must flag arriving near-duplicates of the indexed corpus
+  * exactly as a batch run would. */
+class DedupStreamsSpec extends SparkTestBase {
+  initQuiet()
+  import spark.implicits._
+
+  // corpus = docs 0..399 (indexed in batch); arrivals = docs 400+
+  private lazy val all = Tables.documents(spark, sfDir)
+    .select($"doc_id", $"text").as[Doc].collect().toSeq
+  private lazy val corpusDocs = all.filter(_.doc_id < 400)
+  private lazy val arrivals = all.filter(_.doc_id >= 400)
+
+  private lazy val index = {
+    val c = corpusDocs.toDF()
+    graft.api.Dedup.minhashSignatures(
+      graft.api.Dedup.wordShingles(c, "doc_id", "text"), "doc_id")
+      .cache()
+  }
+
+  test("per-row streaming signatures equal the batch dictionary-join signatures") {
+    val perRow = DedupStreams.signRows(corpusDocs.toDF(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = index.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(perRow == batch)
+  }
+
+  test("streaming near-dups against the index equal the batch run, incl. a planted dup") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // plant an exact duplicate of an indexed doc among the arrivals
+    val planted = Doc(999999L, corpusDocs.head.text)
+    val feed = arrivals :+ planted
+    val mem = MemoryStream[Doc]
+    val q = DedupStreams.nearDupsAgainstIndex(mem.toDF(), index,
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    feed.grouped(40).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("ingest_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin: the SAME function over a batch frame
+    val want = DedupStreams.nearDupsAgainstIndex(feed.toDF(), index,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // the exact duplicate must collide with its source at est 1.0
+    assert(got.contains((999999L, corpusDocs.head.doc_id, 1.0)))
+    // and agree with the oracle-verified batch pair list: every
+    // cross-set (arrival, corpus) pair the batch LSH finds must be
+    // found here too (same bands, same hashes)
+    val batchPairs = graft.api.Dedup.minhashBandPairs(
+      graft.api.Dedup.minhashSignatures(
+        graft.api.Dedup.wordShingles(all.toDF(), "doc_id", "text"),
+        "doc_id"), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 400 && b >= 400 }
+      .map { case (a, b, e) => (b, a, e) }.toSet
+    assert(batchPairs.subsetOf(got))
+    index.unpersist()
+  }
+}
