@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Public, fixture-independent deduplication API: every operator the
@@ -352,5 +353,35 @@ object Dedup {
       .union(cur.select(col("b").as("node"), col("b").as("label")))
       .distinct()
     (lab, rounds)
+  }
+
+  /** The end-to-end per-document dedup DECISION a training pipeline
+    * ships: one row per document with its fate — `drop_exact`
+    * (byte-identical text, not the smallest id), `drop_near` (member
+    * of a MinHash near-dup cluster but not its representative = the
+    * cluster's min id), `keep` otherwise; exact wins over near.
+    * Composed from the verified building blocks: exact-dup window +
+    * banded MinHash pairs + [[connectedComponents]]. A caller who
+    * already materialized the near-dup pair list (e.g. through a
+    * session memo) donates it via `pairs`. */
+  def keepList(docs: DataFrame, id: String, text: String,
+      minEst: Double = 0.5, pairs: Option[DataFrame] = None): DataFrame = {
+    val exw = Window.partitionBy(col(text)).orderBy(col(id))
+    val ex = docs.select(col(id), col(text))
+      .withColumn("rn", row_number().over(exw))
+      .select(col(id), col("rn"))
+    val p = pairs.getOrElse(
+      minhashBandPairs(minhashSignatures(
+        wordShingles(docs, id, text), id), id, minEst))
+      .select(col("doc1"), col("doc2"))
+    val lab = connectedComponents(p, "doc1", "doc2")
+      .select(col("node").as(id), col("label").as("rep"))
+    docs.select(col(id))
+      .join(ex, Seq(id))
+      .join(lab, Seq(id), "left")
+      .select(col(id),
+        when(col("rn") > 1, "drop_exact")
+          .when(col("rep").isNotNull && col("rep") =!= col(id), "drop_near")
+          .otherwise("keep").as("status"))
   }
 }

@@ -244,23 +244,10 @@ object DedupQueries {
        |JOIN ex ON d.doc_id = ex.doc_id
        |LEFT JOIN lab ON d.doc_id = lab.node
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val exw = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-    val ex = docs.select(col("doc_id"), col("text"))
-      .withColumn("rn", row_number().over(exw))
-      .select(col("doc_id"), col("rn"))
-    val lab = graft.api.Dedup.connectedComponents(
-      minhashPairsSpark(s, dir).select(col("doc1"), col("doc2")),
-      "doc1", "doc2")
-      .select(col("node").as("doc_id"), col("label").as("rep"))
-    docs.select(col("doc_id"))
-      .join(ex, Seq("doc_id"))
-      .join(lab, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("rn") > 1, "drop_exact")
-          .when(col("rep").isNotNull && col("rep") =!= col("doc_id"),
-            "drop_near")
-          .otherwise("keep").as("status"))
+    // thin binding of graft.api.Dedup.keepList, donating the
+    // session-memoized pair list
+    graft.api.Dedup.keepList(Tables.documents(s, dir), "doc_id", "text",
+      pairs = Some(minhashPairsSpark(s, dir)))
       .orderBy(col("doc_id"))
   }
 

@@ -108,6 +108,15 @@ class ApiSpec extends SparkTestBase {
       == wantTc.collect().map(_.toSeq.drop(1)).toSeq)
   }
 
+  test("keepList on renamed columns matches the contract decision query") {
+    val got = Dedup.keepList(myDocs, "post_id", "body")
+      .orderBy(col("post_id"))
+    val want = DedupQueries.dedupKeepList.fn(spark, sfDir)
+    assert(got.collect().map(_.toSeq).toSeq
+      == want.collect().map(_.toSeq).toSeq)
+    PlanCache.clear()
+  }
+
   test("connected components labels every paired node with its component min") {
     val pairs = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L)))

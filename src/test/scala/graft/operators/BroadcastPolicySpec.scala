@@ -73,6 +73,21 @@ class BroadcastPolicySpec extends SparkTestBase {
     PlanCache.clear()
   }
 
+  test("AQE still promotes the un-hinted small sides to broadcast at runtime") {
+    // dropping the hints must NOT cost the small-fixture broadcast
+    // plan: with runtime stats under the threshold, AQE converts the
+    // shuffle join to a BroadcastHashJoin — the conditional behavior
+    // the policy is for (broadcast when small, shuffle at scale)
+    PlanCache.clear()
+    val df = Registry.all.find(_.name == "dedup_edit_distance").get
+      .fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected AQE runtime broadcast in:\n$plan")
+    PlanCache.clear()
+  }
+
   test("the seven round-2 'weak' queries carry zero broadcast hints") {
     // the exact set VERDICT r2 graded weak for unconditional
     // corpus-/vocab-cardinality broadcasts — must stay hint-free
