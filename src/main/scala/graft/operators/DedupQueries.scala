@@ -116,13 +116,15 @@ object DedupQueries {
       graft.api.Dedup.minhashBandPairs(minhashSig(s, dir), "doc_id")
     }
 
-  /** DuckDB CTE chain ending in `pairs(doc1, doc2, est_jaccard)` —
-    * the oracle twin of [[minhashPairsSpark]]. */
-  private val minhashPairsCte: String = {
-    val bandCond = bands.map { case (x, y) =>
-      s"(a.h$x = b.h$x AND a.h$y = b.h$y)" }.mkString(" OR ")
-    val agree = (0 to 7).map(k =>
-      s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END").mkString(" + ")
+  private val duckBandCond = bands.map { case (x, y) =>
+    s"(a.h$x = b.h$x AND a.h$y = b.h$y)" }.mkString(" OR ")
+  private val duckAgree = (0 to 7).map(k =>
+    s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END").mkString(" + ")
+
+  /** DuckDB CTE chain ending in `sig(doc_id, h0..h7)` — the oracle
+    * twin of the MinHash signature table (both the batch dictionary
+    * join and the per-row streaming signer produce these values). */
+  private val minhashSigCte: String = {
     val duckMins = (0 to 7).map { i =>
       val m = i / 4; val j = i % 4
       s"min(CAST(concat('0x', substr(m$m, ${1 + 8 * j}, 8)) AS BIGINT)) AS h$i"
@@ -130,14 +132,19 @@ object DedupQueries {
     s"""$duckShingles,
        |dig AS (SELECT doc_id, md5('0:' || shingle) AS m0,
        |    md5('1:' || shingle) AS m1 FROM sh),
-       |sig AS (SELECT doc_id, $duckMins FROM dig GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $duckMins FROM dig GROUP BY doc_id)""".stripMargin
+  }
+
+  /** [[minhashSigCte]] extended to `pairs(doc1, doc2, est_jaccard)` —
+    * the oracle twin of [[minhashPairsSpark]]. */
+  private val minhashPairsCte: String =
+    s"""$minhashSigCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-       |    CAST($agree AS DOUBLE) / 8 AS est_jaccard
+       |    CAST($duckAgree AS DOUBLE) / 8 AS est_jaccard
        |  FROM sig a JOIN sig b
-       |    ON a.doc_id < b.doc_id AND ($bandCond)
-       |  WHERE CAST($agree AS DOUBLE) / 8 >= 0.5)""".stripMargin
-  }
+       |    ON a.doc_id < b.doc_id AND ($duckBandCond)
+       |  WHERE CAST($duckAgree AS DOUBLE) / 8 >= 0.5)""".stripMargin
 
   val dedupNearMinhash: GQuery = GQuery(
     "dedup_near_minhash",
@@ -400,7 +407,37 @@ object DedupQueries {
         |ORDER BY v1, v2""".stripMargin)(sparkImpl)
   }
 
+  /** Continuous-ingestion near-dedup as a CONTRACT query: the corpus
+    * (doc_id % 5 < 4, 80%) is indexed through the batch signature
+    * path; the "arriving" 20% is signed PER ROW and joined against
+    * the index on LSH band keys — the exact plan
+    * graft.streaming.DedupStreams runs on a live stream (the batch
+    * and streaming paths are the same function; DedupStreamsSpec pins
+    * them equal). The oracle replays both signature paths from one
+    * sig CTE, since per-row and dictionary-join signatures are the
+    * same md5-slice minimums. */
+  val dedupIngest: GQuery = GQuery(
+    "dedup_ingest",
+    s"""$minhashSigCte
+       |SELECT DISTINCT a.doc_id, b.doc_id AS corpus_id,
+       |  CAST($duckAgree AS DOUBLE) / 8 AS est_jaccard
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id % 5 = 4 AND b.doc_id % 5 < 4 AND ($duckBandCond)
+       |WHERE CAST($duckAgree AS DOUBLE) / 8 >= 0.5
+       |ORDER BY a.doc_id, corpus_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    val index = PlanCache.memo(s, dir, "ingest_index") {
+      graft.api.Dedup.minhashSignatures(
+        graft.api.Dedup.wordShingles(
+          docs.filter(col("doc_id") % 5 < 4), "doc_id", "text"),
+        "doc_id")
+    }
+    graft.streaming.DedupStreams.nearDupsAgainstIndex(
+      docs.filter(col("doc_id") % 5 === 4), index, "doc_id", "text")
+      .orderBy(col("doc_id"), col("corpus_id"))
+  }
+
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupKeepList, dedupSimhash,
-    dedupNgramJaccard, dedupEmbedCosine)
+    dedupNgramJaccard, dedupEmbedCosine, dedupIngest)
 }
