@@ -1,0 +1,149 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the memory-compressed ANN serving path (Jégou/Douze/Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+  * the index stores, per vector, its coarse cell id plus `m` one-byte
+  * PRODUCT-QUANTIZER codes (nearest sub-codebook centroid per d/m-dim
+  * sub-vector), so the in-memory search structure is ~m bytes per
+  * vector instead of 4·d. A probe scores candidates with ASYMMETRIC
+  * DISTANCE COMPUTATION: dot(q, x) ≈ Σ_s dot(q_s, codebook_s[code_s]),
+  * where the m·ksub partial dots are computed ONCE per probe (a
+  * distance table), then each candidate costs m table lookups. The
+  * ADC shortlist is exactly re-ranked on the stored full vectors —
+  * the standard codes-in-memory / vectors-on-disk serving config, so
+  * recall is bounded by cell recall, not PQ resolution.
+  *
+  * All stages are the bounded-broadcast shapes the policy allows:
+  * codebooks are m·ksub rows, probe tables |probes|·m·ksub rows; the
+  * corpus is scanned once at build and partition-pruned at probe time
+  * (same mechanism as [[Similarity.ivfTopK]], proven in IvfIndexSpec).
+  */
+object IvfPq {
+
+  private val dot = "vec_dot(va, vb)"
+
+  /** (vec_id, s, sub) — the m d/m-dim sub-vectors of each row. */
+  private def subVectors(ev: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sub")))
+    ev.select(col("vec_id"), explode(array(subs: _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
+  }
+
+  /** Build and save an IVF-PQ index at `path`: coarse `centers`
+    * (k rows), per-subspace `codebooks` (m·ksub rows of (s, code,
+    * c)), and cid-partitioned `cells` of (vec_id, v, nrm,
+    * codes: array<int>). The vector dimension must be divisible
+    * by `m`. */
+  def build(corpus: DataFrame, id: String, vec: String, path: String,
+      k: Int = 8, rounds: Int = 2, m: Int = 8, ksub: Int = 64): Unit = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val e = corpus.select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dimension $dim not divisible by m=$m")
+    val subDim = dim / m
+    val ev = e.select(col("vec_id"), col("v"))
+    val centers = VecKMeans.train(ev, k, rounds)
+    centers.write.mode("overwrite").parquet(s"$path/centers")
+    // per-subspace codebooks: m independent small k-means runs (m is
+    // bounded; each run is the k-row-broadcast Lloyd shape)
+    val subs = subVectors(ev, m, subDim).localCheckpoint(true)
+    val codebooks = (0 until m).map { s =>
+      VecKMeans.train(
+        subs.filter(col("s") === s)
+          .select(col("vec_id"), col("sub").as("v")), ksub, rounds)
+        .select(lit(s).as("s"), col("cid").as("code"), col("c"))
+    }.reduce(_ union _).localCheckpoint(true)
+    codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    // encode: nearest sub-centroid per (vector, subspace) — one
+    // equi-join on s with ksub fan-out, then two partial aggregates
+    val encoded = subs
+      .join(broadcast(codebooks.select(col("s"), col("code"),
+        col("c"))), Seq("s"))
+      .withColumn("d2", expr(
+        "vec_dot(sub, sub) - 2 * vec_dot(sub, c) + vec_dot(c, c)"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("mn"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, mn.code))), " +
+        "p -> CAST(p.code AS INT))").as("codes"))
+    VecKMeans.assign(ev, centers)
+      .join(e.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .join(encoded, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"), col("codes"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /** Approximate top-k cosine over a saved [[build]] index:
+    * (probe_id, rk, neighbor_id, cosine — EXACT, from the re-rank).
+    * Probes read only their nProbe cells' partitions; candidates are
+    * scored by ADC table lookups (shortlist = `shortlistFactor`·k by
+    * approximate cosine), and the shortlist is re-ranked exactly on
+    * the stored vectors. */
+  def topK(probes: DataFrame, id: String, vec: String, path: String,
+      k: Int, nProbe: Int = 3, shortlistFactor: Int = 16): DataFrame = {
+    val spark = probes.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val centers = spark.read.parquet(s"$path/centers")
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val m = codebooks.agg(countDistinct(col("s"))).first().getLong(0).toInt
+    val subDim = codebooks.select(size(col("c"))).first().getInt(0)
+    val p = probes.select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+    // probed cells (bounded) → literal partition filter, as in ivfTopK
+    val probeCells = VecKMeans.assignTopN(
+        p.select(col("vec_id"), col("v")), centers, nProbe)
+      .join(p.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("probe_id"),
+        col("v").as("va"), col("nrm").as("na"))
+    val cids = probeCells.select(col("cid")).distinct()
+      .collect().map(_.get(0)).toSeq
+    // per-probe ADC tables: dot(q_s, centroid) for every (s, code)
+    val tables = subVectors(p.select(col("vec_id"), col("v")), m, subDim)
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(broadcast(codebooks), Seq("s"))
+      .select(col("probe_id"), col("s"), col("code"),
+        expr("vec_dot(sub, c)").as("pdot"))
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(cids: _*))
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"), col("codes"))
+    // ADC: explode each candidate's m codes, look the partial dots up
+    // in the probe's table, sum — approx dot(q, x) in m lookups
+    val candidates = cells.join(broadcast(probeCells), Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+    val adc = candidates
+      .select(col("probe_id"), col("neighbor_id"), col("nb"), col("na"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(tables, Seq("probe_id", "s", "code"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        sum(col("pdot")).as("adot"))
+      .withColumn("approx_cos", col("adot") / (col("na") * col("nb")))
+    val wa = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val shortlist = adc
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= k * shortlistFactor)
+      .select(col("probe_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist on the stored full vectors
+    val we = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // (probe, neighbor) is unique in candidates — a neighbor lives in
+    // exactly one cell — so no dedup is needed before the re-rank
+    shortlist
+      .join(candidates.select(col("probe_id"), col("neighbor_id"),
+        col("va"), col("vb"), col("na"), col("nb")),
+        Seq("probe_id", "neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
+}

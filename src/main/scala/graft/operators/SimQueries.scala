@@ -143,6 +143,26 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** IVF-PQ approximate top-3 over a saved product-quantized index —
+    * the memory-compressed ANN serving path (graft.api.IvfPq): the
+    * in-memory search structure is m = 8 one-byte codes per vector
+    * (~3% of the float vector), candidates are scored by ADC table
+    * lookups, and the shortlist is exactly re-ranked on the stored
+    * vectors. Build-if-absent like sim_topk_ivf; recall and
+    * exactness-of-reranked-cosines are property-tested in IvfPqSpec.
+    * no-oracle (approximate index). */
+  val simTopkIvfPq: GQuery = GQuery.noOracle("sim_topk_ivfpq") { (s, dir) =>
+    val pqPath = "/tmp/graft_ivfpq/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    if (!new java.io.File(s"$pqPath/cells/_SUCCESS").exists())
+      graft.api.IvfPq.build(ev, "vec_id", "v", pqPath,
+        k = 8, rounds = 2, m = 8, ksub = 64)
+    graft.api.IvfPq.topK(ev.filter(col("vec_id") < 50),
+      "vec_id", "v", pqPath, k = 3, nProbe = 3)
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(simCosineTopk, simPairThreshold, simTopkLsh, simTopkIvf)
+    Seq(simCosineTopk, simPairThreshold, simTopkLsh, simTopkIvf,
+      simTopkIvfPq)
 }

@@ -44,6 +44,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // IVF: k-row center broadcasts per Lloyd round (quantizer training
     // + index/probe assignment) + the ≤ 50×nProbe probe-cell set
     "sim_topk_ivf" -> 8,
+    // PQ probe: k-row centers, m·ksub codebooks (twice: encode tables
+    // + probe tables), bounded probe-cell set
+    "sim_topk_ivfpq" -> 6,
     "mining_kmeans" -> 8,     // k-row center broadcast per Lloyd round
     "text_tfidf_topterm" -> 1, // 1-row corpus-count scalar
     // bounded language dim (distinct of a low-cardinality label),

@@ -20,7 +20,8 @@ class PlanShapeSpec extends SparkTestBase {
     "text_tfidf_topterm", // 1-row corpus-size scalar attached via broadcast cross join
     "text_lang_id",     // bounded language dim + 1-row vocab scalar cross joins
     "mining_kmeans",    // k-row center table broadcast per Lloyd round
-    "sim_topk_ivf")     // same k-row center broadcast (quantizer training + probing)
+    "sim_topk_ivf",     // same k-row center broadcast (quantizer training + probing)
+    "sim_topk_ivfpq")   // k-row center + m·ksub codebook broadcasts
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
