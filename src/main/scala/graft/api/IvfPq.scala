@@ -42,33 +42,53 @@ object IvfPq {
   def build(corpus: DataFrame, id: String, vec: String, path: String,
       k: Int = 8, rounds: Int = 2, m: Int = 8, ksub: Int = 64): Unit = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
+    // materialize the prepared corpus ONCE: seeds, coarse training,
+    // sub-vector explode and the final assignment all re-read it, and
+    // re-evaluating the caller's lineage per consumer dominated build
+    // time. A build pass that scans the corpus once is the contract.
     val e = corpus.select(col(id).as("vec_id"), col(vec).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
+      .localCheckpoint(true)
     val dim = e.select(size(col("v"))).first().getInt(0)
     require(dim % m == 0, s"dimension $dim not divisible by m=$m")
     val subDim = dim / m
     val ev = e.select(col("vec_id"), col("v"))
     val centers = VecKMeans.train(ev, k, rounds)
     centers.write.mode("overwrite").parquet(s"$path/centers")
-    // per-subspace codebooks: m independent small k-means runs (m is
-    // bounded; each run is the k-row-broadcast Lloyd shape)
+    // per-subspace codebooks, trained JOINTLY: keying every frame by
+    // (s, code) lets all m Lloyd iterations advance in the same two
+    // aggregates per round — identical math to m independent trainings
+    // (same smallest-id seeds, same (d2, code) tie-break), but ~2 jobs
+    // per round instead of ~6·m
     val subs = subVectors(ev, m, subDim).localCheckpoint(true)
-    val codebooks = (0 until m).map { s =>
-      VecKMeans.train(
-        subs.filter(col("s") === s)
-          .select(col("vec_id"), col("sub").as("v")), ksub, rounds)
-        .select(lit(s).as("s"), col("cid").as("code"), col("c"))
-    }.reduce(_ union _).localCheckpoint(true)
-    codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    // encode: nearest sub-centroid per (vector, subspace) — one
-    // equi-join on s with ksub fan-out, then two partial aggregates
-    val encoded = subs
-      .join(broadcast(codebooks.select(col("s"), col("code"),
-        col("c"))), Seq("s"))
-      .withColumn("d2", expr(
-        "vec_dot(sub, sub) - 2 * vec_dot(sub, c) + vec_dot(c, c)"))
+    val subd2 = "vec_dot(sub, sub) - 2 * vec_dot(sub, c) + vec_dot(c, c)"
+    val seedIds = ev.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id"))
+    var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("s"), col("vec_id").cast("int").as("code"),
+        col("sub").as("c"))
+      .localCheckpoint(true)
+    def assignSubs(codebook: DataFrame): DataFrame = subs
+      .join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", expr(subd2))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d2"), col("code"))).as("mn"))
+      .agg(min(struct(col("d2"), col("code"))).as("mn"),
+        first(col("sub")).as("sub"))
+    for (_ <- 1 to rounds) {
+      cb = assignSubs(cb)
+        .select(col("s"), col("mn.code").as("code"),
+          posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("mv"))
+        .groupBy(col("s"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), " +
+          "q -> q.mv)").as("c"))
+        .localCheckpoint(true)
+    }
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    // encode: nearest sub-centroid per (vector, subspace) against the
+    // final codebooks, collected into one m-length code array
+    val encoded = assignSubs(cb)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(s, mn.code))), " +
         "p -> CAST(p.code AS INT))").as("codes"))
