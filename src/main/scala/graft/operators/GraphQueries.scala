@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, PlanCache}
+import graft.sources.Tables
+
+/** Graph staples of the big-data-coursework genre (SURVEY.md §0:
+  * PySpark exercises — PageRank and triangle counting are THE
+  * canonical iterative/join-heavy examples), over the brand
+  * co-purchase graph (brands are nodes; an edge joins two brands
+  * bought in the same order).
+  *
+  * Both are pure DataFrame plans with DuckDB oracles:
+  *  - PageRank unrolls a FIXED number of power iterations (each is
+  *    one join + one partial-aggregating groupBy — the scale shape:
+  *    ranks shuffle by dst, never the edge list twice), ranks rounded
+  *    to 8 places per iteration so cross-engine accumulation drift
+  *    cannot compound, 6 at the end;
+  *  - triangle counting is the classic a<b<c ordered three-way
+  *    self-join, which counts every triangle exactly once; per-node
+  *    counts come from exploding each triangle to its three corners.
+  *
+  * Scale notes: the brand graph is tiny, but the plans are
+  * node-count-agnostic — edges shuffle on join keys, aggregates
+  * combine map-side, and nothing is collected to the driver. The
+  * 1-row node-count scalar is the only broadcast (bounded). At
+  * billion-edge scale PageRank adds localCheckpoint per iteration
+  * (as connectedComponents does) — omitted here because three
+  * unrolled iterations keep the plan shallow.
+  */
+object GraphQueries {
+
+  private val duckEdges =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |e AS (
+      |  SELECT DISTINCT a.brand AS src, b.brand AS dst
+      |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand)""".stripMargin
+
+  /** directed co-purchase brand edges (symmetric), memoized. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    PlanCache.memo(s, dir, "brand_edges") {
+      val ob = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey").as("l_partkey"),
+            col("p_brand").as("brand")), Seq("l_partkey"))
+        .select(col("okey"), col("brand")).distinct()
+      ob.join(ob.select(col("okey"), col("brand").as("dst")), Seq("okey"))
+        .filter(col("brand") =!= col("dst"))
+        .select(col("brand").as("src"), col("dst"))
+        .distinct()
+    }
+
+  /** PageRank, damping 0.85, 3 unrolled power iterations. */
+  val graphPagerank: GQuery = {
+    val iters = 3
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val e = edges(s, dir)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val n = deg.agg(count(lit(1)).as("n"))
+      var r = deg.crossJoin(broadcast(n))
+        .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
+      for (_ <- 1 to iters) {
+        r = e.join(r, e("src") === r("node"))
+          .join(deg, Seq("src"))
+          .select(col("dst"), (col("r") / col("outdeg")).as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("cs"))
+          .crossJoin(broadcast(n))
+          .select(col("dst").as("node"),
+            round(lit(0.15) / col("n") + lit(0.85) * col("cs"), 8).as("r"))
+      }
+      r.select(col("node").as("brand"),
+          round(col("r"), 6).cast("double").as("rank"))
+        .orderBy(col("brand"))
+    }
+    val duckIter = (t: Int) =>
+      s"""r$t AS (
+         |  SELECT e.dst AS node,
+         |    round(0.15 / max(n.n) + 0.85 * sum(r${t - 1}.r / deg.outdeg), 8)
+         |      AS r
+         |  FROM e
+         |  JOIN r${t - 1} ON e.src = r${t - 1}.node
+         |  JOIN deg ON e.src = deg.src
+         |  CROSS JOIN n
+         |  GROUP BY e.dst)""".stripMargin
+    GQuery("graph_pagerank",
+      s"""$duckEdges,
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, 1.0 / n.n AS r FROM deg CROSS JOIN n),
+         |${(1 to iters).map(duckIter).mkString(",\n")}
+         |SELECT node AS brand, CAST(round(r, 6) AS DOUBLE) AS rank
+         |FROM r$iters
+         |ORDER BY brand""".stripMargin)(sparkImpl)
+  }
+
+  /** Triangle counting: per-brand triangle membership + the count of
+    * distinct co-purchase triangles each brand closes. */
+  val graphTriangles: GQuery = GQuery(
+    "graph_triangles",
+    s"""$duckEdges,
+       |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM e),
+       |tri AS (
+       |  SELECT x.a AS v1, x.b AS v2, y.b AS v3
+       |  FROM ue x JOIN ue y ON x.b = y.a
+       |  JOIN ue z ON z.a = x.a AND z.b = y.b)
+       |SELECT brand, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT v1 AS brand FROM tri
+       |      UNION ALL SELECT v2 FROM tri
+       |      UNION ALL SELECT v3 FROM tri)
+       |GROUP BY brand
+       |ORDER BY brand""".stripMargin) { (s, dir) =>
+    val ue = edges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    // ordered three-way self-join: (a,b) ⋈ (b,c) ⋈ (a,c), a<b<c —
+    // every triangle counted exactly once
+    val x = ue.select(col("a").as("v1"), col("b").as("v2"))
+    val y = ue.select(col("a").as("v2"), col("b").as("v3"))
+    val z = ue.select(col("a").as("v1"), col("b").as("v3"))
+    val triangles = x.join(y, Seq("v2")).join(z, Seq("v1", "v3"))
+    triangles.select(col("v1").as("brand"))
+      .union(triangles.select(col("v2")))
+      .union(triangles.select(col("v3")))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("brand"))
+  }
+
+  val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles)
+}

@@ -51,7 +51,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     "text_tfidf_topterm" -> 1, // 1-row corpus-count scalar
     // bounded language dim (distinct of a low-cardinality label),
     // per-lang totals (same cardinality), 1-row vocabulary count
-    "text_lang_id" -> 3
+    "text_lang_id" -> 3,
+    // 1-row node-count scalar, attached once at init + per iteration
+    "graph_pagerank" -> 4
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a
