@@ -40,15 +40,11 @@ object GraphQueries {
       |  SELECT DISTINCT a.brand AS src, b.brand AS dst
       |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand)""".stripMargin
 
-  /** directed co-purchase brand edges (symmetric), memoized. */
+  /** directed co-purchase brand edges (symmetric), memoized; derives
+    * from the (order, brand) frame shared with mining_copurchase. */
   private def edges(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "brand_edges") {
-      val ob = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"), col("l_partkey"))
-        .join(Tables.part(s, dir)
-          .select(col("p_partkey").as("l_partkey"),
-            col("p_brand").as("brand")), Seq("l_partkey"))
-        .select(col("okey"), col("brand")).distinct()
+      val ob = MiningQueries.orderBrands(s, dir)
       ob.join(ob.select(col("okey"), col("brand").as("dst")), Seq("okey"))
         .filter(col("brand") =!= col("dst"))
         .select(col("brand").as("src"), col("dst"))

@@ -21,6 +21,18 @@ object MiningQueries {
     * basket count (self-join of distinct (order, brand) pairs — the
     * classic co-occurrence shape; the per-order fan-out is bounded by
     * lines-per-order, so the join is near-linear). */
+  /** distinct (order, brand) pairs — the shared base of the
+    * co-purchase and graph families, memoized per (session, dir). */
+  private[operators] def orderBrands(s: SparkSession, dir: String): DataFrame =
+    PlanCache.memo(s, dir, "order_brands") {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey").as("l_partkey"),
+            col("p_brand").as("brand")), Seq("l_partkey"))
+        .select(col("okey"), col("brand")).distinct()
+    }
+
   val miningCopurchase: GQuery = GQuery(
     "mining_copurchase",
     """WITH ob AS (
@@ -40,12 +52,7 @@ object MiningQueries {
       |SELECT brand, rk, other, CAST(n_baskets AS BIGINT) AS n_baskets
       |FROM ranked WHERE rk <= 3
       |ORDER BY brand, rk""".stripMargin) { (s, dir) =>
-    val ob = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey"))
-      .join(Tables.part(s, dir)
-        .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand")),
-        Seq("l_partkey"))
-      .select(col("okey"), col("brand")).distinct()
+    val ob = orderBrands(s, dir)
     val co = ob.select(col("okey"), col("brand"))
       .join(ob.select(col("okey"), col("brand").as("other")), Seq("okey"))
       .filter(col("brand") =!= col("other"))

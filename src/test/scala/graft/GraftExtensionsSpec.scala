@@ -33,11 +33,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT vec_dot(array(1D, 2D), array(3D, 4D)) AS d,
           |  vec_norm(array(3D, 4D)) AS n,
           |  word_ngrams(array('a', 'b', 'c'), 2) AS wg,
-          |  char_ngrams('abcd', 2) AS cg""".stripMargin).head()
+          |  char_ngrams('abcd', 2) AS cg,
+          |  sorted_intersect_count(array('a', 'b', 'c'),
+          |    array('b', 'c', 'd'), 1) AS ic""".stripMargin).head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 5.0)
       assert(row.getSeq[String](2) == Seq("a b", "b c"))
       assert(row.getSeq[String](3) == Seq("ab", "bc", "cd"))
+      assert(row.getInt(4) == 2)
 
       // the injected optimizer rule rewrites size(array_intersect) to
       // the counting expression (inputs must be non-foldable — all-
