@@ -30,13 +30,25 @@ object Sampling {
 
   /** Deterministic per-stratum reservoir: the k rows with the
     * smallest salted hash in each stratum (id as the unique
-    * tiebreak). */
+    * tiebreak).
+    *
+    * Two-phase for skew safety: a single `partitionBy(stratum)`
+    * window serializes a HOT stratum onto one task at scale, so
+    * phase 1 ranks within (stratum, hash-bucket) — 32-way parallel
+    * even for one giant stratum — and phase 2 merges the ≤ 32·k
+    * per-stratum survivors. The global top-k by (hash, id) is always
+    * a subset of the per-bucket top-k, so the result is IDENTICAL to
+    * the single-window form (the DuckDB oracle keeps that form). */
   def stratifiedTopK(df: DataFrame, stratum: String, id: String,
       k: Int, salt: String = "str:"): DataFrame = {
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(portableHash(col(id), salt), col(id))
-    df.withColumn("__rn", row_number().over(w))
+    val h = portableHash(col(id), salt)
+    val w1 = Window.partitionBy(col(stratum), pmod(h, lit(32)))
+      .orderBy(h, col(id))
+    val w2 = Window.partitionBy(col(stratum)).orderBy(h, col(id))
+    df.withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= k)
+      .withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") <= k)
-      .drop("__rn")
+      .drop("__rn1", "__rn")
   }
 }
