@@ -36,6 +36,20 @@ class ScalePostureSpec extends SparkTestBase {
     assert(jsonBack.except(li).count() == 0 && li.except(jsonBack).count() == 0)
   }
 
+  test("predicate and projection push down into the parquet scan") {
+    // a filter+project must reach the scan as PushedFilters +
+    // a pruned ReadSchema — scanning all columns (or all rows) for a
+    // 2-column filtered projection is wrong at any scale
+    val df = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" > 45.0)
+      .select($"l_orderkey", $"l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,45.0)]"), s"filter not pushed:\n$plan")
+    val schema = "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"
+    assert(plan.contains(schema), s"projection not pruned:\n$plan")
+  }
+
   test("partitioned parquet layout prunes partitions in the scan") {
     val dir = tmp("graft_part")
     Tables.orders(spark, sfDir)
