@@ -96,6 +96,24 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
   }
 
+  /** Incrementally add vectors to an existing [[ivfBuild]] index:
+    * arrivals are assigned to their nearest SAVED cell (the quantizer
+    * is NOT retrained — the standard serving trade: cell balance
+    * degrades slowly and a periodic rebuild restores it) and appended
+    * to the cid-partitioned layout, so only the touched partitions
+    * gain files. The maintenance counterpart of continuous-ingestion
+    * dedup: stream in, assign, append, probe immediately. */
+  def ivfAppend(newVecs: DataFrame, id: String, vec: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centers = spark.read.parquet(s"$path/centers")
+    val e = prep(newVecs, id, vec)
+    VecKMeans.assign(e.select(col("vid").as("vec_id"), col("v")), centers)
+      .join(e.select(col("vid").as("vec_id"), col("nrm")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+  }
+
   /** Approximate top-k cosine over a SAVED [[ivfBuild]] index:
     * (probe_id, rk, neighbor_id, cosine). Each probe is assigned to
     * its `nProbe` nearest cells; the probed cell ids — at most k of

@@ -26,6 +26,27 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("percentile_approx tracks the exact interpolated percentile") {
+    // the 100 TB path for percentiles is the mergeable sketch
+    // (percentile_approx); pin its error against the exact
+    // interpolated percentile the contract query (agg_stats) uses
+    val rows = Tables.events(spark, sfDir).groupBy($"event_type")
+      .agg(expr("percentile(value, array(0.5, 0.9))").as("exact"),
+        expr("percentile_approx(value, array(0.5, 0.9), 1000)").as("approx"),
+        (max($"value") - min($"value")).as("range"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getSeq[Double](1)
+      val approx = r.getSeq[Double](2)
+      val range = r.getDouble(3)
+      exact.zip(approx).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= 0.05 * range,
+          s"${r.getString(0)}: approx $a vs exact $e (range $range)")
+      }
+    }
+  }
+
   test("minhash estimated jaccard tracks exact ngram jaccard on high-sim pairs") {
     val est = DedupQueries.dedupNearMinhash.fn(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
