@@ -113,6 +113,43 @@ object Text {
         (-col("m.ns")).as("score"))
   }
 
+  /** Pairwise KL divergence between the add-1-smoothed unigram
+    * distributions of each label value: (lang1, lang2, kl_divergence)
+    * for every ordered pair of distinct labels — the domain-shift /
+    * distribution-drift metric a training-data pipeline tracks
+    * between corpus slices. Same dense (token × label) dictionary
+    * shape as [[langId]] (bounded label dim crossJoin + left join,
+    * zero driver actions); log-ratios rounded to 8 places before the
+    * Σ p·ln(p/q) aggregate so accumulation drift cannot leak into the
+    * 6-place result. */
+  def langDivergence(docs: DataFrame, id: String, text: String,
+      lang: String, preTokenized: Option[DataFrame] = None): DataFrame = {
+    val tok = preTokenized.getOrElse(docs.select(col(id), col(lang),
+      explode(split(col(text), " ")).as("token")))
+    val langs = docs.select(col(lang).as("cand")).distinct()
+    val prof = tok.groupBy(col(lang).as("cand"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tok.groupBy(col(lang).as("cand")).agg(count(lit(1)).as("t"))
+    val vocabDf = tok.agg(countDistinct(col("token")).as("v"))
+    val dict = tok.select(col("token")).distinct()
+      .crossJoin(broadcast(langs))
+      .join(prof, Seq("token", "cand"), "left")
+      .join(broadcast(tot), Seq("cand"))
+      .crossJoin(broadcast(vocabDf))
+      .select(col("token"), col("cand"),
+        ((coalesce(col("c"), lit(0L)) + lit(1)).cast("double")
+          / (col("t") + col("v")).cast("double")).as("p"))
+    val a = dict.select(col("token"), col("cand").as("lang1"),
+      col("p").as("pa"))
+    val b = dict.select(col("token"), col("cand").as("lang2"),
+      col("p").as("pb"))
+    a.join(b, Seq("token"))
+      .filter(col("lang1") =!= col("lang2"))
+      .groupBy(col("lang1"), col("lang2"))
+      .agg(round(sum(col("pa") * round(log(col("pa") / col("pb")), 8)), 6)
+        .as("kl_divergence"))
+  }
+
   /** Additive-smoothed naive-Bayes language ID against per-language
     * token profiles learned from a labeled corpus: (id, pred_lang).
     *

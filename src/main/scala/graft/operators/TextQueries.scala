@@ -181,6 +181,40 @@ object TextQueries {
         |ORDER BY r.doc_id""".stripMargin)(sparkImpl)
   }
 
+  /** Pairwise KL divergence between per-language smoothed unigram
+    * distributions — the distribution-drift metric between corpus
+    * slices (which languages read "most alike"). */
+  val textLangDivergence: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      graft.api.Text.langDivergence(Tables.documents(s, dir), "doc_id",
+        "text", "lang", preTokenized =
+          Some(tokens(s, dir).withColumnRenamed("term", "token")))
+        .orderBy(col("lang1"), col("lang2"))
+    }
+    GQuery("text_lang_divergence",
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |prof AS (SELECT lang AS cand, token, count(*) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lang AS cand, count(*) AS t FROM tok GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |dict AS (
+        |  SELECT tk.token, l.cand,
+        |    CAST(coalesce(p.c, 0) + 1 AS DOUBLE) / (t.t + v.v) AS p
+        |  FROM (SELECT DISTINCT token FROM tok) tk
+        |  CROSS JOIN langs l
+        |  LEFT JOIN prof p ON p.cand = l.cand AND p.token = tk.token
+        |  JOIN tot t ON t.cand = l.cand
+        |  CROSS JOIN vocab v)
+        |SELECT a.cand AS lang1, b.cand AS lang2,
+        |  round(sum(a.p * round(ln(a.p / b.p), 8)), 6) AS kl_divergence
+        |FROM dict a JOIN dict b
+        |  ON a.token = b.token AND a.cand <> b.cand
+        |GROUP BY 1, 2
+        |ORDER BY lang1, lang2""".stripMargin)(sparkImpl)
+  }
+
   /** Per-document quality score: uniqueness ratio, mean token length,
     * stopword ratio, length saturation — combined into one score. */
   val textQualityScore: GQuery = {
@@ -254,6 +288,6 @@ object TextQueries {
   }
 
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
-    textLangProfile, textLangId, textQualityScore, textTokenCount,
-    textFingerprint)
+    textLangProfile, textLangId, textLangDivergence, textQualityScore,
+    textTokenCount, textFingerprint)
 }

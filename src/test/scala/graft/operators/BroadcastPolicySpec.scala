@@ -52,6 +52,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // bounded language dim (distinct of a low-cardinality label),
     // per-lang totals (same cardinality), 1-row vocabulary count
     "text_lang_id" -> 3,
+    // same bounded dict sides as lang_id, but the dictionary subtree
+    // (and its 3 hints) appears on BOTH sides of the KL self-join
+    "text_lang_divergence" -> 6,
     // 1-row node-count scalar, attached once at init + per iteration
     "graph_pagerank" -> 4
   )
