@@ -106,6 +106,16 @@ class ApiSpec extends SparkTestBase {
     val wantTc = TextQueries.textTokenCount.fn(spark, sfDir)
     assert(tc.collect().map(_.toSeq.drop(1)).toSeq
       == wantTc.collect().map(_.toSeq.drop(1)).toSeq)
+
+    val myLabeled2 = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("post_id"), col("text").as("body"),
+        col("lang").as("language"))
+    val div = Text.langDivergence(myLabeled2, "post_id", "body",
+        "language")
+      .orderBy(col("lang1"), col("lang2"))
+    val wantDiv = TextQueries.textLangDivergence.fn(spark, sfDir)
+    assert(div.collect().map(_.toSeq).toSeq
+      == wantDiv.collect().map(_.toSeq).toSeq)
   }
 
   test("keepList on renamed columns matches the contract decision query") {
