@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.api.Text
+
+/** Streaming text analysis: the ingestion-time QUALITY GATE.
+  *
+  * [[Text.qualityScoreFromTokens]] aggregates an exploded token
+  * table — the right shape for batch corpus scoring (the token table
+  * is shared with TF-IDF / language ID), but an aggregation cannot
+  * run statelessly on a stream. The per-ROW scorer below computes the
+  * IDENTICAL columns (same 6-place grid, same decimal-combine
+  * formula, spec-pinned equal) from pure row-local expressions:
+  *
+  *  - n_tokens    = size(split(text))
+  *  - n_distinct  = size(array_distinct(split(text)))
+  *  - sum_len     = length(text with spaces removed)  — exactly
+  *                  Σ len(token), since removing every separator
+  *                  leaves the concatenated tokens
+  *  - n_stop      = size(filter(tokens, t -> t IN stopwords))
+  *
+  * so a low-quality document can be dropped the moment it arrives —
+  * no state store, no watermark, Append mode.
+  */
+object TextStreams {
+
+  /** (id, n_tokens, uniq_ratio, avg_token_len, stop_ratio, quality) —
+    * column-identical to the batch [[Text.qualityScore]]. */
+  def qualityScoreRow(docs: DataFrame, id: String, text: String,
+      stopwords: Seq[String] = Text.defaultStopwords): DataFrame =
+    withQuality(docs, id, text, stopwords)
+      .select(col(id), col("n_tokens"), col("uniq_ratio"),
+        col("avg_token_len"), col("stop_ratio"), col("quality"))
+
+  /** The gate: original rows (plus the score) with quality ≥
+    * `minQuality` — drop junk at the door. */
+  def qualityFilter(docs: DataFrame, id: String, text: String,
+      minQuality: Double,
+      stopwords: Seq[String] = Text.defaultStopwords): DataFrame = {
+    val scored = withQuality(docs, id, text, stopwords)
+    scored.filter(col("quality") >= minQuality)
+      .drop("n_tokens", "n_distinct", "sum_len", "n_stop",
+        "uniq_ratio", "avg_token_len", "stop_ratio")
+  }
+
+  private def withQuality(docs: DataFrame, id: String, text: String,
+      stopwords: Seq[String]): DataFrame = {
+    val toks = split(col(text), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("sum_len",
+        length(regexp_replace(col(text), " ", "")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("uniq_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_token_len",
+        round(col("sum_len").cast("double") / col("n_tokens"), 6))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality", expr(
+        """CAST(round(0.5 * CAST(uniq_ratio AS DECIMAL(12,6))
+          |  + 0.3 * (1 - CAST(stop_ratio AS DECIMAL(12,6)))
+          |  + 0.002 * least(n_tokens, 100), 6) AS DOUBLE)""".stripMargin))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** The per-row quality scorer must equal the batch aggregate scorer
+  * exactly, run on a stream statelessly, and compose with the
+  * ingestion dedup into one streaming pipeline. */
+class TextStreamsSpec extends SparkTestBase {
+  initQuiet()
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+    .select($"doc_id", $"text")
+
+  test("per-row quality score equals the batch aggregate scorer exactly") {
+    val rowScore = TextStreams.qualityScoreRow(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.api.Text.qualityScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(rowScore == batch)
+  }
+
+  test("quality gate runs on a stream and equals the batch filter") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixture = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = TextStreams.qualityFilter(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        minQuality = 0.8)
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    fixture.grouped(200).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("quality_gate").select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    val want = TextStreams.qualityFilter(docs, "doc_id", "text", 0.8)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty && got.size < fixture.size,
+      s"gate should pass a strict subset: ${got.size} of ${fixture.size}")
+  }
+
+  test("composed ingestion pipeline: quality gate then near-dup vs index, one streaming query") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = docs.filter($"doc_id" < 400)
+    val index = graft.api.Dedup.minhashSignatures(
+      graft.api.Dedup.wordShingles(corpus, "doc_id", "text"), "doc_id")
+      .cache()
+    val arrivals = docs.filter($"doc_id" >= 400)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val gated = TextStreams.qualityFilter(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minQuality = 0.0) // pass-all gate: the COMPOSITION is the test
+    val q = DedupStreams.nearDupsAgainstIndex(gated, index,
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("ingest_pipeline")
+      .outputMode("append").start()
+    arrivals.grouped(50).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("ingest_pipeline").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = DedupStreams.nearDupsAgainstIndex(
+        docs.filter($"doc_id" >= 400), index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+    index.unpersist()
+  }
+}
