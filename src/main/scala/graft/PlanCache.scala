@@ -40,12 +40,26 @@ object PlanCache {
     })
   }
 
-  /** Evict entries owned by stopped sessions: a long-lived service
-    * that creates and stops many SparkSessions must not have them (or
-    * their cached blocks) pinned forever by this map's strong keys.
-    * The blocks themselves died with the session's BlockManager, so
-    * dropping the reference is the whole cleanup. */
+  /** Evict entries owned by stopped sessions: a service that stops
+    * whole SparkContexts must not have them pinned by this map's
+    * strong keys. The blocks themselves died with the context's
+    * BlockManager, so dropping the reference is the whole cleanup.
+    *
+    * NOTE this predicate is context-level: sessions discarded via
+    * `newSession()` share a live context and are NOT detected — a
+    * service recycling sessions that way must call [[evict]] when it
+    * retires one (automatic detection would need weak keys, and the
+    * cached DataFrame values reference their session strongly, so
+    * weak keys alone cannot release anything). */
   private def pruneStopped(): Unit = evictWhere(_.sparkContext.isStopped)
+
+  /** Release one session's entries and unpersist their blocks — for
+    * services that discard `newSession()` instances (invisible to
+    * [[pruneStopped]], see its note). */
+  def evict(s: SparkSession): Unit =
+    cache.keys.filter(_._1 eq s).foreach { k =>
+      cache.remove(k).foreach(_.unpersist(blocking = false))
+    }
 
   /** Eviction core, exposed for specs (a test cannot stop a second
     * session in-process — newSession() shares the one SparkContext). */

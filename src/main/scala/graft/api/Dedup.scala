@@ -305,10 +305,20 @@ object Dedup {
     connectedComponentsWithRounds(pairs, src, dst)._1
 
   /** [[connectedComponents]] plus the number of alternating rounds it
-    * took to converge (for logarithmic-convergence assertions). */
+    * took to converge (for logarithmic-convergence assertions).
+    * Throws if `maxRounds` is exhausted before the fixed point —
+    * returning a mid-contraction edge set would silently produce
+    * duplicate, non-minimum labels. The default budget of 256 covers
+    * the proven O(log² n) worst case far beyond any feasible corpus
+    * (observed behavior is O(log n): a 500-node chain takes ~8). */
   def connectedComponentsWithRounds(pairs: DataFrame, src: String,
-      dst: String, maxRounds: Int = 64): (DataFrame, Int) = {
-    // canonical orientation (a > b), deduped, self-loops dropped
+      dst: String, maxRounds: Int = 256): (DataFrame, Int) = {
+    // canonical orientation (a > b), deduped; self-loops carry no
+    // connectivity but their nodes must keep a label, so remember the
+    // full node set before dropping them
+    val nodes = pairs.select(col(src).as("node"))
+      .union(pairs.select(col(dst).as("node")))
+      .distinct()
     var cur = pairs.select(col(src).as("x"), col(dst).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("a"),
@@ -349,9 +359,15 @@ object Dedup {
       cur = ss
       curCnt = ssCnt
     }
-    val lab = cur.select(col("a").as("node"), col("b").as("label"))
-      .union(cur.select(col("b").as("node"), col("b").as("label")))
-      .distinct()
+    if (!done)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds")
+    // nodes appearing only in self-loops label themselves
+    val lab = nodes
+      .join(cur.select(col("a").as("node"), col("b").as("label"))
+        .union(cur.select(col("b").as("node"), col("b").as("label")))
+        .distinct(), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
     (lab, rounds)
   }
 

@@ -62,11 +62,15 @@ object IvfPq {
     // per round instead of ~6·m
     val subs = subVectors(ev, m, subDim).localCheckpoint(true)
     val subd2 = "vec_dot(sub, sub) - 2 * vec_dot(sub, c) + vec_dot(c, c)"
+    // seed codes are the RANK among the ksub smallest ids (0..ksub−1),
+    // never a cast of the id value (see VecKMeans.seedCenters) — this
+    // is also what keeps every PQ code < 256 regardless of id space
     val seedIds = ev.orderBy(col("vec_id")).limit(ksub)
-      .select(col("vec_id"))
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .cast("int").as("code"))
     var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
-      .select(col("s"), col("vec_id").cast("int").as("code"),
-        col("sub").as("c"))
+      .select(col("s"), col("code"), col("sub").as("c"))
       .localCheckpoint(true)
     def assignSubs(codebook: DataFrame): DataFrame = subs
       .join(broadcast(codebook), Seq("s"))

@@ -60,15 +60,28 @@ object VecKMeans {
   }
 
   /** fixed-round Lloyd training, deterministic smallest-id seeds.
-    * Checkpoints the k-row center frame each round: materializing
-    * k×dims doubles is free, and it keeps the unrolled plan SHALLOW —
-    * without it every round re-plans (and re-codegens) the whole
-    * preceding lineage, which dominates wall time at small k. */
+    * Center ids are the DENSE RANK of the seed (0..k−1), never a cast
+    * of the caller's id value — string ids would cast to null (one
+    * degenerate all-null cluster) and >2³¹ longs would wrap and
+    * collide, both silently. Checkpoints the k-row center frame each
+    * round: materializing k×dims doubles is free, and it keeps the
+    * unrolled plan SHALLOW — without it every round re-plans (and
+    * re-codegens) the whole preceding lineage, which dominates wall
+    * time at small k. */
   def train(e: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val seed = e.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    val seed = seedCenters(e, k)
     (1 to rounds).foldLeft(seed) { (cs, _) =>
       recenter(assign(e, cs)).localCheckpoint(true)
     }
+  }
+
+  /** (cid: int 0..k−1, c): the k smallest-id rows as seed centers,
+    * cid = rank among the seeds (id-type-agnostic). */
+  private[graft] def seedCenters(e: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("vec_id"))
+    // the global single-partition window touches only the k-row limit
+    e.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).cast("int").as("cid"),
+        col("v").as("c"))
   }
 }

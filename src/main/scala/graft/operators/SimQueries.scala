@@ -132,8 +132,18 @@ object SimQueries {
     * would be byte-identical): the first invocation pays the one-time
     * build, every later one measures the real serving path, the
     * pruned nProbe-partition probe. */
+  /** index path keyed by the fixture dir AND the source parquet's
+    * (mtime, length): regenerating the fixture at the same path can
+    * never serve a stale index — the stamp changes, a fresh build
+    * runs. */
+  private[operators] def indexPath(family: String, dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    s"/tmp/$family/" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      s"_${f.lastModified}_${f.length}"
+  }
+
   val simTopkIvf: GQuery = GQuery.noOracle("sim_topk_ivf") { (s, dir) =>
-    val ivfPath = "/tmp/graft_ivf/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ivfPath = indexPath("graft_ivf", dir)
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
     if (!new java.io.File(s"$ivfPath/cells/_SUCCESS").exists())
       graft.api.Similarity.ivfBuild(ev, "vec_id", "v", ivfPath,
@@ -152,7 +162,7 @@ object SimQueries {
     * exactness-of-reranked-cosines are property-tested in IvfPqSpec.
     * no-oracle (approximate index). */
   val simTopkIvfPq: GQuery = GQuery.noOracle("sim_topk_ivfpq") { (s, dir) =>
-    val pqPath = "/tmp/graft_ivfpq/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val pqPath = indexPath("graft_ivfpq", dir)
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
     if (!new java.io.File(s"$pqPath/cells/_SUCCESS").exists())
       graft.api.IvfPq.build(ev, "vec_id", "v", pqPath,

@@ -38,14 +38,27 @@ object DedupStreams {
     graft.functions.TextExpressions.register(docs.sparkSession)
     val shingles = array_distinct(call_function("word_ngrams",
       split(col(text), " "), lit(n)))
-    def h(k: Int): Column = {
-      val m = k / 4; val j = k % 4
-      array_min(transform(shingles, s =>
-        conv(substring(md5(concat(lit(s"$m:"), s)), 1 + 8 * j, 8), 16, 10)
-          .cast("long"))).as(s"h$k")
-    }
+    // md5 is the dominant cost and higher-order lambdas are evaluated
+    // interpreted (no cross-column subexpression elimination), so the
+    // TWO digests per shingle are computed exactly once and folded
+    // into all 8 signature minimums in a single aggregate pass. The
+    // explode of a 1-element array is a Generate barrier: project
+    // collapsing cannot inline (and re-evaluate) the aggregate into
+    // the 8 extraction columns.
+    val digs = transform(shingles, s =>
+      array(md5(concat(lit("0:"), s)), md5(concat(lit("1:"), s))))
+    val init = array((0 to 7).map(_ => lit(Long.MaxValue)): _*)
+    val hs = aggregate(digs, init, (acc, d) =>
+      array((0 to 7).map { k =>
+        val m = k / 4; val j = k % 4
+        least(element_at(acc, k + 1),
+          conv(substring(element_at(d, m + 1), 1 + 8 * j, 8), 16, 10)
+            .cast("long"))
+      }: _*))
     docs.filter(size(shingles) > 0)
-      .select(col(id) +: (0 to 7).map(h): _*)
+      .select(col(id), explode(array(hs)).as("hs"))
+      .select(col(id) +: (0 to 7).map(k =>
+        col("hs").getItem(k).as(s"h$k")): _*)
   }
 
   private val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))

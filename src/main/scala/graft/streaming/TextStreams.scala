@@ -49,7 +49,10 @@ object TextStreams {
       stopwords: Seq[String]): DataFrame = {
     val toks = split(col(text), " ")
     val stopArr = array(stopwords.map(lit): _*)
-    docs
+    // null-text rows are dropped, matching the batch scorer (whose
+    // explode never emits them) — without this they would surface as
+    // all-null metric rows the batch twin does not have
+    docs.filter(col(text).isNotNull)
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
       .withColumn("sum_len",

@@ -55,6 +55,13 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("self-loop-only nodes keep a self-label instead of vanishing") {
+    val pairs = Seq((7L, 7L), (1L, 2L), (2L, 2L)).toDF("s", "d")
+    val lab = Dedup.connectedComponents(pairs, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("two disjoint cliques keep separate minimum labels") {
     val k1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
     val k2 = for (a <- 10L to 14L; b <- 10L to 14L if a < b) yield (a, b)
