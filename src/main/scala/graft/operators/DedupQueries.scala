@@ -66,7 +66,14 @@ object DedupQueries {
       |          for i in generate_series(1, len(t) - 2)]) AS shingle
       |  FROM toks)""".stripMargin
 
-  /** Exact dedup on text (keep min doc_id), survivors per lang. */
+  /** Exact dedup on text (keep min doc_id), survivors per lang.
+    *
+    * The survivor of a text group is its minimum doc_id row, so the
+    * whole query is two AGGREGATES (min-struct per text, then counts
+    * per survivor lang) — unlike a row_number window (the oracle's
+    * spelling), aggregation combines map-side: duplicate texts
+    * collapse BEFORE the shuffle, so at scale the exchange carries
+    * ~distinct texts, not the full corpus. */
   val dedupExact: GQuery = GQuery(
     "dedup_exact",
     """SELECT lang, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc
@@ -76,12 +83,12 @@ object DedupQueries {
       |WHERE rn = 1
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .select(col("text"), struct(col("doc_id"), col("lang")).as("p"))
+      .groupBy(col("text"))
+      .agg(min(col("p")).as("m"))
+      .groupBy(col("m.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("m.doc_id")).as("min_doc"))
       .orderBy(col("lang"))
   }
 
