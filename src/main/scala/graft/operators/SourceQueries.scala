@@ -89,5 +89,36 @@ object SourceQueries {
       .orderBy(col("p_brand"))
   }
 
-  val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan)
+  /** customer → ORC (the second columnar format Spark ships beside
+    * parquet: predicate pushdown + column pruning work the same) →
+    * read with explicit schema → per-segment aggregate. */
+  val sourceOrcScan: GQuery = GQuery(
+    "source_orc_scan",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  min(c_name) AS first_name,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS bal_sum
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val path = tmpDir("orc_customer", dir)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .write.mode("overwrite").orc(path)
+    val schema = StructType.fromDDL(
+      "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, " +
+        "c_mktsegment STRING")
+    s.read.schema(schema).orc(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_custkey")).as("key_sum"),
+        min(col("c_name")).as("first_name"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+          .cast("double").as("bal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan, sourceOrcScan)
 }
