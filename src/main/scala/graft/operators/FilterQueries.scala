@@ -79,5 +79,36 @@ object FilterQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  val all: Seq[GQuery] = Seq(projectArith, filterPred, filterInNull)
+  /** Correlated SCALAR subqueries through Catalyst decorrelation
+    * (the EXISTS twin lives in ReshapeQueries): orders costing more
+    * than twice their customer's average order. Also exercises the
+    * `spark.sql` entry point over a registered view — the same
+    * LogicalPlan surface the DataFrame bindings produce. The compare
+    * is spelled multiplied-out on exact decimals (price·n > 2·sum) so
+    * no engine ever divides: averages of doubles are accumulation-
+    * order-dependent and a boundary-equal row would flip the hash. */
+  val filterScalarSubquery: GQuery = GQuery(
+    "filter_scalar_subquery",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      |    * (SELECT count(*) FROM orders o2
+      |       WHERE o2.o_custkey = o.o_custkey)
+      |  > 2 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders_ssq")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_ssq o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |    * (SELECT count(*) FROM orders_ssq o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |  > 2 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |         FROM orders_ssq o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val all: Seq[GQuery] =
+    Seq(projectArith, filterPred, filterInNull, filterScalarSubquery)
 }
