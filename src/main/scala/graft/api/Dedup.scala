@@ -314,11 +314,10 @@ object Dedup {
   def connectedComponentsWithRounds(pairs: DataFrame, src: String,
       dst: String, maxRounds: Int = 256): (DataFrame, Int) = {
     // canonical orientation (a > b), deduped; self-loops carry no
-    // connectivity but their nodes must keep a label, so remember the
-    // full node set before dropping them
-    val nodes = pairs.select(col(src).as("node"))
-      .union(pairs.select(col(dst).as("node")))
-      .distinct()
+    // connectivity but their nodes must keep a label — they rejoin as
+    // self-label rows in the final aggregate
+    val selfLoops = pairs.select(col(src).as("node"))
+      .filter(col(src) === col(dst))
     var cur = pairs.select(col(src).as("x"), col(dst).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("a"),
@@ -362,12 +361,14 @@ object Dedup {
     if (!done)
       throw new IllegalStateException(
         s"connected components did not converge within $maxRounds rounds")
-    // nodes appearing only in self-loops label themselves
-    val lab = nodes
-      .join(cur.select(col("a").as("node"), col("b").as("label"))
-        .union(cur.select(col("b").as("node"), col("b").as("label")))
-        .distinct(), Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // one aggregate labels everything: star edges contribute
+    // (member → root) and (root → root); self-loop nodes contribute a
+    // self-label, which min() overrides whenever a real edge label
+    // (always ≤ the node id, being the component minimum) exists
+    val lab = cur.select(col("a").as("node"), col("b").as("label"))
+      .union(cur.select(col("b").as("node"), col("b").as("label")))
+      .union(selfLoops.select(col("node"), col("node").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
     (lab, rounds)
   }
 
