@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, SortedIntersectCountMin, TextExpressions, VecDot, VecNorm, WordNgrams}
+import graft.functions.{CharNgrams, TextExpressions, VecDot, VecNorm, WordNgrams}
 
 /** Session-extension entry point: makes the engine's native functions
   * available to ANY session (including pure-SQL users on a cluster)
@@ -49,7 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b, minNeeded) - early-exit merge " +
           "count of two sorted distinct string arrays"),
-      (exprs: Seq[Expression]) =>
-        SortedIntersectCountMin(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => graft.functions.SetExpressions.build(exprs)))
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Path + atomicity discipline for SAVED serving indexes (the IVF /
+  * IVF-PQ ANN indexes and the MinHash signature index).
+  *
+  * Two problems a shared on-disk index must solve:
+  *
+  *  - '''staleness''': an index built from a fixture that has since
+  *    been regenerated must never be served. Paths are therefore
+  *    stamped with the source parquet's (mtime, length) — regenerating
+  *    the fixture changes the stamp, so the old index is simply never
+  *    looked up again ([[stampedPath]]).
+  *  - '''concurrency''': two runs (same user, or two processes) must
+  *    not interleave a build with a read, and two users on one host
+  *    must not collide on a world-shared /tmp directory. The base
+  *    directory is scoped per OS user, and [[ensure]] builds into a
+  *    process-unique temp sibling then PUBLISHES it with one atomic
+  *    rename — a reader either finds no complete index (and builds its
+  *    own) or a fully-written one, never a half-written directory.
+  *    Same-JVM races serialize on a lock; cross-process races resolve
+  *    at the rename (first publisher wins, the loser discards its
+  *    build and serves the winner's — both are byte-identical anyway,
+  *    every builder being deterministic).
+  */
+object IndexStore {
+
+  private val jvmLock = new Object
+
+  /** Marker written as the LAST file of a build: its presence at
+    * `path` means every parquet under `path` is complete. */
+  private val completeMarker = "_GRAFT_INDEX_COMPLETE"
+
+  /** Per-user base directory under java.io.tmpdir. */
+  def baseDir: File =
+    new File(sys.props("java.io.tmpdir"),
+      s"graft_idx_${sys.props("user.name")}")
+
+  /** Index path for `family`, keyed by the fixture dir AND the source
+    * parquet's (mtime, length): regenerating the fixture at the same
+    * path can never serve a stale index — the stamp changes and a
+    * fresh build runs. */
+  def stampedPath(family: String, dir: String, sourceFile: String): String = {
+    val f = new File(dir, sourceFile)
+    new File(new File(baseDir, family),
+      dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        s"_${f.lastModified}_${f.length}").getPath
+  }
+
+  /** Whether a COMPLETE index exists at `path` (the marker is written
+    * after all data files, so a half-built directory reads false). */
+  def isComplete(path: String): Boolean =
+    new File(path, completeMarker).exists()
+
+  /** Build-if-absent with atomic publication: when no complete index
+    * sits at `path`, run `build` against a process-unique temp sibling
+    * and atomically rename it into place. Returns `path`. */
+  def ensure(path: String)(build: String => Unit): String =
+    jvmLock.synchronized {
+      if (!isComplete(path)) {
+        val tmp = path +
+          s".build-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+        build(tmp)
+        Files.createFile(Paths.get(tmp, completeMarker))
+        val parent = Paths.get(path).getParent
+        if (parent != null) Files.createDirectories(parent)
+        try
+          Files.move(Paths.get(tmp), Paths.get(path),
+            StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // lost a cross-process race: another build published first
+          // while ours ran. Serve the winner's, discard ours.
+          case _: java.nio.file.FileSystemException if isComplete(path) =>
+            deleteRecursively(new File(tmp))
+        }
+      }
+      path
+    }
+
+  private def deleteRecursively(f: File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+}

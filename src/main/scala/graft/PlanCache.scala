@@ -62,9 +62,16 @@ object PlanCache {
     }
 
   /** Eviction core, exposed for specs (a test cannot stop a second
-    * session in-process — newSession() shares the one SparkContext). */
+    * session in-process — newSession() shares the one SparkContext).
+    * Entries on a LIVE context unpersist their blocks on the way out
+    * (mirroring [[evict]]); on a stopped context the blocks died with
+    * the BlockManager, so dropping the reference is the cleanup. */
   private[graft] def evictWhere(p: SparkSession => Boolean): Unit =
-    cache.keys.foreach { k => if (p(k._1)) cache.remove(k) }
+    cache.keys.foreach { k =>
+      if (p(k._1)) cache.remove(k).foreach { df =>
+        if (!k._1.sparkContext.isStopped) df.unpersist(blocking = false)
+      }
+    }
 
   /** Number of live memoized frames (for leak assertions in specs). */
   def size: Int = cache.size

@@ -41,6 +41,10 @@ object IvfPq {
     * by `m`. */
   def build(corpus: DataFrame, id: String, vec: String, path: String,
       k: Int = 8, rounds: Int = 2, m: Int = 8, ksub: Int = 64): Unit = {
+    // one byte per code is the memory contract the serving story (and
+    // IvfPqSpec's compression assertion) rests on
+    require(ksub > 0 && ksub <= 256,
+      s"ksub=$ksub must be in 1..256 (codes are one byte each)")
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     // materialize the prepared corpus ONCE: seeds, coarse training,
     // sub-vector explode and the final assignment all re-read it, and

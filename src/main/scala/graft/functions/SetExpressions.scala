@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -29,10 +29,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * ascending in UTF8String binary order, no nulls, no duplicates.
   */
 case class SortedIntersectCountMin(first: Expression, second: Expression,
-    third: Expression) extends TernaryExpression with CodegenFallback {
+    third: Expression) extends TernaryExpression with ExpectsInputTypes
+    with CodegenFallback {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+
+  // wrong-typed SQL calls fail at ANALYSIS (clean error naming the
+  // function), not at execution with a ClassCastException — this
+  // expression is injected into every session via GraftExtensions.
+  // (Declared as the covariant Seq[DataType]: AbstractDataType is
+  // private[sql], but every expected type here is concrete.)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType), IntegerType)
 
   override def nullSafeEval(a: Any, b: Any, m: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -60,10 +69,20 @@ case class SortedIntersectCountMin(first: Expression, second: Expression,
 }
 
 object SetExpressions {
+
+  /** Arity check shared by every registration site: a wrong-arity SQL
+    * call gets a clean error naming the function, not an
+    * IndexOutOfBoundsException from exprs(2). */
+  def build(exprs: Seq[Expression]): SortedIntersectCountMin = {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"sorted_intersect_count expects 3 arguments (a, b, minNeeded), " +
+          s"got ${exprs.length}")
+    SortedIntersectCountMin(exprs(0), exprs(1), exprs(2))
+  }
+
   /** Idempotently register sorted_intersect_count(a, b, minNeeded). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedIntersectCountMin(exprs(0), exprs(1), exprs(2)),
-      "built-in")
+      "sorted_intersect_count", build, "built-in")
 }

@@ -132,22 +132,18 @@ object SimQueries {
     * would be byte-identical): the first invocation pays the one-time
     * build, every later one measures the real serving path, the
     * pruned nProbe-partition probe. */
-  /** index path keyed by the fixture dir AND the source parquet's
-    * (mtime, length): regenerating the fixture at the same path can
-    * never serve a stale index — the stamp changes, a fresh build
-    * runs. */
-  private[operators] def indexPath(family: String, dir: String): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    s"/tmp/$family/" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      s"_${f.lastModified}_${f.length}"
-  }
-
+  /** index path + build-if-absent via graft.IndexStore: the path is
+    * per-user and stamped with the source parquet's (mtime, length) —
+    * a regenerated fixture can never serve a stale index — and the
+    * build publishes with one atomic rename, so concurrent runs can't
+    * interleave a read with a half-written build. */
   val simTopkIvf: GQuery = GQuery.noOracle("sim_topk_ivf") { (s, dir) =>
-    val ivfPath = indexPath("graft_ivf", dir)
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
-    if (!new java.io.File(s"$ivfPath/cells/_SUCCESS").exists())
-      graft.api.Similarity.ivfBuild(ev, "vec_id", "v", ivfPath,
+    val ivfPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivf", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
         k = 8, rounds = 2)
+    }
     graft.api.Similarity.ivfTopK(ev.filter(col("vec_id") < 50),
       "vec_id", "v", ivfPath, k = 3, nProbe = 3)
       .orderBy(col("probe_id"), col("rk"))
@@ -162,11 +158,12 @@ object SimQueries {
     * exactness-of-reranked-cosines are property-tested in IvfPqSpec.
     * no-oracle (approximate index). */
   val simTopkIvfPq: GQuery = GQuery.noOracle("sim_topk_ivfpq") { (s, dir) =>
-    val pqPath = indexPath("graft_ivfpq", dir)
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
-    if (!new java.io.File(s"$pqPath/cells/_SUCCESS").exists())
-      graft.api.IvfPq.build(ev, "vec_id", "v", pqPath,
+    val pqPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivfpq", dir, "embeddings.parquet")) {
+      tmp => graft.api.IvfPq.build(ev, "vec_id", "v", tmp,
         k = 8, rounds = 2, m = 8, ksub = 64)
+    }
     graft.api.IvfPq.topK(ev.filter(col("vec_id") < 50),
       "vec_id", "v", pqPath, k = 3, nProbe = 3)
       .orderBy(col("probe_id"), col("rk"))
