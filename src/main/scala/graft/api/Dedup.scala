@@ -104,6 +104,83 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  private val sigBands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+
+  /** LSH band-key rows of a signature table (id, h0..h7): one row per
+    * (document, band), CARRYING the full signature through the explode
+    * — (id, h0..h7, b, k1, k2). A stateless projection (runs on batch
+    * and streaming frames alike); the carried signature makes any
+    * downstream band join self-contained (est_jaccard and the
+    * first-equal-band dedup both compute from carried columns, no
+    * rejoin with the signature frame). */
+  private[graft] def bandedSignatures(sig: DataFrame, id: String,
+      hPrefix: String = "h"): DataFrame = {
+    val bandArr = sigBands.zipWithIndex.map { case ((x, y), bi) =>
+      struct(lit(bi).as("b"), col(s"$hPrefix$x").as("k1"),
+        col(s"$hPrefix$y").as("k2")) }
+    val hCols = (0 to 7).map(k => col(s"$hPrefix$k"))
+    sig.select(col(id) +: hCols :+ explode(array(bandArr: _*)).as("band"): _*)
+      .select(col(id) +: hCols :+ col("band.b").as("b")
+        :+ col("band.k1").as("k1") :+ col("band.k2").as("k2"): _*)
+  }
+
+  /** Bounded bucket of a band key — the PARTITION column of the saved
+    * signature index. Derived only from (b, k1, k2) with every
+    * intermediate < 38·nBuckets, so it evaluates identically (and
+    * overflow-free under ANSI) on the build, append, and probe sides.
+    */
+  private[graft] def bandBucket(nBuckets: Int): Column =
+    pmod(pmod(col("k1"), lit(nBuckets.toLong)) * 31 +
+      pmod(col("k2"), lit(nBuckets.toLong)) * 7 + col("b"),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** Build and SAVE the banded MinHash signature index of a corpus at
+    * `path`: every (document, band) posting — (id, h0..h7, b, k1, k2)
+    * — written as parquet PARTITIONED by `bkt`, a bounded
+    * deterministic bucket of the band key, plus a 1-row `meta` table
+    * pinning (n, nBuckets) so append and probe always band and bucket
+    * exactly as the build did.
+    *
+    * This is the continuous-ingestion dedup serving story
+    * (graft.streaming.DedupStreams): the expensive corpus pass —
+    * tokenize, shingle, hash — runs ONCE at build time; a fresh
+    * serving process probes the SAVED index immediately (no
+    * re-signing), and a batch probe's scan prunes to the arrivals'
+    * band buckets via partition filters. The signature-index twin of
+    * [[Similarity.ivfBuild]]. */
+  def signatureIndexBuild(docs: DataFrame, id: String, text: String,
+      path: String, n: Int = 3, nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, nBuckets)).toDF("n", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the saved layout uses the CANONICAL id column name "id", so a
+    // probe never needs to know what the build caller's column was
+    bandedSignatures(
+        minhashSignatures(wordShingles(docs, id, text, n), id)
+          .withColumnRenamed(id, "id"), "id")
+      .withColumn("bkt", bandBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bands")
+  }
+
+  /** Incrementally add documents to a saved [[signatureIndexBuild]]
+    * index: the arrivals are signed through the same batch path and
+    * their band rows APPENDED to the bucket-partitioned layout — only
+    * the touched bucket directories gain files, nothing is rewritten.
+    * The maintenance counterpart of continuous-ingestion dedup:
+    * score a batch against the index, then fold it in. */
+  def signatureIndexAppend(newDocs: DataFrame, id: String, text: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, nBuckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"))
+    bandedSignatures(
+        minhashSignatures(wordShingles(newDocs, id, text, n), id)
+          .withColumnRenamed(id, "id"), "id")
+      .withColumn("bkt", bandBucket(nBuckets))
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/bands")
+  }
+
   /** 16-bit SimHash signatures over distinct tokens: (id, simhash). */
   def simhashSignatures(docs: DataFrame, id: String,
       text: String): DataFrame = {

@@ -416,8 +416,11 @@ object DedupQueries {
 
   /** Continuous-ingestion near-dedup as a CONTRACT query: the corpus
     * (doc_id % 5 < 4, 80%) is indexed through the batch signature
-    * path; the "arriving" 20% is signed PER ROW and joined against
-    * the index on LSH band keys — the exact plan
+    * path into a SAVED band-bucket-partitioned parquet index
+    * (graft.api.Dedup.signatureIndexBuild, build-if-absent through
+    * graft.IndexStore's stamped-path + atomic-publish discipline);
+    * the "arriving" 20% is signed PER ROW and joined against the
+    * saved index on LSH band keys — the exact plan
     * graft.streaming.DedupStreams runs on a live stream (the batch
     * and streaming paths are the same function; DedupStreamsSpec pins
     * them equal). The oracle replays both signature paths from one
@@ -433,14 +436,14 @@ object DedupQueries {
        |WHERE CAST($duckAgree AS DOUBLE) / 8 >= 0.5
        |ORDER BY a.doc_id, corpus_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documentsSpread(s, dir)
-    val index = PlanCache.memo(s, dir, "ingest_index") {
-      graft.api.Dedup.minhashSignatures(
-        graft.api.Dedup.wordShingles(
-          docs.filter(col("doc_id") % 5 < 4), "doc_id", "text"),
-        "doc_id")
+    val path = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("minhash_sig80", dir,
+        "documents.parquet")) { tmp =>
+      graft.api.Dedup.signatureIndexBuild(
+        docs.filter(col("doc_id") % 5 < 4), "doc_id", "text", tmp)
     }
-    graft.streaming.DedupStreams.nearDupsAgainstIndex(
-      docs.filter(col("doc_id") % 5 === 4), index, "doc_id", "text")
+    graft.streaming.DedupStreams.nearDupsAgainstSavedIndex(
+      docs.filter(col("doc_id") % 5 === 4), path, "doc_id", "text")
       .orderBy(col("doc_id"), col("corpus_id"))
   }
 

@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Continuous-ingestion near-dedup (SURVEY.md §2.11 round-4 note a):
   * score a STREAM of arriving documents against a signature index of
   * the existing corpus — the shape a training-data pipeline actually
-  * serves: the corpus index is built once in batch
-  * (graft.api.Dedup.minhashSignatures, materialized/saved), and each
-  * micro-batch is signed PER ROW and stream-static joined against the
-  * index on LSH band keys.
+  * serves: the corpus index is built once in batch and SAVED
+  * (graft.api.Dedup.signatureIndexBuild — banded signature rows,
+  * parquet partitioned by band bucket), and each micro-batch is
+  * signed PER ROW and stream-static joined against the saved index on
+  * LSH band keys ([[nearDupsAgainstSavedIndex]]). A fresh serving
+  * process reads the index as-is — the corpus is never re-signed.
+  * [[nearDupsAgainstIndex]] is the in-memory variant for callers who
+  * already hold the signature frame.
   *
   * Everything on the stream side is stateless (per-row expressions +
   * a projection explode), and a stream-static inner equi-join needs
@@ -63,38 +67,16 @@ object DedupStreams {
 
   private val bands = Seq((0, 1), (2, 3), (4, 5), (6, 7))
 
-  /** LSH band keys (4 bands × 2 rows) for a signed frame, CARRYING
-    * the full signature through the explode — a stateless projection,
-    * and the carried columns make the downstream join self-contained
-    * (no rejoin with the signature frame, which on a stream would be
-    * a stateful stream-stream self-join). */
-  private def banded(sig: DataFrame, id: String, hPrefix: String): DataFrame = {
-    val bandArr = bands.zipWithIndex.map { case ((x, y), bi) =>
-      struct(lit(bi).as("b"), col(s"$hPrefix$x").as("k1"),
-        col(s"$hPrefix$y").as("k2")) }
-    val hCols = (0 to 7).map(k => col(s"$hPrefix$k"))
-    sig.select(col(id) +: hCols :+ explode(array(bandArr: _*)).as("band"): _*)
-      .select(col(id) +: hCols :+ col("band.b").as("b")
-        :+ col("band.k1").as("k1") :+ col("band.k2").as("k2"): _*)
-  }
-
-  /** Near-duplicate candidates of a document stream against a STATIC
-    * corpus signature index (columns id, h0..h7 — the output shape of
-    * both the batch minhashSignatures and [[signRows]]):
-    * (<id>, corpus_id, est_jaccard ≥ minEst).
-    *
-    * A pair colliding in several bands is kept exactly once WITHOUT a
-    * stateful distinct: the post-join filter keeps only the FIRST
-    * band whose keys agree (computable from the carried signatures —
-    * the same pigeonhole trick the batch simhash join uses), so the
-    * whole pipeline stays stateless. Works identically when `stream`
-    * is a batch frame (spec-pinned). */
-  def nearDupsAgainstIndex(stream: DataFrame, index: DataFrame,
-      id: String, text: String, minEst: Double = 0.5): DataFrame = {
-    val sig = signRows(stream, id, text)
-    val corpus = (0 to 7).foldLeft(
-      index.withColumnRenamed(id, "corpus_id")) { (d, k) =>
-      d.withColumnRenamed(s"h$k", s"c$k") }
+  /** Join core shared by the in-memory and saved-index probes: the
+    * band equi-join of a banded arrival frame against a banded corpus
+    * frame (c-prefixed signature columns), with the first-equal-band
+    * filter keeping each colliding pair exactly once WITHOUT a
+    * stateful distinct — the smallest agreeing band index is
+    * computable from the CARRIED signatures (the same pigeonhole
+    * trick the batch simhash join uses), so the whole pipeline stays
+    * stateless and Append-mode-safe. */
+  private def bandJoin(arrivals: DataFrame, corpus: DataFrame,
+      id: String, joinKeys: Seq[String], minEst: Double): DataFrame = {
     // smallest band index whose keys agree: when(band0, 0)
     //   .otherwise(when(band1, 1).otherwise(... 3))
     val firstEq = bands.zipWithIndex.init.foldRight(lit(3): Column) {
@@ -104,11 +86,64 @@ object DedupStreams {
     }
     val agree = (0 to 7).map(k =>
       when(col(s"h$k") === col(s"c$k"), 1).otherwise(0)).reduce(_ + _)
-    banded(sig, id, "h")
-      .join(banded(corpus, "corpus_id", "c"), Seq("b", "k1", "k2"))
+    arrivals.join(corpus, joinKeys)
       .filter(col("b") === firstEq)
       .select(col(id), col("corpus_id"),
         (agree.cast("double") / 8).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** Near-duplicate candidates of a document stream against an
+    * IN-MEMORY corpus signature frame (columns id, h0..h7 — the
+    * output shape of both the batch minhashSignatures and
+    * [[signRows]]): (<id>, corpus_id, est_jaccard ≥ minEst). Works
+    * identically when `stream` is a batch frame (spec-pinned). */
+  def nearDupsAgainstIndex(stream: DataFrame, index: DataFrame,
+      id: String, text: String, minEst: Double = 0.5): DataFrame = {
+    val sig = signRows(stream, id, text)
+    val corpus = (0 to 7).foldLeft(
+      index.withColumnRenamed(id, "corpus_id")) { (d, k) =>
+      d.withColumnRenamed(s"h$k", s"c$k") }
+    bandJoin(graft.api.Dedup.bandedSignatures(sig, id, "h"),
+      graft.api.Dedup.bandedSignatures(corpus, "corpus_id", "c"),
+      id, Seq("b", "k1", "k2"), minEst)
+  }
+
+  /** Near-duplicate candidates of a document stream against the SAVED
+    * signature index at `path` (graft.api.Dedup.signatureIndexBuild):
+    * (<id>, corpus_id, est_jaccard ≥ minEst).
+    *
+    * The index is read as-is — already banded, already bucketed — so
+    * a fresh serving process never re-signs the corpus. For a BATCH
+    * arrival frame, the arrivals' band-bucket set (bounded by the
+    * index's nBuckets) is realized on the driver as a literal
+    * `bkt IN (...)` predicate, which Catalyst turns into
+    * PartitionFilters: only the touched bucket directories are ever
+    * read (the same pruning move as [[graft.api.Similarity.ivfTopK]]).
+    * A STREAMING frame cannot be collected, so the bucket is a join
+    * key instead and the stream-static join re-reads the (pruned-by-
+    * nothing) index per micro-batch — still correct, and the engine
+    * sizes the join from the index's actual size. */
+  def nearDupsAgainstSavedIndex(stream: DataFrame, path: String,
+      id: String, text: String, minEst: Double = 0.5): DataFrame = {
+    val spark = stream.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, nBuckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"))
+    val corpus = (0 to 7).foldLeft(
+        spark.read.parquet(s"$path/bands")
+          .withColumnRenamed("id", "corpus_id")) { (d, k) =>
+      d.withColumnRenamed(s"h$k", s"c$k") }
+    val arrivals = graft.api.Dedup.bandedSignatures(
+        signRows(stream, id, text, n), id, "h")
+      .withColumn("bkt", graft.api.Dedup.bandBucket(nBuckets))
+    val prunedCorpus =
+      if (stream.isStreaming) corpus
+      else {
+        val bkts = arrivals.select(col("bkt")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        corpus.filter(col("bkt").isin(bkts: _*))
+      }
+    bandJoin(arrivals, prunedCorpus, id, Seq("bkt", "b", "k1", "k2"),
+      minEst)
   }
 }

@@ -71,4 +71,37 @@ class DedupStreamsSpec extends SparkTestBase {
     assert(batchPairs.subsetOf(got))
     index.unpersist()
   }
+
+  test("streaming probe of the SAVED index equals the batch probe and the in-memory one") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigidx_stream").toString
+    graft.api.Dedup.signatureIndexBuild(corpusDocs.toDF(), "doc_id",
+      "text", path)
+    val planted = Doc(999998L, corpusDocs.head.text)
+    val feed = arrivals :+ planted
+    val mem = MemoryStream[Doc]
+    val q = DedupStreams.nearDupsAgainstSavedIndex(mem.toDF(), path,
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("ingest_dedup_saved")
+      .outputMode("append").start()
+    feed.grouped(40).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("ingest_dedup_saved").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin over the SAME saved index
+    val want = DedupStreams.nearDupsAgainstSavedIndex(feed.toDF(), path,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.contains((999998L, corpusDocs.head.doc_id, 1.0)))
+    // and equals the in-memory signature-frame probe
+    val viaMem = DedupStreams.nearDupsAgainstIndex(feed.toDF(),
+        graft.api.Dedup.minhashSignatures(
+          graft.api.Dedup.wordShingles(corpusDocs.toDF(), "doc_id", "text"),
+          "doc_id"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == viaMem)
+  }
 }
