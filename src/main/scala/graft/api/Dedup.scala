@@ -1,7 +1,6 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Public, fixture-independent deduplication API: every operator the
@@ -454,16 +453,24 @@ object Dedup {
     * (byte-identical text, not the smallest id), `drop_near` (member
     * of a MinHash near-dup cluster but not its representative = the
     * cluster's min id), `keep` otherwise; exact wins over near.
-    * Composed from the verified building blocks: exact-dup window +
-    * banded MinHash pairs + [[connectedComponents]]. A caller who
-    * already materialized the near-dup pair list (e.g. through a
-    * session memo) donates it via `pairs`. */
+    * Composed from the verified building blocks: exact-dup min
+    * aggregate + banded MinHash pairs + [[connectedComponents]]. A
+    * caller who already materialized the near-dup pair list (e.g.
+    * through a session memo) donates it via `pairs`.
+    *
+    * The exact stage is the same shape as `dedup_exact`: the keep of
+    * a text group is min(id), computed by an AGGREGATE — partial mins
+    * combine map-side, so a hot duplicate text (the very case dedup
+    * exists for) collapses to one row per input partition BEFORE the
+    * exchange, where a `row_number() over (partition by text)` window
+    * would shuffle every copy of the hot text to a single task keyed
+    * by the full text string. Membership then attaches back on the
+    * uniformly-distributed id key, never on text. */
   def keepList(docs: DataFrame, id: String, text: String,
       minEst: Double = 0.5, pairs: Option[DataFrame] = None): DataFrame = {
-    val exw = Window.partitionBy(col(text)).orderBy(col(id))
-    val ex = docs.select(col(id), col(text))
-      .withColumn("rn", row_number().over(exw))
-      .select(col(id), col("rn"))
+    val exKeep = docs.select(col(id), col(text))
+      .groupBy(col(text)).agg(min(col(id)).as(id))
+      .select(col(id), lit(true).as("ex_keep"))
     val p = pairs.getOrElse(
       minhashBandPairs(minhashSignatures(
         wordShingles(docs, id, text), id), id, minEst))
@@ -471,10 +478,10 @@ object Dedup {
     val lab = connectedComponents(p, "doc1", "doc2")
       .select(col("node").as(id), col("label").as("rep"))
     docs.select(col(id))
-      .join(ex, Seq(id))
+      .join(exKeep, Seq(id), "left")
       .join(lab, Seq(id), "left")
       .select(col(id),
-        when(col("rn") > 1, "drop_exact")
+        when(col("ex_keep").isNull, "drop_exact")
           .when(col("rep").isNotNull && col("rep") =!= col(id), "drop_near")
           .otherwise("keep").as("status"))
   }

@@ -36,4 +36,23 @@ class PlanShapeSpec extends SparkTestBase {
       s"unexpected nested-loop joins in: ${offenders.mkString(", ")}")
     PlanCache.clear()
   }
+
+  test("dedup_keep_list carries no window exchange keyed by document text") {
+    PlanCache.clear()
+    // the exact-dup stage must be the min-id AGGREGATE (map-side
+    // combining: a hot duplicate text collapses before the shuffle),
+    // never row_number() over (partition by text) — a window keyed by
+    // the raw text string lands the whole hot group on one task and
+    // cannot be split by AQE's skew handling
+    val plan = DedupQueries.dedupKeepList.fn(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val textWindows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(
+            _.name == "text")) => w
+    }
+    assert(textWindows.isEmpty,
+      s"text-partitioned window in dedup_keep_list:\n$plan")
+    PlanCache.clear()
+  }
 }
