@@ -1,0 +1,141 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Public, fixture-independent graph API (see [[Dedup]] for
+  * conventions): the generic forms of the two contract staples,
+  * parameterized on the caller's column names and built for graphs
+  * that don't fit the contract fixture's friendly shape.
+  *
+  *  - [[pageRank]] — power iteration with per-iteration
+  *    `localCheckpoint` (lineage would double per iteration otherwise
+  *    — past ~5 iterations the plan itself becomes the bottleneck)
+  *    and DANGLING-MASS handling (nodes without out-edges
+  *    redistribute their rank uniformly, so total rank stays 1 on any
+  *    directed graph — on a symmetric graph the mass is 0 and the
+  *    computation degenerates to the plain iteration).
+  *  - [[triangles]] — triangle counting with DEGREE-ORDERED
+  *    orientation (each undirected edge directed from its
+  *    lower-degree endpoint to its higher-degree endpoint): every
+  *    wedge is enumerated at its ≺-smallest corner, so a hot node of
+  *    degree d generates candidate pairs bounded by its ORIENTED
+  *    out-degree (≤ √|E| for any graph; Schank/Wagner 2005), not the
+  *    naive d², which is the difference between a star-shaped graph
+  *    finishing and exploding.
+  *
+  * Per-iteration ranks are rounded to 8 places (cross-engine
+  * accumulation drift cannot compound — the same discipline as the
+  * contract queries).
+  */
+object Graph {
+
+  /** PageRank over a directed edge list: (node, r), Σr ≈ 1.
+    *
+    * Each iteration is one join + one map-side-combining aggregate
+    * over the edge list plus two 1-row broadcasts (node count,
+    * dangling mass); ranks shuffle by destination, the edge list is
+    * never shuffled twice. Every iteration's rank frame is
+    * `localCheckpoint`ed — the plan stays one iteration deep no
+    * matter how many rounds run. */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    // node universe and out-degrees are reused every iteration:
+    // materialize once, eagerly
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), (col("r") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      // rank sitting on nodes with no out-edges — redistributed
+      // uniformly (the standard dangling-node correction)
+      val dangling = r.join(deg, r("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("n") + lit(damping) *
+            (coalesce(col("cs"), lit(0.0)) + col("dm") / col("n")), 8)
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  /** Canonical undirected edge set (a < b, deduped, loops dropped)
+    * with both endpoint degrees attached, ORIENTED low-degree →
+    * high-degree (ties by node value): (u, v) with (du,u) ≺ (dv,v).
+    */
+  private def oriented(edges: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val ue = edges
+      .select(col(src).as("x"), col(dst).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = ue.select(col("a").as("node"))
+      .union(ue.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = ue
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"),
+          col("da").as("du"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          col("db").as("du"), col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.du").as("du"), col("e.dv").as("dv"))
+  }
+
+  /** Candidate wedges of the oriented graph: (u, v, w) where (u,v)
+    * and (u,w) are oriented edges and v ≺ w in the same (degree,
+    * node) order. Exposed for the skew-bound property test — on a
+    * star graph this is EMPTY (spokes have out-degree 1) where the
+    * value-ordered orientation generates C(spokes, 2) pairs at the
+    * hub. */
+  private[graft] def orientedWedges(edges: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val o = oriented(edges, src, dst)
+    o.select(col("u"), col("v"), col("dv"))
+      .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")),
+        Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+  }
+
+  /** Per-node triangle counts over an undirected (or symmetric) edge
+    * list: (node, n_triangles) — every node of every distinct
+    * triangle, counted once per triangle.
+    *
+    * Wedges are enumerated at each triangle's ≺-smallest corner and
+    * closed by an equi-join against the oriented edge set: the
+    * closing edge of a wedge (v ≺ w) is oriented (v, w) by
+    * construction, so one keyed join finds it and each triangle
+    * appears exactly once. */
+  def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val o = oriented(edges, src, dst)
+    // closing edge of a (v ≺ w) wedge is oriented (v, w): rename the
+    // oriented edge set to those names and equi-join
+    val close = o.select(col("u").as("v"), col("v").as("w"))
+    val tri = orientedWedges(edges, src, dst).join(close, Seq("v", "w"))
+    tri.select(col("u").as("node"))
+      .union(tri.select(col("v")))
+      .union(tri.select(col("w")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

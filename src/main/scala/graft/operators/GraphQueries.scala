@@ -25,10 +25,15 @@ import graft.sources.Tables
   * Scale notes: the brand graph is tiny, but the plans are
   * node-count-agnostic — edges shuffle on join keys, aggregates
   * combine map-side, and nothing is collected to the driver. The
-  * 1-row node-count scalar is the only broadcast (bounded). At
-  * billion-edge scale PageRank adds localCheckpoint per iteration
-  * (as connectedComponents does) — omitted here because three
-  * unrolled iterations keep the plan shallow.
+  * 1-row node-count and dangling-mass scalars are the only broadcasts
+  * (bounded). Both queries are thin bindings of graft.api.Graph,
+  * which carries the generic-scale machinery the fixture doesn't
+  * exercise: per-iteration localCheckpoint (lineage stays one
+  * iteration deep at any round count), dangling-mass redistribution
+  * (0 on this symmetric graph), and degree-ordered triangle
+  * orientation (hot-node wedge fan-out bounded by oriented
+  * out-degree ≤ √|E| — GraphApiSpec's star-graph test shows the
+  * naive orientation exploding where this stays linear).
   */
 object GraphQueries {
 
@@ -51,26 +56,17 @@ object GraphQueries {
         .distinct()
     }
 
-  /** PageRank, damping 0.85, 3 unrolled power iterations. */
+  /** PageRank, damping 0.85, 3 power iterations — a thin binding of
+    * graft.api.Graph.pageRank (per-iteration localCheckpoint,
+    * dangling-mass handling; both degenerate exactly to the oracle's
+    * plain unrolled iteration on this symmetric graph, where lineage
+    * stays shallow and the dangling mass is 0). */
   val graphPagerank: GQuery = {
     val iters = 3
     val sparkImpl = (s: SparkSession, dir: String) => {
-      val e = edges(s, dir)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val n = deg.agg(count(lit(1)).as("n"))
-      var r = deg.crossJoin(broadcast(n))
-        .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
-      for (_ <- 1 to iters) {
-        r = e.join(r, e("src") === r("node"))
-          .join(deg, Seq("src"))
-          .select(col("dst"), (col("r") / col("outdeg")).as("c"))
-          .groupBy(col("dst"))
-          .agg(sum(col("c")).as("cs"))
-          .crossJoin(broadcast(n))
-          .select(col("dst").as("node"),
-            round(lit(0.15) / col("n") + lit(0.85) * col("cs"), 8).as("r"))
-      }
-      r.select(col("node").as("brand"),
+      graft.api.Graph.pageRank(edges(s, dir), "src", "dst",
+          iters = iters, damping = 0.85)
+        .select(col("node").as("brand"),
           round(col("r"), 6).cast("double").as("rank"))
         .orderBy(col("brand"))
     }
@@ -112,21 +108,12 @@ object GraphQueries {
        |      UNION ALL SELECT v3 FROM tri)
        |GROUP BY brand
        |ORDER BY brand""".stripMargin) { (s, dir) =>
-    val ue = edges(s, dir)
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    // ordered three-way self-join: (a,b) ⋈ (b,c) ⋈ (a,c), a<b<c —
-    // every triangle counted exactly once
-    val x = ue.select(col("a").as("v1"), col("b").as("v2"))
-    val y = ue.select(col("a").as("v2"), col("b").as("v3"))
-    val z = ue.select(col("a").as("v1"), col("b").as("v3"))
-    val triangles = x.join(y, Seq("v2")).join(z, Seq("v1", "v3"))
-    triangles.select(col("v1").as("brand"))
-      .union(triangles.select(col("v2")))
-      .union(triangles.select(col("v3")))
-      .groupBy(col("brand"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // thin binding of graft.api.Graph.triangles: degree-ordered
+    // orientation bounds the hot-node wedge fan-out (the oracle keeps
+    // the naive a<b<c three-way join — provably the same triangle
+    // set, each counted once)
+    graft.api.Graph.triangles(edges(s, dir), "src", "dst")
+      .select(col("node").as("brand"), col("n_triangles"))
       .orderBy(col("brand"))
   }
 
