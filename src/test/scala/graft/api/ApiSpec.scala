@@ -127,6 +127,52 @@ class ApiSpec extends SparkTestBase {
     PlanCache.clear()
   }
 
+  test("multimodal APIs on renamed columns match the contract queries") {
+    import graft.operators.MultimodalQueries
+    // binary payload under USER column names
+    val myMedia = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("asset"),
+        col("text").cast("binary").as("blob"))
+    val feats = Multimodal.byteFeatures(myMedia, "asset", "blob")
+      .orderBy(col("asset"))
+    val wantFeats = MultimodalQueries.multimodalFeatures.fn(spark, sfDir)
+    assert(feats.collect().map(_.toSeq).toSeq
+      == wantFeats.collect().map(_.toSeq).toSeq)
+
+    val myTexts = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("post_id"), col("lang").as("language"),
+        col("n_chars").as("chars"))
+    val myVecs2 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("item"), col("label").as("tag"))
+    val prof = Multimodal.joinProfile(myTexts, myVecs2, "post_id",
+        "item", "chars",
+        Seq(col("tag").cast("int").as("label"),
+          col("language").as("lang")))
+      .orderBy(col("label"), col("lang"))
+    val wantProf = MultimodalQueries.multimodalJoin.fn(spark, sfDir)
+    assert(prof.collect().map(_.toSeq).toSeq
+      == wantProf.collect().map(_.toSeq).toSeq)
+
+    // pipeline stages under caller names: same rows as the pipeline
+    // internals on the canonical schema
+    val media = graft.sources.MultimodalPipeline
+      .syntheticMedia(spark, sfDir)
+      .select(col("doc_id").as("asset"), col("payload").as("blob"),
+        col("meta").as("info"))
+    val f = Multimodal.features(media, "asset", "blob", "info")
+    assert(f.columns.toSeq ==
+      Seq("asset", "modality", "n_bytes", "features"))
+    assert(f.count() == media.count())
+    val rz = Multimodal.resize(media, "asset", "blob", "info", 8, 8)
+    assert(rz.columns.toSeq == Seq("asset", "blob", "info"))
+    assert(rz.select(max(length(col("blob")))).head().getInt(0) <= 64)
+    val fr = Multimodal.frames(media, "asset", "blob", "info", n = 4)
+    assert(fr.columns.toSeq ==
+      Seq("asset", "frame_no", "n_bytes", "features"))
+    assert(fr.groupBy(col("asset")).count()
+      .agg(max(col("count"))).head().getLong(0) <= 4)
+  }
+
   test("connected components labels every paired node with its component min") {
     val pairs = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L)))
