@@ -112,15 +112,28 @@ object IvfPq {
     * Probes read only their nProbe cells' partitions; candidates are
     * scored by ADC table lookups (shortlist = `shortlistFactor`·k by
     * approximate cosine), and the shortlist is re-ranked exactly on
-    * the stored vectors. */
+    * the stored vectors.
+    *
+    * The ADC tables travel as PER-PROBE MAP LITERALS: each probe
+    * carries, on the broadcast probe side, an array (over subspaces)
+    * of code→partial-dot maps, so a candidate's approximate dot is m
+    * in-row lookups — no per-code explode, no (probe, s, code)
+    * shuffle join, no re-aggregation. And because candidate rows keep
+    * their stored vectors through scoring, the shortlist re-rank is a
+    * FILTER + second sort under the same probe_id partitioning (one
+    * exchange for the whole probe), not a join back into the
+    * candidate set. */
   def topK(probes: DataFrame, id: String, vec: String, path: String,
       k: Int, nProbe: Int = 3, shortlistFactor: Int = 16): DataFrame = {
     val spark = probes.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val centers = spark.read.parquet(s"$path/centers")
     val codebooks = spark.read.parquet(s"$path/codebooks")
-    val m = codebooks.agg(countDistinct(col("s"))).first().getLong(0).toInt
-    val subDim = codebooks.select(size(col("c"))).first().getInt(0)
+    // one driver action for both index dimensions (m, subDim)
+    val dims = codebooks
+      .agg(countDistinct(col("s")), max(size(col("c")))).first()
+    val m = dims.getLong(0).toInt
+    val subDim = dims.getInt(1)
     val p = probes.select(col(id).as("vec_id"), col(vec).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
     // probed cells (bounded) → literal partition filter, as in ivfTopK
@@ -131,45 +144,46 @@ object IvfPq {
         col("v").as("va"), col("nrm").as("na"))
     val cids = probeCells.select(col("cid")).distinct()
       .collect().map(_.get(0)).toSeq
-    // per-probe ADC tables: dot(q_s, centroid) for every (s, code)
+    // per-probe ADC tables — dot(q_s, centroid) for every (s, code) —
+    // folded into ONE nested-map column per probe: tbl[s][code].
+    // (Both levels maps: code can be sparse when a Lloyd cell
+    // emptied, and structs holding maps aren't array_sort-able.)
     val tables = subVectors(p.select(col("vec_id"), col("v")), m, subDim)
       .withColumnRenamed("vec_id", "probe_id")
       .join(broadcast(codebooks), Seq("s"))
-      .select(col("probe_id"), col("s"), col("code"),
-        expr("vec_dot(sub, c)").as("pdot"))
+      .groupBy(col("probe_id"), col("s"))
+      .agg(map_from_entries(collect_list(
+        struct(col("code"), expr("vec_dot(sub, c)")))).as("tmap"))
+      .groupBy(col("probe_id"))
+      .agg(map_from_entries(collect_list(struct(col("s"), col("tmap"))))
+        .as("tbl"))
     val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cid").isin(cids: _*))
       .select(col("cid"), col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("nrm").as("nb"), col("codes"))
-    // ADC: explode each candidate's m codes, look the partial dots up
-    // in the probe's table, sum — approx dot(q, x) in m lookups
-    val candidates = cells.join(broadcast(probeCells), Seq("cid"))
+    // candidate rows carry everything scoring AND re-ranking need; the
+    // probe side (bounded: |probes|·nProbe rows + m·ksub doubles per
+    // probe) is broadcast, the pruned cells scan is never shuffled
+    val candidates = cells
+      .join(broadcast(probeCells.join(tables, Seq("probe_id"))),
+        Seq("cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-    val adc = candidates
-      .select(col("probe_id"), col("neighbor_id"), col("nb"), col("na"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-      .join(tables, Seq("probe_id", "s", "code"))
-      .groupBy(col("probe_id"), col("neighbor_id"))
-      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
-        sum(col("pdot")).as("adot"))
-      .withColumn("approx_cos", col("adot") / (col("na") * col("nb")))
+    // ADC: m in-row map lookups per candidate
+    val scored = candidates.withColumn("approx_cos",
+      expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> " +
+        "acc + element_at(element_at(tbl, s), element_at(codes, s + 1)))")
+        / (col("na") * col("nb")))
     val wa = Window.partitionBy(col("probe_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    val shortlist = adc
-      .withColumn("ark", row_number().over(wa))
-      .filter(col("ark") <= k * shortlistFactor)
-      .select(col("probe_id"), col("neighbor_id"))
-    // exact re-rank of the shortlist on the stored full vectors
     val we = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // (probe, neighbor) is unique in candidates — a neighbor lives in
-    // exactly one cell — so no dedup is needed before the re-rank
-    shortlist
-      .join(candidates.select(col("probe_id"), col("neighbor_id"),
-        col("va"), col("vb"), col("na"), col("nb")),
-        Seq("probe_id", "neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
+    // exactly one cell — so no dedup is needed before either rank;
+    // the exact cosine is computed for SHORTLIST survivors only
+    scored
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= k * shortlistFactor)
+      .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")), 6))
       .withColumn("rk", row_number().over(we))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
