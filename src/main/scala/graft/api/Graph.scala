@@ -100,22 +100,23 @@ object Graph {
         col("e.du").as("du"), col("e.dv").as("dv"))
   }
 
-  /** Candidate wedges of the oriented graph: (u, v, w) where (u,v)
-    * and (u,w) are oriented edges and v ≺ w in the same (degree,
-    * node) order. Exposed for the skew-bound property test — on a
-    * star graph this is EMPTY (spokes have out-degree 1) where the
-    * value-ordered orientation generates C(spokes, 2) pairs at the
-    * hub. */
-  private[graft] def orientedWedges(edges: DataFrame, src: String,
-      dst: String): DataFrame = {
-    val o = oriented(edges, src, dst)
+  /** Wedge enumeration over an already-oriented edge frame (the
+    * output of [[oriented]]): (u, v, w) where (u,v) and (u,w) are
+    * oriented edges and v ≺ w in the same (degree, node) order. */
+  private def wedges(o: DataFrame): DataFrame =
     o.select(col("u"), col("v"), col("dv"))
       .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")),
         Seq("u"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("u"), col("v"), col("w"))
-  }
+
+  /** Candidate wedges of the degree-oriented graph — exposed for the
+    * skew-bound property test: on a star graph this is EMPTY (spokes
+    * have out-degree 1) where the value-ordered orientation generates
+    * C(spokes, 2) pairs at the hub. */
+  private[graft] def orientedWedges(edges: DataFrame, src: String,
+      dst: String): DataFrame = wedges(oriented(edges, src, dst))
 
   /** Per-node triangle counts over an undirected (or symmetric) edge
     * list: (node, n_triangles) — every node of every distinct
@@ -125,13 +126,16 @@ object Graph {
     * closed by an equi-join against the oriented edge set: the
     * closing edge of a wedge (v ≺ w) is oriented (v, w) by
     * construction, so one keyed join finds it and each triangle
-    * appears exactly once. */
+    * appears exactly once. The oriented frame feeds three consumers
+    * (both wedge sides and the closing join), so it is materialized
+    * ONCE — without it the canonicalize+degree+orient subtree
+    * (4 exchanges) replays per consumer. */
   def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val o = oriented(edges, src, dst)
+    val o = oriented(edges, src, dst).localCheckpoint(true)
     // closing edge of a (v ≺ w) wedge is oriented (v, w): rename the
     // oriented edge set to those names and equi-join
     val close = o.select(col("u").as("v"), col("v").as("w"))
-    val tri = orientedWedges(edges, src, dst).join(close, Seq("v", "w"))
+    val tri = wedges(o).join(close, Seq("v", "w"))
     tri.select(col("u").as("node"))
       .union(tri.select(col("v")))
       .union(tri.select(col("w")))
