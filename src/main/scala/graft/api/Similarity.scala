@@ -39,6 +39,43 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** All same-label pairs with cosine ≥ tau — the HOT-LABEL-SAFE form
+    * of the label-blocked pair join: (label, v1, v2, cosine), v1 < v2.
+    *
+    * A plain equi-join on the label sends every row of a hot label to
+    * ONE shuffle key — at 100 TB a dominant label (the common case:
+    * one language, one source) serializes the whole O(n²) pair work
+    * on a single task. Here each label's self-join is decomposed into
+    * block PAIRS (the [[Dedup.cosinePairs]] construction, applied
+    * per label): rows hash into `blocks` sub-blocks and every
+    * unordered pair meets under exactly one (label, lo, hi) key, so
+    * the hot label's work spreads over blocks·(blocks+1)/2 shuffle
+    * keys with per-key input bounded by ~2·|label|/blocks rows —
+    * while the result is provably identical to the plain join
+    * (ScalePostureSpec demonstrates both properties). */
+  def labelPairs(vecs: DataFrame, id: String, vec: String,
+      label: String, tau: Double, blocks: Int = 8): DataFrame = {
+    graft.functions.VectorExpressions.register(vecs.sparkSession)
+    val e = vecs.select(col(label).as("lbl"), col(id).as("vid"),
+        col(vec).as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+      .withColumn("blk", pmod(col("vid"), lit(blocks)).cast("int"))
+    val lft = e.select(col("lbl"), col("vid").as("id1"),
+      col("v").as("va"), col("nrm").as("na"), col("blk").as("lo"),
+      explode(expr(s"sequence(blk, ${blocks - 1})")).as("hi"))
+    val rgt = e.select(col("lbl"), col("vid").as("id2"),
+      col("v").as("vb"), col("nrm").as("nb"),
+      explode(expr("sequence(0, blk)")).as("lo"), col("blk").as("hi"))
+    lft.join(rgt, Seq("lbl", "lo", "hi"))
+      .filter(col("lo") =!= col("hi") || col("id1") < col("id2"))
+      .withColumn("cosine",
+        round(expr(dot) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("lbl").as(label),
+        least(col("id1"), col("id2")).as("v1"),
+        greatest(col("id1"), col("id2")).as("v2"), col("cosine"))
+  }
+
   /** Multi-table sign-LSH approximate top-k: `tables` hash tables,
     * each bucketing on the sign bits of `bits` consecutive
     * dimensions; a probe's candidates are the union of its buckets.

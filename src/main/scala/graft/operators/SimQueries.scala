@@ -70,7 +70,13 @@ object SimQueries {
   }
 
   /** All same-label pairs with cosine ≥ 0.3 (label is the blocking
-    * key, so the join is equi on label + residual threshold). */
+    * key, so the join is equi on label + residual threshold). A HOT
+    * label (one language/source dominating — the 100 TB case) pins
+    * this plain join's work on one task: the scale form is
+    * graft.api.Similarity.labelPairs, which decomposes each label's
+    * self-join into block pairs (ApiSpec pins it equal to this query;
+    * ScalePostureSpec demonstrates the bounded per-key input on a
+    * one-hot corpus). */
   val simPairThreshold: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
       val e = vecs(s, dir)

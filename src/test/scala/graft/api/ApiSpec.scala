@@ -66,6 +66,19 @@ class ApiSpec extends SparkTestBase {
       .orderBy(col("probe_id"), col("rk"))
     val wantTopk = SimQueries.simCosineTopk.fn(spark, sfDir)
     assert(topk.collect().toSeq == wantTopk.collect().toSeq)
+
+    // the hot-label-safe block-pair join equals the contract's plain
+    // label-blocked join on the fixture
+    val myLabeledVecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("item"), col("label").as("tag"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val lp = Similarity.labelPairs(myLabeledVecs, "item", "emb", "tag",
+        tau = 0.3, blocks = 16)
+      .select(col("tag").cast("int").as("label"), col("v1"), col("v2"),
+        col("cosine"))
+      .orderBy(col("label"), col("v1"), col("v2"))
+    val wantLp = SimQueries.simPairThreshold.fn(spark, sfDir)
+    assert(lp.collect().toSeq == wantLp.collect().toSeq)
   }
 
   test("text APIs on renamed columns match the contract queries") {

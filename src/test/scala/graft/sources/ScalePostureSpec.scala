@@ -82,6 +82,48 @@ class ScalePostureSpec extends SparkTestBase {
       && salted.except(direct).count() == 0)
   }
 
+  test("hot-label pair join: block-pair decomposition bounds per-key input, same results") {
+    // one-hot synthetic corpus — 90% of vectors share label 0, the
+    // 100 TB pathology for a label-blocked pair join (one language /
+    // one source dominating): the PLAIN equi-join on label sends all
+    // hot rows to a single shuffle key; Similarity.labelPairs spreads
+    // them over blocks·(blocks+1)/2 (label, lo, hi) keys.
+    graft.functions.VectorExpressions.register(spark)
+    val n = 1000L
+    val blocks = 8
+    val e = spark.range(n).select($"id".as("vid"),
+      when($"id" % 10 === 0, $"id" % 3 + 1).otherwise(lit(0L)).as("label"),
+      expr("transform(sequence(0, 3), j -> CAST((id % (j + 7)) + 1 AS DOUBLE))")
+        .as("v"))
+    val plain = {
+      val w = e.withColumn("nrm", expr("vec_norm(v)"))
+      val a = w.select($"label", $"vid".as("v1"), $"v".as("va"),
+        $"nrm".as("na"))
+      val b = w.select($"label", $"vid".as("v2"), $"v".as("vb"),
+        $"nrm".as("nb"))
+      a.join(b, Seq("label")).filter($"v1" < $"v2")
+        .withColumn("cosine",
+          round(expr("vec_dot(va, vb)") / ($"na" * $"nb"), 6))
+        .filter($"cosine" >= 0.99)
+        .select($"label", $"v1", $"v2", $"cosine")
+    }
+    val salted = graft.api.Similarity.labelPairs(e, "vid", "v", "label",
+      tau = 0.99, blocks = blocks)
+    assert(plain.count() > 0)
+    assert(salted.except(plain).count() == 0
+      && plain.except(salted).count() == 0)
+    // skew bound: the plain join's hot key carries every hot-label row
+    // (900); each block-pair key's input is bounded by the largest
+    // sub-block from each side, ~|hot|/blocks
+    val hot = e.filter($"label" === 0)
+    val hotN = hot.count()
+    val perBlockMax = hot
+      .withColumn("blk", pmod($"vid", lit(blocks)).cast("int"))
+      .groupBy($"blk").count().agg(max($"count")).head().getLong(0)
+    assert(perBlockMax * 2 <= hotN / 2,
+      s"block-pair key input ${2 * perBlockMax} not ≪ hot-key input $hotN")
+  }
+
   test("AQE rewrites a skewed sort-merge join into skew-split tasks") {
     // isolated session: thresholds lowered so a unit-test-sized skew
     // triggers the same OptimizeSkewedJoin rewrite a 100 TB hot key
