@@ -380,6 +380,62 @@ object Dedup {
       dst: String): DataFrame =
     connectedComponentsWithRounds(pairs, src, dst)._1
 
+  /** Canonical (a > b)-oriented deduped edge set plus the self-loop
+    * node list (self-loops carry no connectivity but their nodes must
+    * keep a label — they rejoin in the final aggregate). */
+  private def canonicalEdges(pairs: DataFrame, src: String,
+      dst: String): (DataFrame, DataFrame) = {
+    val selfLoops = pairs.select(col(src).as("node"))
+      .filter(col(src) === col(dst))
+    val cur = pairs.select(col(src).as("x"), col(dst).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("a"),
+        least(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    (cur, selfLoops)
+  }
+
+  /** One LARGE-STAR pass over an (a > b)-oriented edge set: every
+    * neighbor v > u links to min(Γ(u) ∪ {u}). Output keeps the
+    * orientation and is NOT deduped — callers choose when to pay the
+    * distinct (the alternating loop feeds it straight into
+    * small-star, which dedups; the two-phase loop dedups each pass to
+    * detect its fixed point). */
+  private def largeStarPass(cur: DataFrame): DataFrame = {
+    val nbr = cur.select(col("a").as("u"), col("b").as("v"))
+      .union(cur.select(col("b").as("u"), col("a").as("v")))
+    val m = nbr.groupBy(col("u"))
+      .agg(min(least(col("v"), col("u"))).as("m"))
+    nbr.join(m, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+  }
+
+  /** One SMALL-STAR pass: every neighbor v ≤ u (and u itself) links
+    * to the minimum of that set — edges stay (bigger, smaller)
+    * oriented; output deduped. */
+  private def smallStarPass(cur: DataFrame): DataFrame = {
+    val nbr = cur.select(col("a").as("u"), col("b").as("v"))
+    val m = nbr.groupBy(col("u")).agg(min(col("v")).as("m"))
+    nbr.join(m, Seq("u"))
+      .select(col("v").as("n"), col("m"))
+      .union(m.select(col("u").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** One aggregate labels everything: star edges contribute
+    * (member → root) and (root → root); self-loop nodes contribute a
+    * self-label, which min() overrides whenever a real edge label
+    * (always ≤ the node id, being the component minimum) exists. */
+  private def labelStars(cur: DataFrame, selfLoops: DataFrame): DataFrame =
+    cur.select(col("a").as("node"), col("b").as("label"))
+      .union(cur.select(col("b").as("node"), col("b").as("label")))
+      .union(selfLoops.select(col("node"), col("node").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+
   /** [[connectedComponents]] plus the number of alternating rounds it
     * took to converge (for logarithmic-convergence assertions).
     * Throws if `maxRounds` is exhausted before the fixed point —
@@ -389,43 +445,16 @@ object Dedup {
     * (observed behavior is O(log n): a 500-node chain takes ~8). */
   def connectedComponentsWithRounds(pairs: DataFrame, src: String,
       dst: String, maxRounds: Int = 256): (DataFrame, Int) = {
-    // canonical orientation (a > b), deduped; self-loops carry no
-    // connectivity but their nodes must keep a label — they rejoin as
-    // self-label rows in the final aggregate
-    val selfLoops = pairs.select(col(src).as("node"))
-      .filter(col(src) === col(dst))
-    var cur = pairs.select(col(src).as("x"), col(dst).as("y"))
-      .filter(col("x") =!= col("y"))
-      .select(greatest(col("x"), col("y")).as("a"),
-        least(col("x"), col("y")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val (cur0, selfLoops) = canonicalEdges(pairs, src, dst)
+    var cur = cur0
     var curCnt = cur.count()
     var rounds = 0
     var done = curCnt == 0L
     while (!done && rounds < maxRounds) {
-      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u}).
-      // No distinct/checkpoint here: the output is ≤ |cur| rows (one
-      // per (u, v>u) edge), and small-star dedups right after — one
+      // large-star flows un-deduped into small-star: its output is
+      // ≤ |cur| rows and small-star dedups right after — one
       // materialization per round, not two
-      val nbrL = cur.select(col("a").as("u"), col("b").as("v"))
-        .union(cur.select(col("b").as("u"), col("a").as("v")))
-      val mL = nbrL.groupBy(col("u"))
-        .agg(min(least(col("v"), col("u"))).as("m"))
-      val ls = nbrL.join(mL, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("a"), col("m").as("b"))
-      // small-star: every neighbor v ≤ u (and u itself) links to the
-      // minimum of that set — edges stay (bigger, smaller) oriented
-      val nbrS = ls.select(col("a").as("u"), col("b").as("v"))
-      val mS = nbrS.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = nbrS.join(mS, Seq("u"))
-        .select(col("v").as("n"), col("m"))
-        .union(mS.select(col("u").as("n"), col("m")))
-        .filter(col("n") =!= col("m"))
-        .select(col("n").as("a"), col("m").as("b"))
-        .distinct()
-        .localCheckpoint(true)
+      val ss = smallStarPass(largeStarPass(cur)).localCheckpoint(true)
       rounds += 1
       val ssCnt = ss.count()
       // both frames are distinct sets, so equal count + empty
@@ -437,15 +466,49 @@ object Dedup {
     if (!done)
       throw new IllegalStateException(
         s"connected components did not converge within $maxRounds rounds")
-    // one aggregate labels everything: star edges contribute
-    // (member → root) and (root → root); self-loop nodes contribute a
-    // self-label, which min() overrides whenever a real edge label
-    // (always ≤ the node id, being the component minimum) exists
-    val lab = cur.select(col("a").as("node"), col("b").as("label"))
-      .union(cur.select(col("b").as("node"), col("b").as("label")))
-      .union(selfLoops.select(col("node"), col("node").as("label")))
-      .groupBy(col("node")).agg(min(col("label")).as("label"))
-    (lab, rounds)
+    (labelStars(cur, selfLoops), rounds)
+  }
+
+  /** TWO-PHASE variant (Kiveris et al., SoCC 2014, the two-phase
+    * algorithm): run large-star ALONE to its fixed point, then
+    * small-star alone to its fixed point, cycling until a whole
+    * large+small cycle changes nothing. A pass here is ONE aggregate
+    * + ONE join (an alternating round runs two of each), so on graphs
+    * where one phase stabilizes quickly the total exchange count
+    * drops — ConnectedComponentsSpec compares pass count against the
+    * alternating loop's stage count on the 500-node chain and pins
+    * the labels identical. Returns (labels, total passes). */
+  def connectedComponentsTwoPhaseWithPasses(pairs: DataFrame,
+      src: String, dst: String, maxPasses: Int = 512): (DataFrame, Int) = {
+    val (cur0, selfLoops) = canonicalEdges(pairs, src, dst)
+    var cur = cur0
+    var curCnt = cur.count()
+    var passes = 0
+    // run `pass` to ITS fixed point; true iff any application changed
+    // the edge set
+    def stabilize(pass: DataFrame => DataFrame): Boolean = {
+      var changed = false
+      var stable = false
+      while (!stable && passes < maxPasses) {
+        val nxt = pass(cur).distinct().localCheckpoint(true)
+        passes += 1
+        val cnt = nxt.count()
+        stable = cnt == curCnt && nxt.except(cur).isEmpty
+        if (!stable) changed = true
+        cur = nxt
+        curCnt = cnt
+      }
+      if (!stable)
+        throw new IllegalStateException(
+          s"two-phase components did not converge within $maxPasses passes")
+      changed
+    }
+    if (curCnt > 0L) {
+      var anyChange = true
+      while (anyChange)
+        anyChange = stabilize(largeStarPass) | stabilize(smallStarPass)
+    }
+    (labelStars(cur, selfLoops), passes)
   }
 
   /** The end-to-end per-document dedup DECISION a training pipeline

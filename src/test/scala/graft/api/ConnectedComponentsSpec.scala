@@ -41,6 +41,36 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(rounds <= budget, s"took $rounds rounds (budget $budget)")
   }
 
+  test("two-phase variant: same labels, fewer total star passes than the alternating loop's stages") {
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("s", "d")
+    val (labAlt, rounds) =
+      Dedup.connectedComponentsWithRounds(chain, "s", "d")
+    val (labTp, passes) =
+      Dedup.connectedComponentsTwoPhaseWithPasses(chain, "s", "d")
+    val alt = labAlt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tp = labTp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tp == alt)
+    // an alternating round = 2 star stages; the phase-wise loop must
+    // spend fewer TOTAL passes than those 2·rounds stages on the chain
+    assert(passes < 2 * rounds,
+      s"two-phase took $passes passes vs alternating ${2 * rounds} stages")
+  }
+
+  test("two-phase labels equal the alternating labels on random graphs") {
+    val rnd = new Random(20260813L)
+    (1 to 2).foreach { trial =>
+      val n = 200
+      val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val alt = Dedup.connectedComponents(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (labTp, _) = Dedup.connectedComponentsTwoPhaseWithPasses(
+        edges.toDF("s", "d"), "s", "d")
+      val tp = labTp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tp == alt, s"trial $trial mismatch")
+    }
+  }
+
   test("labels equal a union-find oracle on random graphs") {
     val rnd = new Random(20260812L)
     (1 to 3).foreach { trial =>
