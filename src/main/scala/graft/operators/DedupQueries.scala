@@ -206,8 +206,9 @@ object DedupQueries {
     *
     * Oracle: DuckDB recursive CTE builds the transitive closure of
     * the same edges and takes the min reachable node per member. */
-  val dedupClusters: GQuery = GQuery(
-    "dedup_clusters",
+  /** Shared oracle SQL for both CC spellings: the transitive closure
+    * is the semantics, whichever contraction schedule computes it. */
+  private val duckClustersSql =
     s"""${minhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
        |      UNION ALL SELECT doc2, doc1 FROM pairs),
@@ -219,9 +220,28 @@ object DedupQueries {
        |        FROM reach GROUP BY a)
        |SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members
        |FROM lab GROUP BY cluster_rep
-       |ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+       |ORDER BY cluster_rep""".stripMargin
+
+  val dedupClusters: GQuery = GQuery(
+    "dedup_clusters", duckClustersSql) { (s, dir) =>
     val pairs = minhashPairsSpark(s, dir).select(col("doc1"), col("doc2"))
     graft.api.Dedup.connectedComponents(pairs, "doc1", "doc2")
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** The TWO-PHASE contraction schedule (large-star to its fixed
+    * point, then small-star — one aggregate + one join per pass),
+    * oracle-backed by the SAME transitive-closure SQL: the variant a
+    * pipeline picks when duplicate clusters are deep chains (crawl
+    * mirrors) rather than the fixture's tiny cliques — see
+    * BASELINE.md's round-4 measurement for the trade. */
+  val dedupClustersTwoPhase: GQuery = GQuery(
+    "dedup_clusters_twophase", duckClustersSql) { (s, dir) =>
+    val pairs = minhashPairsSpark(s, dir).select(col("doc1"), col("doc2"))
+    graft.api.Dedup.connectedComponentsTwoPhaseWithPasses(
+        pairs, "doc1", "doc2")._1
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_rep"))
@@ -448,6 +468,7 @@ object DedupQueries {
   }
 
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
-    dedupEditDistance, dedupClusters, dedupKeepList, dedupSimhash,
-    dedupNgramJaccard, dedupEmbedCosine, dedupIngest)
+    dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
+    dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
+    dedupIngest)
 }

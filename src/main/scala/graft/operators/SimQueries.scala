@@ -69,6 +69,21 @@ object SimQueries {
         |ORDER BY probe_id, rk""".stripMargin)(sparkImpl)
   }
 
+  /** Shared oracle SQL for both spellings of the same-label pair
+    * join: the naive label equi-join IS the semantics, so the salted
+    * plan answers the same SQL. */
+  private val pairThresholdSql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      |      FROM e)
+      |SELECT CAST(a.label AS INT) AS label, a.vec_id AS v1,
+      |  b.vec_id AS v2,
+      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+      |ORDER BY label, v1, v2""".stripMargin
+
   /** All same-label pairs with cosine ≥ 0.3 (label is the blocking
     * key, so the join is equi on label + residual threshold). A HOT
     * label (one language/source dominating — the 100 TB case) pins
@@ -92,17 +107,24 @@ object SimQueries {
           col("cosine"))
         .orderBy(col("label"), col("v1"), col("v2"))
     }
-    GQuery("sim_pair_threshold",
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
-        |      FROM e)
-        |SELECT CAST(a.label AS INT) AS label, a.vec_id AS v1,
-        |  b.vec_id AS v2,
-        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
-        |ORDER BY label, v1, v2""".stripMargin)(sparkImpl)
+    GQuery("sim_pair_threshold", pairThresholdSql)(sparkImpl)
+  }
+
+  /** The HOT-LABEL-SAFE spelling of [[simPairThreshold]], oracle-
+    * backed by the SAME SQL: graft.api.Similarity.labelPairs
+    * decomposes each label's self-join into block pairs, so every
+    * unordered pair meets under exactly one (label, lo, hi) shuffle
+    * key — a dominant label's O(n²) work spreads over
+    * blocks·(blocks+1)/2 keys instead of one task — and the result
+    * set is provably identical to the plain label join. */
+  val simPairThresholdSalted: GQuery = GQuery(
+    "sim_pair_threshold_salted", pairThresholdSql) { (s, dir) =>
+    graft.api.Similarity.labelPairs(
+        vecs(s, dir).select(col("vec_id"), col("label"), col("v")),
+        "vec_id", "v", "label", tau = 0.3, blocks = 16)
+      .select(col("label").cast("int").as("label"), col("v1"),
+        col("v2"), col("cosine"))
+      .orderBy(col("label"), col("v1"), col("v2"))
   }
 
   /** Multi-table sign-LSH approximate top-3: 8 hash tables, each
@@ -176,6 +198,6 @@ object SimQueries {
   }
 
   val all: Seq[GQuery] =
-    Seq(simCosineTopk, simPairThreshold, simTopkLsh, simTopkIvf,
-      simTopkIvfPq)
+    Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
+      simTopkLsh, simTopkIvf, simTopkIvfPq)
 }
