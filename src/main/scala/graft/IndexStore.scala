@@ -70,10 +70,19 @@ object IndexStore {
           Files.move(Paths.get(tmp), Paths.get(path),
             StandardCopyOption.ATOMIC_MOVE)
         catch {
-          // lost a cross-process race: another build published first
-          // while ours ran. Serve the winner's, discard ours.
-          case _: java.nio.file.FileSystemException if isComplete(path) =>
-            deleteRecursively(new File(tmp))
+          case e: java.nio.file.FileSystemException =>
+            if (isComplete(path))
+              // lost a cross-process race: another build published
+              // first while ours ran. Serve the winner's, discard ours.
+              deleteRecursively(new File(tmp))
+            else {
+              // something incomplete squats on the target (a crashed
+              // run's debris — the atomic publish can never leave a
+              // half-written COMPLETE dir): clear it and retry once
+              deleteRecursively(new File(path))
+              Files.move(Paths.get(tmp), Paths.get(path),
+                StandardCopyOption.ATOMIC_MOVE)
+            }
         }
       }
       path

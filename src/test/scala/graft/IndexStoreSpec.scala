@@ -1,0 +1,80 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The saved-index path + atomicity discipline every index family
+  * (IVF, IVF-PQ, MinHash signatures) builds through. */
+class IndexStoreSpec extends AnyFunSuite {
+
+  private def freshTarget(): String =
+    new File(Files.createTempDirectory("graft_idxstore").toFile,
+      "idx").getPath
+
+  test("ensure builds once and publishes atomically; later calls skip the build") {
+    val path = freshTarget()
+    var builds = 0
+    def build(dir: String): Unit = {
+      builds += 1
+      new File(dir).mkdirs()
+      Files.write(new File(dir, "data").toPath, "x".getBytes)
+    }
+    assert(IndexStore.ensure(path)(build) == path)
+    assert(builds == 1 && IndexStore.isComplete(path))
+    assert(new File(path, "data").exists())
+    IndexStore.ensure(path)(build)
+    assert(builds == 1, "a complete index must never rebuild")
+  }
+
+  test("incomplete debris at the target is cleared and the build republished") {
+    val path = freshTarget()
+    // simulate a crashed run: target exists but has no completion
+    // marker — ensure must not serve it and must not get stuck
+    new File(path).mkdirs()
+    Files.write(new File(path, "stale").toPath, "junk".getBytes)
+    var built = false
+    IndexStore.ensure(path) { dir =>
+      built = true
+      new File(dir).mkdirs()
+      Files.write(new File(dir, "data").toPath, "y".getBytes)
+    }
+    assert(built && IndexStore.isComplete(path))
+    assert(new File(path, "data").exists())
+    assert(!new File(path, "stale").exists(),
+      "crashed-run debris must be replaced by the fresh build")
+  }
+
+  test("stampedPath keys on the source file's (mtime, length)") {
+    val dir = Files.createTempDirectory("graft_idxstamp").toString
+    val src = new File(dir, "t.parquet")
+    Files.write(src.toPath, "aaaa".getBytes)
+    val p1 = IndexStore.stampedPath("fam", dir, "t.parquet")
+    assert(p1.startsWith(IndexStore.baseDir.getPath),
+      "index paths must live under the per-user base dir")
+    // same source → same path (lookups are stable)
+    assert(IndexStore.stampedPath("fam", dir, "t.parquet") == p1)
+    // regenerated source (different content length) → different path
+    Files.write(src.toPath, "bbbbbbbb".getBytes)
+    assert(IndexStore.stampedPath("fam", dir, "t.parquet") != p1,
+      "a regenerated fixture must never resolve to the old index")
+  }
+
+  test("concurrent ensure calls on one path build exactly once") {
+    val path = freshTarget()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        IndexStore.ensure(path) { dir =>
+          builds.incrementAndGet()
+          new File(dir).mkdirs()
+          Files.write(new File(dir, "data").toPath, "z".getBytes)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(builds.get() == 1 && IndexStore.isComplete(path))
+  }
+}
