@@ -107,6 +107,45 @@ object IvfPq {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
   }
 
+  /** Incrementally add vectors to a saved [[build]] index: arrivals
+    * are assigned to their nearest SAVED coarse cell and encoded
+    * against the SAVED per-subspace codebooks (neither quantizer is
+    * retrained — the standard serving trade, same as
+    * [[Similarity.ivfAppend]]: resolution degrades slowly, a periodic
+    * rebuild restores it), then appended to the cid-partitioned
+    * layout — only the touched partitions gain files. */
+  def append(newVecs: DataFrame, id: String, vec: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val centers = spark.read.parquet(s"$path/centers")
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val dims = codebooks
+      .agg(countDistinct(col("s")), max(size(col("c")))).first()
+    val m = dims.getLong(0).toInt
+    val subDim = dims.getInt(1)
+    val e = newVecs.select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+      .localCheckpoint(true)
+    val ev = e.select(col("vec_id"), col("v"))
+    // encode: nearest saved sub-centroid per (vector, subspace) —
+    // same (d2, code) tie-break as build's assignSubs
+    val subd2 = "vec_dot(sub, sub) - 2 * vec_dot(sub, c) + vec_dot(c, c)"
+    val encoded = subVectors(ev, m, subDim)
+      .join(broadcast(codebooks), Seq("s"))
+      .withColumn("d2", expr(subd2))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("mn"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, mn.code))), " +
+        "p -> CAST(p.code AS INT))").as("codes"))
+    VecKMeans.assign(ev, centers)
+      .join(e.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .join(encoded, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"), col("codes"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+  }
+
   /** Approximate top-k cosine over a saved [[build]] index:
     * (probe_id, rk, neighbor_id, cosine — EXACT, from the re-rank).
     * Probes read only their nProbe cells' partitions; candidates are

@@ -70,6 +70,33 @@ class IvfPqSpec extends SparkTestBase {
     }
   }
 
+  test("append encodes arrivals against the saved codebooks; probes find them") {
+    val p = Files.createTempDirectory("graft_ivfpq_append").toString
+    val corpus = ev.filter(col("vec_id") < 400)
+    val arrivals = ev.filter(col("vec_id") >= 400)
+    IvfPq.build(corpus, "vec_id", "v", p, k = 8, rounds = 2,
+      m = M, ksub = KSUB)
+    IvfPq.append(arrivals, "vec_id", "v", p)
+    val cells = spark.read.parquet(s"$p/cells")
+    assert(cells.count() == ev.count(),
+      "appended index must hold the full corpus")
+    assert(cells.filter(size(col("codes")) =!= M).count() == 0)
+    // appended codes reference existing centroids only
+    val cb = spark.read.parquet(s"$p/codebooks")
+    val orphan = cells.select(posexplode(col("codes")).as(Seq("s", "code")))
+      .join(cb.select(col("s"), col("code")), Seq("s", "code"), "left_anti")
+    assert(orphan.count() == 0)
+    // a planted duplicate of an APPENDED vector is found at exact
+    // cosine 1.0 (the re-rank is on stored full vectors)
+    val src = arrivals.orderBy(col("vec_id")).limit(1)
+    val srcId = src.select("vec_id").first().getLong(0)
+    val dup = src.select((col("vec_id") + 100000).as("vec_id"), col("v"))
+    val found = IvfPq.topK(dup, "vec_id", "v", p, k = 1, nProbe = 1)
+      .select(col("neighbor_id"), col("cosine")).first()
+    assert(found.getLong(0) == srcId && found.getDouble(1) == 1.0,
+      s"planted duplicate of $srcId not found at cosine 1.0: $found")
+  }
+
   test("codes compress the search structure ~m bytes vs 4d bytes per vector") {
     // accounting check, not a storage benchmark: 8 int codes stand in
     // for 8 bytes (they fit a byte each: code < 256) vs 64 floats
