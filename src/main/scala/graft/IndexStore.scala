@@ -41,12 +41,38 @@ object IndexStore {
   /** Index path for `family`, keyed by the fixture dir AND the source
     * parquet's (mtime, length): regenerating the fixture at the same
     * path can never serve a stale index — the stamp changes and a
-    * fresh build runs. */
+    * fresh build runs. Superseded stamps of the same (family, dir)
+    * are garbage-collected by [[ensure]] after a successful publish.
+    */
   def stampedPath(family: String, dir: String, sourceFile: String): String = {
     val f = new File(dir, sourceFile)
     new File(new File(baseDir, family),
       dir.replaceAll("[^a-zA-Z0-9]", "_") +
         s"_${f.lastModified}_${f.length}").getPath
+  }
+
+  /** Drop SUPERSEDED stamps next to a live index: siblings named
+    * `<dirPrefix>_<mtime>_<length>` with a DIFFERENT stamp are builds
+    * of an older fixture generation — unreachable (lookups go through
+    * the current stamp) and pure disk leak. Matching requires the
+    * exact `<digits>_<digits>` stamp tail, so a different fixture dir
+    * whose sanitized name merely extends this one's prefix is never
+    * touched; in-flight `.build-*` temp dirs are left alone (another
+    * process may be mid-build — its rename loses the race and cleans
+    * itself up). */
+  private def pruneSuperseded(livePath: File): Unit = {
+    val name = livePath.getName
+    val prefixEnd = name.lastIndexOf('_', name.lastIndexOf('_') - 1)
+    if (prefixEnd > 0) {
+      val stale = ("^" +
+        java.util.regex.Pattern.quote(name.substring(0, prefixEnd + 1)) +
+        "\\d+_\\d+$").r
+      val siblings = livePath.getParentFile.listFiles()
+      if (siblings != null) siblings.foreach { s =>
+        if (s.getName != name && stale.findFirstIn(s.getName).isDefined)
+          deleteRecursively(s)
+      }
+    }
   }
 
   /** Whether a COMPLETE index exists at `path` (the marker is written
@@ -84,6 +110,7 @@ object IndexStore {
                 StandardCopyOption.ATOMIC_MOVE)
             }
         }
+        pruneSuperseded(new File(path))
       }
       path
     }

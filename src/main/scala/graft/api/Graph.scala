@@ -71,6 +71,18 @@ object Graph {
     r
   }
 
+  /** Connected components over an undirected (or symmetric) edge
+    * list: (node, label), label = the component's minimum node id.
+    * Delegates to the alternating large-star/small-star contraction
+    * in [[Dedup.connectedComponents]] (O(log n) rounds regardless of
+    * component shape; see [[Dedup.connectedComponentsTwoPhaseWithPasses]]
+    * for the phase-wise variant suited to chain-shaped components) —
+    * exposed here because component extraction is as much a graph
+    * staple as a dedup step. */
+  def connectedComponents(edges: DataFrame, src: String,
+      dst: String): DataFrame =
+    Dedup.connectedComponents(edges, src, dst)
+
   /** Canonical undirected edge set (a < b, deduped, loops dropped)
     * with both endpoint degrees attached, ORIENTED low-degree →
     * high-degree (ties by node value): (u, v) with (du,u) ≺ (dv,v).

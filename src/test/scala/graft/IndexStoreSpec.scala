@@ -61,6 +61,33 @@ class IndexStoreSpec extends AnyFunSuite {
       "a regenerated fixture must never resolve to the old index")
   }
 
+  test("publishing a new stamp garbage-collects superseded stamps, nothing else") {
+    val family = Files.createTempDirectory("graft_idxgc").toFile
+    def mkComplete(name: String): File = {
+      val d = new File(family, name)
+      d.mkdirs()
+      Files.write(new File(d, "_GRAFT_INDEX_COMPLETE").toPath,
+        Array.empty[Byte])
+      d
+    }
+    val old1 = mkComplete("_root_td_sf0_1_100_4")    // superseded stamp
+    val old2 = mkComplete("_root_td_sf0_1_200_8")    // superseded stamp
+    val other = mkComplete("_root_td_sf0_1_bak_100_4") // DIFFERENT dir
+    val building = new File(family, "_root_td_sf0_1_300_9.build-1-2")
+    building.mkdirs()                                 // in-flight build
+    IndexStore.ensure(new File(family, "_root_td_sf0_1_300_9").getPath) {
+      dir =>
+        new File(dir).mkdirs()
+        Files.write(new File(dir, "data").toPath, "n".getBytes)
+    }
+    assert(!old1.exists() && !old2.exists(),
+      "superseded stamps of the same fixture dir must be collected")
+    assert(other.exists(),
+      "an index of a different fixture dir must never be touched")
+    assert(building.exists(),
+      "in-flight .build temp dirs must be left alone")
+  }
+
   test("concurrent ensure calls on one path build exactly once") {
     val path = freshTarget()
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -44,6 +44,13 @@ class GraphApiSpec extends SparkTestBase {
     assert(got == w)
   }
 
+  test("Graph.connectedComponents labels components by their minimum") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val lab = Graph.connectedComponents(e, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("triangles counts the clique + star fixture exactly") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a star
     // center 10 with spokes 11..15 (no triangles)
