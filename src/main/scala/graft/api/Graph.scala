@@ -35,11 +35,18 @@ object Graph {
     * Each iteration is one join + one map-side-combining aggregate
     * over the edge list plus two 1-row broadcasts (node count,
     * dangling mass); ranks shuffle by destination, the edge list is
-    * never shuffled twice. Every iteration's rank frame is
-    * `localCheckpoint`ed — the plan stays one iteration deep no
-    * matter how many rounds run. */
+    * never shuffled twice. Every `checkpointEvery` iterations the
+    * rank frame is `localCheckpoint`ed (the final iteration never is
+    * — the caller's action materializes it). Leave the default of 1:
+    * each iteration references the previous rank frame TWICE (contrib
+    * + dangling mass), so every un-checkpointed iteration DOUBLES the
+    * plan — raising this trades blocking materializations for
+    * exponential plan growth and is only sane for 2-3 unchecked
+    * rounds on a dangling-free graph. */
   def pageRank(edges: DataFrame, src: String, dst: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
     // node universe and out-degrees are reused every iteration:
     // materialize once, eagerly
@@ -50,8 +57,7 @@ object Graph {
     val n = nodes.agg(count(lit(1)).as("n"))
     var r = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("node"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"), (col("r") / col("outdeg")).as("c"))
@@ -66,7 +72,8 @@ object Graph {
           round(lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("cs"), lit(0.0)) + col("dm") / col("n")), 8)
             .as("r"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i != iters)
+        r = r.localCheckpoint(true)
     }
     r
   }
