@@ -336,6 +336,45 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Cross-set n-gram CONTAINMENT pairs — the train-test
+    * contamination check an LLM eval pipeline runs (cf. Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022, and the eval-contamination appendices of LLM reports):
+    * for every EVAL document A and TRAIN document B,
+    * containment(A, B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    * — asymmetric on purpose: a short eval prompt fully quoted inside
+    * a long train document scores 1.0 where Jaccard would vanish.
+    * Returns (eval_id, train_id, containment ≥ num/den), threshold
+    * integer-exact.
+    *
+    * Plan: inverted-index equi-join on the shingle, restricted to
+    * cross-set (eval × train) postings, then one count aggregate —
+    * the same skew caveat as [[jaccardPairsInverted]] applies (a hot
+    * shingle inflates the posting join; at scale drop stopword-grade
+    * shingles first via a df cap on the donated `dfreq`). */
+  def containmentPairs(shingles: DataFrame, id: String, isEval: Column,
+      num: Int = 1, den: Int = 2,
+      shingle: String = "shingle"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    val sh = shingles.select(col(id), col(shingle).as("shingle"),
+      isEval.as("is_eval"))
+    val ev = sh.filter(col("is_eval"))
+      .select(col(id).as("eval_id"), col("shingle"))
+    val tr = sh.filter(!col("is_eval"))
+      .select(col(id).as("train_id"), col("shingle"))
+    val sizes = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n"))
+    ev.repartition(nPart(shingles), col("shingle"))
+      .join(tr, Seq("shingle"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("i"))
+      // eval-side size frame is eval-set-cardinality: no broadcast
+      // hint (AQE promotes from runtime stats when genuinely small)
+      .join(sizes, Seq("eval_id"))
+      .filter(col("i") * den >= col("n") * num)
+      .select(col("eval_id"), col("train_id"),
+        round(col("i").cast("double") / col("n"), 6).as("containment"))
+  }
+
   /** Exact all-pairs cosine ≥ tau over a vector table (id, vec:
     * array<double>): (v1, v2, cosine). Block-pair equi-join — every
     * unordered pair meets under exactly one (lo, hi) key, so recall

@@ -28,6 +28,30 @@ object Sampling {
     df.filter(portableHash(col(id), salt) % modulus === 0)
   }
 
+  /** Deterministic MIXTURE-WEIGHT sampling — the per-source
+    * up-/down-weighting step that turns a raw corpus into a training
+    * mixture (each source kept at its own rate): a row survives iff
+    * its portable hash bucket lands under its group's keep rate.
+    * Groups absent from `rates` keep `defaultRate`. Rates are
+    * quantized to 1/65536 so the comparison is INTEGER-exact on every
+    * engine; a pure per-row filter — no shuffle, streaming-safe, and
+    * the kept set is stable across runs/engines (unlike seeded
+    * `Dataset.sample`). Downsampling only (rates in [0, 1]);
+    * upsampling means emitting duplicate rows, a job for an explicit
+    * replicate-explode, not a sampler. */
+  def mixtureWeighted(df: DataFrame, id: String, group: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix:"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "keep rates must be in [0, 1]")
+    val d = 65536L
+    val rateCol = rates.foldLeft(lit((defaultRate * d).toLong)) {
+      case (acc, (g, r)) =>
+        when(col(group) === g, lit((r * d).toLong)).otherwise(acc)
+    }
+    df.filter(portableHash(col(id), salt) % d < rateCol)
+  }
+
   /** Deterministic per-stratum reservoir: the k rows with the
     * smallest salted hash in each stratum (id as the unique
     * tiebreak).

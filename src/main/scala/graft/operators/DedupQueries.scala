@@ -467,8 +467,35 @@ object DedupQueries {
       .orderBy(col("doc_id"), col("corpus_id"))
   }
 
+  /** Train-test CONTAMINATION check (graft.api.Dedup.containmentPairs):
+    * eval docs (doc_id % 10 = 7, ~10%) scored for n-gram containment
+    * in every training doc — containment = |A∩B|/|A| is asymmetric,
+    * so a short eval prompt quoted verbatim inside a long training
+    * document scores 1.0 where Jaccard would vanish. The operator an
+    * LLM eval pipeline runs before trusting a benchmark number. */
+  val dedupContainment: GQuery = GQuery(
+    "dedup_containment",
+    s"""$duckShingles,
+       |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+       |       WHERE doc_id % 10 = 7),
+       |tr AS (SELECT doc_id AS train_id, shingle FROM sh
+       |       WHERE doc_id % 10 <> 7),
+       |sizes AS (SELECT eval_id, count(*) AS n FROM ev GROUP BY eval_id),
+       |inter AS (SELECT e.eval_id, t.train_id, count(*) AS i
+       |  FROM ev e JOIN tr t ON e.shingle = t.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.eval_id AS eval_id, i.train_id AS train_id,
+       |  round(CAST(i.i AS DOUBLE) / s.n, 6) AS containment
+       |FROM inter i JOIN sizes s ON i.eval_id = s.eval_id
+       |WHERE i.i * 2 >= s.n
+       |ORDER BY i.eval_id, i.train_id""".stripMargin) { (s, dir) =>
+    graft.api.Dedup.containmentPairs(shingles(s, dir), "doc_id",
+        col("doc_id") % 10 === 7)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
-    dedupIngest)
+    dedupIngest, dedupContainment)
 }

@@ -108,5 +108,64 @@ object MiningQueries {
       e: DataFrame, k: Int, rounds: Int): DataFrame =
     graft.api.VecKMeans.train(e, k, rounds)
 
-  val all: Seq[GQuery] = Seq(miningCopurchase, miningKmeans)
+  /** Association rules A → B over the co-purchase baskets (the
+    * Agrawal/Srikant market-basket formulation): support = n(A,B)/N,
+    * confidence = n(A,B)/n(A), lift = confidence / (n(B)/N), kept at
+    * confidence ≥ 1/10 (filtered integer-exactly as n(A,B)·10 ≥ n(A)
+    * so no rounding boundary can disagree cross-engine). Reuses the
+    * memoized (order, brand) frame; per-brand basket counts attach as
+    * unhinted joins (brand-cardinality — AQE promotes), the 1-row
+    * basket total is the only broadcast. */
+  val miningAssocRules: GQuery = GQuery(
+    "mining_assoc_rules",
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_total FROM ob),
+      |nb AS (SELECT brand, count(*) AS n_b FROM ob GROUP BY brand),
+      |co AS (
+      |  SELECT a.brand AS antecedent, b.brand AS consequent,
+      |    count(*) AS n_ab
+      |  FROM ob a JOIN ob b
+      |    ON a.okey = b.okey AND a.brand <> b.brand
+      |  GROUP BY 1, 2)
+      |SELECT co.antecedent, co.consequent,
+      |  round(CAST(co.n_ab AS DOUBLE) / n.n_total, 6) AS support,
+      |  round(CAST(co.n_ab AS DOUBLE) / na.n_b, 6) AS confidence,
+      |  round(CAST(co.n_ab AS DOUBLE) * n.n_total
+      |    / (CAST(na.n_b AS DOUBLE) * nc.n_b), 6) AS lift
+      |FROM co
+      |JOIN nb na ON co.antecedent = na.brand
+      |JOIN nb nc ON co.consequent = nc.brand
+      |CROSS JOIN n
+      |WHERE co.n_ab * 10 >= na.n_b
+      |ORDER BY co.antecedent, co.consequent""".stripMargin) { (s, dir) =>
+    val ob = orderBrands(s, dir)
+    val nTotal = ob.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val nb = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_b"))
+    val co = ob.select(col("okey"), col("brand").as("antecedent"))
+      .join(ob.select(col("okey"), col("brand").as("consequent")),
+        Seq("okey"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+    co.join(nb.select(col("brand").as("antecedent"),
+        col("n_b").as("n_a")), Seq("antecedent"))
+      .join(nb.select(col("brand").as("consequent"),
+        col("n_b").as("n_c")), Seq("consequent"))
+      .crossJoin(broadcast(nTotal))
+      .filter(col("n_ab") * 10 >= col("n_a"))
+      .select(col("antecedent"), col("consequent"),
+        round(col("n_ab").cast("double") / col("n_total"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_total")
+          / (col("n_a").cast("double") * col("n_c")), 6).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  val all: Seq[GQuery] = Seq(miningCopurchase, miningAssocRules,
+    miningKmeans)
 }

@@ -64,5 +64,30 @@ object SampleQueries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified)
+  /** Mixture-weight sampling (graft.api.Sampling.mixtureWeighted):
+    * per-SOURCE keep rates — the step that turns a raw crawl into a
+    * training mixture (downsample the dominant source, keep the
+    * curated one whole). Rates quantized to 1/65536 so the hash
+    * comparison is integer-exact cross-engine; reported as the kept
+    * rows themselves. */
+  val sampleMixture: GQuery = {
+    val rates = Seq("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0)
+    val duckRate = rates.map { case (g, r) =>
+      s"WHEN '$g' THEN ${(r * 65536).toLong}" }.mkString(" ")
+    GQuery(
+      "sample_mixture",
+      s"""SELECT doc_id, source
+         |FROM documents
+         |WHERE ${duckHash("concat('mix:', CAST(doc_id AS VARCHAR))")} % 65536
+         |  < CASE source $duckRate ELSE ${65536 / 8} END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.api.Sampling.mixtureWeighted(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", rates.toMap, defaultRate = 0.125)
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
+    sampleMixture)
 }

@@ -140,6 +140,28 @@ class ApiSpec extends SparkTestBase {
     PlanCache.clear()
   }
 
+  test("containment + mixture-sampling APIs on renamed columns match the contract queries") {
+    import graft.operators.SampleQueries
+    val sh = Dedup.wordShingles(myDocs, "post_id", "body")
+    val cont = Dedup.containmentPairs(sh, "post_id",
+        col("post_id") % 10 === 7)
+      .orderBy(col("eval_id"), col("train_id"))
+    val wantCont = DedupQueries.dedupContainment.fn(spark, sfDir)
+    assert(cont.collect().map(_.toSeq).toSeq
+      == wantCont.collect().map(_.toSeq).toSeq)
+
+    val mySources = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("post_id"), col("source").as("origin"))
+    val mix = Sampling.mixtureWeighted(mySources, "post_id", "origin",
+        Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0),
+        defaultRate = 0.125)
+      .orderBy(col("post_id"))
+    val wantMix = SampleQueries.sampleMixture.fn(spark, sfDir)
+    assert(mix.collect().map(_.toSeq).toSeq
+      == wantMix.collect().map(_.toSeq).toSeq)
+    PlanCache.clear()
+  }
+
   test("multimodal APIs on renamed columns match the contract queries") {
     import graft.operators.MultimodalQueries
     // binary payload under USER column names

@@ -48,6 +48,7 @@ class BroadcastPolicySpec extends SparkTestBase {
     // + probe tables), bounded probe-cell set
     "sim_topk_ivfpq" -> 6,
     "mining_kmeans" -> 8,     // k-row center broadcast per Lloyd round
+    "mining_assoc_rules" -> 1, // 1-row basket-total scalar
     "text_tfidf_topterm" -> 1, // 1-row corpus-count scalar
     // bounded language dim (distinct of a low-cardinality label),
     // per-lang totals (same cardinality), 1-row vocabulary count

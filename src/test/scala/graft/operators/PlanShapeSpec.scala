@@ -21,6 +21,7 @@ class PlanShapeSpec extends SparkTestBase {
     "text_lang_id",     // bounded language dim + 1-row vocab scalar cross joins
     "text_lang_divergence", // same bounded dictionary cross joins
     "graph_pagerank",   // 1-row node-count scalar cross join per iteration
+    "mining_assoc_rules", // 1-row basket-total scalar cross join
     "mining_kmeans",    // k-row center table broadcast per Lloyd round
     "sim_topk_ivf",     // same k-row center broadcast (quantizer training + probing)
     "sim_topk_ivfpq")   // k-row center + m·ksub codebook broadcasts
