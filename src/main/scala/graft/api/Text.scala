@@ -25,6 +25,38 @@ object Text {
         lit(n))).as("ngram"))
   }
 
+  /** Per-document mean unigram SURPRISAL under the corpus's OWN
+    * add-1-smoothed unigram model — the relational core of an
+    * LM-score quality filter (the CCNet-style move: score each
+    * document under a language model and inspect the tails): high
+    * surprisal = rare-token-heavy text (OCR noise, gibberish,
+    * boilerplate-free outliers), low = repetitive boilerplate.
+    * (id, n_tokens, surprisal), surprisal = −mean ln p(token),
+    * per-token logs rounded to 8 places before the sum (cross-engine
+    * ulp drift cannot compound), mean rounded to 6.
+    *
+    * Scale shape: one vocabulary aggregate (map-side combining), a
+    * 1-row (N, V) scalar broadcast, one vocab-cardinality join back
+    * onto the token table (unhinted — AQE promotes when small). */
+  def surprisal(docs: DataFrame, id: String, text: String): DataFrame =
+    surprisalFromTokens(tokenize(docs, id, text), id)
+
+  /** [[surprisal]] over a pre-tokenized (id, token) frame. */
+  def surprisalFromTokens(t: DataFrame, id: String,
+      token: String = "token"): DataFrame = {
+    val tok = t.select(col(id), col(token).as("token"))
+    val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val sc = cnt.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(-log((col("c").cast("double") + 1) / (col("n") + col("v")),
+          ), 8).as("s"))
+    tok.join(sc, Seq("token"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("s")) / count(lit(1)), 6).as("surprisal"))
+  }
+
   /** Per-document quality score: uniqueness ratio, mean token length,
     * stopword ratio, length saturation — combined on an exact decimal
     * grid (half-boundary-proof): (id, n_tokens, uniq_ratio,
