@@ -386,7 +386,11 @@ object Dedup {
     val e = vecs
       .select(col(id).as("vid"), col(vec).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
-      .withColumn("blk", pmod(col("vid"), lit(blocks)).cast("int"))
+      // hash-derived block (see Similarity.labelPairs): keeps the
+      // per-key bound on strided/sharded id spaces and admits
+      // string ids; the block key never affects the result set.
+      .withColumn("blk", pmod(Sampling.portableHash(col("vid"), "blk:"),
+        lit(blocks)).cast("int"))
     val lft = e.select(col("vid").as("id1"), col("v").as("va"),
       col("nrm").as("na"), col("blk").as("lo"),
       explode(expr(s"sequence(blk, ${blocks - 1})")).as("hi"))

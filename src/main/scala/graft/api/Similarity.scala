@@ -59,7 +59,14 @@ object Similarity {
     val e = vecs.select(col(label).as("lbl"), col(id).as("vid"),
         col(vec).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
-      .withColumn("blk", pmod(col("vid"), lit(blocks)).cast("int"))
+      // block from the PORTABLE HASH of the id, not the raw id: raw
+      // pmod(id, blocks) collapses to a handful of blocks on strided
+      // or shard-prefixed id spaces (ids ≡ c mod 2^k — the common
+      // layout at 100 TB) and rejects string ids outright; the hash
+      // spreads any id type uniformly, and the block key never
+      // affects the RESULT — only which shuffle key a pair meets on.
+      .withColumn("blk", pmod(Sampling.portableHash(col("vid"), "blk:"),
+        lit(blocks)).cast("int"))
     val lft = e.select(col("lbl"), col("vid").as("id1"),
       col("v").as("va"), col("nrm").as("na"), col("blk").as("lo"),
       explode(expr(s"sequence(blk, ${blocks - 1})")).as("hi"))
