@@ -127,6 +127,20 @@ object IvfPq {
     val e = newVecs.select(col(id).as("vec_id"), col(vec).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
       .localCheckpoint(true)
+    // GUARD (mirrors build's dim % m check): every arrival must match
+    // the saved index's dimension m·subDim. Without this, a wrong-dim
+    // arrival is silently slice-truncated by subVectors, encoded
+    // against mismatched codebooks, and appended — poisoning the
+    // cells table for every later probe with no error anywhere. The
+    // whole append fails BEFORE anything is written (the write below
+    // is the first action against the index).
+    val dim = m * subDim
+    val dimRange = e.agg(min(size(col("v"))), max(size(col("v")))).first()
+    if (!dimRange.isNullAt(0))
+      require(dimRange.getInt(0) == dim && dimRange.getInt(1) == dim,
+        s"append vectors have dimension(s) ${dimRange.getInt(0)}.." +
+          s"${dimRange.getInt(1)} but the saved index at $path expects " +
+          s"$dim (m=$m × subDim=$subDim); rejecting the whole batch")
     val ev = e.select(col("vec_id"), col("v"))
     // encode: nearest saved sub-centroid per (vector, subspace) —
     // same (d2, code) tie-break as build's assignSubs

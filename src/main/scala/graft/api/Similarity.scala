@@ -152,6 +152,18 @@ object Similarity {
     val spark = newVecs.sparkSession
     val centers = spark.read.parquet(s"$path/centers")
     val e = prep(newVecs, id, vec)
+    // GUARD: arrivals must match the saved index's dimension —
+    // vec_dot truncates to the shorter operand, so a wrong-dim
+    // arrival would be assigned to SOME cell and stored, and every
+    // later probe would score it on a truncated dot: silently wrong
+    // cosines. Reject the whole batch before anything is written.
+    val dim = centers.agg(max(size(col("c")))).first().getInt(0)
+    val dimRange = e.agg(min(size(col("v"))), max(size(col("v")))).first()
+    if (!dimRange.isNullAt(0))
+      require(dimRange.getInt(0) == dim && dimRange.getInt(1) == dim,
+        s"append vectors have dimension(s) ${dimRange.getInt(0)}.." +
+          s"${dimRange.getInt(1)} but the saved index at $path expects " +
+          s"$dim; rejecting the whole batch")
     VecKMeans.assign(e.select(col("vid").as("vec_id"), col("v")), centers)
       .join(e.select(col("vid").as("vec_id"), col("nrm")), Seq("vec_id"))
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))

@@ -91,6 +91,22 @@ class IvfIndexSpec extends SparkTestBase {
       s"planted duplicate of $dupOf not found at cosine 1.0: $found")
   }
 
+  test("wrong-dimension ivfAppend is rejected whole; cells unchanged") {
+    // vec_dot truncates to the shorter operand, so without the guard
+    // a wrong-dim arrival lands in SOME cell and later probes score
+    // it on a truncated dot — silently wrong cosines
+    val before = spark.read.parquet(s"$indexPath/cells").count()
+    val wrongDim = ev.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        expr("slice(v, 1, 8)").as("v"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(wrongDim, "vec_id", "v", indexPath)
+    }
+    assert(err.getMessage.contains("dimension"))
+    assert(spark.read.parquet(s"$indexPath/cells").count() == before,
+      "a rejected append must write nothing")
+  }
+
   test("saved-index probe equals the same search run in memory") {
     val probes = ev.filter(col("vec_id") < 10)
     val saved = Similarity.ivfTopK(probes, "vec_id", "v", indexPath,

@@ -97,6 +97,41 @@ class IvfPqSpec extends SparkTestBase {
       s"planted duplicate of $srcId not found at cosine 1.0: $found")
   }
 
+  test("wrong-dimension append is rejected WHOLE; the index stays probe-clean") {
+    val p = Files.createTempDirectory("graft_ivfpq_guard").toString
+    val corpus = ev.filter(col("vec_id") < 200)
+    IvfPq.build(corpus, "vec_id", "v", p, k = 4, rounds = 1, m = M,
+      ksub = KSUB)
+    val before = spark.read.parquet(s"$p/cells").count()
+    // truncated arrivals: without the guard these are silently
+    // slice-truncated by subVectors, encoded against mismatched
+    // codebooks, and appended — poisoning every later probe
+    val wrongDim = ev.filter(col("vec_id") >= 200 && col("vec_id") < 230)
+      .select(col("vec_id"), expr("slice(v, 1, 8)").as("v"))
+    val err = intercept[IllegalArgumentException] {
+      IvfPq.append(wrongDim, "vec_id", "v", p)
+    }
+    assert(err.getMessage.contains("dimension"))
+    // a MIXED batch (one bad row hiding among good ones) fails whole
+    // too — per-row silence is exactly the bug the guard closes
+    val mixed = ev.filter(col("vec_id") >= 200 && col("vec_id") < 230)
+      .select(col("vec_id"),
+        when(col("vec_id") === 200, expr("slice(v, 1, 8)"))
+          .otherwise(col("v")).as("v"))
+    intercept[IllegalArgumentException] {
+      IvfPq.append(mixed, "vec_id", "v", p)
+    }
+    // nothing was written: same cell count, correct-dim appends still
+    // land, and probes stay exact
+    assert(spark.read.parquet(s"$p/cells").count() == before)
+    IvfPq.append(
+      ev.filter(col("vec_id") >= 200 && col("vec_id") < 230),
+      "vec_id", "v", p)
+    assert(spark.read.parquet(s"$p/cells").count() == before + 30)
+    assert(spark.read.parquet(s"$p/cells")
+      .filter(size(col("codes")) =!= M).count() == 0)
+  }
+
   test("codes compress the search structure ~m bytes vs 4d bytes per vector") {
     // accounting check, not a storage benchmark: 8 int codes stand in
     // for 8 bytes (they fit a byte each: code < 256) vs 64 floats
