@@ -82,46 +82,96 @@ class ScalePostureSpec extends SparkTestBase {
       && salted.except(direct).count() == 0)
   }
 
-  test("hot-label pair join: block-pair decomposition bounds per-key input, same results") {
-    // one-hot synthetic corpus — 90% of vectors share label 0, the
-    // 100 TB pathology for a label-blocked pair join (one language /
-    // one source dominating): the PLAIN equi-join on label sends all
-    // hot rows to a single shuffle key; Similarity.labelPairs spreads
-    // them over blocks·(blocks+1)/2 (label, lo, hi) keys.
-    graft.functions.VectorExpressions.register(spark)
-    val n = 1000L
-    val blocks = 8
-    val e = spark.range(n).select($"id".as("vid"),
-      when($"id" % 10 === 0, $"id" % 3 + 1).otherwise(lit(0L)).as("label"),
-      expr("transform(sequence(0, 3), j -> CAST((id % (j + 7)) + 1 AS DOUBLE))")
-        .as("v"))
-    val plain = {
-      val w = e.withColumn("nrm", expr("vec_norm(v)"))
-      val a = w.select($"label", $"vid".as("v1"), $"v".as("va"),
-        $"nrm".as("na"))
-      val b = w.select($"label", $"vid".as("v2"), $"v".as("vb"),
-        $"nrm".as("nb"))
-      a.join(b, Seq("label")).filter($"v1" < $"v2")
-        .withColumn("cosine",
-          round(expr("vec_dot(va, vb)") / ($"na" * $"nb"), 6))
-        .filter($"cosine" >= 0.99)
-        .select($"label", $"v1", $"v2", $"cosine")
-    }
+  // ---- hot-label pair join: block-pair decomposition ----
+  // One-hot synthetic corpora — 90% of vectors share label 0, the
+  // 100 TB pathology for a label-blocked pair join (one language /
+  // one source dominating): the PLAIN equi-join on label sends all
+  // hot rows to a single shuffle key; Similarity.labelPairs spreads
+  // them over blocks·(blocks+1)/2 (label, lo, hi) keys. Three id
+  // spaces are exercised because the blocking key is derived from the
+  // id: sequential longs, STRIDED longs (ids ≡ 0 mod 64 — the sharded
+  // layout where raw pmod(id, blocks) collapses every row into ONE
+  // block), and STRING ids (which raw pmod rejects at analysis).
+
+  /** Reference result: the plain (skew-prone) label self-join. */
+  private def plainLabelPairs(e: org.apache.spark.sql.DataFrame) = {
+    val w = e.withColumn("nrm", expr("vec_norm(v)"))
+    val a = w.select($"label", $"vid".as("v1"), $"v".as("va"),
+      $"nrm".as("na"))
+    val b = w.select($"label", $"vid".as("v2"), $"v".as("vb"),
+      $"nrm".as("nb"))
+    a.join(b, Seq("label")).filter($"v1" < $"v2")
+      .withColumn("cosine",
+        round(expr("vec_dot(va, vb)") / ($"na" * $"nb"), 6))
+      .filter($"cosine" >= 0.99)
+      .select($"label", $"v1", $"v2", $"cosine")
+  }
+
+  /** The PRODUCTION block key — the exact expression
+    * Similarity.labelPairs and Dedup.cosinePairs block on. The bound
+    * below must be measured on this key, not a stand-in: a test that
+    * blocks differently from the implementation audits a phantom. */
+  private def productionBlk(blocks: Int) =
+    pmod(graft.api.Sampling.portableHash($"vid", "blk:"), lit(blocks))
+      .cast("int")
+
+  /** Parity (labelPairs ≡ plain join) and the skew bound: each
+    * (label, lo, hi) key's input is at most two sub-blocks while the
+    * plain join's hot key carries every hot-label row. */
+  private def assertPairParityAndBound(
+      e: org.apache.spark.sql.DataFrame, blocks: Int): Unit = {
+    val plain = plainLabelPairs(e)
     val salted = graft.api.Similarity.labelPairs(e, "vid", "v", "label",
       tau = 0.99, blocks = blocks)
     assert(plain.count() > 0)
     assert(salted.except(plain).count() == 0
       && plain.except(salted).count() == 0)
-    // skew bound: the plain join's hot key carries every hot-label row
-    // (900); each block-pair key's input is bounded by the largest
-    // sub-block from each side, ~|hot|/blocks
-    val hot = e.filter($"label" === 0)
+    val hot = e.filter($"label" === lit(0))
     val hotN = hot.count()
     val perBlockMax = hot
-      .withColumn("blk", pmod($"vid", lit(blocks)).cast("int"))
+      .withColumn("blk", productionBlk(blocks))
       .groupBy($"blk").count().agg(max($"count")).head().getLong(0)
     assert(perBlockMax * 2 <= hotN / 2,
       s"block-pair key input ${2 * perBlockMax} not ≪ hot-key input $hotN")
+  }
+
+  test("hot-label pair join: block-pair decomposition bounds per-key input, same results") {
+    graft.functions.VectorExpressions.register(spark)
+    val e = spark.range(1000).select($"id".as("vid"),
+      when($"id" % 10 === 0, $"id" % 3 + 1).otherwise(lit(0L)).as("label"),
+      expr("transform(sequence(0, 3), j -> CAST((id % (j + 7)) + 1 AS DOUBLE))")
+        .as("v"))
+    assertPairParityAndBound(e, blocks = 8)
+  }
+
+  test("hot-label pair join holds on STRIDED ids, where raw pmod collapses to one block") {
+    graft.functions.VectorExpressions.register(spark)
+    val blocks = 8
+    // ids ≡ 0 mod 64: every raw pmod(vid, 8) is 0 — the pre-round-6
+    // key would put the whole hot label back on ONE shuffle key
+    val e = spark.range(1000).select(($"id" * 64).as("vid"),
+      when($"id" % 10 === 0, $"id" % 3 + 1).otherwise(lit(0L)).as("label"),
+      expr("transform(sequence(0, 3), j -> CAST((id % (j + 7)) + 1 AS DOUBLE))")
+        .as("v"))
+    val hot = e.filter($"label" === 0)
+    val rawMax = hot
+      .withColumn("blk", pmod($"vid", lit(blocks)).cast("int"))
+      .groupBy($"blk").count().agg(max($"count")).head().getLong(0)
+    assert(rawMax == hot.count(),
+      "precondition: raw pmod must collapse strided ids to one block")
+    assertPairParityAndBound(e, blocks)
+  }
+
+  test("hot-label pair join holds on STRING ids (raw pmod would reject them)") {
+    graft.functions.VectorExpressions.register(spark)
+    // UUID-style opaque string ids — no numeric structure to lean on;
+    // the portable-hash block key spreads them like any other type
+    val e = spark.range(1000).select(
+      concat(lit("doc-"), md5($"id".cast("string"))).as("vid"),
+      when($"id" % 10 === 0, $"id" % 3 + 1).otherwise(lit(0L)).as("label"),
+      expr("transform(sequence(0, 3), j -> CAST((id % (j + 7)) + 1 AS DOUBLE))")
+        .as("v"))
+    assertPairParityAndBound(e, blocks = 8)
   }
 
   test("AQE rewrites a skewed sort-merge join into skew-split tasks") {
