@@ -43,12 +43,32 @@ object IndexStore {
     * path can never serve a stale index — the stamp changes and a
     * fresh build runs. Superseded stamps of the same (family, dir)
     * are garbage-collected by [[ensure]] after a successful publish.
-    */
+    *
+    * A missing source is an ERROR, not a stamp: File.lastModified and
+    * File.length both return 0 for nonexistent paths, which would
+    * mint a `_0_0` stamp that never invalidates — the build then
+    * fails later (or worse, a previously-published `_0_0` index gets
+    * served for a source that has since appeared). DIRECTORY sources
+    * (multi-file parquet datasets) are stamped with the max child
+    * mtime + summed child length, so rewriting any part file restamps
+    * — the directory's own mtime only tracks entry creation/removal,
+    * not content. */
   def stampedPath(family: String, dir: String, sourceFile: String): String = {
     val f = new File(dir, sourceFile)
+    require(f.exists,
+      s"index source $f does not exist — refusing to mint a dead stamp")
+    def walk(x: File): Array[File] =
+      if (x.isFile) Array(x)
+      else Option(x.listFiles()).getOrElse(Array.empty[File]).flatMap(walk)
+    val (mtime, length) =
+      if (f.isDirectory) {
+        val kids = walk(f) // recursive: partitioned layouts nest files
+        (kids.map(_.lastModified).foldLeft(f.lastModified)(math.max),
+          kids.map(_.length).sum)
+      } else (f.lastModified, f.length)
     new File(new File(baseDir, family),
       dir.replaceAll("[^a-zA-Z0-9]", "_") +
-        s"_${f.lastModified}_${f.length}").getPath
+        s"_${mtime}_$length").getPath
   }
 
   /** Drop SUPERSEDED stamps next to a live index: siblings named
@@ -96,19 +116,41 @@ object IndexStore {
           Files.move(Paths.get(tmp), Paths.get(path),
             StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case e: java.nio.file.FileSystemException =>
-            if (isComplete(path))
-              // lost a cross-process race: another build published
-              // first while ours ran. Serve the winner's, discard ours.
-              deleteRecursively(new File(tmp))
-            else {
-              // something incomplete squats on the target (a crashed
-              // run's debris — the atomic publish can never leave a
-              // half-written COMPLETE dir): clear it and retry once
-              deleteRecursively(new File(path))
+          case _: java.nio.file.FileSystemException if isComplete(path) =>
+            // lost a cross-process race: another build published
+            // first while ours ran. Serve the winner's, discard ours.
+            deleteRecursively(new File(tmp))
+          case _: java.nio.file.FileSystemException =>
+            // something incomplete squats on the target (a crashed
+            // run's debris — the atomic publish can never leave a
+            // half-written COMPLETE dir). NEVER delete the target in
+            // place: a racing reader mid-scan would lose its files,
+            // and another publisher may land between our delete and
+            // retry. Instead rename the squatter ASIDE (atomic, so a
+            // reader holding the old dir keeps every file it opened),
+            // retry the publish, and if the retry ALSO loses a race,
+            // serve whoever won.
+            val stale = Paths.get(path +
+              s".stale-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+            try Files.move(Paths.get(path), stale,
+              StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              // squatter vanished (its owner resumed or cleaned up) —
+              // nothing to move aside; fall through to the retry
+              case _: java.nio.file.FileSystemException => ()
+            }
+            try
               Files.move(Paths.get(tmp), Paths.get(path),
                 StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case e2: java.nio.file.FileSystemException =>
+                // lost a SECOND race: keep the published winner if
+                // complete; otherwise give up loudly — but never
+                // leave our tmp dir orphaned either way
+                deleteRecursively(new File(tmp))
+                if (!isComplete(path)) throw e2
             }
+            deleteRecursively(stale.toFile)
         }
         pruneSuperseded(new File(path))
       }

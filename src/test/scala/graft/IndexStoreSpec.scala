@@ -61,6 +61,85 @@ class IndexStoreSpec extends AnyFunSuite {
       "a regenerated fixture must never resolve to the old index")
   }
 
+  test("stampedPath refuses a missing source (no dead _0_0 stamp)") {
+    // File.lastModified/length both return 0 for nonexistent paths:
+    // without the guard a missing fixture mints a `_0_0` stamp that
+    // NEVER invalidates — and would keep serving a stale index after
+    // the source appears
+    val dir = Files.createTempDirectory("graft_idxmissing").toString
+    val err = intercept[IllegalArgumentException] {
+      IndexStore.stampedPath("fam", dir, "nope.parquet")
+    }
+    assert(err.getMessage.contains("does not exist"))
+  }
+
+  test("stampedPath stamps a DIRECTORY source from its children; child rewrite restamps") {
+    val dir = Files.createTempDirectory("graft_idxdirstamp").toString
+    val src = new File(dir, "ds.parquet") // directory dataset
+    val part = new File(src, "cid=3")     // partitioned layout nests
+    part.mkdirs()
+    val child = new File(part, "part-0.parquet")
+    Files.write(child.toPath, "aaaa".getBytes)
+    val p1 = IndexStore.stampedPath("fam", dir, "ds.parquet")
+    assert(IndexStore.stampedPath("fam", dir, "ds.parquet") == p1,
+      "unchanged directory source must resolve to the same stamp")
+    // rewriting a NESTED part file must restamp even though the top
+    // directory's own mtime only tracks entry creation/removal
+    Files.write(child.toPath, "bbbbbbbb".getBytes)
+    assert(IndexStore.stampedPath("fam", dir, "ds.parquet") != p1,
+      "a rewritten part file must never resolve to the old index")
+  }
+
+  test("losing the publish race serves the winner's index and discards ours") {
+    val path = freshTarget()
+    // the build itself publishes a COMPLETE index at the target —
+    // exactly what a faster cross-process publisher does while our
+    // build runs; our rename must lose, keep the winner's files, and
+    // clean up our temp dir
+    IndexStore.ensure(path) { dir =>
+      new File(dir).mkdirs()
+      Files.write(new File(dir, "ours").toPath, "mine".getBytes)
+      new File(path).mkdirs()
+      Files.write(new File(path, "winner").toPath, "theirs".getBytes)
+      Files.write(new File(path, "_GRAFT_INDEX_COMPLETE").toPath,
+        Array.empty[Byte])
+    }
+    assert(IndexStore.isComplete(path))
+    assert(new File(path, "winner").exists(),
+      "the winner's published index must be served untouched")
+    assert(!new File(path, "ours").exists(),
+      "the loser's build must not replace the winner's")
+    val leftovers = new File(path).getParentFile.listFiles()
+      .filter(_.getName.startsWith(new File(path).getName + ".build-"))
+    assert(leftovers.isEmpty, "the loser's temp build dir must be cleaned up")
+  }
+
+  test("debris recovery never deletes the squatting target in place (reader keeps its files)") {
+    val path = freshTarget()
+    new File(path).mkdirs()
+    val squatFile = new File(path, "half-written")
+    Files.write(squatFile.toPath, "debris".getBytes)
+    // a reader that opened a file of the squatting dir before recovery
+    // must still be able to read it afterwards (rename-aside keeps the
+    // inode; delete-in-place under POSIX keeps open handles too, but
+    // rename-aside also keeps the PATHS valid until recovery finishes)
+    val in = new java.io.FileInputStream(squatFile)
+    IndexStore.ensure(path) { dir =>
+      new File(dir).mkdirs()
+      Files.write(new File(dir, "data").toPath, "fresh".getBytes)
+    }
+    val buf = new Array[Byte](6)
+    assert(in.read(buf) == 6 && new String(buf) == "debris",
+      "a reader mid-scan of the squatter must not lose its open file")
+    in.close()
+    assert(IndexStore.isComplete(path) && new File(path, "data").exists())
+    assert(!new File(path, "half-written").exists())
+    // no .stale-* leftovers once recovery completed
+    val stale = new File(path).getParentFile.listFiles()
+      .filter(_.getName.contains(".stale-"))
+    assert(stale.isEmpty, "recovery must clean up the set-aside debris")
+  }
+
   test("publishing a new stamp garbage-collects superseded stamps, nothing else") {
     val family = Files.createTempDirectory("graft_idxgc").toFile
     def mkComplete(name: String): File = {
