@@ -13,7 +13,7 @@ object Registry {
       FuncQueries.all ++ DedupQueries.all ++ SimQueries.all ++
       TextQueries.all ++ MultimodalQueries.all ++ EventQueries.all ++
       ReshapeQueries.all ++ SourceQueries.all ++ SampleQueries.all ++
-      MiningQueries.all ++ GraphQueries.all
+      MiningQueries.all ++ GraphQueries.all ++ PipelineQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -52,7 +52,7 @@ object DedupQueries {
     * of the whole dedup pipeline. Memoized + persisted per (session,
     * dir): the minhash signature pass and the Jaccard verify both
     * consume it, so the corpus is tokenized once per session. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "shingles") {
       graft.api.Dedup.wordShingles(
         Tables.documentsSpread(s, dir), "doc_id", "text", n = 3)
@@ -118,7 +118,7 @@ object DedupQueries {
   /** (doc1, doc2, est_jaccard ≥ 0.5) candidate pairs — shared by the
     * minhash contract query, the edit-distance refinement, and
     * cluster formation; memoized so the band join runs once. */
-  private def minhashPairsSpark(s: SparkSession, dir: String): DataFrame =
+  private[operators] def minhashPairsSpark(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "minhash_pairs") {
       graft.api.Dedup.minhashBandPairs(minhashSig(s, dir), "doc_id")
     }
@@ -144,7 +144,7 @@ object DedupQueries {
 
   /** [[minhashSigCte]] extended to `pairs(doc1, doc2, est_jaccard)` —
     * the oracle twin of [[minhashPairsSpark]]. */
-  private val minhashPairsCte: String =
+  private[operators] val minhashPairsCte: String =
     s"""$minhashSigCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** The composed corpus-preparation pipeline as ONE oracle-backed
+  * contract query (graft.api.Pipeline): quality gate → exact+near
+  * dedup → eval-contamination removal → mixture sampling, chained
+  * over the `documents` table. Every stage is individually verified
+  * elsewhere (text_quality_score, dedup_keep_list, dedup_containment,
+  * sample_mixture); this query verifies the COMPOSITION — that the
+  * stages agree on keys and columns end to end, which is the query a
+  * training-data user actually runs first.
+  *
+  * The oracle replays the full chain in DuckDB: the same quality
+  * decimal grid, the same md5-sliced MinHash signatures (reusing the
+  * dedup family's pair CTE, narrowed to the gated corpus — per-doc
+  * signatures are independent, so filtering full-corpus pairs to
+  * gated endpoints IS the gated pair list), a recursive-CTE
+  * transitive closure for the near-dup clusters, the same asymmetric
+  * containment, and the same integer-exact mixture hash. */
+object PipelineQueries {
+
+  private val stop =
+    "('a','the','and','of','to','in','is','on','for','with')"
+
+  /** Mixture rates shared with the Spark side: downsample two named
+    * sources, ban one, keep the rest at 1/8. */
+  private val rates = Seq("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0)
+  private val duckRate = rates.map { case (g, r) =>
+    s"WHEN '$g' THEN ${(r * 65536).toLong}" }.mkString(" ")
+
+  val pipelineCorpusPrep: GQuery = GQuery(
+    "pipeline_corpus_prep",
+    s"""${DedupQueries.minhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |         FROM documents),
+       |per_doc AS (SELECT doc_id,
+       |    count(*) AS n_tokens,
+       |    count(DISTINCT term) AS n_distinct,
+       |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
+       |  FROM tokq GROUP BY doc_id),
+       |qual AS (SELECT doc_id, CAST(round(
+       |    0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+       |               AS DECIMAL(12,6))
+       |    + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+       |                      AS DECIMAL(12,6)))
+       |    + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
+       |  FROM per_doc),
+       |corpus AS (SELECT d.doc_id, d.text, d.source, d.lang, q.quality
+       |  FROM documents d JOIN qual q USING (doc_id)
+       |  WHERE d.doc_id % 10 <> 7 AND q.quality >= 0.61),
+       |gp AS (SELECT doc1, doc2 FROM pairs
+       |  WHERE doc1 IN (SELECT doc_id FROM corpus)
+       |    AND doc2 IN (SELECT doc_id FROM corpus)),
+       |e AS (SELECT doc1 AS a, doc2 AS b FROM gp
+       |      UNION ALL SELECT doc2, doc1 FROM gp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS rep
+       |        FROM reach GROUP BY a),
+       |ex AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM corpus),
+       |keeps AS (SELECT c.doc_id FROM corpus c JOIN ex USING (doc_id)
+       |  LEFT JOIN lab ON c.doc_id = lab.node
+       |  WHERE ex.rn = 1 AND (lab.node IS NULL OR lab.rep = c.doc_id)),
+       |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+       |       WHERE doc_id % 10 = 7),
+       |tr AS (SELECT doc_id AS train_id, shingle FROM sh
+       |       WHERE doc_id IN (SELECT doc_id FROM keeps)),
+       |sizes AS (SELECT eval_id, count(*) AS n FROM ev GROUP BY eval_id),
+       |inter AS (SELECT v.eval_id, t.train_id, count(*) AS i
+       |  FROM ev v JOIN tr t ON v.shingle = t.shingle
+       |  GROUP BY 1, 2),
+       |contaminated AS (SELECT DISTINCT i.train_id
+       |  FROM inter i JOIN sizes s USING (eval_id)
+       |  WHERE i.i * 2 >= s.n),
+       |clean AS (SELECT k.doc_id FROM keeps k
+       |  WHERE k.doc_id NOT IN (SELECT train_id FROM contaminated))
+       |SELECT c.doc_id, d.source, d.lang, q.quality
+       |FROM clean c JOIN documents d USING (doc_id)
+       |JOIN qual q USING (doc_id)
+       |WHERE CAST(concat('0x',
+       |    substr(md5(concat('mix:', CAST(c.doc_id AS VARCHAR))), 1, 12))
+       |    AS BIGINT) % 65536
+       |  < CASE d.source $duckRate ELSE ${65536 / 8} END
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.api.Pipeline.corpusPrep(
+      Tables.documents(s, dir), "doc_id", "text", "source",
+      isEval = col("doc_id") % 10 === 7, minQuality = 0.61,
+      rates = rates.toMap, defaultRate = 0.125,
+      // donate the session-memoized shingle table and full-corpus
+      // near-dup pair list shared with the dedup family
+      shingles = Some(DedupQueries.shingles(s, dir)),
+      pairs = Some(DedupQueries.minhashPairsSpark(s, dir)))
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(pipelineCorpusPrep)
+}

@@ -208,6 +208,32 @@ class ApiSpec extends SparkTestBase {
       .agg(max(col("count"))).head().getLong(0) <= 4)
   }
 
+  test("corpus-prep pipeline on renamed columns, no donations, matches the contract query") {
+    // the composed API computes its own shingles and near-dup pairs
+    // here (the contract query donates session memos): filtering
+    // full-corpus pairs to gated endpoints must equal recomputing on
+    // the gated subset, and the stages must agree on keys end to end
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id").as("post_id"), col("text").as("body"),
+      col("source").as("origin"), col("lang"))
+    val got = Pipeline.corpusPrep(
+      docs, "post_id", "body", "origin",
+      isEval = col("post_id") % 10 === 7, minQuality = 0.61,
+      rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0),
+      defaultRate = 0.125)
+      .select(col("post_id"), col("origin"), col("lang"), col("quality"))
+      .orderBy(col("post_id"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    val want = graft.operators.PipelineQueries.pipelineCorpusPrep
+      .fn(spark, sfDir)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty && got == want)
+  }
+
   test("connected components labels every paired node with its component min") {
     val pairs = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L)))
