@@ -180,6 +180,64 @@ object Dedup {
       .write.mode("append").partitionBy("bkt").parquet(s"$path/bands")
   }
 
+  /** Build and SAVE a cross-set CONTAINMENT index of a training
+    * corpus at `path` — the serving structure for continuous
+    * eval-contamination checks ([[containmentPairs]] run against a
+    * stream of arriving eval prompts,
+    * graft.streaming.DedupStreams.containmentAgainstSavedIndex):
+    *
+    *  - `postings`: the inverted n-gram index (shingle, id),
+    *    partitioned by a portable-hash bucket of the shingle so a
+    *    BATCH probe prunes to its arrivals' buckets;
+    *  - `docs`: one row per training doc with its ASCENDING-sorted
+    *    distinct shingle array — the verify side: a probe counts the
+    *    exact intersection with `sorted_intersect_count` (early-exit
+    *    merge), so the aggregate-free probe stays stateless and
+    *    Append-mode-safe on a stream;
+    *  - `meta`: (n, n_buckets) pinning shingling and bucketing.
+    *
+    * The expensive corpus pass (tokenize, shingle, sort) runs ONCE at
+    * build; probes never re-shingle the corpus. */
+  def containmentIndexBuild(docs: DataFrame, id: String, text: String,
+      path: String, n: Int = 3, nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, nBuckets)).toDF("n", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val sh = wordShingles(docs, id, text, n)
+      .withColumnRenamed(id, "id")
+    sh.withColumn("bkt", containmentBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/postings")
+    sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("sh_sorted"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Incrementally add training documents to a saved
+    * [[containmentIndexBuild]] index: arrivals are shingled through
+    * the same path and appended — only their buckets' directories
+    * gain posting files. Ids must be new (a re-sent id would simply
+    * duplicate its rows; dedupe upstream). */
+  def containmentIndexAppend(newDocs: DataFrame, id: String,
+      text: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, nBuckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"))
+    val sh = wordShingles(newDocs, id, text, n)
+      .withColumnRenamed(id, "id")
+    sh.withColumn("bkt", containmentBucket(nBuckets))
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/postings")
+    sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("sh_sorted"))
+      .write.mode("append").parquet(s"$path/docs")
+  }
+
+  /** The containment index's posting bucket — a pure function of the
+    * shingle, so probe and build always agree. */
+  private[graft] def containmentBucket(nBuckets: Int): Column =
+    pmod(Sampling.portableHash(col("shingle"), "ctn:"), lit(nBuckets))
+      .cast("int")
+
   /** 16-bit SimHash signatures over distinct tokens: (id, simhash). */
   def simhashSignatures(docs: DataFrame, id: String,
       text: String): DataFrame = {

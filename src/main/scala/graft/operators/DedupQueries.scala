@@ -473,8 +473,7 @@ object DedupQueries {
     * so a short eval prompt quoted verbatim inside a long training
     * document scores 1.0 where Jaccard would vanish. The operator an
     * LLM eval pipeline runs before trusting a benchmark number. */
-  val dedupContainment: GQuery = GQuery(
-    "dedup_containment",
+  private val duckContainmentSql =
     s"""$duckShingles,
        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
        |       WHERE doc_id % 10 = 7),
@@ -488,14 +487,41 @@ object DedupQueries {
        |  round(CAST(i.i AS DOUBLE) / s.n, 6) AS containment
        |FROM inter i JOIN sizes s ON i.eval_id = s.eval_id
        |WHERE i.i * 2 >= s.n
-       |ORDER BY i.eval_id, i.train_id""".stripMargin) { (s, dir) =>
+       |ORDER BY i.eval_id, i.train_id""".stripMargin
+
+  val dedupContainment: GQuery = GQuery(
+    "dedup_containment", duckContainmentSql) { (s, dir) =>
     graft.api.Dedup.containmentPairs(shingles(s, dir), "doc_id",
         col("doc_id") % 10 === 7)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  /** Contamination checking as a SERVING path — the same semantics
+    * as [[dedupContainment]] (same oracle SQL, provably identical
+    * result), but probing a SAVED containment index of the training
+    * corpus (graft.api.Dedup.containmentIndexBuild, build-if-absent
+    * through IndexStore): the corpus is shingled once at build, the
+    * batch probe prunes the postings scan to its prefix shingles'
+    * buckets, and the probe plan is the exact one
+    * graft.streaming.DedupStreams.containmentAgainstSavedIndex runs
+    * on a live stream of arriving eval prompts (DedupStreamsSpec pins
+    * streaming ≡ batch ≡ the in-memory API). */
+  val dedupContainmentIngest: GQuery = GQuery(
+    "dedup_containment_ingest", duckContainmentSql) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    val path = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("containment_train", dir,
+        "documents.parquet")) { tmp =>
+      graft.api.Dedup.containmentIndexBuild(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", tmp)
+    }
+    graft.streaming.DedupStreams.containmentAgainstSavedIndex(
+      docs.filter(col("doc_id") % 10 === 7), path, "doc_id", "text")
       .orderBy(col("eval_id"), col("train_id"))
   }
 
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
-    dedupIngest, dedupContainment)
+    dedupIngest, dedupContainment, dedupContainmentIngest)
 }

@@ -124,6 +124,79 @@ object DedupStreams {
     * key instead and the stream-static join re-reads the (pruned-by-
     * nothing) index per micro-batch — still correct, and the engine
     * sizes the join from the index's actual size. */
+  /** Eval-CONTAMINATION probe of a stream of arriving eval documents
+    * against a SAVED training-corpus containment index
+    * (graft.api.Dedup.containmentIndexBuild): (eval_id, train_id,
+    * containment ≥ num/den), containment = |sh(eval) ∩ sh(train)| /
+    * |sh(eval)| — the asymmetric metric, computed EXACTLY.
+    *
+    * Stateless by construction, so it runs in Append mode forever —
+    * no watermark, no state store, and identically on a batch frame
+    * (spec-pinned against the oracle-verified batch
+    * [[graft.api.Dedup.containmentPairs]]):
+    *
+    *  - '''candidates''' via a lossless PREFIX join (the PPJoin/
+    *    AllPairs containment bound): containment ≥ num/den needs
+    *    ⌈n·num/den⌉ of the eval doc's n shingles inside the train
+    *    doc, so among the first n − ⌈n·num/den⌉ + 1 shingles (in the
+    *    sorted order) at least one must match — only that prefix is
+    *    exploded and equi-joined against the saved postings;
+    *  - '''per-pair dedup WITHOUT state''': a (eval, train) pair
+    *    colliding on several prefix shingles is kept once by the
+    *    first-hit trick (keep the collision whose shingle IS the
+    *    first prefix element present in the train doc's array — the
+    *    same carried-data move the band join uses);
+    *  - '''verify''' on the pair row itself: the train side carries
+    *    its sorted shingle array, so the exact intersection is one
+    *    early-exit `sorted_intersect_count` call, no aggregate.
+    *
+    * A BATCH arrival frame additionally prunes the postings scan to
+    * its prefix shingles' buckets via a literal partition filter. */
+  def containmentAgainstSavedIndex(stream: DataFrame, path: String,
+      id: String, text: String, num: Int = 1, den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    val spark = stream.sparkSession
+    graft.functions.TextExpressions.register(spark)
+    graft.functions.SetExpressions.register(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, nBuckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"))
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("bkt"), col("shingle"), col("id").as("train_id"))
+    val docsArr = spark.read.parquet(s"$path/docs")
+      .select(col("id").as("train_id"), col("sh_sorted").as("ta"))
+    val shArr = array_sort(array_distinct(call_function("word_ngrams",
+      split(col(text), " "), lit(n))))
+    val arrivals = stream
+      .select(col(id).as("eval_id"), shArr.as("ea"))
+      .filter(size(col("ea")) > 0)
+      .withColumn("nsh", size(col("ea")))
+      // matches needed = ceil(nsh·num/den); prefix = misses allowed + 1
+      .withColumn("need", expr(s"CAST((nsh * $num + ${den - 1}) DIV $den AS INT)"))
+      .withColumn("plen", col("nsh") - col("need") + 1)
+      .select(col("eval_id"), col("ea"), col("nsh"), col("need"),
+        col("plen"), explode(expr("slice(ea, 1, plen)")).as("shingle"))
+      .withColumn("bkt", graft.api.Dedup.containmentBucket(nBuckets))
+    val prunedPostings =
+      if (stream.isStreaming) postings
+      else {
+        val bkts = arrivals.select(col("bkt")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        postings.filter(col("bkt").isin(bkts: _*))
+      }
+    arrivals.join(prunedPostings, Seq("bkt", "shingle"))
+      .join(docsArr, Seq("train_id"))
+      // first-hit dedup: the joined shingle is in ta by construction,
+      // so the filtered prefix is never empty
+      .filter(col("shingle") === element_at(
+        filter(expr("slice(ea, 1, plen)"),
+          x => array_contains(col("ta"), x)), 1))
+      .withColumn("i", call_function("sorted_intersect_count",
+        col("ea"), col("ta"), col("need")))
+      .filter(col("i") * den >= col("nsh") * num)
+      .select(col("eval_id"), col("train_id"),
+        round(col("i").cast("double") / col("nsh"), 6).as("containment"))
+  }
+
   def nearDupsAgainstSavedIndex(stream: DataFrame, path: String,
       id: String, text: String, minEst: Double = 0.5): DataFrame = {
     val spark = stream.sparkSession

@@ -72,6 +72,46 @@ class DedupStreamsSpec extends SparkTestBase {
     index.unpersist()
   }
 
+  test("streaming containment probe of the SAVED index equals batch probe and batch API") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ctnidx_stream").toString
+    // train corpus = non-eval docs, indexed once; eval prompts stream in
+    val train = all.filter(_.doc_id % 10 != 7)
+    val evals = all.filter(_.doc_id % 10 == 7)
+    graft.api.Dedup.containmentIndexBuild(train.toDF(), "doc_id", "text",
+      path)
+    // plant a full quote (id ends in 7, so the batch API's eval
+    // predicate covers it): containment must be exactly 1.0
+    val planted = Doc(999997L, train.head.text)
+    val feed = evals :+ planted
+    val mem = MemoryStream[Doc]
+    val q = DedupStreams.containmentAgainstSavedIndex(mem.toDF(), path,
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("ctn_stream")
+      .outputMode("append").start()
+    feed.grouped(20).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("ctn_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin: the SAME function over a batch frame (this path
+    // additionally prunes the postings scan to the probed buckets)
+    val want = DedupStreams.containmentAgainstSavedIndex(feed.toDF(),
+        path, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.contains((999997L, train.head.doc_id, 1.0)))
+    // and equals the oracle-verified in-memory batch API over the
+    // same document universe
+    val viaApi = graft.api.Dedup.containmentPairs(
+        graft.api.Dedup.wordShingles((all :+ planted).toDF(),
+          "doc_id", "text"), "doc_id", col("doc_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == viaApi)
+  }
+
   test("streaming probe of the SAVED index equals the batch probe and the in-memory one") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = java.nio.file.Files
