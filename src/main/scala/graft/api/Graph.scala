@@ -43,40 +43,95 @@ object Graph {
     * plan — raising this trades blocking materializations for
     * exponential plan growth and is only sane for 2-3 unchecked
     * rounds on a dangling-free graph. */
-  def pageRank(edges: DataFrame, src: String, dst: String,
-      iters: Int = 3, damping: Double = 0.85,
-      checkpointEvery: Int = 1): DataFrame = {
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+  /** The shared prepared inputs of one PageRank run: canonical edge
+    * list, eagerly-materialized node universe and out-degrees (reused
+    * every iteration), 1-row node count, uniform initial ranks. */
+  private def prepared(edges: DataFrame, src: String, dst: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-    // node universe and out-degrees are reused every iteration:
-    // materialize once, eagerly
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val n = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(n))
+    val r0 = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    (e, nodes, deg, n, r0)
+  }
+
+  /** One power iteration: one join + one map-side-combining aggregate
+    * over the edge list plus two 1-row broadcasts (node count,
+    * dangling mass — rank sitting on nodes with no out-edges is
+    * redistributed uniformly, the standard correction). */
+  private def step(e: DataFrame, nodes: DataFrame, deg: DataFrame,
+      n: DataFrame, r: DataFrame, damping: Double): DataFrame = {
+    val contrib = e.join(r, e("src") === r("node"))
+      .join(deg, Seq("src"))
+      .select(col("dst").as("node"), (col("r") / col("outdeg")).as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+    val dangling = r.join(deg, r("node") === deg("src"), "left_anti")
+      .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+    nodes.join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
+      .select(col("node"),
+        round(lit(1.0 - damping) / col("n") + lit(damping) *
+          (coalesce(col("cs"), lit(0.0)) + col("dm") / col("n")), 8)
+          .as("r"))
+  }
+
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val (e, nodes, deg, n, r0) = prepared(edges, src, dst)
+    var r = r0
     for (i <- 1 to iters) {
-      val contrib = e.join(r, e("src") === r("node"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"), (col("r") / col("outdeg")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      // rank sitting on nodes with no out-edges — redistributed
-      // uniformly (the standard dangling-node correction)
-      val dangling = r.join(deg, r("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
-        .select(col("node"),
-          round(lit(1.0 - damping) / col("n") + lit(damping) *
-            (coalesce(col("cs"), lit(0.0)) + col("dm") / col("n")), 8)
-            .as("r"))
+      r = step(e, nodes, deg, n, r, damping)
       if (i % checkpointEvery == 0 && i != iters)
         r = r.localCheckpoint(true)
     }
     r
   }
+
+  /** [[pageRank]] iterated to CONVERGENCE instead of a fixed round
+    * count: stops when the L1 delta Σ|r_i − r_{i−1}| falls to ≤ `tol`
+    * (or at `maxIters`, the divergence guard). Returns (ranks,
+    * iterations run) — the ranks are identical to
+    * `pageRank(edges, src, dst, itersRun)`, property-pinned in
+    * GraphApiSpec.
+    *
+    * The delta is a driver-side scalar per iteration — the same move
+    * AQE makes (realize a tiny runtime statistic to pick the next
+    * plan), and the price of a convergence criterion on ANY engine.
+    * Each iteration is localCheckpointed BEFORE the delta action, so
+    * the delta never replays lineage and plan depth stays constant
+    * regardless of how many rounds convergence takes. */
+  def pageRankUntilWithIters(edges: DataFrame, src: String, dst: String,
+      tol: Double = 1e-6, maxIters: Int = 50,
+      damping: Double = 0.85): (DataFrame, Int) = {
+    require(tol > 0, "tol must be positive")
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val (e, nodes, deg, n, r0) = prepared(edges, src, dst)
+    var r = r0.localCheckpoint(true)
+    var delta = Double.MaxValue
+    var i = 0
+    while (i < maxIters && delta > tol) {
+      val next = step(e, nodes, deg, n, r, damping).localCheckpoint(true)
+      delta = next.join(r.select(col("node"), col("r").as("r0")),
+          Seq("node"))
+        .agg(coalesce(sum(abs(col("r") - col("r0"))), lit(0.0)))
+        .head().getDouble(0)
+      r = next
+      i += 1
+    }
+    (r, i)
+  }
+
+  /** [[pageRankUntilWithIters]] returning just the ranks. */
+  def pageRankUntil(edges: DataFrame, src: String, dst: String,
+      tol: Double = 1e-6, maxIters: Int = 50,
+      damping: Double = 0.85): DataFrame =
+    pageRankUntilWithIters(edges, src, dst, tol, maxIters, damping)._1
 
   /** Connected components over an undirected (or symmetric) edge
     * list: (node, label), label = the component's minimum node id.

@@ -44,6 +44,34 @@ class GraphApiSpec extends SparkTestBase {
     assert(got == w)
   }
 
+  test("pageRankUntil converges and equals pageRank run for the same iteration count") {
+    // asymmetric graph with a dangling node AND a cycle, so ranks
+    // genuinely move for several rounds before settling
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L),
+      (6L, 1L)).toDF("s", "d")
+    val (r, k) = Graph.pageRankUntilWithIters(e, "s", "d",
+      tol = 1e-6, maxIters = 50)
+    assert(k > 1 && k < 50,
+      s"expected genuine convergence before the cap, ran $k iterations")
+    // the convergence variant is the SAME power iteration: its ranks
+    // must equal the fixed-round form run exactly k times
+    val got = r.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val want = Graph.pageRank(e, "s", "d", iters = k)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got == want)
+    // converged means one MORE round moves ranks by at most tol (L1)
+    val next = Graph.pageRank(e, "s", "d", iters = k + 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val l1 = got.map { case (n0, v) => math.abs(v - next(n0)) }.sum
+    assert(l1 <= 1e-6 + 1e-12, s"post-convergence L1 delta $l1 > tol")
+    // total rank still conserved (dangling mass handled each round)
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    // a looser tolerance can never need more rounds
+    val (_, kLoose) = Graph.pageRankUntilWithIters(e, "s", "d",
+      tol = 1e-2, maxIters = 50)
+    assert(kLoose <= k)
+  }
+
   test("Graph.connectedComponents labels components by their minimum") {
     val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
     val lab = Graph.connectedComponents(e, "s", "d")
