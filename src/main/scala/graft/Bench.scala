@@ -36,7 +36,8 @@ object Bench {
     // SERVING path; when the indexes already exist this is a cheap
     // warm pass. Declared in the output as prebuilt_indexes — the
     // warm per-query record is ISOBENCH.json (runMain graft.IsoBench).
-    val prebuilt = Seq("sim_topk_ivf", "sim_topk_ivfpq", "dedup_ingest")
+    val prebuilt = Seq("sim_topk_ivf", "sim_topk_ivfpq", "dedup_ingest",
+        "dedup_containment_ingest")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

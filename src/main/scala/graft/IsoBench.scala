@@ -22,14 +22,17 @@ import org.apache.spark.sql.SparkSession
   */
 object IsoBench {
 
-  /** The 10 most expensive contract queries by the round-3 judge's
-    * per-query re-run — the set whose warm-iso numbers adjudicate a
-    * noisy driver bench. */
+  /** The most expensive contract queries — the UNION of the round-3
+    * and round-6 judges' per-query top-10s, plus the round-7 composed
+    * pipeline and saved-containment-index queries — the set whose
+    * warm-iso numbers adjudicate a noisy driver bench. */
   private val headline = Seq(
-    "dedup_clusters", "graph_pagerank", "mining_kmeans",
-    "sim_topk_ivfpq", "dedup_ingest", "text_lang_divergence",
-    "dedup_ngram_jaccard", "sim_topk_ivf", "graph_triangles",
-    "mining_copurchase")
+    "dedup_clusters", "dedup_clusters_twophase", "graph_pagerank",
+    "mining_kmeans", "mining_assoc_rules", "dedup_keep_list",
+    "mining_copurchase", "sim_topk_ivfpq", "sim_topk_ivf",
+    "dedup_ingest", "dedup_ngram_jaccard", "text_lang_divergence",
+    "graph_triangles", "dedup_embed_cosine", "pipeline_corpus_prep",
+    "dedup_containment_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -48,11 +48,16 @@ object Pipeline {
       shingles: Option[DataFrame] = None,
       pairs: Option[DataFrame] = None): DataFrame = {
 
-    // 1. quality gate; eval rows leave the training corpus here
+    // 1. quality gate; eval rows leave the training corpus here.
+    // The gated corpus feeds FOUR consumers (pair narrowing, dedup,
+    // decontamination membership, the final mixture join) — without
+    // an eager materialization each one would replay the full
+    // tokenize-and-aggregate quality pass.
     val qual = Text.qualityScore(docs, id, text)
       .select(col(id), col("quality"))
     val corpus = docs.join(qual, Seq(id))
       .filter(!isEval && col("quality") >= minQuality)
+      .localCheckpoint(true)
 
     // 2. exact + near dedup among gated docs (donated pairs narrowed
     // to gated endpoints ≡ pairs of the gated subset)
@@ -62,8 +67,12 @@ object Pipeline {
         .join(corpusIds.select(col(id).as("doc1")), Seq("doc1"), "left_semi")
         .join(corpusIds.select(col(id).as("doc2")), Seq("doc2"), "left_semi")
     }
+    // keeps feeds the containment train side AND the final anti-join;
+    // its lineage (exact-dup aggregate + connected components) is the
+    // pipeline's most expensive subtree — materialize once
     val keeps = Dedup.keepList(corpus, id, text, minEst, gatedPairs)
       .filter(col("status") === "keep").select(col(id))
+      .localCheckpoint(true)
 
     // 3. decontamination: survivors containing an eval doc are out.
     // Membership marks both sides from the one shingle table — the

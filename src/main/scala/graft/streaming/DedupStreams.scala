@@ -166,32 +166,58 @@ object DedupStreams {
       .select(col("id").as("train_id"), col("sh_sorted").as("ta"))
     val shArr = array_sort(array_distinct(call_function("word_ngrams",
       split(col(text), " "), lit(n))))
-    val arrivals = stream
+    val arrBase = stream
       .select(col(id).as("eval_id"), shArr.as("ea"))
       .filter(size(col("ea")) > 0)
       .withColumn("nsh", size(col("ea")))
       // matches needed = ceil(nsh·num/den); prefix = misses allowed + 1
       .withColumn("need", expr(s"CAST((nsh * $num + ${den - 1}) DIV $den AS INT)"))
       .withColumn("plen", col("nsh") - col("need") + 1)
-      .select(col("eval_id"), col("ea"), col("nsh"), col("need"),
-        col("plen"), explode(expr("slice(ea, 1, plen)")).as("shingle"))
-      .withColumn("bkt", graft.api.Dedup.containmentBucket(nBuckets))
-    val prunedPostings =
-      if (stream.isStreaming) postings
-      else {
-        val bkts = arrivals.select(col("bkt")).distinct()
+    val verified =
+      if (stream.isStreaming) {
+        // STATELESS carried-data plan: the arrival's shingle array
+        // rides every exploded prefix row, so dedup and verify are
+        // per-row expressions — no aggregate, Append-safe. The ~plen
+        // copies of the array are per-ARRIVAL cost, the right trade
+        // for a stream's small micro-batches.
+        val arrivals = arrBase
+          .select(col("eval_id"), col("ea"), col("nsh"), col("need"),
+            col("plen"), explode(expr("slice(ea, 1, plen)")).as("shingle"))
+          .withColumn("bkt", graft.api.Dedup.containmentBucket(nBuckets))
+        arrivals.join(postings, Seq("bkt", "shingle"))
+          .join(docsArr, Seq("train_id"))
+          // first-hit dedup: keep the collision whose shingle IS the
+          // first prefix element present in the train doc's array (the
+          // joined shingle is in ta by construction, so the filtered
+          // prefix is never empty)
+          .filter(col("shingle") === element_at(
+            filter(expr("slice(ea, 1, plen)"),
+              x => array_contains(col("ta"), x)), 1))
+          .withColumn("i", call_function("sorted_intersect_count",
+            col("ea"), col("ta"), col("need")))
+      } else {
+        // BATCH backfill plan, same result (the spec pins them equal):
+        // candidates are generated from a SLIM (eval_id, shingle)
+        // prefix explode — the shingle arrays never ride the posting
+        // join — deduped with a real distinct, and each surviving PAIR
+        // attaches the two arrays exactly once for the verify. The
+        // arrival arrays are materialized once (three consumers:
+        // bucket realization, prefix explode, verify attach).
+        val arr = arrBase.localCheckpoint(true)
+        val pref = arr.select(col("eval_id"),
+            explode(expr("slice(ea, 1, plen)")).as("shingle"))
+          .withColumn("bkt", graft.api.Dedup.containmentBucket(nBuckets))
+        val bkts = pref.select(col("bkt")).distinct()
           .collect().map(_.getInt(0)).toSeq
-        postings.filter(col("bkt").isin(bkts: _*))
+        pref.join(postings.filter(col("bkt").isin(bkts: _*)),
+            Seq("bkt", "shingle"))
+          .select(col("eval_id"), col("train_id")).distinct()
+          .join(arr, Seq("eval_id"))
+          .join(docsArr, Seq("train_id"))
+          .withColumn("i", call_function("sorted_intersect_count",
+            col("ea"), col("ta"), col("need")))
       }
-    arrivals.join(prunedPostings, Seq("bkt", "shingle"))
-      .join(docsArr, Seq("train_id"))
-      // first-hit dedup: the joined shingle is in ta by construction,
-      // so the filtered prefix is never empty
-      .filter(col("shingle") === element_at(
-        filter(expr("slice(ea, 1, plen)"),
-          x => array_contains(col("ta"), x)), 1))
-      .withColumn("i", call_function("sorted_intersect_count",
-        col("ea"), col("ta"), col("need")))
+    verified
       .filter(col("i") * den >= col("nsh") * num)
       .select(col("eval_id"), col("train_id"),
         round(col("i").cast("double") / col("nsh"), 6).as("containment"))
