@@ -52,6 +52,45 @@ object Sampling {
     df.filter(portableHash(col(id), salt) % d < rateCol)
   }
 
+  /** Deterministic mixture REPLICATION — the UPSAMPLING half of
+    * mixture building that [[mixtureWeighted]] deliberately excludes:
+    * per-group rates may exceed 1, and each row is emitted
+    * ⌊rate⌋ + (1 iff its hash bucket < frac(rate)·65536) times, so a
+    * curated source at rate 2.5 yields 2 copies of every row plus a
+    * third for a deterministic half of them. The output gains a
+    * 0-based `copy` index column — downstream shuffles can key on
+    * (id, copy) so replicas don't co-locate, and copy 0 of a rate ≤ 1
+    * group is EXACTLY [[mixtureWeighted]]'s kept set under the same
+    * salt (spec-pinned).
+    *
+    * Rates are quantized to 1/65536 and split into (whole, fractional)
+    * parts in DRIVER-side integer arithmetic, so the per-row decision
+    * is integer-exact on every engine. Replication is a per-row
+    * projection + explode — no shuffle, stateless, streaming-safe. */
+  def mixtureReplicated(df: DataFrame, id: String, group: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix:", copyCol: String = "copy"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0),
+      "rates must be non-negative")
+    val d = 65536L
+    def q(r: Double): Long = (r * d).toLong
+    val base = rates.foldLeft(lit(q(defaultRate) / d)) {
+      case (acc, (g, r)) => when(col(group) === g, lit(q(r) / d))
+        .otherwise(acc)
+    }
+    val frac = rates.foldLeft(lit(q(defaultRate) % d)) {
+      case (acc, (g, r)) => when(col(group) === g, lit(q(r) % d))
+        .otherwise(acc)
+    }
+    val copies = base +
+      when(portableHash(col(id), salt) % d < frac, 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn(copyCol,
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Deterministic per-stratum reservoir: the k rows with the
     * smallest salted hash in each stratum (id as the unique
     * tiebreak).

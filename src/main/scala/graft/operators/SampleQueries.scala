@@ -88,6 +88,40 @@ object SampleQueries {
     }
   }
 
+  /** Mixture REPLICATION (graft.api.Sampling.mixtureReplicated):
+    * the upsampling half — rates above 1 emit whole copies plus a
+    * deterministic fractional copy, rates below 1 downsample, all
+    * from the same quantized hash decision. Emits the replicated
+    * rows with their 0-based copy index ((doc_id, copy) is the
+    * unique key downstream shuffles spread on). */
+  val sampleMixtureUpsampled: GQuery = {
+    val rates = Seq("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0)
+    val d = 65536L
+    def q(r: Double): Long = (r * d).toLong
+    val duckBase = rates.map { case (g, r) =>
+      s"WHEN '$g' THEN ${q(r) / d}" }.mkString(" ")
+    val duckFrac = rates.map { case (g, r) =>
+      s"WHEN '$g' THEN ${q(r) % d}" }.mkString(" ")
+    GQuery(
+      "sample_mixture_upsampled",
+      s"""WITH c AS (SELECT doc_id, source,
+         |    CASE source $duckBase ELSE 1 END
+         |    + CASE WHEN ${duckHash("concat('mix:', CAST(doc_id AS VARCHAR))")}
+         |        % $d < CASE source $duckFrac ELSE 0 END
+         |      THEN 1 ELSE 0 END AS copies
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS copy
+         |FROM c WHERE copies > 0
+         |ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+      graft.api.Sampling.mixtureReplicated(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", rates.toMap, defaultRate = 1.0)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
-    sampleMixture)
+    sampleMixture, sampleMixtureUpsampled)
 }

@@ -25,6 +25,14 @@ object SampleStreams {
       salt: String = "smp:"): DataFrame =
     graft.api.Sampling.hashBernoulli(df, id, modulus, salt)
 
+  /** stateless (per-row projection + explode) — identical code path
+    * for batch and streaming: up-/down-sampling a live feed into the
+    * training mixture needs no state either. */
+  def mixtureReplicated(df: DataFrame, id: String, group: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame =
+    graft.api.Sampling.mixtureReplicated(df, id, group, rates,
+      defaultRate)
+
   /** one output row per stratum per batch: the current sample ids,
     * ordered by the same (salted hash, id) key the batch sampler
     * sorts on. */

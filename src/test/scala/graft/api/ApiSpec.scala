@@ -159,6 +159,27 @@ class ApiSpec extends SparkTestBase {
     val wantMix = SampleQueries.sampleMixture.fn(spark, sfDir)
     assert(mix.collect().map(_.toSeq).toSeq
       == wantMix.collect().map(_.toSeq).toSeq)
+
+    // replication on renamed columns matches the upsampling contract
+    // query...
+    val rep = Sampling.mixtureReplicated(mySources, "post_id", "origin",
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0),
+        defaultRate = 1.0)
+      .orderBy(col("post_id"), col("copy"))
+    val wantRep = SampleQueries.sampleMixtureUpsampled.fn(spark, sfDir)
+    assert(rep.collect().map(_.toSeq).toSeq
+      == wantRep.collect().map(_.toSeq).toSeq)
+    // ...and with all-sub-1 rates its copy-0 set IS mixtureWeighted's
+    // kept set under the same salt (the samplers share one decision)
+    val subRates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0)
+    val repSub = Sampling.mixtureReplicated(mySources, "post_id",
+        "origin", subRates, defaultRate = 0.125)
+      .select(col("post_id"), col("origin"), col("copy"))
+    assert(repSub.filter(col("copy") =!= 0).count() == 0)
+    val keptSub = Sampling.mixtureWeighted(mySources, "post_id",
+      "origin", subRates, defaultRate = 0.125)
+    assert(repSub.drop("copy").except(keptSub).count() == 0
+      && keptSub.except(repSub.drop("copy")).count() == 0)
     PlanCache.clear()
   }
 

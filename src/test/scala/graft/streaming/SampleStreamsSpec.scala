@@ -33,6 +33,29 @@ class SampleStreamsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("mixture replication: streaming ≡ batch (stateless explode)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rates = Map("click" -> 2.5, "view" -> 0.5, "purchase" -> 0.0)
+    val mem = MemoryStream[SEv]
+    val q = SampleStreams.mixtureReplicated(mem.toDF(), "event_id",
+        "event_type", rates, defaultRate = 1.0)
+      .writeStream.format("memory").queryName("repl_sink")
+      .outputMode("append").start()
+    fixture.grouped(500).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("repl_sink")
+      .select($"event_id", $"copy").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val want = graft.api.Sampling
+      .mixtureReplicated(fixture.toDF(), "event_id", "event_type",
+        rates, defaultRate = 1.0)
+      .select($"event_id", $"copy").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // upsampled rows genuinely replicate: some event carries copy > 0
+    assert(got.exists(_._2 > 0))
+  }
+
   test("stratified reservoir: final streaming state ≡ batch top-k per stratum") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[SEv]
