@@ -37,30 +37,35 @@ object DedupStreams {
     * md5-hashes each DISTINCT shingle once corpus-wide through the
     * dictionary join), this recomputes hashes per row — the right
     * trade for a stream, where rows arrive independently. */
-  def signRows(docs: DataFrame, id: String, text: String,
-      n: Int = 3): DataFrame = {
-    graft.functions.TextExpressions.register(docs.sparkSession)
-    val shingles = array_distinct(call_function("word_ngrams",
-      split(col(text), " "), lit(n)))
-    // md5 is the dominant cost and higher-order lambdas are evaluated
-    // interpreted (no cross-column subexpression elimination), so the
-    // TWO digests per shingle are computed exactly once and folded
-    // into all 8 signature minimums in a single aggregate pass. The
-    // explode of a 1-element array is a Generate barrier: project
-    // collapsing cannot inline (and re-evaluate) the aggregate into
-    // the 8 extraction columns.
+  /** The 8-minimum signature of a shingle-array column, as one array
+    * expression — md5 is the dominant cost and higher-order lambdas
+    * are evaluated interpreted (no cross-column subexpression
+    * elimination), so the TWO digests per shingle are computed
+    * exactly once and folded into all 8 signature minimums in a
+    * single aggregate pass. Callers must explode the 1-element
+    * array-wrap of this column before extracting the 8 positions:
+    * the Generate barrier stops project collapsing from inlining
+    * (and re-evaluating) the aggregate into each extraction. */
+  private[streaming] def signatureArray(shingles: Column): Column = {
     val digs = transform(shingles, s =>
       array(md5(concat(lit("0:"), s)), md5(concat(lit("1:"), s))))
     val init = array((0 to 7).map(_ => lit(Long.MaxValue)): _*)
-    val hs = aggregate(digs, init, (acc, d) =>
+    aggregate(digs, init, (acc, d) =>
       array((0 to 7).map { k =>
         val m = k / 4; val j = k % 4
         least(element_at(acc, k + 1),
           conv(substring(element_at(d, m + 1), 1 + 8 * j, 8), 16, 10)
             .cast("long"))
       }: _*))
+  }
+
+  def signRows(docs: DataFrame, id: String, text: String,
+      n: Int = 3): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    val shingles = array_distinct(call_function("word_ngrams",
+      split(col(text), " "), lit(n)))
     docs.filter(size(shingles) > 0)
-      .select(col(id), explode(array(hs)).as("hs"))
+      .select(col(id), explode(array(signatureArray(shingles))).as("hs"))
       .select(col(id) +: (0 to 7).map(k =>
         col("hs").getItem(k).as(s"h$k")): _*)
   }
