@@ -13,7 +13,8 @@ object Registry {
       FuncQueries.all ++ DedupQueries.all ++ SimQueries.all ++
       TextQueries.all ++ MultimodalQueries.all ++ EventQueries.all ++
       ReshapeQueries.all ++ SourceQueries.all ++ SampleQueries.all ++
-      MiningQueries.all ++ GraphQueries.all ++ PipelineQueries.all
+      MiningQueries.all ++ GraphQueries.all ++ PipelineQueries.all ++
+      AnalyticsQueries.all ++ LayoutQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

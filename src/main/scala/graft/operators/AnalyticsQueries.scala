@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Composed multi-operator analytics in classic TPC-H shapes (Q3 / Q5 /
+  * Q10) plus exact grouped percentiles and a partitioned ntile — the
+  * "does the optimizer earn its keep on REAL query shapes" tier, on top
+  * of the per-operator inventory.
+  *
+  * These queries deliberately declare nothing about physical strategy:
+  * no broadcast hints, no repartition calls. The plans we want at
+  * 100 TB — date filters pushed into the parquet scans before any join,
+  * the filtered dimension broadcast when it is small and shuffled when
+  * it is not (AQE decides from runtime sizes), partial aggregation
+  * below every exchange — all fall out of the declarative form, and
+  * AnalyticsSpec pins the load-bearing ones (pushdown + partial agg) on
+  * the analyzed plans so a regression is a test failure, not a
+  * production surprise.
+  *
+  * Money arithmetic follows the repo-wide exact-decimal discipline
+  * (see aggPricingSummary): revenue terms are cast to DECIMAL(18,2)
+  * BEFORE multiply/sum so the aggregate is order-independent and both
+  * engines round the identical exact value — a float sum would be
+  * decided by accumulation order at half-cent boundaries and diverge
+  * under parallelism.
+  */
+object AnalyticsQueries {
+
+  /** Exact-decimal discounted revenue term: price * (1 - discount). */
+  private def revenueTerm = {
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    price * (lit(1) - disc)
+  }
+
+  private val revenueSql =
+    """CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)""".stripMargin
+
+  /** TPC-H Q3 (shipping priority): segment-filtered customers joined to
+    * their not-yet-shipped order lines, top-10 orders by open revenue.
+    *
+    * Scale posture: both date predicates and the segment equality reach
+    * the parquet scans as PushedFilters (spec-pinned); the orders side
+    * of the lineitem join arrives pre-filtered to ~45% and the customer
+    * side to ~20%, so AQE sizes the exchanges from the FILTERED stats.
+    * The top-10 is a TakeOrderedAndProject (per-partition heap + driver
+    * merge of 10-row heads), never a global sort. */
+  val tpchQ3Shipping: GQuery = GQuery(
+    "tpch_q3_shipping",
+    s"""SELECT l_orderkey,
+       |  $revenueSql AS revenue,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       |  o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(revenueTerm), 2).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local supplier volume): revenue per nation from orders
+    * where the supplying supplier sits in the customer's own nation,
+    * restricted to one region and a two-year order window.
+    *
+    * Scale posture: the join graph is declared flat and Catalyst/AQE
+    * order it — region (5 rows) and nation (25) broadcast always,
+    * supplier broadcasts at any realistic scale, and the residual
+    * s_nationkey = c_nationkey equality rides the supplier join as a
+    * non-equi conjunct rather than forcing a second shuffle. The only
+    * big-big exchange is orders⋈lineitem on the natural key. */
+  val tpchQ5LocalSupplier: GQuery = GQuery(
+    "tpch_q5_local_supplier",
+    s"""SELECT n_name, $revenueSql AS revenue
+       |FROM region
+       |JOIN nation ON n_regionkey = r_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >=
+            lit("1997-01-01 00:00:00").cast("timestamp"))
+          .filter(col("o_orderdate") <
+            lit("1999-01-01 00:00:00").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(revenueTerm), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 (returned items): top-20 customers by revenue lost to
+    * returns in a half-year window, with their nation attached.
+    *
+    * Scale posture: the heavy work is lineitem('R')⋈orders(window) —
+    * both filters pushed to the scans — then ONE shuffle to the
+    * customer grain; nation broadcasts onto the 20-row-bound result
+    * path. Group-by keys include the functionally-dependent customer
+    * attributes so no second aggregate or join-back is needed. */
+  val tpchQ10Returned: GQuery = GQuery(
+    "tpch_q10_returned",
+    s"""SELECT c_custkey, c_name, $revenueSql AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer
+       |JOIN nation ON n_nationkey = c_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.nation(s, dir),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >=
+            lit("1998-01-01 00:00:00").cast("timestamp"))
+          .filter(col("o_orderdate") <
+            lit("1998-07-01 00:00:00").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(round(sum(revenueTerm), 2).cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Exact grouped percentiles (quartiles of l_quantity per return
+    * flag). Hash-exactness: l_quantity holds integer-valued doubles and
+    * the fractions are dyadic (1/4, 1/2, 3/4), so the linear
+    * interpolation lower + (upper-lower)·f is EXACT in binary floating
+    * point regardless of which algebraic form each engine uses — no
+    * rounding is needed on either side.
+    *
+    * Scale posture: exact percentiles aggregate a per-group value
+    * multiset (Spark's percentile accumulates value→count maps, so the
+    * 50 distinct quantity values compress map-side); for
+    * high-cardinality value domains at 100 TB switch to
+    * approx_percentile (t-digest, mergeable, bounded memory) — declared
+    * no-oracle like agg_approx_distinct. */
+  val aggPercentiles: GQuery = GQuery(
+    "agg_percentiles",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+      |  quantile_cont(l_quantity, 0.50) AS qty_p50,
+      |  quantile_cont(l_quantity, 0.75) AS qty_p75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.25d)").as("qty_p25"),
+        expr("percentile(l_quantity, 0.50d)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.75d)").as("qty_p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ntile(8) equal-height bucketing of each event type's timeline,
+    * summarized per (type, tile) so the output stays small.
+    *
+    * Determinism: the window ordering (ts, event_id) ends in the unique
+    * event_id, so tile assignment is total-order-stable across engines
+    * and parallelism.
+    *
+    * Scale posture: the window is PARTITIONED by event_type — each
+    * type's timeline sorts within its own exchange partition, so the
+    * work spreads across the cluster. A GLOBAL ntile (no partition key)
+    * would serialize into one task in Spark's window operator; at scale
+    * that shape should be a range-partitioned sort + per-partition
+    * offsets instead, which is why this contract row deliberately keys
+    * the window. */
+  val winNtile: GQuery = GQuery(
+    "win_ntile",
+    """SELECT event_type, tile,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(event_id) AS first_event, max(event_id) AS last_event,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM (
+      |  SELECT event_type, event_id, value,
+      |    ntile(8) OVER (PARTITION BY event_type
+      |                   ORDER BY ts, event_id) AS tile
+      |  FROM events)
+      |GROUP BY event_type, tile
+      |ORDER BY event_type, tile""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        ntile(8).over(w).as("tile"))
+      .groupBy(col("event_type"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"), col("tile"))
+  }
+
+  val all: Seq[GQuery] = Seq(
+    tpchQ3Shipping, tpchQ5LocalSupplier, tpchQ10Returned,
+    aggPercentiles, winNtile)
+}

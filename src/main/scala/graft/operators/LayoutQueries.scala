@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Storage-LAYOUT coverage as contract queries: partitioned writes that
+  * prune on read, bucketed tables whose joins need no shuffle, and raw
+  * line-oriented text ingestion. Each query derives its layout inside
+  * the query fn (deterministic bytes under a deterministic /tmp path),
+  * reads it back through the real Spark source path, and aggregates;
+  * the DuckDB oracle runs the same relational derivation straight over
+  * the parquet fixtures — results agree iff the layout roundtrip is
+  * lossless. Same pattern as SourceQueries (csv/json/orc).
+  *
+  * These are the 100 TB table-design levers: hive-style partition
+  * directories turn a predicate on the partition key into "don't even
+  * list those directories" (PartitionFilters, zero row groups read),
+  * and bucketing pre-shuffles a fact table ONCE at write time so every
+  * later join/aggregate on the bucket key skips its exchange.
+  * LayoutSpec pins both physical properties on the analyzed plans.
+  */
+object LayoutQueries {
+
+  private def tmpDir(kind: String, dir: String): String =
+    s"/tmp/graft_layout/${kind}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** orders → hive-partitioned parquet by o_orderpriority → read back
+    * with a partition predicate → per-month aggregate.
+    *
+    * The filter on the partition column never touches data: Spark's
+    * FileIndex resolves it against directory names (PartitionFilters in
+    * the scan node, spec-pinned), so at 100 TB a 1-of-5 priority
+    * predicate reads 1/5 of the files and ZERO footers of the rest.
+    * The partition column comes back as its directory-string form;
+    * values are opaque strings on both sides so no type roundtrip is
+    * at risk. */
+  val sinkPartitionedPrune: GQuery = GQuery(
+    "sink_partitioned_prune",
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_price,
+      |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1
+      |ORDER BY month_start""".stripMargin) { (s, dir) =>
+    val path = tmpDir("part_orders", dir)
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM-dd").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+      .orderBy(col("month_start"))
+  }
+
+  /** orders and customer → bucketed tables (16 buckets on the join
+    * key) → join + aggregate with NO exchange on either side.
+    *
+    * bucketBy pre-applies the hash partitioning at write time and
+    * records it in the catalog; the sort-merge join then reads both
+    * sides' matching buckets directly (LayoutSpec asserts the physical
+    * plan contains zero shuffles). At 100 TB this is THE lever for a
+    * fact table joined repeatedly on one key: pay the shuffle once at
+    * ingest, never again. Tables are external (explicit /tmp path) so
+    * no warehouse directory is touched; names are SF-suffixed to keep
+    * concurrent scale factors independent. */
+  val joinBucketedColocated: GQuery = GQuery(
+    "join_bucketed_colocated",
+    """SELECT c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    bucketedJoinFrame(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The bucketed join itself, exposed for LayoutSpec's zero-shuffle
+    * assertion. Writes both bucketed tables if this session has not
+    * yet, then joins them on the bucket key. */
+  def bucketedJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ordersTable = s"graft_bkt_orders_$suffix"
+    val customerTable = s"graft_bkt_customer_$suffix"
+    if (!s.catalog.tableExists(ordersTable)) {
+      Tables.orders(s, dir)
+        .write.mode("overwrite").format("parquet")
+        .option("path", tmpDir("bkt_orders", dir))
+        .bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ordersTable)
+    }
+    if (!s.catalog.tableExists(customerTable)) {
+      Tables.customer(s, dir)
+        .write.mode("overwrite").format("parquet")
+        .option("path", tmpDir("bkt_customer", dir))
+        .bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(customerTable)
+    }
+    s.table(ordersTable)
+      .join(s.table(customerTable), col("o_custkey") === col("c_custkey"))
+  }
+
+  /** supplier → raw line-oriented text ("k|nation|name|bal" via
+    * concat_ws) → spark.read.text → split/cast → per-nation aggregate.
+    *
+    * Raw text lines are the arrival format of most LLM corpus dumps;
+    * this pins the text source end to end: one string column `value`,
+    * line-split across executors like any scan, schema applied by
+    * explicit split/cast (never inference). Roundtrip is lossless:
+    * keys/ints print canonically, s_name is '|'-free
+    * ("Supplier#NNNNNNNNN", FIXTURES.md), and s_acctbal rides along
+    * only via its exact 2-decimal DECIMAL cast. */
+  val sourceTextScan: GQuery = GQuery(
+    "source_text_scan",
+    """SELECT s_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+      |  min(s_name) AS first_name,
+      |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS bal_sum
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+    val path = tmpDir("text_supplier", dir)
+    Tables.supplier(s, dir)
+      .select(concat_ws("|",
+        col("s_suppkey"), col("s_nationkey"), col("s_name"),
+        col("s_acctbal").cast("decimal(18,2)")).as("value"))
+      .write.mode("overwrite").text(path)
+    val parts = split(col("value"), "\\|")
+    s.read.text(path)
+      .select(
+        parts.getItem(0).cast("bigint").as("s_suppkey"),
+        parts.getItem(1).cast("int").as("s_nationkey"),
+        parts.getItem(2).as("s_name"),
+        parts.getItem(3).cast("decimal(18,2)").as("s_acctbal"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_suppkey")).as("key_sum"),
+        min(col("s_name")).as("first_name"),
+        round(sum(col("s_acctbal")), 2).cast("double").as("bal_sum"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val all: Seq[GQuery] = Seq(
+    sinkPartitionedPrune, joinBucketedColocated, sourceTextScan)
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Physical-plan pins for the layout + composed-analytics tier: these
+  * assert the SCALE properties the queries exist to demonstrate, so a
+  * planner/config regression fails a test instead of silently turning
+  * a pruned scan into a full scan or a co-located join into a shuffle.
+  */
+class LayoutAnalyticsSpec extends SparkTestBase {
+  initQuiet()
+
+  test("sink_partitioned_prune resolves the priority predicate as a PartitionFilter") {
+    val plan = LayoutQueries.sinkPartitionedPrune.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the predicate must appear in PartitionFilters (directory-level
+    // pruning) — if it degrades to a data filter the write lost its
+    // partitioning or the read lost partition discovery
+    val partFilterRe =
+      """PartitionFilters: \[[^\]]*o_orderpriority[^\]]*\]""".r
+    assert(partFilterRe.findFirstIn(plan).isDefined,
+      s"o_orderpriority not in PartitionFilters:\n$plan")
+  }
+
+  test("bucketed orders⋈customer join plans no exchange on either side") {
+    // pin the BIG-BIG shape: at fixture scale the planner would just
+    // broadcast the customer side (fine, but it proves nothing about
+    // bucketing), so disable auto-broadcast and assert the sort-merge
+    // join reads both bucket layouts directly — zero exchanges of any
+    // kind. This is the plan a 100 TB fact⋈fact join on the bucket key
+    // gets, where neither side can broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = LayoutQueries.bucketedJoinFrame(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be exchange-free, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan did not use the bucket layout:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("tpch_q3 pushes both date predicates and the segment filter into the scans") {
+    val plan = AnalyticsQueries.tpchQ3Shipping.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(l_shipdate"),
+      s"l_shipdate filter not pushed:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate"),
+      s"o_orderdate filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"c_mktsegment filter not pushed:\n$plan")
+  }
+
+  test("tpch_q3 top-10 is a bounded take, not a global sort") {
+    val plan = AnalyticsQueries.tpchQ3Shipping.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for ORDER BY + LIMIT:\n$plan")
+  }
+
+  test("win_ntile's window is partitioned (never a single-task global sort)") {
+    val windows = AnalyticsQueries.winNtile.fn(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window (one-task shape at scale):\n$w")
+    }
+  }
+
+  test("tpch_q5 keeps the supplier-nation equality as a join condition, not a post-filter cartesian") {
+    val plan = AnalyticsQueries.tpchQ5LocalSupplier.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q5 degraded to an unkeyed join:\n$plan")
+  }
+}
