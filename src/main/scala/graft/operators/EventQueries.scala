@@ -147,6 +147,42 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Batch form of the STREAM-STREAM interval join (click→view
+    * attribution): delegates to the same
+    * `EventStreams.clickAttribution` the streaming query runs —
+    * watermarks are no-ops in batch — then aggregates per user so the
+    * contract output stays bounded. EventStreamsSpec pins the
+    * streaming twin ≡ this exact function over two MemoryStreams.
+    *
+    * Scale posture: equi-join on user_id with the time bound as a
+    * residual conjunct — one shuffle per side at stream scale, state
+    * evicted by the watermark + bound pair (see clickAttribution's
+    * doc). ts is µs-aligned in the fixture (verified), so the
+    * nanos→µs read recipe cannot flip a boundary comparison. */
+  val evClickAttribution: GQuery = GQuery(
+    "ev_click_attribution",
+    """SELECT v.user_id AS user_id,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks,
+      |  min(v.event_id) AS first_view, max(c.event_id) AS last_click
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |GROUP BY v.user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.streaming.EventStreams.clickAttribution(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        min(col("view_id")).as("first_view"),
+        max(col("click_id")).as("last_click"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
-    evDedupStream)
+    evDedupStream, evClickAttribution)
 }

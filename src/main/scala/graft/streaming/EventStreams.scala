@@ -54,6 +54,32 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM-STREAM interval join: attribute each click to the same
+    * user's preceding view within a 1-hour attribution window.
+    *
+    * Both inputs are unbounded, so both carry watermarks and the join
+    * condition carries a TIME BOUND (`c.ts BETWEEN v.ts AND v.ts + 1h`)
+    * — that pair is what lets Spark evict buffered rows: a view older
+    * than (watermark − 1 h) can never match a future click and its
+    * state is dropped. Without the bound, both sides would buffer
+    * forever — the unbounded-state shape that cannot run on a
+    * 100 TB/day stream. Inner join in Append mode: a pair emits once,
+    * when both sides have arrived and the watermark admits it.
+    *
+    * Works identically on batch frames (same DataFrame API), which is
+    * how EventStreamsSpec pins streaming ≡ batch. */
+  def clickAttribution(views: DataFrame, clicks: DataFrame): DataFrame =
+    views.withWatermark("ts", "1 hour").alias("v")
+      .join(
+        clicks.withWatermark("ts", "1 hour").alias("c"),
+        expr("""v.user_id = c.user_id
+                AND c.ts >= v.ts
+                AND c.ts <= v.ts + interval 1 hour"""))
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("c.event_id").as("click_id"),
+        col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
+
   /** Per-user lifetime stats via explicit keyed state
     * (`flatMapGroupsWithState`) — the custom-state escape hatch for
     * semantics no built-in window covers. State per key is one

@@ -92,6 +92,31 @@ class EventStreamsSpec extends SparkTestBase {
       == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join: streaming ≡ batch click attribution") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = fixture.filter(_.event_type == "view")
+    val clicks = fixture.filter(_.event_type == "click")
+    val memV = MemoryStream[Ev]
+    val memC = MemoryStream[Ev]
+    val q = EventStreams.clickAttribution(memV.toDF(), memC.toDF())
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    // interleave arrivals across batches (joins must not depend on
+    // same-batch co-arrival), then push the watermark with sentinels
+    val (v1, v2) = views.splitAt(views.size / 2)
+    val (c1, c2) = clicks.splitAt(clicks.size / 2)
+    memV.addData(v1); memC.addData(c1); q.processAllAvailable()
+    memV.addData(v2); memC.addData(c2); q.processAllAvailable()
+    memV.addData(Seq(sentinel)); memC.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_sink").filter($"user_id" =!= -1L)
+    val want = EventStreams.clickAttribution(
+      views.toDF(), clicks.toDF())
+    assert(got.count() > 0, "attribution joined nothing — fixture gap")
+    assert(asMap(got) == asMap(want))
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
