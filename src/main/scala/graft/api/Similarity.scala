@@ -117,6 +117,70 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Symmetric int8 scalar quantization: every component scaled by
+    * one global 127/max|x| factor and rounded — (vid, q:
+    * array<tinyint>). The quantized corpus is ¼ the bytes of the
+    * float one; because cosine is invariant to per-vector scale, each
+    * frame may use its own scale factor and quantized cosines still
+    * approximate true cosines (rounding is the only error source).
+    * The scale scalar is a 1-row aggregate broadcast — no collect. */
+  def sq8Quantize(vecs: DataFrame, id: String, vec: String): DataFrame = {
+    graft.functions.VectorExpressions.register(vecs.sparkSession)
+    val v = vecs.select(col(id).as("vid"), col(vec).as("v"))
+    val scale = v
+      .agg(max(expr("array_max(transform(v, x -> abs(x)))")).as("mx"))
+    v.crossJoin(broadcast(scale))
+      .select(col("vid"), expr(
+        "transform(v, x -> CAST(round(x * 127.0 / greatest(mx, 1e-30d)) AS TINYINT))")
+        .as("q"))
+  }
+
+  /** Two-stage scalar-quantized top-k: an int8 shortlist pass over
+    * the quantized corpus (vec_dot_i8 — exact long arithmetic, ¼ scan
+    * bytes), then an EXACT float re-rank of only the shortlist:
+    * (probe_id, rk, neighbor_id, cosine), cosines exact.
+    *
+    * This is the memory/bandwidth serving trade alongside IVF's
+    * partition-pruning trade: at 100 TB the shortlist stage reads
+    * ONLY the int8 column (a quarter of the float bytes) across the
+    * full corpus, and float vectors are fetched — by keyed equi-join,
+    * shortlist-cardinality rows — for the re-rank alone. Returned
+    * cosines are exact; only RECALL is approximate (a true neighbor
+    * missing from the shortlist), which the property spec bounds. */
+  def sq8TopK(corpusVecs: DataFrame, probeVecs: DataFrame, id: String,
+      vec: String, k: Int, shortlist: Int = 40): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cq = sq8Quantize(corpusVecs, id, vec)
+      .select(col("vid").as("neighbor_id"), col("q").as("qb"))
+      .withColumn("qnb", sqrt(expr("CAST(vec_dot_i8(qb, qb) AS DOUBLE)")))
+    val pq = sq8Quantize(probeVecs, id, vec)
+      .select(col("vid").as("probe_id"), col("q").as("qa"))
+      .withColumn("qna", sqrt(expr("CAST(vec_dot_i8(qa, qa) AS DOUBLE)")))
+    val ws = Window.partitionBy(col("probe_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val short = cq.join(broadcast(pq), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("acos",
+        round(expr("CAST(vec_dot_i8(qa, qb) AS DOUBLE)")
+          / (col("qna") * col("qnb")), 6))
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val c = prep(corpusVecs, id, vec)
+      .select(col("vid").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+    val p = prep(probeVecs, id, vec)
+      .select(col("vid").as("probe_id"), col("v").as("va"),
+        col("nrm").as("na"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(c, Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Build and SAVE an IVF (inverted-file) ANN index: a coarse
     * k-means quantizer ([[VecKMeans.train]]) partitions the corpus
     * into `k` cells; cell assignments (with the vector and its norm)

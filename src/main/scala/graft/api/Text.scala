@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Public, fixture-independent text-analysis API (see [[Dedup]] for
@@ -181,6 +181,80 @@ object Text {
       .agg(round(sum(col("pa") * round(log(col("pa") / col("pb")), 8)), 6)
         .as("kl_divergence"))
   }
+
+  /** Corpus-cleaning normalization: email redaction, long-digit-run
+    * redaction, whitespace collapse + trim — the standard pre-dedup
+    * scrub pass of a training-data pipeline: (id, clean).
+    *
+    * Pure per-row `regexp_replace` projection (codegen'd, no shuffle,
+    * streaming-safe); patterns stay in the RE2-compatible subset so
+    * the same regexes mean the same thing in Spark's Java engine and
+    * the DuckDB oracle. Redaction BEFORE whitespace collapse so a
+    * address split by the collapse can't half-match. */
+  def normalize(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), normalizeCol(col(text)).as("clean"))
+
+  /** The [[normalize]] transform as a composable Column (for callers
+    * folding it into a wider projection or a streaming select). */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{3,}", "<NUM>"),
+      "\\s+", " "))
+
+  /** Fixed-size overlapping character chunks — the context-window
+    * splitter feeding embedding / training jobs: (id, chunk_id,
+    * chunk_start, chunk) with 1-based `chunk_start` = 1 + chunk_id ·
+    * stride and chunks of `size` chars (the final chunk may be
+    * shorter). Empty texts yield no chunks.
+    *
+    * Scale shape: a per-row `sequence` + explode projection — output
+    * is ~len/stride rows per doc, no shuffle, no state; at 100 TB the
+    * chunker rides the scan and parallelizes with it (root at a
+    * spread scan for single-split corpora, like every explode
+    * pipeline here). */
+  def chunks(docs: DataFrame, id: String, text: String,
+      size: Int = 200, stride: Int = 150): DataFrame = {
+    require(size >= 1 && stride >= 1,
+      s"chunk size ($size) and stride ($stride) must be >= 1")
+    docs.filter(length(col(text)) >= 1)
+      .select(col(id), col(text).as("t"),
+        explode(sequence(lit(1), length(col(text)), lit(stride)))
+          .as("chunk_start"))
+      .select(col(id),
+        ((col("chunk_start") - 1) / stride).cast("int").as("chunk_id"),
+        col("chunk_start"),
+        expr(s"substring(t, chunk_start, $size)").as("chunk"))
+  }
+
+  /** Gopher-style repetition signals over word n-grams: the fraction
+    * of n-gram occurrences that are duplicates within their document,
+    * and the share claimed by the single most frequent n-gram:
+    * (id, n_ngrams, dup_frac, top_frac). Documents shorter than n
+    * tokens emit no n-grams and are absent. Ratios rounded to 6.
+    *
+    * The filter a quality gate stacks on [[qualityScore]]: high
+    * dup_frac = template/boilerplate text, high top_frac = degenerate
+    * repetition loops. One narrow explode + two partial-aggregating
+    * groupBys — duplicate grams collapse map-side before either
+    * shuffle. */
+  def repetition(docs: DataFrame, id: String, text: String,
+      n: Int = 2): DataFrame =
+    repetitionFromNgrams(ngrams(docs, id, text, n), id)
+
+  /** [[repetition]] over a pre-computed (id, ngram) frame. */
+  def repetitionFromNgrams(ng: DataFrame, id: String,
+      ngram: String = "ngram"): DataFrame =
+    ng.groupBy(col(id), col(ngram).as("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_ngrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+        max(col("c")).as("top"))
+      .select(col(id), col("n_ngrams"),
+        round(col("dup").cast("double") / col("n_ngrams"), 6)
+          .as("dup_frac"),
+        round(col("top").cast("double") / col("n_ngrams"), 6)
+          .as("top_frac"))
 
   /** Additive-smoothed naive-Bayes language ID against per-language
     * token profiles learned from a labeled corpus: (id, pred_lang).

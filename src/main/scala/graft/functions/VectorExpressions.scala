@@ -86,14 +86,58 @@ case class VecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Integer dot product over int8-quantized vectors (`array<tinyint>`):
+  * the scalar-quantization serving kernel — the quantized corpus is ¼
+  * the bytes of the float one (scan, cache, and shuffle bandwidth all
+  * shrink 4×), and the inner loop is pure integer multiply-adds. Sum
+  * is exact in long (no accumulation-order sensitivity at all), so
+  * quantized scores are bit-identical across partitionings. */
+case class VecDotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toByteArray()
+    val y = b.asInstanceOf[ArrayData].toByteArray()
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |byte[] $xs = $a.toByteArray();
+         |byte[] $ys = $b.toByteArray();
+         |int $n = java.lang.Math.min($xs.length, $ys.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $s += $xs[$i] * $ys[$i]; }
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotI8 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Idempotently register vec_dot / vec_norm in the session's function
-    * registry so expr("vec_dot(a, b)") resolves. */
+  /** Idempotently register vec_dot / vec_norm / vec_dot_i8 in the
+    * session's function registry so expr("vec_dot(a, b)") resolves. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => VecDot(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       exprs => VecNorm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot_i8",
+      exprs => VecDotI8(exprs.head, exprs(1)), "built-in")
   }
 }

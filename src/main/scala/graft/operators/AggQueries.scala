@@ -302,7 +302,60 @@ object AggQueries {
     }
   }
 
+  /** t-digest-family approximate grouped percentiles (p25/p50/p75 of
+    * l_quantity per return flag, accuracy 10000). no-oracle: sketch
+    * interpolation differs engine-to-engine; the rank-error bound vs
+    * the exact percentile is asserted in OperatorPropertySpec instead.
+    * At 100 TB this replaces agg_percentiles' exact value-multiset
+    * aggregation for high-cardinality value domains: fixed-size
+    * mergeable sketch state, single shuffle of sketches — the same
+    * scale trade as agg_approx_distinct vs agg_distinct. */
+  val aggApproxPercentile: GQuery = GQuery.noOracle("agg_approx_percentile") {
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "approx_percentile(l_quantity, array(0.25d, 0.5d, 0.75d), 10000)")
+          .as("qty_approx"))
+        .select(col("l_returnflag"),
+          col("qty_approx").getItem(0).as("qty_p25"),
+          col("qty_approx").getItem(1).as("qty_p50"),
+          col("qty_approx").getItem(2).as("qty_p75"))
+        .orderBy(col("l_returnflag"))
+  }
+
+  /** Deterministic MODE (modal user per event type) via the min-struct
+    * argmax — Spark's built-in `mode()` breaks ties arbitrarily, so the
+    * contract form aggregates min(struct(-count, user)) instead: same
+    * winner as ranking by (count DESC, user ASC), deterministic
+    * cross-engine, and NO window — two partial-aggregating groupBys
+    * whose hot keys collapse map-side. At 100 TB a window over
+    * (event_type) would serialize each type's full row set through one
+    * task; the argmax aggregate never materializes per-row ranks. */
+  val aggMode: GQuery = GQuery(
+    "agg_mode",
+    """WITH c AS (SELECT event_type, user_id, count(*) AS c
+      |           FROM events GROUP BY 1, 2)
+      |SELECT event_type, user_id AS modal_user, CAST(c AS BIGINT) AS n_events
+      |FROM (SELECT event_type, user_id, c,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY c DESC, user_id) AS rn
+      |  FROM c)
+      |WHERE rn = 1
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(min(struct((-col("c")).as("nc"), col("user_id").as("u")))
+        .as("m"))
+      .select(col("event_type"), col("m.u").as("modal_user"),
+        (-col("m.nc")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
-    aggStats, aggCorrCovar, aggListagg, aggHistogram)
+    aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
+    aggMode)
 }

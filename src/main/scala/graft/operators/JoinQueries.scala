@@ -247,7 +247,73 @@ object JoinQueries {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Shuffle join with a RUNTIME BLOOM FILTER injected from the
+    * selective side: lineitem ⋈ orders('1-URGENT'), revenue per order
+    * month. Spark's InjectRuntimeFilter sees the selective equality on
+    * the orders side and plants `might_contain(bloom_filter_agg(
+    * o_orderkey), l_orderkey)` on the lineitem side, so ~80% of
+    * lineitem rows are dropped AT THE SCAN, before the shuffle — at
+    * 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the fifth of it that can ever match.
+    *
+    * The injection thresholds are sized for real clusters
+    * (application side ≥ 10 GB, creation side ≤ 10 MB, shuffle joins
+    * only), so the test-scale run pins the 100 TB regime explicitly:
+    * application threshold lowered and auto-broadcast disabled WHILE
+    * THIS QUERY EXECUTES (both sides are genuinely huge in the regime
+    * this query represents), then every conf restored — the eager
+    * localCheckpoint materializes the small aggregated result inside
+    * the scoped-conf window, so no session residue leaks into other
+    * queries. Semantically the filter is a pure no-op (it only drops
+    * rows the join would drop) — the oracle proves it.
+    * BloomJoinSpec pins the injection on the optimized plan. */
+  val joinBloomFiltered: GQuery = GQuery(
+    "join_bloom_filtered",
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+      |    AS order_month,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1
+      |ORDER BY order_month""".stripMargin) { (s, dir) =>
+    bloomScoped(s) {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM-dd").as("order_month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy(col("order_month"))
+    }
+  }
+
+  /** Run `build` under the bloom-injection regime (runtime bloom
+    * filters on, application-side threshold at test scale, broadcast
+    * off so the join shuffles like a fact-fact join), materialize the
+    * result eagerly, and restore every conf — callers receive a
+    * checkpoint-backed frame executed under the scoped confs. Also
+    * used by BloomJoinSpec to pin the plan shape. */
+  def bloomScoped(s: SparkSession)(build: => DataFrame): DataFrame = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try build.localCheckpoint()
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof, joinFullOuter, joinCross)
+    joinAsof, joinFullOuter, joinCross, joinBloomFiltered)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -161,6 +161,112 @@ object LayoutQueries {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Morton (z-order) value: interleave the low `bits` bits of two
+    * key columns — rows close in z are close in BOTH keys, so sorting
+    * by z makes each written file/row-group span a tight min/max
+    * rectangle in (x, y) and a 2-dim predicate prunes on BOTH
+    * dimensions from footer stats alone. A pure bit-arithmetic Column
+    * (fold of shift/and/or — whole-stage codegen, no UDF). 16 bits
+    * per key covers the fixture key domains; wider domains hash or
+    * take more bits (z math is identical at any width). */
+  private[operators] def zvalue(x: Column, y: Column,
+      bits: Int = 16): Column = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+    }
+  }
+
+  /** lineitem → z-order-clustered parquet on (l_partkey, l_suppkey) →
+    * read back with a rectangle predicate on BOTH keys → aggregate.
+    *
+    * Single-key sorting (or hive partitioning) prunes one dimension
+    * and scatters the other; z-order clustering is the 100 TB lever
+    * for the two-key scan pattern (part+supplier probes, user+time
+    * slices): range-partition + sort by the interleaved value and
+    * every file's footer min/max becomes a tight rectangle, so the
+    * parquet reader's pushed range filters (spec-pinned) skip whole
+    * files/row-groups on either dimension. At test scale each file is
+    * one row group, so skipping granularity is per-file; the layout
+    * math is scale-free. Results match the raw-table oracle iff the
+    * clustered roundtrip is lossless. */
+  val sinkZorderCluster: GQuery = GQuery(
+    "sink_zorder_cluster",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS sum_price,
+      |  CAST(min(l_orderkey) AS BIGINT) AS first_order
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 1 AND 150 AND l_suppkey BETWEEN 1 AND 8
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val path = tmpDir("zorder_lineitem", dir)
+    Tables.lineitem(s, dir)
+      .withColumn("zval", zvalue(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop(col("zval"))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("l_partkey").between(1, 150)
+        && col("l_suppkey").between(1, 8))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"),
+        min(col("l_orderkey")).as("first_order"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DYNAMIC partition pruning: orders hive-partitioned by order
+    * year, joined to a year dimension whose qualifying keys are only
+    * known at RUNTIME (a filtered dim, not a literal on the fact) —
+    * Spark broadcasts the filtered dim, collects its join keys, and
+    * rewrites the fact scan's PartitionFilters to read only the
+    * matching year directories (DynamicPruningExpression,
+    * spec-pinned).
+    *
+    * This is the static-pruning lever (sink_partitioned_prune) made
+    * to work through a JOIN — the star-schema shape at 100 TB: the
+    * fact's partition predicate lives in the dimension table, and
+    * without DPP the scan reads every partition and lets the join
+    * discard 60% of the IO. */
+  val joinPartitionPrunedRuntime: GQuery = GQuery(
+    "join_partition_pruned_runtime",
+    """SELECT CAST(yr AS INT) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_price
+      |FROM (SELECT year(o_orderdate) AS yr, o_totalprice FROM orders)
+      |WHERE yr >= 1997
+      |GROUP BY yr
+      |ORDER BY yr""".stripMargin) { (s, dir) =>
+    val path = tmpDir("dpp_orders", dir)
+    Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    val fact = s.read.parquet(path)
+    // the dim's qualifying years exist only at runtime (derived +
+    // filtered), so the fact-side partition filter must be DYNAMIC
+    val dim = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr")).distinct()
+      .filter(col("yr") >= 1997)
+    fact.join(dim, fact("o_year") === dim("yr"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy(col("yr"))
+  }
+
   val all: Seq[GQuery] = Seq(
-    sinkPartitionedPrune, joinBucketedColocated, sourceTextScan)
+    sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
+    sinkZorderCluster, joinPartitionPrunedRuntime)
 }

@@ -197,7 +197,27 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Scalar-quantized (int8) two-stage top-5 for the same probes as
+    * the brute-force baseline: shortlist on the ¼-size quantized
+    * corpus with the exact-integer vec_dot_i8 kernel, then exact
+    * float re-rank of the 40-row-per-probe shortlist — returned
+    * cosines are exact, only recall is approximate (property-tested
+    * vs sim_cosine_topk in OperatorPropertySpec). no-oracle
+    * (approximate shortlist, not a SQL-expressible relation).
+    *
+    * The third ANN serving trade next to IVF (partition pruning) and
+    * PQ (code compression): SQ8 keeps one full-corpus scan but
+    * shrinks its bytes 4× with near-lossless ranking — the right
+    * first step when recall must stay ≈1 and the corpus is
+    * scan-bound. */
+  val simTopkSq8: GQuery = GQuery.noOracle("sim_topk_sq8") { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    graft.api.Similarity.sq8TopK(ev, ev.filter(col("vec_id") < 5),
+      "vec_id", "v", k = 5, shortlist = 40)
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
-      simTopkLsh, simTopkIvf, simTopkIvfPq)
+      simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8)
 }

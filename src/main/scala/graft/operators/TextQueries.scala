@@ -287,7 +287,79 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin)(sparkImpl)
   }
 
+  /** Normalization / PII-redaction scrub pass (emails → <EMAIL>,
+    * 3+-digit runs → <NUM>, whitespace collapse + trim) — the
+    * pre-dedup cleanup every corpus pipeline runs first. Pure per-row
+    * codegen'd regexp projection; patterns stay in the RE2-compatible
+    * subset so Spark's Java regex and DuckDB's RE2 agree byte for
+    * byte (DuckDB needs the explicit 'g' flag — its regexp_replace is
+    * first-match by default, Spark's is always global). */
+  val textNormalize: GQuery = GQuery(
+    "text_normalize",
+    """SELECT doc_id, clean, CAST(length(clean) AS INT) AS n_clean
+      |FROM (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{3,}', '<NUM>', 'g'),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.api.Text.normalize(Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("n_clean", length(col("clean")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-size overlapping character chunking (200-char chunks,
+    * 150-char stride) — the context-window splitter feeding
+    * embedding/training jobs. Emits the chunk's md5 rather than its
+    * text so the contract result stays compact; chunk identity is
+    * pinned just as hard. */
+  val textChunks: GQuery = GQuery(
+    "text_chunks",
+    """SELECT doc_id,
+      |  CAST(floor((chunk_start - 1) / 150) AS INT) AS chunk_id,
+      |  CAST(chunk_start AS INT) AS chunk_start,
+      |  CAST(length(substr(text, CAST(chunk_start AS INT), 200)) AS INT)
+      |    AS chunk_len,
+      |  md5(substr(text, CAST(chunk_start AS INT), 200)) AS chunk_md5
+      |FROM (SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text), 150)) AS chunk_start
+      |  FROM documents WHERE length(text) >= 1)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    graft.api.Text.chunks(Tables.documentsSpread(s, dir), "doc_id", "text",
+      size = 200, stride = 150)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Gopher-style repetition signals: per-document duplicate-bigram
+    * fraction and most-frequent-bigram share — the boilerplate /
+    * degenerate-repetition filter a quality gate stacks on
+    * text_quality_score. Duplicate grams collapse map-side before
+    * either shuffle (min-struct discipline, same as dedup_exact). */
+  val textRepetition: GQuery = GQuery(
+    "text_repetition",
+    """WITH ng AS (
+      |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+      |                         for i in generate_series(1, len(t) - 1)]) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM ng GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+      |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+      |        / sum(c), 6) AS dup_frac,
+      |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac
+      |FROM cnt GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.api.Text.repetition(Tables.documentsSpread(s, dir), "doc_id",
+      "text", n = 2)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
-    textTokenCount, textFingerprint)
+    textTokenCount, textFingerprint, textNormalize, textChunks,
+    textRepetition)
 }

@@ -80,4 +80,51 @@ class LayoutAnalyticsSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"q5 degraded to an unkeyed join:\n$plan")
   }
+
+  test("sink_zorder_cluster: both range predicates pushed; files span tight 2-dim rectangles") {
+    import org.apache.spark.sql.functions._
+    // default maxMetadataStringLength=100 truncates PushedFilters in
+    // the rendered plan — widen it so the assertions see every filter
+    val mk = "spark.sql.maxMetadataStringLength"
+    val savedLen = spark.conf.get(mk)
+    spark.conf.set(mk, "10000")
+    val df = LayoutQueries.sinkZorderCluster.fn(spark, sfDir)
+    val plan = try df.queryExecution.executedPlan.toString
+      finally spark.conf.set(mk, savedLen)
+    // both dimensions must reach the parquet reader as pushed range
+    // filters — that is what turns the per-file min/max rectangles
+    // into skipped IO
+    assert(plan.contains("GreaterThanOrEqual(l_partkey,1)")
+      && plan.contains("LessThanOrEqual(l_partkey,150)"),
+      s"l_partkey range not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_suppkey,1)")
+      && plan.contains("LessThanOrEqual(l_suppkey,8)"),
+      s"l_suppkey range not pushed:\n$plan")
+    // the clustering claim itself: per-file bounding rectangles must
+    // be materially tighter than the global rectangle — if the z-sort
+    // is lost (plain write), every file spans ~the full key space and
+    // min/max skipping prunes nothing
+    val path = "/tmp/graft_layout/zorder_lineitem_" +
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val byFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("l_partkey")) - min(col("l_partkey"))).as("ps"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).as("ss"))
+      .collect()
+    assert(byFile.length > 1, "z-order write should produce several files")
+    val global = spark.read.parquet(path)
+      .agg((max(col("l_partkey")) - min(col("l_partkey")))
+        * (max(col("l_suppkey")) - min(col("l_suppkey")))).collect()(0).getLong(0)
+    val avgArea = byFile.map(r => r.getLong(1) * r.getLong(2)).sum
+      .toDouble / byFile.length
+    assert(avgArea <= 0.75 * global,
+      s"per-file rectangles not tighter than global: avg $avgArea vs $global")
+  }
+
+  test("join_partition_pruned_runtime plans a dynamic partition filter on the fact scan") {
+    val plan = LayoutQueries.joinPartitionPrunedRuntime.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n$plan")
+  }
 }

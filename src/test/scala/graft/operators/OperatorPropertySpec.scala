@@ -192,4 +192,71 @@ class OperatorPropertySpec extends SparkTestBase {
     val lhs = a.union(b).except(b)
     assert(lhs.except(a).count() == 0)
   }
+
+  test("sq8 top-k: high recall vs brute force and EXACT re-ranked cosines") {
+    val sq8 = SimQueries.simTopkSq8.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val brute = SimQueries.simCosineTopk.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // recall: the int8 shortlist may only miss a true neighbor whose
+    // quantized rank fell outside the 40-row shortlist — rare at 8×
+    // overfetch
+    val recall = (sq8.keySet & brute.keySet).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 recall $recall too low")
+    // exactness: every returned cosine is the float cosine, not the
+    // quantized approximation — the re-rank stage fetched the floats
+    (sq8.keySet & brute.keySet).foreach { pair =>
+      assert(sq8(pair) == brute(pair),
+        s"sq8 cosine for $pair is ${sq8(pair)}, exact is ${brute(pair)}")
+    }
+    info(f"SQ8 top-5 recall vs brute force: $recall%.2f")
+  }
+
+  test("sq8 quantization error is bounded by the rounding grid") {
+    // |cos_q - cos| for unit-ish vectors quantized to 127 levels stays
+    // within a few grid steps (~2/127); assert a conservative 0.05
+    graft.functions.VectorExpressions.register(spark)
+    val ev = SimQueries.vecs(spark, sfDir).select(col("vec_id"), col("v"))
+    val q = graft.api.Similarity.sq8Quantize(ev, "vec_id", "v")
+      .withColumn("qn", sqrt(expr("CAST(vec_dot_i8(q, q) AS DOUBLE)")))
+    val pairs = ev.limit(30)
+      .select(col("vec_id").as("id1"), col("v").as("va"))
+      .withColumn("nrma", expr("vec_norm(va)"))
+      .crossJoin(ev.limit(30).select(col("vec_id").as("id2"),
+        col("v").as("vb")).withColumn("nrmb", expr("vec_norm(vb)")))
+      .filter($"id1" < $"id2")
+      .join(q.select(col("vid").as("id1"), col("q").as("qa"),
+        col("qn").as("qna")), Seq("id1"))
+      .join(q.select(col("vid").as("id2"), col("q").as("qb"),
+        col("qn").as("qnb")), Seq("id2"))
+      .select(
+        (expr("vec_dot(va, vb)") / ($"nrma" * $"nrmb")).as("cos"),
+        (expr("CAST(vec_dot_i8(qa, qb) AS DOUBLE)")
+          / ($"qna" * $"qnb")).as("qcos"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.05,
+        s"quantized cosine ${r.getDouble(1)} vs exact ${r.getDouble(0)}")
+    }
+  }
+
+  test("agg_approx_percentile brackets the exact grouped percentiles") {
+    val approx = AggQueries.aggApproxPercentile.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val exact = AnalyticsQueries.aggPercentiles.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy 10000 on ≤60k rows/group → rank error of a handful of
+    // rows; on the integer 1..50 quantity grid that is ≤ ~1 value step
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 1.0,
+          s"$k: approx percentile $a vs exact $e drifted > 1 quantity step")
+      }
+    }
+  }
 }

@@ -24,7 +24,8 @@ class PlanShapeSpec extends SparkTestBase {
     "mining_assoc_rules", // 1-row basket-total scalar cross join
     "mining_kmeans",    // k-row center table broadcast per Lloyd round
     "sim_topk_ivf",     // same k-row center broadcast (quantizer training + probing)
-    "sim_topk_ivfpq")   // k-row center + m·ksub codebook broadcasts
+    "sim_topk_ivfpq",   // k-row center + m·ksub codebook broadcasts
+    "sim_topk_sq8")     // int8 shortlist pass: tiny probe set broadcast, quantized corpus streamed
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
@@ -55,5 +56,43 @@ class PlanShapeSpec extends SparkTestBase {
     assert(textWindows.isEmpty,
       s"text-partitioned window in dedup_keep_list:\n$plan")
     PlanCache.clear()
+  }
+
+  test("join_bloom_filtered: runtime bloom filter injected, confs restored") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    // replicate bloomScoped's conf window WITHOUT the checkpoint so
+    // the optimized (pre-execution) plan is inspectable: the
+    // InjectRuntimeFilter rule must plant might_contain(
+    // bloom_filter_agg(o_orderkey), l_orderkey) on the lineitem side
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in optimized plan:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom filter aggregate in optimized plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // the contract query's own scoped-conf window must leave no residue
+    val before = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    JoinQueries.joinBloomFiltered.fn(spark, sfDir).count()
+    val after = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    assert(before == after,
+      s"join_bloom_filtered leaked session confs: $before vs $after")
   }
 }
