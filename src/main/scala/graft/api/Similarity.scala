@@ -181,6 +181,33 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the
+    * embedding space with the deterministic coarse k-means quantizer
+    * ([[VecKMeans.train]] — smallest-id seeds, fixed rounds), then
+    * find cosine-≥-tau pairs WITHIN each cluster: (cid, v1, v2,
+    * cosine), v1 < v2.
+    *
+    * This is the scale path for embedding dedup when the all-pairs
+    * block join ([[graft.api.Dedup.cosinePairs]]) is too big: cells
+    * cut the candidate space from O(n²) to Σ|cell|² — the price is
+    * recall (a cross-cell near-dup pair is never scored; SemDeDup's
+    * accepted trade, property-bounded in OperatorPropertySpec rather
+    * than oracle-checked). Within-cell pair generation reuses the
+    * hot-label-safe [[labelPairs]] block decomposition with cid as
+    * the label, so one dominant cell cannot serialize the pair work
+    * on a single shuffle key. Cosines are exact (same kernel as the
+    * exact paths) — precision is 1.0 by construction. */
+  def semanticPairs(vecs: DataFrame, id: String, vec: String,
+      tau: Double, k: Int = 8, rounds: Int = 2,
+      blocks: Int = 8): DataFrame = {
+    val ev = prep(vecs, id, vec).select(col("vid").as("vec_id"), col("v"))
+    val centers = VecKMeans.train(ev, k, rounds)
+    val assigned = VecKMeans.assign(ev, centers)
+      .select(col("vec_id"), col("v"), col("cid"))
+    labelPairs(assigned, "vec_id", "v", "cid", tau, blocks)
+      .select(col("cid"), col("v1"), col("v2"), col("cosine"))
+  }
+
   /** Build and SAVE an IVF (inverted-file) ANN index: a coarse
     * k-means quantizer ([[VecKMeans.train]]) partitions the corpus
     * into `k` cells; cell assignments (with the vector and its norm)

@@ -217,7 +217,24 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** SemDeDup-style semantic dedup candidates: k-means cells as the
+    * blocking key, exact cosine ≥ 0.4 pairs within each cell — the
+    * same tau as the exact all-pairs dedup_embed_cosine, so the
+    * property spec can measure exactly what the cell blocking trades
+    * away (cross-cell pairs; precision stays 1.0, cosines exact).
+    * no-oracle: the cell assignment is a trained quantizer, not a
+    * SQL-expressible relation. At 100 TB the candidate space drops
+    * from O(n²) to Σ|cell|², and the within-cell join rides the
+    * hot-label-safe block decomposition — no dominant-cell
+    * serialization. */
+  val dedupSemantic: GQuery = GQuery.noOracle("dedup_semantic") { (s, dir) =>
+    graft.api.Similarity.semanticPairs(
+      vecs(s, dir).select(col("vec_id"), col("v")),
+      "vec_id", "v", tau = 0.4, k = 8, rounds = 2)
+      .orderBy(col("cid"), col("v1"), col("v2"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
-      simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8)
+      simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic)
 }

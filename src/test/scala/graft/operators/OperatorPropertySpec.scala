@@ -241,6 +241,28 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup: subset of exact pairs, exact cosines, useful recall, deterministic") {
+    val sem = SimQueries.dedupSemantic.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val sem2 = SimQueries.dedupSemantic.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(sem == sem2, "quantizer is deterministic, so pairs must be")
+    val exact = DedupQueries.dedupEmbedCosine.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1.0: every within-cell pair is a true tau-pair with
+    // the exact cosine (the cell blocking can only LOSE pairs)
+    sem.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"semantic pair $pair not in exact set")
+      assert(exact(pair) == c, s"cosine drift on $pair: $c vs ${exact(pair)}")
+    }
+    // recall: cells must keep a useful share of true pairs (SemDeDup's
+    // trade — near-dups usually co-locate in embedding space)
+    val recall = sem.size.toDouble / exact.size
+    assert(exact.nonEmpty && recall >= 0.3,
+      s"semantic recall $recall too low (${sem.size}/${exact.size})")
+    info(f"semantic dedup recall vs exact all-pairs: $recall%.2f")
+  }
+
   test("agg_approx_percentile brackets the exact grouped percentiles") {
     val approx = AggQueries.aggApproxPercentile.fn(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),

@@ -25,7 +25,8 @@ class PlanShapeSpec extends SparkTestBase {
     "mining_kmeans",    // k-row center table broadcast per Lloyd round
     "sim_topk_ivf",     // same k-row center broadcast (quantizer training + probing)
     "sim_topk_ivfpq",   // k-row center + m·ksub codebook broadcasts
-    "sim_topk_sq8")     // int8 shortlist pass: tiny probe set broadcast, quantized corpus streamed
+    "sim_topk_sq8",     // int8 shortlist pass: tiny probe set broadcast, quantized corpus streamed
+    "dedup_semantic")   // k-row center broadcast (quantizer training + cell assignment)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()

@@ -43,6 +43,33 @@ class TextStreamsSpec extends SparkTestBase {
       s"gate should pass a strict subset: ${got.size} of ${fixture.size}")
   }
 
+  test("normalize + chunking run statelessly on a stream and equal batch") {
+    // both ops are pure per-row projections (chunking is a row-local
+    // explode), so they must run in Append mode with NO state store —
+    // the arrival-time scrub-and-split stage of a streaming corpus
+    // pipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def scrubAndChunk(in: org.apache.spark.sql.DataFrame) =
+      graft.api.Text.chunks(
+        graft.api.Text.normalize(in, "doc_id", "text")
+          .withColumnRenamed("clean", "text"),
+        "doc_id", "text", size = 200, stride = 150)
+    val fixture = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = scrubAndChunk(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    fixture.grouped(200).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("chunk_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val want = scrubAndChunk(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("composed ingestion pipeline: quality gate then near-dup vs index, one streaming query") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val corpus = docs.filter($"doc_id" < 400)
