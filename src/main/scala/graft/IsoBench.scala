@@ -32,7 +32,10 @@ object IsoBench {
     "mining_copurchase", "sim_topk_ivfpq", "sim_topk_ivf",
     "dedup_ingest", "dedup_ngram_jaccard", "text_lang_divergence",
     "graph_triangles", "dedup_embed_cosine", "pipeline_corpus_prep",
-    "dedup_containment_ingest")
+    "dedup_containment_ingest",
+    // round-7b additions above the 1 s warm band at sf0.1
+    "sim_topk_sq8", "dedup_semantic", "sink_zorder_cluster",
+    "join_bloom_filtered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,7 +266,65 @@ object LayoutQueries {
       .orderBy(col("yr"))
   }
 
+  /** Small-files COMPACTION: a fragmented table (64 tiny files — the
+    * debris every streaming/append ingest accumulates) rewritten to
+    * size-targeted files, then read back and aggregated; results
+    * match the raw-table oracle iff the rewrite is lossless.
+    *
+    * The operational layout lever at 100 TB: listing + opening
+    * millions of KB-sized files dominates scan time long before
+    * bytes do (every file is a NameNode/S3 round-trip + a parquet
+    * footer parse), so maintenance compaction to ~128 MB files is
+    * what keeps a continuously-ingested table scannable. The target
+    * file count derives from the MEASURED input bytes (fs metadata
+    * only — no data pass); LayoutSpec asserts the compacted layout
+    * has materially fewer files. */
+  val sinkCompactSmallFiles: GQuery = GQuery(
+    "sink_compact_small_files",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_price,
+      |  CAST(min(o_orderkey) AS BIGINT) AS first_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS last_key
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val fragPath = tmpDir("frag_orders", dir)
+    val compactPath = tmpDir("compact_orders", dir)
+    Tables.orders(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(fragPath)
+    val targetBytes = 32L << 20 // 128 MB on a real cluster; 32 MB here
+    val inputBytes = parquetBytes(fragPath)
+    val nFiles = math.max(1, (inputBytes / targetBytes).toInt
+      + (if (inputBytes % targetBytes > 0) 1 else 0))
+    s.read.parquet(fragPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(compactPath)
+    s.read.parquet(compactPath)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** total bytes of the .parquet files under `path` (fs metadata only). */
+  private[operators] def parquetBytes(path: String): Long = {
+    val fs = new java.io.File(path)
+    Option(fs.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum).getOrElse(0L)
+  }
+
+  /** .parquet file count under `path` (for LayoutSpec's assertions). */
+  private[operators] def parquetFileCount(path: String): Int = {
+    val fs = new java.io.File(path)
+    Option(fs.listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+      .getOrElse(0)
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
-    sinkZorderCluster, joinPartitionPrunedRuntime)
+    sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles)
 }

@@ -57,7 +57,14 @@ class BroadcastPolicySpec extends SparkTestBase {
     // (and its 3 hints) appears on BOTH sides of the KL self-join
     "text_lang_divergence" -> 6,
     // 1-row node-count scalar, attached once at init + per iteration
-    "graph_pagerank" -> 4
+    "graph_pagerank" -> 4,
+    // SQ8: two 1-row quantization-scale scalars (corpus + probes), the
+    // literal-filtered (vec_id < 5) quantized probe set, and the same
+    // probe set's float side in the re-rank join
+    "sim_topk_sq8" -> 4,
+    // k-row center broadcasts (final assignment + the train-round tail
+    // that survives the per-round localCheckpoint truncation)
+    "dedup_semantic" -> 2
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -121,6 +121,19 @@ class LayoutAnalyticsSpec extends SparkTestBase {
       s"per-file rectangles not tighter than global: avg $avgArea vs $global")
   }
 
+  test("sink_compact_small_files collapses the fragmented layout") {
+    // run the query (derives both layouts), then compare file counts
+    LayoutQueries.sinkCompactSmallFiles.fn(spark, sfDir).collect()
+    val suffix = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val frag = LayoutQueries.parquetFileCount(
+      s"/tmp/graft_layout/frag_orders_$suffix")
+    val compact = LayoutQueries.parquetFileCount(
+      s"/tmp/graft_layout/compact_orders_$suffix")
+    assert(frag == 64, s"fragmented layout should be 64 files, got $frag")
+    assert(compact >= 1 && compact <= frag / 8,
+      s"compaction left $compact files (fragmented: $frag)")
+  }
+
   test("join_partition_pruned_runtime plans a dynamic partition filter on the fact scan") {
     val plan = LayoutQueries.joinPartitionPrunedRuntime.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
