@@ -358,8 +358,38 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dictionary tagging by regex extraction: every mention of a fixed
+    * taxonomy (here four query-operator terms) pulled from each doc
+    * with `regexp_extract_all`, summarized per doc — the
+    * keyword/taxonomy tagging pass of a corpus pipeline (PII
+    * inventories, topic dictionaries, license markers all run this
+    * shape). Pure per-row projection, RE2-compatible pattern,
+    * streaming-safe. */
+  val textExtractTags: GQuery = {
+    val pattern = """\b(join|scan|merge|sort)\b"""
+    GQuery(
+      "text_extract_tags",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pattern')) AS INT)
+         |    AS n_tags,
+         |  CAST(len(list_distinct(regexp_extract_all(text, '$pattern')))
+         |    AS INT) AS n_distinct_tags,
+         |  coalesce(array_to_string(list_sort(list_distinct(
+         |    regexp_extract_all(text, '$pattern'))), ','), '') AS tags
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hits = regexp_extract_all(col("text"), lit(pattern), lit(1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(hits).as("n_tags"),
+          size(array_distinct(hits)).as("n_distinct_tags"),
+          concat_ws(",", array_sort(array_distinct(hits))).as("tags"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
-    textRepetition)
+    textRepetition, textExtractTags)
 }
