@@ -324,7 +324,69 @@ object LayoutQueries {
       .getOrElse(0)
   }
 
+  /** MERGE/upsert as copy-on-write: a base snapshot (orders minus
+    * every 7th key — the current table) merged with an update batch
+    * (every 3rd key at a corrected price — updates where the key
+    * exists, inserts where it does not), written as a NEW snapshot,
+    * read back, aggregated. The SCD-1 maintenance shape on plain
+    * parquet: without a table format, upsert = full-outer join +
+    * column coalesce + snapshot rewrite — exactly what MERGE INTO
+    * compiles to underneath, spelled as the declarative plan.
+    *
+    * Scale posture: the join is keyed on the primary key (shuffle or
+    * broadcast by AQE from the update batch's runtime size — update
+    * batches are typically tiny next to the snapshot); at 100 TB the
+    * rewrite cost is why real systems layer a format with file-level
+    * MERGE on top, but the RELATIONAL core is this exact plan.
+    * Results match the oracle iff merge semantics (update wins,
+    * insert appears, untouched rows survive) and the snapshot
+    * roundtrip are both lossless. */
+  val mergeUpsertSnapshot: GQuery = GQuery(
+    "merge_upsert_snapshot",
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |         THEN round(CAST(o_totalprice AS DECIMAL(18,2))
+      |                    * CAST(1.1 AS DECIMAL(3,1)), 2)
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      |  FROM orders
+      |  WHERE o_orderkey % 7 <> 0 OR o_orderkey % 3 = 0)
+      |SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_updated
+      |FROM merged
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val snapPath = tmpDir("merge_snapshot", dir)
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val updates = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        col("o_orderpriority").as("u_priority"),
+        round(col("price") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+          .as("u_price"))
+    base.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("u_key"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("u_priority"), col("o_orderpriority"))
+          .as("o_orderpriority"),
+        coalesce(col("u_price"), col("price")).as("price"),
+        col("u_key").isNotNull.as("updated"))
+      .write.mode("overwrite").parquet(snapPath)
+    s.read.parquet(snapPath)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("price")), 2).cast("double").as("sum_price"),
+        sum(when(col("updated"), 1L).otherwise(0L)).as("n_updated"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
-    sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles)
+    sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
+    mergeUpsertSnapshot)
 }

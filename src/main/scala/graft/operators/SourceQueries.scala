@@ -120,5 +120,55 @@ object SourceQueries {
       .orderBy(col("c_mktsegment"))
   }
 
-  val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan, sourceOrcScan)
+  /** One opaque .bin file per document (doc_id < 50) → `binaryFile`
+    * source → per-file length + content-hash verification against the
+    * documents table. THE ingest path for multimodal payloads
+    * (images/audio arrive as files, not rows): `binaryFile` yields
+    * (path, modificationTime, length, content) with one row per file,
+    * split across executors like any scan. The id rides the FILENAME
+    * (regexp-extracted — the standard layout convention), content
+    * equality is pinned by joining md5(content) against md5(text),
+    * and the fixture bytes are written EXECUTOR-SIDE (foreachPartition
+    * + nio) — the driver never touches the payloads.
+    *
+    * Oracle: the same aggregate from the documents table — byte
+    * lengths equal n_chars (ASCII corpus), every content hash must
+    * match (n_matching = n_files). */
+  val sourceBinaryScan: GQuery = GQuery(
+    "source_binary_scan",
+    """SELECT CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_bytes,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(max(doc_id) AS BIGINT) AS last_doc,
+      |  CAST(count(*) AS BIGINT) AS n_matching
+      |FROM documents WHERE doc_id < 50""".stripMargin) { (s, dir) =>
+    val path = tmpDir("bin_docs", dir)
+    new java.io.File(path).mkdirs()
+    Tables.documents(s, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$path/doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    val bin = s.read.format("binaryFile").load(s"$path/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+          .cast("bigint").as("doc_id"),
+        col("length"), md5(col("content")).as("content_md5"))
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    bin.join(docs, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("sum_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(when(col("content_md5") === col("text_md5"), 1L)
+          .otherwise(0L)).as("n_matching"))
+  }
+
+  val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan, sourceOrcScan,
+    sourceBinaryScan)
 }

@@ -80,6 +80,36 @@ object EventStreams {
         col("c.event_id").as("click_id"),
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
 
+  /** LEFT OUTER stream-stream interval join: every view, with its
+    * attributed click where one exists and nulls where none does —
+    * the funnel-analysis shape (conversion AND abandonment from one
+    * query).
+    *
+    * The outer side is the semantically hard part of streaming joins:
+    * "no matching click" is only decidable once the click-side
+    * watermark has passed the end of the view's 1-hour attribution
+    * window, so unmatched views emit LATE — exactly at watermark
+    * passage, from evicted state. On a finite test input that means
+    * the tail views (those the final watermark never passes) stay
+    * buffered; EventStreamsSpec advances the watermark with a
+    * sentinel event and compares the emitted prefix against batch.
+    * Same time-bound condition as [[clickAttribution]], so state
+    * eviction is identical — the outer join adds no unbounded
+    * state. */
+  def clickAttributionWithUnmatched(views: DataFrame,
+      clicks: DataFrame): DataFrame =
+    views.withWatermark("ts", "1 hour").alias("v")
+      .join(
+        clicks.withWatermark("ts", "1 hour").alias("c"),
+        expr("""v.user_id = c.user_id
+                AND c.ts >= v.ts
+                AND c.ts <= v.ts + interval 1 hour"""),
+        "left_outer")
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("c.event_id").as("click_id"),
+        col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
+
   /** Per-user lifetime stats via explicit keyed state
     * (`flatMapGroupsWithState`) — the custom-state escape hatch for
     * semantics no built-in window covers. State per key is one

@@ -117,6 +117,40 @@ class EventStreamsSpec extends SparkTestBase {
     assert(asMap(got) == asMap(want))
   }
 
+  test("left-outer interval join: unmatched views emit with nulls at watermark passage") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = fixture.filter(_.event_type == "view")
+    val clicks = fixture.filter(_.event_type == "click")
+    val memV = MemoryStream[Ev]
+    val memC = MemoryStream[Ev]
+    val q = EventStreams.clickAttributionWithUnmatched(
+        memV.toDF(), memC.toDF())
+      .writeStream.format("memory").queryName("attr_outer_sink")
+      .outputMode("append").start()
+    val (v1, v2) = views.splitAt(views.size / 2)
+    val (c1, c2) = clicks.splitAt(clicks.size / 2)
+    memV.addData(v1); memC.addData(c1); q.processAllAvailable()
+    memV.addData(v2); memC.addData(c2); q.processAllAvailable()
+    // sentinel pushes BOTH watermarks 10 days past every real event —
+    // all "no click will ever come" verdicts become decidable
+    memV.addData(Seq(sentinel)); memC.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_outer_sink").filter($"user_id" =!= -1L)
+    val want = EventStreams.clickAttributionWithUnmatched(
+      views.toDF(), clicks.toDF())
+    assert(asMap(got) == asMap(want))
+    // the outer rows are the point: views with no attributable click
+    // must be PRESENT with null click columns, and matched pairs must
+    // equal the inner join exactly
+    val unmatched = got.filter($"click_id".isNull).count()
+    val matched = got.filter($"click_id".isNotNull).count()
+    val inner = EventStreams.clickAttribution(views.toDF(), clicks.toDF())
+      .count()
+    assert(unmatched > 0, "fixture should contain never-clicked views")
+    assert(matched == inner, s"outer join's matched rows ($matched) must equal the inner join ($inner)")
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
