@@ -208,6 +208,23 @@ object Similarity {
       .select(col("cid"), col("v1"), col("v2"), col("cosine"))
   }
 
+  /** [[semanticPairs]] served from a SAVED [[ivfBuild]] index: the
+    * cid-partitioned cells ARE the semantic clustering, so the same
+    * saved index answers ANN probes ([[ivfTopK]]) and semantic-dedup
+    * sweeps — build once, serve both. The pair sweep reads every cell
+    * partition once (a dedup sweep is corpus-wide by nature) and
+    * reuses the hot-label-safe block decomposition keyed by cid.
+    * Identical output to the in-memory [[semanticPairs]] when the
+    * index was built from the same frame (deterministic quantizer —
+    * spec-pinned). */
+  def semanticPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, tau: Double, blocks: Int = 8): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cid"), col("vec_id"), col("v"))
+    labelPairs(cells, "vec_id", "v", "cid", tau, blocks)
+      .select(col("cid"), col("v1"), col("v2"), col("cosine"))
+  }
+
   /** Build and SAVE an IVF (inverted-file) ANN index: a coarse
     * k-means quantizer ([[VecKMeans.train]]) partitions the corpus
     * into `k` cells; cell assignments (with the vector and its norm)

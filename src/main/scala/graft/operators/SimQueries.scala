@@ -234,7 +234,26 @@ object SimQueries {
       .orderBy(col("cid"), col("v1"), col("v2"))
   }
 
+  /** [[dedupSemantic]] served from the SAVED IVF index — the SAME
+    * stamped index sim_topk_ivf builds and probes (k = 8, rounds = 2,
+    * identical training frame), so one build amortizes across ANN
+    * serving AND dedup sweeps. OperatorPropertySpec pins this equal
+    * to the in-memory dedup_semantic (deterministic quantizer ⇒
+    * identical cells ⇒ identical pairs). no-oracle, like its twin. */
+  val dedupSemanticIndexed: GQuery =
+    GQuery.noOracle("dedup_semantic_indexed") { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val ivfPath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("ivf", dir, "embeddings.parquet")) {
+        tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
+          k = 8, rounds = 2)
+      }
+      graft.api.Similarity.semanticPairsFromIndex(s, ivfPath, tau = 0.4)
+        .orderBy(col("cid"), col("v1"), col("v2"))
+    }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
-      simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic)
+      simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
+      dedupSemanticIndexed)
 }

@@ -140,4 +140,34 @@ class LayoutAnalyticsSpec extends SparkTestBase {
     assert(plan.contains("dynamicpruning"),
       s"no DynamicPruningExpression in the fact scan:\n$plan")
   }
+
+  test("win_rank_topk: rank filter pushed into partial AND final WindowGroupLimit") {
+    // Spark's InferWindowGroupLimit turns `row_number() <= k` into a
+    // bounded per-group limit BEFORE the window's exchange (partial
+    // mode) and again after (final mode) — the built-in equivalent of
+    // a per-partition top-k heap. At 100 TB this is the difference
+    // between sorting every group fully and carrying k rows per group
+    // through the shuffle; pin it so a conf/regression can't silently
+    // bring the full sort back.
+    val plan = WindowQueries.winRankTopkPerGroup.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(hits >= 2,
+      s"expected partial+final WindowGroupLimit, found $hits:\n$plan")
+  }
+
+  test("tpch_q3/q10 plan exactly one shuffle (the aggregate exchange)") {
+    // at this scale the dims broadcast, so the ONLY data movement is
+    // the group-by exchange; the top-N is a TakeOrderedAndProject
+    // (already pinned). A second hashpartitioning exchange appearing
+    // here means a join stopped broadcasting or an aggregate lost its
+    // partial phase — both silent scale regressions.
+    Seq(AnalyticsQueries.tpchQ3Shipping,
+        AnalyticsQueries.tpchQ10Returned).foreach { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 1,
+        s"${q.name}: expected exactly 1 shuffle, found $shuffles:\n$plan")
+    }
+  }
 }

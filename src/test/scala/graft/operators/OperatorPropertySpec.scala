@@ -263,6 +263,18 @@ class OperatorPropertySpec extends SparkTestBase {
     info(f"semantic dedup recall vs exact all-pairs: $recall%.2f")
   }
 
+  test("semantic dedup from the saved IVF index equals the in-memory form") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val mem = SimQueries.dedupSemantic.fn(spark, sfDir).collect()
+      .map(key).toSet
+    val idx = SimQueries.dedupSemanticIndexed.fn(spark, sfDir).collect()
+      .map(key).toSet
+    assert(mem == idx,
+      s"saved-index semantic pairs diverge: mem ${mem.size}, idx ${idx.size}")
+    assert(mem.nonEmpty)
+  }
+
   test("agg_approx_percentile brackets the exact grouped percentiles") {
     val approx = AggQueries.aggApproxPercentile.fn(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
