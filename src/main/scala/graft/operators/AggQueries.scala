@@ -354,8 +354,31 @@ object AggQueries {
       .orderBy(col("event_type"))
   }
 
+  /** EXACT distinct via roaring-style bitmaps — same answer as
+    * count(DISTINCT), radically different plan: user ids hash into
+    * 4KB-bucket bitmaps that OR-merge map-side, so the shuffle
+    * carries (group, bucket) bitmaps instead of every distinct raw
+    * value (countDistinct's expand). The exact-distinct lever for
+    * dense integer key spaces at 100 TB; sketch-free, so the oracle
+    * is the plain COUNT(DISTINCT) — values must match exactly. */
+  val aggBitmapDistinct: GQuery = GQuery(
+    "agg_bitmap_distinct",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).cast("bigint").as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
-    aggMode)
+    aggMode, aggBitmapDistinct)
 }

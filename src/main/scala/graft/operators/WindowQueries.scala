@@ -153,6 +153,36 @@ object WindowQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Time-INTERVAL range frame: per event, the count and exact-decimal
+    * sum of the same type's events in the trailing hour — the rolling
+    * rate/volume monitor shape. RANGE (not ROWS) so timestamp ties are
+    * frame-inclusive as a SET: every engine sees the same frame
+    * contents regardless of tie order, and the decimal sum is
+    * order-independent within it. Partitioned by type — each
+    * timeline sorts inside its own exchange partition. */
+  val winRangeInterval: GQuery = {
+    val over =
+      """OVER (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+        .stripMargin
+    GQuery(
+      "win_range_interval",
+      s"""SELECT event_id, event_type,
+         |  CAST(count(*) $over AS BIGINT) AS n_trailing_1h,
+         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))) $over, 2) AS DOUBLE)
+         |    AS sum_trailing_1h
+         |FROM events
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).selectExpr(
+        "event_id", "event_type",
+        s"CAST(count(*) $over AS BIGINT) AS n_trailing_1h",
+        s"CAST(round(sum(CAST(value AS DECIMAL(18,2))) $over, 2) AS DOUBLE)" +
+          " AS sum_trailing_1h")
+        .orderBy(col("event_id"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
-    winAnalytic, winFrameRows, winFrameRange, winCumeDist)
+    winAnalytic, winFrameRows, winFrameRange, winCumeDist,
+    winRangeInterval)
 }

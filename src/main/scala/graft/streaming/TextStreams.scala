@@ -45,6 +45,22 @@ object TextStreams {
         "uniq_ratio", "avg_token_len", "stop_ratio")
   }
 
+  /** Single-pass observability on the gate: row count and mean score
+    * of the PASSED documents, computed by `observe` on the same
+    * micro-batch pass that filters — no second scan, batch or
+    * streaming. Metrics surface in each StreamingQueryProgress
+    * (`observedMetrics("quality_gate")`) or through a
+    * QueryExecutionListener in batch; TextStreamsSpec sums them across
+    * micro-batches and pins them to the batch truth. This is the
+    * pipeline-health counter a production gate exports (drop rate
+    * drift = upstream corruption alarm). */
+  def qualityFilterObserved(docs: DataFrame, id: String, text: String,
+      minQuality: Double,
+      stopwords: Seq[String] = Text.defaultStopwords): DataFrame =
+    qualityFilter(docs, id, text, minQuality, stopwords)
+      .observe("quality_gate", count(lit(1)).as("rows_passed"),
+        round(avg(col("quality")), 6).as("mean_quality"))
+
   private def withQuality(docs: DataFrame, id: String, text: String,
       stopwords: Seq[String]): DataFrame = {
     val toks = split(col(text), " ")

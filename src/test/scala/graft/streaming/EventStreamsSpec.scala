@@ -170,6 +170,35 @@ class EventStreamsSpec extends SparkTestBase {
     assert(math.abs(rows.map(_.getDouble(2)).max - 10.0) < 1e-9)
   }
 
+  test("session windows run on the RocksDB state store and equal the default provider") {
+    // the 100 TB state backend: HDFSBackedStateStore keeps every key
+    // in executor heap (state size caps at memory), RocksDB spills to
+    // local disk with incremental checkpointing — the provider a real
+    // deployment runs stateful queries on. Same query, same results,
+    // different state engine; only the conf changes.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.sessions(mem.toDF()).writeStream
+        .format("memory").queryName("rocksdb_sessions")
+        .outputMode("append").start()
+      mem.addData(fixture); q.processAllAvailable()
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("rocksdb_sessions").filter($"user_id" =!= -1L)
+      val want = EventStreams.sessions(fixture.toDF())
+      assert(asMap(got) == asMap(want))
+      assert(got.count() > 0)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("checkpointed query restarts without reprocessing (exactly-once sink)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString

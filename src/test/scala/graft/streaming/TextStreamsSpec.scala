@@ -43,6 +43,28 @@ class TextStreamsSpec extends SparkTestBase {
       s"gate should pass a strict subset: ${got.size} of ${fixture.size}")
   }
 
+  test("observe() gate metrics sum across micro-batches to the batch truth") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixture = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = TextStreams.qualityFilterObserved(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        minQuality = 0.8)
+      .writeStream.format("memory").queryName("observed_gate")
+      .outputMode("append").start()
+    fixture.grouped(200).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // each micro-batch publishes its own observed row; the lifetime
+    // counter is their sum — no second scan ever ran
+    val passedPerBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("quality_gate")))
+      .map(_.getLong(0))
+    val want = TextStreams.qualityFilter(docs, "doc_id", "text", 0.8).count()
+    assert(passedPerBatch.sum == want,
+      s"observed ${passedPerBatch.sum} rows passed, batch truth $want")
+    assert(passedPerBatch.sum > 0)
+  }
+
   test("normalize + chunking run statelessly on a stream and equal batch") {
     // both ops are pure per-row projections (chunking is a row-local
     // explode), so they must run in Append mode with NO state store —
