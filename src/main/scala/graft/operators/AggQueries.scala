@@ -377,8 +377,36 @@ object AggQueries {
       .orderBy(col("event_type"))
   }
 
+  /** FILTER-clause aggregates: several differently-conditioned
+    * aggregates in ONE pass over lineitem — the pivot-free
+    * conditional-metric shape (vs N self-joins or a CASE forest).
+    * One scan, one shuffle, every aggregate partial-combining. */
+  val aggFilterClause: GQuery = GQuery(
+    "agg_filter_clause",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_all,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+      |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+      |    AS n_discounted,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE l_tax > 0.04), 2) AS DOUBLE) AS taxed_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_all"),
+        expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_bulk"),
+        expr("count(*) FILTER (WHERE l_discount > 0.05)")
+          .as("n_discounted"),
+        expr("""CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_tax > 0.04), 2) AS DOUBLE)""")
+          .as("taxed_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
-    aggMode, aggBitmapDistinct)
+    aggMode, aggBitmapDistinct, aggFilterClause)
 }

@@ -313,7 +313,64 @@ object JoinQueries {
     }
   }
 
+  /** SHUFFLE-HASH-hinted join: lineitem ⋈ orders building a
+    * per-partition hash map on the orders side — the middle strategy
+    * between broadcast (side fits in every executor) and sort-merge
+    * (both sides huge): when one side is much smaller but over the
+    * broadcast cap, SHJ skips BOTH sort passes and streams the big
+    * side against per-partition maps. PlanShapeSpec pins the
+    * ShuffledHashJoin node. */
+  val joinShuffleHash: GQuery = GQuery(
+    "join_shuffle_hash",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): both
+    * sides null out nation key 13, and the null-keyed rows MATCH —
+    * the semantics a plain equi-join silently drops. The
+    * late-arriving-dimension / unknown-bucket pattern: route
+    * null-keyed facts to a designated null dim row instead of losing
+    * them. Null-safe equality still hash-partitions (null is one
+    * key), so the join stays a keyed shuffle join, never a BNLJ. */
+  val joinNullSafe: GQuery = GQuery(
+    "join_null_safe",
+    """SELECT n_name,
+      |  CAST(s.k AS INT) AS k,
+      |  CAST(count(*) AS BIGINT) AS n_suppliers
+      |FROM (SELECT nullif(s_nationkey, 13) AS k, s_suppkey
+      |      FROM supplier) s
+      |JOIN (SELECT nullif(n_nationkey, 13) AS k, n_name FROM nation) n
+      |  ON s.k IS NOT DISTINCT FROM n.k
+      |GROUP BY n_name, s.k
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val sup = Tables.supplier(s, dir)
+      .select(expr("nullif(s_nationkey, 13)").as("k"), col("s_suppkey"))
+    val nat = Tables.nation(s, dir)
+      .select(expr("nullif(n_nationkey, 13)").as("nk"), col("n_name"))
+    sup.join(nat, col("k") <=> col("nk"))
+      .groupBy(col("n_name"), col("k"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .select(col("n_name"), col("k").cast("int").as("k"),
+        col("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof, joinFullOuter, joinCross, joinBloomFiltered)
+    joinAsof, joinFullOuter, joinCross, joinBloomFiltered,
+    joinShuffleHash, joinNullSafe)
 }

@@ -59,6 +59,21 @@ class PlanShapeSpec extends SparkTestBase {
     PlanCache.clear()
   }
 
+  test("join_shuffle_hash plans a ShuffledHashJoin building on the hinted side") {
+    val plan = JoinQueries.joinShuffleHash.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint not honored:\n$plan")
+  }
+
+  test("join_null_safe stays a keyed shuffle join (never BNLJ)") {
+    val plan = JoinQueries.joinNullSafe.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"null-safe equality degraded to an unkeyed join:\n$plan")
+  }
+
   test("join_bloom_filtered: runtime bloom filter injected, confs restored") {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
