@@ -183,6 +183,42 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Conversion FUNNEL per user: every view LEFT-joined to its
+    * in-window clicks — converted views (≥1 attributable click) and
+    * abandoned views (none, the outer rows) counted from ONE join.
+    * The batch face of the left-outer streaming interval join
+    * (`EventStreams.clickAttributionWithUnmatched` — same function,
+    * EventStreamsSpec pins streaming ≡ batch); this row gives the
+    * outer-join semantics an oracle-backed contract entry. */
+  val evClickFunnel: GQuery = GQuery(
+    "ev_click_funnel",
+    """SELECT user_id,
+      |  CAST(count(DISTINCT view_id) AS BIGINT) AS n_views,
+      |  CAST(count(DISTINCT CASE WHEN click_id IS NOT NULL
+      |    THEN view_id END) AS BIGINT) AS n_converted,
+      |  CAST(count(DISTINCT CASE WHEN click_id IS NULL
+      |    THEN view_id END) AS BIGINT) AS n_abandoned
+      |FROM (
+      |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |  FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON v.user_id = c.user_id
+      |    AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.streaming.EventStreams.clickAttributionWithUnmatched(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("view_id")).as("n_views"),
+        countDistinct(when(col("click_id").isNotNull, col("view_id")))
+          .as("n_converted"),
+        countDistinct(when(col("click_id").isNull, col("view_id")))
+          .as("n_abandoned"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
-    evDedupStream, evClickAttribution)
+    evDedupStream, evClickAttribution, evClickFunnel)
 }

@@ -113,6 +113,30 @@ object ReshapeQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** NULL-PRESERVING generator (`explode_outer`): part names split to
+    * their 'z'-containing tokens — rows whose filtered array is EMPTY
+    * survive with a null token instead of vanishing. The semantics
+    * that keeps "document with zero extracted entities" visible in an
+    * extraction pipeline (a plain explode silently drops it and the
+    * downstream join under-counts the corpus). Ordering pins null
+    * placement explicitly on both engines. */
+  val explodeOuterTokens: GQuery = GQuery(
+    "explode_outer_tokens",
+    """SELECT p.p_partkey, t.token
+      |FROM (SELECT p_partkey,
+      |        list_filter(string_split(p_name, ' '),
+      |                    x -> x LIKE '%z%') AS toks
+      |      FROM part WHERE p_partkey <= 200) p
+      |LEFT JOIN LATERAL (SELECT unnest(p.toks) AS token) t ON true
+      |ORDER BY p_partkey, token NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        explode_outer(filter(split(col("p_name"), " "),
+          t => t.contains("z"))).as("token"))
+      .orderBy(col("p_partkey"), col("token").asc_nulls_first)
+  }
+
   val all: Seq[GQuery] = Seq(pivotWide, unpivotLong, filterExistsSubquery,
-    winFirstLastNth)
+    winFirstLastNth, explodeOuterTokens)
 }
