@@ -195,12 +195,17 @@ object Text {
     docs.select(col(id), normalizeCol(col(text)).as("clean"))
 
   /** The [[normalize]] transform as a composable Column (for callers
-    * folding it into a wider projection or a streaming select). */
+    * folding it into a wider projection or a streaming select).
+    * Whitespace is an EXPLICIT class, never `\s`: Java's `\s` includes
+    * U+000B (vertical tab) while RE2's does not, so the shorthand
+    * silently diverges between Spark and an RE2-based oracle on
+    * scraped/OCR text — the explicit class means the same bytes
+    * everywhere. */
   def normalizeCol(text: Column): Column =
     trim(regexp_replace(regexp_replace(regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{3,}", "<NUM>"),
-      "\\s+", " "))
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Fixed-size overlapping character chunks — the context-window
     * splitter feeding embedding / training jobs: (id, chunk_id,

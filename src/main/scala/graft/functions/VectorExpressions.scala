@@ -96,13 +96,20 @@ case class VecDotI8(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
 
+  /** STRICT on dimensions, unlike the float kernel: vec_dot tolerates
+    * length mismatch because callers (PQ subspace slices) rely on it
+    * and guard at their own boundaries; the int8 path has no such
+    * caller, and a silent truncation here would let a mis-dimensioned
+    * vector score plausibly into an SQ8 shortlist — the
+    * silent-corruption class the IVF append guard exists to block. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toByteArray()
     val y = b.asInstanceOf[ArrayData].toByteArray()
-    val n = math.min(x.length, y.length)
+    require(x.length == y.length,
+      s"vec_dot_i8 dimension mismatch: ${x.length} vs ${y.length}")
     var s = 0L
     var i = 0
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
 
@@ -110,15 +117,17 @@ case class VecDotI8(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val xs = ctx.freshName("xs")
       val ys = ctx.freshName("ys")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
          |byte[] $xs = $a.toByteArray();
          |byte[] $ys = $b.toByteArray();
-         |int $n = java.lang.Math.min($xs.length, $ys.length);
+         |if ($xs.length != $ys.length) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot_i8 dimension mismatch: " + $xs.length + " vs " + $ys.length);
+         |}
          |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) { $s += $xs[$i] * $ys[$i]; }
+         |for (int $i = 0; $i < $xs.length; $i++) { $s += $xs[$i] * $ys[$i]; }
          |${ev.value} = $s;
          |""".stripMargin
     })

@@ -207,15 +207,18 @@ object EventQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
+    // collapse to one row per view FIRST (partial-aggregating max),
+    // then plain conditional counts — three countDistinct's in one
+    // agg would Expand the join output 3× through the shuffle
     graft.streaming.EventStreams.clickAttributionWithUnmatched(
       ev.filter(col("event_type") === "view"),
       ev.filter(col("event_type") === "click"))
+      .groupBy(col("user_id"), col("view_id"))
+      .agg(max(col("click_id").isNotNull).as("converted"))
       .groupBy(col("user_id"))
-      .agg(countDistinct(col("view_id")).as("n_views"),
-        countDistinct(when(col("click_id").isNotNull, col("view_id")))
-          .as("n_converted"),
-        countDistinct(when(col("click_id").isNull, col("view_id")))
-          .as("n_abandoned"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"),
+        sum(when(!col("converted"), 1L).otherwise(0L)).as("n_abandoned"))
       .orderBy(col("user_id"))
   }
 

@@ -298,16 +298,31 @@ object JoinQueries {
     * result eagerly, and restore every conf — callers receive a
     * checkpoint-backed frame executed under the scoped confs. Also
     * used by BloomJoinSpec to pin the plan shape. */
+  /** The bloom-injection conf regime, shared with PlanShapeSpec's
+    * plan pin and no-residue check so the pinned regime can never
+    * drift from the one the query actually runs. */
+  private[operators] val bloomRegime = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  /** the previous invocation's checkpointed result — unpersisted on
+    * the next call so at most ONE small aggregated frame stays cached
+    * per session (the harnesses consume each result before invoking
+    * the query again). */
+  @volatile private var lastBloomResult: Option[DataFrame] = None
+
   def bloomScoped(s: SparkSession)(build: => DataFrame): DataFrame = {
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
-    keys.foreach { case (k, v) => s.conf.set(k, v) }
-    try build.localCheckpoint()
-    finally saved.foreach {
+    lastBloomResult.foreach(df =>
+      try df.rdd.unpersist(false) catch { case _: Throwable => () })
+    val saved = bloomRegime.map { case (k, _) => k -> s.conf.getOption(k) }
+    bloomRegime.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = build.localCheckpoint()
+      lastBloomResult = Some(out)
+      out
+    } finally saved.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
     }

@@ -25,7 +25,7 @@ import graft.sources.Tables
   */
 object LayoutQueries {
 
-  private def tmpDir(kind: String, dir: String): String =
+  private[operators] def tmpDir(kind: String, dir: String): String =
     s"/tmp/graft_layout/${kind}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** orders → hive-partitioned parquet by o_orderpriority → read back
@@ -166,9 +166,14 @@ object LayoutQueries {
     * by z makes each written file/row-group span a tight min/max
     * rectangle in (x, y) and a 2-dim predicate prunes on BOTH
     * dimensions from footer stats alone. A pure bit-arithmetic Column
-    * (fold of shift/and/or — whole-stage codegen, no UDF). 16 bits
-    * per key covers the fixture key domains; wider domains hash or
-    * take more bits (z math is identical at any width). */
+    * (fold of shift/and/or — whole-stage codegen, no UDF).
+    *
+    * `bits` MUST cover the key domain: bits dropped above it make
+    * far-apart keys z-adjacent and silently destroy the clustering
+    * (results stay right, pruning quietly dies — the worst failure
+    * mode). Callers derive it from the measured max key
+    * ([[zBitsFor]]); both keys share one width so neither dimension
+    * dominates the interleave. */
   private[operators] def zvalue(x: Column, y: Column,
       bits: Int = 16): Column = {
     val xl = x.cast("long")
@@ -207,8 +212,14 @@ object LayoutQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     val path = tmpDir("zorder_lineitem", dir)
+    // derive the interleave width from the MEASURED key domain (one
+    // 1-row aggregate at layout time): a hardcoded width silently
+    // stops clustering the moment a key outgrows it
+    val mx = Tables.lineitem(s, dir)
+      .agg(max(col("l_partkey")), max(col("l_suppkey"))).first()
+    val bits = math.max(zBitsFor(mx.getLong(0)), zBitsFor(mx.getLong(1)))
     Tables.lineitem(s, dir)
-      .withColumn("zval", zvalue(col("l_partkey"), col("l_suppkey")))
+      .withColumn("zval", zvalue(col("l_partkey"), col("l_suppkey"), bits))
       .repartitionByRange(8, col("zval"))
       .sortWithinPartitions(col("zval"))
       .drop(col("zval"))
@@ -309,6 +320,11 @@ object LayoutQueries {
         max(col("o_orderkey")).as("last_key"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** bits needed to represent `maxKey` (≥1, capped at 31 so two
+    * interleaved keys always fit a long). */
+  private[operators] def zBitsFor(maxKey: Long): Int =
+    math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxKey)))
 
   /** total bytes of the .parquet files under `path` (fs metadata only). */
   private[operators] def parquetBytes(path: String): Long = {

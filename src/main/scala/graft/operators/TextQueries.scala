@@ -301,7 +301,7 @@ object TextQueries {
       |    trim(regexp_replace(regexp_replace(regexp_replace(text,
       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |      '[0-9]{3,}', '<NUM>', 'g'),
-      |      '\s+', ' ', 'g')) AS clean
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     graft.api.Text.normalize(Tables.documents(s, dir), "doc_id", "text")

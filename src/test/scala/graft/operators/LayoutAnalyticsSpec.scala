@@ -104,8 +104,7 @@ class LayoutAnalyticsSpec extends SparkTestBase {
     // be materially tighter than the global rectangle — if the z-sort
     // is lost (plain write), every file spans ~the full key space and
     // min/max skipping prunes nothing
-    val path = "/tmp/graft_layout/zorder_lineitem_" +
-      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = LayoutQueries.tmpDir("zorder_lineitem", sfDir)
     val byFile = spark.read.parquet(path)
       .groupBy(input_file_name().as("f"))
       .agg((max(col("l_partkey")) - min(col("l_partkey"))).as("ps"),
@@ -124,11 +123,10 @@ class LayoutAnalyticsSpec extends SparkTestBase {
   test("sink_compact_small_files collapses the fragmented layout") {
     // run the query (derives both layouts), then compare file counts
     LayoutQueries.sinkCompactSmallFiles.fn(spark, sfDir).collect()
-    val suffix = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val frag = LayoutQueries.parquetFileCount(
-      s"/tmp/graft_layout/frag_orders_$suffix")
+      LayoutQueries.tmpDir("frag_orders", sfDir))
     val compact = LayoutQueries.parquetFileCount(
-      s"/tmp/graft_layout/compact_orders_$suffix")
+      LayoutQueries.tmpDir("compact_orders", sfDir))
     assert(frag == 64, s"fragmented layout should be 64 files, got $frag")
     assert(compact >= 1 && compact <= frag / 8,
       s"compaction left $compact files (fragmented: $frag)")

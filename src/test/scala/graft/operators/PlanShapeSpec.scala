@@ -80,12 +80,10 @@ class PlanShapeSpec extends SparkTestBase {
     // replicate bloomScoped's conf window WITHOUT the checkpoint so
     // the optimized (pre-execution) plan is inspectable: the
     // InjectRuntimeFilter rule must plant might_contain(
-    // bloom_filter_agg(o_orderkey), l_orderkey) on the lineitem side
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    // bloom_filter_agg(o_orderkey), l_orderkey) on the lineitem side.
+    // The regime is the SHARED constant, so this pin can never test a
+    // different conf set than the query runs.
+    val keys = JoinQueries.bloomRegime
     val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
       keys.foreach { case (k, v) => spark.conf.set(k, v) }
