@@ -102,5 +102,66 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(pipelineCorpusPrep)
+  /** DATASET CARD: the per-(lang, source) corpus documentation table a
+    * training-data team publishes — doc/token/char volumes, exact-dup
+    * incidence, summed quality — computed in one pass shapes:
+    * token/char counts are per-row projections (no explode), quality
+    * is the ROW-LOCAL scorer (spec-pinned ≡ the batch aggregate
+    * scorer), and the dup flag joins on sha2(text) so raw text never
+    * rides a shuffle key. All outputs are exact (counts, integer
+    * sums, decimal-summed quality) — no order-sensitive float
+    * accumulation anywhere. */
+  val pipelineDatasetCard: GQuery = GQuery(
+    "pipeline_dataset_card",
+    s"""WITH tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |per_doc AS (SELECT doc_id,
+       |    count(*) AS n_tokens,
+       |    count(DISTINCT term) AS n_distinct,
+       |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
+       |  FROM tokq GROUP BY doc_id),
+       |qual AS (SELECT doc_id, CAST(round(
+       |    0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+       |               AS DECIMAL(12,6))
+       |    + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+       |                      AS DECIMAL(12,6)))
+       |    + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
+       |  FROM per_doc),
+       |dup AS (SELECT text FROM documents GROUP BY text HAVING count(*) > 1)
+       |SELECT lang, source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CASE WHEN text IN (SELECT text FROM dup)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(round(sum(CAST(q.quality AS DECIMAL(12,6))), 6) AS DOUBLE)
+       |    AS sum_quality
+       |FROM documents d JOIN qual q USING (doc_id)
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val quality = graft.streaming.TextStreams
+      .qualityScoreRow(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val dupHashes = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("dup_cnt"))
+      .filter(col("dup_cnt") > 1)
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        sha2(col("text"), 256).as("h"))
+      .join(quality, Seq("doc_id"))
+      .join(dupHashes, Seq("h"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("bigint").as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("dup_cnt").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        round(sum(col("quality").cast("decimal(12,6)")), 6)
+          .cast("double").as("sum_quality"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val all: Seq[GQuery] = Seq(pipelineCorpusPrep, pipelineDatasetCard)
 }
