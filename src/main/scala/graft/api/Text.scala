@@ -41,7 +41,14 @@ object Text {
   def surprisal(docs: DataFrame, id: String, text: String): DataFrame =
     surprisalFromTokens(tokenize(docs, id, text), id)
 
-  /** [[surprisal]] over a pre-tokenized (id, token) frame. */
+  /** [[surprisal]] over a pre-tokenized (id, token) frame.
+    *
+    * The per-token surprisal is rounded to 8 places AND summed on the
+    * DECIMAL(14,8) grid: an 8-place-rounded double is engine-portable,
+    * but a float SUM of hundreds of them is decided by accumulation
+    * order at half-ulp boundaries (observed at sf0.1) — the decimal
+    * sum is exact and order-independent, and the mean derives from it
+    * in one deterministic double division. */
   def surprisalFromTokens(t: DataFrame, id: String,
       token: String = "token"): DataFrame = {
     val tok = t.select(col(id), col(token).as("token"))
@@ -50,11 +57,12 @@ object Text {
     val sc = cnt.crossJoin(broadcast(tot))
       .select(col("token"),
         round(-log((col("c").cast("double") + 1) / (col("n") + col("v")),
-          ), 8).as("s"))
+          ), 8).cast("decimal(14,8)").as("s"))
     tok.join(sc, Seq("token"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("s")) / count(lit(1)), 6).as("surprisal"))
+        round(sum(col("s")).cast("double") / count(lit(1)), 6)
+          .as("surprisal"))
   }
 
   /** Per-document quality score: uniqueness ratio, mean token length,

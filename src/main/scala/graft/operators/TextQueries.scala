@@ -388,8 +388,33 @@ object TextQueries {
     }
   }
 
+  /** Per-document mean unigram surprisal under the corpus's own
+    * add-1-smoothed unigram model — the CCNet-style LM-score quality
+    * filter (high = rare-token-heavy OCR noise/gibberish, low =
+    * repetitive boilerplate; both tails get inspected). Same rounding
+    * discipline as the other log-prob queries: per-token logs rounded
+    * to 8 places before the sum, mean rounded to 6. */
+  val textSurprisal: GQuery = GQuery(
+    "text_surprisal",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt),
+      |sc AS (SELECT token,
+      |         CAST(round(-ln((c + 1.0) / (n + v)), 8) AS DECIMAL(14,8)) AS s
+      |       FROM cnt CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS surprisal
+      |FROM tok JOIN sc USING (token)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.api.Text.surprisalFromTokens(
+      tokens(s, dir).withColumnRenamed("term", "token"), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
-    textRepetition, textExtractTags)
+    textRepetition, textExtractTags, textSurprisal)
 }

@@ -91,4 +91,28 @@ class DedupIndexSpec extends SparkTestBase {
     assert(got.contains((srcId + 1000000L, srcId, 1.0)),
       s"planted duplicate of $srcId not found at est 1.0: ${got.toSeq}")
   }
+
+  test("containmentIndexAppend: incremental index equals the all-at-once build") {
+    // build on 60% of the training docs, append the other 40%; probing
+    // the incrementally-grown index must equal probing an index built
+    // on the full set in one shot (same meta, same buckets — appends
+    // only add posting/doc rows)
+    val train1 = docs.filter(col("doc_id") % 10 < 6 && col("doc_id") % 10 =!= 7)
+    val train2 = docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 =!= 7)
+    val evalDocs = docs.filter(col("doc_id") % 10 === 7)
+    val pInc = Files.createTempDirectory("graft_ctn_inc").toString
+    Dedup.containmentIndexBuild(train1, "doc_id", "text", pInc)
+    Dedup.containmentIndexAppend(train2, "doc_id", "text", pInc)
+    val pFull = Files.createTempDirectory("graft_ctn_full").toString
+    Dedup.containmentIndexBuild(train1.union(train2), "doc_id", "text",
+      pFull)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val inc = graft.streaming.DedupStreams.containmentAgainstSavedIndex(
+      evalDocs, pInc, "doc_id", "text").collect().map(key).toSet
+    val full = graft.streaming.DedupStreams.containmentAgainstSavedIndex(
+      evalDocs, pFull, "doc_id", "text").collect().map(key).toSet
+    assert(inc == full,
+      s"incremental index diverges: inc ${inc.size} vs full ${full.size}")
+    assert(inc.nonEmpty, "fixture should contain contaminated pairs")
+  }
 }

@@ -50,6 +50,7 @@ class BroadcastPolicySpec extends SparkTestBase {
     "mining_kmeans" -> 8,     // k-row center broadcast per Lloyd round
     "mining_assoc_rules" -> 1, // 1-row basket-total scalar
     "text_tfidf_topterm" -> 1, // 1-row corpus-count scalar
+    "text_surprisal" -> 1,     // 1-row (N, V) model-size scalar
     // bounded language dim (distinct of a low-cardinality label),
     // per-lang totals (same cardinality), 1-row vocabulary count
     "text_lang_id" -> 3,
