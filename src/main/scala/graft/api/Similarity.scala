@@ -39,6 +39,69 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): greedy
+    * re-rank of the exact cosine shortlist so results are relevant
+    * but not redundant — the retrieval move when near-duplicate
+    * neighbors would crowd out coverage (RAG contexts, eval-set
+    * curation): (probe_id, rnk, neighbor_id, score).
+    *
+    * Pick 1 is the relevance argmax; pick i maximizes
+    * λ·rel − (1−λ)·max sim-to-already-picked. Scores and sims are
+    * rounded to 6 places before every argmax (lexical neighbor-id
+    * tiebreak), so the greedy trajectory is deterministic
+    * cross-engine.
+    *
+    * Scale shape: one broadcast-probe corpus scan builds the
+    * shortlist (identical to [[cosineTopK]]); the k−1 greedy rounds
+    * then run on the probes×shortlist frame — bounded rows regardless
+    * of corpus size — as per-probe windows and keyed joins. */
+  def mmrTopK(corpus: DataFrame, probes: DataFrame, id: String,
+      vec: String, shortlist: Int = 8, k: Int = 3,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val c = prep(corpus, id, vec).select(col("vid").as("nid"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val p = prep(probes, id, vec).select(col("vid").as("probe_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val wRel = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rel").desc, col("nid"))
+    val sl = c.join(broadcast(p), col("probe_id") =!= col("nid"))
+      .withColumn("rel", round(expr(dot) / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= shortlist)
+      .select(col("probe_id"), col("nid"), col("vb"), col("nb"),
+        col("rel"))
+    var selected = sl
+      .withColumn("rk", row_number().over(wRel)).filter(col("rk") === 1)
+      .select(col("probe_id"), lit(1).as("rnk"), col("nid"),
+        col("rel").as("score"), col("vb"), col("nb"))
+    for (i <- 2 to k) {
+      val rem = sl.join(selected.select(col("probe_id"), col("nid")),
+        Seq("probe_id", "nid"), "left_anti")
+      val wPick = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("nid"))
+      val pick = rem.join(
+          selected.select(col("probe_id"), col("vb").as("sb"),
+            col("nb").as("sn")), Seq("probe_id"))
+        .withColumn("sim",
+          round(expr("vec_dot(vb, sb)") / (col("nb") * col("sn")), 6))
+        .groupBy(col("probe_id"), col("nid"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+        .withColumn("score", round(lit(lambda) * col("rel")
+          - (lit(1.0) - lit(lambda)) * col("msim"), 6))
+        .withColumn("pk", row_number().over(wPick))
+        .filter(col("pk") === 1)
+        .join(sl.select(col("probe_id"), col("nid"), col("vb"),
+          col("nb")), Seq("probe_id", "nid"))
+        .select(col("probe_id"), lit(i).as("rnk"), col("nid"),
+          col("score"), col("vb"), col("nb"))
+      selected = selected.union(pick)
+    }
+    selected.select(col("probe_id"), col("rnk"),
+      col("nid").as("neighbor_id"), col("score"))
+  }
+
   /** All same-label pairs with cosine ≥ tau — the HOT-LABEL-SAFE form
     * of the label-blocked pair join: (label, v1, v2, cosine), v1 < v2.
     *

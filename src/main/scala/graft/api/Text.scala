@@ -310,4 +310,99 @@ object Text {
         .as("pick"))
       .select(col(id), col("pick.cand").as("pred_lang"))
   }
+
+  /** Exact corpus heavy hitters — every token whose total count
+    * exceeds n/k — served by a mergeable Misra–Gries sketch:
+    * (token, cnt), cnt exact.
+    *
+    * Pass 1 is a single global typed aggregation whose partial state
+    * is O(k) per task (no shuffle of the full term cardinality — the
+    * thing a plain groupBy can't avoid when the vocabulary is
+    * billions of keys at 100 TB); MG guarantees the ≤ k surviving
+    * counters are a SUPERSET of every true heavy hitter, so pass 2's
+    * bounded `isin` filter (pushed into the scan) + count is provably
+    * exact. The result is deterministic even though the intermediate
+    * candidate set can vary with merge order. */
+  def heavyHitters(docs: DataFrame, id: String, text: String,
+      k: Int = 100): DataFrame =
+    heavyHittersFromTokens(tokenize(docs, id, text), k = k)
+
+  /** [[heavyHitters]] over a pre-tokenized frame. */
+  def heavyHittersFromTokens(t: DataFrame, token: String = "token",
+      k: Int = 100): DataFrame = {
+    val toks = t.select(col(token).as("token"))
+      .filter(col("token").isNotNull)
+    val mg = new graft.functions.MisraGries(k)
+    val sum = toks.as[String](org.apache.spark.sql.Encoders.STRING)
+      .select(mg.toColumn).head()
+    toks.filter(col("token").isin(sum.cands.keys.toSeq: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > lit(sum.n))
+  }
+
+  /** Concat-and-chunk sequence packing — the LLM pre-training layout
+    * step: conceptually concatenate every document's tokens in `id`
+    * order and cut the stream into fixed `seqLen` sequences; report,
+    * per document, its global token offset and the first/last
+    * sequence it lands in:
+    * (id, tok, off, start_seq, end_seq).
+    *
+    * The global running total is a DISTRIBUTED prefix sum, never a
+    * single-partition window:
+    *   1. bucket ids into `ranges` ordered range buckets (boundaries
+    *      from a quantile sketch — a sampled pass, then a pure
+    *      function of the id so every job derives the same bucket);
+    *   2. one `ranges`-row aggregate gives per-bucket token totals,
+    *      whose driver-side prefix sum is each bucket's base offset
+    *      (bounded collect, same move AQE makes for stats);
+    *   3. a window PARTITIONED BY bucket (ordered by id) adds the
+    *      within-bucket running total to the broadcast base.
+    * Per-bucket rows ≈ n/ranges — size `ranges` so a bucket fits an
+    * executor; no stage ever sees the global order.
+    */
+  def packSequences(docs: DataFrame, id: String, text: String,
+      seqLen: Int = 2048, ranges: Int = 8): DataFrame =
+    packFromCounts(
+      docs.select(col(id),
+        size(split(col(text), " ")).cast("long").as("tok")),
+      id, "tok", seqLen, ranges)
+
+  /** [[packSequences]] over a pre-computed (id, tok-count) frame. */
+  def packFromCounts(t: DataFrame, id: String, tok: String,
+      seqLen: Int, ranges: Int = 8): DataFrame = {
+    require(seqLen >= 1, s"seqLen ($seqLen) must be >= 1")
+    require(ranges >= 1, s"ranges ($ranges) must be >= 1")
+    val base = t.select(col(id), col(tok).cast("long").as("tok"))
+    // Ordered bucket boundaries from the quantile sketch. Computed
+    // once on the driver, so bucketing is a pure function of the id —
+    // identical in the totals pass and the final pass by construction
+    // (no reliance on two RangePartitioner runs sampling alike).
+    val cuts: Array[Double] =
+      if (ranges == 1) Array.empty
+      else base.stat.approxQuantile(id,
+        (1 until ranges).map(_.toDouble / ranges).toArray, 0.001)
+    val bucketed = base.withColumn("rg",
+      if (cuts.isEmpty) lit(0)
+      else aggregate(array(cuts.toSeq.map(lit): _*), lit(0),
+        (acc, c) => acc + when(col(id) > c, 1).otherwise(0)))
+    val bases = bucketed.groupBy(col("rg")).agg(sum(col("tok")).as("t"))
+      .orderBy(col("rg")).collect()
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), r) =>
+        (r.getInt(0), acc + r.getLong(1))
+      }
+    val offsets = bases.sliding(2).collect {
+      case Array((_, acc), (rg, _)) => (rg, acc)
+    }.toSeq
+    val baseDf = t.sparkSession.createDataFrame(offsets)
+      .toDF("rg", "base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rg")).orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(baseDf), Seq("rg"))
+      .withColumn("off",
+        col("base") + coalesce(sum(col("tok")).over(w), lit(0L)))
+      .select(col(id), col("tok"), col("off"),
+        expr(s"off div $seqLen").as("start_seq"),
+        expr(s"(off + tok - 1) div $seqLen").as("end_seq"))
+  }
 }

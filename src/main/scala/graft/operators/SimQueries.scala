@@ -252,8 +252,83 @@ object SimQueries {
         .orderBy(col("cid"), col("v1"), col("v2"))
     }
 
+  /** MMR-diversified top-3 from the exact top-8 shortlist (λ = 0.7,
+    * probes vec_id < 5): relevance-ranked but redundancy-penalized —
+    * the greedy trajectory is deterministic (every score/sim rounded
+    * to 6 before its argmax, neighbor-id tiebreaks), so the oracle is
+    * the same greedy unrolled as three CTE steps. The corpus is
+    * scanned once for the shortlist; the greedy rounds touch only the
+    * probes×8 frame. */
+  val simTopkMmr: GQuery = GQuery(
+    "sim_topk_mmr",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |sl0 AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS nid, c.v AS cv,
+      |    c.nrm AS cn,
+      |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS rel,
+      |    row_number() OVER (PARTITION BY p.vec_id
+      |      ORDER BY round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm),
+      |        6) DESC, c.vec_id) AS rk
+      |  FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id != p.vec_id),
+      |s AS (SELECT probe_id, nid, cv, cn, rel FROM sl0 WHERE rk <= 8),
+      |p1 AS (SELECT probe_id, nid, cv, cn, rel, rel AS score
+      |       FROM sl0 WHERE rk = 1),
+      |m2 AS (
+      |  SELECT r.probe_id, r.nid, r.rel,
+      |    max(round(list_dot_product(r.cv, q.cv) / (r.cn * q.cn), 6))
+      |      AS msim
+      |  FROM s r JOIN p1 q ON r.probe_id = q.probe_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM p1 x
+      |                    WHERE x.probe_id = r.probe_id AND x.nid = r.nid)
+      |  GROUP BY r.probe_id, r.nid, r.rel),
+      |sc2 AS (
+      |  SELECT probe_id, nid,
+      |    round(CAST(0.7 AS DOUBLE) * rel
+      |      - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * msim, 6)
+      |      AS score,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY round(CAST(0.7 AS DOUBLE) * rel
+      |        - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * msim, 6)
+      |        DESC, nid) AS pk
+      |  FROM m2),
+      |p2 AS (SELECT sc2.probe_id, sc2.nid, s.cv, s.cn, s.rel, sc2.score
+      |       FROM sc2 JOIN s ON sc2.probe_id = s.probe_id
+      |         AND sc2.nid = s.nid
+      |       WHERE pk = 1),
+      |sel2 AS (SELECT probe_id, nid, cv, cn FROM p1
+      |         UNION ALL SELECT probe_id, nid, cv, cn FROM p2),
+      |m3 AS (
+      |  SELECT r.probe_id, r.nid, r.rel,
+      |    max(round(list_dot_product(r.cv, q.cv) / (r.cn * q.cn), 6))
+      |      AS msim
+      |  FROM s r JOIN sel2 q ON r.probe_id = q.probe_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+      |                    WHERE x.probe_id = r.probe_id AND x.nid = r.nid)
+      |  GROUP BY r.probe_id, r.nid, r.rel),
+      |sc3 AS (
+      |  SELECT probe_id, nid,
+      |    round(CAST(0.7 AS DOUBLE) * rel
+      |      - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * msim, 6)
+      |      AS score,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY round(CAST(0.7 AS DOUBLE) * rel
+      |        - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * msim, 6)
+      |        DESC, nid) AS pk
+      |  FROM m3),
+      |p3 AS (SELECT probe_id, nid, score FROM sc3 WHERE pk = 1)
+      |SELECT probe_id, 1 AS rnk, nid AS neighbor_id, score FROM p1
+      |UNION ALL SELECT probe_id, 2, nid, score FROM p2
+      |UNION ALL SELECT probe_id, 3, nid, score FROM p3
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    graft.api.Similarity.mmrTopK(ev, ev.filter(col("vec_id") < 5),
+      "vec_id", "v", shortlist = 8, k = 3, lambda = 0.7)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
-      dedupSemanticIndexed)
+      dedupSemanticIndexed, simTopkMmr)
 }

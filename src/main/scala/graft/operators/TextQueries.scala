@@ -413,8 +413,60 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Concat-and-chunk sequence packing: concatenate all documents'
+    * whitespace tokens in doc_id order, cut into 2048-token training
+    * sequences, and report each document's global token offset and
+    * first/last sequence — the provenance map a pre-training data
+    * loader needs ("which documents fed sequence s?").
+    *
+    * The global running total is api.Text's DISTRIBUTED prefix sum
+    * (range buckets from a quantile sketch → 8-row per-bucket totals
+    * collect → per-bucket windows on broadcast bases); the oracle is
+    * the naive single-window cumulative sum — same integers, but the
+    * Spark plan never materializes a single-partition global order. */
+  val textPackSequences: GQuery = GQuery(
+    "text_pack_sequences",
+    """WITH t AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, tok,
+      |        CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS off
+      |      FROM t)
+      |SELECT doc_id, tok, off,
+      |  off // 2048 AS start_seq,
+      |  (off + tok - 1) // 2048 AS end_seq
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.api.Text.packSequences(
+      Tables.documentsSpread(s, dir), "doc_id", "text",
+      seqLen = 2048, ranges = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact heavy hitters over the token stream (count > n/100),
+    * served by the mergeable Misra–Gries sketch: pass 1 ships O(k)
+    * state per task instead of shuffling the full vocabulary, pass 2
+    * exact-counts only the ≤ k sketch candidates (a superset of every
+    * true heavy hitter — MG admits no false negatives), with the
+    * bounded `isin` pushed into the parquet scan. The oracle is the
+    * plain full-vocabulary groupBy: same rows, provably. */
+  val textHeavyHitters: GQuery = GQuery(
+    "text_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |n AS (SELECT count(*) AS n FROM tok),
+      |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+      |SELECT token, cnt FROM c CROSS JOIN n WHERE cnt * 100 > n
+      |ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+    graft.api.Text.heavyHittersFromTokens(
+      tokens(s, dir).withColumnRenamed("term", "token"), k = 100)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
-    textRepetition, textExtractTags, textSurprisal)
+    textRepetition, textExtractTags, textSurprisal, textPackSequences,
+    textHeavyHitters)
 }
