@@ -102,6 +102,29 @@ object Sampling {
     * per-stratum survivors. The global top-k by (hash, id) is always
     * a subset of the per-bucket top-k, so the result is IDENTICAL to
     * the single-window form (the DuckDB oracle keeps that form). */
+  /** Deterministic train/val/test split assignment: each row gains a
+    * `split` label decided by its portable hash bucket against
+    * integer weight cutoffs (e.g. 8/1/1 of 10) — every engine, run,
+    * and future re-read derives the SAME membership, which is what
+    * makes held-out sets auditable. A pure per-row projection: no
+    * shuffle, pushes nothing, streaming-safe; the manifest (or the
+    * rows of one split) falls out of a filter on the label. */
+  def splitAssign(df: DataFrame, id: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1,
+        "test" -> 1),
+      salt: String = "spl:"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "split weights must be positive")
+    val denom = splits.map(_._2).sum
+    val bucket = pmod(portableHash(col(id), salt), lit(denom.toLong))
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val labelCol = splits.zip(cuts).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
+        when(bucket < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", labelCol)
+  }
+
   def stratifiedTopK(df: DataFrame, stratum: String, id: String,
       k: Int, salt: String = "str:"): DataFrame = {
     val h = portableHash(col(id), salt)

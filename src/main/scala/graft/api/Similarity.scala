@@ -66,12 +66,17 @@ object Similarity {
       col("v").as("va"), col("nrm").as("na"))
     val wRel = Window.partitionBy(col("probe_id"))
       .orderBy(col("rel").desc, col("nid"))
+    // The probes×shortlist frame is bounded and every greedy round
+    // references it (and its growing `selected` sibling) — checkpoint
+    // once so the corpus-scan shortlist subtree runs ONE job instead
+    // of once per downstream reference (the pageRank discipline).
     val sl = c.join(broadcast(p), col("probe_id") =!= col("nid"))
       .withColumn("rel", round(expr(dot) / (col("na") * col("nb")), 6))
       .withColumn("rk", row_number().over(wRel))
       .filter(col("rk") <= shortlist)
       .select(col("probe_id"), col("nid"), col("vb"), col("nb"),
         col("rel"))
+      .localCheckpoint(true)
     var selected = sl
       .withColumn("rk", row_number().over(wRel)).filter(col("rk") === 1)
       .select(col("probe_id"), lit(1).as("rnk"), col("nid"),

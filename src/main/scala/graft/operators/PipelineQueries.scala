@@ -163,5 +163,38 @@ object PipelineQueries {
       .orderBy(col("lang"), col("source"))
   }
 
-  val all: Seq[GQuery] = Seq(pipelineCorpusPrep, pipelineDatasetCard)
+  /** Shuffle-key skew report — the diagnostic a pipeline operator
+    * runs BEFORE keying a 100 TB join/groupBy on a column: the 20
+    * hottest keys with count and share-of-total, plus the key-space
+    * size, over events.user_id. Plan shape is the scale-safe one: a
+    * map-side-combining per-key count, a 1-row total/cardinality
+    * aggregate broadcast back, and a TakeOrdered top-k (never a
+    * global window). The share a hot key claims here is exactly the
+    * fraction of a downstream shuffle that would land on one task —
+    * the number that decides salting. */
+  val pipelineSkewReport: GQuery = GQuery(
+    "pipeline_skew_report",
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |        CAST(count(*) AS BIGINT) AS n_keys FROM c)
+      |SELECT user_id, cnt,
+      |  round(CAST(cnt AS DOUBLE) / total, 6) AS share, n_keys
+      |FROM c CROSS JOIN t
+      |ORDER BY cnt DESC, user_id
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val t = c.agg(sum(col("cnt")).cast("bigint").as("total"),
+      count(lit(1)).as("n_keys"))
+    c.crossJoin(broadcast(t))
+      .select(col("user_id"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"),
+        col("n_keys"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val all: Seq[GQuery] = Seq(pipelineCorpusPrep, pipelineDatasetCard,
+    pipelineSkewReport)
 }

@@ -122,6 +122,33 @@ object SampleQueries {
     }
   }
 
+  /** Deterministic 8/1/1 train/val/test split manifest: every row's
+    * split label is a pure function of its portable doc_id hash, so
+    * any engine (and any future re-read) derives the same held-out
+    * sets — reported as per-(split, lang) counts + char sums. A
+    * per-row projection + one small aggregate; no shuffle before the
+    * final rollup, streaming-safe assignment. */
+  val sampleSplitAssign: GQuery = GQuery(
+    "sample_split_assign",
+    s"""WITH a AS (
+       |  SELECT lang, n_chars,
+       |    CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT lang, n_chars,
+       |          ${duckHash("concat('spl:', CAST(doc_id AS VARCHAR))")}
+       |            % 10 AS h
+       |        FROM documents))
+       |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM a GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin) { (s, dir) =>
+    graft.api.Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
-    sampleMixture, sampleMixtureUpsampled)
+    sampleMixture, sampleMixtureUpsampled, sampleSplitAssign)
 }

@@ -122,6 +122,26 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(perLang.forall(_ <= 20))
   }
 
+  test("splitAssign partitions the corpus: one label per row, all rows covered, deterministic") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val s1 = graft.api.Sampling.splitAssign(docs, "doc_id")
+      .select($"doc_id", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // every row labeled, labels from the declared set, total preserved
+    assert(s1.size == n)
+    assert(s1.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    assert(s1.map(_._1).distinct.size == n)
+    // deterministic across invocations
+    val s2 = graft.api.Sampling.splitAssign(docs, "doc_id")
+      .select($"doc_id", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(s1 == s2)
+    // 8/1/1 weights roughly respected (binomial slack on 500 rows)
+    val byLabel = s1.groupBy(_._2).view.mapValues(_.size.toDouble / n)
+    assert(byLabel("train") > 0.7 && byLabel("train") < 0.9)
+  }
+
   test("exact dedup is idempotent") {
     val once = DedupQueries.dedupExact.fn(spark, sfDir).collect()
     val again = DedupQueries.dedupExact.fn(spark, sfDir).collect()
