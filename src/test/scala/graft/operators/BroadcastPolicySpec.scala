@@ -65,7 +65,12 @@ class BroadcastPolicySpec extends SparkTestBase {
     "sim_topk_sq8" -> 4,
     // k-row center broadcasts (final assignment + the train-round tail
     // that survives the per-round localCheckpoint truncation)
-    "dedup_semantic" -> 2
+    "dedup_semantic" -> 2,
+    // `ranges`-row (8) bucket-base-offset frame from the driver-side
+    // prefix sum; the shortlist hint sits behind a localCheckpoint
+    "text_pack_sequences" -> 1,
+    // 1-row total/cardinality scalar joined back onto the key counts
+    "pipeline_skew_report" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

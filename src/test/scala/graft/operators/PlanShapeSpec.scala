@@ -27,7 +27,8 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_topk_ivf",     // same k-row center broadcast (quantizer training + probing)
     "sim_topk_ivfpq",   // k-row center + m·ksub codebook broadcasts
     "sim_topk_sq8",     // int8 shortlist pass: tiny probe set broadcast, quantized corpus streamed
-    "dedup_semantic")   // k-row center broadcast (quantizer training + cell assignment)
+    "dedup_semantic",   // k-row center broadcast (quantizer training + cell assignment)
+    "pipeline_skew_report") // 1-row total/cardinality scalar cross join
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
