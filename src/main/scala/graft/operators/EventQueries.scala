@@ -222,6 +222,37 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention: users grouped by first-active day, counted on
+    * each day-offset they return (0..7) — the classic growth-analytics
+    * triangle. The (user, day) frame is distinct-deduped FIRST (one
+    * map-side-combining pass), so the cohort join and the final
+    * (cohort, offset) rollup both run on the collapsed per-day frame,
+    * not the raw event stream; cohort attach is a uniform user_id
+    * equi-join. Dates cross the compare boundary as strings. */
+  val evRetention: GQuery = GQuery(
+    "ev_retention",
+    """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      |           FROM events),
+      |c AS (SELECT user_id, min(d) AS c0 FROM d GROUP BY 1)
+      |SELECT strftime(c0, '%Y-%m-%d') AS cohort_day,
+      |  CAST(date_diff('day', c0, d) AS BIGINT) AS offset_days,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM d JOIN c USING (user_id)
+      |WHERE date_diff('day', c0, d) <= 7
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, offset_days""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val c = d.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+    d.join(c, Seq("user_id"))
+      .withColumn("offset_days", datediff(col("d"), col("c0")).cast("long"))
+      .filter(col("offset_days") <= 7)
+      .groupBy(date_format(col("c0"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
-    evDedupStream, evClickAttribution, evClickFunnel)
+    evDedupStream, evClickAttribution, evClickFunnel, evRetention)
 }

@@ -33,6 +33,15 @@ object SampleStreams {
     graft.api.Sampling.mixtureReplicated(df, id, group, rates,
       defaultRate)
 
+  /** stateless (per-row projection) — identical code path for batch
+    * and streaming: split membership is a pure hash function of the
+    * id, so a live feed labels arrivals train/val/test exactly as a
+    * later batch re-read would. */
+  def splitAssign(df: DataFrame, id: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1,
+        "test" -> 1)): DataFrame =
+    graft.api.Sampling.splitAssign(df, id, splits)
+
   /** one output row per stratum per batch: the current sample ids,
     * ordered by the same (salted hash, id) key the batch sampler
     * sorts on. */

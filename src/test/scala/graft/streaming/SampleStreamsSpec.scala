@@ -33,6 +33,22 @@ class SampleStreamsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("split assignment: streaming ≡ batch (stateless projection)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val q = SampleStreams.splitAssign(mem.toDF(), "event_id")
+      .writeStream.format("memory").queryName("split_sink")
+      .outputMode("append").start()
+    fixture.grouped(500).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("split_sink").select($"event_id", $"split")
+      .as[(Long, String)].collect().sorted.toSeq
+    val want = graft.api.Sampling.splitAssign(fixture.toDF(), "event_id")
+      .select($"event_id", $"split").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == want && got.map(_._2).toSet.size == 3)
+  }
+
   test("mixture replication: streaming ≡ batch (stateless explode)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rates = Map("click" -> 2.5, "view" -> 0.5, "purchase" -> 0.0)
