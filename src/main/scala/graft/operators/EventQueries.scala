@@ -253,6 +253,44 @@ object EventQueries {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** Event-type transition matrix (the Markov view of user flows):
+    * consecutive event pairs per user ordered by time, counted into
+    * (from_type, to_type) cells with each cell's share of its row —
+    * what "users do next" dashboards and session-model features are
+    * built from. One shuffle on user_id feeds the lead() window
+    * (per-user state only), then a bounded (|types|²) aggregate;
+    * event_id breaks timestamp ties so the sequence is deterministic
+    * cross-engine. */
+  val evTransitions: GQuery = GQuery(
+    "ev_transitions",
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*))
+      |    OVER (PARTITION BY from_type) AS DOUBLE), 6) AS row_share
+      |FROM seq WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(s, dir)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = seq.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("from_type"))
+    counts
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double")
+          / sum(col("n")).over(wRow).cast("double"), 6).as("row_share"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
-    evDedupStream, evClickAttribution, evClickFunnel, evRetention)
+    evDedupStream, evClickAttribution, evClickFunnel, evRetention,
+    evTransitions)
 }
