@@ -91,17 +91,6 @@ object Sampling {
       .drop("__copies")
   }
 
-  /** Deterministic per-stratum reservoir: the k rows with the
-    * smallest salted hash in each stratum (id as the unique
-    * tiebreak).
-    *
-    * Two-phase for skew safety: a single `partitionBy(stratum)`
-    * window serializes a HOT stratum onto one task at scale, so
-    * phase 1 ranks within (stratum, hash-bucket) — 32-way parallel
-    * even for one giant stratum — and phase 2 merges the ≤ 32·k
-    * per-stratum survivors. The global top-k by (hash, id) is always
-    * a subset of the per-bucket top-k, so the result is IDENTICAL to
-    * the single-window form (the DuckDB oracle keeps that form). */
   /** Deterministic train/val/test split assignment: each row gains a
     * `split` label decided by its portable hash bucket against
     * integer weight cutoffs (e.g. 8/1/1 of 10) — every engine, run,
@@ -125,6 +114,17 @@ object Sampling {
     df.withColumn("split", labelCol)
   }
 
+  /** Deterministic per-stratum reservoir: the k rows with the
+    * smallest salted hash in each stratum (id as the unique
+    * tiebreak).
+    *
+    * Two-phase for skew safety: a single `partitionBy(stratum)`
+    * window serializes a HOT stratum onto one task at scale, so
+    * phase 1 ranks within (stratum, hash-bucket) — 32-way parallel
+    * even for one giant stratum — and phase 2 merges the ≤ 32·k
+    * per-stratum survivors. The global top-k by (hash, id) is always
+    * a subset of the per-bucket top-k, so the result is IDENTICAL to
+    * the single-window form (the DuckDB oracle keeps that form). */
   def stratifiedTopK(df: DataFrame, stratum: String, id: String,
       k: Int, salt: String = "str:"): DataFrame = {
     val h = portableHash(col(id), salt)

@@ -101,7 +101,11 @@ object Similarity {
           col("nb")), Seq("probe_id", "nid"))
         .select(col("probe_id"), lit(i).as("rnk"), col("nid"),
           col("score"), col("vb"), col("nb"))
-      selected = selected.union(pick)
+      // `selected` feeds three consumers next round (anti-join, sim
+      // join, union): truncate its lineage per round — the pageRank /
+      // dedup_semantic checkpoint discipline — so plan size stays
+      // linear in k instead of ~3^k. The frame is ≤ probes·i rows.
+      selected = selected.union(pick).localCheckpoint(true)
     }
     selected.select(col("probe_id"), col("rnk"),
       col("nid").as("neighbor_id"), col("score"))

@@ -319,10 +319,13 @@ object Text {
     * is O(k) per task (no shuffle of the full term cardinality — the
     * thing a plain groupBy can't avoid when the vocabulary is
     * billions of keys at 100 TB); MG guarantees the ≤ k surviving
-    * counters are a SUPERSET of every true heavy hitter, so pass 2's
-    * bounded `isin` filter (pushed into the scan) + count is provably
-    * exact. The result is deterministic even though the intermediate
-    * candidate set can vary with merge order. */
+    * counters are a SUPERSET of every true heavy hitter, so pass 2 is
+    * provably exact. Pass 2 re-reads the token stream (the corpus
+    * scan+tokenize runs twice — that's the price of exactness), but
+    * its `isin` prefilter means the count SHUFFLE carries only the
+    * ≤ k candidate tokens, never the vocabulary. The result is
+    * deterministic even though the intermediate candidate set can
+    * vary with merge order. */
   def heavyHitters(docs: DataFrame, id: String, text: String,
       k: Int = 100): DataFrame =
     heavyHittersFromTokens(tokenize(docs, id, text), k = k)
@@ -385,10 +388,13 @@ object Text {
       if (cuts.isEmpty) lit(0)
       else aggregate(array(cuts.toSeq.map(lit): _*), lit(0),
         (acc, c) => acc + when(col(id) > c, 1).otherwise(0)))
+    // a bucket whose every count is null sums to null: contribute 0
+    // to downstream bases (the oracle's running sum skips nulls too;
+    // the rows themselves keep null offsets via the window sum)
     val bases = bucketed.groupBy(col("rg")).agg(sum(col("tok")).as("t"))
       .orderBy(col("rg")).collect()
       .scanLeft((Int.MinValue, 0L)) { case ((_, acc), r) =>
-        (r.getInt(0), acc + r.getLong(1))
+        (r.getInt(0), if (r.isNullAt(1)) acc else acc + r.getLong(1))
       }
     val offsets = bases.sliding(2).collect {
       case Array((_, acc), (rg, _)) => (rg, acc)

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -20,10 +22,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * (k+1)-th largest count from all and drop non-positives — the
   * mergeability construction.
   *
-  * Buffer is a bounded (≤ k entries) map + two scalars: the partial
-  * aggregate each task ships is O(k) regardless of input size. The
-  * summary also carries the exact stream length `n`, so one pass
-  * yields both the candidate set and the threshold base.
+  * The buffer is a MUTABLE bounded map (≤ k entries) + two scalars,
+  * updated in place: Spark Aggregators own their buffer between
+  * serialization points, so the per-element hot path (this runs once
+  * per token of the full stream) allocates nothing on a hit or an
+  * insert; only a miss-when-full pays the O(k) eviction sweep, and
+  * each sweep retires ≥ 1 full debt unit across k+1 stream elements.
+  * The partial aggregate each task ships is O(k) regardless of input
+  * size. The summary also carries the exact stream length `n`, so one
+  * pass yields both the candidate set and the threshold base.
   */
 final class MisraGries(k: Int)
     extends Aggregator[String, MisraGries.Buf, MisraGries.Summary]
@@ -32,39 +39,42 @@ final class MisraGries(k: Int)
 
   import MisraGries.{Buf, Summary}
 
-  override def zero: Buf = Buf(Map.empty, 0L, 0L)
+  override def zero: Buf = new Buf(mutable.HashMap.empty, 0L, 0L)
 
-  override def reduce(b: Buf, a: String): Buf =
+  override def reduce(b: Buf, a: String): Buf = {
+    b.n += 1L
     b.m.get(a) match {
-      case Some(c) => Buf(b.m.updated(a, c + 1L), b.debt, b.n + 1L)
+      case Some(c) => b.m(a) = c + 1L
       case None =>
-        if (b.m.size < k) Buf(b.m.updated(a, b.debt + 1L), b.debt, b.n + 1L)
+        if (b.m.size < k) b.m(a) = b.debt + 1L
         else {
           // decrement-all, lazily: raise the shared debt floor and
           // evict counters that sank to it (the arriving item's own
-          // +1 and −1 cancel — it is not inserted).
-          val debt = b.debt + 1L
-          Buf(b.m.filter(_._2 > debt), debt, b.n + 1L)
+          // +1 and −1 cancel — it is not kept).
+          b.debt += 1L
+          b.m.filterInPlace((_, c) => c > b.debt)
         }
     }
+    b
+  }
 
   override def merge(x: Buf, y: Buf): Buf = {
-    val xm = x.m.map { case (t, c) => (t, c - x.debt) }
-    val merged = y.m.foldLeft(xm) { case (acc, (t, c)) =>
-      acc.updated(t, acc.getOrElse(t, 0L) + (c - y.debt))
+    val merged = mutable.HashMap.empty[String, Long]
+    x.m.foreach { case (t, c) => merged(t) = c - x.debt }
+    y.m.foreach { case (t, c) =>
+      merged(t) = merged.getOrElse(t, 0L) + (c - y.debt)
     }
     val n = x.n + y.n
-    if (merged.size <= k) Buf(merged, 0L, n)
-    else {
+    if (merged.size > k) {
       val cut = merged.values.toSeq.sorted(Ordering[Long].reverse)(k)
-      Buf(merged.collect {
-        case (t, c) if c > cut => (t, c - cut)
-      }, 0L, n)
+      merged.filterInPlace((_, c) => c > cut)
+      merged.mapValuesInPlace((_, c) => c - cut)
     }
+    new Buf(merged, 0L, n)
   }
 
   override def finish(b: Buf): Summary =
-    Summary(b.m.map { case (t, c) => (t, c - b.debt) }, b.n)
+    Summary(b.m.map { case (t, c) => (t, c - b.debt) }.toMap, b.n)
 
   override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   override def outputEncoder: Encoder[Summary] = Encoders.kryo[Summary]
@@ -72,9 +82,10 @@ final class MisraGries(k: Int)
 
 object MisraGries {
   /** counters are stored as (count + debt): a counter's true value is
-    * `m(t) − debt`, so decrement-all never rewrites the map; `n` is
-    * the exact number of elements folded in. */
-  final case class Buf(m: Map[String, Long], debt: Long, n: Long)
+    * `m(t) − debt`, so decrement-all never rewrites surviving
+    * counters. Mutable by design — see the class note. */
+  final class Buf(val m: mutable.HashMap[String, Long], var debt: Long,
+      var n: Long) extends Serializable
 
   /** candidate → estimated count (true − n/(k+1) ≤ est ≤ true), plus
     * the exact stream length. */

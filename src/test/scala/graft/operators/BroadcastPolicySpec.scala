@@ -67,7 +67,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // that survives the per-round localCheckpoint truncation)
     "dedup_semantic" -> 2,
     // `ranges`-row (8) bucket-base-offset frame from the driver-side
-    // prefix sum; the shortlist hint sits behind a localCheckpoint
+    // prefix sum. (sim_topk_mmr needs NO budget: its bounded probe
+    // hint sits behind the shortlist's eager localCheckpoint, so the
+    // analyzed plan of the returned frame carries zero hints.)
     "text_pack_sequences" -> 1,
     // 1-row total/cardinality scalar joined back onto the key counts
     "pipeline_skew_report" -> 1
