@@ -145,6 +145,43 @@ object Graph {
       dst: String): DataFrame =
     Dedup.connectedComponents(edges, src, dst)
 
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007), made DETERMINISTIC: labels start as each
+    * node's own id; every round each node adopts the label most
+    * frequent among its neighbors, ties broken by the SMALLEST label
+    * (the published algorithm breaks ties randomly, which is
+    * unreproducible across engines); fixed `iters` synchronous
+    * rounds: (node, lbl).
+    *
+    * Scale shape per round: one equi-join of the (checkpointed,
+    * symmetrized) edge list with the current labels on the neighbor
+    * key, then two map-side-combining aggregates — the per-(node,
+    * label) count and the min-struct argmax (never a window keyed by
+    * node, so a hot node's tally still combines map-side). Labels
+    * are `localCheckpoint`ed per round: lineage stays one round deep
+    * at any iteration count, the pageRank discipline. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var labels = ue.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      labels = ue
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+          .as("pick"))
+        .select(col("src").as("node"), col("pick.l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Canonical undirected edge set (a < b, deduped, loops dropped)
     * with both endpoint degrees attached, ORIENTED low-degree →
     * high-degree (ties by node value): (u, v) with (du,u) ≺ (dv,v).

@@ -117,5 +117,36 @@ object GraphQueries {
       .orderBy(col("brand"))
   }
 
-  val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles)
+  /** Label-propagation communities, 2 deterministic synchronous
+    * rounds (ties to the smallest label — the published algorithm's
+    * random tie-break is unreproducible across engines): a thin
+    * binding of graft.api.Graph.labelPropagation. The oracle unrolls
+    * the same two rounds as CTEs with a row_number argmax; the Spark
+    * side picks with the min-struct aggregate (map-side combining —
+    * no per-node window), which selects the identical (max count,
+    * min label) winner. */
+  val graphCommunities: GQuery = {
+    val duckRound = (t: Int) =>
+      s"""c$t AS (SELECT ue.src, l${t - 1}.lbl, count(*) AS c
+         |  FROM e ue JOIN l${t - 1} ON ue.dst = l${t - 1}.node
+         |  GROUP BY 1, 2),
+         |l$t AS (SELECT src AS node, lbl FROM (
+         |    SELECT src, lbl, row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, lbl) AS rn FROM c$t)
+         |  WHERE rn = 1)""".stripMargin
+    GQuery("graph_communities",
+      s"""$duckEdges,
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |${(1 to 2).map(duckRound).mkString(",\n")}
+         |SELECT node AS brand, lbl AS community FROM l2
+         |ORDER BY brand""".stripMargin) { (s, dir) =>
+      graft.api.Graph.labelPropagation(edges(s, dir), "src", "dst",
+          iters = 2)
+        .select(col("node").as("brand"), col("lbl").as("community"))
+        .orderBy(col("brand"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
+    graphCommunities)
 }

@@ -79,6 +79,26 @@ class GraphApiSpec extends SparkTestBase {
     assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("labelPropagation finds planted communities and is deterministic") {
+    // two 4-cliques bridged by ONE edge: after 2 synchronous rounds
+    // every clique member carries its clique's minimum id, and the
+    // bridge does not merge the communities
+    val cliqueA = Seq(1L, 2L, 3L, 4L)
+    val cliqueB = Seq(11L, 12L, 13L, 14L)
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val und = clique(cliqueA) ++ clique(cliqueB) :+ (4L, 11L)
+    val e = (und ++ und.map(_.swap)).toDF("s", "d")
+    val got = Graph.labelPropagation(e, "s", "d", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    cliqueA.foreach(n => assert(got(n) == 1L, s"node $n: ${got(n)}"))
+    cliqueB.foreach(n => assert(got(n) == 11L, s"node $n: ${got(n)}"))
+    // deterministic across invocations
+    val again = Graph.labelPropagation(e, "s", "d", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == again)
+  }
+
   test("triangles counts the clique + star fixture exactly") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a star
     // center 10 with spokes 11..15 (no triangles)
