@@ -208,6 +208,40 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof semantics):
+    * each purchase keeps its most recent prior click only if it
+    * happened within the last hour — stale matches null out instead
+    * of attaching, which is what attribution windows actually
+    * require. Same single-shuffle window plan as join_asof (state per
+    * user = one running max); the tolerance is a pure post-window
+    * projection, so the scale shape is unchanged. */
+  val joinAsofTolerance: GQuery = GQuery(
+    "join_asof_tolerance",
+    """SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+      |  CASE WHEN epoch_us(ts) - epoch_us(last_click) <= 3600000000
+      |       THEN epoch_us(last_click) END AS click_us
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        when(unix_micros(col("ts")) - unix_micros(col("last_click"))
+          <= 3600000000L, unix_micros(col("last_click"))).as("click_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** FULL OUTER join: 1995 vs 1998 per-customer activity — customers
     * active in either year survive, with zero-filled counts. */
   val joinFullOuter: GQuery = GQuery(
@@ -386,6 +420,6 @@ object JoinQueries {
 
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof, joinFullOuter, joinCross, joinBloomFiltered,
-    joinShuffleHash, joinNullSafe)
+    joinAsof, joinAsofTolerance, joinFullOuter, joinCross,
+    joinBloomFiltered, joinShuffleHash, joinNullSafe)
 }

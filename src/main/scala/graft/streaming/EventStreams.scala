@@ -110,6 +110,43 @@ object EventStreams {
         col("c.event_id").as("click_id"),
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
 
+  /** Streaming twin of ev_transitions' sequence step: per-user
+    * consecutive (from_type, to_type) event pairs, emitted as
+    * arrivals extend each user's timeline. State per key is ONE
+    * (ts, event_id, type) triple — the last event seen — so the
+    * state store holds a constant per user forever. Within a batch,
+    * rows are sorted by (ts, event_id) before folding (Spark does not
+    * order iterator rows); equality with the batch lead() window
+    * holds when arrivals respect event order ACROSS batches — the
+    * kafka-partition-per-user deployment this models (pinned in
+    * EventStreamsSpec on ordered feeds). The transition COUNTS roll
+    * up downstream exactly as in the batch query. */
+  case class Transition(user_id: Long, from_type: String,
+      to_type: String)
+
+  def transitions[E](events: Dataset[E], uid: E => Long,
+      ts: E => (Long, Long), typ: E => String): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(uid)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[E],
+            state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(ts)
+          var prev = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            prev.foreach { case (_, _, t0) =>
+              out += Transition(user, t0, typ(e))
+            }
+            val (t, i) = ts(e)
+            prev = Some((t, i, typ(e)))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Per-user lifetime stats via explicit keyed state
     * (`flatMapGroupsWithState`) — the custom-state escape hatch for
     * semantics no built-in window covers. State per key is one

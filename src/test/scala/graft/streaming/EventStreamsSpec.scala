@@ -151,6 +151,30 @@ class EventStreamsSpec extends SparkTestBase {
     assert(matched == inner, s"outer join's matched rows ($matched) must equal the inner join ($inner)")
   }
 
+  test("transitions: streaming keyed-state pairs ≡ batch lead() window on ordered feeds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // arrivals respect event order (the kafka-partition-per-user
+    // deployment the twin models): feed ts-sorted batches
+    val ordered = fixture.sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.transitions[Ev](mem.toDS(),
+        _.user_id, e => (e.ts.getTime, e.event_id), _.event_type)
+      .writeStream.format("memory").queryName("trans_sink")
+      .outputMode("append").start()
+    ordered.grouped(1000).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("trans_sink")
+      .groupBy($"from_type", $"to_type").count()
+      .as[(String, String, Long)].collect()
+      .map { case (f, t, n) => ((f, t), n) }.toMap
+    val want = graft.operators.EventQueries.evTransitions
+      .fn(spark, sfDir)
+      .select($"from_type", $"to_type", $"n")
+      .as[(String, String, Long)].collect()
+      .map { case (f, t, n) => ((f, t), n) }.toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
