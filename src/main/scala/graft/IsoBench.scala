@@ -35,7 +35,9 @@ object IsoBench {
     "dedup_containment_ingest",
     // round-7b additions above the 1 s warm band at sf0.1
     "sim_topk_sq8", "dedup_semantic", "sink_zorder_cluster",
-    "join_bloom_filtered")
+    "join_bloom_filtered",
+    // round-7c: the only session-three addition above the 1 s band
+    "sim_topk_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
