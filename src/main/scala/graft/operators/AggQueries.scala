@@ -405,8 +405,30 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Partitioned HLL sketch columns + lossless union (Apache
+    * DataSketches via hll_sketch_agg / hll_union_agg): per-slice
+    * distinct-user sketches that MERGE to the global estimate without
+    * rescanning — the warehouse pattern where each partition/day
+    * stores its sketch as a column and any slice union is
+    * sketch-sized work. Declared no-oracle (sketch binaries and
+    * estimates are library-specific); OperatorPropertySpec bounds
+    * every estimate against the exact distinct and pins
+    * union-of-sketches ≡ sketch-of-union. */
+  val aggHllPartitioned: GQuery = GQuery.noOracle(
+    "agg_hll_partitioned") { (s, dir) =>
+    val sk = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val per = sk.select(col("event_type"),
+      expr("hll_sketch_estimate(sk)").as("est_users"))
+    val overall = sk
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .select(lit("__all__").as("event_type"), col("est_users"))
+    per.union(overall).orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
-    aggMode, aggBitmapDistinct, aggFilterClause)
+    aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned)
 }

@@ -464,9 +464,37 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009 —
+    * HashingTF's relational form): each token lands in one of 16
+    * buckets by portable hash, per-document bucket counts are the
+    * fixed-width feature vector a downstream model consumes — no
+    * vocabulary dictionary to build, broadcast, or keep consistent
+    * across engines/runs. Narrow explode + one map-side-combining
+    * aggregate on (doc, bucket): the key space is docs×16 no matter
+    * how large the vocabulary grows. Emitted sparse (absent buckets
+    * are zero), doc 0..19 to keep the contract row count fixed. */
+  val textFeatureHashing: GQuery = GQuery(
+    "text_feature_hashing",
+    s"""SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |FROM (
+       |  SELECT doc_id,
+       |    ${duckHash("concat('fh:', token)")} % 16 AS bucket
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents WHERE doc_id < 20))
+       |GROUP BY doc_id, bucket
+       |ORDER BY doc_id, bucket""".stripMargin) { (s, dir) =>
+    tokens(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        pmod(graft.api.Sampling.portableHash(col("term"), "fh:"),
+          lit(16L)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
-    textHeavyHitters)
+    textHeavyHitters, textFeatureHashing)
 }

@@ -122,6 +122,27 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(perLang.forall(_ <= 20))
   }
 
+  test("HLL sketch columns: per-slice estimates within 5% of exact, union ≡ sketch-of-union") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val got = AggQueries.aggHllPartitioned.fn(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, d) =>
+      assert(math.abs(got(t) - d) <= math.max(1L, (d * 0.05).toLong),
+        s"$t: est ${got(t)} vs exact $d")
+    }
+    val exactAll = ev.agg(countDistinct($"user_id")).head().getLong(0)
+    assert(math.abs(got("__all__") - exactAll)
+      <= math.max(1L, (exactAll * 0.05).toLong))
+    // merging per-slice sketches equals sketching the unsliced stream
+    val direct = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+      .head().getLong(0)
+    assert(got("__all__") == direct,
+      "union-of-sketches diverged from sketch-of-union")
+  }
+
   test("splitAssign partitions the corpus: one label per row, all rows covered, deterministic") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val n = docs.count()
