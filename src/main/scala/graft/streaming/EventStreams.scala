@@ -147,6 +147,41 @@ object EventStreams {
       }
   }
 
+  /** Per-user running counts whose keyed state EXPIRES after `ttlMs`
+    * of event-time inactivity (EventTimeTimeout + the input's
+    * watermark): a user who goes quiet longer than the TTL is evicted
+    * from the state store, and a later return starts from zero. This
+    * is the property that keeps explicit keyed state BOUNDED on an
+    * unbounded user universe — without a TTL, one-visit users
+    * accumulate forever and the state store, not the data, becomes
+    * the scale limit. Emits (user_id, n) per batch with data; timed
+    * out keys are removed silently. */
+  def runningCountsWithTtl(events: DataFrame,
+      ttlMs: Long): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 second")
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val n = state.getOption.getOrElse(0L) + batch.size
+            state.update(n)
+            state.setTimeoutTimestamp(
+              batch.map(_._2.getTime).max + ttlMs)
+            Iterator((uid, n))
+          }
+      }
+  }
+
   /** Per-user lifetime stats via explicit keyed state
     * (`flatMapGroupsWithState`) — the custom-state escape hatch for
     * semantics no built-in window covers. State per key is one

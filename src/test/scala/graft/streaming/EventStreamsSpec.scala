@@ -175,6 +175,36 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("event-time TTL evicts idle keyed state; a returning user restarts from zero") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningCountsWithTtl(mem.toDF(), ttlMs = 3600 * 1000L)
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("ttl_sink")
+      .outputMode("append").start()
+    // +1000 s base: a row AT the initial watermark (epoch 0) would be
+    // dropped as late before reaching the state function
+    def ev(id: Long, uid: Long, sec: Long) =
+      Ev(id, t(sec + 1000), uid, "click", 1.0)
+    // batch 1: user 1 active twice -> n = 2 (one group call per batch)
+    mem.addData(Seq(ev(1, 1L, 0), ev(2, 1L, 600))); q.processAllAvailable()
+    // batch 2: user 2 far later -> advances the watermark past
+    // user 1's timeout (00:10 + 1 h)
+    mem.addData(Seq(ev(3, 2L, 3 * 3600))); q.processAllAvailable()
+    // batch 3: user 2 again -> this batch's timeout pass evicts user 1
+    mem.addData(Seq(ev(4, 2L, 5 * 3600))); q.processAllAvailable()
+    // batch 4: user 1 returns (beyond the new watermark) -> fresh state
+    mem.addData(Seq(ev(5, 1L, 6 * 3600))); q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("ttl_sink").filter($"user_id" === 1L)
+      .select($"n").as[Long].collect().toSeq
+    assert(u1 == Seq(2L, 1L),
+      s"expected eviction between visits, got n-sequence $u1")
+    val u2 = spark.table("ttl_sink").filter($"user_id" === 2L)
+      .select($"n").as[Long].collect().sorted.toSeq
+    assert(u2 == Seq(1L, 2L), "continuously-active user kept its state")
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
