@@ -416,9 +416,12 @@ object AggQueries {
     * union-of-sketches ≡ sketch-of-union. */
   val aggHllPartitioned: GQuery = GQuery.noOracle(
     "agg_hll_partitioned") { (s, dir) =>
+    // checkpointed: both union branches consume the sketch frame —
+    // one events scan + one sketch aggregation, not two
     val sk = Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .localCheckpoint(true)
     val per = sk.select(col("event_type"),
       expr("hll_sketch_estimate(sk)").as("est_users"))
     val overall = sk

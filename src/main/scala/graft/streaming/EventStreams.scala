@@ -158,6 +158,10 @@ object EventStreams {
     * out keys are removed silently. */
   def runningCountsWithTtl(events: DataFrame,
       ttlMs: Long): Dataset[(Long, Long)] = {
+    // fail fast: a non-positive TTL would compute timeout timestamps
+    // at/below the watermark, killing the query mid-stream with an
+    // engine error instead of an argument error
+    require(ttlMs > 0, s"ttlMs ($ttlMs) must be positive")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "1 second")
