@@ -242,6 +242,41 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Time-proximity self-join via BANDING — the scale form of a PURE
+    * inequality join (no equi conjunct exists: any two events within
+    * 5 s pair up, across all users). The naive |Δt| ≤ 5 s theta join
+    * is a cartesian at scale; banding quantizes time into 5 s buckets
+    * and explodes one side to its 3 adjacent buckets, turning the
+    * predicate into an EQUI-join on the bucket key + a residual |Δt|
+    * filter. Every qualifying pair lands in exactly one (exploded,
+    * own-bucket) key — no dedup pass — and per-key work is bounded by
+    * events-per-5s, the quantity a skew report would check before
+    * keying. The fleet-wide BNLJ audit proves the plan is a keyed
+    * join, not a nested loop; the oracle states the plain theta
+    * semantics. */
+  val joinTimeProximity: GQuery = GQuery(
+    "join_time_proximity",
+    """SELECT a.event_id AS e1, b.event_id AS e2,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+      |FROM events a JOIN events b ON b.event_id > a.event_id
+      | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 5000000
+      |ORDER BY e1, e2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val left = ev
+      .select(col("event_id").as("e1"), col("us").as("us1"))
+      .withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("bucket", expr("us1 div 5000000") + col("off"))
+    val right = ev
+      .select(col("event_id").as("e2"), col("us").as("us2"),
+        expr("us div 5000000").as("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("e2") > col("e1")
+        && abs(col("us2") - col("us1")) <= 5000000L)
+      .select(col("e1"), col("e2"), (col("us2") - col("us1")).as("dt_us"))
+      .orderBy(col("e1"), col("e2"))
+  }
+
   /** FULL OUTER join: 1995 vs 1998 per-customer activity — customers
     * active in either year survive, with zero-filled counts. */
   val joinFullOuter: GQuery = GQuery(
@@ -420,6 +455,6 @@ object JoinQueries {
 
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof, joinAsofTolerance, joinFullOuter, joinCross,
-    joinBloomFiltered, joinShuffleHash, joinNullSafe)
+    joinAsof, joinAsofTolerance, joinTimeProximity, joinFullOuter,
+    joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe)
 }
