@@ -65,6 +65,42 @@ object Text {
           .as("surprisal"))
   }
 
+  /** Per-document mean BIGRAM surprisal under the corpus's own add-1
+    * conditional model, −mean ln p(w₂|w₁) with
+    * p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) — the second-order companion
+    * to [[surprisal]]: a document can look normal unigram-wise while
+    * its word ORDER is scrambled/templated, which only a conditional
+    * score sees: (id, n_bigrams, surprisal). Documents shorter than 2
+    * tokens emit no bigrams and are absent. Same portability
+    * discipline: per-bigram logs rounded to 8 places and summed on
+    * the DECIMAL(14,8) grid, mean rounded to 6.
+    *
+    * Scale shape: one narrow n-gram explode feeds both the bigram
+    * model aggregate and the per-doc rollup; the unigram model rides
+    * the same token explode; the only broadcast is the 1-row
+    * vocabulary scalar. The score dictionary joins back on the bigram
+    * key (unhinted — AQE promotes when small). */
+  def surprisalBigram(docs: DataFrame, id: String,
+      text: String): DataFrame = {
+    val bg = ngrams(docs, id, text, 2)
+    val tok = tokenize(docs, id, text)
+    val c2 = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c2"))
+    val c1 = tok.groupBy(col("token").as("w1")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val sc = c2
+      .withColumn("w1", split(col("ngram"), " ").getItem(0))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("ngram"),
+        round(-log((col("c2").cast("double") + 1) / (col("c1") + col("v")),
+          ), 8).cast("decimal(14,8)").as("s"))
+    bg.join(sc, Seq("ngram"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6)
+          .as("surprisal"))
+  }
+
   /** Per-document quality score: uniqueness ratio, mean token length,
     * stopword ratio, length saturation — combined on an exact decimal
     * grid (half-boundary-proof): (id, n_tokens, uniq_ratio,

@@ -492,9 +492,44 @@ object TextQueries {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
+  /** Per-document mean BIGRAM surprisal, −mean ln p(w₂|w₁) with add-1
+    * smoothing — the conditional companion to text_surprisal: a doc
+    * whose words are normal but whose word ORDER is scrambled or
+    * templated only stands out under a second-order model. Same
+    * decimal-grid sum discipline (8-place-rounded logs, DECIMAL sum,
+    * 6-place mean). */
+  val textSurprisalBigram: GQuery = GQuery(
+    "text_surprisal_bigram",
+    """WITH spl AS (SELECT doc_id, string_split(text, ' ') AS sp
+      |             FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest([list_extract(sp, i) || ' ' || list_extract(sp, i + 1)
+      |                 for i in range(1, len(sp))]) AS ngram
+      |       FROM spl),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents),
+      |c2 AS (SELECT ngram, count(*) AS c2 FROM bg GROUP BY 1),
+      |c1 AS (SELECT token AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM c1),
+      |sc AS (SELECT ngram,
+      |         CAST(round(-ln((c2 + 1.0) / (c1 + v)), 8)
+      |           AS DECIMAL(14,8)) AS s
+      |       FROM c2 JOIN c1
+      |         ON list_extract(string_split(ngram, ' '), 1) = c1.w1
+      |       CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS surprisal
+      |FROM bg JOIN sc USING (ngram)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.api.Text.surprisalBigram(
+      Tables.documentsSpread(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
-    textHeavyHitters, textFeatureHashing)
+    textHeavyHitters, textFeatureHashing, textSurprisalBigram)
 }
