@@ -131,6 +131,58 @@ class ApiSpec extends SparkTestBase {
       == wantDiv.collect().map(_.toSeq).toSeq)
   }
 
+  test("round-7c kernels on renamed columns match the contract queries") {
+    import graft.operators.TextQueries
+    // sequence packing: renamed id/text, same integers
+    val pack = Text.packSequences(myDocs, "post_id", "body",
+        seqLen = 2048, ranges = 8)
+      .orderBy(col("post_id"))
+    val wantPack = TextQueries.textPackSequences.fn(spark, sfDir)
+    assert(pack.collect().map(_.toSeq).toSeq
+      == wantPack.collect().map(_.toSeq).toSeq)
+
+    // heavy hitters from a renamed token column
+    val hh = Text.heavyHittersFromTokens(
+        Text.tokenize(myDocs, "post_id", "body")
+          .withColumnRenamed("token", "word"), token = "word", k = 100)
+      .orderBy(col("cnt").desc, col("token"))
+    val wantHh = TextQueries.textHeavyHitters.fn(spark, sfDir)
+    assert(hh.collect().map(_.toSeq).toSeq
+      == wantHh.collect().map(_.toSeq).toSeq)
+
+    // MMR re-rank on renamed vector columns
+    val mmr = Similarity.mmrTopK(myVecs, myVecs.filter(col("item") < 5),
+        "item", "emb", shortlist = 8, k = 3, lambda = 0.7)
+      .orderBy(col("probe_id"), col("rnk"))
+    val wantMmr = SimQueries.simTopkMmr.fn(spark, sfDir)
+    assert(mmr.collect().toSeq == wantMmr.collect().toSeq)
+  }
+
+  test("packFromCounts: null token counts flow through, all-null buckets contribute zero") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, false),
+      StructField("tok", LongType, true)))
+    // ids 0..15 in two quantile buckets (ranges = 2); ids 4 and 5
+    // carry null counts — their own offsets stay defined, their
+    // end_seq is null, and later offsets skip them (oracle semantics)
+    val rows = (0L until 16L).map { i =>
+      Row(i, if (i == 4L || i == 5L) null else java.lang.Long.valueOf(10L))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val got = Text.packFromCounts(df, "id", "tok", seqLen = 64,
+        ranges = 2)
+      .orderBy(col("id")).collect()
+    // running offset skips the null rows: id 6 starts at 4 * 10
+    val off6 = got.find(_.getLong(0) == 6L).get.getLong(2)
+    assert(off6 == 40L, s"null counts leaked into the prefix sum: $off6")
+    val r4 = got.find(_.getLong(0) == 4L).get
+    assert(!r4.isNullAt(2), "a null count must keep its own offset")
+    assert(r4.isNullAt(4), "a null count cannot have an end_seq")
+    assert(got.length == 16)
+  }
+
   test("keepList on renamed columns matches the contract decision query") {
     val got = Dedup.keepList(myDocs, "post_id", "body")
       .orderBy(col("post_id"))
