@@ -75,20 +75,23 @@ object Text {
     * discipline: per-bigram logs rounded to 8 places and summed on
     * the DECIMAL(14,8) grid, mean rounded to 6.
     *
-    * Scale shape: one narrow n-gram explode feeds both the bigram
-    * model aggregate and the per-doc rollup; the unigram model rides
-    * the same token explode; the only broadcast is the 1-row
-    * vocabulary scalar. The score dictionary joins back on the bigram
-    * key (unhinted — AQE promotes when small). */
-  def surprisalBigram(docs: DataFrame, id: String,
-      text: String): DataFrame = {
-    val bg = ngrams(docs, id, text, 2)
-    val tok = tokenize(docs, id, text)
+    * Scale shape: the bigram explode feeds the model aggregate and
+    * the per-doc rollup, the token explode feeds the unigram model —
+    * pass `preNgrams`/`preTokenized` (e.g. session-memoized frames)
+    * so consumers sharing those explodes pay for them once; the only
+    * broadcast is the 1-row vocabulary scalar. The score dictionary
+    * joins back on the bigram key (unhinted — AQE promotes when
+    * small). */
+  def surprisalBigram(docs: DataFrame, id: String, text: String,
+      preTokenized: Option[DataFrame] = None,
+      preNgrams: Option[DataFrame] = None): DataFrame = {
+    val bg = preNgrams.getOrElse(ngrams(docs, id, text, 2))
+    val tok = preTokenized.getOrElse(tokenize(docs, id, text))
     val c2 = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c2"))
     val c1 = tok.groupBy(col("token").as("w1")).agg(count(lit(1)).as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
     val sc = c2
-      .withColumn("w1", split(col("ngram"), " ").getItem(0))
+      .withColumn("w1", substring_index(col("ngram"), " ", 1))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col("ngram"),

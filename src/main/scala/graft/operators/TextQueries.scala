@@ -38,6 +38,16 @@ object TextQueries {
           explode(split(col("text"), " ")).as("term"))
     }
 
+  /** word bigrams with multiplicity: (doc_id, ngram). Memoized +
+    * persisted: three contract queries consume it (bigram top-k,
+    * repetition signals, bigram LM score) — at 100 TB the bigram
+    * explode is materialized once, not re-run per consumer. */
+  private def bigrams(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "doc_bigrams") {
+      graft.api.Text.ngrams(Tables.documentsSpread(s, dir),
+        "doc_id", "text", n = 2)
+    }
+
   /** Wordcount: top-20 terms overall. */
   val textTokensTf: GQuery = GQuery(
     "text_tokens_tf",
@@ -92,8 +102,7 @@ object TextQueries {
       |GROUP BY bigram
       |ORDER BY cnt DESC, bigram
       |LIMIT 20""".stripMargin) { (s, dir) =>
-    graft.api.Text.ngrams(Tables.documentsSpread(s, dir),
-      "doc_id", "text", n = 2)
+    bigrams(s, dir)
       .select(col("ngram").as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
@@ -353,8 +362,7 @@ object TextQueries {
       |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac
       |FROM cnt GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    graft.api.Text.repetition(Tables.documentsSpread(s, dir), "doc_id",
-      "text", n = 2)
+    graft.api.Text.repetitionFromNgrams(bigrams(s, dir), "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -523,7 +531,10 @@ object TextQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     graft.api.Text.surprisalBigram(
-      Tables.documentsSpread(s, dir), "doc_id", "text")
+      Tables.documentsSpread(s, dir), "doc_id", "text",
+      preTokenized =
+        Some(tokens(s, dir).withColumnRenamed("term", "token")),
+      preNgrams = Some(bigrams(s, dir)))
       .orderBy(col("doc_id"))
   }
 

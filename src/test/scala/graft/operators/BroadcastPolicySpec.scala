@@ -51,6 +51,7 @@ class BroadcastPolicySpec extends SparkTestBase {
     "mining_assoc_rules" -> 1, // 1-row basket-total scalar
     "text_tfidf_topterm" -> 1, // 1-row corpus-count scalar
     "text_surprisal" -> 1,     // 1-row (N, V) model-size scalar
+    "text_surprisal_bigram" -> 1, // 1-row vocabulary-size scalar
     // bounded language dim (distinct of a low-cardinality label),
     // per-lang totals (same cardinality), 1-row vocabulary count
     "text_lang_id" -> 3,

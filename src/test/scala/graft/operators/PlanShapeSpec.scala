@@ -19,6 +19,7 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_cosine_topk",  // brute-force baseline: tiny probe set broadcast, corpus streamed
     "text_tfidf_topterm", // 1-row corpus-size scalar attached via broadcast cross join
     "text_surprisal",   // 1-row (N, V) model-size scalar attached via broadcast cross join
+    "text_surprisal_bigram", // 1-row vocabulary scalar cross join
     "text_lang_id",     // bounded language dim + 1-row vocab scalar cross joins
     "text_lang_divergence", // same bounded dictionary cross joins
     "graph_pagerank",   // 1-row node-count scalar cross join per iteration
