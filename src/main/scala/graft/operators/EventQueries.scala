@@ -290,7 +290,71 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Trailing-window z-score anomaly flags over the daily event-type
+    * series — the volume-drop/spike monitor a pipeline runs on its
+    * own throughput. Mean/std come from trailing-7-row INTEGER sums
+    * (Σcnt, Σcnt²) so the float arithmetic is one fixed expression
+    * over exact integers — no engine-order-dependent stddev
+    * accumulation can leak into the compare; z is rounded to 6
+    * before the |z| ≥ 2 flag. Key space is |types|×|days|: the
+    * windows are per-type (bounded state), the daily rollup is the
+    * only corpus-sized aggregate and it combines map-side. */
+  val evAnomalyZscore: GQuery = GQuery(
+    "ev_anomaly_zscore",
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, d, cnt,
+      |    CAST(count(*) OVER tw AS BIGINT) AS n,
+      |    CAST(sum(cnt) OVER tw AS BIGINT) AS s1,
+      |    CAST(sum(cnt * cnt) OVER tw AS BIGINT) AS s2
+      |  FROM daily
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |z AS (
+      |  SELECT event_type, d, cnt,
+      |    CASE WHEN n > 1 AND
+      |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+      |        > 0
+      |    THEN round((cnt - CAST(s1 AS DOUBLE) / n) /
+      |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+      |        / (n - 1)), 6)
+      |    END AS zscore
+      |  FROM w)
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, cnt, zscore,
+      |  CASE WHEN zscore IS NULL THEN NULL
+      |       ELSE abs(zscore) >= 2 END AS is_anomaly
+      |FROM z
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(tw))
+      .withColumn("s1", sum(col("cnt")).over(tw))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(tw))
+      .withColumn("varr",
+        // inside when(): ANSI mode would otherwise evaluate the
+        // n − 1 = 0 division on single-row windows and throw
+        when(col("n") > 1,
+          (col("s2").cast("double") - col("s1").cast("double")
+            * col("s1") / col("n")) / (col("n") - 1)))
+      .withColumn("zscore",
+        when(col("n") > 1 && col("varr") > 0,
+          round((col("cnt") - col("s1").cast("double") / col("n"))
+            / sqrt(col("varr")), 6)))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd")
+          .as("day"), col("cnt"), col("zscore"),
+        when(col("zscore").isNotNull, abs(col("zscore")) >= 2)
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
-    evTransitions)
+    evTransitions, evAnomalyZscore)
 }
