@@ -38,10 +38,20 @@ object VecKMeans {
 
   /** new centers: per-dimension mean via posexplode + groupBy — one
     * map-side-combining aggregate, no per-group array building until
-    * the k×dims collect at the end. */
+    * the k×dims collect at the end.
+    *
+    * Each dimension is rounded to 8 places (the [[Graph.pageRank]]
+    * per-iteration discipline): double summation is order-dependent,
+    * so without the round an engine replaying the same Lloyd rounds
+    * sequentially (the DuckDB oracle behind `mining_kmeans` /
+    * `dedup_semantic`) drifts a few ULPs per round; rounding resets
+    * the drift each round so assignments — and therefore the trained
+    * quantizer — are reproducible cross-engine. At 8 places the
+    * perturbation (≤ 5e-9 per dimension) is far below any cluster
+    * geometry the quantizer can resolve. */
   def recenter(assigned: DataFrame): DataFrame =
     assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"), col("pos")).agg(round(avg(col("x")), 8).as("m"))
       .groupBy(col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
         .as("c"))

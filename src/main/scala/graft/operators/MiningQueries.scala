@@ -73,12 +73,57 @@ object MiningQueries {
   private[operators] def assign(e: DataFrame, centers: DataFrame): DataFrame =
     graft.api.VecKMeans.assign(e, centers)
 
+  /** The DuckDB replay of [[graft.api.VecKMeans.train]] + final
+    * assignment, unrolled round by round exactly as `graph_pagerank`
+    * unrolls power iteration (GraphQueries.scala): seeds are the k
+    * smallest vec_ids (cid = rank − 1), each round argmin-assigns on
+    * (d2, cid) and recomputes per-dimension means rounded to 8 places
+    * — the SAME rounding VecKMeans.recenter applies, so the two
+    * engines' centers are identical despite order-dependent double
+    * summation. Ends with `fin AS (vec_id, v, cid, d2)`: the final
+    * assignment against the round-`rounds` centers, ready for a
+    * caller-appended SELECT (kmeans sizes, within-cell pairs). */
+  private[operators] def kmeansOracleCte(k: Int, rounds: Int): String = {
+    val duckRound = (t: Int) =>
+      s"""a$t AS (
+         |  SELECT vec_id, v, cid, d2 FROM (
+         |    SELECT vec_id, v, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM (SELECT e.vec_id, e.v, c.cid,
+         |            list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+         |              + list_dot_product(c.c, c.c) AS d2
+         |          FROM e, c${t - 1} c))
+         |  WHERE rn = 1),
+         |c$t AS (
+         |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cid, pos, round(avg(x), 8) AS m
+         |    FROM (SELECT cid, unnest(v) AS x,
+         |            unnest(range(1, len(v) + 1)) AS pos FROM a$t)
+         |    GROUP BY cid, pos)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |${(1 to rounds).map(duckRound).mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, v, cid, d2 FROM (
+       |    SELECT vec_id, v, cid, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM (SELECT e.vec_id, e.v, c.cid,
+       |            list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+       |              + list_dot_product(c.c, c.c) AS d2
+       |          FROM e, c$rounds c))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** k-means over the embeddings: k = 4 centers seeded from the 4
     * smallest vec_ids, 3 unrolled Lloyd rounds, squared-euclidean
     * assignment with center-id tiebreak. Emits per-cluster sizes.
-    * no-oracle (iterative ML; property-tested in MiningSpec: sizes
-    * partition the corpus, assignments are nearest-center, inertia
-    * non-increasing across rounds).
+    * Oracle-backed by [[kmeansOracleCte]] (per-round 8-place center
+    * rounding on both engines makes the trained quantizer a
+    * deterministic, SQL-replayable relation); MiningSpec additionally
+    * property-tests the invariants (sizes partition the corpus,
+    * assignments are nearest-center, inertia non-increasing).
     *
     * Scale shape: each round = one broadcast of k centers + two
     * map-side-combining aggregates; nothing quadratic, no window;
@@ -97,7 +142,11 @@ object MiningQueries {
           (round(sum(col("d2")) * 1e6) / 1e6).as("inertia"))
         .orderBy(col("cid"))
     }
-    GQuery.noOracle("mining_kmeans")(sparkImpl)
+    GQuery("mining_kmeans",
+      s"""${kmeansOracleCte(k, rounds)}
+         |SELECT CAST(cid AS INT) AS cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(sum(d2) * 1e6) / 1e6 AS inertia
+         |FROM fin GROUP BY cid ORDER BY cid""".stripMargin)(sparkImpl)
   }
 
   private[operators] def assignTopN(

@@ -164,11 +164,16 @@ object SimQueries {
     * per-user and stamped with the source parquet's (mtime, length) —
     * a regenerated fixture can never serve a stale index — and the
     * build publishes with one atomic rename, so concurrent runs can't
-    * interleave a read with a half-written build. */
+    * interleave a read with a half-written build. The family name
+    * carries an ALGORITHM version (`_c8` = quantizer centers rounded
+    * to 8 places per Lloyd round): the stamp invalidates on data
+    * change only, so a change to the center arithmetic must rename
+    * the family or stale-but-stamped indexes from older code would
+    * still be served. */
   val simTopkIvf: GQuery = GQuery.noOracle("sim_topk_ivf") { (s, dir) =>
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
     val ivfPath = graft.IndexStore.ensure(
-      graft.IndexStore.stampedPath("ivf", dir, "embeddings.parquet")) {
+      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
       tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
         k = 8, rounds = 2)
     }
@@ -188,7 +193,7 @@ object SimQueries {
   val simTopkIvfPq: GQuery = GQuery.noOracle("sim_topk_ivfpq") { (s, dir) =>
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
     val pqPath = graft.IndexStore.ensure(
-      graft.IndexStore.stampedPath("ivfpq", dir, "embeddings.parquet")) {
+      graft.IndexStore.stampedPath("ivfpq_c8", dir, "embeddings.parquet")) {
       tmp => graft.api.IvfPq.build(ev, "vec_id", "v", tmp,
         k = 8, rounds = 2, m = 8, ksub = 64)
     }
@@ -217,21 +222,37 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Shared oracle for both spellings of semantic dedup: replay the
+    * k = 8 / 2-round quantizer with [[MiningQueries.kmeansOracleCte]]
+    * (per-round 8-place center rounding on both engines makes the
+    * trained cells a deterministic SQL relation), then the within-cell
+    * exact-cosine pairs are a plain self-join. */
+  private val semanticSql =
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM fin)
+       |SELECT CAST(a.cid AS INT) AS cid, a.vec_id AS v1, b.vec_id AS v2,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+       |ORDER BY cid, v1, v2""".stripMargin
+
   /** SemDeDup-style semantic dedup candidates: k-means cells as the
     * blocking key, exact cosine ≥ 0.4 pairs within each cell — the
     * same tau as the exact all-pairs dedup_embed_cosine, so the
     * property spec can measure exactly what the cell blocking trades
     * away (cross-cell pairs; precision stays 1.0, cosines exact).
-    * no-oracle: the cell assignment is a trained quantizer, not a
-    * SQL-expressible relation. At 100 TB the candidate space drops
+    * Oracle-backed since the quantizer became SQL-replayable (see
+    * [[semanticSql]]). At 100 TB the candidate space drops
     * from O(n²) to Σ|cell|², and the within-cell join rides the
     * hot-label-safe block decomposition — no dominant-cell
     * serialization. */
-  val dedupSemantic: GQuery = GQuery.noOracle("dedup_semantic") { (s, dir) =>
-    graft.api.Similarity.semanticPairs(
-      vecs(s, dir).select(col("vec_id"), col("v")),
-      "vec_id", "v", tau = 0.4, k = 8, rounds = 2)
-      .orderBy(col("cid"), col("v1"), col("v2"))
+  val dedupSemantic: GQuery = GQuery("dedup_semantic", semanticSql) {
+    (s, dir) =>
+      graft.api.Similarity.semanticPairs(
+        vecs(s, dir).select(col("vec_id"), col("v")),
+        "vec_id", "v", tau = 0.4, k = 8, rounds = 2)
+        .orderBy(col("cid"), col("v1"), col("v2"))
   }
 
   /** [[dedupSemantic]] served from the SAVED IVF index — the SAME
@@ -239,12 +260,13 @@ object SimQueries {
     * identical training frame), so one build amortizes across ANN
     * serving AND dedup sweeps. OperatorPropertySpec pins this equal
     * to the in-memory dedup_semantic (deterministic quantizer ⇒
-    * identical cells ⇒ identical pairs). no-oracle, like its twin. */
+    * identical cells ⇒ identical pairs); oracle-backed by the same
+    * SQL as its twin. */
   val dedupSemanticIndexed: GQuery =
-    GQuery.noOracle("dedup_semantic_indexed") { (s, dir) =>
+    GQuery("dedup_semantic_indexed", semanticSql) { (s, dir) =>
       val ev = vecs(s, dir).select(col("vec_id"), col("v"))
       val ivfPath = graft.IndexStore.ensure(
-        graft.IndexStore.stampedPath("ivf", dir, "embeddings.parquet")) {
+        graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
         tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
           k = 8, rounds = 2)
       }
