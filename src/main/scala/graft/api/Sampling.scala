@@ -97,13 +97,22 @@ object Sampling {
     * and future re-read derives the SAME membership, which is what
     * makes held-out sets auditable. A pure per-row projection: no
     * shuffle, pushes nothing, streaming-safe; the manifest (or the
-    * rows of one split) falls out of a filter on the label. */
+    * rows of one split) falls out of a filter on the label.
+    *
+    * Refuses a frame that already carries `outCol`: withColumn would
+    * silently overwrite an existing split label — a frame being
+    * re-split should either drop the old column explicitly or assign
+    * into a differently-named one. */
   def splitAssign(df: DataFrame, id: String,
       splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1,
         "test" -> 1),
-      salt: String = "spl:"): DataFrame = {
+      salt: String = "spl:", outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "split weights must be positive")
+    require(!df.columns.contains(outCol),
+      s"column '$outCol' already exists — drop it first or pass a " +
+        "different outCol; splitAssign will not silently overwrite " +
+        "an existing split label")
     val denom = splits.map(_._2).sum
     val bucket = pmod(portableHash(col(id), salt), lit(denom.toLong))
     val cuts = splits.scanLeft(0)(_ + _._2).tail
@@ -111,7 +120,7 @@ object Sampling {
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
         when(bucket < hi, name).otherwise(acc)
       }
-    df.withColumn("split", labelCol)
+    df.withColumn(outCol, labelCol)
   }
 
   /** Deterministic per-stratum reservoir: the k rows with the

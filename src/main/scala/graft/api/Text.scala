@@ -415,18 +415,39 @@ object Text {
     require(seqLen >= 1, s"seqLen ($seqLen) must be >= 1")
     require(ranges >= 1, s"ranges ($ranges) must be >= 1")
     val base = t.select(col(id), col(tok).cast("long").as("tok"))
+    // Ordering proxy for the quantile sketch: approxQuantile accepts
+    // only numeric columns, but bucketing needs just a WEAKLY
+    // MONOTONE numeric image of the id's ordering — proxy ties merely
+    // share a bucket (possible skew, never a wrong offset: bucket
+    // boundaries respect id order and the within-bucket window orders
+    // by the full id). Numerics/timestamps cast straight to double;
+    // any other orderable type (string ids, dates) goes through its
+    // string form's first 7 UTF-8 bytes read as an unsigned integer —
+    // Spark's default string ordering IS unsigned-byte lexicographic,
+    // so the mapping is monotone. NOT a hash: hashing would scatter
+    // the id order across buckets and change which sequence each
+    // document lands in.
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
+    val ord = base.schema(base.columns.head).dataType match {
+      case _: NumericType | TimestampType => col(id).cast("double")
+      case _ => coalesce(
+        conv(hex(rpad(col(id).cast("string").cast("binary"), 7,
+          Array[Byte](0))), 16, 10).cast("double"), lit(0.0))
+    }
+    val withOrd = base.withColumn("__ord", ord)
     // Ordered bucket boundaries from the quantile sketch. Computed
     // once on the driver, so bucketing is a pure function of the id —
     // identical in the totals pass and the final pass by construction
     // (no reliance on two RangePartitioner runs sampling alike).
     val cuts: Array[Double] =
       if (ranges == 1) Array.empty
-      else base.stat.approxQuantile(id,
+      else withOrd.stat.approxQuantile("__ord",
         (1 until ranges).map(_.toDouble / ranges).toArray, 0.001)
-    val bucketed = base.withColumn("rg",
+    val bucketed = withOrd.withColumn("rg",
       if (cuts.isEmpty) lit(0)
       else aggregate(array(cuts.toSeq.map(lit): _*), lit(0),
-        (acc, c) => acc + when(col(id) > c, 1).otherwise(0)))
+        (acc, c) => acc + when(col("__ord") > c, 1).otherwise(0)))
+      .drop("__ord")
     // a bucket whose every count is null sums to null: contribute 0
     // to downstream bases (the oracle's running sum skips nulls too;
     // the rows themselves keep null offsets via the window sum)

@@ -48,6 +48,18 @@ object TextQueries {
         "doc_id", "text", n = 2)
     }
 
+  /** Materialize the shared memoized pipelines untimed (Bench's
+    * warmup): the token/bigram explodes are materialize-once by
+    * design — the 100 TB posture — but whichever consumer runs first
+    * pays them, so per-query bench numbers misattribute the shared
+    * cost unless the memos are warmed beside the prebuilt indexes.
+    * Returns the number of memos warmed (declared in Bench's JSON). */
+  private[graft] def prewarmSharedMemos(s: SparkSession, dir: String): Int = {
+    tokens(s, dir).count()
+    bigrams(s, dir).count()
+    2
+  }
+
   /** Wordcount: top-20 terms overall. */
   val textTokensTf: GQuery = GQuery(
     "text_tokens_tf",

@@ -155,17 +155,26 @@ object EventStreams {
     * unbounded user universe — without a TTL, one-visit users
     * accumulate forever and the state store, not the data, becomes
     * the scale limit. Emits (user_id, n) per batch with data; timed
-    * out keys are removed silently. */
-  def runningCountsWithTtl(events: DataFrame,
-      ttlMs: Long): Dataset[(Long, Long)] = {
+    * out keys are removed silently.
+    *
+    * `lateness` is the watermark delay: events arriving more than
+    * this far behind the max seen event time are DROPPED before the
+    * state function ever sees them (standard watermark semantics —
+    * the price of state eviction). The default 1 s suits ordered test
+    * feeds; a real deployment should pass its out-of-orderness bound.
+    * Column names default to the fixture's (user_id, ts) and are
+    * parameters for other schemas. */
+  def runningCountsWithTtl(events: DataFrame, ttlMs: Long,
+      lateness: String = "1 second", userCol: String = "user_id",
+      tsCol: String = "ts"): Dataset[(Long, Long)] = {
     // fail fast: a non-positive TTL would compute timeout timestamps
     // at/below the watermark, killing the query mid-stream with an
     // engine error instead of an argument error
     require(ttlMs > 0, s"ttlMs ($ttlMs) must be positive")
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "1 second")
-      .select(col("user_id").cast("long"), col("ts"))
+      .withWatermark(tsCol, lateness)
+      .select(col(userCol).cast("long"), col(tsCol))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](

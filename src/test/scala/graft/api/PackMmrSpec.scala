@@ -47,6 +47,31 @@ class PackMmrSpec extends SparkTestBase {
     }
   }
 
+  test("packFromCounts on STRING ids == naive cumsum in string order (binary-prefix proxy)") {
+    // ids whose lexicographic order differs from numeric order
+    // ("doc-10" < "doc-2") and share long prefixes — exercises the
+    // string→binary-prefix ordering proxy behind the quantile cuts
+    val strFixture = packFixture.map { case (id, tok) =>
+      (s"doc-$id", tok)
+    }
+    val df = spark.sparkContext.parallelize(strFixture, 8)
+      .toDF("id", "tok")
+    val naive = strFixture.sortBy(_._1)
+      .scanLeft(("", 0L, 0L)) { case ((_, _, acc), (id, tok)) =>
+        (id, tok, acc + tok)
+      }.drop(1)
+      .map { case (id, tok, cum) =>
+        val off = cum - tok
+        (id, tok, off, off / 2048, (off + tok - 1) / 2048)
+      }
+    for (ranges <- Seq(1, 4, 8)) {
+      val got = Text.packFromCounts(df, "id", "tok", seqLen = 2048,
+        ranges = ranges)
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == naive, s"ranges=$ranges diverges from the cumsum")
+    }
+  }
+
   test("pack plan: every window is partitioned — no single-partition global order") {
     val df = spark.sparkContext.parallelize(packFixture, 8)
       .toDF("id", "tok")

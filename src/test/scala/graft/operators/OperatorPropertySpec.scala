@@ -163,6 +163,21 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(byLabel("train") > 0.7 && byLabel("train") < 0.9)
   }
 
+  test("splitAssign refuses to overwrite an existing split column; outCol renames") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val once = graft.api.Sampling.splitAssign(docs, "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Sampling.splitAssign(once, "doc_id")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // a caller that wants a second assignment names it explicitly
+    val renamed = graft.api.Sampling.splitAssign(once, "doc_id",
+      outCol = "split2")
+    assert(renamed.columns.count(_.startsWith("split")) == 2)
+    // and the relabel is consistent with the default (same salt)
+    assert(renamed.filter($"split" =!= $"split2").count() == 0)
+  }
+
   test("exact dedup is idempotent") {
     val once = DedupQueries.dedupExact.fn(spark, sfDir).collect()
     val again = DedupQueries.dedupExact.fn(spark, sfDir).collect()

@@ -207,6 +207,33 @@ class EventStreamsSpec extends SparkTestBase {
     assert(u2 == Seq(1L, 2L), "continuously-active user kept its state")
   }
 
+  test("runningCountsWithTtl: lateness is tunable and column names are parameters") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // renamed schema + a 10-minute watermark: an event 5 min behind
+    // the max seen event time must now SURVIVE (the default 1 s
+    // watermark would drop it before the state function)
+    val renamed = mem.toDF()
+      .withColumnRenamed("user_id", "uid")
+      .withColumnRenamed("ts", "etime")
+    val q = EventStreams.runningCountsWithTtl(renamed,
+        ttlMs = 3600 * 1000L, lateness = "10 minutes",
+        userCol = "uid", tsCol = "etime")
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("ttl_late_sink")
+      .outputMode("append").start()
+    def ev(id: Long, uid: Long, sec: Long) =
+      Ev(id, t(sec + 1000), uid, "click", 1.0)
+    mem.addData(Seq(ev(1, 1L, 600))); q.processAllAvailable()
+    // 5 min behind the watermark base — late but inside 10 min
+    mem.addData(Seq(ev(2, 1L, 300))); q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("ttl_late_sink").filter($"user_id" === 1L)
+      .select($"n").as[Long].collect().sorted.toSeq
+    assert(u1 == Seq(1L, 2L),
+      s"late-but-inside-watermark event was dropped: n-multiset $u1")
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
