@@ -401,8 +401,58 @@ object LayoutQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Schema-evolution read — the other day-one reality of a
+    * continuously-appended table (the [[sinkCompactSmallFiles]]
+    * scenario over time): batch 1 is written before a column existed,
+    * batch 2 after. `mergeSchema` unions the footer schemas at read
+    * time, null-filling the missing column on old files — no rewrite
+    * of historical data, which at 100 TB is the only affordable
+    * answer to drift. Rows split by custkey parity (batch 1 even,
+    * batch 2 odd — deterministic, SF-independent); pre-drift rows
+    * surface under a sentinel segment so the aggregate proves the
+    * null-fill. Oracle: UNION ALL with NULL padding over the parquet
+    * customer table.
+    *
+    * Without `mergeSchema`, Spark serves the FIRST footer's schema
+    * for the whole directory and the drifted column silently
+    * disappears on half the files — LayoutSpec pins both behaviors. */
+  val sourceSchemaDrift: GQuery = GQuery(
+    "source_schema_drift",
+    """WITH unioned AS (
+      |  SELECT c_custkey, c_acctbal, NULL AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 1)
+      |SELECT coalesce(c_mktsegment, '__pre_drift__') AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS bal_sum
+      |FROM unioned
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin) { (s, dir) =>
+    val path = tmpDir("schema_drift", dir)
+    val c = Tables.customer(s, dir)
+    c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$path/batch1")
+    c.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$path/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$path/batch1", s"$path/batch2")
+      .groupBy(coalesce(col("c_mktsegment"), lit("__pre_drift__"))
+        .as("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_custkey")).as("key_sum"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+          .cast("double").as("bal_sum"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
-    mergeUpsertSnapshot)
+    mergeUpsertSnapshot, sourceSchemaDrift)
 }

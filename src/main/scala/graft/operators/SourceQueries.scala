@@ -169,6 +169,66 @@ object SourceQueries {
           .otherwise(0L)).as("n_matching"))
   }
 
+  /** Malformed-row ingestion — the day-one reality of any real corpus
+    * dump: a CSV directory holding the clean orders rows PLUS planted
+    * broken lines (one per o_orderkey divisible by 97: wrong arity
+    * AND an unparsable key, derived deterministically from the table
+    * itself), read back in PERMISSIVE mode with `_corrupt_record`
+    * routing. Clean rows aggregate per status; broken lines surface
+    * as one '_corrupt' row — counted, never silently dropped
+    * (FAILFAST would kill the 100 TB job on row one;
+    * DROPMALFORMED would lie about coverage).
+    *
+    * The labeling projection references both the corrupt column and a
+    * data column, so the plan never prunes to `_corrupt_record`
+    * alone (Spark disallows corrupt-only references on unparsed
+    * sources). Oracle: the same aggregate over the clean subset plus
+    * the planted-line count from the parquet table. */
+  val sourceCsvMalformed: GQuery = GQuery(
+    "source_csv_malformed",
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS price_sum
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT '_corrupt', CAST(count(*) AS BIGINT), NULL
+      |FROM orders WHERE o_orderkey % 97 = 0
+      |HAVING count(*) > 0
+      |ORDER BY status""".stripMargin) { (s, dir) =>
+    val path = tmpDir("csv_malformed", dir)
+    val orders = Tables.orders(s, dir)
+    // clean lines (no header: the planted file must not lose its
+    // first line to per-file header skipping)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").csv(path)
+    // planted broken lines, appended as a sibling file set: 3 tokens
+    // against a 4-column schema and a key that can't parse as BIGINT
+    orders.filter(col("o_orderkey") % 97 === 0)
+      .select(concat(lit("oops"), col("o_orderkey").cast("string"),
+        lit(",bad,line")).as("value"))
+      .write.mode("append").text(path)
+    val schema = StructType.fromDDL(
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+        "o_orderstatus STRING, _corrupt_record STRING")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .select(
+        when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("_corrupt_record").isNotNull, lit(null))
+          .otherwise(col("o_totalprice")).as("price"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price").cast("decimal(18,2)")), 2)
+          .cast("double").as("price_sum"))
+      .orderBy(col("status"))
+  }
+
   val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan, sourceOrcScan,
-    sourceBinaryScan)
+    sourceBinaryScan, sourceCsvMalformed)
 }

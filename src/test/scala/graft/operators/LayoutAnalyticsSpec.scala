@@ -154,6 +154,38 @@ class LayoutAnalyticsSpec extends SparkTestBase {
       s"expected partial+final WindowGroupLimit, found $hits:\n$plan")
   }
 
+  test("source_schema_drift: mergeSchema null-fills pre-drift rows; without it the column vanishes") {
+    import org.apache.spark.sql.functions._
+    // run the contract query once so the two batches exist on disk
+    val got = LayoutQueries.sourceSchemaDrift.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val half = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 2 === 0).count()
+    assert(got("__pre_drift__") == half,
+      s"every even-key (pre-drift) row must surface under the sentinel")
+    // the un-merged read serves the FIRST footer's schema: the
+    // drifted column silently disappears — the failure mode the
+    // option exists to prevent
+    val path = LayoutQueries.tmpDir("schema_drift", sfDir)
+    val unmerged = spark.read.parquet(s"$path/batch1", s"$path/batch2")
+    assert(!unmerged.columns.contains("c_mktsegment"),
+      s"expected the drifted column to vanish without mergeSchema, " +
+        s"got ${unmerged.columns.mkString(",")}")
+  }
+
+  test("source_csv_malformed: planted lines all route to _corrupt_record, none crash the read") {
+    import org.apache.spark.sql.functions._
+    val got = SourceQueries.sourceCsvMalformed.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val planted = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 97 === 0).count()
+    val total = graft.sources.Tables.orders(spark, sfDir).count()
+    assert(got("_corrupt") == planted,
+      s"corrupt count ${got.get("_corrupt")} != planted $planted")
+    assert(got.filterNot(_._1 == "_corrupt").values.sum == total,
+      "clean rows must survive the permissive read exactly")
+  }
+
   test("tpch_q3/q10 plan exactly one shuffle (the aggregate exchange)") {
     // at this scale the dims broadcast, so the ONLY data movement is
     // the group-by exchange; the top-N is a TakeOrderedAndProject
