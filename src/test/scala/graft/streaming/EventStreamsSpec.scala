@@ -80,6 +80,55 @@ class EventStreamsSpec extends SparkTestBase {
       == asMap(want))
   }
 
+  test("sessions stitch across batches: extension + bridge-merge ≡ batch gaps-and-islands") {
+    // The one streaming shape with real merge-on-late-arrival
+    // semantics: session state must EXTEND across micro-batches and
+    // MERGE when a late middle event bridges two previously-open
+    // sessions. Crafted feed (gap = 30 min = 1800 s, watermark 1 h):
+    //   user 1: 1000,1600 | 2800 | 6000  -> extend across b1/b2,
+    //           then a fresh session in b3 (gap 3200 >= 1800)
+    //   user 2: 1000,4000 | 2500         -> b1 leaves TWO open
+    //           sessions; b2's late 2500 bridges both (gaps 1500)
+    //           into ONE merged session
+    //   user 3: 1000 | 9000              -> control, no stitching
+    def ev(id: Long, uid: Long, sec: Long) =
+      Ev(id, t(sec), uid, "click", 1.0)
+    val b1 = Seq(ev(1, 1, 1000), ev(2, 1, 1600),
+      ev(10, 2, 1000), ev(11, 2, 4000), ev(20, 3, 1000))
+    val b2 = Seq(ev(3, 1, 2800), ev(12, 2, 2500), ev(21, 3, 9000))
+    val b3 = Seq(ev(4, 1, 6000))
+    val got = runStream("stitch_sink", Seq(b1, b2, b3, Seq(sentinel)),
+        EventStreams.sessions)
+      .filter($"user_id" =!= -1L)
+      .select($"user_id", unix_micros($"session_start").as("start_us"),
+        unix_micros($"session_end").as("end_us"), $"n_events")
+    // the merge observable directly: ONE session row for user 2,
+    // spanning [1000 s, 4000 s + gap), carrying all 3 events
+    val u2 = got.filter($"user_id" === 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(u2 == Seq((2L, 1000000000L, 5800000000L, 3L)),
+      s"late bridge event did not merge the open sessions: $u2")
+    // and the full emitted set equals the batch GAPS-AND-ISLANDS form
+    // (the contract query's lag -> flag -> running-sum derivation,
+    // session end = last event + gap to match session_window)
+    val W = org.apache.spark.sql.expressions.Window
+    val byUser = W.partitionBy($"user_id").orderBy($"us")
+    val want = (b1 ++ b2 ++ b3).toDF()
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .withColumn("new_s",
+        when(lag($"us", 1).over(byUser).isNull, 1)
+          .when($"us" - lag($"us", 1).over(byUser) >= 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum($"new_s")
+        .over(byUser.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("start_us"),
+        (max($"us") + 1800000000L).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+    assert(asMap(got) == asMap(want))
+  }
+
   test("dedup: duplicate event ids within the watermark are dropped") {
     val rows = Seq(
       Ev(1, t(1000), 1, "click", 1.0),
