@@ -153,7 +153,11 @@ object SimQueries {
     * partition directories (literal `cid IN (...)` → PartitionFilters,
     * asserted in IvfIndexSpec). Recall is governed by how often a
     * true neighbor falls in a probed cell (property-tested vs brute
-    * force in OperatorPropertySpec). no-oracle (approximate index).
+    * force in OperatorPropertySpec). Oracle-backed since the
+    * quantizer became SQL-replayable (round 8): approximate relative
+    * to BRUTE FORCE, but a deterministic function of the corpus —
+    * the oracle replays train → probe-cell top-3 → within-cell exact
+    * top-k, so the driver hash-checks the whole serving path.
     *
     * The index is built IF ABSENT (quantizer training is
     * deterministic — smallest-id seeds, fixed rounds — so a rebuild
@@ -170,7 +174,41 @@ object SimQueries {
     * change only, so a change to the center arithmetic must rename
     * the family or stale-but-stamped indexes from older code would
     * still be served. */
-  val simTopkIvf: GQuery = GQuery.noOracle("sim_topk_ivf") { (s, dir) =>
+  val simTopkIvf: GQuery = GQuery(
+    "sim_topk_ivf",
+    // replay of the SAVED index's serving path: quantizer cells from
+    // the shared unrolled-Lloyd CTE (c2 = the final k = 8 centers,
+    // fin = the corpus assignment the saved cells hold), probe cells
+    // = 3 nearest centers per probe on the same (d2, cid) tiebreak
+    // as VecKMeans.assignTopN, candidates = probed cells' members,
+    // exact cosine top-3 on the (cosine DESC, neighbor_id) order
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM fin),
+       |pd AS (
+       |  SELECT p.vec_id, p.v, p.nrm, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 50) p, c2 c),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn, cid FROM (
+       |    SELECT vec_id, v, nrm, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 3),
+       |cand AS (
+       |  SELECT pc.probe_id, n.vec_id AS neighbor_id,
+       |    round(list_dot_product(pc.pv, n.v) / (pc.pn * n.nrm), 6)
+       |      AS cosine
+       |  FROM pc JOIN n ON n.cid = pc.cid AND n.vec_id != pc.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM cand)
+       |SELECT probe_id, rk, neighbor_id, cosine
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
     val ivfPath = graft.IndexStore.ensure(
       graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {

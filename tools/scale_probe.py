@@ -1,32 +1,39 @@
 #!/usr/bin/env python3
-"""Build a ~10x derived scale-probe corpus under /tmp/sfx from the
-sf0.1 fixtures (documents + embeddings only — the tables the dedup/
-similarity family reads), then time the heavy operators against it:
+"""Build a derived scale-probe corpus (documents + embeddings only —
+the tables the dedup/similarity family reads) from the sf0.1
+fixtures, then time the heavy operators against it:
 
-    python3 tools/scale_probe.py
+    python3 tools/scale_probe.py                 # 10x  -> /tmp/sfx
+    python3 tools/scale_probe.py 100 /tmp/sfx100 # 100x -> /tmp/sfx100
     SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/tmp/sfx \
       sbt "runMain graft.IsoBench dedup_near_minhash dedup_clusters ..."
 
-Each source doc/vector gains 9 shifted-id copies (doc text perturbed
-for a third of the copies; vectors rescaled, which preserves cosine),
-so the duplicate structure becomes much DENSER than any real corpus —
-a worst-case probe: operators whose cost follows the OUTPUT size
-(simhash pairs, ngram jaccard on a 50%-dup corpus) will show that
-output explosion; operators with banded/bucketed candidate generation
-(minhash, LSH, IVF, clusters) should stay near-flat.
+Each source doc/vector gains COPIES-1 shifted-id copies (doc text
+perturbed for a third of the copies; vectors rescaled, which preserves
+cosine), so the duplicate structure becomes much DENSER than any real
+corpus — a worst-case probe: operators whose cost follows the OUTPUT
+size (simhash pairs, ngram jaccard on a mostly-dup corpus) will show
+that output explosion; operators with banded/bucketed candidate
+generation (minhash, LSH, IVF, clusters) should stay near-flat.
+
+The id stride is 1_000_000 so copy ids can never collide with source
+ids (sf0.1 doc/vec ids stay well below it) at any COPIES <= 1000.
 """
 import os
+import sys
+
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfx"
-COPIES = 10
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx"
+STRIDE = 1_000_000
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"""
 COPY (
-  SELECT doc_id + 100000 * c AS doc_id,
+  SELECT doc_id + {STRIDE} * c AS doc_id,
          CASE WHEN c > 0 AND doc_id % 3 = 0
               THEN text || ' copytag' || CAST(c AS VARCHAR)
               ELSE text END AS text,
@@ -35,7 +42,7 @@ COPY (
 ) TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
 con.execute(f"""
 COPY (
-  SELECT vec_id + 100000 * c AS vec_id, label,
+  SELECT vec_id + {STRIDE} * c AS vec_id, label,
          CASE WHEN c = 0 THEN embedding
               ELSE list_transform(embedding, x -> x * (1 + 0.001 * c)) END
            AS embedding
@@ -43,4 +50,4 @@ COPY (
 ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
 docs = con.execute(f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
 vecs = con.execute(f"SELECT count(*) FROM '{DST}/embeddings.parquet'").fetchone()[0]
-print(f"wrote {DST}: {docs} documents, {vecs} embeddings")
+print(f"wrote {DST}: {docs} documents, {vecs} embeddings ({COPIES}x)")
