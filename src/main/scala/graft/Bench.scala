@@ -1,7 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute loadavg, so host-noise adjudication lives in the
+    * artifact itself (two of eight rounds needed a judge re-run to
+    * tell hypervisor load from regression). -1.0 when unreadable. */
+  private[graft] def loadavg1m(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val load0 = loadavg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -48,10 +57,22 @@ object Bench {
     // The session-memoized token/bigram explodes (TextQueries) are the
     // same materialize-once posture as the saved indexes — warm them
     // untimed so the shared pipeline cost isn't charged to whichever
-    // text query happens to run first.
+    // text query happens to run first. The prewarm's own wall time is
+    // emitted (prewarm_memos_sec) so round-over-round totals stay
+    // attributable, and a swallowed failure is warned, not silent —
+    // its cost would otherwise shift invisibly into the first text
+    // query.
+    val tPre = System.nanoTime()
     val prewarmedMemos =
       try operators.TextQueries.prewarmSharedMemos(spark, sfDir)
-      catch { case _: Throwable => 0 }
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"WARN prewarmSharedMemos failed (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}); memo cost shifts into the first text query")
+          0
+      }
+    val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // per-query value: elapsed seconds, or the -1.0 sentinel when the
     // query THREW (so failures are never mistaken for fast successes).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
@@ -65,11 +86,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val load1 = loadavg1m()
     // full line first, compact total-only line LAST: the driver tails
     // stdout, and the long per-query line was truncated in round 1
     // ("parsed": null) — the final line must stay short.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prebuilt_indexes":$prebuilt,"prewarmed_memos":$prewarmedMemos,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prebuilt_indexes":$prebuilt,"prewarmed_memos":$prewarmedMemos,"prewarm_memos_sec":$prewarmSec,"loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}""")
     PlanCache.clear()
     spark.stop()
   }

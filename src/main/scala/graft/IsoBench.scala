@@ -40,6 +40,7 @@ object IsoBench {
     "sim_topk_mmr")
 
   def main(args: Array[String]): Unit = {
+    val load0 = Bench.loadavg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val names = if (args.nonEmpty) args.toSeq else headline
@@ -58,9 +59,14 @@ object IsoBench {
       }
       name -> last
     }
+    // loadavg bookends make the artifact self-adjudicating: a warm-iso
+    // record captured under host load announces itself instead of
+    // silently overstating costs (the round-8 ISOBENCH lesson).
+    val load1 = Bench.loadavg1m()
     val json = warm.map { case (n, t) => f""""$n": $t%.3f""" }
       .mkString(
         s"""{"metric": "warm_iso_sec", "sf": "$sfDir", "cpus": $cpus, """ +
+          s""""loadavg_start": $load0, "loadavg_end": $load1, """ +
           """"queries": {""",
         ", ", "}}")
     println(json)

@@ -427,12 +427,37 @@ object Text {
     // so the mapping is monotone. NOT a hash: hashing would scatter
     // the id order across buckets and change which sequence each
     // document lands in.
+    //
+    // Zero-padded or shard-prefixed id spaces ("doc-000000123") share
+    // a ≥7-byte common prefix, which would collapse every id to one
+    // __ord value and degenerate `ranges` to a single bucket —
+    // correct (ties only coarsen buckets) but losing the parallelism
+    // this path exists for. So the corpus-wide longest common prefix
+    // is skipped first: the lexicographic min and max bound every id,
+    // so their shared prefix is shared by ALL ids, and dropping an
+    // equal prefix preserves the lexicographic order of the tails.
+    // DEGENERATION (documented): ids identical up to >7 bytes past
+    // the common prefix still tie; ties share one bucket and the
+    // within-bucket window (full id order) keeps offsets exact.
     import org.apache.spark.sql.types.{NumericType, TimestampType}
     val ord = base.schema(base.columns.head).dataType match {
       case _: NumericType | TimestampType => col(id).cast("double")
-      case _ => coalesce(
-        conv(hex(rpad(col(id).cast("string").cast("binary"), 7,
-          Array[Byte](0))), 16, 10).cast("double"), lit(0.0))
+      case _ =>
+        val str = col(id).cast("string")
+        val mm = base.agg(min(str).as("lo"), max(str).as("hi")).first()
+        val pfx =
+          if (mm.isNullAt(0) || mm.isNullAt(1)) 0
+          else {
+            val (lo, hi) = (mm.getString(0), mm.getString(1))
+            val p = lo.zip(hi).takeWhile { case (a, b) => a == b }.size
+            // never cut inside a surrogate pair: the byte form of a
+            // split pair would not be a prefix-drop of the original
+            if (p > 0 && Character.isHighSurrogate(lo.charAt(p - 1))) p - 1
+            else p
+          }
+        coalesce(
+          conv(hex(rpad(substring(str, pfx + 1, 1 << 30).cast("binary"), 7,
+            Array[Byte](0))), 16, 10).cast("double"), lit(0.0))
     }
     val withOrd = base.withColumn("__ord", ord)
     // Ordered bucket boundaries from the quantile sketch. Computed

@@ -80,9 +80,13 @@ object MiningQueries {
     * (d2, cid) and recomputes per-dimension means rounded to 8 places
     * — the SAME rounding VecKMeans.recenter applies, so the two
     * engines' centers are identical despite order-dependent double
-    * summation. Ends with `fin AS (vec_id, v, cid, d2)`: the final
-    * assignment against the round-`rounds` centers, ready for a
-    * caller-appended SELECT (kmeans sizes, within-cell pairs). */
+    * summation. Ends with `cfin AS (cid, c)` — a STABLE alias for the
+    * final centers (callers must reference `cfin`, never `c$rounds`,
+    * so changing the rounds argument can't silently leave a caller
+    * scoring against intermediate centers) — and
+    * `fin AS (vec_id, v, cid, d2)`: the final assignment against
+    * those centers, ready for a caller-appended SELECT (kmeans sizes,
+    * within-cell pairs, probe-cell ranking). */
   private[operators] def kmeansOracleCte(k: Int, rounds: Int): String = {
     val duckRound = (t: Int) =>
       s"""a$t AS (
@@ -105,6 +109,7 @@ object MiningQueries {
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
        |${(1 to rounds).map(duckRound).mkString(",\n")},
+       |cfin AS (SELECT cid, c FROM c$rounds),
        |fin AS (
        |  SELECT vec_id, v, cid, d2 FROM (
        |    SELECT vec_id, v, cid, d2,
@@ -112,7 +117,7 @@ object MiningQueries {
        |    FROM (SELECT e.vec_id, e.v, c.cid,
        |            list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
        |              + list_dot_product(c.c, c.c) AS d2
-       |          FROM e, c$rounds c))
+       |          FROM e, cfin c))
        |  WHERE rn = 1)""".stripMargin
   }
 
@@ -136,16 +141,23 @@ object MiningQueries {
         SimQueries.vecs(s, dir).select(col("vec_id"), col("v"))
       }
       val centers = trainCenters(e, k, rounds)
+      // per-row d2 rounding BEFORE the sum (the per-round center
+      // rounding discipline applied to the aggregate): each rounded
+      // d2 is a multiple of 1e-6 in exact arithmetic, so the sum's
+      // order-dependent ULP drift (~1e-10 at this scale) can never
+      // reach the final round's 0.5e-6 decision boundary — the
+      // unrounded form was data-dependently flaky whenever sum(d2)
+      // landed near a boundary.
       assign(e, centers)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
-          (round(sum(col("d2")) * 1e6) / 1e6).as("inertia"))
+          (round(sum(round(col("d2"), 6)) * 1e6) / 1e6).as("inertia"))
         .orderBy(col("cid"))
     }
     GQuery("mining_kmeans",
       s"""${kmeansOracleCte(k, rounds)}
          |SELECT CAST(cid AS INT) AS cid, CAST(count(*) AS BIGINT) AS n_members,
-         |  round(sum(d2) * 1e6) / 1e6 AS inertia
+         |  round(sum(round(d2, 6)) * 1e6) / 1e6 AS inertia
          |FROM fin GROUP BY cid ORDER BY cid""".stripMargin)(sparkImpl)
   }
 

@@ -177,7 +177,8 @@ object SimQueries {
   val simTopkIvf: GQuery = GQuery(
     "sim_topk_ivf",
     // replay of the SAVED index's serving path: quantizer cells from
-    // the shared unrolled-Lloyd CTE (c2 = the final k = 8 centers,
+    // the shared unrolled-Lloyd CTE (cfin = the final k = 8 centers —
+    // the CTE's stable alias, immune to the rounds argument,
     // fin = the corpus assignment the saved cells hold), probe cells
     // = 3 nearest centers per probe on the same (d2, cid) tiebreak
     // as VecKMeans.assignTopN, candidates = probed cells' members,
@@ -189,7 +190,7 @@ object SimQueries {
        |  SELECT p.vec_id, p.v, p.nrm, c.cid,
        |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
        |      + list_dot_product(c.c, c.c) AS d2
-       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 50) p, c2 c),
+       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 50) p, cfin c),
        |pc AS (
        |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn, cid FROM (
        |    SELECT vec_id, v, nrm, cid,

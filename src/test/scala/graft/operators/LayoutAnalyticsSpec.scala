@@ -163,14 +163,24 @@ class LayoutAnalyticsSpec extends SparkTestBase {
       .filter(col("c_custkey") % 2 === 0).count()
     assert(got("__pre_drift__") == half,
       s"every even-key (pre-drift) row must surface under the sentinel")
-    // the un-merged read serves the FIRST footer's schema: the
-    // drifted column silently disappears — the failure mode the
-    // option exists to prevent
+    // without mergeSchema the drifted column silently disappears on
+    // the pre-drift files — demonstrate it deterministically on
+    // batch1's path alone (the multi-path un-merged read serves "an
+    // arbitrary data file"'s footer per Spark's documented contract,
+    // so asserting WHICH footer it picks would be file-listing-order
+    // flaky; assert only the version-stable part: it equals one of
+    // the two footers, never an invented third schema)
     val path = LayoutQueries.tmpDir("schema_drift", sfDir)
-    val unmerged = spark.read.parquet(s"$path/batch1", s"$path/batch2")
-    assert(!unmerged.columns.contains("c_mktsegment"),
-      s"expected the drifted column to vanish without mergeSchema, " +
-        s"got ${unmerged.columns.mkString(",")}")
+    val batch1Cols = spark.read.parquet(s"$path/batch1").columns.toSet
+    val batch2Cols = spark.read.parquet(s"$path/batch2").columns.toSet
+    assert(!batch1Cols.contains("c_mktsegment"),
+      s"pre-drift footer must lack the drifted column, got " +
+        batch1Cols.mkString(","))
+    val unmerged =
+      spark.read.parquet(s"$path/batch1", s"$path/batch2").columns.toSet
+    assert(unmerged == batch1Cols || unmerged == batch2Cols,
+      s"un-merged read must serve one footer's schema verbatim, got " +
+        unmerged.mkString(","))
   }
 
   test("source_csv_malformed: planted lines all route to _corrupt_record, none crash the read") {
