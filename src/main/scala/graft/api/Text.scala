@@ -409,12 +409,17 @@ object Text {
         size(split(col(text), " ")).cast("long").as("tok")),
       id, "tok", seqLen, ranges)
 
-  /** [[packSequences]] over a pre-computed (id, tok-count) frame. */
+  /** [[packSequences]] over a pre-computed (id, tok-count) frame.
+    *
+    * EAGER: bucket boundaries come from a driver-side quantile sketch,
+    * so construction runs Spark jobs (one sketch pass; string ids add
+    * a min/max pass, but over a frame materialized once — see below)
+    * rather than returning a fully lazy plan. */
   def packFromCounts(t: DataFrame, id: String, tok: String,
       seqLen: Int, ranges: Int = 8): DataFrame = {
     require(seqLen >= 1, s"seqLen ($seqLen) must be >= 1")
     require(ranges >= 1, s"ranges ($ranges) must be >= 1")
-    val base = t.select(col(id), col(tok).cast("long").as("tok"))
+    val rawBase = t.select(col(id), col(tok).cast("long").as("tok"))
     // Ordering proxy for the quantile sketch: approxQuantile accepts
     // only numeric columns, but bucketing needs just a WEAKLY
     // MONOTONE numeric image of the id's ordering — proxy ties merely
@@ -440,11 +445,20 @@ object Text {
     // the common prefix still tie; ties share one bucket and the
     // within-bucket window (full id order) keeps offsets exact.
     import org.apache.spark.sql.types.{NumericType, TimestampType}
-    val ord = base.schema(base.columns.head).dataType match {
-      case _: NumericType | TimestampType => col(id).cast("double")
+    val (base, ord) = rawBase.schema(rawBase.columns.head).dataType match {
+      // one bucket => __ord is projected away unevaluated; skip the
+      // prefix probe (string ids would otherwise pay it for nothing)
+      case _ if ranges == 1 => (rawBase, lit(0.0))
+      case _: NumericType | TimestampType =>
+        (rawBase, col(id).cast("double"))
       case _ =>
+        // string ids take THREE passes (min/max prefix probe, quantile
+        // sketch, final consumption): materialize the narrow (id, tok)
+        // frame once so the input lineage is scanned a single time and
+        // the two extra passes re-read the tiny checkpointed frame
+        val b = rawBase.localCheckpoint(true)
         val str = col(id).cast("string")
-        val mm = base.agg(min(str).as("lo"), max(str).as("hi")).first()
+        val mm = b.agg(min(str).as("lo"), max(str).as("hi")).first()
         val pfx =
           if (mm.isNullAt(0) || mm.isNullAt(1)) 0
           else {
@@ -452,12 +466,19 @@ object Text {
             val p = lo.zip(hi).takeWhile { case (a, b) => a == b }.size
             // never cut inside a surrogate pair: the byte form of a
             // split pair would not be a prefix-drop of the original
-            if (p > 0 && Character.isHighSurrogate(lo.charAt(p - 1))) p - 1
+            val q = if (p > 0 && Character.isHighSurrogate(lo.charAt(p - 1)))
+              p - 1
             else p
+            // q counts UTF-16 code units but substring() counts code
+            // points: a non-BMP char in the shared prefix would make
+            // the raw count overshoot and strip DISTINGUISHING code
+            // points past the prefix (different content dropped per
+            // id => __ord loses monotonicity). Convert before use.
+            lo.codePointCount(0, q)
           }
-        coalesce(
+        (b, coalesce(
           conv(hex(rpad(substring(str, pfx + 1, 1 << 30).cast("binary"), 7,
-            Array[Byte](0))), 16, 10).cast("double"), lit(0.0))
+            Array[Byte](0))), 16, 10).cast("double"), lit(0.0)))
     }
     val withOrd = base.withColumn("__ord", ord)
     // Ordered bucket boundaries from the quantile sketch. Computed

@@ -132,12 +132,42 @@ object SimQueries {
     * a probe's candidate set is the union of its 8 buckets, so a true
     * neighbor is missed only if it disagrees on some sign in EVERY
     * table (recall ≈ 1 − (1 − p⁴)⁸, property-tested vs brute force).
-    * no-oracle (an approximate index, not a SQL-expressible relation).
+    *
+    * Oracle-backed (round 10): the buckets are a pure sign projection
+    * of the stored vectors — table t's bucket is the 4 sign bits of
+    * dimensions 4t+1..4t+4 read MSB-first — so DuckDB replays
+    * bucketize → (tbl, bucket) candidate join → distinct → exact
+    * cosine top-3, and the driver hash-checks the whole serving path.
+    * Approximate only relative to BRUTE FORCE (recall), never
+    * nondeterministic.
     *
     * Scale shape: bucketing is a per-row projection (no shuffle); the
     * candidate join is equi on (table, bucket) — the full pairwise
     * cosine computation never happens. */
-  val simTopkLsh: GQuery = GQuery.noOracle("sim_topk_lsh") { (s, dir) =>
+  val simTopkLsh: GQuery = GQuery(
+    "sim_topk_lsh",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |b AS (
+      |  SELECT vec_id, v, nrm, t.tbl,
+      |    (CASE WHEN v[4 * t.tbl + 1] >= 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN v[4 * t.tbl + 2] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN v[4 * t.tbl + 3] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN v[4 * t.tbl + 4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM n, (SELECT unnest(range(8)) AS tbl) t),
+      |cand AS (
+      |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cosine
+      |  FROM b p JOIN b c ON p.tbl = c.tbl AND p.bucket = c.bucket
+      |  WHERE p.vec_id < 50 AND c.vec_id != p.vec_id),
+      |ranked AS (
+      |  SELECT probe_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rk
+      |  FROM cand)
+      |SELECT probe_id, rk, neighbor_id, cosine
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
     graft.api.Similarity.signLshTopK(ev, ev.filter(col("vec_id") < 50),
       "vec_id", "v", k = 3, tables = 8, bits = 4)
@@ -253,8 +283,59 @@ object SimQueries {
     * PQ (code compression): SQ8 keeps one full-corpus scan but
     * shrinks its bytes 4× with near-lossless ranking — the right
     * first step when recall must stay ≈1 and the corpus is
-    * scan-bound. */
-  val simTopkSq8: GQuery = GQuery.noOracle("sim_topk_sq8") { (s, dir) =>
+    * scan-bound.
+    *
+    * Oracle-backed (round 10): the whole two-stage path is
+    * deterministic arithmetic — each frame's global 127/max|x| scale
+    * is a 1-row aggregate, `round()` ties break away from zero on
+    * both engines, the int8 dot products are exact in DOUBLE (values
+    * ≤ 127²·dim ≪ 2⁵³), and the shortlist rank rounds to 6 places
+    * with a neighbor-id tiebreak — so DuckDB replays quantize →
+    * shortlist → exact re-rank and the driver hash-checks it. */
+  val simTopkSq8: GQuery = GQuery(
+    "sim_topk_sq8",
+    // mxc/mxp: each frame quantizes with its OWN max-|x| scale (the
+    // probes are vec_id < 5), exactly as Similarity.sq8Quantize does
+    // per call; cosine is scale-invariant so the scales cancel.
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |mxc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+      |        FROM e),
+      |mxp AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+      |        FROM e WHERE vec_id < 5),
+      |cq AS (
+      |  SELECT vec_id AS neighbor_id,
+      |    list_transform(v, x -> round(x * 127.0 / greatest(mx, 1e-30)))
+      |      AS qb
+      |  FROM e, mxc),
+      |cqn AS (SELECT neighbor_id, qb,
+      |          sqrt(list_dot_product(qb, qb)) AS qnb FROM cq),
+      |pq AS (
+      |  SELECT vec_id AS probe_id,
+      |    list_transform(v, x -> round(x * 127.0 / greatest(mx, 1e-30)))
+      |      AS qa
+      |  FROM e, mxp WHERE vec_id < 5),
+      |pqn AS (SELECT probe_id, qa,
+      |          sqrt(list_dot_product(qa, qa)) AS qna FROM pq),
+      |short AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |    SELECT p.probe_id, c.neighbor_id,
+      |      row_number() OVER (PARTITION BY p.probe_id
+      |        ORDER BY round(list_dot_product(p.qa, c.qb)
+      |          / (p.qna * c.qnb), 6) DESC, c.neighbor_id) AS srk
+      |    FROM cqn c JOIN pqn p ON p.probe_id != c.neighbor_id)
+      |  WHERE srk <= 40),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |ranked AS (
+      |  SELECT s.probe_id, s.neighbor_id,
+      |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cosine,
+      |    row_number() OVER (PARTITION BY s.probe_id
+      |      ORDER BY round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+      |        DESC, s.neighbor_id) AS rk
+      |  FROM short s JOIN n c ON c.vec_id = s.neighbor_id
+      |    JOIN n p ON p.vec_id = s.probe_id)
+      |SELECT probe_id, rk, neighbor_id, cosine
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
     graft.api.Similarity.sq8TopK(ev, ev.filter(col("vec_id") < 5),
       "vec_id", "v", k = 5, shortlist = 40)
