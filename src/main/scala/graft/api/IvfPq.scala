@@ -87,7 +87,12 @@ object IvfPq {
         .select(col("s"), col("mn.code").as("code"),
           posexplode(col("sub")).as(Seq("pos", "x")))
         .groupBy(col("s"), col("code"), col("pos"))
-        .agg(avg(col("x")).as("mv"))
+        // 8-place rounding per Lloyd round — the VecKMeans.recenter
+        // discipline: double summation is order-dependent, so without
+        // it an engine replaying the rounds sequentially (the DuckDB
+        // oracle behind sim_topk_ivfpq) drifts ULPs per round and the
+        // trained codebooks stop being a reproducible relation
+        .agg(round(avg(col("x")), 8).as("mv"))
         .groupBy(col("s"), col("code"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), " +
           "q -> q.mv)").as("c"))
@@ -201,12 +206,17 @@ object IvfPq {
     // folded into ONE nested-map column per probe: tbl[s][code].
     // (Both levels maps: code can be sparse when a Lloyd cell
     // emptied, and structs holding maps aren't array_sort-able.)
+    // each partial dot rounded to 6 places: the per-row d2 rounding
+    // argument (mining_kmeans) applied to ADC — the exact sum of m
+    // rounded partials is a multiple of 1e-6, so each engine's ~1e-10
+    // summation drift is absorbed by the final 6-place round below
+    // and the shortlist rank is bit-identical cross-engine
     val tables = subVectors(p.select(col("vec_id"), col("v")), m, subDim)
       .withColumnRenamed("vec_id", "probe_id")
       .join(broadcast(codebooks), Seq("s"))
       .groupBy(col("probe_id"), col("s"))
       .agg(map_from_entries(collect_list(
-        struct(col("code"), expr("vec_dot(sub, c)")))).as("tmap"))
+        struct(col("code"), expr("round(vec_dot(sub, c), 6)")))).as("tmap"))
       .groupBy(col("probe_id"))
       .agg(map_from_entries(collect_list(struct(col("s"), col("tmap"))))
         .as("tbl"))
@@ -221,10 +231,13 @@ object IvfPq {
       .join(broadcast(probeCells.join(tables, Seq("probe_id"))),
         Seq("cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-    // ADC: m in-row map lookups per candidate
+    // ADC: m in-row map lookups per candidate; the lookup sum is
+    // rounded to 6 BEFORE the norm division (recovering the exact
+    // multiple-of-1e-6 sum of the rounded partials), so approx_cos is
+    // a deterministic function of the index + probes on any engine
     val scored = candidates.withColumn("approx_cos",
-      expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> " +
-        "acc + element_at(element_at(tbl, s), element_at(codes, s + 1)))")
+      expr(s"round(aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> " +
+        "acc + element_at(element_at(tbl, s), element_at(codes, s + 1))), 6)")
         / (col("na") * col("nb")))
     val wa = Window.partitionBy(col("probe_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))

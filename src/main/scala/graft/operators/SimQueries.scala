@@ -251,6 +251,55 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** DuckDB replay of the per-subspace PQ codebook training
+    * (graft.api.IvfPq.build): sub-vectors (m = 8, subDim = 8), seed
+    * codes = rank among the 64 smallest vec_ids, each Lloyd round
+    * argmin-assigns on (d2, code) and recenters with round(avg, 8) —
+    * the recenter discipline IvfPq.build applies since round 10 —
+    * ending with `cbfin AS (s, code, c)` and `enc AS (vec_id, s,
+    * code)`, the final per-subspace encoding. Assumes
+    * [[MiningQueries.kmeansOracleCte]]'s `e` CTE is in scope. */
+  private def pqOracleCte(m: Int, subDim: Int, ksub: Int,
+      rounds: Int): String = {
+    val lloyd = (t: Int) =>
+      s"""sa$t AS (
+         |  SELECT vec_id, s, code, sub FROM (
+         |    SELECT sv.vec_id, sv.s, cb.code, sv.sub,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+         |        list_dot_product(sv.sub, sv.sub)
+         |          - 2 * list_dot_product(sv.sub, cb.c)
+         |          + list_dot_product(cb.c, cb.c), cb.code) AS rn
+         |    FROM sv JOIN cb${t - 1} cb ON sv.s = cb.s)
+         |  WHERE rn = 1),
+         |cb$t AS (
+         |  SELECT s, code, list(m ORDER BY pos) AS c FROM (
+         |    SELECT s, code, pos, round(avg(x), 8) AS m
+         |    FROM (SELECT s, code, unnest(sub) AS x,
+         |            unnest(range(1, len(sub) + 1)) AS pos FROM sa$t)
+         |    GROUP BY s, code, pos)
+         |  GROUP BY s, code)""".stripMargin
+    s"""sv AS (
+       |  SELECT vec_id, t.s AS s,
+       |    v[$subDim * t.s + 1 : $subDim * t.s + $subDim] AS sub
+       |  FROM e, (SELECT unnest(range($m)) AS s) t),
+       |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+       |           AS code
+       |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub)),
+       |cb0 AS (SELECT sv.s, seed.code, sv.sub AS c
+       |        FROM sv JOIN seed ON sv.vec_id = seed.vec_id),
+       |${(1 to rounds).map(lloyd).mkString(",\n")},
+       |cbfin AS (SELECT s, code, c FROM cb$rounds),
+       |enc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sv.vec_id, sv.s, cb.code,
+       |      row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+       |        list_dot_product(sv.sub, sv.sub)
+       |          - 2 * list_dot_product(sv.sub, cb.c)
+       |          + list_dot_product(cb.c, cb.c), cb.code) AS rn
+       |    FROM sv JOIN cbfin cb ON sv.s = cb.s)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** IVF-PQ approximate top-3 over a saved product-quantized index —
     * the memory-compressed ANN serving path (graft.api.IvfPq): the
     * in-memory search structure is m = 8 one-byte codes per vector
@@ -258,11 +307,73 @@ object SimQueries {
     * lookups, and the shortlist is exactly re-ranked on the stored
     * vectors. Build-if-absent like sim_topk_ivf; recall and
     * exactness-of-reranked-cosines are property-tested in IvfPqSpec.
-    * no-oracle (approximate index). */
-  val simTopkIvfPq: GQuery = GQuery.noOracle("sim_topk_ivfpq") { (s, dir) =>
+    *
+    * Oracle-backed (round 10): with the codebooks trained under the
+    * round-8 recenter discipline and ADC partials rounded to 6
+    * places, every stage is a deterministic SQL relation — the oracle
+    * replays coarse quantizer ([[MiningQueries.kmeansOracleCte]]) +
+    * PQ codebooks ([[pqOracleCte]]) + probe-cell top-3 + ADC
+    * shortlist (48 = k·16) + exact re-rank, and the driver
+    * hash-checks the whole serving path. The index family is
+    * `ivfpq_c8r8` (r8 = round-8 codebook recenter): the round-10
+    * arithmetic change renamed it so stale-but-stamped `ivfpq_c8`
+    * indexes from older code can never be served. */
+  val simTopkIvfPq: GQuery = GQuery(
+    "sim_topk_ivfpq",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |${pqOracleCte(m = 8, subDim = 8, ksub = 64, rounds = 2)},
+       |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM fin),
+       |pd AS (
+       |  SELECT p.vec_id, p.nrm, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 50) p, cfin c),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, nrm AS pn, cid FROM (
+       |    SELECT vec_id, nrm, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 3),
+       |pt AS (
+       |  SELECT sv.vec_id AS probe_id, cb.s, cb.code,
+       |    round(list_dot_product(sv.sub, cb.c), 6) AS pd6
+       |  FROM sv JOIN cbfin cb ON sv.s = cb.s
+       |  WHERE sv.vec_id < 50),
+       |cand AS (
+       |  SELECT pc.probe_id, n.vec_id AS neighbor_id, pc.pn,
+       |    n.nrm AS nn
+       |  FROM pc JOIN n ON n.cid = pc.cid AND n.vec_id != pc.probe_id),
+       |adc AS (
+       |  SELECT c.probe_id, c.neighbor_id, c.pn, c.nn,
+       |    round(sum(pt.pd6), 6) AS adcsum
+       |  FROM cand c
+       |    JOIN enc ON enc.vec_id = c.neighbor_id
+       |    JOIN pt ON pt.probe_id = c.probe_id AND pt.s = enc.s
+       |      AND pt.code = enc.code
+       |  GROUP BY c.probe_id, c.neighbor_id, c.pn, c.nn),
+       |shortl AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY adcsum / (pn * nn) DESC, neighbor_id) AS ark
+       |    FROM adc)
+       |  WHERE ark <= 48),
+       |ranked AS (
+       |  SELECT s.probe_id, s.neighbor_id,
+       |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+       |      AS cosine,
+       |    row_number() OVER (PARTITION BY s.probe_id
+       |      ORDER BY round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm),
+       |        6) DESC, s.neighbor_id) AS rk
+       |  FROM shortl s JOIN n c ON c.vec_id = s.neighbor_id
+       |    JOIN n p ON p.vec_id = s.probe_id)
+       |SELECT probe_id, rk, neighbor_id, cosine
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
     val ev = vecs(s, dir).select(col("vec_id"), col("v"))
     val pqPath = graft.IndexStore.ensure(
-      graft.IndexStore.stampedPath("ivfpq_c8", dir, "embeddings.parquet")) {
+      graft.IndexStore.stampedPath("ivfpq_c8r8", dir, "embeddings.parquet")) {
       tmp => graft.api.IvfPq.build(ev, "vec_id", "v", tmp,
         k = 8, rounds = 2, m = 8, ksub = 64)
     }
