@@ -229,6 +229,66 @@ object SourceQueries {
       .orderBy(col("status"))
   }
 
+  /** The JSON twin of [[sourceCsvMalformed]] — JSON's PERMISSIVE
+    * semantics differ from CSV's in two graded ways: there is no
+    * arity concept (a JSON line is corrupt iff it fails to PARSE, not
+    * if fields are missing — absent fields just read null), and the
+    * corrupt column captures the WHOLE offending line verbatim. Both
+    * are pinned: planted lines are unparsable (bare `,broken` token),
+    * and the oracle recomputes the exact byte length of every planted
+    * line from the table, so `corrupt_len` only matches if Spark
+    * captured each full line untouched. Corrupt rows are counted,
+    * never dropped — same 100 TB rationale as the CSV twin. */
+  val sourceJsonMalformed: GQuery = GQuery(
+    "source_json_malformed",
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS price_sum,
+      |  CAST(NULL AS BIGINT) AS corrupt_len
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT '_corrupt', CAST(count(*) AS BIGINT), NULL,
+      |  CAST(sum(length('{"o_orderkey":' || CAST(o_orderkey AS VARCHAR)
+      |    || ',broken')) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 89 = 0
+      |HAVING count(*) > 0
+      |ORDER BY status""".stripMargin) { (s, dir) =>
+    val path = tmpDir("json_malformed", dir)
+    val orders = Tables.orders(s, dir)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").json(path)
+    // planted unparsable lines as a sibling file set: valid prefix,
+    // then a bare token no JSON parser accepts — derived from the
+    // table so the oracle can reconstruct each line exactly
+    orders.filter(col("o_orderkey") % 89 === 0)
+      .select(concat(lit("{\"o_orderkey\":"),
+        col("o_orderkey").cast("string"), lit(",broken")).as("value"))
+      .write.mode("append").text(path)
+    val schema = StructType.fromDDL(
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+        "o_orderstatus STRING, _corrupt_record STRING")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .select(
+        when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("_corrupt_record").isNotNull, lit(null))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("_corrupt_record").isNotNull,
+          length(col("_corrupt_record"))).otherwise(lit(null)).as("clen"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price").cast("decimal(18,2)")), 2)
+          .cast("double").as("price_sum"),
+        sum(col("clen")).cast("bigint").as("corrupt_len"))
+      .orderBy(col("status"))
+  }
+
   val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan, sourceOrcScan,
-    sourceBinaryScan, sourceCsvMalformed)
+    sourceBinaryScan, sourceCsvMalformed, sourceJsonMalformed)
 }
