@@ -520,8 +520,89 @@ object DedupQueries {
       .orderBy(col("eval_id"), col("train_id"))
   }
 
+  /** Global SPAN-level exact dedup (the C4 / RefinedWeb rewrite step):
+    * every document is cut into consecutive non-overlapping 8-token
+    * spans, a span text seen anywhere before (corpus order = (doc_id,
+    * span position)) is DROPPED, and each document reports how much of
+    * it survived. Unlike [[dedupContainment]] (which *flags* overlap),
+    * this is the rewriting form: the surviving spans ARE the cleaned
+    * corpus, and the per-doc survival ratio is the quality signal.
+    *
+    * Scale shape: one hash-shuffle on the span text with map-side
+    * combine (identical spans collapse to one (span, min-position) row
+    * per map task before the exchange — on a duplicate-dense corpus
+    * the shuffle carries ~distinct spans), then one keyed equi-join to
+    * re-attach the winning occurrence and a per-doc aggregate. No
+    * windows, no all-pairs anything; both joins are on uniform keys.
+    * The first-occurrence winner is chosen with an ENCODED min
+    * (doc_id * 1e6 + span index — span index < 1e6 by construction)
+    * so the oracle's plain `min(bigint)` replays the exact choice. */
+  val dedupSpanGlobal: GQuery = GQuery(
+    "dedup_span_global",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |              FROM documents),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0, (len(ts)+7)//8 - 1)) AS cidx, ts
+      |  FROM toks),
+      |spans AS (
+      |  SELECT doc_id, cidx,
+      |    array_to_string(ts[cidx*8+1 : cidx*8+8], ' ') AS span,
+      |    LEAST(8, len(ts) - cidx*8) AS ctoks
+      |  FROM chunks),
+      |firsts AS (
+      |  SELECT span, min(doc_id * 1000000 + cidx) AS pos
+      |  FROM spans GROUP BY span),
+      |kept AS (
+      |  SELECT s.doc_id, s.ctoks
+      |  FROM spans s JOIN firsts f
+      |    ON s.span = f.span AND s.doc_id * 1000000 + s.cidx = f.pos),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |         CAST(sum(ctoks) AS BIGINT) AS n_toks
+      |  FROM spans GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_spans, p.n_toks,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(k.toks_kept, 0) AS BIGINT) AS toks_kept
+      |FROM perdoc p LEFT JOIN (
+      |  SELECT doc_id, count(*) AS n_kept, sum(ctoks) AS toks_kept
+      |  FROM kept GROUP BY doc_id) k USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(sequence(lit(0L), (col("n") + 7L).cast("long")
+          .divide(8).cast("long") - 1L)).as("cidx"))
+      .select(col("doc_id"), col("cidx"),
+        array_join(slice(col("ts"), (col("cidx") * 8 + 1).cast("int"),
+          lit(8)), " ").as("span"),
+        least(lit(8), col("n") - col("cidx") * 8).cast("int").as("ctoks"))
+    // map-side combine: duplicate spans collapse per task before the
+    // one shuffle; pos encodes (doc_id, cidx) so min() is "first
+    // occurrence in corpus order" on both engines
+    val firsts = spans
+      .groupBy(col("span"))
+      .agg(min(col("doc_id") * 1000000L + col("cidx")).as("pos"))
+      .select(col("span").as("fspan"), col("pos"))
+    val kept = spans.join(firsts,
+      col("span") === col("fspan") &&
+        col("doc_id") * 1000000L + col("cidx") === col("pos"))
+      .groupBy(col("doc_id").as("kdoc"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("ctoks")).as("toks_kept"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ctoks")).cast("long").as("n_toks"))
+      .join(kept, col("doc_id") === col("kdoc"), "left")
+      .select(col("doc_id"), col("n_spans"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("toks_kept"), lit(0L)).cast("long").as("toks_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
-    dedupIngest, dedupContainment, dedupContainmentIngest)
+    dedupIngest, dedupContainment, dedupContainmentIngest,
+    dedupSpanGlobal)
 }

@@ -451,8 +451,95 @@ object LayoutQueries {
       .orderBy(col("segment"))
   }
 
+  /** Slowly-Changing-Dimension Type 2 merge — the history-preserving
+    * sibling of [[mergeUpsertSnapshot]] (which overwrites in place).
+    * A change batch against the customer dimension (segment moves for
+    * keys % 4 == 0, brand-new keys derived from % 25 == 3) CLOSES the
+    * matched current rows (valid_to stamped, is_current flips) and
+    * appends a new current version; unmatched rows ride through
+    * untouched. The snapshot is written hive-partitioned by
+    * current/history state — the layout lever that makes the common
+    * "current rows only" read prune the entire history at the
+    * directory level, which is what makes SCD2 affordable when the
+    * history is 100× the current set.
+    *
+    * Plan shape: two keyed equi-joins (base LEFT JOIN updates to
+    * close/carry, updates LEFT JOIN base to version-stamp the new
+    * rows) + UNION ALL. A change batch is small relative to the
+    * dimension, so both joins broadcast the batch at scale — no
+    * dimension shuffle at all. Validity stamps are plain strings
+    * (hash discipline: no raw temporal columns cross the compare
+    * boundary). */
+  val mergeScd2: GQuery = GQuery(
+    "merge_scd2",
+    """WITH dim AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer),
+      |upd AS (
+      |  SELECT k, 'SEG_MOVED' AS useg,
+      |         CAST(bal + 100 AS DECIMAL(12,2)) AS ubal
+      |  FROM dim WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT k + 1000000, 'SEG_NEW', CAST(100.00 AS DECIMAL(12,2))
+      |  FROM dim WHERE k % 25 = 3),
+      |scd AS (
+      |  SELECT d.k, d.seg, d.bal, '2020-01-01' AS valid_from,
+      |         CASE WHEN u.k IS NOT NULL THEN '2023-06-15' END AS valid_to,
+      |         u.k IS NULL AS is_current, 1 AS version
+      |  FROM dim d LEFT JOIN upd u ON d.k = u.k
+      |  UNION ALL
+      |  SELECT u.k, u.useg, u.ubal, '2023-06-15', NULL, TRUE,
+      |         CASE WHEN d.k IS NOT NULL THEN 2 ELSE 1 END
+      |  FROM upd u LEFT JOIN dim d ON u.k = d.k)
+      |SELECT CASE WHEN is_current THEN 'current' ELSE 'history' END
+      |         AS state,
+      |  valid_from,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(round(sum(bal), 2) AS DOUBLE) AS bal_sum,
+      |  CAST(max(version) AS INT) AS max_version
+      |FROM scd
+      |GROUP BY 1, 2
+      |ORDER BY state, valid_from""".stripMargin) { (s, dir) =>
+    val path = tmpDir("merge_scd2", dir)
+    val dim = Tables.customer(s, dir).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val upd = dim.filter(col("k") % 4 === 0)
+      .select(col("k").as("uk"), lit("SEG_MOVED").as("useg"),
+        (col("bal") + 100).cast("decimal(12,2)").as("ubal"))
+      .unionAll(dim.filter(col("k") % 25 === 3)
+        .select((col("k") + 1000000L).as("uk"), lit("SEG_NEW").as("useg"),
+          lit(BigDecimal("100.00")).cast("decimal(12,2)").as("ubal")))
+    val closedOrCarried = dim.join(upd, col("k") === col("uk"), "left")
+      .select(col("k"), col("seg"), col("bal"),
+        lit("2020-01-01").as("valid_from"),
+        when(col("uk").isNotNull, lit("2023-06-15")).as("valid_to"),
+        col("uk").isNull.as("is_current"), lit(1).as("version"))
+    val newVersions = upd.join(dim, col("uk") === col("k"), "left")
+      .select(col("uk").as("k"), col("useg").as("seg"),
+        col("ubal").as("bal"), lit("2023-06-15").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"),
+        when(col("k").isNotNull, 2).otherwise(1).as("version"))
+    closedOrCarried.unionAll(newVersions)
+      .withColumn("state",
+        when(col("is_current"), "current").otherwise("history"))
+      .write.mode("overwrite").partitionBy("state").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("state"), col("valid_from"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("k")).as("n_keys"),
+        sum(col("k")).as("key_sum"),
+        round(sum(col("bal")), 2).cast("double").as("bal_sum"),
+        max(col("version")).as("max_version"))
+      .orderBy(col("state"), col("valid_from"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
-    mergeUpsertSnapshot, sourceSchemaDrift)
+    mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2)
 }

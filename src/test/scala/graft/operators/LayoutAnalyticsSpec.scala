@@ -196,6 +196,37 @@ class LayoutAnalyticsSpec extends SparkTestBase {
       "clean rows must survive the permissive read exactly")
   }
 
+  test("merge_scd2: history/current invariants hold and the snapshot prunes by state") {
+    import org.apache.spark.sql.functions._
+    val dim = graft.sources.Tables.customer(spark, sfDir)
+    val nChanged = dim.filter(col("c_custkey") % 4 === 0).count()
+    val nNew = dim.filter(col("c_custkey") % 25 === 3).count()
+    val nAll = dim.count()
+    val rows = LayoutQueries.mergeScd2.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(6))).toMap
+    // every matched current row closes into history, exactly once
+    assert(rows(("history", "2020-01-01"))._1 == nChanged)
+    // the new current set: one version-2 row per change + the inserts
+    assert(rows(("current", "2023-06-15"))._1 == nChanged + nNew)
+    assert(rows(("current", "2023-06-15"))._2 == 2,
+      "changed keys must reach version 2")
+    // untouched rows ride through still current at version 1
+    assert(rows(("current", "2020-01-01"))._1 == nAll - nChanged)
+    assert(rows(("current", "2020-01-01"))._2 == 1)
+    // the layout lever: state is a hive partition directory, so a
+    // current-only read never lists history files
+    val path = LayoutQueries.tmpDir("merge_scd2", sfDir)
+    assert(new java.io.File(s"$path/state=current").isDirectory &&
+      new java.io.File(s"$path/state=history").isDirectory,
+      "snapshot must be hive-partitioned by state")
+    val scan = spark.read.parquet(path)
+      .filter(col("state") === "current").queryExecution.executedPlan
+      .toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("state"), s"state filter must prune partitions:\n$scan")
+  }
+
   test("tpch_q3/q10 plan exactly one shuffle (the aggregate exchange)") {
     // at this scale the dims broadcast, so the ONLY data movement is
     // the group-by exchange; the top-N is a TakeOrderedAndProject

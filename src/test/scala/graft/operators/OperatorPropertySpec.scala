@@ -349,4 +349,46 @@ class OperatorPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("dedup_span_global: conservation, exact-dup annihilation, first-doc survival") {
+    val rows = DedupQueries.dedupSpanGlobal.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // per-doc conservation: kept never exceeds owned, token counts
+    // bound span counts (1..8 tokens per span)
+    rows.values.foreach { case (nSpans, nToks, nKept, toksKept) =>
+      assert(nKept <= nSpans && toksKept <= nToks)
+      assert(nKept <= toksKept && toksKept <= 8 * nKept)
+    }
+    // global conservation: exactly one survivor per distinct span text
+    val distinctSpans = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .selectExpr("explode(sequence(0, (size(ts)+7) div 8 - 1)) as c",
+        "ts")
+      .selectExpr("array_join(slice(ts, cast(c*8+1 as int), 8), ' ') as s")
+      .distinct().count()
+    assert(rows.values.map(_._3).sum == distinctSpans,
+      "kept spans across the corpus must equal distinct span texts")
+    // planted corpus: an exact copy must lose ALL spans; a doc whose
+    // first chunk-aligned half copies an earlier doc keeps only the
+    // novel half (the rewrite semantics, pinned deterministically)
+    val a = (1 to 16).map(i => s"w$i").mkString(" ")   // 2 full chunks
+    val b = (17 to 32).map(i => s"w$i").mkString(" ")
+    val dir = s"/tmp/graft_span_spec_${System.nanoTime()}"
+    Seq((1L, a), (2L, a), (3L, s"$a $b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = DedupQueries.dedupSpanGlobal.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(planted(1L) == ((2L, 16L)), "original keeps both spans")
+    assert(planted(2L) == ((0L, 0L)), "exact copy must be annihilated")
+    assert(planted(3L) == ((2L, 16L)),
+      "half-copy keeps exactly its novel chunks")
+    // the lowest doc_id's FIRST span sits at the globally smallest
+    // encoded position, so it is unconditionally a survivor (a doc
+    // may still lose later spans to its own earlier ones)
+    val first = rows.keys.min
+    assert(rows(first)._3 >= 1,
+      "the first document's first span must survive")
+  }
 }
