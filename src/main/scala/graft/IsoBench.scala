@@ -69,7 +69,8 @@ object IsoBench {
     val load1 = Bench.loadavg1m()
     val json = warm.map { case (n, t) => f""""$n": $t%.3f""" }
       .mkString(
-        s"""{"metric": "warm_iso_sec", "sf": "$sfDir", "cpus": $cpus, """ +
+        s"""{"metric": "${if (runs == 1) "cold_iso_sec" else "warm_iso_sec"}", """ +
+          s""""sf": "$sfDir", "cpus": $cpus, "runs": $runs, """ +
           s""""loadavg_start": $load0, "loadavg_end": $load1, """ +
           """"queries": {""",
         ", ", "}}")

@@ -580,10 +580,22 @@ object DedupQueries {
         least(lit(8), col("n") - col("cidx") * 8).cast("int").as("ctoks"))
     // map-side combine: duplicate spans collapse per task before the
     // one shuffle; pos encodes (doc_id, cidx) so min() is "first
-    // occurrence in corpus order" on both engines
+    // occurrence in corpus order" on both engines. The encoding is only
+    // injective while cidx < 1e6 (docs under 8M tokens) and
+    // doc_id * 1e6 + cidx fits a bigint (doc_id < ~9.2e12) — guard INSIDE
+    // the pos expression (not a prunable side column) so a violating
+    // corpus fails loudly instead of silently mis-ranking winners
+    val encodedPos = when(
+      col("cidx") >= 1000000L || col("doc_id") < 0L ||
+        col("doc_id") > 9000000000000L,
+      raise_error(concat(
+        lit("dedup_span_global: (doc_id, span) outside the 1e6 " +
+          "position encoding: doc_id="), col("doc_id"),
+        lit(" cidx="), col("cidx"))).cast("long"))
+      .otherwise(col("doc_id") * 1000000L + col("cidx"))
     val firsts = spans
       .groupBy(col("span"))
-      .agg(min(col("doc_id") * 1000000L + col("cidx")).as("pos"))
+      .agg(min(encodedPos).as("pos"))
       .select(col("span").as("fspan"), col("pos"))
     val kept = spans.join(firsts,
       col("span") === col("fspan") &&

@@ -481,7 +481,8 @@ object LayoutQueries {
       |         CAST(bal + 100 AS DECIMAL(12,2)) AS ubal
       |  FROM dim WHERE k % 4 = 0
       |  UNION ALL
-      |  SELECT k + 1000000, 'SEG_NEW', CAST(100.00 AS DECIMAL(12,2))
+      |  SELECT k + (SELECT max(k) FROM dim), 'SEG_NEW',
+      |         CAST(100.00 AS DECIMAL(12,2))
       |  FROM dim WHERE k % 25 = 3),
       |scd AS (
       |  SELECT d.k, d.seg, d.bal, '2020-01-01' AS valid_from,
@@ -507,11 +508,18 @@ object LayoutQueries {
     val dim = Tables.customer(s, dir).select(
       col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
       col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    // brand-new keys are derived ABOVE max(c_custkey) — a fixed offset
+    // collides with real keys once the dimension outgrows it (custkey max
+    // is 150k*sf, so 1e6 broke at sf >= ~7); k + max(k) lands in
+    // (max, 2*max], disjoint from the real key space at ANY scale factor.
+    // The 1-row max broadcasts — no extra dimension shuffle.
+    val maxK = dim.agg(max(col("k")).as("mxk"))
     val upd = dim.filter(col("k") % 4 === 0)
       .select(col("k").as("uk"), lit("SEG_MOVED").as("useg"),
         (col("bal") + 100).cast("decimal(12,2)").as("ubal"))
       .unionAll(dim.filter(col("k") % 25 === 3)
-        .select((col("k") + 1000000L).as("uk"), lit("SEG_NEW").as("useg"),
+        .crossJoin(broadcast(maxK))
+        .select((col("k") + col("mxk")).as("uk"), lit("SEG_NEW").as("useg"),
           lit(BigDecimal("100.00")).cast("decimal(12,2)").as("ubal")))
     val closedOrCarried = dim.join(upd, col("k") === col("uk"), "left")
       .select(col("k"), col("seg"), col("bal"),
