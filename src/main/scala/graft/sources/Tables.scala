@@ -45,24 +45,42 @@ object Tables {
     documents(s, d).repartition(
       s.sessionState.conf.numShufflePartitions, col("doc_id"))
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS,false); Spark 4.1.2's default
-    * read throws [PARQUET_TYPE_ILLEGAL]. Verified recipe (SURVEY.md
-    * §5.3.1): read nanos as Long via the legacy conf, then convert to a
-    * µs TimestampType with `timestamp_micros(ts div 1000)` — this equals
-    * DuckDB's µs view of the same column exactly, so oracle SQL can use
-    * the raw `ts` unchanged.
+  /** `events.ts` normalization — schema-adaptive because the generated
+    * corpus has shipped two physical layouts:
+    *   - TIMESTAMP(NANOS,false): Spark 4.1.2's default read throws
+    *     [PARQUET_TYPE_ILLEGAL]; recipe (SURVEY.md §5.3.1) is the legacy
+    *     nanos-as-Long conf + `timestamp_micros(ts div 1000)`.
+    *   - TIMESTAMP(MICROS) without tz: Spark reads TIMESTAMP_NTZ; under
+    *     the UTC session timezone a cast to TimestampType preserves the
+    *     epoch-micros bit-for-bit.
+    * Both normalize to the SAME µs TimestampType values, equal to
+    * DuckDB's µs view of the column, so oracle SQL uses raw `ts`
+    * unchanged regardless of which layout is on disk.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = p(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
-  /** events with `ts` kept as raw epoch-nanos Long (for callers that want
+  /** events with `ts` as raw epoch-nanos Long (for callers that want
     * integer time arithmetic, e.g. streaming tests building their own
-    * schema). */
+    * schema). On the µs-layout corpus the nanos are reconstructed as
+    * micros*1000 — same values the nanos layout yields after its µs
+    * truncation round-trip. */
   def eventsRawNanos(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events")
+    val raw = p(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 }
