@@ -123,6 +123,59 @@ object Sampling {
     df.withColumn(outCol, labelCol)
   }
 
+  /** Per-group TEMPERATURE thresholds — the data-driven half of
+    * [[temperatureSampled]], exposed so callers can report the
+    * derived rates: (group, __n, __thr) with __thr the 0..65536
+    * integer keep cutoff.
+    *
+    * Targets ∝ √n_g (the α = 0.5 temperature of multilingual-sampling
+    * practice — √ because IEEE sqrt is exactly rounded and therefore
+    * engine-portable, unlike pow) scaled to a `budgetFrac` fraction
+    * of the corpus, capped at 1. Determinism discipline: per-group
+    * √n rounded to 6 places, the group-sum on the DECIMAL(18,6) grid
+    * (order-free), the final rate one double expression over
+    * identical inputs rounded to 6 before integer quantization —
+    * every engine derives the same thresholds from the same corpus.
+    *
+    * Scale shape: one map-side-combining count per group, a 1-row
+    * broadcast total, a per-group projection — the group dim is the
+    * aggregate's output (bounded by the source taxonomy, not corpus
+    * rows). */
+  def temperatureThresholds(df: DataFrame, group: String,
+      budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac ($budgetFrac) must be in (0, 1]")
+    val counts = df.groupBy(col(group))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(sqrt(col("__n").cast("double")), 6))
+    val tot = counts.agg(
+      sum(col("__w").cast("decimal(18,6)")).as("__sumw"),
+      sum(col("__n")).as("__total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0), round(
+        lit(budgetFrac) * col("__total").cast("double") * col("__w")
+          / (col("__sumw").cast("double") * col("__n")), 6)))
+      .select(col(group), col("__n"),
+        round(col("__rate") * 65536).cast("long").as("__thr"))
+  }
+
+  /** Temperature-flattened multi-source sampling: per-group keep
+    * rates are derived FROM THE DATA (∝ √n_g, scaled to `budgetFrac`
+    * of the corpus — dominant sources downsampled hardest, rare ones
+    * kept whole), then applied as the same integer-exact hash filter
+    * as [[mixtureWeighted]]. The rebalancing step run when nobody
+    * hand-tunes a rate map per source. The thresholds join is a
+    * plain equi-join on the group key (AQE promotes the bounded dim
+    * to broadcast at runtime); the filter itself is per-row. */
+  def temperatureSampled(df: DataFrame, id: String, group: String,
+      budgetFrac: Double = 0.5, salt: String = "tmp:"): DataFrame = {
+    val thr = temperatureThresholds(df, group, budgetFrac)
+      .select(col(group), col("__thr"))
+    df.join(thr, Seq(group))
+      .filter(portableHash(col(id), salt) % 65536L < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic per-stratum reservoir: the k rows with the
     * smallest salted hash in each stratum (id as the unique
     * tiebreak).

@@ -358,6 +358,41 @@ object Similarity {
     * turns into PartitionFilters: only the probed partition
     * directories are ever read. The probe set (bounded) is broadcast;
     * the index is scanned once, never shuffled. */
+  /** RANGE search over a saved [[ivfBuild]] index: every neighbor
+    * with cosine ≥ `tau` inside the probes' nProbe nearest cells —
+    * (probe_id, neighbor_id, cosine). The threshold-retrieval twin of
+    * [[ivfTopK]] (RAG recall sweeps, near-dup probes against a served
+    * corpus): same cell assignment, same literal `cid IN (...)`
+    * partition pruning, but the result is every qualifying pair, not
+    * a top-k — output-bound by the true neighbor count. Recall is
+    * bounded by cell recall exactly as for top-k probes (a cross-cell
+    * qualifying pair is never scored). No distinct is needed: a
+    * neighbor lives in exactly one cell, so (probe, neighbor) meets
+    * at most once. */
+  def ivfRangeSearch(probes: DataFrame, id: String, vec: String,
+      path: String, tau: Double, nProbe: Int = 3): DataFrame = {
+    val spark = probes.sparkSession
+    val centers = spark.read.parquet(s"$path/centers")
+    val p = prep(probes, id, vec)
+    val probeCells = VecKMeans
+      .assignTopN(p.select(col("vid").as("vec_id"), col("v")), centers,
+        nProbe)
+      .join(p.select(col("vid").as("vec_id"), col("nrm")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("probe_id"),
+        col("v").as("va"), col("nrm").as("na"))
+    val cids = probeCells.select(col("cid")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(cids: _*))
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    cells.join(broadcast(probeCells), Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   def ivfTopK(probes: DataFrame, id: String, vec: String, path: String,
       k: Int, nProbe: Int = 3): DataFrame = {
     val spark = probes.sparkSession

@@ -149,6 +149,49 @@ object SampleQueries {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Temperature-flattened mixture (graft.api.Sampling
+    * .temperatureSampled): keep rates derived from the data itself —
+    * targets ∝ √n_source scaled to half the corpus, dominant sources
+    * downsampled hardest, rare ones kept whole — the α = 0.5
+    * rebalancing of multilingual-corpus practice, with the same
+    * integer-exact hash filter as sample_mixture. Reported as the
+    * per-source manifest (total, derived integer threshold, kept). */
+  val sampleTemperature: GQuery = GQuery(
+    "sample_temperature",
+    s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |           FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(CAST(round(sqrt(CAST(n AS DOUBLE)), 6)
+       |               AS DECIMAL(18,6))) AS DOUBLE) AS s,
+       |             CAST(sum(n) AS BIGINT) AS total FROM c),
+       |r AS (SELECT source, n,
+       |        CAST(round(least(1.0,
+       |          round(0.5 * total * round(sqrt(CAST(n AS DOUBLE)), 6)
+       |            / (s * n), 6)) * 65536) AS BIGINT) AS thr
+       |      FROM c, t),
+       |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+       |      FROM documents d JOIN r USING (source)
+       |      WHERE ${duckHash("concat('tmp:', CAST(doc_id AS VARCHAR))")}
+       |        % 65536 < thr
+       |      GROUP BY d.source)
+       |SELECT r.source, r.n AS n_docs, r.thr,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM r LEFT JOIN k ON r.source = k.source
+       |ORDER BY r.source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val thr = graft.api.Sampling.temperatureThresholds(docs, "source")
+      .select(col("source"), col("__n").as("n_docs"),
+        col("__thr").as("thr"))
+    val kept = graft.api.Sampling.temperatureSampled(docs, "doc_id",
+        "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+    thr.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("thr"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
-    sampleMixture, sampleMixtureUpsampled, sampleSplitAssign)
+    sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
+    sampleTemperature)
 }

@@ -382,6 +382,48 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Cosine RANGE search (tau = 0.4, probes vec_id < 20) served from
+    * the SAME saved IVF index as sim_topk_ivf / dedup_semantic_indexed
+    * — the threshold-retrieval serving mode next to top-k: every
+    * qualifying neighbor in the probes' 3 nearest cells, output-bound
+    * by the true neighbor count rather than k. One more consumer of
+    * the one saved index (build once, serve top-k + range + dedup
+    * sweeps). Oracle: the same quantizer replay as sim_topk_ivf with
+    * the rank stage swapped for the threshold filter. */
+  val simRangeIvf: GQuery = GQuery(
+    "sim_range_ivf",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM fin),
+       |pd AS (
+       |  SELECT p.vec_id, p.v, p.nrm, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 20) p, cfin c),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn, cid FROM (
+       |    SELECT vec_id, v, nrm, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 3)
+       |SELECT pc.probe_id, n.vec_id AS neighbor_id,
+       |  round(list_dot_product(pc.pv, n.v) / (pc.pn * n.nrm), 6)
+       |    AS cosine
+       |FROM pc JOIN n ON n.cid = pc.cid AND n.vec_id != pc.probe_id
+       |WHERE round(list_dot_product(pc.pv, n.v) / (pc.pn * n.nrm), 6)
+       |  >= 0.4
+       |ORDER BY probe_id, neighbor_id""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val ivfPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
+        k = 8, rounds = 2)
+    }
+    graft.api.Similarity.ivfRangeSearch(ev.filter(col("vec_id") < 20),
+      "vec_id", "v", ivfPath, tau = 0.4, nProbe = 3)
+      .orderBy(col("probe_id"), col("neighbor_id"))
+  }
+
   /** Scalar-quantized (int8) two-stage top-5 for the same probes as
     * the brute-force baseline: shortlist on the ¼-size quantized
     * corpus with the exact-integer vec_dot_i8 kernel, then exact
@@ -583,5 +625,5 @@ object SimQueries {
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
-      dedupSemanticIndexed, simTopkMmr)
+      dedupSemanticIndexed, simTopkMmr, simRangeIvf)
 }

@@ -550,9 +550,147 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document character-level Shannon entropy over the lowercased
+    * a-z alphabet — the compression-adjacent quality signal next to
+    * [[textQualityScore]]'s ratio features (very low entropy flags
+    * repeated-character/boilerplate junk, very high flags
+    * random-string noise; both tails are filter candidates in a
+    * corpus pipeline). Determinism: per-class p·ln p terms use the
+    * 8-place-rounded log (the [[textLangDivergence]] discipline), the
+    * ≤ 26-term sum is rounded to 6 after negation.
+    *
+    * Scale shape: the char explode combines map-side to ≤ 26 rows per
+    * (doc, partition) before the one doc_id shuffle; the entropy fold
+    * is a per-doc aggregate over those ≤ 26 rows — no corpus-wide
+    * state, streaming-safe as a per-doc projection. */
+  val textEntropy: GQuery = GQuery(
+    "text_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]'))
+      |    AS c
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+      |        FROM ch GROUP BY doc_id, c),
+      |tot AS (SELECT doc_id, c, k,
+      |          CAST(sum(k) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      |        FROM cnt)
+      |SELECT doc_id, CAST(max(n) AS INT) AS n_alpha,
+      |  round(0 - sum((CAST(k AS DOUBLE) / n)
+      |    * round(ln(CAST(k AS DOUBLE) / n), 8)), 6) AS entropy
+      |FROM tot GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val cnt = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]"),
+          lit(0))).as("c"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("k"))
+    val p = col("k").cast("double") / col("n")
+    cnt
+      .withColumn("n", sum(col("k")).over(
+        Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("int").as("n_alpha"),
+        // 0 − sum, not −sum: a single-class doc sums to −0.0 and the
+        // negation would carry the sign bit into the hash compare
+        round(lit(0d) - sum(p * round(log(p), 8)), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII detection audit over a corpus with PLANTED synthetic PII —
+    * the detection/inventory counterpart of [[textNormalize]]'s scrub
+    * pass (an audit reports what WOULD be redacted, per type, and
+    * proves the scrub leaves nothing behind). The synthetic corpus
+    * carries no real PII, so both engines plant the SAME deterministic
+    * emails / phone numbers / IPv4s (keyed off doc_id — the
+    * source_csv_malformed planted-fixture pattern), then count
+    * matches per type, scrub, and re-scan the scrubbed text: leftover
+    * MUST be 0, and that invariant rides the oracle hash-check.
+    * Patterns are RE2-compatible (no \b, no \d — explicit classes),
+    * replacement order is email → ip → phone so no later pattern can
+    * match inside an earlier placeholder. Pure per-row projection +
+    * one small per-lang rollup — streaming-safe, no corpus state. */
+  val textPiiAudit: GQuery = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    // DuckDB string literals keep backslashes verbatim (no escape
+    // processing), so the same pattern string embeds directly; the
+    // Spark side uses the string-overload regexp functions, which
+    // also take the pattern verbatim — one pattern, two engines
+    val emailD = email
+    GQuery(
+      "text_pii_audit",
+      s"""WITH planted AS (
+         |  SELECT doc_id, lang, concat(text,
+         |    CASE WHEN doc_id % 7 = 0 THEN concat(' contact user',
+         |      CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+         |    CASE WHEN doc_id % 11 = 0 THEN concat(' call 415-555-',
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+         |    CASE WHEN doc_id % 13 = 0 THEN concat(' host 10.0.',
+         |      CAST(doc_id % 200 AS VARCHAR), '.',
+         |      CAST(doc_id % 100 AS VARCHAR)) ELSE '' END) AS t
+         |  FROM documents),
+         |audited AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(t, '$emailD')) AS n_email,
+         |    len(regexp_extract_all(t, '$ip')) AS n_ip,
+         |    len(regexp_extract_all(t, '$phone')) AS n_phone,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$emailD', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |      '$phone', '<PHONE>', 'g') AS scrubbed
+         |  FROM planted)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1
+         |           ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(n_email) AS BIGINT) AS emails,
+         |  CAST(sum(n_ip) AS BIGINT) AS ips,
+         |  CAST(sum(n_phone) AS BIGINT) AS phones,
+         |  CAST(sum(len(regexp_extract_all(scrubbed, '$emailD'))
+         |    + len(regexp_extract_all(scrubbed, '$ip'))
+         |    + len(regexp_extract_all(scrubbed, '$phone')))
+         |    AS BIGINT) AS leftover
+         |FROM audited GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0, concat(lit(" call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(col("doc_id") % 13 === 0, concat(lit(" host 10.0."),
+          (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"))).otherwise(""))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+        col("t"), email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")
+      def hits(c: org.apache.spark.sql.Column,
+          pat: String): org.apache.spark.sql.Column =
+        size(regexp_extract_all(c, lit(pat), lit(0)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), t.as("t"))
+        .select(col("doc_id"), col("lang"),
+          hits(col("t"), email).as("n_email"),
+          hits(col("t"), ip).as("n_ip"),
+          hits(col("t"), phone).as("n_phone"),
+          scrubbed.as("scrubbed"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1)
+            .otherwise(0)).as("docs_with_pii"),
+          sum(col("n_email")).cast("bigint").as("emails"),
+          sum(col("n_ip")).cast("bigint").as("ips"),
+          sum(col("n_phone")).cast("bigint").as("phones"),
+          sum(hits(col("scrubbed"), email) + hits(col("scrubbed"), ip)
+            + hits(col("scrubbed"), phone)).cast("bigint").as("leftover"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
-    textHeavyHitters, textFeatureHashing, textSurprisalBigram)
+    textHeavyHitters, textFeatureHashing, textSurprisalBigram,
+    textEntropy, textPiiAudit)
 }

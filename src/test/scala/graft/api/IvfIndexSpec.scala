@@ -57,6 +57,28 @@ class IvfIndexSpec extends SparkTestBase {
     assert(probed <= 6)
   }
 
+  test("range search prunes partitions like top-k and matches an in-plan threshold scan") {
+    val probes = ev.filter(col("vec_id") < 3)
+    val rng = Similarity.ivfRangeSearch(probes, "vec_id", "v", indexPath,
+      tau = 0.3, nProbe = 2)
+    val plan = rng.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"no partition pruning on the range-search cells scan:\n$plan")
+    // every hit clears the threshold, and the hit set equals the
+    // top-k serving path's candidates filtered by the threshold
+    // (same cells, same cosine kernel — the rank is the only delta)
+    val hits = rng.collect()
+    assert(hits.nonEmpty)
+    hits.foreach(r => assert(r.getDouble(2) >= 0.3))
+    val viaTopk = Similarity.ivfTopK(probes, "vec_id", "v", indexPath,
+        k = Int.MaxValue - 1, nProbe = 2)
+      .filter(col("cosine") >= 0.3)
+      .select("probe_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hits.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == viaTopk)
+  }
+
   test("ivfAppend adds arrivals to the saved cells; probes find them immediately") {
     val p = Files.createTempDirectory("graft_ivf_append").toString
     val corpus = ev.filter(col("vec_id") < 400)

@@ -73,7 +73,14 @@ class BroadcastPolicySpec extends SparkTestBase {
     // analyzed plan of the returned frame carries zero hints.)
     "text_pack_sequences" -> 1,
     // 1-row total/cardinality scalar joined back onto the key counts
-    "pipeline_skew_report" -> 1
+    "pipeline_skew_report" -> 1,
+    // IVF range search: k-row center broadcast (probe-cell assignment)
+    // + the ≤ 20×nProbe probe-cell set; the thresholds join itself is
+    // un-hinted (AQE promotes the bounded source dim at runtime)
+    "sim_range_ivf" -> 2,
+    // two 1-row (Σ√n, N) total scalars: temperatureThresholds is
+    // evaluated twice (manifest + the sampled frame's filter)
+    "sample_temperature" -> 2
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -391,4 +391,88 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(rows(first)._3 >= 1,
       "the first document's first span must survive")
   }
+
+  test("text_entropy: bounded by ln(26), 0 for single-class, maximal for uniform") {
+    val rows = TextQueries.textEntropy.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getDouble(2)
+      assert(e >= 0 && e <= math.log(26) + 1e-9,
+        s"entropy $e out of [0, ln 26] for doc ${r.getLong(0)}")
+    }
+    // planted fixtures: single-letter text → 0; 26-letter pangram-ish
+    // uniform text → exactly ln(26) (up to the 8-place log rounding)
+    val dir = s"/tmp/graft_entropy_spec_${System.nanoTime()}"
+    Seq((1L, "aaaa aaa aa"), (2L, ('a' to 'z').mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextQueries.textEntropy.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(planted(1L) == 0.0, "single-class entropy must be exactly 0")
+    assert(math.abs(planted(2L) - math.log(26)) < 1e-5,
+      s"uniform 26-class entropy ${planted(2L)} must be ~ln(26)")
+  }
+
+  test("text_pii_audit: planted counts reconcile, scrub leaves nothing") {
+    val rows = TextQueries.textPiiAudit.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val (emails, ips, phones, leftover) = rows.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((e, i, p, l), r) => (e + r.getLong(3), i + r.getLong(4),
+        p + r.getLong(5), l + r.getLong(6))
+    }
+    val ids = Tables.documents(spark, sfDir).select($"doc_id")
+      .as[Long].collect()
+    assert(emails == ids.count(_ % 7 == 0),
+      "every planted email (and nothing else) must be detected")
+    assert(ips == ids.count(_ % 13 == 0))
+    assert(phones == ids.count(_ % 11 == 0))
+    assert(leftover == 0, "the scrub pass must redact every match")
+  }
+
+  test("sample_temperature: rare sources keep proportionally more, budget honored") {
+    val rows = SampleQueries.sampleTemperature.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // thresholds (keep rates) must be non-increasing in source size
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, n1, t1, _), (_, n2, t2, _)) =>
+        if (n1 < n2) assert(t1 >= t2,
+          s"smaller source (n=$n1, thr=$t1) must keep at least the " +
+            s"rate of a larger one (n=$n2, thr=$t2)")
+      case _ =>
+    }
+    // kept counts track their expected rate loosely (hash variance);
+    // the total lands near the half-corpus budget
+    val total = rows.map(_._2).sum
+    val kept = rows.map(_._4).sum
+    assert(kept > 0 && kept < total)
+    assert(math.abs(kept - 0.5 * total) < 0.15 * total,
+      s"kept $kept vs budget ${0.5 * total} drifted > 15%")
+    // determinism across invocations
+    val again = SampleQueries.sampleTemperature.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("sim_range_ivf: precision 1.0 vs brute force, exact cosines, recall bounded") {
+    val got = SimQueries.simRangeIvf.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .as("v"))
+    val exact = graft.api.Similarity.cosineTopK(
+        ev, ev.filter($"vec_id" < 20), "vec_id", "v",
+        k = Int.MaxValue - 1)
+      .filter($"cosine" >= 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { case (pair, cos) =>
+      assert(exact.contains(pair),
+        s"range hit $pair not in the exact threshold set (precision < 1)")
+      assert(exact(pair) == cos, s"cosine mismatch for $pair")
+    }
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"cell recall $recall collapsed (${got.size}/${exact.size})")
+  }
 }

@@ -29,7 +29,9 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_topk_ivfpq",   // k-row center + m·ksub codebook broadcasts
     "sim_topk_sq8",     // int8 shortlist pass: tiny probe set broadcast, quantized corpus streamed
     "dedup_semantic",   // k-row center broadcast (quantizer training + cell assignment)
-    "pipeline_skew_report") // 1-row total/cardinality scalar cross join
+    "pipeline_skew_report", // 1-row total/cardinality scalar cross join
+    "sim_range_ivf",    // k-row center broadcast (probe-cell assignment)
+    "sample_temperature") // 1-row (Σ√n, N) total scalar cross join ×2
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
