@@ -48,12 +48,24 @@ object IsoBench {
     // (cold ≈ warm at multi-minute durations; a second run buys no
     // adjudication). Default stays 2 (record the warm run).
     val runs = sys.env.getOrElse("SPARK_GRAFT_ISO_RUNS", "2").toInt
+    // SPARK_GRAFT_ISO_CLEAR=1 drops the PlanCache (session memos +
+    // their persisted frames) BETWEEN queries: on a long probe over
+    // output-bound queries, one query's persisted frames squeeze the
+    // next query's storage/execution memory and its warm number
+    // reads high (the round-11 finding: sim_topk_ivfpq warm 18.8 s
+    // inside the 10× probe session vs 2.6 s in a clean session).
+    // Default stays off — the standing sf0.1 artifact measures the
+    // shared-session warm posture, where cross-query memo reuse is
+    // the point.
+    val clearBetween =
+      sys.env.getOrElse("SPARK_GRAFT_ISO_CLEAR", "0") == "1"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     val warm = names.map { name =>
+      if (clearBetween) PlanCache.clear()
       var last = 0.0
       for (r <- 1 to runs) {
         val t0 = System.nanoTime()
@@ -71,6 +83,7 @@ object IsoBench {
       .mkString(
         s"""{"metric": "${if (runs == 1) "cold_iso_sec" else "warm_iso_sec"}", """ +
           s""""sf": "$sfDir", "cpus": $cpus, "runs": $runs, """ +
+          s""""cleared_between": $clearBetween, """ +
           s""""loadavg_start": $load0, "loadavg_end": $load1, """ +
           """"queries": {""",
         ", ", "}}")
