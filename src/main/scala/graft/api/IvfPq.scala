@@ -65,7 +65,6 @@ object IvfPq {
     // (same smallest-id seeds, same (d2, code) tie-break), but ~2 jobs
     // per round instead of ~6·m
     val subs = subVectors(ev, m, subDim).localCheckpoint(true)
-    val subd2 = "vec_dot(sub, sub) - 2 * vec_dot(sub, c) + vec_dot(c, c)"
     // seed codes are the RANK among the ksub smallest ids (0..ksub−1),
     // never a cast of the id value (see VecKMeans.seedCenters) — this
     // is also what keeps every PQ code < 256 regardless of id space
@@ -76,15 +75,25 @@ object IvfPq {
     var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("s"), col("code"), col("sub").as("c"))
       .localCheckpoint(true)
+    // each subspace's whole codebook folded into ONE code-sorted array
+    // row, so assignment is a per-row codegen'd argmin
+    // (vec_argmin_code — bit-identical to the former ksub-way
+    // candidate join + min(struct(d2, code)) aggregate, see the
+    // expression's scaladoc) instead of a |subs|·ksub row explosion
+    // plus re-aggregation shuffle per Lloyd round: the 100× probe
+    // measured the join form at 112 s for 200k vectors, ~all of it
+    // this explosion
+    def cbArrays(codebook: DataFrame): DataFrame = codebook
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("code"), col("c"))))
+        .as("cbs"))
     def assignSubs(codebook: DataFrame): DataFrame = subs
-      .join(broadcast(codebook), Seq("s"))
-      .withColumn("d2", expr(subd2))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d2"), col("code"))).as("mn"),
-        first(col("sub")).as("sub"))
+      .join(broadcast(cbArrays(codebook)), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        expr("vec_argmin_code(sub, cbs)").as("code"), col("sub"))
     for (_ <- 1 to rounds) {
       cb = assignSubs(cb)
-        .select(col("s"), col("mn.code").as("code"),
+        .select(col("s"), col("code"),
           posexplode(col("sub")).as(Seq("pos", "x")))
         .groupBy(col("s"), col("code"), col("pos"))
         // 8-place rounding per Lloyd round — the VecKMeans.recenter
@@ -103,7 +112,7 @@ object IvfPq {
     // final codebooks, collected into one m-length code array
     val encoded = assignSubs(cb)
       .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(s, mn.code))), " +
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), " +
         "p -> CAST(p.code AS INT))").as("codes"))
     VecKMeans.assign(ev, centers)
       .join(e.select(col("vec_id"), col("nrm")), Seq("vec_id"))
@@ -148,15 +157,17 @@ object IvfPq {
           s"$dim (m=$m × subDim=$subDim); rejecting the whole batch")
     val ev = e.select(col("vec_id"), col("v"))
     // encode: nearest saved sub-centroid per (vector, subspace) —
-    // same (d2, code) tie-break as build's assignSubs
-    val subd2 = "vec_dot(sub, sub) - 2 * vec_dot(sub, c) + vec_dot(c, c)"
+    // same (d2, code) tie-break as build's assignSubs, via the same
+    // per-row argmin expression (no ksub-way candidate join)
+    val cbArr = codebooks.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("code"), col("c"))))
+        .as("cbs"))
     val encoded = subVectors(ev, m, subDim)
-      .join(broadcast(codebooks), Seq("s"))
-      .withColumn("d2", expr(subd2))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d2"), col("code"))).as("mn"))
+      .join(broadcast(cbArr), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        expr("vec_argmin_code(sub, cbs)").as("code"))
       .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(s, mn.code))), " +
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), " +
         "p -> CAST(p.code AS INT))").as("codes"))
     VecKMeans.assign(ev, centers)
       .join(e.select(col("vec_id"), col("nrm")), Seq("vec_id"))

@@ -137,9 +137,110 @@ case class VecDotI8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment against a whole (sorted) codebook as
+  * ONE expression: `vec_argmin_code(sub, cbs)` where `cbs` is
+  * `array<struct<code:int, c:array<double>>>` sorted by code
+  * ascending. Returns the code minimizing
+  * `(dot(sub,sub) − 2·dot(sub,c)) + dot(c,c)`, ties to the SMALLEST
+  * code.
+  *
+  * This replaces the ksub-way candidate join + `min(struct(d2, code))`
+  * aggregate in PQ training/encode: the frame stays |sub-vectors|
+  * rows instead of |sub-vectors|·ksub, and the per-candidate shuffle
+  * and re-aggregation disappear (the 100× probe measured the join
+  * form's build at 112 s for 200k×8 sub-vectors × 64 codes — almost
+  * all of it this explosion). Arithmetic is EXACTLY the join path's:
+  * each dot is the same left-to-right fold the codegen'd [[VecDot]]
+  * (and DuckDB's `list_dot_product`, which the sim_topk_ivfpq oracle
+  * replays) performs, the d2 composition keeps the same operation
+  * order, and ascending-code iteration with strict-less updates
+  * reproduces the lexicographic `min(struct(d2, code))` tie-break —
+  * so trained codebooks and encodings are bit-identical to the join
+  * form and the saved-index oracle stays valid. */
+case class VecArgminCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sub = a.asInstanceOf[ArrayData].toDoubleArray()
+    val cbs = b.asInstanceOf[ArrayData]
+    require(cbs.numElements() > 0, "vec_argmin_code: empty codebook")
+    var aa = 0.0
+    var i = 0
+    while (i < sub.length) { aa += sub(i) * sub(i); i += 1 }
+    var best = 0.0
+    var bestCode = 0
+    var first = true
+    var j = 0
+    while (j < cbs.numElements()) {
+      val row = cbs.getStruct(j, 2)
+      val c = row.getArray(1).toDoubleArray()
+      val n = math.min(sub.length, c.length)
+      var bb = 0.0
+      var k = 0
+      while (k < n) { bb += sub(k) * c(k); k += 1 }
+      var cc = 0.0
+      k = 0
+      while (k < c.length) { cc += c(k) * c(k); k += 1 }
+      val d2 = (aa - 2.0 * bb) + cc
+      if (first || d2 < best) { best = d2; bestCode = row.getInt(0); first = false }
+      j += 1
+    }
+    bestCode
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sub = ctx.freshName("sub")
+      val cbs = ctx.freshName("cbs")
+      val aa = ctx.freshName("aa")
+      val best = ctx.freshName("best")
+      val bestCode = ctx.freshName("bestCode")
+      val first = ctx.freshName("first")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val bb = ctx.freshName("bb")
+      val cc = ctx.freshName("cc")
+      val d2 = ctx.freshName("d2")
+      s"""
+         |double[] $sub = $a.toDoubleArray();
+         |org.apache.spark.sql.catalyst.util.ArrayData $cbs = $b;
+         |if ($cbs.numElements() == 0) {
+         |  throw new IllegalArgumentException("vec_argmin_code: empty codebook");
+         |}
+         |double $aa = 0.0;
+         |for (int $i = 0; $i < $sub.length; $i++) { $aa += $sub[$i] * $sub[$i]; }
+         |double $best = 0.0;
+         |int $bestCode = 0;
+         |boolean $first = true;
+         |for (int $j = 0; $j < $cbs.numElements(); $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $cbs.getStruct($j, 2);
+         |  double[] $c = $row.getArray(1).toDoubleArray();
+         |  int $n = java.lang.Math.min($sub.length, $c.length);
+         |  double $bb = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) { $bb += $sub[$k] * $c[$k]; }
+         |  double $cc = 0.0;
+         |  for (int $k = 0; $k < $c.length; $k++) { $cc += $c[$k] * $c[$k]; }
+         |  double $d2 = ($aa - 2.0 * $bb) + $cc;
+         |  if ($first || $d2 < $best) { $best = $d2; $bestCode = $row.getInt(0); $first = false; }
+         |}
+         |${ev.value} = $bestCode;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecArgminCode =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Idempotently register vec_dot / vec_norm / vec_dot_i8 in the
-    * session's function registry so expr("vec_dot(a, b)") resolves. */
+  /** Idempotently register vec_dot / vec_norm / vec_dot_i8 /
+    * vec_argmin_code in the session's function registry so
+    * expr("vec_dot(a, b)") resolves. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
@@ -148,5 +249,7 @@ object VectorExpressions {
       exprs => VecNorm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot_i8",
       exprs => VecDotI8(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_argmin_code",
+      exprs => VecArgminCode(exprs.head, exprs(1)), "built-in")
   }
 }
