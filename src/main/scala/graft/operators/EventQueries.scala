@@ -354,7 +354,55 @@ object EventQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Calendar-spine GAP FILLING over the daily per-type series — the
+    * densification step every time-series consumer downstream of an
+    * event pipeline needs (a day with zero events must appear as an
+    * explicit 0, or moving averages / anomaly z-scores silently skip
+    * it). The spine spans the corpus's [min, max] day; missing
+    * (type, day) cells materialize with cnt = 0 and an is_filled
+    * flag. All-integer outputs, day formatted to string.
+    *
+    * Scale shape: the spine derives from a 1-row min/max aggregate
+    * (explode of a sequence — days, not corpus rows); the type dim is
+    * a bounded distinct broadcast; the fill join is keyed equi on
+    * (type, day) against the already-aggregated daily frame. The
+    * corpus is touched exactly once (the daily rollup, map-side
+    * combining). */
+  val evGapFill: GQuery = GQuery(
+    "ev_gap_fill",
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+      |spine AS (
+      |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      |  FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, strftime(s.d, '%Y-%m-%d') AS day,
+      |  CAST(coalesce(dd.cnt, 0) AS BIGINT) AS cnt,
+      |  dd.cnt IS NULL AS is_filled
+      |FROM spine s CROSS JOIN types t
+      |  LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.d = s.d
+      |ORDER BY t.event_type, day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("d"))
+    val types = ev.select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("cnt").isNull.as("is_filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
-    evTransitions, evAnomalyZscore)
+    evTransitions, evAnomalyZscore, evGapFill)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -546,8 +547,100 @@ object LayoutQueries {
       .orderBy(col("state"), col("valid_from"))
   }
 
+  /** CDC APPLY — the third merge semantic next to
+    * [[mergeUpsertSnapshot]] (overwrite) and [[mergeScd2]] (history):
+    * a change FEED carrying I/U/D operations at multiple versions is
+    * applied latest-version-wins per key, deletes drop rows, inserts
+    * add brand-new keys, and a later U resurrects an earlier D (the
+    * upsert contract Debezium/lakehouse MERGE pipelines assume). The
+    * feed is derived deterministically from the dimension itself (one
+    * op per (key, version) by construction, so the version-desc
+    * window has no ties); inserts key above max(k) — the
+    * [[mergeScd2]] collision-free discipline. Reported as the final
+    * state's per-segment rollup with a from-feed count.
+    *
+    * Scale posture: latest-wins is one keyed window over the FEED
+    * (change batches are small next to the table); the apply is an
+    * anti-join + union — both keyed on the primary key, AQE
+    * broadcasts the feed side at runtime. No full-table window, no
+    * unkeyed shuffle. */
+  val mergeCdcApply: GQuery = GQuery(
+    "merge_cdc_apply",
+    """WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+      |               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |             FROM customer),
+      |feed AS (
+      |  SELECT k AS ck, seg AS cseg,
+      |    CASE WHEN k % 17 = 3 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(bal + 50 AS DECIMAL(12,2)) AS cbal, 1 AS version
+      |  FROM dim WHERE k % 10 = 0 OR k % 17 = 3
+      |  UNION ALL
+      |  SELECT k, seg, CASE WHEN k % 23 = 5 THEN 'D' ELSE 'U' END,
+      |    CAST(bal + 100 AS DECIMAL(12,2)), 2
+      |  FROM dim WHERE k % 20 = 0 OR k % 23 = 5
+      |  UNION ALL
+      |  SELECT k + (SELECT max(k) FROM dim), 'SEG_CDC', 'I',
+      |    CAST(100.00 AS DECIMAL(12,2)), 2
+      |  FROM dim WHERE k % 25 = 3),
+      |latest AS (
+      |  SELECT ck, cseg, op, cbal FROM (
+      |    SELECT ck, cseg, op, cbal,
+      |      row_number() OVER (PARTITION BY ck ORDER BY version DESC)
+      |        AS rn
+      |    FROM feed)
+      |  WHERE rn = 1),
+      |fin AS (
+      |  SELECT d.k, d.seg, d.bal, FALSE AS from_feed FROM dim d
+      |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.ck = d.k)
+      |  UNION ALL
+      |  SELECT ck, cseg, cbal, TRUE FROM latest WHERE op <> 'D')
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(round(sum(bal), 2) AS DOUBLE) AS sum_bal,
+      |  CAST(sum(CASE WHEN from_feed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed
+      |FROM fin GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (s, dir) =>
+    val dim = Tables.customer(s, dir).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val maxK = dim.agg(max(col("k")).as("mxk"))
+    val v1 = dim.filter(col("k") % 10 === 0 || col("k") % 17 === 3)
+      .select(col("k").as("ck"), col("seg").as("cseg"),
+        when(col("k") % 17 === 3, "D").otherwise("U").as("op"),
+        (col("bal") + 50).cast("decimal(12,2)").as("cbal"),
+        lit(1L).as("version"))
+    val v2 = dim.filter(col("k") % 20 === 0 || col("k") % 23 === 5)
+      .select(col("k").as("ck"), col("seg").as("cseg"),
+        when(col("k") % 23 === 5, "D").otherwise("U").as("op"),
+        (col("bal") + 100).cast("decimal(12,2)").as("cbal"),
+        lit(2L).as("version"))
+    val ins = dim.filter(col("k") % 25 === 3)
+      .crossJoin(broadcast(maxK))
+      .select((col("k") + col("mxk")).as("ck"),
+        lit("SEG_CDC").as("cseg"), lit("I").as("op"),
+        lit(BigDecimal("100.00")).cast("decimal(12,2)").as("cbal"),
+        lit(2L).as("version"))
+    val latest = v1.unionAll(v2).unionAll(ins)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ck")).orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+    val untouched = dim
+      .join(latest.select(col("ck")), col("k") === col("ck"), "left_anti")
+      .select(col("k"), col("seg"), col("bal"),
+        lit(false).as("from_feed"))
+    val applied = latest.filter(col("op") =!= "D")
+      .select(col("ck").as("k"), col("cseg").as("seg"),
+        col("cbal").as("bal"), lit(true).as("from_feed"))
+    untouched.unionAll(applied)
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("bal")), 2).cast("double").as("sum_bal"),
+        sum(when(col("from_feed"), 1L).otherwise(0L)).as("n_changed"))
+      .orderBy(col("seg"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
-    mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2)
+    mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply)
 }

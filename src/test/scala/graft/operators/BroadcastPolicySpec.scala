@@ -80,7 +80,13 @@ class BroadcastPolicySpec extends SparkTestBase {
     "sim_range_ivf" -> 2,
     // two 1-row (Σ√n, N) total scalars: temperatureThresholds is
     // evaluated twice (manifest + the sampled frame's filter)
-    "sample_temperature" -> 2
+    "sample_temperature" -> 2,
+    // 1-row max(k) scalar keying the collision-free insert range; the
+    // feed subtree carrying it feeds BOTH sides of the apply
+    // (anti-join + surviving-ops union), so the hint resolves twice
+    "merge_cdc_apply" -> 2,
+    // bounded distinct event-type dim crossed with the day spine
+    "ev_gap_fill" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

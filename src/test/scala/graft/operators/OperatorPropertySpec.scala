@@ -454,6 +454,55 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("merge_cdc_apply: latest wins, deletes drop, resurrect and late-delete both honored") {
+    val dim = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as[Long]).collect().toSet
+    val maxK = dim.max
+    // recompute the feed semantics independently in plain Scala
+    val v1 = dim.filter(k => k % 10 == 0 || k % 17 == 3)
+      .map(k => k -> (if (k % 17 == 3) "D" else "U", 1))
+    val v2 = dim.filter(k => k % 20 == 0 || k % 23 == 5)
+      .map(k => k -> (if (k % 23 == 5) "D" else "U", 2))
+    val ins = dim.filter(_ % 25 == 3).map(k => (k + maxK) -> ("I", 2))
+    val latest = (v1 ++ v2 ++ ins).groupBy(_._1)
+      .map { case (k, ops) => k -> ops.maxBy(_._2._2)._2._1 }
+    val expectedRows = dim.count(k => !latest.contains(k)) +
+      latest.count(_._2 != "D")
+    val expectedChanged = latest.count(_._2 != "D")
+    val got = LayoutQueries.mergeCdcApply.fn(spark, sfDir).collect()
+    assert(got.map(_.getLong(1)).sum == expectedRows,
+      "final row count must match the latest-wins apply")
+    assert(got.map(_.getLong(3)).sum == expectedChanged)
+    // the planted interaction cases must exist and behave: k=20 gets
+    // v1 D + v2 U (resurrected), k=120 gets v1 U + v2 D (dropped)
+    assert(latest.get(20L).contains("U") && latest.get(120L).contains("D"),
+      "fixture must exercise both version-interaction cases")
+    val cdcSeg = got.find(_.getString(0) == "SEG_CDC")
+    assert(cdcSeg.exists(_.getLong(1) == dim.count(_ % 25 == 3)),
+      "every insert (and only inserts) lands in SEG_CDC")
+  }
+
+  test("ev_gap_fill: dense spine, zeros exactly on missing cells, counts conserved") {
+    val rows = EventQueries.evGapFill.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    val types = rows.map(_._1).distinct
+    val days = rows.map(_._2).distinct.sorted
+    assert(rows.length == types.length * days.length,
+      "every (type, day) cell must be present")
+    assert(days.zip(days.tail).forall { case (a, b) =>
+      java.time.LocalDate.parse(b).minusDays(1) ==
+        java.time.LocalDate.parse(a)
+    }, "the day spine must be gap-free")
+    rows.foreach { case (t, d, cnt, filled) =>
+      assert(filled == (cnt == 0L),
+        s"is_filled must mark exactly the zero cells ($t $d)")
+    }
+    val raw = Tables.events(spark, sfDir).count()
+    assert(rows.map(_._3).sum == raw,
+      "gap filling must conserve the raw event count")
+  }
+
   test("sim_range_ivf: precision 1.0 vs brute force, exact cosines, recall bounded") {
     val got = SimQueries.simRangeIvf.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -31,7 +31,9 @@ class PlanShapeSpec extends SparkTestBase {
     "dedup_semantic",   // k-row center broadcast (quantizer training + cell assignment)
     "pipeline_skew_report", // 1-row total/cardinality scalar cross join
     "sim_range_ivf",    // k-row center broadcast (probe-cell assignment)
-    "sample_temperature") // 1-row (Σ√n, N) total scalar cross join ×2
+    "sample_temperature", // 1-row (Σ√n, N) total scalar cross join ×2
+    "merge_cdc_apply",  // 1-row max(k) scalar cross join (insert keys)
+    "ev_gap_fill")      // day spine × bounded distinct type dim
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
