@@ -182,6 +182,37 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS shortest paths (unit edge weights): (node,
+    * dist) for every node within `iters` hops of a source — the
+    * Pregel/GraphX staple next to PageRank. Each round relaxes the
+    * frontier through one keyed join (distances shuffle on the edge
+    * key, the edge list is scanned once per round) and collapses with
+    * a map-side-combining min; per-round localCheckpoint keeps the
+    * lineage one round deep at any radius (the [[pageRank]]
+    * discipline). Distances are exact integers — no float drift
+    * surface at all — and min() makes the result independent of
+    * relaxation order, so any engine replaying the unrolled rounds
+    * agrees bit-for-bit. Unreached nodes are absent (a caller wanting
+    * sentinel ∞ rows can left-join the node set). */
+  def shortestPaths(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, srcCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .localCheckpoint(true)
+    var d = sources.select(col(srcCol).as("node"))
+      .distinct()
+      .withColumn("dist", lit(0))
+    for (_ <- 1 to iters) {
+      d = d.unionAll(
+          e.join(d.select(col("node").as("src"), col("dist")), Seq("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    d
+  }
+
   /** Canonical undirected edge set (a < b, deduped, loops dropped)
     * with both endpoint degrees attached, ORIENTED low-degree →
     * high-degree (ties by node value): (u, v) with (du,u) ≺ (dv,v).

@@ -147,6 +147,38 @@ object GraphQueries {
     }
   }
 
+  /** Multi-round BFS shortest paths from the lexicographically
+    * smallest brand (a deterministic landmark) — a thin binding of
+    * graft.api.Graph.shortestPaths. Unit-weight hop distances over
+    * the co-purchase graph; 3 rounds bound the radius. All-integer
+    * results and an order-independent min make the oracle a plain
+    * unrolled relaxation. */
+  val graphShortestPaths: GQuery = {
+    val iters = 3
+    val duckRound = (t: Int) =>
+      s"""d$t AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${t - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d${t - 1}.dist + 1
+         |    FROM e JOIN d${t - 1} ON e.src = d${t - 1}.node)
+         |  GROUP BY node)""".stripMargin
+    GQuery("graph_shortest_paths",
+      s"""$duckEdges,
+         |d0 AS (SELECT min(src) AS node, 0 AS dist FROM e),
+         |${(1 to iters).map(duckRound).mkString(",\n")}
+         |SELECT node AS brand, CAST(dist AS INT) AS dist
+         |FROM d$iters
+         |ORDER BY brand""".stripMargin) { (s, dir) =>
+      val e = edges(s, dir)
+      val source = e.agg(min(col("src")).as("node"))
+      graft.api.Graph.shortestPaths(e, "src", "dst", source, "node",
+          iters = iters)
+        .select(col("node").as("brand"), col("dist").cast("int").as("dist"))
+        .orderBy(col("brand"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
-    graphCommunities)
+    graphCommunities, graphShortestPaths)
 }

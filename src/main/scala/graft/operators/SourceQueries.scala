@@ -289,6 +289,57 @@ object SourceQueries {
       .orderBy(col("status"))
   }
 
+  /** NESTED-schema JSONL ingestion — the shape real event/order dumps
+    * arrive in (a struct field + a variable-length array of structs
+    * per record), exercising the read surface the flat sources don't:
+    * explicit nested DDL schema, dot-path projection through the
+    * struct, and `explode` of the array-of-structs. The fixture is
+    * derived deterministically from customer (record k carries
+    * k % 3 + 1 items with arithmetic ids/quantities), so the oracle
+    * replays the derivation relationally — integers end to end.
+    *
+    * Scale notes: the JSONL write/read splits by line across
+    * executors like any text source; the explode is a narrow
+    * generator; the only shuffle is the final bounded per-segment
+    * aggregate. */
+  val sourceJsonNested: GQuery = GQuery(
+    "source_json_nested",
+    """WITH it AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    unnest(generate_series(0, c_custkey % 3)) AS j
+      |  FROM customer)
+      |SELECT seg, CAST(count(DISTINCT k) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum((k + j) % 7 + 1) AS BIGINT) AS total_qty,
+      |  CAST(max(k * 10 + j) AS BIGINT) AS max_item_id
+      |FROM it GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (s, dir) =>
+    val path = tmpDir("json_nested", dir)
+    Tables.customer(s, dir)
+      .select(to_json(struct(
+        col("c_custkey").as("k"),
+        struct(col("c_mktsegment").as("seg")).as("profile"),
+        expr("""transform(sequence(0, CAST(c_custkey % 3 AS INT)),
+                |  j -> named_struct(
+                |    'item_id', c_custkey * 10 + j,
+                |    'qty', (c_custkey + j) % 7 + 1))""".stripMargin)
+          .as("items"))).as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = StructType.fromDDL(
+      "k BIGINT, profile STRUCT<seg: STRING>, " +
+        "items ARRAY<STRUCT<item_id: BIGINT, qty: BIGINT>>")
+    s.read.schema(schema).json(path)
+      .select(col("k"), col("profile.seg").as("seg"),
+        explode(col("items")).as("it"))
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("k")).as("n_docs"),
+        count(lit(1)).as("n_items"),
+        sum(col("it.qty")).as("total_qty"),
+        max(col("it.item_id")).as("max_item_id"))
+      .orderBy(col("seg"))
+  }
+
   val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan, sourceOrcScan,
-    sourceBinaryScan, sourceCsvMalformed, sourceJsonMalformed)
+    sourceBinaryScan, sourceCsvMalformed, sourceJsonMalformed,
+    sourceJsonNested)
 }

@@ -133,4 +133,21 @@ class GraphApiSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("shortestPaths: exact hop distances on a chain; out-of-radius and disconnected absent") {
+    // directed chain 1→2→3→4→5 plus a disconnected pair 10→11;
+    // radius 3 from node 1 reaches exactly {1:0, 2:1, 3:2, 4:3}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("s", "d")
+    val src = Seq(1L).toDF("n")
+    val got = Graph.shortestPaths(e, "s", "d", src, "n", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+      s"wrong distance map: $got")
+    // a shorter alternative path must win over a longer one
+    val e2 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val got2 = Graph.shortestPaths(e2, "s", "d", src, "n", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 == Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
 }
