@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GQuery
@@ -430,8 +431,52 @@ object AggQueries {
     per.union(overall).orderBy(col("event_type"))
   }
 
+  /** WEIGHTED percentiles (lower weighted median + weighted p90) of
+    * price with quantity as the weight — the aggregation a
+    * token-weighted corpus statistic needs (per-document means lie
+    * when documents differ 1000× in length; the weight column is the
+    * fix). Definition: the smallest value whose cumulative weight
+    * reaches the quantile of the total. Cumulative weights are
+    * all-integer RANGE-frame window sums (ties share one cumulative
+    * value on both engines — the default ORDER BY frame), the
+    * threshold compare is integer arithmetic, and the pick is a
+    * min() — zero float surface anywhere in the decision. */
+  val aggWeightedPercentile: GQuery = GQuery(
+    "agg_weighted_percentile",
+    """WITH w AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |    CAST(l_quantity AS BIGINT) AS wt
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, price, wt,
+      |    CAST(sum(wt) OVER (PARTITION BY flag ORDER BY price)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      |  FROM w)
+      |SELECT flag, CAST(max(tot) AS BIGINT) AS total_weight,
+      |  min(CASE WHEN 2 * cum >= tot THEN price END) AS wmedian,
+      |  min(CASE WHEN 10 * cum >= 9 * tot THEN price END) AS wp90
+      |FROM c GROUP BY flag
+      |ORDER BY flag""".stripMargin) { (s, dir) =>
+    val w = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
+      col("l_quantity").cast("bigint").as("wt"))
+    val byFlag = Window.partitionBy(col("flag"))
+    val c = w
+      .withColumn("cum", sum(col("wt")).over(byFlag.orderBy(col("price"))))
+      .withColumn("tot", sum(col("wt")).over(byFlag))
+    c.groupBy(col("flag"))
+      .agg(max(col("tot")).as("total_weight"),
+        min(when(lit(2) * col("cum") >= col("tot"), col("price")))
+          .as("wmedian"),
+        min(when(lit(10) * col("cum") >= lit(9) * col("tot"),
+          col("price"))).as("wp90"))
+      .orderBy(col("flag"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
-    aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned)
+    aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
+    aggWeightedPercentile)
 }

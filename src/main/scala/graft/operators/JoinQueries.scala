@@ -453,8 +453,73 @@ object JoinQueries {
       .orderBy(col("n_name"))
   }
 
+  /** POINT-IN-TIME join — the feature-store / training-data
+    * correctness join (Feathr/Tecton "PIT" semantics): each fact row
+    * joins the dimension VERSION that was valid at the fact's own
+    * timestamp, never a later one — the leakage every naive
+    * latest-snapshot join introduces into training data. The
+    * versioned dimension derives deterministically from customer
+    * (every key a base version from 1990; every k % 4 == 0 key a
+    * SEG_MOVED version effective 1995-06-01), so validity ranges
+    * partition time and every order matches EXACTLY one version
+    * (spec-pinned). Reported per effective-at-order-time segment.
+    *
+    * Scale shape: equi-join on the key with the validity range as a
+    * residual predicate — the fact side shuffles once on custkey,
+    * versions-per-key is bounded (≤ 2 here; dozens in practice), so
+    * the residual filters a bounded candidate set per fact row. No
+    * window, no range-join explosion. */
+  val joinPointInTime: GQuery = GQuery(
+    "join_point_in_time",
+    """WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg
+      |             FROM customer),
+      |versions AS (
+      |  SELECT k, seg, TIMESTAMP '1990-01-01' AS vfrom,
+      |    CASE WHEN k % 4 = 0 THEN TIMESTAMP '1995-06-01'
+      |         ELSE TIMESTAMP '9999-12-31' END AS vto
+      |  FROM dim
+      |  UNION ALL
+      |  SELECT k, 'SEG_MOVED', TIMESTAMP '1995-06-01',
+      |    TIMESTAMP '9999-12-31'
+      |  FROM dim WHERE k % 4 = 0)
+      |SELECT v.seg, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS price_sum
+      |FROM orders o JOIN versions v
+      |  ON o.o_custkey = v.k
+      |  AND o.o_orderdate >= v.vfrom AND o.o_orderdate < v.vto
+      |GROUP BY v.seg
+      |ORDER BY v.seg""".stripMargin) { (s, dir) =>
+    val dim = Tables.customer(s, dir).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+    // version bounds in the fact column's own type (the new fixtures
+    // read o_orderdate as TIMESTAMP_NTZ; a tz-aware literal would
+    // fail analysis) — matches the oracle's naive TIMESTAMP literals
+    val odType = Tables.orders(s, dir).schema("o_orderdate")
+      .dataType.sql.toLowerCase
+    val v1 = dim.select(col("k"), col("seg"),
+      lit("1990-01-01").cast(odType).as("vfrom"),
+      when(col("k") % 4 === 0, lit("1995-06-01"))
+        .otherwise(lit("9999-12-31")).cast(odType).as("vto"))
+    val v2 = dim.filter(col("k") % 4 === 0)
+      .select(col("k"), lit("SEG_MOVED").as("seg"),
+        lit("1995-06-01").cast(odType).as("vfrom"),
+        lit("9999-12-31").cast(odType).as("vto"))
+    Tables.orders(s, dir)
+      .join(v1.unionAll(v2),
+        col("o_custkey") === col("k")
+          && col("o_orderdate") >= col("vfrom")
+          && col("o_orderdate") < col("vto"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("price_sum"))
+      .orderBy(col("seg"))
+  }
+
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
     joinAsof, joinAsofTolerance, joinTimeProximity, joinFullOuter,
-    joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe)
+    joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe,
+    joinPointInTime)
 }

@@ -503,6 +503,45 @@ class OperatorPropertySpec extends SparkTestBase {
       "gap filling must conserve the raw event count")
   }
 
+  test("join_point_in_time: every fact row matches exactly one dim version") {
+    val got = JoinQueries.joinPointInTime.fn(spark, sfDir).collect()
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(got.map(_.getLong(1)).sum == nOrders,
+      "validity ranges must partition time: one version per order")
+    // SEG_MOVED rows are exactly the k%4==0 customers' orders on or
+    // after the version's effective date
+    val moved = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey")
+      .filter($"c_custkey" % 4 === 0 &&
+        $"o_orderdate" >= lit("1995-06-01").cast(
+          Tables.orders(spark, sfDir).schema("o_orderdate").dataType))
+      .count()
+    assert(got.find(_.getString(0) == "SEG_MOVED")
+      .map(_.getLong(1)).getOrElse(0L) == moved)
+  }
+
+  test("agg_weighted_percentile matches an independent in-memory computation") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice",
+        $"l_quantity".cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def wquant(xs: Seq[(Double, Long)], num: Long, den: Long): Double = {
+      val sorted = xs.sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      sorted.find { case (_, w) => cum += w; den * cum >= num * tot }
+        .get._1
+    }
+    val expect = rows.groupBy(_._1).map { case (f, xs) =>
+      f -> (wquant(xs.map(x => (x._2, x._3)), 1, 2),
+        wquant(xs.map(x => (x._2, x._3)), 9, 10))
+    }
+    val got = AggQueries.aggWeightedPercentile.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == expect, s"weighted percentiles diverged: $got vs $expect")
+  }
+
   test("sim_range_ivf: precision 1.0 vs brute force, exact cosines, recall bounded") {
     val got = SimQueries.simRangeIvf.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
