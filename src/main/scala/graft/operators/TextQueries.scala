@@ -555,14 +555,21 @@ object TextQueries {
     * [[textQualityScore]]'s ratio features (very low entropy flags
     * repeated-character/boilerplate junk, very high flags
     * random-string noise; both tails are filter candidates in a
-    * corpus pipeline). Determinism: per-class p·ln p terms use the
-    * 8-place-rounded log (the [[textLangDivergence]] discipline), the
-    * ≤ 26-term sum is rounded to 6 after negation.
+    * corpus pipeline). Computed in the algebraic one-aggregate form
+    * H = ln n − (Σ k·ln k)/n — identical math to −Σ (k/n)·ln(k/n)
+    * but needing NO per-class share (so no window for the doc total):
+    * the class counts fold in a single per-doc aggregate.
+    * Determinism: per-class logs 8-place-rounded, and the k·ln k sum
+    * runs on the DECIMAL grid (integer k × DECIMAL(14,8) log — the
+    * [[textSurprisal]] discipline): each term is an exact multiple of
+    * 1e-8, so the sum is order-free and bit-identical on any engine
+    * (a plain double sum crossed a half-ULP rounding boundary on one
+    * sf0.1 doc). The final expression is one fixed double
+    * computation over identical inputs.
     *
     * Scale shape: the char explode combines map-side to ≤ 26 rows per
-    * (doc, partition) before the one doc_id shuffle; the entropy fold
-    * is a per-doc aggregate over those ≤ 26 rows — no corpus-wide
-    * state, streaming-safe as a per-doc projection. */
+    * (doc, partition) before the ONE doc_id-family shuffle; no
+    * corpus-wide state, streaming-safe as a per-doc projection. */
   val textEntropy: GQuery = GQuery(
     "text_entropy",
     """WITH ch AS (
@@ -571,29 +578,29 @@ object TextQueries {
       |  FROM documents),
       |cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
       |        FROM ch GROUP BY doc_id, c),
-      |tot AS (SELECT doc_id, c, k,
-      |          CAST(sum(k) OVER (PARTITION BY doc_id) AS BIGINT) AS n
-      |        FROM cnt)
-      |SELECT doc_id, CAST(max(n) AS INT) AS n_alpha,
-      |  round(0 - sum((CAST(k AS DOUBLE) / n)
-      |    * round(ln(CAST(k AS DOUBLE) / n), 8)), 6) AS entropy
-      |FROM tot GROUP BY doc_id
+      |a AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+      |        CAST(sum(CAST(k AS DECIMAL(12,0))
+      |          * CAST(round(ln(CAST(k AS DOUBLE)), 8) AS DECIMAL(14,8)))
+      |          AS DOUBLE) AS s
+      |      FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS INT) AS n_alpha,
+      |  round(round(ln(CAST(n AS DOUBLE)), 8) - s / n, 6) AS entropy
+      |FROM a
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val cnt = Tables.documentsSpread(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]"),
           lit(0))).as("c"))
       .groupBy(col("doc_id"), col("c"))
       .agg(count(lit(1)).as("k"))
-    val p = col("k").cast("double") / col("n")
-    cnt
-      .withColumn("n", sum(col("k")).over(
-        Window.partitionBy(col("doc_id"))))
       .groupBy(col("doc_id"))
-      .agg(max(col("n")).cast("int").as("n_alpha"),
-        // 0 − sum, not −sum: a single-class doc sums to −0.0 and the
-        // negation would carry the sign bit into the hash compare
-        round(lit(0d) - sum(p * round(log(p), 8)), 6).as("entropy"))
+      .agg(sum(col("k")).as("n"),
+        sum(col("k").cast("decimal(12,0)")
+          * round(log(col("k").cast("double")), 8)
+            .cast("decimal(14,8)")).cast("double").as("s"))
+      .select(col("doc_id"), col("n").cast("int").as("n_alpha"),
+        round(round(log(col("n").cast("double")), 8)
+          - col("s") / col("n"), 6).as("entropy"))
       .orderBy(col("doc_id"))
   }
 
