@@ -21,19 +21,28 @@ object VecKMeans {
   /** squared euclidean distance via the codegen'd dot products. */
   private[graft] val d2 = "vec_dot(v, v) - 2 * vec_dot(v, c) + vec_dot(c, c)"
 
-  /** nearest-center assignment: min over (distance², center id).
-    * Groups on the scalar vec_id only (never the array column — array
-    * hashing in the aggregate would dominate) and carries the vector
-    * through with first(). */
+  /** nearest-center assignment: min over (distance², center id),
+    * evaluated as ONE per-row codegen'd argmin over the cid-sorted
+    * center array (vec_argmin_code — bit-identical d2 arithmetic and
+    * tie-break to the former k-way candidate join + min(struct)
+    * aggregate, see the expression's scaladoc). The former form paid
+    * a k× row explosion AND a full-corpus exchange (the groupBy on
+    * vec_id, carrying the vector through first()); this form is a
+    * pure projection — at scale it removes one corpus shuffle per
+    * Lloyd round. The winner's d2 is recomputed by a k-row broadcast
+    * rejoin with the exact same `d2` expression — identical doubles,
+    * so inertia sums (mining_kmeans) are unchanged. */
   def assign(e: DataFrame, centers: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(e.sparkSession)
-    e.crossJoin(broadcast(centers))
+    val arr = centers
+      .agg(sort_array(collect_list(struct(col("cid"), col("c"))))
+        .as("cbs"))
+    e.crossJoin(broadcast(arr))
+      .withColumn("cid", expr("vec_argmin_code(v, cbs)"))
+      .drop("cbs")
+      .join(broadcast(centers), Seq("cid"))
       .withColumn("d2", expr(d2))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("m.cid").as("cid"),
-        col("m.d2").as("d2"))
+      .select(col("vec_id"), col("v"), col("cid"), col("d2"))
   }
 
   /** new centers: per-dimension mean via posexplode + groupBy — one

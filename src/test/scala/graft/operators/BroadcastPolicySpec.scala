@@ -64,9 +64,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     // literal-filtered (vec_id < 5) quantized probe set, and the same
     // probe set's float side in the re-rank join
     "sim_topk_sq8" -> 4,
-    // k-row center broadcasts (final assignment + the train-round tail
-    // that survives the per-round localCheckpoint truncation)
-    "dedup_semantic" -> 2,
+    // per surviving assignment TWO bounded hints since the argmin
+    // rewrite (the 1-row sorted center-array scalar + the k-row
+    // centers d2-rejoin): final assignment + the train-round tail
+    // that survives the per-round localCheckpoint truncation
+    "dedup_semantic" -> 4,
     // `ranges`-row (8) bucket-base-offset frame from the driver-side
     // prefix sum. (sim_topk_mmr needs NO budget: its bounded probe
     // hint sits behind the shortlist's eager localCheckpoint, so the
