@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, TextExpressions, VecDot, VecNorm, WordNgrams}
+import graft.functions.{CharNgrams, TextExpressions, VecArgminCode, VecArgminTopN, VecDot, VecDotI8, VecNorm, WordNgrams}
 
 /** Session-extension entry point: makes the engine's native functions
   * available to ANY session (including pure-SQL users on a cluster)
@@ -37,6 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of a double array"),
       (exprs: Seq[Expression]) => VecNorm(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot_i8"),
+      info("vec_dot_i8", "vec_dot_i8(a, b) - exact long dot product of " +
+        "two int8 (tinyint array) vectors of equal dimension"),
+      (exprs: Seq[Expression]) => VecDotI8(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_argmin_code"),
+      info("vec_argmin_code", "vec_argmin_code(v, cbs) - code of the " +
+        "nearest codebook entry by squared euclidean distance"),
+      (exprs: Seq[Expression]) => VecArgminCode(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_argmin_topn"),
+      info("vec_argmin_topn", "vec_argmin_topn(v, cbs, n) - codes of " +
+        "the n nearest codebook entries, (distance, code) ascending"),
+      (exprs: Seq[Expression]) => VecArgminTopN(exprs.head, exprs(1),
+        exprs(2))))
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(tokens, n) - sliding word n-grams"),
       (exprs: Seq[Expression]) => WordNgrams(exprs.head,

@@ -31,13 +31,17 @@ object VecKMeans {
     * pure projection — at scale it removes one corpus shuffle per
     * Lloyd round. The winner's d2 is recomputed by a k-row broadcast
     * rejoin with the exact same `d2` expression — identical doubles,
-    * so inertia sums (mining_kmeans) are unchanged. */
+    * so inertia sums (mining_kmeans) are unchanged.
+    *
+    * Contract notes: exactly one output row per INPUT row — duplicate
+    * vec_ids pass through undeduped (callers own id uniqueness; the
+    * pre-r11 join form's groupBy collapsed them as a side effect, not
+    * as a promise). Empty `centers` is an error, caught eagerly with
+    * a clear message rather than surfacing as an executor-side
+    * empty-codebook throw. */
   def assign(e: DataFrame, centers: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(e.sparkSession)
-    val arr = centers
-      .agg(sort_array(collect_list(struct(col("cid"), col("c"))))
-        .as("cbs"))
-    e.crossJoin(broadcast(arr))
+    e.crossJoin(broadcast(codebook(centers)))
       .withColumn("cid", expr("vec_argmin_code(v, cbs)"))
       .drop("cbs")
       .join(broadcast(centers), Seq("cid"))
@@ -65,17 +69,28 @@ object VecKMeans {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
         .as("c"))
 
-  /** top-n nearest centers per vector (IVF multi-cell probing):
-    * same distance expression, rank over (d2, cid) per vec_id. */
+  /** top-n nearest centers per vector (IVF multi-cell probing): one
+    * per-row codegen'd `vec_argmin_topn` projection over the
+    * cid-sorted center array — same (d2, cid) order the former k-way
+    * candidate join + row_number window produced (the expression's
+    * scaladoc carries the bit-parity argument), but the probe frame
+    * never explodes k× and the per-vec_id window exchange is gone:
+    * the same plan-shape win [[assign]] got from vec_argmin_code. */
   def assignTopN(e: DataFrame, centers: DataFrame, n: Int): DataFrame = {
     graft.functions.VectorExpressions.register(e.sparkSession)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("cid"))
-    e.crossJoin(broadcast(centers))
-      .withColumn("d2", expr(d2))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= n)
-      .select(col("vec_id"), col("v"), col("cid"))
+    e.crossJoin(broadcast(codebook(centers)))
+      .select(col("vec_id"), col("v"),
+        explode(expr(s"vec_argmin_topn(v, cbs, $n)")).as("cid"))
+  }
+
+  /** the k-row center set as ONE cid-sorted codebook array row (the
+    * broadcast side of both assignment projections), with the eager
+    * empty-centers guard both assignments share. */
+  private def codebook(centers: DataFrame): DataFrame = {
+    require(centers.limit(1).count() == 1,
+      "VecKMeans: empty centers frame — train/seed produced no centers")
+    centers.agg(sort_array(collect_list(struct(col("cid"), col("c"))))
+      .as("cbs"))
   }
 
   /** fixed-round Lloyd training, deterministic smallest-id seeds.

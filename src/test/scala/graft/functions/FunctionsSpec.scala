@@ -32,6 +32,77 @@ class FunctionsSpec extends SparkTestBase {
     assert(both.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("vec_argmin_code / vec_argmin_topn: order, ties, and NaN ranking") {
+    VectorExpressions.register(spark)
+    // codebook: code 0 at (0,0), 1 at (1,0), 2 at (1,0) dup, 3 at (5,5)
+    val cbs = "array(named_struct('code', 0, 'c', array(0D, 0D)), " +
+      "named_struct('code', 1, 'c', array(1D, 0D)), " +
+      "named_struct('code', 2, 'c', array(1D, 0D)), " +
+      "named_struct('code', 3, 'c', array(5D, 5D)))"
+    def top(v: String, n: Int): Seq[Int] =
+      spark.range(1).selectExpr(s"vec_argmin_topn($v, $cbs, $n)")
+        .as[Seq[Int]].head()
+    def arg(v: String): Int =
+      spark.range(1).selectExpr(s"vec_argmin_code($v, $cbs)").as[Int].head()
+    // nearest order from (0.9, 0): codes 1/2 tie at d2=0.01 (smaller
+    // code first), then 0 at 0.81, then 3
+    assert(top("array(0.9D, 0D)", 3) == Seq(1, 2, 0))
+    assert(arg("array(0.9D, 0D)") == 1)
+    // n = 1 agrees with vec_argmin_code; n > k truncates to k
+    assert(top("array(4D, 4D)", 1) == Seq(arg("array(4D, 4D)")))
+    assert(top("array(0D, 0D)", 9).length == 4)
+    // NaN vector: every d2 is NaN -> argmin keeps the first (smallest)
+    // code, top-n preserves code order — never a NaN-poisoned winner
+    assert(arg("array(CAST('NaN' AS DOUBLE), 0D)") == 0)
+    assert(top("array(CAST('NaN' AS DOUBLE), 0D)", 2) == Seq(0, 1))
+    // one NaN CENTROID must lose to every finite candidate
+    val nanCbs = "array(named_struct('code', 0, 'c', " +
+      "array(CAST('NaN' AS DOUBLE), 0D)), " +
+      "named_struct('code', 1, 'c', array(9D, 9D)))"
+    assert(spark.range(1).selectExpr(s"vec_argmin_code(array(0D, 0D), $nanCbs)")
+      .as[Int].head() == 1)
+    assert(spark.range(1)
+      .selectExpr(s"vec_argmin_topn(array(0D, 0D), $nanCbs, 2)")
+      .as[Seq[Int]].head() == Seq(1, 0))
+  }
+
+  test("vec_argmin_topn matches the candidate-join/window form on fixtures") {
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val vs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .as("v"))
+      .limit(40)
+    val centers = graft.api.VecKMeans.train(vs, k = 5, rounds = 2)
+      .localCheckpoint(true)
+    val viaExpr = graft.api.VecKMeans.assignTopN(vs, centers, 3)
+      .groupBy($"vec_id").agg(sort_array(collect_list($"cid")).as("cids"))
+    // the pre-r12 form: k-way candidate join + (d2, cid) row_number
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+    val viaJoin = vs.crossJoin(broadcast(centers))
+      .withColumn("d2", expr(graft.api.VecKMeans.d2))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .groupBy($"vec_id").agg(sort_array(collect_list($"cid")).as("cids"))
+    assert(viaExpr.join(viaJoin, Seq("vec_id"))
+      .filter(viaExpr("cids") =!= viaJoin("cids")).count() == 0,
+      "vec_argmin_topn diverged from the window form")
+    assert(viaExpr.count() == 40)
+  }
+
+  test("VecKMeans.assign rejects an empty centers frame eagerly") {
+    val vs = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "v")
+    val none = vs.filter($"vec_id" < 0)
+      .select($"vec_id".cast("int").as("cid"), $"v".as("c"))
+    val e = intercept[IllegalArgumentException] {
+      graft.api.VecKMeans.assign(vs, none)
+    }
+    assert(e.getMessage.contains("empty centers"))
+    intercept[IllegalArgumentException] {
+      graft.api.VecKMeans.assignTopN(vs, none, 2)
+    }
+  }
+
   test("word_ngrams / char_ngrams produce expected sequences") {
     TextExpressions.register(spark)
     val df = Seq("a b c d").toDF("t")
