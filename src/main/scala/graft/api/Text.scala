@@ -254,6 +254,42 @@ object Text {
       "[0-9]{3,}", "<NUM>"),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** C4-style URL canonicalization as a composable Column: lowercase,
+    * strip the `http(s)://` scheme and a leading `www.`, drop the
+    * query string / fragment, and strip one trailing slash — so
+    * `HTTP://WWW.A.com/x/?utm=1`, `https://a.com/x#f`, and
+    * `http://a.com/x` all collapse to `a.com/x`. Every pattern is
+    * RE2-portable (anchored literals and one leftmost `[?#].*` —
+    * no `\s`, no backreferences), so an RE2-based oracle computes the
+    * identical key. Pure per-row projection: rides the scan at any
+    * scale. */
+  def canonicalUrl(url: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url),
+      "^https?://", ""),
+      "^www\\.", ""),
+      "[?#].*", ""),
+      "/$", "")
+
+  /** URL-level keep-list — the C4 pre-dedup step: one keep per
+    * canonical URL (the smallest id), every other row carrying the
+    * same canonical form dropped. Output: (id, url, keep) with `url`
+    * the canonical key.
+    *
+    * Scale shape: one hash shuffle on the canonical key (the window's
+    * unbounded-frame min needs no ordered frame), then a per-row
+    * compare — no join-back, no second exchange. Skew bound: a single
+    * canonical URL with millions of crawls lands in one partition;
+    * that is the same bound dedup_exact accepts on its hash groups,
+    * and the state per key is one long. */
+  def urlKeepList(docs: DataFrame, id: String, url: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__canon"))
+    docs.select(col(id), canonicalUrl(col(url)).as("__canon"))
+      .withColumn("keep", col(id) === min(col(id)).over(w))
+      .select(col(id), col("__canon").as("url"), col("keep"))
+  }
+
   /** Fixed-size overlapping character chunks — the context-window
     * splitter feeding embedding / training jobs: (id, chunk_id,
     * chunk_start, chunk) with 1-based `chunk_start` = 1 + chunk_id ·

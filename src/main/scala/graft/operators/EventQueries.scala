@@ -402,7 +402,58 @@ object EventQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Multi-stage ORDERED funnel (view → click → purchase, 3 steps):
+    * stage n counts users whose earliest stage-n event falls STRICTLY
+    * after their stage-(n−1) time — sequence semantics, not mere
+    * co-occurrence (a purchase before any post-view click does not
+    * count), and no pivot anywhere. The one event-analytics shape the
+    * two-step click funnel (`ev_click_funnel`) doesn't cover.
+    *
+    * Scale shape: each stage collapses to ≤1 row per user (map-side-
+    * combining min) BEFORE the next stage's equi-join consumes it, so
+    * every join has an aggregated, per-user-unique side and the raw
+    * event stream is scanned once per stage with the type filter
+    * pushed to the scan; the final counts are 1-row aggregates. Depth
+    * generalizes: stage n+1 is one more filter+join+min, never a
+    * wider pivot or a per-user sort. */
+  val evFunnelSteps: GQuery = GQuery(
+    "ev_funnel_steps",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |       GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS stage,
+      |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM s2
+      |  UNION ALL SELECT 3, 'view>click>purchase',
+      |    CAST(count(*) AS BIGINT) FROM s3)
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    def stage(t: String): DataFrame = ev.filter(col("event_type") === t)
+    val s1 = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = stage("click").join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = stage("purchase").join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def cnt(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    cnt(s1, 1, "view")
+      .unionAll(cnt(s2, 2, "view>click"))
+      .unionAll(cnt(s3, 3, "view>click>purchase"))
+      .orderBy(col("step"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
-    evTransitions, evAnomalyZscore, evGapFill)
+    evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps)
 }

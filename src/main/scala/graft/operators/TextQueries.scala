@@ -694,10 +694,64 @@ object TextQueries {
     }
   }
 
+  /** C4-style URL dedup ([[graft.api.Text.urlKeepList]]): canonicalize
+    * each document's source URL (lowercase, scheme + `www.` stripped,
+    * query/fragment dropped, trailing slash removed) and keep exactly
+    * one doc — the smallest doc_id — per canonical form. The fixture
+    * has no URL column, so a messy raw URL is DERIVED deterministically
+    * from (doc_id, source, lang): scheme case, `www.` presence, host
+    * case, and a query/fragment/slash tail all rotate on doc_id, so
+    * the canonicalizer does real work and distinct raw strings provably
+    * collide. Canonicalization is a per-row projection; the keep
+    * decision is ONE hash shuffle on the canonical key (unbounded
+    * window min — no ordered frame, no join-back), the exact
+    * dedup_exact scale shape. */
+  val textDedupUrl: GQuery = {
+    // concat() rather than the SQL || operator: this fragment is
+    // interpolated into a stripMargin block below, which would eat
+    // the first pipe of every line-leading ||
+    val rawSql =
+      "concat(CASE doc_id % 3 WHEN 0 THEN 'HTTP://WWW.' " +
+        "WHEN 1 THEN 'https://' ELSE 'http://www.' END, " +
+        "source, '.Example.COM/', lang, '/page', " +
+        "CAST(doc_id % 40 AS VARCHAR), " +
+        "CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '?utm_source=feed' " +
+        "WHEN 2 THEN '#ref' ELSE '' END)"
+    GQuery(
+      "text_dedup_url",
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    lower(raw_url),
+         |    '^https?://', ''), '^www\\.', ''), '[?#].*', ''), '/$$', '')
+         |    AS url,
+         |  doc_id = min(doc_id) OVER (PARTITION BY
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      lower(raw_url),
+         |      '^https?://', ''), '^www\\.', ''), '[?#].*', ''), '/$$', ''))
+         |    AS keep
+         |FROM (SELECT doc_id, $rawSql AS raw_url FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP://WWW."))
+          .when(col("doc_id") % 3 === 1, lit("https://"))
+          .otherwise(lit("http://www.")),
+        col("source"), lit(".Example.COM/"), col("lang"), lit("/page"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/"))
+          .when(col("doc_id") % 4 === 1, lit("?utm_source=feed"))
+          .when(col("doc_id") % 4 === 2, lit("#ref"))
+          .otherwise(lit("")))
+      graft.api.Text.urlKeepList(
+        Tables.documents(s, dir).select(col("doc_id"), raw.as("raw_url")),
+        "doc_id", "raw_url")
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
-    textEntropy, textPiiAudit)
+    textEntropy, textPiiAudit, textDedupUrl)
 }

@@ -542,6 +542,56 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got == expect, s"weighted percentiles diverged: $got vs $expect")
   }
 
+  test("ev_funnel_steps: monotone stage counts, strict ordering enforced") {
+    val rows = EventQueries.evFunnelSteps.fn(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    // a funnel can only narrow
+    assert(rows(1) >= rows(2) && rows(2) >= rows(3),
+      s"funnel widened: $rows")
+    // stage 1 = users with any view (independent count)
+    val viewers = Tables.events(spark, sfDir)
+      .filter($"event_type" === "view").select($"user_id").distinct().count()
+    assert(rows(1) == viewers)
+    // strictness: stage 2 is a SUBSET of users with click-after-view,
+    // computed independently via a pairwise join
+    val ev = Tables.events(spark, sfDir)
+    val oracle2 = ev.filter($"event_type" === "view").as("v")
+      .join(ev.filter($"event_type" === "click").as("c"), Seq("user_id"))
+      .filter(col("c.ts") > col("v.ts"))
+      .select($"user_id").distinct().count()
+    assert(rows(2) == oracle2,
+      s"stage-2 strict-after count diverged: ${rows(2)} vs $oracle2")
+  }
+
+  test("text_dedup_url: canonical collisions are real, one keep per url") {
+    val got = TextQueries.textDedupUrl.fn(spark, sfDir)
+    // exactly one keep per canonical url, and it is the min doc_id
+    val perUrl = got.groupBy($"url")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
+        min($"doc_id").as("min_id"),
+        min(when($"keep", $"doc_id")).as("keep_id"))
+    assert(perUrl.filter($"n_keep" =!= 1L).count() == 0,
+      "every canonical url must keep exactly one doc")
+    assert(perUrl.filter($"keep_id" =!= $"min_id").count() == 0,
+      "the keep must be the smallest doc_id")
+    // the derived raw urls genuinely collide (scheme/www/query/slash
+    // variants of the same host+path) — some group has >1 member
+    assert(perUrl.filter($"n" > 1).count() > 0,
+      "fixture must produce real canonical collisions")
+    // canonicalizer unit cases
+    import graft.api.Text
+    val cases = Seq(
+      "HTTP://WWW.A.com/x/" -> "a.com/x",
+      "https://a.com/x#frag" -> "a.com/x",
+      "http://a.com/x?q=1" -> "a.com/x",
+      "https://www.a.com/x" -> "a.com/x",
+      "https://a.com/" -> "a.com").toDF("raw", "want")
+    assert(cases.filter(Text.canonicalUrl($"raw") =!= $"want").count() == 0,
+      "canonicalUrl unit cases diverged")
+  }
+
   test("sim_range_ivf: precision 1.0 vs brute force, exact cosines, recall bounded") {
     val got = SimQueries.simRangeIvf.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
