@@ -37,7 +37,13 @@ object IsoBench {
     "sim_topk_sq8", "dedup_semantic", "sink_zorder_cluster",
     "join_bloom_filtered",
     // round-7c: the only session-three addition above the 1 s band
-    "sim_topk_mmr")
+    "sim_topk_mmr",
+    // round-12: the RELATIONAL tier (r11 verdict item 1) — the rows
+    // whose driver-bench swings could not be self-adjudicated because
+    // the headline set covered only LLM-pipeline ops (judge-measured
+    // quiet: q3 1.98 s, q10 1.00 s, frame_rows 0.28 s)
+    "tpch_q3_shipping", "tpch_q10_returned", "tpch_q5_local_supplier",
+    "win_frame_rows", "sink_compact_small_files", "text_entropy")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
