@@ -215,6 +215,7 @@ case class VecArgminCode(left: Expression, right: Expression)
       val bb = ctx.freshName("bb")
       val cc = ctx.freshName("cc")
       val d2 = ctx.freshName("d2")
+      val nanLoses = ctx.freshName("nanLoses")
       s"""
          |double[] $sub = $a.toDoubleArray();
          |org.apache.spark.sql.catalyst.util.ArrayData $cbs = $b;
@@ -235,8 +236,9 @@ case class VecArgminCode(left: Expression, right: Expression)
          |  double $cc = 0.0;
          |  for (int $k = 0; $k < $c.length; $k++) { $cc += $c[$k] * $c[$k]; }
          |  double $d2 = ($aa - 2.0 * $bb) + $cc;
-         |  if ($first || (java.lang.Double.isNaN($best) && !java.lang.Double.isNaN($d2))
-         |      || $d2 < $best) {
+         |  boolean $nanLoses =
+         |    java.lang.Double.isNaN($best) && !java.lang.Double.isNaN($d2);
+         |  if ($first || $nanLoses || $d2 < $best) {
          |    $best = $d2; $bestCode = $row.getInt(0); $first = false;
          |  }
          |}
