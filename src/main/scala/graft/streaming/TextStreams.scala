@@ -61,6 +61,41 @@ object TextStreams {
       .observe("quality_gate", count(lit(1)).as("rows_passed"),
         round(avg(col("quality")), 6).as("mean_quality"))
 
+  /** Streaming twin of the batch `text_dedup_url` keep-list
+    * ([[Text.urlKeepList]]): keep the FIRST-arriving document per
+    * canonical URL, drop every later one. Canonicalization is the
+    * identical per-row [[Text.canonicalUrl]] projection; the keep
+    * decision is `dropDuplicates` on the canonical key — exactly the
+    * ev_dedup_stream shape, with the canonical URL instead of a
+    * given id as the dedup key. Output: the original columns plus
+    * `url` (the canonical form).
+    *
+    * Batch/stream parity contract (TextStreamsSpec): on a feed
+    * delivered in ascending-id order, first-arrival ≡ the batch
+    * keep-list's min-id winner, for ANY micro-batch split — so the
+    * spec replays one batch, splits, and a trickle against
+    * `Text.urlKeepList`'s keep set.
+    *
+    * State: one state-store row per DISTINCT canonical URL, forever —
+    * the same trade `dropDuplicates` makes everywhere. When arrivals
+    * carry an event-time column, pass it as `watermarkCol` (with a
+    * `delay`) to switch to `dropDuplicatesWithinWatermark`, bounding
+    * the state to the recrawl horizon: a URL re-seen after the
+    * watermark passes is kept AGAIN (a recrawl, not a dup) — the C4
+    * trade for continuous ingestion. */
+  def urlKeepFirst(docs: DataFrame, id: String, url: String,
+      watermarkCol: Option[String] = None,
+      delay: String = "1 hour"): DataFrame = {
+    val canon = docs.filter(col(url).isNotNull)
+      .withColumn("url_canon", Text.canonicalUrl(col(url)))
+      .drop(url).withColumnRenamed("url_canon", "url")
+    watermarkCol match {
+      case Some(ts) => canon.withWatermark(ts, delay)
+        .dropDuplicatesWithinWatermark("url")
+      case None => canon.dropDuplicates("url")
+    }
+  }
+
   private def withQuality(docs: DataFrame, id: String, text: String,
       stopwords: Seq[String]): DataFrame = {
     val toks = split(col(text), " ")

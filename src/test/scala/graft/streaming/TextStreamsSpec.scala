@@ -43,6 +43,47 @@ class TextStreamsSpec extends SparkTestBase {
       s"gate should pass a strict subset: ${got.size} of ${fixture.size}")
   }
 
+  test("urlKeepFirst: ascending-id delivery equals the batch keep-list " +
+      "at every micro-batch split") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the text_dedup_url fixture derivation: messy raw URLs whose
+    // canonical forms genuinely collide across doc_ids
+    val rawUrls = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        concat(
+          when($"doc_id" % 3 === 0, lit("HTTP://WWW."))
+            .when($"doc_id" % 3 === 1, lit("https://"))
+            .otherwise(lit("http://www.")),
+          $"source", lit(".Example.COM/"), $"lang", lit("/page"),
+          ($"doc_id" % 40).cast("string"),
+          when($"doc_id" % 4 === 0, lit("/"))
+            .when($"doc_id" % 4 === 1, lit("?utm_source=feed"))
+            .when($"doc_id" % 4 === 2, lit("#ref"))
+            .otherwise(lit(""))).as("raw_url"))
+    val want = graft.api.Text.urlKeepList(rawUrls, "doc_id", "raw_url")
+      .filter($"keep").select($"doc_id").as[Long].collect().sorted.toSeq
+    val feed = rawUrls.orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    def run(batches: Seq[Seq[(Long, String)]]): Seq[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val name = s"url_keep_${batches.size}"
+      val q = TextStreams.urlKeepFirst(
+          mem.toDF().toDF("doc_id", "raw_url"), "doc_id", "raw_url")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).select($"doc_id").as[Long].collect().sorted.toSeq
+    }
+    // ascending-id delivery: first arrival IS the min id, so the
+    // streaming keep set must equal the batch keep-list — one batch,
+    // split batches, and a fine trickle all converge
+    assert(run(Seq(feed)) == want, "single-batch keep set diverged")
+    assert(run(feed.grouped(97).toSeq) == want, "split keep set diverged")
+    assert(run(feed.grouped(13).toSeq) == want, "trickle keep set diverged")
+    assert(want.size < feed.size,
+      "fixture must produce real canonical collisions")
+  }
+
   test("observe() gate metrics sum across micro-batches to the batch truth") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val fixture = docs.as[(Long, String)].collect().toSeq
