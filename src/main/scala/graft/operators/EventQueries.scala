@@ -435,22 +435,8 @@ object EventQueries {
       |  UNION ALL SELECT 3, 'view>click>purchase',
       |    CAST(count(*) AS BIGINT) FROM s3)
       |ORDER BY step""".stripMargin) { (s, dir) =>
-    val ev = Tables.events(s, dir)
-    def stage(t: String): DataFrame = ev.filter(col("event_type") === t)
-    val s1 = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = stage("click").join(s1, Seq("user_id"))
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = stage("purchase").join(s2, Seq("user_id"))
-      .filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    def cnt(df: DataFrame, step: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
-    cnt(s1, 1, "view")
-      .unionAll(cnt(s2, 2, "view>click"))
-      .unionAll(cnt(s3, 3, "view>click>purchase"))
-      .orderBy(col("step"))
+    graft.api.Events.funnel(Tables.events(s, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
   }
 
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,

@@ -564,6 +564,40 @@ class OperatorPropertySpec extends SparkTestBase {
       s"stage-2 strict-after count diverged: ${rows(2)} vs $oracle2")
   }
 
+  test("Events.funnel generalizes: 4-step funnel matches a driver-side replay") {
+    val ev = Tables.events(spark, sfDir)
+    val steps = Seq("view", "click", "purchase", "error")
+    val got = graft.api.Events.funnel(ev, "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet == Set(1, 2, 3, 4))
+    assert(got(4)._1 == "view>click>purchase>error")
+    assert((1 to 3).forall(k => got(k)._2 >= got(k + 1)._2),
+      s"funnel widened: $got")
+    // independent replay: per-user sorted event list walked in memory
+    val byUser = ev.select($"user_id", $"event_type", unix_micros($"ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val reached = Array.fill(steps.size)(0L)
+    byUser.values.foreach { rows =>
+      val evs = rows.map(r => (r._3, r._2)).sortBy(_._1)
+      var prev = Long.MinValue
+      var k = 0
+      var done = false
+      while (k < steps.size && !done) {
+        evs.filter(e => e._2 == steps(k) && e._1 > prev)
+          .map(_._1).minOption match {
+          case Some(t) => reached(k) += 1; prev = t; k += 1
+          case None => done = true
+        }
+      }
+    }
+    steps.indices.foreach { i =>
+      assert(got(i + 1)._2 == reached(i),
+        s"step ${i + 1}: ${got(i + 1)._2} vs replay ${reached(i)}")
+    }
+  }
+
   test("text_dedup_url: canonical collisions are real, one keep per url") {
     val got = TextQueries.textDedupUrl.fn(spark, sfDir)
     // exactly one keep per canonical url, and it is the min doc_id
