@@ -24,17 +24,28 @@ object Events {
     * both sides, so no fan-out.
     */
   def funnelTimes(events: DataFrame, user: String, typ: String,
-      ts: String, steps: Seq[String]): DataFrame = {
+      ts: String, steps: Seq[String],
+      maxDelay: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "Events.funnelTimes: empty step list")
     val first = events.filter(col(typ) === steps.head)
       .groupBy(col(user)).agg(min(col(ts)).as("t1"))
     steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
       val k = i + 2
+      // conversion window: step k must land within maxDelay of step
+      // k−1 (an attribution bound), else only strictly after it. The
+      // bound rides the same equi-join as a residual conjunct — it
+      // never changes the plan shape, exactly like the interval-join
+      // time bound in ev_click_attribution.
+      val inWindow = maxDelay match {
+        case Some(d) =>
+          col("__ts") <= col("__prev") + expr(s"INTERVAL $d")
+        case None => lit(true)
+      }
       val next = events.filter(col(typ) === step)
         .select(col(user), col(ts).as("__ts"))
         .join(acc.select(col(user), col(s"t${k - 1}").as("__prev"))
           .filter(col("__prev").isNotNull), Seq(user))
-        .filter(col("__ts") > col("__prev"))
+        .filter(col("__ts") > col("__prev") && inWindow)
         .groupBy(col(user)).agg(min(col("__ts")).as(s"t$k"))
       acc.join(next, Seq(user), "left")
     }
@@ -44,8 +55,8 @@ object Events {
     * the '>'-joined step prefix, n_users the count that reached it.
     * One row per step, step ascending; a funnel can only narrow. */
   def funnel(events: DataFrame, user: String, typ: String, ts: String,
-      steps: Seq[String]): DataFrame = {
-    val times = funnelTimes(events, user, typ, ts, steps)
+      steps: Seq[String], maxDelay: Option[String] = None): DataFrame = {
+    val times = funnelTimes(events, user, typ, ts, steps, maxDelay)
     steps.indices.map { i =>
       val k = i + 1
       times.filter(col(s"t$k").isNotNull)

@@ -596,6 +596,35 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(got(i + 1)._2 == reached(i),
         s"step ${i + 1}: ${got(i + 1)._2} vs replay ${reached(i)}")
     }
+
+    // conversion window: a 2-hour max delay can only narrow each
+    // stage, and must match the same replay with the bound applied
+    val windowed = graft.api.Events.funnel(ev, "user_id", "event_type",
+        "ts", steps, maxDelay = Some("2 hours"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    (1 to 4).foreach { k =>
+      assert(windowed(k) <= got(k)._2, s"window widened step $k") }
+    assert(windowed(1) == got(1)._2, "step 1 has no preceding bound")
+    val boundUs = 2L * 3600 * 1000000
+    val reachedW = Array.fill(steps.size)(0L)
+    byUser.values.foreach { rows =>
+      val evs = rows.map(r => (r._3, r._2)).sortBy(_._1)
+      var prev = Long.MinValue
+      var k = 0
+      var done = false
+      while (k < steps.size && !done) {
+        evs.filter(e => e._2 == steps(k) && e._1 > prev &&
+            (k == 0 || e._1 <= prev + boundUs))
+          .map(_._1).minOption match {
+          case Some(t) => reachedW(k) += 1; prev = t; k += 1
+          case None => done = true
+        }
+      }
+    }
+    steps.indices.foreach { i =>
+      assert(windowed(i + 1) == reachedW(i),
+        s"windowed step ${i + 1}: ${windowed(i + 1)} vs ${reachedW(i)}")
+    }
   }
 
   test("text_dedup_url: canonical collisions are real, one keep per url") {
