@@ -439,7 +439,42 @@ object EventQueries {
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
   }
 
+  /** The [[evFunnelSteps]] funnel under a CONVERSION WINDOW: step n
+    * must land within 2 hours of step n−1 (attribution bound), not
+    * merely after it — the realistic marketing-funnel semantics. Same
+    * plan as the unbounded funnel: the bound rides each stage's
+    * equi-join as a residual conjunct (the ev_click_attribution
+    * interval-join discipline), so the window changes answers, never
+    * plan shape. µs-aligned fixture timestamps keep the +2h boundary
+    * compare exact on both engines. */
+  val evFunnelWindow: GQuery = GQuery(
+    "ev_funnel_window",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + INTERVAL 2 HOUR
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s2.t2 + INTERVAL 2 HOUR
+      |       GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS stage,
+      |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM s2
+      |  UNION ALL SELECT 3, 'view>click>purchase',
+      |    CAST(count(*) AS BIGINT) FROM s3)
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    graft.api.Events.funnel(Tables.events(s, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+      maxDelay = Some("2 hours"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
-    evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps)
+    evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
+    evFunnelWindow)
 }
