@@ -290,6 +290,58 @@ object Text {
       .select(col(id), col("__canon").as("url"), col("keep"))
   }
 
+  /** BPE-style pair-merge training (the tokenizer-vocabulary builder):
+    * the first `rounds` byte-pair merges over the corpus, computed on
+    * the DISTINCT-WORD frequency table — the standard BPE formulation
+    * (pair statistics are word-frequency-weighted, so corpus size
+    * only touches the one word-count aggregate; every later round
+    * works on a vocabulary-bounded frame). Returns one row per merge:
+    * (round, pair, cnt) with `pair` = the two symbols space-joined
+    * and `cnt` its frequency-weighted occurrence count at selection
+    * time. Ties break (cnt desc, pair asc), so the merge trajectory
+    * is deterministic cross-engine; the merge itself is plain
+    * left-to-right non-overlapping `replace` on the space-separated
+    * symbol string — exactly greedy BPE application, and identical
+    * semantics in any engine's `replace`.
+    *
+    * Scale shape: one map-side-combining word-count shuffle (the only
+    * stage that sees the corpus, then localCheckpointed so no round
+    * rescans it); each round is a vocabulary-bounded n-gram explode +
+    * pair aggregate + a 1-row argmax broadcast back onto the
+    * vocabulary — per-round cost independent of corpus size, the
+    * property that makes distributed BPE training feasible at all. */
+  def bpeMerges(docs: DataFrame, text: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    val words = docs
+      .select(explode(split(col(text), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq", concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 ")))
+      .localCheckpoint()
+    var w = words
+    var picks = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = w.select(col("freq"),
+          explode(call_function("word_ngrams",
+            split(trim(col("seq")), " "), lit(2))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      // per-round checkpoint of the 1-row winner: the next round's
+      // plan roots here, not in the whole prior trajectory (the MMR
+      // greedy's plan-depth discipline)
+      val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .localCheckpoint()
+      picks :+= best.select(lit(r).as("round"), col("pair"),
+        col("cnt").cast("bigint").as("cnt"))
+      w = w.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .withColumn("seq", expr(
+          "replace(seq, ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')"))
+        .drop("bp")
+    }
+    picks.reduce(_ union _)
+  }
+
   /** Fixed-size overlapping character chunks — the context-window
     * splitter feeding embedding / training jobs: (id, chunk_id,
     * chunk_start, chunk) with 1-based `chunk_start` = 1 + chunk_id ·

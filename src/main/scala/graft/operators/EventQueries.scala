@@ -473,8 +473,46 @@ object EventQueries {
       maxDelay = Some("2 hours"))
   }
 
+  /** Top-10 most common 3-step event-type PATHS (user-journey
+    * n-grams) — the path-mining complement of [[evTransitions]]'s
+    * 1-step Markov matrix: consecutive event triples per user in
+    * (ts, event_id) order, counted corpus-wide, top-10 with a
+    * deterministic (count desc, path asc) tiebreak.
+    *
+    * Scale shape: one shuffle to the user grain for the two lead()
+    * windows (the same exchange every per-user analytic here rides),
+    * then a map-side-combining count over a key space bounded by
+    * |event_types|³ = 125, and a TakeOrderedAndProject top-10 — no
+    * full sort, no second wide shuffle. */
+  val evUserPaths: GQuery = GQuery(
+    "ev_user_paths",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t1,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t2
+      |  FROM events)
+      |SELECT event_type || '>' || t1 || '>' || t2 AS path,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM o WHERE t2 IS NOT NULL
+      |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""".stripMargin) {
+    (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path")).limit(10)
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
-    evFunnelWindow)
+    evFunnelWindow, evUserPaths)
 }

@@ -622,8 +622,122 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Per-DIMENSION embedding statistics — n, mean, variance, min, max
+    * for each of the 64 dims: the feature-normalization profile a
+    * whitening/standardization stage consumes, and the first
+    * data-quality scan of a new embedding drop (dead dimensions,
+    * scale drift between batches). Sums ride the DECIMAL(18,9) grid
+    * (float→double is exact; the decimal quantization rounds half
+    * away from zero on both engines), so per-dim Σx and Σx² are
+    * order-free; variance is then ONE fixed double expression
+    * (Σx² − (Σx)²/n)/(n−1) rounded to 6 identically on both sides.
+    *
+    * Scale shape: posexplode fans each vector into 64 (dim, x) rows
+    * that combine map-side into ≤ 64 groups per task — aggregate
+    * state is 64 rows regardless of corpus size; no window, no join,
+    * one shuffle of 64-row partials. */
+  val embedDimStats: GQuery = GQuery(
+    "embed_dim_stats",
+    """WITH x AS (
+      |  SELECT CAST(unnest(embedding) AS DOUBLE) AS xe,
+      |         generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings),
+      |d AS (SELECT dim, xe, CAST(xe AS DECIMAL(18,9)) AS xd FROM x)
+      |SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(round(CAST(sum(xd) AS DOUBLE) / count(*), 6) AS DOUBLE)
+      |    AS mean,
+      |  CAST(round((CAST(sum(xd*xd) AS DOUBLE)
+      |     - CAST(sum(xd) AS DOUBLE) * CAST(sum(xd) AS DOUBLE)
+      |       / count(*)) / (count(*) - 1), 6) AS DOUBLE) AS variance,
+      |  CAST(min(xe) AS DOUBLE) AS mn, CAST(max(xe) AS DOUBLE) AS mx
+      |FROM d GROUP BY dim ORDER BY dim""".stripMargin) { (s, dir) =>
+    val d = Tables.embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("xe"))
+      .withColumn("xd", col("xe").cast("decimal(18,9)"))
+    d.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        min(col("xe")).as("mn"), max(col("xe")).as("mx"))
+      .select(col("dim").cast("int").as("dim"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6)
+          .cast("double").as("mean"),
+        round((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / (col("n") - 1), 6).cast("double").as("variance"),
+        col("mn"), col("mx"))
+      .orderBy(col("dim"))
+  }
+
+  /** k-NN LABEL PREDICTION over the exact top-5 cosine neighbors —
+    * the auto-annotation / label-propagation shape of a training-data
+    * pipeline (assign a class to unlabeled arrivals by majority over
+    * their nearest labeled neighbors): held-out probes
+    * (vec_id % 50 = 0) vote among the labeled rest; ties at equal
+    * vote counts break to the SMALLEST label, so the prediction is
+    * deterministic cross-engine (cosines rounded to 6 before
+    * ranking, as everywhere in this family).
+    *
+    * Scale shape: probes broadcast against the corpus scan exactly as
+    * [[simCosineTopk]] (the corpus never shuffles for the candidate
+    * stage); the vote is a probes×5-row aggregate + per-probe window
+    * on a frame whose size is probes×k, independent of corpus size.
+    * At real scale the shortlist stage swaps for the saved-IVF probe
+    * (sim_topk_ivf) without touching the voting logic. */
+  val simKnnClassify: GQuery = GQuery(
+    "sim_knn_classify",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      |      FROM e),
+      |pairs AS (
+      |  SELECT p.vec_id AS probe_id, p.label AS tl,
+      |    c.vec_id AS nid, c.label AS nlabel,
+      |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cosine
+      |  FROM n p JOIN n c ON p.vec_id % 50 = 0 AND c.vec_id % 50 != 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, nid) AS rk
+      |  FROM pairs),
+      |votes AS (
+      |  SELECT probe_id, tl, nlabel, count(*) AS votes
+      |  FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3),
+      |win AS (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY votes DESC, nlabel) AS vr
+      |  FROM votes)
+      |SELECT probe_id, CAST(tl AS INT) AS true_label,
+      |  CAST(nlabel AS INT) AS pred_label, CAST(votes AS BIGINT) AS votes,
+      |  tl = nlabel AS correct
+      |FROM win WHERE vr = 1 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+    val e = vecs(s, dir)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("v"))
+    val topk = graft.api.Similarity.cosineTopK(
+      corpus, probes.select(col("vec_id"), col("v")), "vec_id", "v", k = 5)
+    val labeled = topk.join(
+      e.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+      Seq("neighbor_id"))
+    val win = labeled.groupBy(col("probe_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("votes").desc, col("nlabel"))))
+      .filter(col("vr") === 1)
+    win.join(probes.select(col("vec_id").as("probe_id"),
+        col("label").as("tl")), Seq("probe_id"))
+      .select(col("probe_id"), col("tl").cast("int").as("true_label"),
+        col("nlabel").cast("int").as("pred_label"),
+        col("votes").cast("bigint").as("votes"),
+        (col("tl") === col("nlabel")).as("correct"))
+      .orderBy(col("probe_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
-      dedupSemanticIndexed, simTopkMmr, simRangeIvf)
+      dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
+      simKnnClassify)
 }

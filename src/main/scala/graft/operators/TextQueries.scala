@@ -748,10 +748,117 @@ object TextQueries {
     }
   }
 
+  /** Minimum-frequency VOCABULARY PRUNING profile — the `<unk>`
+    * decision of classic tokenizer/vocab builds: tokens whose GLOBAL
+    * count falls below a data-driven threshold (mean count ÷ 10,
+    * integer arithmetic, so the cut scales with the corpus instead of
+    * hardcoding an sf-specific constant) are out-of-vocabulary;
+    * report per-language token volume, seen vocabulary, OOV token and
+    * type counts, and the OOV rate. The signal a corpus curator reads
+    * before fixing a vocab size: how much text a frequency cut wipes
+    * out, and whether it hits one language disproportionately.
+    *
+    * Scale shape: two map-side-combining aggregates ((lang, token)
+    * then token), one vocabulary-keyed join (never a vocab
+    * broadcast — AQE promotes if it fits), a 1-row threshold scalar,
+    * and a |langs|-row final rollup. No per-doc state, no windows. */
+  val textVocabOov: GQuery = GQuery(
+    "text_vocab_oov",
+    """WITH tok AS (
+      |  SELECT d.lang, unnest(string_split(d.text, ' ')) AS token
+      |  FROM documents d),
+      |lt AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |g AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS gcnt
+      |      FROM lt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS total, count(*) AS vocab
+      |        FROM g),
+      |thr AS (SELECT total // (vocab * 10) AS min_cnt FROM tot)
+      |SELECT lt.lang,
+      |  CAST(sum(lt.cnt) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab_seen,
+      |  CAST(sum(CASE WHEN g.gcnt < thr.min_cnt THEN lt.cnt ELSE 0 END)
+      |    AS BIGINT) AS oov_tokens,
+      |  CAST(sum(CASE WHEN g.gcnt < thr.min_cnt THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS oov_types,
+      |  CAST(round(CAST(sum(CASE WHEN g.gcnt < thr.min_cnt THEN lt.cnt
+      |      ELSE 0 END) AS DOUBLE) / sum(lt.cnt), 6) AS DOUBLE) AS oov_rate
+      |FROM lt JOIN g USING (token) CROSS JOIN thr
+      |GROUP BY lt.lang ORDER BY lt.lang""".stripMargin) { (s, dir) =>
+    val tok = Tables.documentsSpread(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    val lt = tok.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val g = lt.groupBy(col("token")).agg(sum(col("cnt")).as("gcnt"))
+    val thr = g.agg(sum(col("gcnt")).as("total"),
+        count(lit(1)).as("vocab"))
+      .select(expr("total div (vocab * 10)").as("min_cnt"))
+    lt.join(g, Seq("token")).crossJoin(broadcast(thr))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("tt"), count(lit(1)).as("vs"),
+        sum(when(col("gcnt") < col("min_cnt"), col("cnt"))
+          .otherwise(lit(0L))).as("ot"),
+        sum(when(col("gcnt") < col("min_cnt"), lit(1L))
+          .otherwise(lit(0L))).as("oty"))
+      .select(col("lang"), col("tt").cast("bigint").as("total_tokens"),
+        col("vs").cast("bigint").as("vocab_seen"),
+        col("ot").cast("bigint").as("oov_tokens"),
+        col("oty").cast("bigint").as("oov_types"),
+        round(col("ot").cast("double") / col("tt"), 6)
+          .cast("double").as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** The first 3 BPE merges trained on the corpus
+    * (graft.api.Text.bpeMerges): the tokenizer-vocabulary construction
+    * step itself, as a contract query — (round, pair, cnt) per merge,
+    * frequency-weighted over the distinct-word table, deterministic
+    * (cnt desc, pair asc) tie-break, greedy left-to-right merge
+    * application. The DuckDB oracle replays the full trajectory —
+    * char-splitting, pair counting, argmax, and the `replace`-based
+    * merge are all engine-portable relational steps. */
+  val textBpeMerges: GQuery = {
+    def roundCtes(i: Int): String = {
+      val p = i - 1
+      s"""t$i AS (SELECT word, freq,
+         |  unnest(string_split(trim(seq), ' ')) AS tk,
+         |  generate_subscripts(string_split(trim(seq), ' '), 1) AS ord
+         |  FROM w$p),
+         |p$i AS (SELECT a.tk || ' ' || b.tk AS pair,
+         |    CAST(sum(a.freq) AS BIGINT) AS cnt
+         |  FROM t$i a JOIN t$i b ON a.word = b.word AND b.ord = a.ord + 1
+         |  GROUP BY 1),
+         |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |w$i AS (SELECT w.word, w.freq,
+         |    replace(w.seq, ' ' || b.pair || ' ',
+         |      ' ' || replace(b.pair, ' ', '') || ' ') AS seq
+         |  FROM w$p w CROSS JOIN b$i b)""".stripMargin
+    }
+    GQuery(
+      "text_bpe_merges",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+         |  FROM tok GROUP BY word),
+         |${roundCtes(1)},
+         |${roundCtes(2)},
+         |${roundCtes(3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS round, pair, cnt FROM b1
+         |  UNION ALL SELECT 2, pair, cnt FROM b2
+         |  UNION ALL SELECT 3, pair, cnt FROM b3)
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      graft.api.Text.bpeMerges(Tables.documentsSpread(s, dir),
+        "text", rounds = 3)
+        .orderBy(col("round"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
-    textEntropy, textPiiAudit, textDedupUrl)
+    textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
+    textBpeMerges)
 }

@@ -124,6 +124,53 @@ object EventStreams {
   case class Transition(user_id: Long, from_type: String,
       to_type: String)
 
+  /** Streaming twin of the batch N-step funnel
+    * (graft.api.Events.funnel): per-user CURRENT STAGE maintained as
+    * keyed state, advanced by a greedy in-order walk — stage k
+    * advances at the FIRST step-k event strictly after the stage-
+    * (k−1) time (and within `maxDelayUs` of it when set). The greedy
+    * walk equals the batch min-based definition because the earliest
+    * qualifying step-k event IS the first one an in-order walk meets;
+    * once an arrival overshoots a conversion window every later one
+    * does too, so skipping it is exact, not an approximation.
+    *
+    * State per user is two numbers (stage, prev-time) — constant
+    * regardless of history length. Emits (user, stage) whenever a
+    * batch advances the user; the LAST emission per user is their
+    * final stage, and stage counts roll up as
+    * count(stage >= k) ≡ batch step-k n_users (pinned in
+    * EventStreamsSpec on ordered feeds, the same across-batch order
+    * contract as [[transitions]]). */
+  case class FunnelAdvance(user_id: Long, stage: Int)
+
+  def funnelStage[E](events: Dataset[E], uid: E => Long,
+      ts: E => (Long, Long), typ: E => String, steps: Seq[String],
+      maxDelayUs: Option[Long] = None): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnelStage: empty step list")
+    import events.sparkSession.implicits._
+    events.groupByKey(uid)
+      .flatMapGroupsWithState[(Int, Long), FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[E], state: GroupState[(Int, Long)]) =>
+          val sorted = rows.toSeq.sortBy(ts)
+          var (k, prev) = state.getOption.getOrElse((0, Long.MinValue))
+          val before = k
+          sorted.foreach { e =>
+            if (k < steps.size && typ(e) == steps(k)) {
+              val t = ts(e)._1
+              val ok =
+                if (k == 0) true
+                else t > prev && maxDelayUs.forall(d => t <= prev + d)
+              if (ok) { k += 1; prev = t }
+            }
+          }
+          if (k > before) {
+            state.update((k, prev))
+            Iterator.single(FunnelAdvance(user, k))
+          } else Iterator.empty
+      }
+  }
+
   def transitions[E](events: Dataset[E], uid: E => Long,
       ts: E => (Long, Long), typ: E => String): Dataset[Transition] = {
     import events.sparkSession.implicits._

@@ -88,7 +88,14 @@ class BroadcastPolicySpec extends SparkTestBase {
     // (anti-join + surviving-ops union), so the hint resolves twice
     "merge_cdc_apply" -> 2,
     // bounded distinct event-type dim crossed with the day spine
-    "ev_gap_fill" -> 1
+    "ev_gap_fill" -> 1,
+    // probe set: literal filter vec_id % 50 = 0 inside cosineTopK
+    "sim_knn_classify" -> 1,
+    // 1-row min-count threshold scalar. (text_bpe_merges needs NO
+    // budget: its per-round 1-row argmax hints sit behind eager
+    // localCheckpoints, so the returned union's analyzed plan carries
+    // zero hints — the sim_topk_mmr situation.)
+    "text_vocab_oov" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

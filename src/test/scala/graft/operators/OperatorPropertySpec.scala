@@ -676,4 +676,127 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(recall >= 0.5,
       s"cell recall $recall collapsed (${got.size}/${exact.size})")
   }
+
+  test("embed_dim_stats: 64 dims, exact n, mean/variance track a replay") {
+    val rows = SimQueries.embedDimStats.fn(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 64))
+    val nvec = Tables.embeddings(spark, sfDir).count()
+    val byDim = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .flatMap(r => r.getSeq[Float](1).zipWithIndex
+        .map { case (x, i) => i -> x.toDouble })
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+    rows.foreach { r =>
+      val (dim, n, mean, variance, mn, mx) = (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(n == nvec)
+      val xs = byDim(dim)
+      assert(mn == xs.min && mx == xs.max)
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      assert(math.abs(mean - m) < 1e-5, s"dim $dim mean $mean vs $m")
+      assert(math.abs(variance - v) < 1e-5, s"dim $dim var $variance vs $v")
+      assert(mn <= mean && mean <= mx)
+    }
+  }
+
+  test("ev_user_paths: top-10 matches an in-memory path replay") {
+    val got = EventQueries.evUserPaths.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = events.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      seq.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }
+    val expect = paths.toSeq.groupBy(identity)
+      .map { case (p, xs) => (p, xs.size.toLong) }.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(10)
+    assert(got == expect, s"paths diverged:\n$got\nvs\n$expect")
+  }
+
+  test("text_vocab_oov: per-lang totals and OOV decisions replay exactly") {
+    val got = TextQueries.textVocabOov.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select($"lang", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+    val global = toks.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val total = global.values.sum
+    val minCnt = total / (global.size * 10)
+    val byLang = toks.groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, xs) =>
+      val cnts = xs.groupBy(_._2).map { case (t, ys) => t -> ys.size.toLong }
+      val oovToks = cnts.filter { case (t, _) => global(t) < minCnt }
+      val expect = (xs.size.toLong, cnts.size.toLong,
+        oovToks.values.sum, oovToks.size.toLong)
+      assert(got(lang) == expect, s"$lang: ${got(lang)} vs $expect")
+    }
+  }
+
+  test("text_bpe_merges: the 3-round trajectory matches an in-memory BPE") {
+    val got = TextQueries.textBpeMerges.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    // classic dictionary BPE: freq-weighted pair counts over distinct
+    // words, (cnt desc, pair asc) argmax, greedy left-to-right merge
+    var words: Map[List[String], Long] = Tables.documents(spark, sfDir)
+      .select($"text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity)
+      .map { case (w, xs) => w.toList.map(_.toString) -> xs.size.toLong }
+    (1 to 3).foreach { r =>
+      val pairCnt = words.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2)
+          .map(p => (p.mkString(" "), f))
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val (bestPair, bestCnt) = pairCnt.toSeq
+        .sortBy { case (p, c) => (-c, p) }.head
+      assert(got(r - 1) == ((r, bestPair, bestCnt)),
+        s"round $r: ${got(r - 1)} vs ($r, $bestPair, $bestCnt)")
+      val Array(a, b) = bestPair.split(" ")
+      words = words.map { case (syms, f) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList -> f
+      }
+    }
+  }
+
+  test("sim_knn_classify: predictions replay from the exact top-5 votes") {
+    val got = SimQueries.simKnnClassify.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val labels = ev.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topk = graft.api.Similarity.cosineTopK(
+        ev.filter($"vec_id" % 50 =!= 0).select($"vec_id", $"v"),
+        ev.filter($"vec_id" % 50 === 0).select($"vec_id", $"v"),
+        "vec_id", "v", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.keySet == topk.map(_._1).toSet)
+    topk.groupBy(_._1).foreach { case (probe, xs) =>
+      val votes = xs.map(x => labels(x._2).toLong)
+        .groupBy(identity).map { case (l, ys) => l -> ys.size.toLong }
+      val (predLabel, n) = votes.toSeq
+        .sortBy { case (l, c) => (-c, l) }.head
+      val (tl, pl, vn, correct) = got(probe)
+      assert(pl.toLong == predLabel && vn == n,
+        s"probe $probe: ($pl, $vn) vs ($predLabel, $n)")
+      assert(tl == labels(probe) && correct == (tl == pl))
+    }
+  }
 }

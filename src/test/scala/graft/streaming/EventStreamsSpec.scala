@@ -224,6 +224,43 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("funnelStage: streaming greedy walk ≡ batch funnel, unbounded and windowed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val ordered = fixture.sortBy(e => (e.ts.getTime, e.event_id))
+    def tsUs(e: Ev): (Long, Long) =
+      (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id)
+    def run(name: String, delay: Option[Long]): Map[Long, Int] = {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.funnelStage[Ev](mem.toDS(), _.user_id, tsUs,
+          _.event_type, steps, delay)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      ordered.grouped(300).foreach { b =>
+        mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).groupBy($"user_id")
+        .agg(max($"stage").as("stage"))
+        .as[(Long, Int)].collect().toMap
+    }
+    // streaming final stages roll up to the batch funnel counts:
+    // n_users(step k) = |{users with stage >= k}| — both the
+    // unbounded funnel and the 2-hour conversion-window variant
+    Seq((None, None),
+        (Some(2L * 3600 * 1000000L), Some("2 hours"))).foreach {
+      case (delayUs: Option[Long], delayStr: Option[String]) =>
+        val got = run(s"funnel_sink_${delayUs.isDefined}", delayUs)
+        val want = graft.api.Events.funnel(Tables.events(spark, sfDir),
+            "user_id", "event_type", "ts", steps, delayStr)
+          .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+        (1 to steps.size).foreach { k =>
+          assert(got.values.count(_ >= k).toLong == want(k),
+            s"step $k (window=$delayStr): streaming ${got.values.count(_ >= k)} vs batch ${want(k)}")
+        }
+        assert(got.nonEmpty)
+    }
+  }
+
   test("event-time TTL evicts idle keyed state; a returning user restarts from zero") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
