@@ -311,7 +311,26 @@ object Text {
     * vocabulary — per-round cost independent of corpus size, the
     * property that makes distributed BPE training feasible at all. */
   def bpeMerges(docs: DataFrame, text: String,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3): DataFrame =
+    bpeTrajectory(docs, text, rounds)._1.reduce(_ union _)
+
+  /** BPE vocabulary APPLICATION — the serving half of [[bpeMerges]]:
+    * re-derives the same merge trajectory, then returns the final
+    * per-word segmentation table (word, freq, n_syms) where `n_syms`
+    * is the number of BPE symbols the word segments into under the
+    * trained merges — join it onto a token stream to get token counts
+    * / fertility under the vocabulary. Vocabulary-bounded output; the
+    * corpus is scanned once (the word-count stage). */
+  def bpeSegment(docs: DataFrame, text: String,
+      rounds: Int = 3): DataFrame =
+    bpeTrajectory(docs, text, rounds)._2
+      .select(col("word"), col("freq"),
+        size(split(trim(col("seq")), " ")).as("n_syms"))
+
+  /** The shared merge trajectory: (per-round picks, final word
+    * table with merged symbol sequences). */
+  private def bpeTrajectory(docs: DataFrame, text: String,
+      rounds: Int): (Vector[DataFrame], DataFrame) = {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     graft.functions.TextExpressions.register(docs.sparkSession)
     val words = docs
@@ -339,7 +358,7 @@ object Text {
           "replace(seq, ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')"))
         .drop("bp")
     }
-    picks.reduce(_ union _)
+    (picks, w)
   }
 
   /** Fixed-size overlapping character chunks — the context-window

@@ -735,9 +735,95 @@ object SimQueries {
       .orderBy(col("probe_id"))
   }
 
+  /** Per-dimension STANDARDIZATION (z-scoring) of the embedding
+    * corpus, verified through its per-label norm profile — the
+    * whitening step that consumes [[embedDimStats]]' statistics, plus
+    * the QA readout (a standardized d-dim vector has E‖z‖ ≈ √d; a
+    * label whose norms drift flags a broken embedding batch).
+    * Determinism ladder: per-dim mean/sd derive from DECIMAL-grid
+    * sums and are rounded to 6 (one fixed double expression per
+    * engine); each z-score is one double op rounded to 6 onto the
+    * DECIMAL(14,6) grid; norms are decimal sums of exact squares,
+    * sqrt'd and re-quantized; the final per-label aggregate sums
+    * decimals. No step's value depends on accumulation order.
+    *
+    * Scale shape: the 64-row stats aggregate broadcasts back onto the
+    * posexploded corpus (64 keys — a shuffle join here would funnel
+    * the corpus onto 64 tasks; the broadcast is the only sane plan
+    * and the frame is bounded by construction), then one vec-keyed
+    * aggregate (map-side combining) and a 10-row label rollup. */
+  val embedStandardize: GQuery = GQuery(
+    "embed_standardize",
+    """WITH x AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS xe,
+      |         generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings),
+      |d AS (SELECT vec_id, label, dim, xe,
+      |        CAST(xe AS DECIMAL(18,9)) AS xd FROM x),
+      |stats AS (
+      |  SELECT dim,
+      |    CAST(round(CAST(sum(xd) AS DOUBLE) / count(*), 6) AS DOUBLE)
+      |      AS mean,
+      |    CAST(round(sqrt((CAST(sum(xd*xd) AS DOUBLE)
+      |       - CAST(sum(xd) AS DOUBLE) * CAST(sum(xd) AS DOUBLE)
+      |         / count(*)) / (count(*) - 1)), 6) AS DOUBLE) AS sd
+      |  FROM d GROUP BY dim),
+      |z AS (
+      |  SELECT d.vec_id, d.label,
+      |    CAST(round((d.xe - s.mean) / s.sd, 6) AS DECIMAL(14,6)) AS zd
+      |  FROM d JOIN stats s USING (dim)),
+      |norms AS (
+      |  SELECT vec_id, label,
+      |    CAST(round(sqrt(CAST(sum(zd*zd) AS DOUBLE)), 6)
+      |      AS DECIMAL(14,6)) AS nrm
+      |  FROM z GROUP BY 1, 2)
+      |SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(round(CAST(sum(nrm) AS DOUBLE) / count(*), 6) AS DOUBLE)
+      |    AS avg_norm,
+      |  CAST(min(nrm) AS DOUBLE) AS min_norm,
+      |  CAST(max(nrm) AS DOUBLE) AS max_norm
+      |FROM norms GROUP BY label ORDER BY label""".stripMargin) {
+    (s, dir) =>
+    val d = Tables.embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("x").cast("double").as("xe"))
+      .withColumn("xd", col("xe").cast("decimal(18,9)"))
+    val stats = d.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"),
+        sum(col("xd") * col("xd")).as("sxx"))
+      .select(col("dim"),
+        round(col("sx").cast("double") / col("n"), 6)
+          .cast("double").as("mean"),
+        round(sqrt((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")
+            / col("n")) / (col("n") - 1)), 6).cast("double").as("sd"))
+    val z = d.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("label"),
+        round((col("xe") - col("mean")) / col("sd"), 6)
+          .cast("decimal(14,6)").as("zd"))
+    z.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("zd") * col("zd")).as("ssq"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(col("ssq").cast("double")), 6)
+          .cast("decimal(14,6)").as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("nrm")).as("sn"),
+        min(col("nrm")).as("mnn"), max(col("nrm")).as("mxn"))
+      .select(col("label").cast("int").as("label"),
+        col("n").cast("bigint").as("n"),
+        round(col("sn").cast("double") / col("n"), 6)
+          .cast("double").as("avg_norm"),
+        col("mnn").cast("double").as("min_norm"),
+        col("mxn").cast("double").as("max_norm"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
-      simKnnClassify)
+      simKnnClassify, embedStandardize)
 }

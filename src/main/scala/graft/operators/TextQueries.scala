@@ -854,11 +854,74 @@ object TextQueries {
     }
   }
 
+  /** BPE vocabulary APPLICATION (graft.api.Text.bpeSegment) — the
+    * serving half of [[textBpeMerges]]: segment every token under the
+    * 3 trained merges and report per-language word volume, BPE token
+    * volume, and tokens-per-word (the tokenizer-fertility metric that
+    * decides whether a vocabulary is adequate for a language slice —
+    * the number multilingual-tokenizer papers tabulate). The DuckDB
+    * oracle replays training AND application in one CTE chain.
+    *
+    * Scale shape: the corpus is scanned twice (word counts for
+    * training, the token stream for application) — both through
+    * map-side-combining aggregates; the application join is
+    * vocabulary-keyed (un-hinted; AQE promotes the vocab side when
+    * small) and the rollup is |langs| rows. */
+  val textBpeSegment: GQuery = {
+    def roundCtes(i: Int): String = {
+      val p = i - 1
+      s"""t$i AS (SELECT word, freq,
+         |  unnest(string_split(trim(seq), ' ')) AS tk,
+         |  generate_subscripts(string_split(trim(seq), ' '), 1) AS ord
+         |  FROM w$p),
+         |p$i AS (SELECT a.tk || ' ' || b.tk AS pair,
+         |    CAST(sum(a.freq) AS BIGINT) AS cnt
+         |  FROM t$i a JOIN t$i b ON a.word = b.word AND b.ord = a.ord + 1
+         |  GROUP BY 1),
+         |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |w$i AS (SELECT w.word, w.freq,
+         |    replace(w.seq, ' ' || b.pair || ' ',
+         |      ' ' || replace(b.pair, ' ', '') || ' ') AS seq
+         |  FROM w$p w CROSS JOIN b$i b)""".stripMargin
+    }
+    GQuery(
+      "text_bpe_segment",
+      s"""WITH tokl AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+         |  FROM tokl GROUP BY word),
+         |${roundCtes(1)},
+         |${roundCtes(2)},
+         |${roundCtes(3)},
+         |syms AS (SELECT word, len(string_split(trim(seq), ' ')) AS n_syms
+         |  FROM w3)
+         |SELECT tokl.lang,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(s.n_syms) AS BIGINT) AS n_tokens,
+         |  CAST(round(CAST(sum(s.n_syms) AS DOUBLE) / count(*), 6)
+         |    AS DOUBLE) AS tokens_per_word
+         |FROM tokl JOIN syms s USING (word)
+         |GROUP BY tokl.lang ORDER BY tokl.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documentsSpread(s, dir)
+      val seg = graft.api.Text.bpeSegment(docs, "text", rounds = 3)
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .join(seg.select(col("word"), col("n_syms")), Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("nw"), sum(col("n_syms")).as("nt"))
+        .select(col("lang"), col("nw").cast("bigint").as("n_words"),
+          col("nt").cast("bigint").as("n_tokens"),
+          round(col("nt").cast("double") / col("nw"), 6)
+            .cast("double").as("tokens_per_word"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
-    textBpeMerges)
+    textBpeMerges, textBpeSegment)
 }

@@ -92,10 +92,17 @@ class BroadcastPolicySpec extends SparkTestBase {
     // probe set: literal filter vec_id % 50 = 0 inside cosineTopK
     "sim_knn_classify" -> 1,
     // 1-row min-count threshold scalar. (text_bpe_merges needs NO
-    // budget: its per-round 1-row argmax hints sit behind eager
-    // localCheckpoints, so the returned union's analyzed plan carries
-    // zero hints — the sim_topk_mmr situation.)
-    "text_vocab_oov" -> 1
+    // budget: its picks are selects over eager localCheckpoints, so
+    // the returned union's analyzed plan carries zero hints — the
+    // sim_topk_mmr situation.)
+    "text_vocab_oov" -> 1,
+    // three 1-row checkpointed argmax scalars riding the merged word
+    // table's crossJoin chain (one per BPE round)
+    "text_bpe_segment" -> 3,
+    // 64-row per-dim stats aggregate rejoined onto the posexploded
+    // corpus (a shuffle join on 64 dim keys would funnel the corpus
+    // onto 64 tasks; the frame is bounded by construction)
+    "embed_standardize" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

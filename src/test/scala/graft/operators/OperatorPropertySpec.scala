@@ -772,6 +772,70 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("text_bpe_segment: conservation, fertility bounds, merge consistency") {
+    val got = TextQueries.textBpeSegment.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wordsByLang = docs.groupBy(_._1)
+      .map { case (l, xs) => l -> xs.flatMap(_._2.split(" ")) }
+    assert(got.keySet == wordsByLang.keySet)
+    // 3 merge rounds: each round at most halves a word's symbol
+    // count (a merge consumes two symbols per application), so
+    // chars >= syms >= chars/8, summed per lang
+    wordsByLang.foreach { case (lang, words) =>
+      val (nw, nt, tpw) = got(lang)
+      assert(nw == words.size.toLong)
+      val chars = words.map(_.length.toLong).sum
+      assert(nt <= chars && nt * 8 >= chars,
+        s"$lang: token total $nt outside [$chars/8, $chars]")
+      assert(math.abs(tpw - nt.toDouble / nw) < 1e-5)
+    }
+    // consistency with the trained merges: applying the bpeMerges
+    // pairs greedily to a word gives bpeSegment's n_syms
+    val merges = TextQueries.textBpeMerges.fn(spark, sfDir).collect()
+      .map(_.getString(1)).toSeq
+    val seg = graft.api.Text.bpeSegment(
+        Tables.documents(spark, sfDir), "text").collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    seg.keys.take(50).foreach { w =>
+      var syms = w.toList.map(_.toString)
+      merges.foreach { m =>
+        val Array(a, b) = m.split(" ")
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      assert(seg(w) == syms.size, s"'$w': ${seg(w)} vs ${syms.size}")
+    }
+  }
+
+  test("embed_standardize: norms concentrate near sqrt(d), all labels covered") {
+    val got = SimQueries.embedStandardize.fn(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val labels = Tables.embeddings(spark, sfDir)
+      .groupBy($"label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.map(_._1).toSet == labels.keySet)
+    val sqrtD = math.sqrt(64)
+    got.foreach { case (label, (n, avg, mn, mx)) =>
+      assert(n == labels(label))
+      assert(mn <= avg && avg <= mx)
+      // standardized d-dim vectors have E||z|| ~ sqrt(d); a 20% band
+      // catches a wrong mean/sd join or a missed dimension
+      assert(math.abs(avg - sqrtD) / sqrtD < 0.2,
+        s"label $label: avg norm $avg far from sqrt(64)=$sqrtD")
+    }
+  }
+
   test("sim_knn_classify: predictions replay from the exact top-5 votes") {
     val got = SimQueries.simKnnClassify.fn(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
