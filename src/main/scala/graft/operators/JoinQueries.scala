@@ -517,9 +517,61 @@ object JoinQueries {
       .orderBy(col("seg"))
   }
 
+  /** General INTERVAL-OVERLAP join with no equi key — the remaining
+    * temporal-join shape next to as-of (latest-prior), PIT
+    * (version-valid-at) and proximity (|Δt| ≤ ε): error events open a
+    * 3-minute incident window, purchases carry a trailing 2-minute
+    * risk window, and every overlapping (incident, transaction) pair
+    * emits with its overlap length — the incident-impact sweep, keyed
+    * by NOTHING (cross-user, cross-entity).
+    *
+    * Scale shape (the banded decomposition, as join_time_proximity):
+    * each interval explodes to the ≤ 2 band buckets it covers
+    * (band = 5 min ≥ either span, so the fan-out is a constant 2, not
+    * data-dependent), pairs meet under a bucket equi-join, and the
+    * canonical-bucket conjunct (the bucket holding the overlap START)
+    * keeps each pair in exactly one bucket — no dedup pass. The fleet
+    * BNLJ audit proves the plan stays keyed; per-bucket input is
+    * bounded by the 5-minute arrival rate, the natural time-skew
+    * bound. */
+  val joinIntervalOverlap: GQuery = GQuery(
+    "join_interval_overlap",
+    """WITH e AS (SELECT event_id AS incident_id, ts AS s1,
+      |            ts + INTERVAL 3 MINUTE AS e1
+      |          FROM events WHERE event_type = 'error'),
+      |p AS (SELECT event_id AS txn_id, ts - INTERVAL 2 MINUTE AS s2,
+      |        ts AS e2
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT e.incident_id, p.txn_id,
+      |  epoch_us(least(e.e1, p.e2)) - epoch_us(greatest(e.s1, p.s2))
+      |    AS overlap_us
+      |FROM e JOIN p ON e.s1 <= p.e2 AND p.s2 <= e.e1
+      |ORDER BY incident_id, txn_id""".stripMargin) { (s, dir) =>
+    val band = 300000000L // 5 min in µs — ≥ either interval's span
+    val ev = Tables.events(s, dir)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        unix_micros(col("ts")).as("s1"))
+      .withColumn("e1", col("s1") + 180000000L)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("txn_id"),
+        unix_micros(col("ts")).as("e2"))
+      .withColumn("s2", col("e2") - 120000000L)
+    def spread(df: DataFrame, sc: String, ec: String): DataFrame =
+      df.withColumn("b",
+        explode(sequence(expr(s"$sc div $band"), expr(s"$ec div $band"))))
+    spread(e, "s1", "e1").join(spread(p, "s2", "e2"), Seq("b"))
+      .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .filter(expr(s"greatest(s1, s2) div $band") === col("b"))
+      .select(col("incident_id"), col("txn_id"),
+        (least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
+          .cast("bigint").as("overlap_us"))
+      .orderBy(col("incident_id"), col("txn_id"))
+  }
+
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
     joinAsof, joinAsofTolerance, joinTimeProximity, joinFullOuter,
     joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe,
-    joinPointInTime)
+    joinPointInTime, joinIntervalOverlap)
 }

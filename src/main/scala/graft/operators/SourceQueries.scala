@@ -339,7 +339,40 @@ object SourceQueries {
       .orderBy(col("seg"))
   }
 
+  /** nation → XML (the native XML source that ships in Spark 4's
+    * sql core — the enterprise-feed arrival format) → read back with
+    * an explicit schema + rowTag → per-region aggregate. Same
+    * lossless-roundtrip contract as the CSV/JSON/ORC rows: the
+    * aggregate must match the parquet-side oracle exactly. Explicit
+    * schema as everywhere (XML inference is a second full scan at
+    * 100 TB); at scale the reader splits multi-record files by
+    * rowTag like any text source. */
+  val sourceXmlScan: GQuery = GQuery(
+    "source_xml_scan",
+    """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+      |  min(n_name) AS first_name, max(n_name) AS last_name
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+    val path = tmpDir("xml_nation", dir)
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").option("rowTag", "nation")
+      .format("xml").save(path)
+    val schema = StructType.fromDDL(
+      "n_nationkey BIGINT, n_name STRING, n_regionkey INT")
+    s.read.schema(schema).option("rowTag", "nation").format("xml")
+      .load(path)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("n_nationkey")).as("key_sum"),
+        min(col("n_name")).as("first_name"),
+        max(col("n_name")).as("last_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
   val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan, sourceOrcScan,
     sourceBinaryScan, sourceCsvMalformed, sourceJsonMalformed,
-    sourceJsonNested)
+    sourceJsonNested, sourceXmlScan)
 }

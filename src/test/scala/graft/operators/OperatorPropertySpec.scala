@@ -772,6 +772,25 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("join_interval_overlap: banded pairs equal the brute-force overlap set") {
+    val got = JoinQueries.joinIntervalOverlap.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", unix_micros($"ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val errs = ev.filter(_._2 == "error")
+      .map(e => (e._1, e._3, e._3 + 180000000L))
+    val purch = ev.filter(_._2 == "purchase")
+      .map(p => (p._1, p._3 - 120000000L, p._3))
+    val expect = (for {
+      (i, s1, e1) <- errs
+      (t, s2, e2) <- purch
+      if s1 <= e2 && s2 <= e1
+    } yield (i, t) -> (math.min(e1, e2) - math.max(s1, s2))).toMap
+    assert(got == expect && got.nonEmpty,
+      s"banded (${got.size}) vs brute-force (${expect.size}) diverged")
+  }
+
   test("text_bpe_segment: conservation, fertility bounds, merge consistency") {
     val got = TextQueries.textBpeSegment.fn(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
