@@ -351,6 +351,12 @@ object Text {
       // greedy's plan-depth discipline)
       val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
         .localCheckpoint()
+      // fail loudly on a pairless vocabulary (every word one symbol —
+      // merges exhausted): the crossJoin below would otherwise
+      // silently annihilate the word table and drop this round's row
+      require(best.count() == 1,
+        s"bpeMerges: no symbol pairs left at round $r — " +
+          "fewer merges exist than requested rounds")
       picks :+= best.select(lit(r).as("round"), col("pair"),
         col("cnt").cast("bigint").as("cnt"))
       w = w.crossJoin(broadcast(best.select(col("pair").as("bp"))))

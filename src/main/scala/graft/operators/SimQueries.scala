@@ -751,7 +751,12 @@ object SimQueries {
     * posexploded corpus (64 keys — a shuffle join here would funnel
     * the corpus onto 64 tasks; the broadcast is the only sane plan
     * and the frame is bounded by construction), then one vec-keyed
-    * aggregate (map-side combining) and a 10-row label rollup. */
+    * aggregate (map-side combining) and a 10-row label rollup.
+    *
+    * Contract: every dimension must have non-zero variance (true of
+    * any real embedding batch; a constant dimension would put ±∞
+    * through the z-score's decimal quantization and fail — loudly and
+    * identically — on both engines). */
   val embedStandardize: GQuery = GQuery(
     "embed_standardize",
     """WITH x AS (

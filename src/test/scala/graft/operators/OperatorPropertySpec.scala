@@ -772,6 +772,16 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("bpeMerges fails loudly when merges are exhausted") {
+    // single-character words have no symbol pairs: requesting a merge
+    // round anyway must throw, not silently annihilate the word table
+    val docs = Seq("a b c", "b c a").toDF("text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.Text.bpeMerges(docs, "text", rounds = 1)
+    }
+    assert(ex.getMessage.contains("no symbol pairs"))
+  }
+
   test("join_interval_overlap: banded pairs equal the brute-force overlap set") {
     val got = JoinQueries.joinIntervalOverlap.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -33,7 +33,10 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_range_ivf",    // k-row center broadcast (probe-cell assignment)
     "sample_temperature", // 1-row (Σ√n, N) total scalar cross join ×2
     "merge_cdc_apply",  // 1-row max(k) scalar cross join (insert keys)
-    "ev_gap_fill")      // day spine × bounded distinct type dim
+    "ev_gap_fill",      // day spine × bounded distinct type dim
+    "sim_knn_classify", // brute-force shortlist: tiny probe set broadcast, corpus streamed (the sim_cosine_topk shape)
+    "text_vocab_oov",   // 1-row min-count threshold scalar cross join
+    "text_bpe_segment") // three 1-row checkpointed merge-pick scalars cross-joined onto the vocab table
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
