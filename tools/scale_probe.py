@@ -24,6 +24,14 @@ Families:
     part) copied verbatim — the TPC-H scaling shape where facts
     outgrow dims, so broadcast-ability of the dims is preserved and
     the big-big orders x lineitem exchange is what actually scales.
+  ev — events scaled COPIES x with user_id AND event_id shifted per
+    copy and timestamps untouched: the per-user event-time structure
+    (sessions, funnels, paths, transitions) replicates exactly, so
+    per-user analytics scale linearly in users, while the per-time-
+    bucket arrival density grows COPIES x — which makes the
+    cross-entity temporal joins (time proximity, interval overlap)
+    show their inherent quadratic-in-density output growth. The
+    busier-service scaling shape.
 
 The id stride is 1_000_000 so copy ids can never collide with source
 ids (sf0.1 doc/vec/order ids stay well below it) at any COPIES <= 1000.
@@ -87,5 +95,15 @@ elif FAMILY == "rel":
         f"SELECT count(*) FROM '{DST}/orders.parquet'").fetchone()[0]
     print(f"wrote {DST}: {li} lineitem, {orders} orders ({COPIES}x), "
           "dims verbatim")
+elif FAMILY == "ev":
+    con.execute(f"""
+    COPY (
+      SELECT event_id + {STRIDE} * c AS event_id, ts,
+             user_id + {STRIDE} * c AS user_id, event_type, value, props
+      FROM '{SRC}/events.parquet', generate_series(0, {COPIES - 1}) AS g(c)
+    ) TO '{DST}/events.parquet' (FORMAT PARQUET)""")
+    n = con.execute(
+        f"SELECT count(*) FROM '{DST}/events.parquet'").fetchone()[0]
+    print(f"wrote {DST}: {n} events ({COPIES}x, users shifted, ts kept)")
 else:
-    sys.exit(f"unknown family {FAMILY!r} (llm | rel)")
+    sys.exit(f"unknown family {FAMILY!r} (llm | rel | ev)")
