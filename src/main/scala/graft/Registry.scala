@@ -14,7 +14,8 @@ object Registry {
       TextQueries.all ++ MultimodalQueries.all ++ EventQueries.all ++
       ReshapeQueries.all ++ SourceQueries.all ++ SampleQueries.all ++
       MiningQueries.all ++ GraphQueries.all ++ PipelineQueries.all ++
-      AnalyticsQueries.all ++ LayoutQueries.all ++ TypedQueries.all
+      AnalyticsQueries.all ++ LayoutQueries.all ++ TypedQueries.all ++
+      AuditQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

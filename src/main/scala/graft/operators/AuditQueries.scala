@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+import graft.sources.Tables
+
+/** Data-quality AUDITING — the rule-check / profiling family every
+  * production ETL runs before (and after) a load: declarative
+  * constraint violations counted table-wide, and per-column
+  * statistical profiles. Both are pure aggregations, so the 100 TB
+  * posture is the best possible: map-side-combining counts, anti-join
+  * orphan checks on the join key's natural partitioning, no windows,
+  * tiny outputs.
+  */
+object AuditQueries {
+
+  /** One (rule, violations, checked) row per declarative
+    * data-quality rule over the orders/lineitem/customer slice:
+    * referential orphans (anti joins), domain checks (non-positive
+    * quantity, discount range), cross-table temporal sanity (ship
+    * date before its order's date — the one rule the synthetic
+    * fixture genuinely violates), duplicate primary keys, and null
+    * checks. The shape of Deequ/dbt-test-style validation, composed
+    * from plain Spark aggregates.
+    *
+    * Scale shape: every rule is either a scan-side filter count
+    * (partial-aggregating, predicate pushed) or a keyed anti/inner
+    * join at the table's join grain; `checked` totals ride 1-row
+    * scalar cross joins. Nothing shuffles more than once. */
+  val dqAudit: GQuery = GQuery(
+    "dq_audit",
+    """SELECT * FROM (
+      |  SELECT 'lineitem_orphan_orderkey' AS rule,
+      |    CAST(count(*) AS BIGINT) AS violations,
+      |    CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS checked
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM orders) AS BIGINT)
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_nonpositive_quantity', CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      |  FROM lineitem WHERE l_quantity <= 0
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range', CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      |  FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5
+      |  UNION ALL
+      |  SELECT 'lineitem_ship_before_order', CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_shipdate < o.o_orderdate
+      |  UNION ALL
+      |  SELECT 'orders_dup_orderkey', CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM orders) AS BIGINT)
+      |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'orders_null_priority', CAST(count(*) AS BIGINT),
+      |    CAST((SELECT count(*) FROM orders) AS BIGINT)
+      |  FROM orders WHERE o_orderpriority IS NULL)
+      |ORDER BY rule""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val nLi = li.agg(count(lit(1)).cast("bigint").as("checked"))
+    val nOrd = ord.agg(count(lit(1)).cast("bigint").as("checked"))
+    def rule(name: String, viol: DataFrame, checked: DataFrame) =
+      viol.agg(count(lit(1)).cast("bigint").as("violations"))
+        .crossJoin(checked)
+        .select(lit(name).as("rule"), col("violations"), col("checked"))
+    rule("lineitem_orphan_orderkey",
+        li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"), nLi)
+      .union(rule("orders_orphan_custkey",
+        ord.join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti"), nOrd))
+      .union(rule("lineitem_nonpositive_quantity",
+        li.filter(col("l_quantity") <= 0), nLi))
+      .union(rule("lineitem_discount_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 0.5), nLi))
+      .union(rule("lineitem_ship_before_order",
+        li.select(col("l_orderkey"), col("l_shipdate"))
+          .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") < col("o_orderdate")), nLi))
+      .union(rule("orders_dup_orderkey",
+        ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), nOrd))
+      .union(rule("orders_null_priority",
+        ord.filter(col("o_orderpriority").isNull), nOrd))
+      .orderBy(col("rule"))
+  }
+
+  /** Per-column PROFILE of the orders table — row count, non-null
+    * count, exact distinct count, min/max (stringified so one schema
+    * carries every column type): the "describe before you load"
+    * profiling step of any ingestion pipeline, and the stats a rule
+    * author reads to pick thresholds for [[dqAudit]].
+    *
+    * Scale shape: one aggregate per profiled column (Spark plans the
+    * distinct via expand + two-phase aggregate — partial-combining,
+    * skew-free on the scan's natural partitioning); the union is
+    * 4 rows. */
+  val dqProfile: GQuery = GQuery(
+    "dq_profile",
+    """SELECT * FROM (
+      |  SELECT 'o_orderkey' AS col, 'bigint' AS dtype,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+      |    CAST(max(o_orderkey) AS VARCHAR) AS max_v
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', 'bigint', CAST(count(*) AS BIGINT),
+      |    CAST(count(o_custkey) AS BIGINT),
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+      |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', 'string', CAST(count(*) AS BIGINT),
+      |    CAST(count(o_orderstatus) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+      |    min(o_orderstatus), max(o_orderstatus)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', 'string', CAST(count(*) AS BIGINT),
+      |    CAST(count(o_orderpriority) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+      |    min(o_orderpriority), max(o_orderpriority)
+      |  FROM orders)
+      |ORDER BY col""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+    def profile(c: String, dtype: String): DataFrame =
+      ord.agg(count(lit(1)).cast("bigint").as("n_rows"),
+          count(col(c)).cast("bigint").as("n_nonnull"),
+          countDistinct(col(c)).cast("bigint").as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("col"), lit(dtype).as("dtype"), col("n_rows"),
+          col("n_nonnull"), col("n_distinct"), col("min_v"), col("max_v"))
+    profile("o_orderkey", "bigint")
+      .union(profile("o_custkey", "bigint"))
+      .union(profile("o_orderstatus", "string"))
+      .union(profile("o_orderpriority", "string"))
+      .orderBy(col("col"))
+  }
+
+  val all: Seq[GQuery] = Seq(dqAudit, dqProfile)
+}

@@ -772,6 +772,20 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("dq_audit: violations bounded by checked; the real temporal violation fires") {
+    val rows = AuditQueries.dqAudit.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 7)
+    rows.foreach { case (rule, (v, c)) =>
+      assert(v >= 0 && v <= c, s"$rule: $v of $c") }
+    // the synthetic fixture's ship dates are independent of order
+    // dates, so the temporal-sanity rule must genuinely fire...
+    assert(rows("lineitem_ship_before_order")._1 > 0)
+    // ...while the key-generated referential rules must not
+    assert(rows("lineitem_orphan_orderkey")._1 == 0)
+    assert(rows("orders_dup_orderkey")._1 == 0)
+  }
+
   test("bpeMerges fails loudly when merges are exhausted") {
     // single-character words have no symbol pairs: requesting a merge
     // round anyway must throw, not silently annihilate the word table

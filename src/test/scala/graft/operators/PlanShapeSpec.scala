@@ -36,7 +36,8 @@ class PlanShapeSpec extends SparkTestBase {
     "ev_gap_fill",      // day spine × bounded distinct type dim
     "sim_knn_classify", // brute-force shortlist: tiny probe set broadcast, corpus streamed (the sim_cosine_topk shape)
     "text_vocab_oov",   // 1-row min-count threshold scalar cross join
-    "text_bpe_segment") // three 1-row checkpointed merge-pick scalars cross-joined onto the vocab table
+    "text_bpe_segment", // three 1-row checkpointed merge-pick scalars cross-joined onto the vocab table
+    "dq_audit")         // per-rule 1-row violation×checked scalar cross joins
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
