@@ -151,5 +151,42 @@ object AuditQueries {
       .orderBy(col("col"))
   }
 
-  val all: Seq[GQuery] = Seq(dqAudit, dqProfile)
+  /** FRESHNESS / staleness monitoring — "when did each feed last
+    * write?", the third leg of the DQ stool after rule checks
+    * ([[dqAudit]]) and profiles ([[dqProfile]]): per event_type, the
+    * row count, last-seen event time, the lag behind the newest event
+    * in the whole table (integer minutes on exact epoch-µs math), and
+    * a stale flag at a 60-minute SLA. A silent upstream feed shows up
+    * here hours before it shows up as a wrong dashboard.
+    *
+    * Scale shape: one map-side-combining (type → max ts, count)
+    * aggregate over the scan — 5-row state per task — plus a 1-row
+    * global-max broadcast cross join. Nothing else moves. */
+  val dqFreshness: GQuery = GQuery(
+    "dq_freshness",
+    """WITH per AS (SELECT event_type, count(*) AS n_events,
+      |    max(epoch_us(ts)) AS last_us FROM events GROUP BY event_type),
+      |g AS (SELECT max(last_us) AS g_us FROM per)
+      |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+      |  strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S')
+      |    AS last_seen,
+      |  CAST((g_us - last_us) // 60000000 AS BIGINT) AS lag_min,
+      |  (g_us - last_us) // 60000000 > 60 AS stale
+      |FROM per CROSS JOIN g
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val per = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val g = broadcast(per.agg(max(col("last_us")).as("g_us")))
+    per.crossJoin(g)
+      .select(col("event_type"), col("n_events"),
+        date_format(timestamp_micros(col("last_us")),
+          "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        expr("(g_us - last_us) div 60000000").as("lag_min"),
+        (expr("(g_us - last_us) div 60000000") > 60).as("stale"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness)
 }

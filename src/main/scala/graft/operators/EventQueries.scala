@@ -511,8 +511,53 @@ object EventQueries {
       .orderBy(col("cnt").desc, col("path")).limit(10)
   }
 
+  /** Rolling ACTIVE-USER counts — per-day DAU plus trailing-7-day WAU
+    * (exact distinct users over the [d−6, d] window), the dashboard
+    * pair every product-analytics stack maintains. Days reported are
+    * the days with events.
+    *
+    * Scale shape: an exact rolling COUNT DISTINCT cannot ride a
+    * window frame (distinct doesn't decompose), and a keyless range
+    * join days×day_user would be quadratic in days — so each
+    * DISTINCT (day, user) pair is exploded to the ≤7 target days it
+    * makes active (a CONSTANT fan-out, not density-dependent), the
+    * targets are semi-joined to the observed-day set (tiny,
+    * broadcast), and one (target_day, user) distinct-count shuffle
+    * finishes. At 100 TB the pre-explode day-user dedup is the big
+    * win: the fan-out runs on the deduped pairs (users×days), not
+    * the raw event stream. */
+  val evRollingActiveUsers: GQuery = GQuery(
+    "ev_rolling_active_users",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+      |            FROM events),
+      |days AS (SELECT DISTINCT d FROM du),
+      |wau AS (SELECT days.d, count(DISTINCT du.user_id) AS wau
+      |        FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      |        GROUP BY days.d),
+      |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d)
+      |SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+      |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau
+      |FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = du.select(col("d").as("td")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(col("d"), col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(expr("date_add(d, k)").as("td"), col("user_id"))
+      .join(broadcast(days), Seq("td"), "left_semi")
+      .groupBy(col("td"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("d") === col("td"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
-    evFunnelWindow, evUserPaths)
+    evFunnelWindow, evUserPaths, evRollingActiveUsers)
 }

@@ -569,9 +569,63 @@ object JoinQueries {
       .orderBy(col("incident_id"), col("txn_id"))
   }
 
+  /** SALTED skew join — the manual hot-key mitigation for a shuffle
+    * join whose key distribution is pathological: events carries only
+    * 5 distinct event_type keys (at 100 TB, billions of rows PER KEY
+    * — an unsalted shuffle join pins each key's entire fact volume on
+    * one task). The dim side (a per-type billing-rate table) is
+    * replicated ×16 with an explicit salt column; each fact row picks
+    * ONE salt bucket by portable hash of its unique event_id; the
+    * join key becomes (event_type, salt), spreading every hot key
+    * over 16 tasks. Results are provably identical to the unsalted
+    * join — the oracle IS the unsalted join.
+    *
+    * A 5-row dim would of course be broadcast in practice (the
+    * `shuffle_hash` hint here forces the shuffle path precisely to
+    * pin the salted mechanics); the pattern earns its keep when the
+    * dim is too large to broadcast but its keys are Zipf-hot —
+    * salting is what AQE's skew-join mitigation cannot do for a
+    * SHUFFLE HASH build side at runtime. Fact-side salt derives from
+    * a per-row hash, so the plan stays streaming-safe and
+    * deterministic cross-engine. */
+  val joinSkewSalted: GQuery = {
+    val rates = Seq("click" -> "0.01", "view" -> "0.005",
+      "purchase" -> "1.00", "signup" -> "0.50", "error" -> "0.00")
+    val duckDim = rates.map { case (t, r) =>
+      s"('$t', CAST($r AS DECIMAL(5,3)))" }.mkString(", ")
+    GQuery(
+      "join_skew_salted",
+      s"""WITH dim(event_type, rate) AS (VALUES $duckDim)
+         |SELECT e.event_type,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(round(sum(CAST(round(e.value, 2) AS DECIMAL(12,2))
+         |                 * rate), 4) AS DOUBLE) AS billed
+         |FROM events e JOIN dim USING (event_type)
+         |GROUP BY e.event_type
+         |ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val salts = 16
+      val dim = rates.toDF("event_type", "rate_s")
+        .select(col("event_type"),
+          col("rate_s").cast("decimal(5,3)").as("rate"))
+        .crossJoin(
+          s.range(salts.toLong).select(col("id").cast("int").as("salt")))
+      val fact = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value"), 2).cast("decimal(12,2)").as("v"),
+          pmod(graft.api.Sampling.portableHash(col("event_id"), "salt:"),
+            lit(salts.toLong)).cast("int").as("salt"))
+      fact.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("v") * col("rate")), 4).cast("double").as("billed"))
+        .orderBy(col("event_type"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
     joinAsof, joinAsofTolerance, joinTimeProximity, joinFullOuter,
     joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe,
-    joinPointInTime, joinIntervalOverlap)
+    joinPointInTime, joinIntervalOverlap, joinSkewSalted)
 }

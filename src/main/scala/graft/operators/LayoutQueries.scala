@@ -29,6 +29,10 @@ object LayoutQueries {
   private[operators] def tmpDir(kind: String, dir: String): String =
     s"/tmp/graft_layout/${kind}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** DuckDB twin of graft.api.Sampling.portableHash (48-bit md5 slice). */
+  private def duckHashL(seedAndVal: String): String =
+    s"CAST(concat('0x', substr(md5($seedAndVal), 1, 12)) AS BIGINT)"
+
   /** orders → hive-partitioned parquet by o_orderpriority → read back
     * with a partition predicate → per-month aggregate.
     *
@@ -639,8 +643,67 @@ object LayoutQueries {
       .orderBy(col("seg"))
   }
 
+  /** DELETE-LIST apply — the right-to-be-forgotten / takedown rewrite
+    * every governed data platform must run: a small list of subject
+    * keys (here a deterministic ~5% hash slice of customers standing
+    * in for the erasure-request table) is anti-joined against the
+    * fact table and the SURVIVORS are rewritten as the new snapshot;
+    * the report re-reads the published snapshot (proving the deletes
+    * are IN THE FILES, not just in a view) and emits per-priority
+    * counts + price totals plus the total purged-row count.
+    *
+    * Scale shape: a key-equi LEFT ANTI join, un-hinted — real erasure
+    * lists are thousands of keys against billions of rows and AQE
+    * promotes them to a broadcast anti join from runtime stats (the
+    * canonical plan), but this fixture's list is a ~5% hash slice of
+    * customers, which SCALES with SF and so may not carry an
+    * unconditional hint under the fleet broadcast policy. The rewrite
+    * is one scan + write; the audit aggregate runs on the rewritten
+    * files; the purge count rides a 1-row broadcast scalar. At 100 TB
+    * this is the copy-on-write MERGE DELETE path of any lakehouse
+    * table format, expressed directly. */
+  val mergeDeleteApply: GQuery = GQuery(
+    "merge_delete_apply",
+    s"""WITH del AS (SELECT c_custkey FROM customer
+       |  WHERE ${duckHashL("concat('gdpr:', CAST(c_custkey AS VARCHAR))")}
+       |        % 20 = 0),
+       |kept AS (SELECT * FROM orders
+       |         WHERE o_custkey NOT IN (SELECT c_custkey FROM del)),
+       |purged AS (SELECT CAST((SELECT count(*) FROM orders)
+       |                  - (SELECT count(*) FROM kept) AS BIGINT) AS n)
+       |SELECT o_orderpriority,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+       |    AS DOUBLE) AS sum_price,
+       |  (SELECT n FROM purged) AS n_purged
+       |FROM kept
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val snapPath = tmpDir("gdpr_snapshot", dir)
+    val orders = Tables.orders(s, dir)
+    val delList = Tables.customer(s, dir)
+      .filter(pmod(graft.api.Sampling.portableHash(col("c_custkey"), "gdpr:"),
+        lit(20L)) === lit(0L))
+      .select(col("c_custkey"))
+    orders.join(delList,
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .write.mode("overwrite").parquet(snapPath)
+    val kept = s.read.parquet(snapPath)
+    val purged = broadcast(orders.agg(count(lit(1)).as("n_orig"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .select((col("n_orig") - col("n_kept")).cast("bigint")
+        .as("n_purged")))
+    kept.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+      .crossJoin(purged)
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
-    mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply)
+    mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
+    mergeDeleteApply)
 }

@@ -191,7 +191,74 @@ object SampleQueries {
       .orderBy(col("source"))
   }
 
+  /** Quality-ordered token-BUDGET fill — "take the best documents
+    * until the token budget is spent", the selection step of a
+    * fixed-compute pre-training run (budget here: ¼ of the corpus's
+    * whitespace tokens, derived from the data so the query is
+    * SF-relative). Docs are ranked by the text_quality_score metric
+    * (desc, doc_id tiebreak) and kept while the INCLUSIVE running
+    * token total fits the budget.
+    *
+    * Scale shape: the global running sum is api.Text's DISTRIBUTED
+    * prefix sum (range buckets → 8-row base-offset collect →
+    * per-bucket windows), never a single-partition window — the rank
+    * order rides a composite numeric key ((1e6−quality·1e6)·1e8 +
+    * doc_id, exact on quality's 6-place grid for doc_id < 1e8) so
+    * the bucketing stays a pure function of one orderable column.
+    * The budget scalar joins back as a 1-row broadcast. The oracle
+    * is the naive single-window cumulative sum — same integers. */
+  val sampleTokenBudget: GQuery = {
+    val stop = graft.api.Text.defaultStopwords
+      .map(w => s"'$w'").mkString("(", ",", ")")
+    GQuery(
+      "sample_token_budget",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |per_doc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    count(DISTINCT term) AS n_distinct,
+         |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok GROUP BY doc_id),
+         |scored AS (SELECT doc_id, n_tokens,
+         |    CAST(round(
+         |      0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+         |                 AS DECIMAL(12,6))
+         |      + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+         |                        AS DECIMAL(12,6)))
+         |      + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
+         |  FROM per_doc),
+         |b AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS budget
+         |      FROM scored),
+         |c AS (SELECT doc_id, n_tokens, quality,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+         |      AS BIGINT) AS cum
+         |  FROM scored)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality, cum
+         |FROM c CROSS JOIN b WHERE cum <= budget
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scored = graft.api.Text.qualityScore(
+        Tables.documentsSpread(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      // composite rank key: quality desc then doc_id asc, as one long
+      val keyed = scored.select(
+        ((lit(1000000L) - round(col("quality") * 1e6).cast("long"))
+          * lit(100000000L) + col("doc_id")).as("k"),
+        col("n_tokens").as("tok"))
+      val budget = broadcast(
+        keyed.agg((sum(col("tok")) / 4).cast("long").as("budget")))
+      graft.api.Text.packFromCounts(keyed, "k", "tok", seqLen = 1)
+        .crossJoin(budget)
+        .withColumn("cum", (col("off") + col("tok")).cast("bigint"))
+        .filter(col("cum") <= col("budget"))
+        .select((col("k") % 100000000L).as("doc_id"),
+          col("tok").cast("bigint").as("n_tokens"),
+          ((lit(1000000L) - expr("k div 100000000"))
+            .cast("double") / 1e6).as("quality"),
+          col("cum"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
     sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
-    sampleTemperature)
+    sampleTemperature, sampleTokenBudget)
 }

@@ -917,11 +917,62 @@ object TextQueries {
     }
   }
 
+  /** Benchmark DECONTAMINATION — the train/eval n-gram-overlap sweep
+    * every serious pre-training run performs before touching an eval
+    * suite (GPT-3 appendix C / PaLM style, 13-gram collisions; 4-gram
+    * here so the fixture's clone pairs surface). The eval set is a
+    * deterministic ~2% hash slice of the corpus standing in for the
+    * benchmark suite; the report is one row per contaminated
+    * (train doc, eval doc) pair with the count of DISTINCT shared
+    * 4-grams — the artifact a decontamination pass hands to the
+    * filtering step and the eval-integrity writeup.
+    *
+    * Scale shape: a gram-keyed equi-join, deliberately UN-hinted —
+    * real eval suites are tiny (10⁴–10⁶ grams) and AQE promotes the
+    * distinct eval-gram side to broadcast from runtime stats, turning
+    * the corpus side into a streamed in-memory filter; but THIS
+    * fixture's eval set is a ~2% hash slice whose gram count scales
+    * with the corpus, and the fleet broadcast policy
+    * (BroadcastPolicySpec) rightly forbids an unconditional hint on
+    * an SF-scaling frame. Both dedup passes are min-struct-free
+    * distincts that combine map-side before their shuffles. */
+  val textDecontaminate: GQuery = GQuery(
+    "text_decontaminate",
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                           || ' ' || t[i+3]
+       |                         for i in generate_series(1, len(t) - 3)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |ev AS (SELECT doc_id FROM documents
+       |       WHERE ${duckHash("concat('eval:', CAST(doc_id AS VARCHAR))")}
+       |             % 50 = 0),
+       |eg AS (SELECT DISTINCT doc_id AS eval_id, g FROM g
+       |       WHERE doc_id IN (SELECT doc_id FROM ev)),
+       |pairs AS (SELECT DISTINCT t.doc_id AS train_id, e.eval_id, t.g
+       |          FROM g t JOIN eg e USING (g)
+       |          WHERE t.doc_id NOT IN (SELECT doc_id FROM ev))
+       |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM pairs GROUP BY train_id, eval_id
+       |ORDER BY train_id, eval_id""".stripMargin) { (s, dir) =>
+    val g = graft.api.Text.ngrams(
+      Tables.documentsSpread(s, dir), "doc_id", "text", n = 4)
+    val isEval = pmod(graft.api.Sampling.portableHash(col("doc_id"), "eval:"),
+      lit(50L)) === lit(0L)
+    val evalGrams = g.filter(isEval)
+      .select(col("doc_id").as("eval_id"), col("ngram")).distinct()
+    g.filter(!isEval)
+      .select(col("doc_id").as("train_id"), col("ngram")).distinct()
+      .join(evalGrams, Seq("ngram"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
-    textBpeMerges, textBpeSegment)
+    textBpeMerges, textBpeSegment, textDecontaminate)
 }

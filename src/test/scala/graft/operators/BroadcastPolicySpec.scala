@@ -102,7 +102,18 @@ class BroadcastPolicySpec extends SparkTestBase {
     // 64-row per-dim stats aggregate rejoined onto the posexploded
     // corpus (a shuffle join on 64 dim keys would funnel the corpus
     // onto 64 tasks; the frame is bounded by construction)
-    "embed_standardize" -> 1
+    "embed_standardize" -> 1,
+    // 1-row budget scalar + the 8-row pack-bucket base-offset frame
+    "sample_token_budget" -> 2,
+    // observed-day spine: distinct calendar days (bounded by the time
+    // span, not the data volume) semi-joined onto the 7-day fan-out
+    "ev_rolling_active_users" -> 1,
+    // 1-row purged-count scalar (orig×kept counts) cross-joined onto
+    // the 5-row per-priority audit aggregate
+    "merge_delete_apply" -> 1,
+    // 1-row global-max-timestamp scalar cross-joined onto the
+    // per-type freshness aggregate
+    "dq_freshness" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

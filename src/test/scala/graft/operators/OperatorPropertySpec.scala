@@ -906,4 +906,133 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(tl == labels(probe) && correct == (tl == pl))
     }
   }
+
+  /** JVM twin of graft.api.Sampling.portableHash (md5 hex first 12). */
+  private def portableHashJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(6).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("text_decontaminate: pair report replays from in-memory 4-gram sets") {
+    val got = TextQueries.textDecontaminate.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(4).filter(_.length == 4)
+        .map(_.mkString(" ")).toSet
+    val isEval = (id: Long) => portableHashJvm(s"eval:$id") % 50 == 0
+    val evalGrams = docs.filter(d => isEval(d._1))
+      .map { case (id, t) => id -> grams(t) }
+    assert(evalGrams.nonEmpty, "fixture should have eval docs")
+    val expected = (for {
+      (tid, t) <- docs if !isEval(tid)
+      tg = grams(t)
+      (eid, eg) <- evalGrams
+      shared = (tg & eg).size if shared > 0
+    } yield (tid, eid) -> shared.toLong).toMap
+    assert(got == expected)
+    assert(got.keys.forall { case (tid, _) => !isEval(tid) })
+  }
+
+  test("sample_token_budget: kept set is the exact greedy quality prefix") {
+    val got = SampleQueries.sampleTokenBudget.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val scored = TextQueries.textQualityScore.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    val budget = scored.map(_._2).sum / 4
+    var cum = 0L
+    val expected = scored.sortBy { case (id, _, q) => (-q, id) }
+      .flatMap { case (id, tok, q) =>
+        cum += tok
+        if (cum <= budget) Some((id, tok, q, cum)) else None
+      }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    assert(got.map(_._4).max <= budget)
+  }
+
+  test("ev_rolling_active_users: dau/wau replay exactly; wau dominates dau") {
+    val got = EventQueries.evRollingActiveUsers.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val du = Tables.events(spark, sfDir)
+      .select(to_date($"ts").cast("string"), $"user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val days = du.map(_._1).distinct.sorted
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val expected = days.map { d =>
+      val dd = java.time.LocalDate.parse(d, fmt)
+      val dau = du.count(_._1 == d).toLong
+      val wau = du.filter { case (x, _) =>
+        val xd = java.time.LocalDate.parse(x, fmt)
+        !xd.isAfter(dd) && !xd.isBefore(dd.minusDays(6))
+      }.map(_._2).distinct.size.toLong
+      d -> (dau, wau)
+    }.toMap
+    assert(got == expected)
+    got.foreach { case (d, (dau, wau)) =>
+      assert(wau >= dau, s"$d: wau $wau < dau $dau")
+    }
+  }
+
+  test("join_skew_salted: equals the unsalted join; plan is a salted shuffle-hash join") {
+    val salted = JoinQueries.joinSkewSalted.fn(spark, sfDir)
+    val rates = Map("click" -> BigDecimal("0.01"),
+      "view" -> BigDecimal("0.005"), "purchase" -> BigDecimal("1.00"),
+      "signup" -> BigDecimal("0.50"), "error" -> BigDecimal("0.00"))
+    val plain = Tables.events(spark, sfDir)
+      .select($"event_type", round($"value", 2).cast("decimal(12,2)").as("v"))
+      .collect().map(r => r.getString(0) -> BigDecimal(r.getDecimal(1)))
+    val expected = plain.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.size.toLong,
+        (xs.map(_._2).sum * rates(t)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val gotRows = salted.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotRows == expected)
+    val physical = salted.queryExecution.executedPlan.toString
+    assert(physical.contains("ShuffledHashJoin"),
+      "salted join should take the shuffle-hash path")
+    assert(physical.contains("salt"),
+      "join keys should include the salt column")
+  }
+
+  test("merge_delete_apply: purge count reconciles; no deleted key survives in the files") {
+    val got = LayoutQueries.mergeDeleteApply.fn(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val isDel = (ck: Long) => portableHashJvm(s"gdpr:$ck") % 20 == 0
+    val nPurged = orders.count(o => isDel(o._1)).toLong
+    assert(nPurged > 0, "fixture should purge some orders")
+    assert(got.map(_.getLong(3)).distinct.toSeq == Seq(nPurged))
+    assert(got.map(_.getLong(1)).sum == orders.length - nPurged)
+    // the published snapshot itself must not contain any deleted key
+    val snap = spark.read.parquet(
+      "/tmp/graft_layout/gdpr_snapshot__root_testdata_sf0_001")
+    val surviving = snap.select($"o_custkey").distinct().collect()
+      .map(_.getLong(0))
+    assert(surviving.forall(ck => !isDel(ck)))
+  }
+
+  test("dq_freshness: lags replay from per-type max ts; newest feed has lag 0") {
+    val got = AuditQueries.dqFreshness.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getBoolean(4))).toMap
+    val per = Tables.events(spark, sfDir).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max(unix_micros($"ts")).as("us"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    val gUs = per.map(_._2._2).max
+    assert(got.keySet == per.map(_._1).toSet)
+    per.foreach { case (t, (n, us)) =>
+      val (gn, _, lag, stale) = got(t)
+      assert(gn == n)
+      assert(lag == (gUs - us) / 60000000L)
+      assert(stale == (lag > 60))
+    }
+    assert(got.values.exists(_._3 == 0L), "newest feed must show lag 0")
+  }
 }

@@ -37,7 +37,11 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_knn_classify", // brute-force shortlist: tiny probe set broadcast, corpus streamed (the sim_cosine_topk shape)
     "text_vocab_oov",   // 1-row min-count threshold scalar cross join
     "text_bpe_segment", // three 1-row checkpointed merge-pick scalars cross-joined onto the vocab table
-    "dq_audit")         // per-rule 1-row violation×checked scalar cross joins
+    "dq_audit",         // per-rule 1-row violation×checked scalar cross joins
+    "sample_token_budget", // 1-row budget scalar cross join
+    "join_skew_salted", // 5-row literal dim × 16-row salt range replication
+    "merge_delete_apply",  // 1-row purged-count scalar cross join
+    "dq_freshness")     // 1-row global-max scalar cross join
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
