@@ -63,5 +63,58 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures)
+  /** BLOCK-level binary dedup — the content-addressable storage
+    * technique (fixed-size chunking + per-chunk digest, the
+    * backup/blob-store dedup shape): each opaque payload is cut into
+    * fixed 100-byte blocks, blocks are grouped corpus-wide by
+    * content digest, and the report is the top-20 most-replicated
+    * blocks with the bytes a chunk store reclaims per group
+    * ((copies−1)·size). Whole-asset dedup is the 1-block special
+    * case; block granularity also catches assets that share a
+    * header/prefix without being byte-identical — which is exactly
+    * what the fixture's near-duplicate docs exhibit.
+    *
+    * Scale shape: the payload bytes never shuffle — chunking is a
+    * per-row generator and each block immediately collapses to
+    * (16-byte digest, length) at the scan task, so the exchange
+    * carries digests, not blobs (at 100 TB of assets that projection
+    * IS the operator); one map-side-combining digest aggregate +
+    * TakeOrderedAndProject finish. */
+  val multimodalDedup: GQuery = GQuery(
+    "multimodal_dedup",
+    """SELECT block_md5, CAST(n_copies AS BIGINT) AS n_copies,
+      |  CAST(block_bytes AS BIGINT) AS block_bytes,
+      |  CAST((n_copies - 1) * block_bytes AS BIGINT) AS reclaimed_bytes
+      |FROM (
+      |  SELECT md5(blk) AS block_md5, count(*) AS n_copies,
+      |    max(octet_length(encode(blk))) AS block_bytes
+      |  FROM (
+      |    SELECT substr(text, 100 * i + 1, 100) AS blk
+      |    FROM (SELECT text, unnest(generate_series(0,
+      |            CAST(ceil(octet_length(encode(text)) / 100.0) AS INT) - 1))
+      |            AS i
+      |          FROM documents))
+      |  GROUP BY md5(blk))
+      |WHERE n_copies >= 2
+      |ORDER BY n_copies DESC, block_md5
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .select(col("text").cast("binary").as("payload"))
+      .select(col("payload"), explode(sequence(lit(0),
+        (ceil(length(col("payload")).cast("double") / 100.0) - 1)
+          .cast("int"))).as("i"))
+      .select(expr("substring(payload, 100 * i + 1, 100)").as("blk"))
+      .select(md5(col("blk")).as("block_md5"),
+        length(col("blk")).cast("bigint").as("len"))
+      .groupBy(col("block_md5"))
+      .agg(count(lit(1)).as("n_copies"), max(col("len")).as("block_bytes"))
+      .filter(col("n_copies") >= 2)
+      .select(col("block_md5"), col("n_copies"), col("block_bytes"),
+        ((col("n_copies") - 1) * col("block_bytes")).as("reclaimed_bytes"))
+      .orderBy(col("n_copies").desc, col("block_md5"))
+      .limit(20)
+  }
+
+  val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures,
+    multimodalDedup)
 }

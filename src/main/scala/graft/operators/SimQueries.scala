@@ -826,9 +826,88 @@ object SimQueries {
       .orderBy(col("label"))
   }
 
+  /** ANN RECALL EVALUATION — the measurement harness every ANN
+    * deployment runs before trusting an index: sample probe queries
+    * (vec_id < 50, the sim_topk_lsh probe set), compute EXACT
+    * brute-force top-3 ground truth for just those probes, serve the
+    * same probes from the approximate tier (sign-LSH, same 8×4-bit
+    * parameters as sim_topk_lsh), and report per-probe recall@3 —
+    * the number that decides tables/bits/nProbe before a 100 TB
+    * corpus is indexed. Both tiers are deterministic functions of
+    * the corpus, so even this EVALUATION is oracle-replayable —
+    * DuckDB recomputes ground truth, the LSH serving path, and the
+    * per-probe intersection.
+    *
+    * Scale shape: the exact side is probe-bounded (the standard
+    * ANN-benchmark methodology — ground truth only for the sampled
+    * probes, one broadcast-probe corpus scan, the sim_cosine_topk
+    * plan); the ANN side is the bucketed candidate join. The recall
+    * join runs on (probe, neighbor) pairs — ≤ 2·k rows per probe. */
+  val simRecallEval: GQuery = GQuery(
+    "sim_recall_eval",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |ex AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |        ORDER BY round(list_dot_product(p.v, c.v)
+      |                       / (p.nrm * c.nrm), 6) DESC,
+      |                 c.vec_id) AS rk
+      |    FROM n p JOIN n c ON p.vec_id < 50 AND c.vec_id != p.vec_id)
+      |  WHERE rk <= 3),
+      |b AS (
+      |  SELECT vec_id, v, nrm, t.tbl,
+      |    (CASE WHEN v[4 * t.tbl + 1] >= 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN v[4 * t.tbl + 2] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN v[4 * t.tbl + 3] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN v[4 * t.tbl + 4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM n, (SELECT unnest(range(8)) AS tbl) t),
+      |ann AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |    SELECT probe_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY cosine DESC, neighbor_id) AS rk
+      |    FROM (
+      |      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |        round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+      |          AS cosine
+      |      FROM b p JOIN b c ON p.tbl = c.tbl AND p.bucket = c.bucket
+      |      WHERE p.vec_id < 50 AND c.vec_id != p.vec_id))
+      |  WHERE rk <= 3),
+      |hits AS (
+      |  SELECT ex.probe_id, count(*) AS n_hits
+      |  FROM ex JOIN ann ON ex.probe_id = ann.probe_id
+      |                  AND ex.neighbor_id = ann.neighbor_id
+      |  GROUP BY ex.probe_id),
+      |den AS (SELECT probe_id, count(*) AS n_exact FROM ex
+      |        GROUP BY probe_id)
+      |SELECT den.probe_id, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6) AS recall
+      |FROM den LEFT JOIN hits ON den.probe_id = hits.probe_id
+      |ORDER BY den.probe_id""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val probes = ev.filter(col("vec_id") < 50)
+    val exact = graft.api.Similarity.cosineTopK(ev, probes, "vec_id", "v",
+      k = 3).select(col("probe_id"), col("neighbor_id"))
+    val ann = graft.api.Similarity.signLshTopK(ev, probes, "vec_id", "v",
+      k = 3, tables = 8, bits = 4)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = ann.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
-      simKnnClassify, embedStandardize)
+      simKnnClassify, embedStandardize, simRecallEval)
 }

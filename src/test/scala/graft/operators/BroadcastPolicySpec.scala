@@ -113,7 +113,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     "merge_delete_apply" -> 1,
     // 1-row global-max-timestamp scalar cross-joined onto the
     // per-type freshness aggregate
-    "dq_freshness" -> 1
+    "dq_freshness" -> 1,
+    // the eval harness composes both tiers' bounded probe hints:
+    // cosineTopK's literal-filtered (vec_id < 50) probe set + the
+    // same bounded probe set in signLshTopK's bucket join
+    "sim_recall_eval" -> 3
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

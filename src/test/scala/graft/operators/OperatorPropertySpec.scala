@@ -1035,4 +1035,53 @@ class OperatorPropertySpec extends SparkTestBase {
     }
     assert(got.values.exists(_._3 == 0L), "newest feed must show lag 0")
   }
+
+  test("sim_recall_eval: per-probe recall replays from the two tiers' own outputs") {
+    val got = SimQueries.simRecallEval.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val probes = ev.filter($"vec_id" < 50)
+    val exact = graft.api.Similarity
+      .cosineTopK(ev, probes, "vec_id", "v", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val ann = graft.api.Similarity
+      .signLshTopK(ev, probes, "vec_id", "v", k = 3, tables = 8, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val byProbe = exact.groupBy(_._1)
+    assert(got.keySet == byProbe.keySet)
+    byProbe.foreach { case (p, xs) =>
+      val hits = xs.count(ann.contains).toLong
+      val (nExact, nHits, recall) = got(p)
+      assert(nExact == xs.size && nHits == hits,
+        s"probe $p: ($nExact, $nHits) vs (${xs.size}, $hits)")
+      // query emits recall rounded to 6 places
+      assert(math.abs(recall - hits.toDouble / xs.size) < 5e-7)
+      assert(nHits <= nExact && recall >= 0.0 && recall <= 1.0)
+    }
+    // the harness must agree with the standing LSH recall floor
+    val mean = got.values.map(_._3).sum / got.size
+    assert(mean >= 0.5, s"mean recall $mean below the LSH floor")
+  }
+
+  test("multimodal_dedup: top-20 block groups replay from in-memory chunking") {
+    val rows = MultimodalQueries.multimodalDedup.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"text").collect().map(_.getString(0))
+    val blocks = docs.flatMap(_.getBytes("UTF-8").grouped(100))
+    val groups = blocks.map { b =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map(x => f"$x%02x").mkString, b.length.toLong)
+    }.groupBy(_._1).map { case (h, xs) => (h, xs.size.toLong, xs.head._2) }
+    val expected = groups.filter(_._2 >= 2).toSeq
+      .sortBy { case (h, n, _) => (-n, h) }.take(20)
+      .map { case (h, n, b) => (h, n, b, (n - 1) * b) }
+    assert(rows.toSeq == expected)
+    rows.foreach { case (_, n, b, saved) =>
+      assert(saved == (n - 1) * b && n >= 2)
+    }
+  }
 }

@@ -40,6 +40,7 @@ class PlanShapeSpec extends SparkTestBase {
     "dq_audit",         // per-rule 1-row violation×checked scalar cross joins
     "sample_token_budget", // 1-row budget scalar cross join
     "join_skew_salted", // 5-row literal dim × 16-row salt range replication
+    "sim_recall_eval",  // ground-truth tier IS sim_cosine_topk's brute-force probe-broadcast scan
     "merge_delete_apply",  // 1-row purged-count scalar cross join
     "dq_freshness")     // 1-row global-max scalar cross join
 
