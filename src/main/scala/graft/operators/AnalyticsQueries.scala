@@ -242,7 +242,94 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("tile"))
   }
 
+  /** TPC-H Q14 (promotion effect), monthly rollup form: the share of
+    * discounted revenue coming from PROMO parts, per ship month — the
+    * campaign-effect readout. The fixture's p_type domain is exact
+    * labels (PROMO, STANDARD, …), so the predicate is an equality,
+    * not Q14's LIKE prefix.
+    *
+    * Scale posture: one lineitem⋈part equi-join on partkey (part is
+    * the 100× smaller side — AQE promotes it to broadcast when it
+    * fits, shuffles otherwise), conditional aggregation on the
+    * DECIMAL revenue grid, ≤ |months| result rows. The share divides
+    * two already-rounded 2-place decimals, re-rounded to 6 — exact
+    * cross-engine. */
+  val tpchQ14Promo: GQuery = GQuery(
+    "tpch_q14_promo",
+    """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
+      |    AS ship_month,
+      |  CAST(round(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |    AS promo_revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+      |    AS total_revenue,
+      |  round(CAST(round(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |    / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE), 6)
+      |    AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY date_trunc('month', l_shipdate)
+      |ORDER BY ship_month""".stripMargin) { (s, dir) =>
+    val promoTerm = when(col("p_type") === "PROMO", revenueTerm)
+      .otherwise(lit(0).cast("decimal(18,2)"))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(round(sum(promoTerm), 2).cast("double").as("promo_revenue"),
+        round(sum(revenueTerm), 2).cast("double").as("total_revenue"))
+      .select(date_format(col("m"), "yyyy-MM-dd").as("ship_month"),
+        col("promo_revenue"), col("total_revenue"),
+        round(col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_share"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H Q18 (large-volume customers), top-20 ranked form: the 20
+    * orders with the largest total line quantity, with their
+    * customer — threshold-free so the contract row is non-empty at
+    * every SF (Q18's `HAVING sum(qty) > t` is the same plan with a
+    * filter before the rank).
+    *
+    * Scale posture: the lineitem aggregate collapses to ONE row per
+    * order (map-side combining) before any join — the join input is
+    * |orders|, never |lineitem|; orders and customer join on their
+    * natural keys; the top-20 is a TakeOrderedAndProject heap merge,
+    * never a global sort. */
+  val tpchQ18LargeOrders: GQuery = GQuery(
+    "tpch_q18_large_orders",
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+      |    AS totalprice,
+      |  CAST(round(sum_qty, 2) AS DOUBLE) AS sum_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey)
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY sum_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val qty = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+    qty.join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice").cast("decimal(18,2)"), 2)
+          .cast("double").as("totalprice"),
+        round(col("sum_qty"), 2).cast("double").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   val all: Seq[GQuery] = Seq(
     tpchQ3Shipping, tpchQ5LocalSupplier, tpchQ10Returned,
-    aggPercentiles, winNtile)
+    aggPercentiles, winNtile, tpchQ14Promo, tpchQ18LargeOrders)
 }

@@ -905,9 +905,77 @@ object SimQueries {
       .orderBy(col("probe_id"))
   }
 
+  /** EMBEDDING-DRIFT monitoring — "did the new embedding batch move?":
+    * the corpus splits into two cohorts (even/odd vec_id, standing in
+    * for old-model vs re-embedded batches), per-(label, dim) centroid
+    * means are computed on the DECIMAL(18,9) grid and rounded to 6
+    * (the embed_dim_stats discipline), and each label reports the L2
+    * distance between its two cohort centroids — the drift readout
+    * that gates re-indexing / re-training in a continuously-embedded
+    * pipeline. Sum of squared 6-place diffs is EXACT in
+    * DECIMAL(24,12), so the final sqrt is one deterministic double op
+    * on both engines.
+    *
+    * Scale shape: one (label, dim, cohort) map-side-combining
+    * aggregate over the posexploded corpus — state 2·|labels|·64 rows
+    * at any corpus size — then a |labels|·64-row self-join and a
+    * |labels|-row rollup. No windows, nothing corpus-sized moves. */
+  val simCentroidDrift: GQuery = GQuery(
+    "sim_centroid_drift",
+    """WITH x AS (
+      |  SELECT label, vec_id % 2 AS cohort,
+      |    CAST(unnest(embedding) AS DOUBLE) AS xe,
+      |    generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT label, cohort, dim, count(*) AS n,
+      |    CAST(round(CAST(sum(CAST(xe AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*), 6) AS DECIMAL(12,6)) AS mu
+      |  FROM x GROUP BY label, cohort, dim),
+      |d AS (
+      |  SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+      |    (a.mu - b.mu) * (a.mu - b.mu) AS sq
+      |  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+      |  WHERE a.cohort = 0 AND b.cohort = 1)
+      |SELECT CAST(label AS INT) AS label,
+      |  CAST(min(n_a) AS BIGINT) AS n_even,
+      |  CAST(min(n_b) AS BIGINT) AS n_odd,
+      |  round(sqrt(CAST(sum(CAST(sq AS DECIMAL(24,12))) AS DOUBLE)), 6)
+      |    AS l2_drift
+      |FROM d GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    val m = Tables.embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .select(col("label"), (col("vec_id") % 2).as("cohort"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("cohort"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("double").cast("decimal(18,9)")).as("sx"))
+      .select(col("label"), col("cohort"), col("dim"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6)
+          .cast("decimal(12,6)").as("mu"))
+    val a = m.filter(col("cohort") === 0)
+      .select(col("label"), col("dim"), col("n").as("n_a"),
+        col("mu").as("mu_a"))
+    val b = m.filter(col("cohort") === 1)
+      .select(col("label").as("lb"), col("dim").as("db"),
+        col("n").as("n_b"), col("mu").as("mu_b"))
+    a.join(b, col("label") === col("lb") && col("dim") === col("db"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        ((col("mu_a") - col("mu_b")) * (col("mu_a") - col("mu_b")))
+          .cast("decimal(24,12)").as("sq"))
+      .groupBy(col("label"))
+      .agg(min(col("n_a")).as("n_even"), min(col("n_b")).as("n_odd"),
+        round(sqrt(sum(col("sq")).cast("double")), 6).as("l2_drift"))
+      .select(col("label").cast("int").as("label"),
+        col("n_even").cast("bigint").as("n_even"),
+        col("n_odd").cast("bigint").as("n_odd"), col("l2_drift"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
-      simKnnClassify, embedStandardize, simRecallEval)
+      simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift)
 }

@@ -1084,4 +1084,66 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(saved == (n - 1) * b && n >= 2)
     }
   }
+
+  test("tpch_q14_promo: shares bounded, promo <= total, months replay") {
+    val got = AnalyticsQueries.tpchQ14Promo.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (m, (promo, total, share)) =>
+      assert(promo >= 0 && promo <= total, s"$m: promo $promo > total $total")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - promo / total) < 5e-7)
+    }
+    // month spine replays from the raw join
+    val months = Tables.lineitem(spark, sfDir)
+      .select(date_format(date_trunc("month", $"l_shipdate"), "yyyy-MM-dd"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(got.keySet == months)
+  }
+
+  test("tpch_q18_large_orders: top-20 replays from an in-memory aggregation") {
+    val got = AnalyticsQueries.tpchQ18LargeOrders.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getDouble(5)))
+    val qty = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+    val expected = qty.toSeq.sortBy { case (k, q) => (-q, k) }.take(20)
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, gq), (_, eq)) =>
+      assert(math.abs(gq - eq) < 1e-6)
+    }
+  }
+
+  test("sim_centroid_drift: non-negative, cohorts partition each label, replay") {
+    val got = SimQueries.simCentroidDrift.fn(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val perLabel = Tables.embeddings(spark, sfDir)
+      .select($"label", $"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    val byLabel = perLabel.groupBy(_._1)
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (label, xs) =>
+      val (nEven, nOdd, drift) = got(label)
+      val (evens, odds) = xs.partition(_._2 % 2 == 0)
+      assert(nEven == evens.size && nOdd == odds.size)
+      assert(drift >= 0.0)
+      // in-memory replay on the same 6-place rounding grid
+      def mu(ys: Array[(Int, Long, Seq[Double])], d: Int): BigDecimal =
+        (ys.map(_._3(d)).map(BigDecimal(_)).sum / ys.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val dims = xs.head._3.size
+      val sq = (0 until dims).map { d =>
+        val diff = mu(evens, d) - mu(odds, d); diff * diff
+      }.sum
+      val expected = BigDecimal(math.sqrt(sq.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(drift - expected) <= 1e-5,
+        s"label $label: drift $drift vs replay $expected")
+    }
+  }
 }
