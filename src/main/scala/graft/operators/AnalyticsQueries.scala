@@ -329,7 +329,39 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** TPC-H Q6 (forecasting revenue change): the pure
+    * filter-and-aggregate query — deliberately join-free, because its
+    * entire value is the SCAN: all three predicates (ship-date range,
+    * discount band, quantity cap) must reach the parquet reader as
+    * PushedFilters so a year's slice of a 100 TB lineitem reads only
+    * matching row groups; the aggregate is a 1-row map-side-combined
+    * DECIMAL sum. The l_quantity/l_discount filters are
+    * min/max-stat-prunable per row group; LayoutAnalyticsSpec pins
+    * the pushdown. */
+  val tpchQ6Forecast: GQuery = GQuery(
+    "tpch_q6_forecast",
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS revenue_effect
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_discount").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue_effect"))
+  }
+
   val all: Seq[GQuery] = Seq(
     tpchQ3Shipping, tpchQ5LocalSupplier, tpchQ10Returned,
-    aggPercentiles, winNtile, tpchQ14Promo, tpchQ18LargeOrders)
+    aggPercentiles, winNtile, tpchQ14Promo, tpchQ18LargeOrders,
+    tpchQ6Forecast)
 }

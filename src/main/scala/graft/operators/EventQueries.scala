@@ -556,8 +556,56 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** TIME-TO-CONVERT distribution — "how long from first view to
+    * first purchase?", grouped by the first-view COHORT DAY: the lag
+    * percentiles a funnel dashboard plots next to the conversion
+    * counts (ev_funnel_steps gives how many; this gives how fast).
+    * Lags are exact integer epoch-µs diffs, so the dyadic-fraction
+    * interpolated percentiles are EXACT in binary floating point on
+    * both engines (the agg_percentiles discipline).
+    *
+    * Scale shape: two per-user min-aggregates (map-side combining,
+    * one row per user each) joined on user_id, then a ≤|days|-key
+    * percentile aggregate — the corpus is touched twice, shuffled at
+    * the user grain once. */
+  val evConversionLag: GQuery = GQuery(
+    "ev_conversion_lag",
+    """WITH fv AS (SELECT user_id, min(ts) AS v FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |fp AS (SELECT e.user_id,
+      |         min(epoch_us(e.ts) - epoch_us(fv.v)) AS lag_us
+      |       FROM events e JOIN fv ON e.user_id = fv.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > fv.v
+      |       GROUP BY e.user_id),
+      |j AS (SELECT strftime(CAST(v AS DATE), '%Y-%m-%d') AS cohort_day,
+      |             lag_us
+      |      FROM fv JOIN fp ON fv.user_id = fp.user_id)
+      |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted,
+      |  quantile_cont(lag_us, 0.5) AS lag_p50_us,
+      |  quantile_cont(lag_us, 0.75) AS lag_p75_us
+      |FROM j GROUP BY cohort_day
+      |ORDER BY cohort_day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(col("ts") > col("v"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts")) - unix_micros(col("v")))
+        .as("lag_us"))
+    fv.join(fp, Seq("user_id"))
+      .select(date_format(col("v"), "yyyy-MM-dd").as("cohort_day"),
+        col("lag_us"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(lag_us, 0.5d)").as("lag_p50_us"),
+        expr("percentile(lag_us, 0.75d)").as("lag_p75_us"))
+      .orderBy(col("cohort_day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
-    evFunnelWindow, evUserPaths, evRollingActiveUsers)
+    evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag)
 }

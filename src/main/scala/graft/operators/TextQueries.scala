@@ -968,11 +968,72 @@ object TextQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** ZIPF-fit corpus QA — the rank-frequency log-log slope per
+    * language over the top-100 terms: natural language sits near −1;
+    * a corpus whose slope collapses toward 0 (flat — templated/
+    * synthetic text, as this fixture's ≈ −0.2 shows) or dives steeply
+    * (a few tokens dominating — boilerplate) fails the corpus-level
+    * sanity check that per-document scores can't see. Slope computed
+    * from the closed form (nΣxy−ΣxΣy)/(nΣxx−(Σx)²) with x = ln rank,
+    * y = ln count each rounded to 8 places and summed on the
+    * DECIMAL(14,8) grid — order-free cross-engine, no regr_slope
+    * float accumulation.
+    *
+    * Scale shape: the vocabulary count combines map-side; the
+    * top-100-per-lang rank is a window over ≤|vocab| rows per lang
+    * (the one corpus-sized shuffle is the token count itself, shared
+    * with the other consumers via the session memo); the fit sums
+    * 100 rows per lang. */
+  val textZipfFit: GQuery = GQuery(
+    "text_zipf_fit",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |c AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (SELECT lang, term, cnt,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY cnt DESC, term) AS rk
+      |      FROM c),
+      |t AS (SELECT lang,
+      |        CAST(round(ln(CAST(rk AS DOUBLE)), 8) AS DECIMAL(14,8)) AS x,
+      |        CAST(round(ln(CAST(cnt AS DOUBLE)), 8) AS DECIMAL(14,8)) AS y
+      |      FROM r WHERE rk <= 100)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+      |  round((count(*) * CAST(sum(x*y) AS DOUBLE)
+      |         - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+      |        / (count(*) * CAST(sum(x*x) AS DOUBLE)
+      |           - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6)
+      |    AS zipf_slope
+      |FROM t GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val c = tokens(s, dir)
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term"))
+    val t = c.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100)
+      .select(col("lang"),
+        round(log(col("rk").cast("double")), 8)
+          .cast("decimal(14,8)").as("x"),
+        round(log(col("cnt").cast("double")), 8)
+          .cast("decimal(14,8)").as("y"))
+    t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_terms"),
+        round((col("n_terms") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_terms") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
-    textBpeMerges, textBpeSegment, textDecontaminate)
+    textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit)
 }

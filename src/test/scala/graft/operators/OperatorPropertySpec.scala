@@ -1146,4 +1146,101 @@ class OperatorPropertySpec extends SparkTestBase {
         s"label $label: drift $drift vs replay $expected")
     }
   }
+
+  test("tpch_q6_forecast: matches an unfiltered in-memory replay; filters pushed") {
+    // default maxMetadataStringLength=100 truncates PushedFilters in
+    // the rendered plan — widen it so the assertions see every filter
+    val mk = "spark.sql.maxMetadataStringLength"
+    val savedLen = spark.conf.get(mk)
+    spark.conf.set(mk, "10000")
+    val df = AnalyticsQueries.tpchQ6Forecast.fn(spark, sfDir)
+    val Array(row) = df.collect()
+    val lines = Tables.lineitem(spark, sfDir)
+      .select($"l_shipdate".cast("string"), $"l_discount", $"l_quantity",
+        $"l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val hit = lines.filter { case (d, disc, qty, _) =>
+      d >= "1998-01-01" && d < "1999-01-01" &&
+        disc >= 0.05 && disc <= 0.07 && qty < 24
+    }
+    assert(row.getLong(0) == hit.length)
+    val expected = hit.map { case (_, disc, _, price) =>
+      (BigDecimal(price).setScale(2) * BigDecimal(disc).setScale(2))
+    }.sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(1) - expected) < 1e-6)
+    // the whole point of Q6: every predicate reaches the scan
+    val scan = try df.queryExecution.executedPlan.toString
+      finally spark.conf.set(mk, savedLen)
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(l_discount") &&
+      scan.contains("LessThan(l_quantity"),
+      s"Q6 predicates not pushed:\n$scan")
+  }
+
+  test("ev_conversion_lag: lags replay from per-user first view/purchase") {
+    val got = EventQueries.evConversionLag.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val lags = firstView.flatMap { case (u, v) =>
+      val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 > v)
+      if (ps.isEmpty) None else Some((u, v, ps.map(_._3).min - v))
+    }
+    def pct(xs: Seq[Long], f: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val pos = (s.size - 1) * f
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expected = lags.groupBy { case (_, v, _) =>
+      fmt.format(new java.util.Date(v / 1000))
+    }.map { case (d, xs) =>
+      val ls = xs.map(_._3).toSeq
+      d -> (ls.size.toLong, pct(ls, 0.5), pct(ls, 0.75))
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (d, (n, p50, p75)) =>
+      val (gn, g50, g75) = got(d)
+      assert(gn == n, s"$d: $gn vs $n")
+      assert(math.abs(g50 - p50) < 1.0 && math.abs(g75 - p75) < 1.0,
+        s"$d: ($g50, $g75) vs ($p50, $p75)")
+    }
+  }
+
+  test("text_zipf_fit: slope is negative and replays from token counts") {
+    val got = TextQueries.textZipfFit.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select($"lang", explode(split($"text", " ")).as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = toks.groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, xs) =>
+      val counts = xs.groupBy(_._2).map { case (t, ys) => (t, ys.size) }
+      val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(100).zipWithIndex
+        .map { case ((_, c), i) => (i + 1, c) }
+      def r8(v: Double) = BigDecimal(v)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      val n = ranked.size
+      val x = ranked.map(p => r8(math.log(p._1.toDouble)))
+      val y = ranked.map(p => r8(math.log(p._2.toDouble)))
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val slope = (n * sxy.toDouble - x.sum.toDouble * y.sum.toDouble) /
+        (n * x.map(a => a * a).sum.toDouble
+          - x.sum.toDouble * x.sum.toDouble)
+      val (gn, gs) = got(lang)
+      assert(gn == n)
+      assert(gs < 0.0, s"$lang: slope $gs should be negative")
+      assert(math.abs(gs - slope) < 1e-5, s"$lang: $gs vs $slope")
+    }
+  }
 }
