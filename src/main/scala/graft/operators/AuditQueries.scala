@@ -161,7 +161,9 @@ object AuditQueries {
     *
     * Scale shape: one map-side-combining (type → max ts, count)
     * aggregate over the scan — 5-row state per task — plus a 1-row
-    * global-max broadcast cross join. Nothing else moves. */
+    * global-max broadcast cross join. Nothing else moves. Thin
+    * binding of graft.streaming.AuditStreams (state + report), whose
+    * streaming form runs the same aggregation continuously. */
   val dqFreshness: GQuery = GQuery(
     "dq_freshness",
     """WITH per AS (SELECT event_type, count(*) AS n_events,
@@ -174,18 +176,8 @@ object AuditQueries {
       |  (g_us - last_us) // 60000000 > 60 AS stale
       |FROM per CROSS JOIN g
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val per = Tables.events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        max(unix_micros(col("ts"))).as("last_us"))
-    val g = broadcast(per.agg(max(col("last_us")).as("g_us")))
-    per.crossJoin(g)
-      .select(col("event_type"), col("n_events"),
-        date_format(timestamp_micros(col("last_us")),
-          "yyyy-MM-dd HH:mm:ss").as("last_seen"),
-        expr("(g_us - last_us) div 60000000").as("lag_min"),
-        (expr("(g_us - last_us) div 60000000") > 60).as("stale"))
-      .orderBy(col("event_type"))
+    graft.streaming.AuditStreams.freshnessReport(
+      graft.streaming.AuditStreams.freshnessState(Tables.events(s, dir)))
   }
 
   val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness)

@@ -372,7 +372,41 @@ object SourceQueries {
       .orderBy(col("n_regionkey"))
   }
 
+  /** COMPRESSED-text ingestion: customer → gzip CSV → read back with
+    * explicit schema → per-segment aggregate. Real dumps arrive
+    * compressed; the operational point this row pins is that gzip is
+    * NOT SPLITTABLE — each .csv.gz file is one task no matter its
+    * size, so at 100 TB the compressed corpus must arrive as MANY
+    * files (here: the write preserves the input's partitioning, one
+    * gz file per task) or be recoded to a splittable codec before
+    * heavy use. Spark resolves the codec from the file extension —
+    * no option needed on the read side. */
+  val sourceCsvGzip: GQuery = GQuery(
+    "source_csv_gzip",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS bal_sum
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val path = tmpDir("csv_gz_customer", dir)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(path)
+    val schema = StructType.fromDDL(
+      "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+    s.read.option("header", "true").schema(schema).csv(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_custkey")).as("key_sum"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+          .cast("double").as("bal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[GQuery] = Seq(sourceCsvScan, sourceJsonScan, sourceOrcScan,
     sourceBinaryScan, sourceCsvMalformed, sourceJsonMalformed,
-    sourceJsonNested, sourceXmlScan)
+    sourceJsonNested, sourceXmlScan, sourceCsvGzip)
 }

@@ -202,6 +202,60 @@ object TextQueries {
         |ORDER BY r.doc_id""".stripMargin)(sparkImpl)
   }
 
+  /** Classifier-EVAL harness for the language-ID model: the full
+    * actual×predicted CONFUSION MATRIX — which language pairs the
+    * n-gram LID confuses, the artifact that decides whether the
+    * classifier is good enough to route a 100 TB crawl (per-class
+    * accuracy alone hides systematic pair confusion). Deterministic
+    * classifier ⇒ even the evaluation is oracle-replayable — the
+    * sim_recall_eval principle applied to a classifier.
+    *
+    * Scale shape: the scoring chain is text_lang_id's (shared
+    * memoized token table, vocabulary-keyed joins, min-struct
+    * argmax); the matrix itself is a ≤|langs|² map-side-combining
+    * count. */
+  val textLangidConfusion: GQuery = GQuery(
+    "text_langid_confusion",
+    """WITH tok AS (SELECT doc_id, lang,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |prof AS (SELECT lang AS cand, term, count(*) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang AS cand, count(*) AS t FROM tok GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT term) AS v FROM tok),
+      |doc_tok AS (SELECT doc_id, term, count(*) AS m
+      |  FROM tok GROUP BY 1, 2),
+      |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+      |scores AS (
+      |  SELECT d.doc_id, l.cand,
+      |    round(sum(d.m * round(ln(
+      |      CAST(coalesce(p.c, 0) + 1 AS DOUBLE) / (t.t + v.v)), 8)), 6)
+      |      AS score
+      |  FROM doc_tok d
+      |  CROSS JOIN langs l
+      |  LEFT JOIN prof p ON p.cand = l.cand AND p.term = d.term
+      |  JOIN tot t ON t.cand = l.cand
+      |  CROSS JOIN vocab v
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT doc_id, cand,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, cand) AS rn
+      |  FROM scores)
+      |SELECT d.lang AS actual_lang, r.cand AS pred_lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+      |WHERE r.rn = 1
+      |GROUP BY d.lang, r.cand
+      |ORDER BY actual_lang, pred_lang""".stripMargin) { (s, dir) =>
+    graft.api.Text.langId(Tables.documents(s, dir), "doc_id", "text",
+      "lang", preTokenized =
+        Some(tokens(s, dir).withColumnRenamed("term", "token")))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        col("lang").as("actual_lang")), Seq("doc_id"))
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+  }
+
   /** Pairwise KL divergence between per-language smoothed unigram
     * distributions — the distribution-drift metric between corpus
     * slices (which languages read "most alike"). */
@@ -1035,5 +1089,6 @@ object TextQueries {
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
-    textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit)
+    textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
+    textLangidConfusion)
 }

@@ -117,7 +117,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     // the eval harness composes both tiers' bounded probe hints:
     // cosineTopK's literal-filtered (vec_id < 50) probe set + the
     // same bounded probe set in signLshTopK's bucket join
-    "sim_recall_eval" -> 3
+    "sim_recall_eval" -> 3,
+    // the confusion matrix runs text_lang_id's scoring chain — same
+    // three bounded dict sides (language dim, per-lang totals, 1-row
+    // vocab count)
+    "text_langid_confusion" -> 3
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

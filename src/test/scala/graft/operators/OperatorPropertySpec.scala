@@ -1243,4 +1243,30 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(math.abs(gs - slope) < 1e-5, s"$lang: $gs vs $slope")
     }
   }
+
+  test("text_langid_confusion: matrix aggregates text_lang_id's per-doc rows") {
+    val matrix = TextQueries.textLangidConfusion.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perDoc = TextQueries.textLangId.fn(spark, sfDir).collect()
+      .map(r => (r.getString(2), r.getString(1)))
+    val expected = perDoc.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    assert(matrix == expected)
+    // the diagonal must beat chance (1/|langs|) — the fixture's langs
+    // share a templated vocabulary, so accuracy is far from 1.0; that
+    // weakness is exactly what this matrix exists to expose
+    val correct = matrix.collect { case ((a, p), n) if a == p => n }.sum
+    val nLangs = matrix.keys.map(_._1).toSet.size
+    assert(correct * nLangs > matrix.values.sum,
+      s"diagonal $correct of ${matrix.values.sum} under chance (1/$nLangs)")
+  }
+
+  test("source_csv_gzip: the roundtrip really reads gzip files") {
+    val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
+    assert(df.count() > 0)
+    val dir = new java.io.File(
+      "/tmp/graft_src/csv_gz_customer__root_testdata_sf0_001")
+    val files = dir.listFiles().map(_.getName).filter(_.endsWith(".gz"))
+    assert(files.nonEmpty, "no .csv.gz files written")
+  }
 }

@@ -21,6 +21,7 @@ class PlanShapeSpec extends SparkTestBase {
     "text_surprisal",   // 1-row (N, V) model-size scalar attached via broadcast cross join
     "text_surprisal_bigram", // 1-row vocabulary scalar cross join
     "text_lang_id",     // bounded language dim + 1-row vocab scalar cross joins
+    "text_langid_confusion", // same scoring chain as text_lang_id
     "text_lang_divergence", // same bounded dictionary cross joins
     "graph_pagerank",   // 1-row node-count scalar cross join per iteration
     "mining_assoc_rules", // 1-row basket-total scalar cross join
