@@ -612,9 +612,52 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TRAIN/TEST LEAKAGE audit — the check every held-out split needs
+    * before a single eval number is trusted: near-duplicate pairs
+    * (the MinHash candidate graph, shared memo with dedup_near_
+    * minhash) that STRADDLE the sample_split_assign train/val/test
+    * boundary. A test doc with a train-side near-dup inflates eval
+    * scores silently; this report is the list a curation pass must
+    * drain to zero (by moving whole dup CLUSTERS into one split —
+    * which is why dedup runs before splitting in a sane pipeline).
+    *
+    * Scale shape: the split label is a PURE FUNCTION of doc_id (the
+    * same salted portable hash sample_split_assign uses), so both
+    * labels are per-row projections on the (tiny) candidate pair
+    * list — zero joins beyond the banded candidate generation
+    * itself. */
+  val dedupSplitLeakage: GQuery = {
+    val duckSplit = (c: String) =>
+      s"""CASE WHEN ${duckHash(s"concat('spl:', CAST($c AS VARCHAR))")}
+         | % 10 < 8 THEN 'train'
+         | WHEN ${duckHash(s"concat('spl:', CAST($c AS VARCHAR))")}
+         | % 10 < 9 THEN 'val' ELSE 'test' END""".stripMargin
+        .replaceAll("\n", "")
+    def sparkSplit(c: String) = {
+      val b = pmod(graft.api.Sampling.portableHash(col(c), "spl:"),
+        lit(10L))
+      when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    }
+    GQuery(
+      "dedup_split_leakage",
+      s"""$minhashPairsCte
+         |SELECT doc1, doc2, ${duckSplit("doc1")} AS split1,
+         |  ${duckSplit("doc2")} AS split2, est_jaccard
+         |FROM pairs
+         |WHERE ${duckSplit("doc1")} <> ${duckSplit("doc2")}
+         |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+      minhashPairsSpark(s, dir)
+        .select(col("doc1"), col("doc2"),
+          sparkSplit("doc1").as("split1"), sparkSplit("doc2").as("split2"),
+          col("est_jaccard"))
+        .filter(col("split1") =!= col("split2"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
     dedupIngest, dedupContainment, dedupContainmentIngest,
-    dedupSpanGlobal)
+    dedupSpanGlobal, dedupSplitLeakage)
 }

@@ -604,8 +604,51 @@ object EventQueries {
       .orderBy(col("cohort_day"))
   }
 
+  /** VELOCITY / burst detection — the rate-limit & fraud-rule shape:
+    * each user's busiest single HOUR (max events in any hour, with
+    * the hour itself and the user's active-hour count), top-20 by
+    * burst — the report an abuse desk reads and a rate limiter's
+    * thresholds are tuned from. Ties on the burst pick the EARLIEST
+    * hour via the min-struct argmax (window-free, the agg_mode
+    * discipline).
+    *
+    * Scale shape: one (user, hour) map-side-combining count, one
+    * per-user min-struct aggregate, TakeOrderedAndProject top-20 —
+    * no windows, both aggregates collapse before their shuffles. */
+  val evVelocityBurst: GQuery = GQuery(
+    "ev_velocity_burst",
+    """WITH uh AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+      |mx AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_hours,
+      |    max(n) AS max_burst,
+      |    min(CASE WHEN n = (SELECT max(n) FROM uh u2
+      |                       WHERE u2.user_id = uh.user_id)
+      |        THEN hr END) AS burst_hour
+      |  FROM uh GROUP BY user_id)
+      |SELECT user_id, CAST(max_burst AS BIGINT) AS max_burst,
+      |  strftime(burst_hour, '%Y-%m-%d %H:%M:%S') AS burst_hour,
+      |  n_active_hours
+      |FROM mx
+      |ORDER BY max_burst DESC, user_id
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_hours"),
+        min(struct((-col("n")).as("neg"), col("hr").as("hr"))).as("pick"))
+      .select(col("user_id"), (-col("pick.neg")).as("max_burst"),
+        date_format(col("pick.hr"), "yyyy-MM-dd HH:mm:ss").as("burst_hour"),
+        col("n_active_hours"))
+      .orderBy(col("max_burst").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
-    evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag)
+    evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
+    evVelocityBurst)
 }

@@ -235,8 +235,12 @@ object SampleQueries {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality, cum
          |FROM c CROSS JOIN b WHERE cum <= budget
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val scored = graft.api.Text.qualityScore(
-        Tables.documentsSpread(s, dir), "doc_id", "text")
+      // consume the SHARED memoized token explode (TextQueries.tokens):
+      // at 100 TB the corpus is tokenized once for quality scoring,
+      // LID, TF-IDF — and this budget fill — not re-exploded per query
+      val scored = graft.api.Text.qualityScoreFromTokens(
+        TextQueries.tokens(s, dir).withColumnRenamed("term", "token"),
+        "doc_id")
         .select(col("doc_id"), col("n_tokens"), col("quality"))
       // composite rank key: quality desc then doc_id asc, as one long
       val keyed = scored.select(

@@ -31,7 +31,7 @@ object TextQueries {
     * queries consume it (TF, TF-IDF, language ID, quality scoring) —
     * at 100 TB the tokenized corpus is materialized once, not
     * re-exploded per consumer. */
-  private def tokens(s: SparkSession, dir: String): DataFrame =
+  private[operators] def tokens(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.memo(s, dir, "doc_tokens") {
       Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("lang"),

@@ -1261,6 +1261,45 @@ class OperatorPropertySpec extends SparkTestBase {
       s"diagonal $correct of ${matrix.values.sum} under chance (1/$nLangs)")
   }
 
+  test("dedup_split_leakage: pairs are the straddling subset of the candidate graph") {
+    val leaks = DedupQueries.dedupSplitLeakage.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSeq
+    val allPairs = DedupQueries.dedupNearMinhash.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(leaks.nonEmpty,
+      "dup-dense fixture should leak across a hash split")
+    def split(id: Long): String = {
+      val b = portableHashJvm(s"spl:$id") % 10
+      if (b < 8) "train" else if (b < 9) "val" else "test"
+    }
+    leaks.foreach { case (d1, d2, s1, s2) =>
+      assert(allPairs.contains((d1, d2)), s"($d1,$d2) not a candidate pair")
+      assert(s1 == split(d1) && s2 == split(d2) && s1 != s2)
+    }
+    // completeness: every straddling candidate pair is reported
+    val expected = allPairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaks.map(p => (p._1, p._2)).toSet == expected)
+  }
+
+  test("ev_velocity_burst: top-20 replays; burst hour is the earliest argmax") {
+    val got = EventQueries.evVelocityBurst.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id",
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      val hours = xs.groupBy(_._2).map { case (h, ys) => (h, ys.size) }
+      val mx = hours.values.max
+      val earliest = hours.filter(_._2 == mx).keys.min
+      (u, mx.toLong, earliest, hours.size.toLong)
+    }
+    val expected = perUser.toSeq
+      .sortBy { case (u, mx, _, _) => (-mx, u) }.take(20)
+    assert(got.toSeq == expected)
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)
