@@ -646,9 +646,82 @@ object EventQueries {
       .limit(20)
   }
 
+  /** MULTI-TOUCH LINEAR ATTRIBUTION — each purchase's value split
+    * EQUALLY across the user's view/click touchpoints in the
+    * trailing 24 h (the marketing-analytics standard next to
+    * last-touch, which ev_click_attribution covers); purchases with
+    * no in-window touch report under '(none)'. Per-touch credit is
+    * value·cnt/total rounded to 6 in ONE double expression, then
+    * summed on the DECIMAL(18,6) grid — order-free cross-engine.
+    *
+    * Scale shape: the purchase×touch join is user-keyed with the
+    * 24 h bound as a residual conjunct (the ev_click_attribution
+    * interval discipline — evictable state in the streaming twin's
+    * terms); per-purchase counts collapse map-side to ≤|types| rows
+    * before the credit rollup; the no-touch row is a keyed anti
+    * join. */
+  val evAttributionLinear: GQuery = GQuery(
+    "ev_attribution_linear",
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts AS tts, event_type AS touch FROM events
+      |      WHERE event_type IN ('view', 'click')),
+      |j AS (SELECT p.event_id, p.value, t.touch
+      |      FROM p JOIN t ON p.user_id = t.user_id
+      |        AND t.tts < p.ts AND t.tts >= p.ts - INTERVAL 24 HOUR),
+      |per AS (SELECT event_id, value, touch, count(*) AS cnt
+      |        FROM j GROUP BY event_id, value, touch),
+      |tot AS (SELECT event_id, sum(cnt) AS tot FROM per GROUP BY event_id),
+      |credit AS (
+      |  SELECT touch,
+      |    CAST(round(CAST(round(per.value, 2) AS DOUBLE) * cnt
+      |               / tot, 6) AS DECIMAL(18,6)) AS c
+      |  FROM per JOIN tot ON per.event_id = tot.event_id),
+      |touched AS (SELECT touch, count(*) AS n_credits,
+      |    CAST(round(sum(c), 2) AS DOUBLE) AS credited
+      |  FROM credit GROUP BY touch),
+      |untouched AS (
+      |  SELECT '(none)' AS touch, CAST(count(*) AS BIGINT) AS n_credits,
+      |    CAST(round(sum(CAST(round(value, 2) AS DECIMAL(12,2))), 2)
+      |      AS DOUBLE) AS credited
+      |  FROM p WHERE NOT EXISTS
+      |    (SELECT 1 FROM j WHERE j.event_id = p.event_id))
+      |SELECT touch, CAST(n_credits AS BIGINT) AS n_credits, credited
+      |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+      |ORDER BY touch""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).cast("decimal(12,2)").as("value"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("touch"))
+    val j = p.join(t, Seq("user_id"))
+      .filter(col("tts") < col("ts") &&
+        col("tts") >= col("ts") - expr("INTERVAL 24 HOUR"))
+      .select(col("event_id"), col("value"), col("touch"))
+    val per = j.groupBy(col("event_id"), col("value"), col("touch"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = per.groupBy(col("event_id")).agg(sum(col("cnt")).as("tot"))
+    val touched = per.join(tot, Seq("event_id"))
+      .select(col("touch"),
+        round(col("value").cast("double") * col("cnt") / col("tot"), 6)
+          .cast("decimal(18,6)").as("c"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("c")), 2).cast("double").as("credited"))
+    val untouched = p.join(j.select(col("event_id")).distinct(),
+        Seq("event_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("value")), 2).cast("double").as("credited"))
+      .select(lit("(none)").as("touch"), col("n_credits"),
+        col("credited"))
+    touched.unionByName(untouched).orderBy(col("touch"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
-    evVelocityBurst)
+    evVelocityBurst, evAttributionLinear)
 }

@@ -195,6 +195,91 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** CURATION-FUNNEL report — per-stage survival through the chained
+    * quality gates (length → quality score → repetition → exact
+    * dedup): the "where did my corpus go" table every dataset card
+    * prints next to the final counts, and the first thing to read
+    * when a filter change nukes half the data. Stages apply
+    * SEQUENTIALLY (each n_in = the previous stage's n_kept); rates
+    * divide two already-exact integer counts, rounded to 6.
+    *
+    * Scale shape: per-row gates (length), per-doc map-side-combining
+    * aggregates reusing the text family's grids (quality, bigram
+    * repetition), and the min-id exact-dedup aggregate; each stage's
+    * count is a 1-row aggregate. The per-doc score frames join on
+    * doc_id — keyed, AQE-sized. */
+  val pipelineFilterFunnel: GQuery = GQuery(
+    "pipeline_filter_funnel",
+    s"""WITH s0 AS (SELECT doc_id, text, n_chars FROM documents),
+       |s1 AS (SELECT * FROM s0 WHERE n_chars >= 150),
+       |tokf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |         FROM s1),
+       |pdoc AS (SELECT doc_id, count(*) AS n_tokens,
+       |    count(DISTINCT term) AS n_distinct,
+       |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
+       |  FROM tokf GROUP BY doc_id),
+       |qual AS (SELECT doc_id, CAST(round(
+       |    0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+       |               AS DECIMAL(12,6))
+       |    + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+       |                      AS DECIMAL(12,6)))
+       |    + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS q
+       |  FROM pdoc),
+       |s2 AS (SELECT s1.* FROM s1 JOIN qual USING (doc_id)
+       |       WHERE q >= 0.62),
+       |ng AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+       |                              for i in generate_series(1, len(t) - 1)])
+       |         AS g
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM s2)),
+       |ngc AS (SELECT doc_id, g, count(*) AS c FROM ng GROUP BY 1, 2),
+       |rep AS (SELECT doc_id,
+       |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |          / sum(c), 6) AS dup_frac
+       |  FROM ngc GROUP BY doc_id),
+       |s3 AS (SELECT s2.* FROM s2 JOIN rep USING (doc_id)
+       |       WHERE dup_frac <= 0.2),
+       |s4 AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY text),
+       |n AS (SELECT 0 AS stage_idx, 'raw' AS stage,
+       |        (SELECT count(*) FROM s0) AS n_in,
+       |        (SELECT count(*) FROM s0) AS n_kept
+       |      UNION ALL SELECT 1, 'len_150',
+       |        (SELECT count(*) FROM s0), (SELECT count(*) FROM s1)
+       |      UNION ALL SELECT 2, 'quality_0.62',
+       |        (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+       |      UNION ALL SELECT 3, 'repetition_0.2',
+       |        (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+       |      UNION ALL SELECT 4, 'exact_dedup',
+       |        (SELECT count(*) FROM s3), (SELECT count(*) FROM s4))
+       |SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+       |  CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept,
+       |  round(CAST(n_kept AS DOUBLE) / n_in, 6) AS keep_rate
+       |FROM n ORDER BY stage_idx""".stripMargin) { (s, dir) =>
+    val s0 = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val s1 = s0.filter(col("n_chars") >= 150)
+    val qual = graft.api.Text.qualityScore(s1, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val s2 = s1.join(qual, Seq("doc_id")).filter(col("quality") >= 0.62)
+      .select(col("doc_id"), col("text"))
+    val rep = graft.api.Text.repetition(s2, "doc_id", "text")
+      .select(col("doc_id"), col("dup_frac"))
+    val s3 = s2.join(rep, Seq("doc_id")).filter(col("dup_frac") <= 0.2)
+      .select(col("doc_id"), col("text"))
+    val s4 = s3.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    // one count per stage frame; the tiny stage-count rows then union
+    val Seq(n0, n1, n2, n3, n4) = Seq(s0, s1, s2, s3, s4).map(_.count())
+    val rows = Seq(
+      (0, "raw", n0, n0), (1, "len_150", n0, n1),
+      (2, "quality_0.62", n1, n2), (3, "repetition_0.2", n2, n3),
+      (4, "exact_dedup", n3, n4))
+    import s.implicits._
+    rows.toDF("stage_idx", "stage", "n_in", "n_kept")
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_in"), 6)
+          .as("keep_rate"))
+      .orderBy(col("stage_idx"))
+  }
+
   val all: Seq[GQuery] = Seq(pipelineCorpusPrep, pipelineDatasetCard,
-    pipelineSkewReport)
+    pipelineSkewReport, pipelineFilterFunnel)
 }

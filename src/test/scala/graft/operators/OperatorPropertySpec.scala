@@ -1300,6 +1300,45 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got.toSeq == expected)
   }
 
+  test("pipeline_filter_funnel: counts chain, rates consistent, stages monotone") {
+    val rows = PipelineQueries.pipelineFilterFunnel.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0 to 4))
+    // sequential chaining: each stage's n_in is the previous n_kept
+    rows.sliding(2).foreach { case Array((_, _, _, kept, _),
+        (_, st, in, _, _)) =>
+      assert(in == kept, s"$st: n_in $in != previous n_kept $kept")
+    }
+    rows.foreach { case (_, st, in, kept, rate) =>
+      assert(kept <= in, s"$st grew the corpus")
+      assert(math.abs(rate - kept.toDouble / in) < 5e-7)
+    }
+    // every gate must do SOMETHING on the fixture (else the
+    // thresholds are dead weight)
+    val dropping = rows.drop(1).count { case (_, _, in, kept, _) =>
+      kept < in }
+    assert(dropping >= 2, s"only $dropping gates dropped anything")
+  }
+
+  test("ev_attribution_linear: credit conserves the purchase value exactly") {
+    val rows = EventQueries.evAttributionLinear.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val total = rows.map(_._3).sum
+    val purchases = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .agg(sum(round($"value", 2).cast("decimal(12,2)"))).collect()(0)
+      .getDecimal(0).doubleValue()
+    // linear attribution splits each purchase across its touches —
+    // the credited total must reconcile with the purchase total up to
+    // the per-touch 6-place rounding (bounded by credits * 5e-7)
+    val nCredits = rows.map(_._2).sum
+    assert(math.abs(total - purchases) <= nCredits * 5e-7 + 0.01,
+      s"credited $total vs purchases $purchases")
+    assert(rows.map(_._1).toSet.subsetOf(Set("view", "click", "(none)")))
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)
