@@ -43,7 +43,10 @@ object IsoBench {
     // the headline set covered only LLM-pipeline ops (judge-measured
     // quiet: q3 1.98 s, q10 1.00 s, frame_rows 0.28 s)
     "tpch_q3_shipping", "tpch_q10_returned", "tpch_q5_local_supplier",
-    "win_frame_rows", "sink_compact_small_files", "text_entropy")
+    "win_frame_rows", "sink_compact_small_files", "text_entropy",
+    // round-12 session 3: the only new rows above the 1 s warm band
+    "sample_token_budget", "pipeline_filter_funnel",
+    "text_langid_confusion")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
