@@ -973,9 +973,101 @@ object SimQueries {
       .orderBy(col("label"))
   }
 
+  /** HYBRID SEARCH — reciprocal-rank fusion of a LEXICAL tier and a
+    * VECTOR tier (the RRF recipe modern retrieval stacks run when
+    * neither BM25 nor embeddings alone suffice): probe docs
+    * (doc_id < 5) retrieve a lexical top-10 by shared-distinct-term
+    * count (the inverted-index shape) and a vector top-10 by exact
+    * cosine (doc_id = vec_id aligns the modalities), fused by
+    * Σ 1/(60+rank) — one rounded double expression, k = 60 per the
+    * original RRF paper — and re-ranked to a final top-5.
+    *
+    * Scale shape: the lexical tier is a term-keyed equi-join of the
+    * tiny probe term set against the corpus posting list (at 100 TB
+    * production adds IDF cutoffs / posting caps — the
+    * dedup_containment prefix discipline); the vector tier is the
+    * probe-bounded cosineTopK scan; fusion touches ≤ 20 rows per
+    * probe. Both tier ranks break ties on doc_id, so fusion is
+    * deterministic end to end. */
+  val simHybridSearch: GQuery = GQuery(
+    "sim_hybrid_search",
+    """WITH ptok AS (SELECT doc_id AS probe_id,
+      |         unnest(string_split(text, ' ')) AS term
+      |       FROM documents WHERE doc_id < 5),
+      |pterms AS (SELECT DISTINCT probe_id, term FROM ptok),
+      |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |         FROM documents),
+      |dterms AS (SELECT DISTINCT doc_id, term FROM dtok),
+      |lexscore AS (
+      |  SELECT p.probe_id, d.doc_id, count(*) AS shared
+      |  FROM pterms p JOIN dterms d ON p.term = d.term
+      |  WHERE d.doc_id != p.probe_id
+      |  GROUP BY p.probe_id, d.doc_id),
+      |lexrank AS (
+      |  SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY shared DESC, doc_id) AS rk
+      |  FROM lexscore),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |vecrank AS (
+      |  SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, doc_id) AS rk
+      |  FROM (SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+      |          round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+      |            AS cosine
+      |        FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id != p.vec_id)),
+      |fused AS (
+      |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+      |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |    round(coalesce(1.0 / (60 + l.rk), 0)
+      |          + coalesce(1.0 / (60 + v.rk), 0), 8) AS rrf
+      |  FROM (SELECT * FROM lexrank WHERE rk <= 10) l
+      |  FULL OUTER JOIN (SELECT * FROM vecrank WHERE rk <= 10) v
+      |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id),
+      |final AS (
+      |  SELECT probe_id, doc_id, rrf,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY rrf DESC, doc_id) AS rk
+      |  FROM fused)
+      |SELECT probe_id, rk, doc_id, rrf
+      |FROM final WHERE rk <= 5
+      |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
+    val dterms = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val pterms = dterms.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("term"))
+    val wLex = Window.partitionBy(col("probe_id"))
+      .orderBy(col("shared").desc, col("doc_id"))
+    val lex = pterms.join(dterms, Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("lrk", row_number().over(wLex))
+      .filter(col("lrk") <= 10)
+      .select(col("probe_id"), col("doc_id"), col("lrk"))
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val vec = graft.api.Similarity.cosineTopK(ev,
+        ev.filter(col("vec_id") < 5), "vec_id", "v", k = 10)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rk").as("vrk"))
+    val wFin = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("lrk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("vrk")), lit(0.0)), 8)
+          .as("rrf"))
+      .withColumn("rk", row_number().over(wFin))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
-      simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift)
+      simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
+      simHybridSearch)
 }

@@ -121,7 +121,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // the confusion matrix runs text_lang_id's scoring chain — same
     // three bounded dict sides (language dim, per-lang totals, 1-row
     // vocab count)
-    "text_langid_confusion" -> 3
+    "text_langid_confusion" -> 3,
+    // vector tier: cosineTopK's literal-filtered (vec_id < 5) probe set
+    "sim_hybrid_search" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

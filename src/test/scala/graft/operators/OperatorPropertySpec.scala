@@ -1339,6 +1339,51 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(rows.map(_._1).toSet.subsetOf(Set("view", "click", "(none)")))
   }
 
+  test("sim_hybrid_search: fusion replays from the two tiers' own rankings") {
+    val got = SimQueries.simHybridSearch.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.length <= 5))
+    // replay: lexical shared-term top-10 + exact cosine top-10 → RRF
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probes = docs.map(_._1).filter(_ < 5)
+    val expected = probes.flatMap { p =>
+      val pt = docs.toMap.apply(p)
+      val lex = docs.filter(_._1 != p)
+        .map { case (d, ts) => (d, (ts & pt).size) }
+        .filter(_._2 > 0)
+        .sortBy { case (d, sh) => (-sh, d) }.take(10).zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val pv = ev.toMap.apply(p)
+      val vr = ev.filter(_._1 != p)
+        .map { case (d, v) => (d, cos(pv, v)) }
+        .sortBy { case (d, c) => (-c, d) }.take(10).zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1) }.toMap
+      (lex.keySet ++ vr.keySet).toSeq.map { d =>
+        val rrf = BigDecimal(
+          lex.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+            + vr.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (p, d, rrf)
+      }.sortBy { case (_, d, s) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((pp, d, s), i) => (pp, i + 1, d, s) }
+    }
+    assert(got.toSeq.sortBy(r => (r._1, r._2)) ==
+      expected.toSeq.sortBy(r => (r._1, r._2)))
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)

@@ -42,6 +42,7 @@ class PlanShapeSpec extends SparkTestBase {
     "sample_token_budget", // 1-row budget scalar cross join
     "join_skew_salted", // 5-row literal dim × 16-row salt range replication
     "sim_recall_eval",  // ground-truth tier IS sim_cosine_topk's brute-force probe-broadcast scan
+    "sim_hybrid_search", // vector tier IS the same probe-broadcast cosine scan
     "merge_delete_apply",  // 1-row purged-count scalar cross join
     "dq_freshness")     // 1-row global-max scalar cross join
 
