@@ -180,5 +180,54 @@ object AuditQueries {
       graft.streaming.AuditStreams.freshnessState(Tables.events(s, dir)))
   }
 
-  val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness)
+  /** CATEGORICAL-DRIFT monitoring (PSI — population stability index):
+    * the per-category share shift between two cohorts of orders (even
+    * vs odd orderkey standing in for last-week vs this-week loads),
+    * with each category's PSI term (pa−pb)·ln(pa/pb) — the standard
+    * "did the input distribution move" gate of an ML-ops scorecard
+    * (rule of thumb: Σ > 0.1 investigate, > 0.25 alarm). Shares
+    * rounded to 6, the log to 8, the term one rounded double
+    * expression — deterministic cross-engine.
+    *
+    * Scale shape: two map-side-combining category counts + two 1-row
+    * totals + a ≤|categories| full-outer join. Nothing else moves. */
+  val dqDriftPsi: GQuery = GQuery(
+    "dq_drift_psi",
+    """WITH a AS (SELECT o_orderpriority AS k, count(*) AS n FROM orders
+      |           WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |b AS (SELECT o_orderpriority AS k, count(*) AS n FROM orders
+      |      WHERE o_orderkey % 2 = 1 GROUP BY 1),
+      |t AS (SELECT (SELECT sum(n) FROM a) AS ta,
+      |             (SELECT sum(n) FROM b) AS tb),
+      |j AS (SELECT coalesce(a.k, b.k) AS k,
+      |        round(CAST(coalesce(a.n, 0) AS DOUBLE) / ta, 6) AS pa,
+      |        round(CAST(coalesce(b.n, 0) AS DOUBLE) / tb, 6) AS pb
+      |      FROM a FULL OUTER JOIN b ON a.k = b.k CROSS JOIN t)
+      |SELECT k, pa, pb,
+      |  CAST(round((pa - pb) * round(ln(pa / pb), 8), 8) AS DOUBLE)
+      |    AS psi_term
+      |FROM j ORDER BY k""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+    def half(parity: Int, nc: String) =
+      ord.filter(col("o_orderkey") % 2 === parity)
+        .groupBy(col("o_orderpriority").as(s"k$parity"))
+        .agg(count(lit(1)).as(nc))
+    val a = half(0, "na")
+    val b = half(1, "nb")
+    val ta = broadcast(a.agg(sum(col("na")).as("ta")))
+    val tb = broadcast(b.agg(sum(col("nb")).as("tb")))
+    a.join(b, col("k0") === col("k1"), "full_outer")
+      .crossJoin(ta).crossJoin(tb)
+      .select(coalesce(col("k0"), col("k1")).as("k"),
+        round(coalesce(col("na"), lit(0L)).cast("double") / col("ta"), 6)
+          .as("pa"),
+        round(coalesce(col("nb"), lit(0L)).cast("double") / col("tb"), 6)
+          .as("pb"))
+      .select(col("k"), col("pa"), col("pb"),
+        round((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 8),
+          8).cast("double").as("psi_term"))
+      .orderBy(col("k"))
+  }
+
+  val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi)
 }

@@ -719,9 +719,57 @@ object EventQueries {
     touched.unionByName(untouched).orderBy(col("touch"))
   }
 
+  /** Cohort LTV curves — cumulative purchase value per signup cohort
+    * by week-since-first-seen: the lifetime-value table a growth team
+    * reads cohort-over-cohort (ev_retention counts who comes back;
+    * this sums what they spend). Weekly sums on the DECIMAL(12,2)
+    * grid; the running total is a window over the ≤|cohorts|×|weeks|
+    * aggregated grid (wk is unique per cohort), never over raw
+    * events.
+    *
+    * Scale shape: one per-user min (first-seen), one user-keyed join,
+    * one (cohort, week) map-side-combining aggregate, then the
+    * cumulative window on the tiny grid. */
+  val evCohortLtv: GQuery = GQuery(
+    "ev_cohort_ltv",
+    """WITH first_seen AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      |                    FROM events GROUP BY user_id),
+      |vals AS (SELECT f.cohort,
+      |           (CAST(e.ts AS DATE) - f.cohort) // 7 AS wk,
+      |           CAST(round(e.value, 2) AS DECIMAL(12,2)) AS v
+      |         FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      |         WHERE e.event_type = 'purchase'),
+      |wkagg AS (SELECT strftime(cohort, '%Y-%m-%d') AS cohort, wk,
+      |            count(*) AS n_purchases, sum(v) AS wk_value
+      |          FROM vals GROUP BY 1, 2)
+      |SELECT cohort, CAST(wk AS INT) AS wk,
+      |  CAST(n_purchases AS BIGINT) AS n_purchases,
+      |  CAST(round(sum(wk_value) OVER (PARTITION BY cohort ORDER BY wk), 2)
+      |    AS DOUBLE) AS cum_value
+      |FROM wkagg
+      |ORDER BY cohort, wk""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    val wkagg = ev.filter(col("event_type") === "purchase")
+      .join(firstSeen, Seq("user_id"))
+      .select(col("cohort"),
+        expr("datediff(to_date(ts), cohort) div 7").as("wk"),
+        round(col("value"), 2).cast("decimal(12,2)").as("v"))
+      .groupBy(col("cohort"), col("wk"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v")).as("wk_value"))
+    wkagg
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("wk").cast("int").as("wk"), col("n_purchases"),
+        round(sum(col("wk_value")).over(
+          Window.partitionBy(col("cohort")).orderBy(col("wk"))), 2)
+          .cast("double").as("cum_value"))
+      .orderBy(col("cohort"), col("wk"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
-    evVelocityBurst, evAttributionLinear)
+    evVelocityBurst, evAttributionLinear, evCohortLtv)
 }

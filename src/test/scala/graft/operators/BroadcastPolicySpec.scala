@@ -123,7 +123,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // vocab count)
     "text_langid_confusion" -> 3,
     // vector tier: cosineTopK's literal-filtered (vec_id < 5) probe set
-    "sim_hybrid_search" -> 1
+    "sim_hybrid_search" -> 1,
+    // two 1-row cohort-total scalars (Σn per parity half)
+    "dq_drift_psi" -> 2
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

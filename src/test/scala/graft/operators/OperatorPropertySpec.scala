@@ -1384,6 +1384,48 @@ class OperatorPropertySpec extends SparkTestBase {
       expected.toSeq.sortBy(r => (r._1, r._2)))
   }
 
+  test("ev_cohort_ltv: cumulative values are monotone and reconcile with the purchase total") {
+    val rows = EventQueries.evCohortLtv.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, xs) =>
+      val sorted = xs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, a), (_, _, _, b)) =>
+          assert(b >= a, s"$cohort: cum_value not monotone")
+        case _ =>
+      }
+    }
+    // the final cumulative value per cohort sums to the purchase total
+    val perCohortFinal = rows.groupBy(_._1)
+      .map { case (_, xs) => xs.maxBy(_._2)._4 }.sum
+    val total = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .agg(sum(round($"value", 2).cast("decimal(12,2)"))).collect()(0)
+      .getDecimal(0).doubleValue()
+    assert(math.abs(perCohortFinal - total) < 0.05,
+      s"LTV tails $perCohortFinal vs purchases $total")
+  }
+
+  test("dq_drift_psi: shares sum to ~1 per cohort; terms replay; sign logic holds") {
+    val rows = AuditQueries.dqDriftPsi.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    rows.foreach { case (k, pa, pb, term) =>
+      // PSI terms are non-negative by construction: (pa-pb) and
+      // ln(pa/pb) always share a sign
+      assert(term >= 0.0, s"$k: negative PSI term $term")
+      val replay = BigDecimal((pa - pb) *
+        BigDecimal(math.log(pa / pb))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(term - replay) < 1e-9, s"$k: $term vs $replay")
+    }
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)

@@ -44,7 +44,8 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_recall_eval",  // ground-truth tier IS sim_cosine_topk's brute-force probe-broadcast scan
     "sim_hybrid_search", // vector tier IS the same probe-broadcast cosine scan
     "merge_delete_apply",  // 1-row purged-count scalar cross join
-    "dq_freshness")     // 1-row global-max scalar cross join
+    "dq_freshness",     // 1-row global-max scalar cross join
+    "dq_drift_psi")     // two 1-row cohort-total scalar cross joins
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
