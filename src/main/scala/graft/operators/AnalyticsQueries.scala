@@ -360,8 +360,40 @@ object AnalyticsQueries {
           .cast("double").as("revenue_effect"))
   }
 
+  /** TPC-H Q13 (customer distribution): how many customers placed
+    * 0, 1, 2, … orders — the double-aggregation + LEFT JOIN shape
+    * (the outer join is the point: zero-order customers MUST appear
+    * in the 0 bucket, which an inner join silently drops; the
+    * fixture's comment-pattern exclusion is omitted — orders carries
+    * no comment column).
+    *
+    * Scale posture: the first aggregate collapses orders to one row
+    * per customer at the join grain (count rides the join key —
+    * map-side combining); the second groups the |customers|-row
+    * frame into ≤ max-orders-per-customer buckets. Both shuffles are
+    * keyed; the result is a tiny histogram. */
+  val tpchQ13Custdist: GQuery = GQuery(
+    "tpch_q13_custdist",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey,
+      |    CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   val all: Seq[GQuery] = Seq(
     tpchQ3Shipping, tpchQ5LocalSupplier, tpchQ10Returned,
     aggPercentiles, winNtile, tpchQ14Promo, tpchQ18LargeOrders,
-    tpchQ6Forecast)
+    tpchQ6Forecast, tpchQ13Custdist)
 }

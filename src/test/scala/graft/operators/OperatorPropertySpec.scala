@@ -1426,6 +1426,27 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("tpch_q13_custdist: histogram covers every customer; outer join keeps the 0 bucket") {
+    val rows = AnalyticsQueries.tpchQ13Custdist.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nCust,
+      "histogram must partition the customer set")
+    // replay from the raw tables
+    val orderCounts = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custKeys = Tables.customer(spark, sfDir)
+      .select($"c_custkey").collect().map(_.getLong(0))
+    val expected = custKeys.map(k => orderCounts.getOrElse(k, 0L))
+      .groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+    assert(rows.toMap == expected)
+    // the LEFT JOIN point: if any customer has no orders, bucket 0 exists
+    val zeroCust = custKeys.count(k => !orderCounts.contains(k))
+    if (zeroCust > 0)
+      assert(rows.toMap.get(0L).contains(zeroCust.toLong))
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)
