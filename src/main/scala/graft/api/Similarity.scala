@@ -420,4 +420,54 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Build a saved LEXICAL POSTING index: the corpus's DISTINCT
+    * (doc, term) pairs written bucket-partitioned by a portable term
+    * hash — the inverted index a lexical retrieval tier probes
+    * without re-sharding the corpus per query (the containment-index
+    * discipline applied to whole-term postings). Build once, probe
+    * pruned: a probe's terms hit ≤ nBuckets partition directories. */
+  def lexIndexBuild(docs: DataFrame, id: String, text: String,
+      path: String, nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    docs.select(col(id).as("id"),
+        explode(split(col(text), " ")).as("term")).distinct()
+      .withColumn("bkt", lexBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/postings")
+  }
+
+  /** Probe a [[lexIndexBuild]] index: per (probe, indexed doc), the
+    * count of shared DISTINCT terms — the raw lexical relevance
+    * signal (rank/fuse downstream). The probe's term buckets are
+    * collected (bounded by nBuckets — a planning-time literal, the
+    * ivfTopK discipline) and pushed as a PartitionFilters `bkt IN`
+    * predicate, so only the matching posting directories are read. */
+  def lexSharedTerms(probes: DataFrame, id: String, text: String,
+      path: String): DataFrame = {
+    val spark = probes.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("n_buckets")
+    val pterms = probes.select(col(id).as("probe_id"),
+        explode(split(col(text), " ")).as("term")).distinct()
+      .withColumn("bkt", lexBucket(nBuckets))
+    // bounded collect: ≤ nBuckets distinct ints enabling the literal
+    // partition filter on the postings scan
+    val bks = pterms.select(col("bkt")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bkt").isin(bks.map(_.asInstanceOf[Any]): _*))
+      .select(col("bkt"), col("term"), col("id").as("doc_id"))
+    pterms.join(postings, Seq("bkt", "term"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** The posting bucket — a pure function of the term, so probe and
+    * build always agree. */
+  private[graft] def lexBucket(nBuckets: Int) =
+    pmod(Sampling.portableHash(col("term"), "lex:"), lit(nBuckets))
+      .cast("int")
 }

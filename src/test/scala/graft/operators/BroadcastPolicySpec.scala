@@ -124,6 +124,7 @@ class BroadcastPolicySpec extends SparkTestBase {
     "text_langid_confusion" -> 3,
     // vector tier: cosineTopK's literal-filtered (vec_id < 5) probe set
     "sim_hybrid_search" -> 1,
+    "sim_hybrid_indexed" -> 1, // same bounded vector-tier probe hint
     // two 1-row cohort-total scalars (Σn per parity half)
     "dq_drift_psi" -> 2
   )

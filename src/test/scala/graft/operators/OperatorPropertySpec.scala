@@ -1447,6 +1447,23 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(rows.toMap.get(0L).contains(zeroCust.toLong))
   }
 
+  test("sim_hybrid_indexed: equals the in-memory spelling; postings scan is bucket-pruned") {
+    val mk = "spark.sql.maxMetadataStringLength"
+    val savedLen = spark.conf.get(mk)
+    spark.conf.set(mk, "10000")
+    val indexed = SimQueries.simHybridIndexed.fn(spark, sfDir)
+    val plan = try indexed.queryExecution.executedPlan.toString
+      finally spark.conf.set(mk, savedLen)
+    val got = indexed.collect().map(_.toSeq).toSeq
+    val inMem = SimQueries.simHybridSearch.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == inMem, "saved-index spelling diverged from in-memory")
+    // the point of the index: the postings read must prune on bkt
+    val pruneRe = """PartitionFilters: \[[^\]]*bkt[^\]]*\]""".r
+    assert(pruneRe.findFirstIn(plan).isDefined,
+      s"no bkt PartitionFilters on the postings scan:\n$plan")
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)

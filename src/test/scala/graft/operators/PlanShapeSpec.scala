@@ -43,6 +43,7 @@ class PlanShapeSpec extends SparkTestBase {
     "join_skew_salted", // 5-row literal dim × 16-row salt range replication
     "sim_recall_eval",  // ground-truth tier IS sim_cosine_topk's brute-force probe-broadcast scan
     "sim_hybrid_search", // vector tier IS the same probe-broadcast cosine scan
+    "sim_hybrid_indexed", // same vector tier over the saved lexical index
     "merge_delete_apply",  // 1-row purged-count scalar cross join
     "dq_freshness",     // 1-row global-max scalar cross join
     "dq_drift_psi")     // two 1-row cohort-total scalar cross joins
