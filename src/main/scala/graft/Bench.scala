@@ -49,7 +49,8 @@ object Bench {
     // write is the once-per-ingest shuffle the layout exists to amortize
     // — the timed call below measures the exchange-free serving join.
     val prebuilt = Seq("sim_topk_ivf", "sim_topk_ivfpq", "dedup_ingest",
-        "dedup_containment_ingest", "join_bucketed_colocated")
+        "dedup_containment_ingest", "join_bucketed_colocated",
+        "sim_hybrid_indexed")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
