@@ -767,9 +767,83 @@ object EventQueries {
       .orderBy(col("cohort"), col("wk"))
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the third
+    * standard model next to last-touch (ev_click_attribution) and
+    * linear (ev_attribution_linear): 40% of a purchase's value to the
+    * FIRST in-window touch, 40% to the LAST, the middle 20% split
+    * evenly across interior touches (1-touch → 100%, 2-touch →
+    * 50/50). Touch order is total ((tts, touch event_id) — unique),
+    * each credit is ONE rounded double expression summed on the
+    * DECIMAL(18,6) grid.
+    *
+    * Scale shape: the same user-keyed 24 h interval join as the
+    * linear model; the position window partitions by PURCHASE id —
+    * per-partition rows bounded by one user's touches in 24 h, the
+    * evictable-state bound of the streaming twin's terms. */
+  val evAttributionPosition: GQuery = GQuery(
+    "ev_attribution_position",
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS tid, ts AS tts,
+      |        event_type AS touch
+      |      FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (SELECT p.event_id, p.value, t.tid, t.tts, t.touch
+      |      FROM p JOIN t ON p.user_id = t.user_id
+      |        AND t.tts < p.ts AND t.tts >= p.ts - INTERVAL 24 HOUR),
+      |ranked AS (
+      |  SELECT event_id, value, touch,
+      |    row_number() OVER (PARTITION BY event_id
+      |      ORDER BY tts, tid) AS pos,
+      |    count(*) OVER (PARTITION BY event_id) AS n
+      |  FROM j),
+      |credit AS (
+      |  SELECT touch,
+      |    CAST(round(CAST(round(value, 2) AS DOUBLE) *
+      |      CASE WHEN n = 1 THEN 1.0
+      |           WHEN n = 2 THEN 0.5
+      |           WHEN pos = 1 THEN 0.4
+      |           WHEN pos = n THEN 0.4
+      |           ELSE 0.2 / (n - 2) END, 6) AS DECIMAL(18,6)) AS c
+      |  FROM ranked)
+      |SELECT touch, CAST(count(*) AS BIGINT) AS n_credits,
+      |  CAST(round(sum(c), 2) AS DOUBLE) AS credited
+      |FROM credit GROUP BY touch
+      |ORDER BY touch""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).cast("decimal(12,2)").as("value"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("ts").as("tts"), col("event_type").as("touch"))
+    val j = p.join(t, Seq("user_id"))
+      .filter(col("tts") < col("ts") &&
+        col("tts") >= col("ts") - expr("INTERVAL 24 HOUR"))
+      .select(col("event_id"), col("value"), col("tid"), col("tts"),
+        col("touch"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("tts"), col("tid"))
+    val wn = Window.partitionBy(col("event_id"))
+    j.withColumn("pos", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("touch"),
+        round(col("value").cast("double") *
+          when(col("n") === 1, 1.0)
+            .when(col("n") === 2, 0.5)
+            .when(col("pos") === 1, 0.4)
+            .when(col("pos") === col("n"), 0.4)
+            .otherwise(lit(0.2) / (col("n") - 2)), 6)
+          .cast("decimal(18,6)").as("c"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("c")), 2).cast("double").as("credited"))
+      .orderBy(col("touch"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
-    evVelocityBurst, evAttributionLinear, evCohortLtv)
+    evVelocityBurst, evAttributionLinear, evCohortLtv,
+    evAttributionPosition)
 }

@@ -1464,6 +1464,29 @@ class OperatorPropertySpec extends SparkTestBase {
       s"no bkt PartitionFilters on the postings scan:\n$plan")
   }
 
+  test("ev_attribution_position: credit conserves touched purchases; models agree on totals") {
+    val pos = EventQueries.evAttributionPosition.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val lin = EventQueries.evAttributionLinear.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // position model has no '(none)' row; its credited total must equal
+    // the linear model's TOUCHED total (same purchases, weights both
+    // sum to 1 per purchase) up to per-touch rounding
+    val posTotal = pos.map(_._3).sum
+    val linTouched = lin.filter(_._1 != "(none)").map(_._3).sum
+    val nCredits = pos.map(_._2).sum
+    assert(math.abs(posTotal - linTouched) <= nCredits * 5e-7 + 0.02,
+      s"position $posTotal vs linear touched $linTouched")
+    // position credits per TOUCH EVENT, linear per (purchase, type)
+    // group — events can only be at least as many as type groups
+    val linByTouch = lin.filter(_._1 != "(none)")
+      .map(p => p._1 -> p._2).toMap
+    pos.foreach { case (touch, n, _) =>
+      assert(n >= linByTouch(touch),
+        s"$touch: $n events < ${linByTouch(touch)} type groups")
+    }
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)
