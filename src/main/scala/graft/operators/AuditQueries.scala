@@ -229,5 +229,64 @@ object AuditQueries {
       .orderBy(col("k"))
   }
 
-  val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi)
+  /** NUMERIC-drift PSI — the binned companion of [[dqDriftPsi]] for
+    * continuous columns: o_totalprice cut into 10 equal-width bins
+    * over the GLOBAL min/max (the same boundaries for both cohorts —
+    * per-cohort binning would hide the very shift being measured),
+    * then the identical share-compare. Bin id is one floor expression
+    * on doubles — identical both engines; the max value claps into
+    * the last bin.
+    *
+    * Scale shape: a 1-row min/max scalar broadcast + one per-cohort
+    * bin count (map-side combining, 10-key space) + the tiny
+    * full-outer compare. */
+  val dqDriftPsiNumeric: GQuery = GQuery(
+    "dq_drift_psi_numeric",
+    """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      |           FROM orders),
+      |x AS (SELECT o_orderkey % 2 AS cohort,
+      |        least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10))
+      |              AS INT), 9) AS bkt
+      |      FROM orders CROSS JOIN b),
+      |a AS (SELECT bkt, count(*) AS n FROM x WHERE cohort = 0 GROUP BY 1),
+      |c AS (SELECT bkt, count(*) AS n FROM x WHERE cohort = 1 GROUP BY 1),
+      |t AS (SELECT (SELECT sum(n) FROM a) AS ta,
+      |             (SELECT sum(n) FROM c) AS tb),
+      |j AS (SELECT coalesce(a.bkt, c.bkt) AS bkt,
+      |        round(CAST(coalesce(a.n, 0) AS DOUBLE) / ta, 6) AS pa,
+      |        round(CAST(coalesce(c.n, 0) AS DOUBLE) / tb, 6) AS pb
+      |      FROM a FULL OUTER JOIN c ON a.bkt = c.bkt CROSS JOIN t)
+      |SELECT bkt, pa, pb,
+      |  CAST(round((pa - pb) * round(ln(pa / pb), 8), 8) AS DOUBLE)
+      |    AS psi_term
+      |FROM j ORDER BY bkt""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+    val bounds = broadcast(ord.agg(min(col("o_totalprice")).as("mn"),
+      max(col("o_totalprice")).as("mx")))
+    val x = ord.crossJoin(bounds)
+      .select((col("o_orderkey") % 2).as("cohort"),
+        least(floor((col("o_totalprice") - col("mn"))
+          / ((col("mx") - col("mn")) / 10)).cast("int"), lit(9)).as("bkt"))
+    def half(parity: Int, kc: String, nc: String) =
+      x.filter(col("cohort") === parity)
+        .groupBy(col("bkt").as(kc)).agg(count(lit(1)).as(nc))
+    val a = half(0, "k0", "na")
+    val b = half(1, "k1", "nb")
+    val ta = broadcast(a.agg(sum(col("na")).as("ta")))
+    val tb = broadcast(b.agg(sum(col("nb")).as("tb")))
+    a.join(b, col("k0") === col("k1"), "full_outer")
+      .crossJoin(ta).crossJoin(tb)
+      .select(coalesce(col("k0"), col("k1")).as("bkt"),
+        round(coalesce(col("na"), lit(0L)).cast("double") / col("ta"), 6)
+          .as("pa"),
+        round(coalesce(col("nb"), lit(0L)).cast("double") / col("tb"), 6)
+          .as("pb"))
+      .select(col("bkt"), col("pa"), col("pb"),
+        round((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 8),
+          8).cast("double").as("psi_term"))
+      .orderBy(col("bkt"))
+  }
+
+  val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi,
+    dqDriftPsiNumeric)
 }

@@ -126,7 +126,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     "sim_hybrid_search" -> 1,
     "sim_hybrid_indexed" -> 1, // same bounded vector-tier probe hint
     // two 1-row cohort-total scalars (Σn per parity half)
-    "dq_drift_psi" -> 2
+    "dq_drift_psi" -> 2,
+    // the 1-row min/max bin-bounds scalar rides the shared binned
+    // subtree into BOTH cohort branches AND both cohort-total scalars
+    // (4 resolutions) + the two 1-row totals themselves — all 1-row
+    "dq_drift_psi_numeric" -> 6
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -1487,6 +1487,18 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("dq_drift_psi_numeric: bins partition both cohorts; terms non-negative") {
+    val rows = AuditQueries.dqDriftPsiNumeric.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).forall(b => b >= 0 && b <= 9))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    rows.foreach { case (b, _, _, term) =>
+      assert(term >= 0.0, s"bin $b: negative PSI term")
+    }
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)

@@ -46,7 +46,8 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_hybrid_indexed", // same vector tier over the saved lexical index
     "merge_delete_apply",  // 1-row purged-count scalar cross join
     "dq_freshness",     // 1-row global-max scalar cross join
-    "dq_drift_psi")     // two 1-row cohort-total scalar cross joins
+    "dq_drift_psi",     // two 1-row cohort-total scalar cross joins
+    "dq_drift_psi_numeric") // + the 1-row global min/max bounds scalar
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
