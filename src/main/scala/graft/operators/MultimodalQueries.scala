@@ -115,6 +115,41 @@ object MultimodalQueries {
       .limit(20)
   }
 
+  /** SHARD MANIFEST — the WebDataset/tar-shard layout table a
+    * distributed training loader consumes: assets bucketed into 256
+    * content-addressed shards (first md5 byte), each shard row
+    * carrying its asset count, total bytes, and a deterministic
+    * shard CHECKSUM (md5 of the sorted member digests — the
+    * integrity stamp a loader verifies before trusting a shard,
+    * and the identity that makes re-shards diffable).
+    *
+    * Scale shape: per-row digest projection at the scan (payload
+    * bytes never shuffle — the multimodal_dedup discipline), one
+    * 256-key map-side-combining aggregate; the member-digest list is
+    * per-shard bounded by construction (corpus/256) and sorted so
+    * the checksum is order-free. */
+  val multimodalShardManifest: GQuery = GQuery(
+    "multimodal_shard_manifest",
+    """WITH a AS (SELECT doc_id, md5(text) AS h,
+      |             octet_length(encode(text)) AS b
+      |           FROM documents)
+      |SELECT substr(h, 1, 2) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_assets,
+      |  CAST(sum(b) AS BIGINT) AS total_bytes,
+      |  md5(string_agg(h, ',' ORDER BY h)) AS manifest_md5
+      |FROM a GROUP BY substr(h, 1, 2)
+      |ORDER BY shard""".stripMargin) { (s, dir) =>
+    Tables.documentsSpread(s, dir)
+      .select(md5(col("text").cast("binary")).as("h"),
+        length(col("text").cast("binary")).cast("bigint").as("b"))
+      .groupBy(substring(col("h"), 1, 2).as("shard"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("b")).as("total_bytes"),
+        md5(concat_ws(",", sort_array(collect_list(col("h"))))
+          .cast("binary")).as("manifest_md5"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures,
-    multimodalDedup)
+    multimodalDedup, multimodalShardManifest)
 }

@@ -1499,6 +1499,32 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("multimodal_shard_manifest: shards partition the corpus; checksums replay") {
+    val rows = MultimodalQueries.multimodalShardManifest.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"text").collect().map(_.getString(0))
+    assert(rows.map(_._2).sum == docs.length,
+      "shards must partition the corpus")
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map(x => f"$x%02x").mkString
+    val byShard = docs.map { t =>
+      val bytes = t.getBytes("UTF-8")
+      (md5hex(bytes), bytes.length.toLong)
+    }.groupBy(_._1.take(2))
+    assert(rows.map(_._1).toSet == byShard.keySet)
+    rows.foreach { case (shard, n, bytes, manifest) =>
+      val members = byShard(shard)
+      assert(n == members.length && bytes == members.map(_._2).sum)
+      val expected = md5hex(members.map(_._1).sorted
+        .mkString(",").getBytes("UTF-8"))
+      assert(manifest == expected, s"shard $shard checksum mismatch")
+    }
+  }
+
   test("source_csv_gzip: the roundtrip really reads gzip files") {
     val df = SourceQueries.sourceCsvGzip.fn(spark, sfDir)
     assert(df.count() > 0)
