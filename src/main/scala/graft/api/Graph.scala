@@ -284,4 +284,39 @@ object Graph {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Bounded-round K-CORE peel over a SYMMETRIC edge list: each round
+    * drops every node whose degree in the current surviving subgraph
+    * is < k, then restricts the edge list to survivors; after `iters`
+    * rounds, returns the last survivor set with its degree as of the
+    * round that admitted it — (node, deg). With `iters` large enough
+    * to reach the fixpoint this IS the k-core (the maximal subgraph
+    * of minimum degree ≥ k); with a bounded round count it is the
+    * deterministic "iters-round peel", the same bounded-iteration
+    * contract as [[shortestPaths]].
+    *
+    * Scale shape per round: ONE map-side-combining degree aggregate
+    * plus two keyed semi-join-shaped restrictions (src then dst) —
+    * edges shuffle on their endpoints, never replicated; the survivor
+    * frame is eagerly localCheckpointed so plan depth stays constant
+    * at any round count (each round otherwise references the previous
+    * edge frame three times). Input must be symmetric (every (a,b)
+    * has (b,a)) so out-degree = degree; the co-purchase builders in
+    * graft.operators produce exactly that shape. */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "kCore needs at least one peel round")
+    var cur = edges.select(col(src).as("src"), col(dst).as("dst"))
+    var surv: DataFrame = null
+    for (_ <- 1 to iters) {
+      surv = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"), col("deg"))
+        .localCheckpoint(true)
+      cur = cur
+        .join(surv.select(col("node").as("src")), Seq("src"))
+        .join(surv.select(col("node").as("dst")), Seq("dst"))
+    }
+    surv
+  }
 }

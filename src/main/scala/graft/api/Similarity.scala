@@ -439,6 +439,28 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/postings")
   }
 
+  /** Append new documents' postings to a [[lexIndexBuild]] index —
+    * continuous lexical ingestion without rebuilding: the arrivals'
+    * distinct (doc, term) pairs land in the SAME term-hash bucket
+    * directories (the bucket is a pure function of the term, read
+    * back from the index's meta), so a probe of the grown index is
+    * indistinguishable from a probe of an all-at-once build
+    * (LexIndexSpec pins the equality). The
+    * [[graft.api.Dedup.containmentIndexAppend]] discipline applied
+    * to whole-term postings; append-only, no compaction — re-ingested
+    * doc ids are the caller's contract to avoid (duplicate postings
+    * would double shared-term counts). */
+  def lexIndexAppend(newDocs: DataFrame, id: String, text: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("n_buckets")
+    newDocs.select(col(id).as("id"),
+        explode(split(col(text), " ")).as("term")).distinct()
+      .withColumn("bkt", lexBucket(nBuckets))
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/postings")
+  }
+
   /** Probe a [[lexIndexBuild]] index: per (probe, indexed doc), the
     * count of shared DISTINCT terms — the raw lexical relevance
     * signal (rank/fuse downstream). The probe's term buckets are

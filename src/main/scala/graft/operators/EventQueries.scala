@@ -840,10 +840,91 @@ object EventQueries {
       .orderBy(col("touch"))
   }
 
+  /** TIME-DECAY multi-touch attribution — the fourth standard model
+    * (after last-touch, linear, position-based): each in-window touch
+    * earns weight 2^(-Δt / half-life) with a 6 h half-life (a touch
+    * 6 h before the purchase counts half as much as one at the
+    * instant of purchase), normalized per purchase so credits sum to
+    * the purchase value.
+    *
+    * Cross-engine determinism: Δt is EXACT integer seconds, the pow
+    * weight is rounded to 8 places (the graph_pagerank per-iteration
+    * discipline — kills last-ulp pow differences), per-purchase
+    * weight totals sum on the DECIMAL(20,8) grid (order-free), and
+    * the credit ratio divides the SAME two doubles in both engines
+    * before the round-6 → DECIMAL(18,6) rollup.
+    *
+    * Scale shape: identical to the linear model — a user-keyed
+    * interval join with the 24 h bound as a residual conjunct, one
+    * purchase-keyed total, and a map-side-combining per-touch
+    * rollup; nothing is windowed over raw events. */
+  val evAttributionDecay: GQuery = GQuery(
+    "ev_attribution_decay",
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts AS tts, event_type AS touch FROM events
+      |      WHERE event_type IN ('view', 'click')),
+      |j AS (SELECT p.event_id, p.value, t.touch,
+      |        CAST(round(pow(0.5,
+      |          date_diff('second', t.tts, p.ts) / 21600.0), 8)
+      |          AS DECIMAL(20,8)) AS w
+      |      FROM p JOIN t ON p.user_id = t.user_id
+      |        AND t.tts < p.ts AND t.tts >= p.ts - INTERVAL 24 HOUR),
+      |tot AS (SELECT event_id, sum(w) AS tot FROM j GROUP BY event_id),
+      |credit AS (
+      |  SELECT touch,
+      |    CAST(round(CAST(round(j.value, 2) AS DOUBLE)
+      |      * (CAST(j.w AS DOUBLE) / CAST(tot.tot AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS c
+      |  FROM j JOIN tot ON j.event_id = tot.event_id),
+      |touched AS (SELECT touch, count(*) AS n_credits,
+      |    CAST(round(sum(c), 2) AS DOUBLE) AS credited
+      |  FROM credit GROUP BY touch),
+      |untouched AS (
+      |  SELECT '(none)' AS touch, CAST(count(*) AS BIGINT) AS n_credits,
+      |    CAST(round(sum(CAST(round(value, 2) AS DECIMAL(12,2))), 2)
+      |      AS DOUBLE) AS credited
+      |  FROM p WHERE NOT EXISTS
+      |    (SELECT 1 FROM j WHERE j.event_id = p.event_id))
+      |SELECT touch, CAST(n_credits AS BIGINT) AS n_credits, credited
+      |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+      |ORDER BY touch""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).cast("decimal(12,2)").as("value"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("touch"))
+    val j = p.join(t, Seq("user_id"))
+      .filter(col("tts") < col("ts") &&
+        col("tts") >= col("ts") - expr("INTERVAL 24 HOUR"))
+      .select(col("event_id"), col("value"), col("touch"),
+        round(pow(lit(0.5),
+          (col("ts").cast("long") - col("tts").cast("long")) / lit(21600.0)),
+          8).cast("decimal(20,8)").as("w"))
+    val tot = j.groupBy(col("event_id")).agg(sum(col("w")).as("tot"))
+    val touched = j.join(tot, Seq("event_id"))
+      .select(col("touch"),
+        round(col("value").cast("double") *
+          (col("w").cast("double") / col("tot").cast("double")), 6)
+          .cast("decimal(18,6)").as("c"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("c")), 2).cast("double").as("credited"))
+    val untouched = p.join(j.select(col("event_id")).distinct(),
+        Seq("event_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("value")), 2).cast("double").as("credited"))
+      .select(lit("(none)").as("touch"), col("n_credits"),
+        col("credited"))
+    touched.unionByName(untouched).orderBy(col("touch"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
     evVelocityBurst, evAttributionLinear, evCohortLtv,
-    evAttributionPosition)
+    evAttributionPosition, evAttributionDecay)
 }

@@ -179,6 +179,62 @@ object GraphQueries {
     }
   }
 
+  /** PART-level co-purchase edges (symmetric), memoized — the brand
+    * graph is complete (every brand co-purchased with every other at
+    * any SF), so density-sensitive algorithms like k-core need the
+    * 2000-node part graph, whose degrees actually spread (42–206 at
+    * sf0.01). */
+  private def partEdges(s: SparkSession, dir: String): DataFrame =
+    PlanCache.memo(s, dir, "part_edges") {
+      val ob = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      ob.join(ob.select(col("okey"), col("pk").as("dst")), Seq("okey"))
+        .filter(col("pk") =!= col("dst"))
+        .select(col("pk").as("src"), col("dst"))
+        .distinct()
+    }
+
+  /** Bounded-round K-CORE decomposition of the part co-purchase
+    * graph — a thin binding of graft.api.Graph.kCore: 4 synchronous
+    * peel rounds at k = ⌈0.7 · mean degree⌉ (the relative threshold
+    * keeps the peel meaningful at every SF — a fixed k either
+    * no-ops at sf0.001 or empties sf0.01), reporting each survivor
+    * with its degree as of the admitting round. The threshold is the
+    * only driver-side scalar (a 1-row aggregate, the pagerank
+    * node-count discipline); mean degree = two exact integers
+    * divided once, so ceil lands identically cross-engine. The
+    * oracle unrolls the same 4 rounds as CTEs. */
+  val graphKCore: GQuery = {
+    val iters = 4
+    val duckRound = (t: Int) =>
+      s"""d$t AS (SELECT src AS node, count(*) AS deg FROM e$t GROUP BY src),
+         |s$t AS (SELECT node, deg FROM d$t, kv WHERE deg >= kv.k),
+         |e${t + 1} AS (SELECT x.src, x.dst FROM e$t x
+         |  JOIN s$t a ON x.src = a.node JOIN s$t b ON x.dst = b.node)"""
+        .stripMargin
+    GQuery("graph_k_core",
+      s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+         |            FROM lineitem),
+         |e1 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM ob a JOIN ob b ON a.okey = b.okey AND a.pk <> b.pk),
+         |dk AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+         |kv AS (SELECT CAST(ceil(0.7 * avg(deg)) AS INT) AS k FROM dk),
+         |${(1 to iters).map(duckRound).mkString(",\n")}
+         |SELECT node AS partkey, CAST(deg AS BIGINT) AS core_deg
+         |FROM s$iters
+         |ORDER BY partkey""".stripMargin) { (s, dir) =>
+      val e = partEdges(s, dir)
+      val meanDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(avg(col("deg"))).head().getDouble(0)
+      val k = math.ceil(0.7 * meanDeg).toInt
+      graft.api.Graph.kCore(e, "src", "dst", k, iters)
+        .select(col("node").as("partkey"),
+          col("deg").cast("bigint").as("core_deg"))
+        .orderBy(col("partkey"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
-    graphCommunities, graphShortestPaths)
+    graphCommunities, graphShortestPaths, graphKCore)
 }

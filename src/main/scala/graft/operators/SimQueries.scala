@@ -1101,10 +1101,67 @@ object SimQueries {
     hybridFuse(s, dir, lexScore)
   }
 
+  /** Lexical retrieval ON INGEST — the index-maintenance shape of the
+    * lexical tier: the posting index is built from HALF the existing
+    * corpus and GROWN to the rest with
+    * graft.api.Similarity.lexIndexAppend (no rebuild — arrivals'
+    * postings land in the same term-hash buckets), then each
+    * arriving document (doc_id % 10 = 7, the held-out stream) is
+    * served its lexical top-10 among existing docs from the grown
+    * index. The oracle scores probes against the FULL existing
+    * corpus — passing proves build+append ≡ all-at-once (the
+    * containment-ingest contract, also unit-pinned in LexIndexSpec).
+    *
+    * Scale shape: probe terms prune the postings scan to their `bkt`
+    * partitions at planning time; the shared-term join is term-keyed
+    * with map-side-combining counts; the top-10 window partitions by
+    * probe (bounded state). Append is one distinct+write of the
+    * arrivals' postings — existing buckets are never rewritten. */
+  val simLexIngest: GQuery = GQuery(
+    "sim_lex_ingest",
+    """WITH ptok AS (SELECT doc_id AS probe_id,
+      |         unnest(string_split(text, ' ')) AS term
+      |       FROM documents WHERE doc_id % 10 = 7),
+      |pterms AS (SELECT DISTINCT probe_id, term FROM ptok),
+      |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |         FROM documents WHERE doc_id % 10 <> 7),
+      |dterms AS (SELECT DISTINCT doc_id, term FROM dtok),
+      |lexscore AS (
+      |  SELECT p.probe_id, d.doc_id, count(*) AS shared
+      |  FROM pterms p JOIN dterms d ON p.term = d.term
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT probe_id, doc_id, shared,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY shared DESC, doc_id) AS rk
+      |  FROM lexscore)
+      |SELECT probe_id, rk, doc_id, CAST(shared AS BIGINT) AS shared
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val path = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("lex_postings_inc", dir,
+        "documents.parquet")) { tmp =>
+      graft.api.Similarity.lexIndexBuild(
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", tmp)
+      graft.api.Similarity.lexIndexAppend(
+        corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", tmp)
+    }
+    val arrivals = docs.filter(col("doc_id") % 10 === 7)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("shared").desc, col("doc_id"))
+    graft.api.Similarity.lexSharedTerms(arrivals, "doc_id", "text", path)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("rk"), col("doc_id"), col("shared"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
-      simHybridSearch, simHybridIndexed)
+      simHybridSearch, simHybridIndexed, simLexIngest)
 }
