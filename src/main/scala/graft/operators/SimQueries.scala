@@ -989,11 +989,10 @@ object SimQueries {
     * probe-bounded cosineTopK scan; fusion touches ≤ 20 rows per
     * probe. Both tier ranks break ties on doc_id, so fusion is
     * deterministic end to end. */
-  /** Shared oracle SQL for both hybrid-search spellings: the fusion
-    * semantics are identical, whichever physical plan serves the
-    * lexical tier (in-memory distinct vs the saved posting index). */
-  private val duckHybridSql =
-    """WITH ptok AS (SELECT doc_id AS probe_id,
+  /** Shared lexical-tier CTEs of the hybrid oracles: probe docs'
+    * shared-distinct-term counts against the corpus, ranked. */
+  private val duckLexCtes =
+    """ptok AS (SELECT doc_id AS probe_id,
       |         unnest(string_split(text, ' ')) AS term
       |       FROM documents WHERE doc_id < 5),
       |pterms AS (SELECT DISTINCT probe_id, term FROM ptok),
@@ -1008,17 +1007,13 @@ object SimQueries {
       |lexrank AS (
       |  SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
       |    ORDER BY shared DESC, doc_id) AS rk
-      |  FROM lexscore),
-      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-      |vecrank AS (
-      |  SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
-      |    ORDER BY cosine DESC, doc_id) AS rk
-      |  FROM (SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
-      |          round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
-      |            AS cosine
-      |        FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id != p.vec_id)),
-      |fused AS (
+      |  FROM lexscore)""".stripMargin
+
+  /** Shared RRF fusion tail of the hybrid oracles: top-10 of each
+    * tier full-outer-joined, Σ 1/(60+rank), final top-5. Expects
+    * `lexrank` and `vecrank` CTEs of (probe_id, doc_id, rk). */
+  private val duckFuseTail =
+    """fused AS (
       |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
       |    round(coalesce(1.0 / (60 + l.rk), 0)
@@ -1035,22 +1030,38 @@ object SimQueries {
       |FROM final WHERE rk <= 5
       |ORDER BY probe_id, rk""".stripMargin
 
-  /** Fusion tail shared by both hybrid spellings: rank the raw
-    * lexical (probe_id, doc_id, shared) scores to a top-10, compute
-    * the exact-cosine top-10, RRF-fuse, final top-5. */
-  private def hybridFuse(s: SparkSession, dir: String,
-      lexScore: DataFrame): DataFrame = {
+  /** Shared oracle SQL for the two EXACT-vector hybrid spellings: the
+    * fusion semantics are identical, whichever physical plan serves
+    * the lexical tier (in-memory distinct vs the saved posting
+    * index). */
+  private val duckHybridSql =
+    s"""WITH $duckLexCtes,
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |vecrank AS (
+       |  SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, doc_id) AS rk
+       |  FROM (SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+       |          round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+       |            AS cosine
+       |        FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id != p.vec_id)),
+       |$duckFuseTail""".stripMargin
+
+  /** Rank raw lexical (probe_id, doc_id, shared) scores to the
+    * per-probe top-10 — the lexical tier's fusion input. */
+  private def lexTop10(lexScore: DataFrame): DataFrame = {
     val wLex = Window.partitionBy(col("probe_id"))
       .orderBy(col("shared").desc, col("doc_id"))
-    val lex = lexScore
+    lexScore
       .withColumn("lrk", row_number().over(wLex))
       .filter(col("lrk") <= 10)
       .select(col("probe_id"), col("doc_id"), col("lrk"))
-    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
-    val vec = graft.api.Similarity.cosineTopK(ev,
-        ev.filter(col("vec_id") < 5), "vec_id", "v", k = 10)
-      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
-        col("rk").as("vrk"))
+  }
+
+  /** RRF fusion shared by all hybrid spellings: full-outer-join the
+    * two ranked tiers — lex (probe_id, doc_id, lrk), vec (probe_id,
+    * doc_id, vrk) — score Σ 1/(60+rank), final top-5 per probe. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
     val wFin = Window.partitionBy(col("probe_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
     lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
@@ -1062,6 +1073,19 @@ object SimQueries {
       .filter(col("rk") <= 5)
       .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"))
       .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Fusion tail shared by the two exact-vector hybrid spellings:
+    * rank the raw lexical scores to a top-10, compute the
+    * exact-cosine top-10, RRF-fuse, final top-5. */
+  private def hybridFuse(s: SparkSession, dir: String,
+      lexScore: DataFrame): DataFrame = {
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val vec = graft.api.Similarity.cosineTopK(ev,
+        ev.filter(col("vec_id") < 5), "vec_id", "v", k = 10)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rk").as("vrk"))
+    rrfFuse(lexTop10(lexScore), vec)
   }
 
   val simHybridSearch: GQuery = GQuery(
@@ -1099,6 +1123,74 @@ object SimQueries {
         docs.filter(col("doc_id") < 5), "doc_id", "text", path)
       .filter(col("doc_id") =!= col("probe_id"))
     hybridFuse(s, dir, lexScore)
+  }
+
+  /** Hybrid search with BOTH tiers served from SAVED indexes — the
+    * fully index-backed serving path: the lexical tier probes the
+    * saved posting index (as [[simHybridIndexed]]) and the VECTOR
+    * tier probes the saved IVF index (the same `ivf_c8` family
+    * sim_topk_ivf serves from — one build, three consumers), so no
+    * query-time pass over the corpus text or the full vector set
+    * remains. Fusion is the same RRF recipe; the vector top-10 is
+    * the IVF answer (nProbe = 3 of 8 cells — approximate by design),
+    * so the oracle replays the full IVF chain (unrolled-Lloyd
+    * quantizer → probe cells → candidate cosine top-10) instead of
+    * the exact scan, and the driver hash-checks the entire
+    * index-served pipeline end to end.
+    *
+    * Scale shape: posting scan pruned to the probes' term buckets,
+    * IVF cell scan pruned to the probes' `cid` partitions — both at
+    * planning time via literal IN filters; every remaining join is
+    * keyed and probe-bounded. This is the 100 TB serving plan: both
+    * tiers touch index shards proportional to the query, never the
+    * corpus. */
+  val simHybridIvf: GQuery = GQuery(
+    "sim_hybrid_ivf",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM fin),
+       |pd AS (
+       |  SELECT p.vec_id, p.v, p.nrm, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 5) p, cfin c),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn, cid FROM (
+       |    SELECT vec_id, v, nrm, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 3),
+       |cand AS (
+       |  SELECT pc.probe_id, n.vec_id AS doc_id,
+       |    round(list_dot_product(pc.pv, n.v) / (pc.pn * n.nrm), 6)
+       |      AS cosine
+       |  FROM pc JOIN n ON n.cid = pc.cid AND n.vec_id != pc.probe_id),
+       |vecrank AS (
+       |  SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, doc_id) AS rk
+       |  FROM cand),
+       |$duckLexCtes,
+       |$duckFuseTail""".stripMargin) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    val lexPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("lex_postings", dir,
+        "documents.parquet")) { tmp =>
+      graft.api.Similarity.lexIndexBuild(docs, "doc_id", "text", tmp)
+    }
+    val lexScore = graft.api.Similarity.lexSharedTerms(
+        docs.filter(col("doc_id") < 5), "doc_id", "text", lexPath)
+      .filter(col("doc_id") =!= col("probe_id"))
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val ivfPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
+        k = 8, rounds = 2)
+    }
+    val vec = graft.api.Similarity.ivfTopK(ev.filter(col("vec_id") < 5),
+        "vec_id", "v", ivfPath, k = 10, nProbe = 3)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rk").as("vrk"))
+    rrfFuse(lexTop10(lexScore), vec)
   }
 
   /** Lexical retrieval ON INGEST — the index-maintenance shape of the
@@ -1163,5 +1255,5 @@ object SimQueries {
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
-      simHybridSearch, simHybridIndexed, simLexIngest)
+      simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest)
 }
