@@ -392,8 +392,218 @@ object AnalyticsQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations
+    * — revenue by (supplier nation, customer nation, ship year) for
+    * the NATION_3↔NATION_2 pair over a two-year window.
+    *
+    * Scale posture: the nation-pair disjunction lands on two
+    * BROADCAST-joined 25-row dimensions, so the big
+    * lineitem⋈orders⋈customer chain is filtered by broadcast hash
+    * lookups, never shuffled against nation; the ship-date range is
+    * pushed to the lineitem scan; the final aggregate has ≤ 2·years
+    * groups. */
+  val tpchQ7Volume: GQuery = GQuery(
+    "tpch_q7_volume",
+    s"""SELECT supp_nation, cust_nation, l_year, $revenueSql AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l_shipdate) AS INT) AS l_year,
+       |    l_extendedprice, l_discount
+       |  FROM lineitem
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >=
+        lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") <
+        lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(n1, col("s_nationkey") === col("sk"))
+      .join(n2, col("c_nationkey") === col("ck"))
+      .filter((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(round(sum(revenueTerm), 2).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 (national market share): NATION_3 suppliers' share of
+    * ASIA-region customers' revenue by order year. Both the
+    * nation-share numerator and the total are exact-decimal sums;
+    * the share is ONE double division of the two rounded totals
+    * (the q14 promo_share discipline).
+    *
+    * Scale posture: region/nation dimensions broadcast; the fact
+    * chain shuffles once per equi-join key; the per-year grid is
+    * tiny so the share projection is free. */
+  val tpchQ8MarketShare: GQuery = GQuery(
+    "tpch_q8_market_share",
+    """SELECT o_year,
+      |  CAST(round(sum(CASE WHEN supp_nation = 'NATION_3'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |    AS nation_revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+      |    AS total_revenue,
+      |  round(CAST(round(sum(CASE WHEN supp_nation = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |    / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE), 6)
+      |    AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    ns.n_name AS supp_nation, l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  JOIN region ON nc.n_regionkey = r_regionkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  WHERE r_name = 'ASIA')
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin) { (s, dir) =>
+    val nc = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("ck"), col("n_regionkey"))
+    val ns = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val nationTerm = when(col("supp_nation") === "NATION_3", revenueTerm)
+      .otherwise(lit(0).cast("decimal(18,2)"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(nc, col("c_nationkey") === col("ck"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(ns, col("s_nationkey") === col("sk"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(round(sum(nationTerm), 2).cast("double").as("nation_revenue"),
+        round(sum(revenueTerm), 2).cast("double").as("total_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        round(col("nation_revenue") / col("total_revenue"), 6)
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue), per-brand form: the
+    * revenue sitting in lineitems whose quantity is below half the
+    * part's average quantity — the "low-velocity inventory" readout.
+    * The per-part average is exact (decimal quantity sum / bigint
+    * count, divided once as doubles), so the < comparison lands
+    * identically cross-engine.
+    *
+    * Scale posture: the per-part average is a map-side-combining
+    * aggregate over lineitem re-joined on l_partkey (partkey-keyed
+    * shuffle, no window); brand rollup is a 25-row grid. Classic Q17
+    * restricts to one brand+container and divides by 7; keeping
+    * every brand makes the contract row non-empty at every SF. */
+  val tpchQ17SmallQty: GQuery = GQuery(
+    "tpch_q17_small_qty",
+    """SELECT p_brand,
+      |  CAST(count(*) AS BIGINT) AS n_small_lines,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS small_qty_revenue
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN (
+      |  SELECT l_partkey AS ap,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey) a ON a.ap = l_partkey
+      |WHERE l_quantity < 0.5 * avg_qty
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("ap"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_qty"))
+    li.join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+      .join(avgQty, col("ap") === col("l_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("small_qty_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity), fixture-adapted: customers
+    * with above-average positive account balance and LOW purchasing
+    * activity (< 8 orders — the fixture generator gives every
+    * customer orders, ~10 at the median, so the literal NOT EXISTS
+    * is empty at every SF; a below-median activity cut keeps Q22's
+    * "high balance, underserved" semantics non-empty), grouped by a
+    * synthetic country code (c_custkey % 10 — no phone column). The
+    * threshold is ONE double division of an exact decimal sum by an
+    * exact count (identical cross-engine).
+    *
+    * Scale posture: the threshold is a 1-row broadcast; the order
+    * counts collapse map-side to one row per customer before the
+    * custkey-keyed join; the rollup grid is 10 rows. */
+  val tpchQ22Balance: GQuery = GQuery(
+    "tpch_q22_balance",
+    """WITH thr AS (
+      |  SELECT CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(12,2)))
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS t
+      |  FROM customer WHERE c_acctbal > 0.00),
+      |ocnt AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+      |         GROUP BY o_custkey),
+      |hot AS (
+      |  SELECT c_custkey % 10 AS cntrycode,
+      |    CAST(round(c_acctbal, 2) AS DECIMAL(12,2)) AS bal
+      |  FROM customer
+      |  LEFT JOIN ocnt ON o_custkey = c_custkey
+      |  CROSS JOIN thr
+      |  WHERE c_acctbal > thr.t AND coalesce(n_orders, 0) < 8)
+      |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(round(sum(bal), 2) AS DOUBLE) AS totacctbal
+      |FROM hot
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(round(col("c_acctbal"), 2).cast("decimal(12,2)"))
+        .cast("double") / count(lit(1)).cast("double")).as("t"))
+    val ocnt = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("t"))
+      .join(ocnt, col("o_custkey") === col("c_custkey"), "left_outer")
+      .filter(coalesce(col("n_orders"), lit(0L)) < 8)
+      .select((col("c_custkey") % 10).as("cntrycode"),
+        round(col("c_acctbal"), 2).cast("decimal(12,2)").as("bal"))
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("bal")), 2).cast("double").as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   val all: Seq[GQuery] = Seq(
     tpchQ3Shipping, tpchQ5LocalSupplier, tpchQ10Returned,
     aggPercentiles, winNtile, tpchQ14Promo, tpchQ18LargeOrders,
-    tpchQ6Forecast, tpchQ13Custdist)
+    tpchQ6Forecast, tpchQ13Custdist, tpchQ7Volume, tpchQ8MarketShare,
+    tpchQ17SmallQty, tpchQ22Balance)
 }
