@@ -701,9 +701,65 @@ object LayoutQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the lakehouse "restate a few
+    * partitions" op (Hive/Delta `INSERT OVERWRITE ... PARTITION`
+    * semantics, Spark's partitionOverwriteMode=dynamic): a
+    * month-partitioned orders snapshot receives a restatement batch
+    * covering ONLY three months (prices uplifted 10% on the exact
+    * decimal grid); the write replaces exactly the partitions
+    * present in the patch — untouched months keep their original
+    * files byte-for-byte (spec-pinned in LayoutAnalyticsSpec via
+    * file listings). The readback aggregate proves patched months
+    * carry restated totals and all others the originals.
+    *
+    * Scale shape: the patch write shuffles only patch-month rows;
+    * untouched partitions involve zero I/O — the whole point of the
+    * op at 100 TB (a 3-month restatement over a 7-year table touches
+    * 3/84ths of the data). The readback is a plain partitioned scan
+    * with map-side-combining aggregation. */
+  val mergePartitionOverwrite: GQuery = GQuery(
+    "merge_partition_overwrite",
+    """WITH base AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS om,
+      |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |restated AS (
+      |  SELECT om,
+      |    CASE WHEN om IN ('1998-01', '1998-02', '1998-03')
+      |      THEN CAST(round(price * CAST(1.10 AS DECIMAL(4,2)), 2)
+      |           AS DECIMAL(18,2))
+      |      ELSE price END AS price
+      |  FROM base)
+      |SELECT om, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_price
+      |FROM restated
+      |GROUP BY om
+      |ORDER BY om""".stripMargin) { (s, dir) =>
+    val path = tmpDir("dyn_overwrite", dir)
+    val base = Tables.orders(s, dir)
+      .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("om"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price"))
+    base.write.mode("overwrite").partitionBy("om").parquet(path)
+    val patch = base
+      .filter(col("om").isin("1998-01", "1998-02", "1998-03"))
+      .select(col("om"), col("o_orderkey"),
+        round(col("price") * lit("1.10").cast("decimal(4,2)"), 2)
+          .cast("decimal(18,2)").as("price"))
+    patch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("om").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("om"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("price")), 2).cast("double").as("sum_price"))
+      .orderBy(col("om"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
     mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
-    mergeDeleteApply)
+    mergeDeleteApply, mergePartitionOverwrite)
 }

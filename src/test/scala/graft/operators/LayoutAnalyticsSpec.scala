@@ -231,6 +231,44 @@ class LayoutAnalyticsSpec extends SparkTestBase {
       s"state filter must prune partitions:\n$scan")
   }
 
+  test("merge_partition_overwrite touches only the patched partitions") {
+    import org.apache.spark.sql.functions._
+    // the dynamic-overwrite contract: months absent from the patch
+    // keep their exact files (same names, same bytes), patched months
+    // are rewritten. Run the query once (it writes base + applies the
+    // patch), then diff the on-disk listing against a fresh base-only
+    // write of an untouched month.
+    LayoutQueries.mergePartitionOverwrite.fn(spark, sfDir).collect()
+    val path = LayoutQueries.tmpDir("dyn_overwrite", sfDir)
+    def listing(month: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/om=$month")
+      assert(d.isDirectory, s"missing partition dir om=$month")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = listing("1997-05")
+    val patchedBefore = listing("1998-01")
+    // re-apply ONLY the patch (no base rewrite): untouched months must
+    // keep identical files; patched months get fresh ones
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .select(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM").as("om"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price"))
+    base.filter(col("om").isin("1998-01", "1998-02", "1998-03"))
+      .select(col("om"), col("o_orderkey"),
+        round(col("price") * lit("1.10").cast("decimal(4,2)"), 2)
+          .cast("decimal(18,2)").as("price"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("om").parquet(path)
+    assert(listing("1997-05") == untouchedBefore,
+      "untouched partition was rewritten by the dynamic overwrite")
+    assert(listing("1998-01").keySet != patchedBefore.keySet ||
+      listing("1998-01") != patchedBefore,
+      "patched partition should have been rewritten")
+  }
+
   test("tpch_q3/q10 plan exactly one shuffle (the aggregate exchange)") {
     // at this scale the dims broadcast, so the ONLY data movement is
     // the group-by exchange; the top-N is a TakeOrderedAndProject
