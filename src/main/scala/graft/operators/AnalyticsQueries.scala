@@ -601,9 +601,159 @@ object AnalyticsQueries {
       .orderBy(col("cntrycode"))
   }
 
+  /** TPC-H Q4 (order priority checking), fixture-adapted: orders in a
+    * half-year window counted per priority when at least one of their
+    * lineitems shipped more than 90 days after the order date (the
+    * fixture has no commit/receipt dates, so "late" is
+    * ship-lag > 90 d). The EXISTS is a left-semi join — one probe of
+    * the late-line key set per order, never a row multiplication.
+    *
+    * Scale posture: the order-window and the lag predicate both push
+    * to their scans; the semi join shuffles on orderkey; the rollup
+    * grid is 5 rows. */
+  val tpchQ4Priority: GQuery = GQuery(
+    "tpch_q4_priority",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >=
+        lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") <
+        lit("1997-07-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q9 (product-type profit), fixture-adapted: profit per
+    * (supplier nation, order year), with p_retailprice standing in
+    * for the missing ps_supplycost — amount = discounted revenue −
+    * retailprice·quantity, every term on the exact DECIMAL(18,2)
+    * grid so the signed sum is order-free.
+    *
+    * Scale posture: part/supplier/nation broadcast (or hash on key at
+    * true scale); lineitem⋈orders is the only big-big exchange; the
+    * rollup grid is nations × years. */
+  val tpchQ9Profit: GQuery = GQuery(
+    "tpch_q9_profit",
+    """SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      - CAST(p_retailprice AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+      |ORDER BY nation, o_year""".stripMargin) { (s, dir) =>
+    val profitTerm =
+      col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")) -
+      col("p_retailprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)")
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(round(sum(profitTerm), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** TPC-H Q15 (top supplier): revenue per supplier over one quarter,
+    * returning the supplier(s) whose revenue equals the maximum — the
+    * view + scalar-subquery shape. Exact decimal revenue makes the
+    * max and its equality tie-out deterministic cross-engine.
+    *
+    * Scale posture: one supplier-keyed aggregate over the
+    * date-filtered lineitem scan; the max is a 1-row broadcast joined
+    * back — no window, no sort of the full aggregate. */
+  val tpchQ15TopSupplier: GQuery = GQuery(
+    "tpch_q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >=
+        lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") <
+        lit("1997-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(revenueTerm), 2).cast("double").as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mx"))
+    Tables.supplier(s, dir)
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship), fixture-adapted:
+    * distinct suppliers able to supply each (p_type, p_size) combo —
+    * supply relationships read from lineitem (no partsupp table) —
+    * excluding the PROMO type and restricted to the classic size
+    * list. The NOT-IN-types + IN-sizes filters and the
+    * count(DISTINCT) over a join are exactly Q16's plan shape.
+    *
+    * Scale posture: the (partkey, suppkey) projection de-dups
+    * map-side before the part join; the distinct count shuffles once
+    * on the small (type, size) grid. */
+  val tpchQ16SupplierCnt: GQuery = GQuery(
+    "tpch_q16_supplier_cnt",
+    """SELECT p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |GROUP BY p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_type, p_size""".stripMargin) { (s, dir) =>
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    ps.join(Tables.part(s, dir)
+          .filter(col("p_type") =!= "PROMO")
+          .filter(col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
+  }
+
   val all: Seq[GQuery] = Seq(
     tpchQ3Shipping, tpchQ5LocalSupplier, tpchQ10Returned,
     aggPercentiles, winNtile, tpchQ14Promo, tpchQ18LargeOrders,
     tpchQ6Forecast, tpchQ13Custdist, tpchQ7Volume, tpchQ8MarketShare,
-    tpchQ17SmallQty, tpchQ22Balance)
+    tpchQ17SmallQty, tpchQ22Balance, tpchQ4Priority, tpchQ9Profit,
+    tpchQ15TopSupplier, tpchQ16SupplierCnt)
 }
