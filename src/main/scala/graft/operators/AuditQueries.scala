@@ -287,6 +287,55 @@ object AuditQueries {
       .orderBy(col("bkt"))
   }
 
+  /** IQR OUTLIER AUDIT — the Tukey-fence anomaly count per group (the
+    * box-plot rule every profiling tool ships): per order priority,
+    * exact q1/q3 of o_totalprice, fences at ±1.5·IQR, and the count
+    * of orders outside them. Exact interpolated percentiles (the
+    * agg_percentiles cross-engine contract) make the fences identical
+    * doubles in both engines, so the boundary comparisons land
+    * identically; fences are rounded to 4 only for display.
+    *
+    * Scale shape: one per-group percentile aggregate (5 groups), the
+    * 5-row fence frame broadcast back onto the scan, and a
+    * map-side-combining conditional count — two passes, no window,
+    * no sort of the data. */
+  val dqAnomalyIqr: GQuery = GQuery(
+    "dq_anomaly_iqr",
+    """WITH st AS (
+      |  SELECT o_orderpriority AS pr, count(*) AS n,
+      |    quantile_cont(o_totalprice, 0.25) AS q1,
+      |    quantile_cont(o_totalprice, 0.75) AS q3
+      |  FROM orders GROUP BY o_orderpriority),
+      |fen AS (
+      |  SELECT pr, n, q1 - 1.5 * (q3 - q1) AS lo,
+      |    q3 + 1.5 * (q3 - q1) AS hi
+      |  FROM st)
+      |SELECT pr AS o_orderpriority, CAST(n AS BIGINT) AS n_checked,
+      |  CAST(count(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+      |    THEN 1 END) AS BIGINT) AS n_outliers,
+      |  round(lo, 4) AS fence_lo, round(hi, 4) AS fence_hi
+      |FROM orders JOIN fen ON o_orderpriority = pr
+      |GROUP BY pr, n, lo, hi
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val fen = orders.groupBy(col("o_orderpriority").as("pr"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.25d)").as("q1"),
+        expr("percentile(o_totalprice, 0.75d)").as("q3"))
+      .select(col("pr"), col("n"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    orders.join(broadcast(fen), col("o_orderpriority") === col("pr"))
+      .groupBy(col("pr"), col("n"), col("lo"), col("hi"))
+      .agg(count(when(col("o_totalprice") < col("lo") ||
+        col("o_totalprice") > col("hi"), 1)).as("n_outliers"))
+      .select(col("pr").as("o_orderpriority"),
+        col("n").as("n_checked"), col("n_outliers"),
+        round(col("lo"), 4).as("fence_lo"),
+        round(col("hi"), 4).as("fence_hi"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi,
-    dqDriftPsiNumeric)
+    dqDriftPsiNumeric, dqAnomalyIqr)
 }

@@ -921,10 +921,76 @@ object EventQueries {
     touched.unionByName(untouched).orderBy(col("touch"))
   }
 
+  /** RFM SEGMENTATION — the classic marketing cube: per purchasing
+    * user, Recency (days from last purchase to the corpus's max
+    * event time), Frequency (purchase count) and Monetary (decimal
+    * value total) are each cut into quintiles, and users are counted
+    * per (r, f, m) cell. Quintile assignment is ntile(5) over the
+    * TOTAL order (metric, user_id) — tie-broken by the unique user
+    * id, so the cut is engine- and parallelism-stable (the win_ntile
+    * discipline); scores read "1 = lowest metric value" in every
+    * dimension.
+    *
+    * Scale shape: events collapse map-side to one row per purchasing
+    * user BEFORE any window; the three global ntiles then run over
+    * the user-grain frame (several orders smaller than the event
+    * log). A global ntile serializes into one task — acceptable on
+    * the user grid; at true 100 TB user counts the same cut is a
+    * range-partitioned sort + per-partition offsets (the win_ntile
+    * scaladoc's note applies to the raw-event grain, which this
+    * query never windows). */
+  val evRfmSegmentation: GQuery = GQuery(
+    "ev_rfm_segmentation",
+    """WITH anchor AS (SELECT max(ts) AS a FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    date_diff('day', CAST(max(ts) AS DATE),
+      |      CAST((SELECT a FROM anchor) AS DATE)) AS recency_days,
+      |    count(*) AS freq,
+      |    sum(CAST(round(value, 2) AS DECIMAL(12,2))) AS monetary
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id),
+      |scored AS (
+      |  SELECT user_id,
+      |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+      |    ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+      |    ntile(5) OVER (ORDER BY monetary, user_id) AS m_score,
+      |    monetary
+      |  FROM u)
+      |SELECT r_score, f_score, m_score,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(round(sum(monetary), 2) AS DOUBLE) AS segment_value
+      |FROM scored
+      |GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val anchor = ev.agg(max(col("ts")).as("a"))
+    val u = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(round(col("value"), 2).cast("decimal(12,2)")).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(to_date(col("a")), to_date(col("last_ts")))
+          .as("recency_days"),
+        col("freq"), col("monetary"))
+    val scored = u.select(col("user_id"), col("monetary"),
+      ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
+        .as("r_score"),
+      ntile(5).over(Window.orderBy(col("freq"), col("user_id")))
+        .as("f_score"),
+      ntile(5).over(Window.orderBy(col("monetary"), col("user_id")))
+        .as("m_score"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("monetary")), 2).cast("double").as("segment_value"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
     evVelocityBurst, evAttributionLinear, evCohortLtv,
-    evAttributionPosition, evAttributionDecay)
+    evAttributionPosition, evAttributionDecay, evRfmSegmentation)
 }
