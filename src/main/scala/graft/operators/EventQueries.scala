@@ -987,10 +987,50 @@ object EventQueries {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** CUMULATIVE UNIQUE USERS — the growth curve "total distinct users
+    * ever seen, by day and event type" that a naive
+    * count(DISTINCT) OVER (ORDER BY day) would compute by
+    * re-scanning history per day: instead each (type, user) collapses
+    * to its FIRST day (one map-side-combining min — the only pass
+    * over raw events), first-days roll up to per-day new-user counts,
+    * and the running total is a window over the tiny (type, day)
+    * grid. The standard O(n) rewrite of a running-distinct.
+    *
+    * Scale shape: one shuffle at the (type, user) grain, one at the
+    * (type, day) grain, cumulative window state = one partial sum
+    * per type. Nothing re-reads history. */
+  val evCumulativeUniques: GQuery = GQuery(
+    "ev_cumulative_uniques",
+    """WITH first_seen AS (
+      |  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS d
+      |  FROM events GROUP BY event_type, user_id),
+      |daily AS (
+      |  SELECT event_type, d, count(*) AS new_users
+      |  FROM first_seen GROUP BY event_type, d)
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+      |  CAST(new_users AS BIGINT) AS new_users,
+      |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY d)
+      |    AS BIGINT) AS cum_users
+      |FROM daily
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    daily.select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("new_users"),
+        sum(col("new_users")).over(w).as("cum_users"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
     evVelocityBurst, evAttributionLinear, evCohortLtv,
-    evAttributionPosition, evAttributionDecay, evRfmSegmentation)
+    evAttributionPosition, evAttributionDecay, evRfmSegmentation,
+    evCumulativeUniques)
 }

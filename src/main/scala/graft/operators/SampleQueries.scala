@@ -262,7 +262,37 @@ object SampleQueries {
     }
   }
 
+  /** BOTTOM-K UNIFORM SAMPLE — "exactly k rows, uniformly, without
+    * replacement, in one distributed pass": keep the k rows with the
+    * SMALLEST portable hash (the bottom-k sketch — the standard
+    * distributed exact-size sample, mergeable across partitions and
+    * streams where reservoir sampling is not). Deterministic: the
+    * hash is a pure function of doc_id, ties impossible (hash of a
+    * unique key; doc_id tiebreak anyway), so every engine picks the
+    * same k rows.
+    *
+    * Scale shape: a TakeOrderedAndProject — per-partition k-row
+    * heaps merged on the driver, never a global sort; at any corpus
+    * size the shuffle carries ≤ k rows per partition. */
+  val sampleBottomK: GQuery = GQuery(
+    "sample_bottom_k",
+    s"""SELECT doc_id, lang, n_chars FROM (
+       |  SELECT doc_id, lang, n_chars
+       |  FROM documents
+       |  ORDER BY ${duckHash("concat('bot:', CAST(doc_id AS VARCHAR))")},
+       |    doc_id
+       |  LIMIT 100)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.api.Sampling.portableHash(col("doc_id"), "bot:").as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
     sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
-    sampleTemperature, sampleTokenBudget)
+    sampleTemperature, sampleTokenBudget, sampleBottomK)
 }

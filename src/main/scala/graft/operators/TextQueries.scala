@@ -1083,6 +1083,52 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** VOCABULARY GROWTH (Heaps' law curve) — cumulative distinct
+    * vocabulary vs cumulative token count as the corpus is consumed
+    * in doc_id order, in 50-doc ingestion batches: the "how fast does
+    * my vocabulary grow" readout that sizes tokenizers and OOV
+    * budgets (natural corpora follow V ≈ K·N^β, β ≈ 0.5; the
+    * fixture's closed template vocabulary saturates almost
+    * immediately — exactly what the curve exists to reveal).
+    *
+    * Scale shape: each term collapses to its FIRST batch (min over
+    * the doc-batch key, map-side combining — never a sort of the
+    * token stream); token totals are a per-batch count; both fold
+    * into cumulative sums over the tiny batch grid. Consumes the
+    * shared token memo. */
+  val textVocabGrowth: GQuery = GQuery(
+    "text_vocab_growth",
+    """WITH tok AS (SELECT doc_id // 50 AS batch,
+      |        unnest(string_split(text, ' ')) AS term
+      |      FROM documents),
+      |per_batch AS (SELECT batch, count(*) AS n_tokens
+      |              FROM tok GROUP BY batch),
+      |first_seen AS (SELECT term, min(batch) AS batch FROM tok
+      |               GROUP BY term),
+      |new_terms AS (SELECT batch, count(*) AS n_new
+      |              FROM first_seen GROUP BY batch)
+      |SELECT CAST(p.batch AS INT) AS batch,
+      |  CAST(sum(p.n_tokens) OVER (ORDER BY p.batch) AS BIGINT)
+      |    AS cum_tokens,
+      |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.batch) AS BIGINT)
+      |    AS cum_vocab
+      |FROM per_batch p LEFT JOIN new_terms n ON p.batch = n.batch
+      |ORDER BY batch""".stripMargin) { (s, dir) =>
+    val tok = tokens(s, dir)
+      .select((col("doc_id") / 50).cast("bigint").as("batch"), col("term"))
+    val perBatch = tok.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTerms = tok.groupBy(col("term"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("batch"))
+    perBatch.join(newTerms, Seq("batch"), "left_outer")
+      .select(col("batch").cast("int").as("batch"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        sum(coalesce(col("n_new"), lit(0L))).over(w).as("cum_vocab"))
+      .orderBy(col("batch"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
@@ -1090,5 +1136,5 @@ object TextQueries {
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
-    textLangidConfusion)
+    textLangidConfusion, textVocabGrowth)
 }
