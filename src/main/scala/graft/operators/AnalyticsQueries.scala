@@ -750,10 +750,291 @@ object AnalyticsQueries {
       .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
   }
 
+  /** TPC-H Q2 (minimum-cost supplier), fixture-adapted: with no
+    * partsupp table, the supply relation is read from lineitem — a
+    * supplier's cost for a part is the MIN exact-decimal extended
+    * price it ever shipped that part at. For STANDARD parts in the
+    * classic size list, return every EUROPE supplier matching the
+    * per-part regional minimum — Q2's correlated-min shape as a
+    * grouped min joined back on equality (exact decimals make the
+    * equality tie-out deterministic cross-engine).
+    *
+    * Scale posture: supply collapses map-side to one row per
+    * (part, supplier) before anything joins; the regional minimum is
+    * a second map-side-combining aggregate on partkey; part arrives
+    * pre-filtered by type+size. No window, no correlated re-scan —
+    * both "subqueries" are aggregates the optimizer can pipeline. */
+  val tpchQ2MinCost: GQuery = GQuery(
+    "tpch_q2_min_cost",
+    """WITH supply AS (
+      |  SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ucost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |best AS (
+      |  SELECT sp_partkey AS bp, min(ucost) AS best_cost
+      |  FROM supply JOIN eu ON s_suppkey = sp_suppkey
+      |  GROUP BY sp_partkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  CAST(ucost AS DOUBLE) AS supply_cost
+      |FROM part
+      |JOIN supply ON sp_partkey = p_partkey
+      |JOIN eu ON s_suppkey = sp_suppkey
+      |JOIN best ON bp = p_partkey AND ucost = best_cost
+      |WHERE p_type = 'STANDARD' AND p_size IN (10, 20, 30, 40, 50)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin) {
+      (s, dir) =>
+    val supply = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("sp_partkey"),
+        col("l_suppkey").as("sp_suppkey"))
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("ucost"))
+    val eu = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.region(s, dir), col("r_regionkey") === col("n_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val euSupply = supply.join(eu, col("s_suppkey") === col("sp_suppkey"))
+    val best = euSupply.groupBy(col("sp_partkey").as("bp"))
+      .agg(min(col("ucost")).as("best_cost"))
+    Tables.part(s, dir)
+      .filter(col("p_type") === "STANDARD")
+      .filter(col("p_size").isin(10, 20, 30, 40, 50))
+      .join(euSupply, col("sp_partkey") === col("p_partkey"))
+      .join(best,
+        col("bp") === col("p_partkey") && col("ucost") === col("best_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        col("ucost").cast("double").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  /** TPC-H Q11 (important stock), fixture-adapted: per-part supplied
+    * value (exact-decimal Σ extendedprice, no partsupp so lineitem is
+    * the supply ledger) from ASIA-region suppliers, keeping parts
+    * whose value exceeds 0.1% of the regional total — the group-agg ×
+    * global-scalar-threshold shape. Both sides of the compare leave
+    * the exact decimal grid through ONE double cast, so the boundary
+    * is decided identically cross-engine; the relative threshold also
+    * keeps the selectivity stable as the fixture scales.
+    *
+    * Scale posture: one partkey-keyed aggregate (map-side partials);
+    * the total is a 1-row broadcast; no second pass over lineitem. */
+  val tpchQ11ImportantStock: GQuery = GQuery(
+    "tpch_q11_important_stock",
+    """WITH v AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+      |FROM v CROSS JOIN
+      |  (SELECT CAST(sum(val) AS DOUBLE) * 0.001 AS thr FROM v) t
+      |WHERE CAST(val AS DOUBLE) > thr
+      |ORDER BY part_value DESC, p_partkey""".stripMargin) { (s, dir) =>
+    val v = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.region(s, dir), col("r_regionkey") === col("n_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("val"))
+    val thr = v.agg((sum(col("val")).cast("double") * 0.001).as("thr"))
+    v.crossJoin(broadcast(thr))
+      .filter(col("val").cast("double") > col("thr"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("val").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 (shipping modes / priority), fixture-adapted: lines
+    * that shipped more than 90 days after their order date (the
+    * lateness proxy — no commit/receipt dates) within one shipping
+    * year, bucketed by l_linestatus (standing in for the absent
+    * l_shipmode), counting urgent-or-high vs lower-priority orders —
+    * Q12's conditional-CASE aggregation shape intact.
+    *
+    * Scale posture: the shipdate window pushes to the lineitem scan;
+    * one orderkey join, one 2-row aggregate with map-side partials. */
+  val tpchQ12ShipClass: GQuery = GQuery(
+    "tpch_q12_ship_class",
+    """SELECT l_linestatus AS ship_class,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY ship_class""".stripMargin) { (s, dir) =>
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >=
+        lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") <
+        lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(col("l_linestatus").as("ship_class"))
+      .agg(sum(when(isHigh, 1).otherwise(0)).cast("bigint")
+          .as("high_line_count"),
+        sum(when(isHigh, 0).otherwise(1)).cast("bigint")
+          .as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
+    * from lines matching any of three brand × size-range ×
+    * quantity-range combos — the one TPC-H query whose plan quality
+    * hinges on pushing an OR-of-ANDs below the join. The part-side
+    * conjuncts (brand, size) and the lineitem-side quantity bounds
+    * each partially push as a derived OR filter on their own scan.
+    *
+    * Scale posture: single equi-join; the optimizer extracts the
+    * common `p_size >= 1` / quantity envelope to both scans and the
+    * residual disjunction evaluates post-join in codegen — no plan
+    * branch per disjunct, no union of three scans. */
+  val tpchQ19BrandRevenue: GQuery = GQuery(
+    "tpch_q19_brand_revenue",
+    s"""SELECT $revenueSql AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity BETWEEN 1 AND 20)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       |    AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
+    val combo =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 40))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+      .filter(combo)
+      .agg(round(sum(revenueTerm), 2).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q20 (potential part promotion), fixture-adapted: suppliers
+    * who moved serious volume of 'red' parts in 1997 — more than 60
+    * units of some single red part (the HAVING stands in for the
+    * ps_availqty half-stock test; no partsupp table). Q20's nested
+    * IN-subquery chain becomes a grouped HAVING feeding a left-semi
+    * probe of the supplier dim.
+    *
+    * Scale posture: the name LIKE and date window push to the scans;
+    * volume collapses map-side to one row per (supplier, part); the
+    * final IN is a semi join against a ≤|supplier| key set. Account
+    * balances pass through as stored doubles — no re-rounding. */
+  val tpchQ20PotentialSupplier: GQuery = GQuery(
+    "tpch_q20_potential_supplier",
+    """WITH heavy AS (
+      |  SELECT l_suppkey FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 60)
+      |SELECT s_name, s_acctbal, n_name
+      |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+      |ORDER BY s_name""".stripMargin) { (s, dir) =>
+    val heavy = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >=
+        lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") <
+        lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.part(s, dir).filter(col("p_name").like("red%")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("vol"))
+      .filter(col("vol") > 60)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("s_nationkey"))
+      .join(heavy, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), fixture-adapted:
+    * ASIA-region suppliers whose line shipped >180 days after the
+    * order date on a multi-supplier order where they were the ONLY
+    * late supplier — Q21's EXISTS(other supplier) + NOT EXISTS(other
+    * LATE supplier) double correlation, as a left-semi then left-anti
+    * join on (same order, different supplier).
+    *
+    * Scale posture: both correlations key on orderkey (shuffle once,
+    * probe twice); the (order, supplier) pair sets are DISTINCT
+    * projections that collapse map-side; numwait is a supplier-grain
+    * aggregate over a ≤|supplier| grid. */
+  val tpchQ21WaitingSupplier: GQuery = GQuery(
+    "tpch_q21_waiting_supplier",
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_orderkey AS p_ok, l_suppkey AS p_sk
+      |  FROM lineitem),
+      |late AS (
+      |  SELECT DISTINCT l_orderkey AS lt_ok, l_suppkey AS lt_sk
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 180 DAY)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM late l1
+      |JOIN supplier ON s_suppkey = lt_sk
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND EXISTS (SELECT 1 FROM pairs
+      |              WHERE p_ok = l1.lt_ok AND p_sk <> l1.lt_sk)
+      |  AND NOT EXISTS (SELECT 1 FROM late l2
+      |                  WHERE l2.lt_ok = l1.lt_ok AND l2.lt_sk <> l1.lt_sk)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin) { (s, dir) =>
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("p_ok"), col("l_suppkey").as("p_sk"))
+      .distinct()
+    val late = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 180 DAY"))
+      .select(col("l_orderkey").as("lt_ok"), col("l_suppkey").as("lt_sk"))
+      .distinct()
+    val lateOther = late
+      .select(col("lt_ok").as("o_ok"), col("lt_sk").as("o_sk"))
+    late
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("lt_sk"))
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.region(s, dir), col("r_regionkey") === col("n_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(pairs,
+        col("p_ok") === col("lt_ok") && col("p_sk") =!= col("lt_sk"),
+        "left_semi")
+      .join(lateOther,
+        col("o_ok") === col("lt_ok") && col("o_sk") =!= col("lt_sk"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).cast("bigint").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   val all: Seq[GQuery] = Seq(
     tpchQ3Shipping, tpchQ5LocalSupplier, tpchQ10Returned,
     aggPercentiles, winNtile, tpchQ14Promo, tpchQ18LargeOrders,
     tpchQ6Forecast, tpchQ13Custdist, tpchQ7Volume, tpchQ8MarketShare,
     tpchQ17SmallQty, tpchQ22Balance, tpchQ4Priority, tpchQ9Profit,
-    tpchQ15TopSupplier, tpchQ16SupplierCnt)
+    tpchQ15TopSupplier, tpchQ16SupplierCnt, tpchQ2MinCost,
+    tpchQ11ImportantStock, tpchQ12ShipClass, tpchQ19BrandRevenue,
+    tpchQ20PotentialSupplier, tpchQ21WaitingSupplier)
 }

@@ -130,7 +130,20 @@ class BroadcastPolicySpec extends SparkTestBase {
     // the 1-row min/max bin-bounds scalar rides the shared binned
     // subtree into BOTH cohort branches AND both cohort-total scalars
     // (4 resolutions) + the two 1-row totals themselves — all 1-row
-    "dq_drift_psi_numeric" -> 6
+    "dq_drift_psi_numeric" -> 6,
+    // hybrid retrieval's vector tier is the saved-IVF serving path:
+    // k-row probe-cell assignment + the ≤ 5×nProbe probe-cell set
+    "sim_hybrid_ivf" -> 2,
+    // 1-row max-event-timestamp anchor scalar (recency origin)
+    "ev_rfm_segmentation" -> 1,
+    // 1-row above-average-balance threshold scalar
+    "tpch_q22_balance" -> 1,
+    // 1-row max-revenue scalar (the Q15 view maximum)
+    "tpch_q15_top_supplier" -> 1,
+    // 1-row regional value total (the 0.1% importance threshold)
+    "tpch_q11_important_stock" -> 1,
+    // 5-row per-priority IQR fence grid (bounded by the priority dim)
+    "dq_anomaly_iqr" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -47,7 +47,11 @@ class PlanShapeSpec extends SparkTestBase {
     "merge_delete_apply",  // 1-row purged-count scalar cross join
     "dq_freshness",     // 1-row global-max scalar cross join
     "dq_drift_psi",     // two 1-row cohort-total scalar cross joins
-    "dq_drift_psi_numeric") // + the 1-row global min/max bounds scalar
+    "dq_drift_psi_numeric", // + the 1-row global min/max bounds scalar
+    "sim_hybrid_ivf",   // IVF serving tier: bounded probe-cell broadcasts
+    "ev_rfm_segmentation", // 1-row max-ts anchor scalar cross join
+    "tpch_q22_balance", // 1-row balance-threshold scalar cross join (inequality compare)
+    "tpch_q11_important_stock") // 1-row regional-total scalar cross join (inequality compare)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
