@@ -330,7 +330,7 @@ object DedupQueries {
 
   /** Shingle document frequencies, memoized: the PPJoin global order,
     * the strategy cost probe, and the doc-array build all read it. */
-  private def shingleDfreq(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleDfreq(s: SparkSession, dir: String): DataFrame =
     PlanCache.memo(s, dir, "shingle_dfreq") {
       shingles(s, dir).groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     }
@@ -655,9 +655,62 @@ object DedupQueries {
     }
   }
 
+  /** Sketch-quality audit: for every MinHash candidate pair, the
+    * 8-perm ESTIMATED Jaccard next to the EXACT shingle-set Jaccard
+    * and the absolute sketch error — the number that tells you
+    * whether 8 permutations / the 0.5 band threshold are right for
+    * YOUR corpus before you commit a 100 TB dedup run to them. (The
+    * fleet-wide recall/precision of the banding is property-tested;
+    * this query materializes the per-pair audit as data.)
+    *
+    * Scale posture: exact Jaccard is computed ONLY for the candidate
+    * pairs (sketch prunes, exact metric audits — the
+    * dedup_edit_distance discipline); per-doc shingle sets attach by
+    * two keyed joins (corpus-cardinality payloads, never hinted) and
+    * intersections run on sorted arrays via the codegen'd
+    * sorted_intersect_count — no shingle re-explosion per pair. */
+  val dedupMinhashError: GQuery = GQuery(
+    "dedup_minhash_error",
+    s"""$minhashPairsCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ex AS (
+       |  SELECT p.doc1, p.doc2, p.est_jaccard, count(*) AS isect,
+       |    any_value(c1.n) AS n1, any_value(c2.n) AS n2
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.doc1
+       |  JOIN sh b ON b.doc_id = p.doc2 AND b.shingle = a.shingle
+       |  JOIN cnt c1 ON c1.doc_id = p.doc1
+       |  JOIN cnt c2 ON c2.doc_id = p.doc2
+       |  GROUP BY p.doc1, p.doc2, p.est_jaccard)
+       |SELECT doc1, doc2, est_jaccard,
+       |  round(CAST(isect AS DOUBLE) / (n1 + n2 - isect), 6)
+       |    AS exact_jaccard,
+       |  round(abs(est_jaccard
+       |    - CAST(isect AS DOUBLE) / (n1 + n2 - isect)), 6) AS abs_error
+       |FROM ex
+       |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+    graft.functions.SetExpressions.register(s)
+    val sets = shingles(s, dir).groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("arr"),
+        count(lit(1)).as("n"))
+    val exact = minhashPairsSpark(s, dir)
+      .join(sets.select(col("doc_id").as("doc1"), col("arr").as("a1"),
+        col("n").as("n1")), Seq("doc1"))
+      .join(sets.select(col("doc_id").as("doc2"), col("arr").as("a2"),
+        col("n").as("n2")), Seq("doc2"))
+      .withColumn("isect",
+        expr("sorted_intersect_count(a1, a2, 0)").cast("double"))
+      .withColumn("exact_j",
+        col("isect") / (col("n1") + col("n2") - col("isect")))
+    exact.select(col("doc1"), col("doc2"), col("est_jaccard"),
+        round(col("exact_j"), 6).as("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_j")), 6).as("abs_error"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
     dedupIngest, dedupContainment, dedupContainmentIngest,
-    dedupSpanGlobal, dedupSplitLeakage)
+    dedupSpanGlobal, dedupSplitLeakage, dedupMinhashError)
 }

@@ -475,49 +475,20 @@ object LayoutQueries {
     * dimension shuffle at all. Validity stamps are plain strings
     * (hash discipline: no raw temporal columns cross the compare
     * boundary). */
-  val mergeScd2: GQuery = GQuery(
-    "merge_scd2",
-    """WITH dim AS (
-      |  SELECT c_custkey AS k, c_mktsegment AS seg,
-      |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
-      |  FROM customer),
-      |upd AS (
-      |  SELECT k, 'SEG_MOVED' AS useg,
-      |         CAST(bal + 100 AS DECIMAL(12,2)) AS ubal
-      |  FROM dim WHERE k % 4 = 0
-      |  UNION ALL
-      |  SELECT k + (SELECT max(k) FROM dim), 'SEG_NEW',
-      |         CAST(100.00 AS DECIMAL(12,2))
-      |  FROM dim WHERE k % 25 = 3),
-      |scd AS (
-      |  SELECT d.k, d.seg, d.bal, '2020-01-01' AS valid_from,
-      |         CASE WHEN u.k IS NOT NULL THEN '2023-06-15' END AS valid_to,
-      |         u.k IS NULL AS is_current, 1 AS version
-      |  FROM dim d LEFT JOIN upd u ON d.k = u.k
-      |  UNION ALL
-      |  SELECT u.k, u.useg, u.ubal, '2023-06-15', NULL, TRUE,
-      |         CASE WHEN d.k IS NOT NULL THEN 2 ELSE 1 END
-      |  FROM upd u LEFT JOIN dim d ON u.k = d.k)
-      |SELECT CASE WHEN is_current THEN 'current' ELSE 'history' END
-      |         AS state,
-      |  valid_from,
-      |  CAST(count(*) AS BIGINT) AS n_rows,
-      |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
-      |  CAST(sum(k) AS BIGINT) AS key_sum,
-      |  CAST(round(sum(bal), 2) AS DOUBLE) AS bal_sum,
-      |  CAST(max(version) AS INT) AS max_version
-      |FROM scd
-      |GROUP BY 1, 2
-      |ORDER BY state, valid_from""".stripMargin) { (s, dir) =>
-    val path = tmpDir("merge_scd2", dir)
+  /** The SCD2 merge result as a frame — shared by [[mergeScd2]]
+    * (which writes + rolls it up) and [[mergeScd2Asof]] (which
+    * snapshots it at two logical dates). Semantics documented on
+    * [[mergeScd2]].
+    *
+    * Brand-new keys are derived ABOVE max(c_custkey) — a fixed offset
+    * collides with real keys once the dimension outgrows it (custkey
+    * max is 150k*sf, so 1e6 broke at sf >= ~7); k + max(k) lands in
+    * (max, 2*max], disjoint from the real key space at ANY scale
+    * factor. The 1-row max broadcasts — no extra dimension shuffle. */
+  private def scd2Frame(s: SparkSession, dir: String): DataFrame = {
     val dim = Tables.customer(s, dir).select(
       col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
       col("c_acctbal").cast("decimal(12,2)").as("bal"))
-    // brand-new keys are derived ABOVE max(c_custkey) — a fixed offset
-    // collides with real keys once the dimension outgrows it (custkey max
-    // is 150k*sf, so 1e6 broke at sf >= ~7); k + max(k) lands in
-    // (max, 2*max], disjoint from the real key space at ANY scale factor.
-    // The 1-row max broadcasts — no extra dimension shuffle.
     val maxK = dim.agg(max(col("k")).as("mxk"))
     val upd = dim.filter(col("k") % 4 === 0)
       .select(col("k").as("uk"), lit("SEG_MOVED").as("useg"),
@@ -540,6 +511,50 @@ object LayoutQueries {
     closedOrCarried.unionAll(newVersions)
       .withColumn("state",
         when(col("is_current"), "current").otherwise("history"))
+  }
+
+  /** DuckDB CTE chain ending in `scd(k, seg, bal, valid_from,
+    * valid_to, is_current, version)` — the oracle twin of
+    * [[scd2Frame]], shared by the merge rollup and the as-of reads. */
+  private val scd2OracleCte =
+    """WITH dim AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer),
+      |upd AS (
+      |  SELECT k, 'SEG_MOVED' AS useg,
+      |         CAST(bal + 100 AS DECIMAL(12,2)) AS ubal
+      |  FROM dim WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT k + (SELECT max(k) FROM dim), 'SEG_NEW',
+      |         CAST(100.00 AS DECIMAL(12,2))
+      |  FROM dim WHERE k % 25 = 3),
+      |scd AS (
+      |  SELECT d.k, d.seg, d.bal, '2020-01-01' AS valid_from,
+      |         CASE WHEN u.k IS NOT NULL THEN '2023-06-15' END AS valid_to,
+      |         u.k IS NULL AS is_current, 1 AS version
+      |  FROM dim d LEFT JOIN upd u ON d.k = u.k
+      |  UNION ALL
+      |  SELECT u.k, u.useg, u.ubal, '2023-06-15', NULL, TRUE,
+      |         CASE WHEN d.k IS NOT NULL THEN 2 ELSE 1 END
+      |  FROM upd u LEFT JOIN dim d ON u.k = d.k)""".stripMargin
+
+  val mergeScd2: GQuery = GQuery(
+    "merge_scd2",
+    s"""$scd2OracleCte
+      |SELECT CASE WHEN is_current THEN 'current' ELSE 'history' END
+      |         AS state,
+      |  valid_from,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(round(sum(bal), 2) AS DOUBLE) AS bal_sum,
+      |  CAST(max(version) AS INT) AS max_version
+      |FROM scd
+      |GROUP BY 1, 2
+      |ORDER BY state, valid_from""".stripMargin) { (s, dir) =>
+    val path = tmpDir("merge_scd2", dir)
+    scd2Frame(s, dir)
       .write.mode("overwrite").partitionBy("state").parquet(path)
     s.read.parquet(path)
       .groupBy(col("state"), col("valid_from"))
@@ -549,6 +564,57 @@ object LayoutQueries {
         round(sum(col("bal")), 2).cast("double").as("bal_sum"),
         max(col("version")).as("max_version"))
       .orderBy(col("state"), col("valid_from"))
+  }
+
+  /** Time-travel over the SCD2 history — the read side that justifies
+    * keeping history at all: the dimension AS OF a past logical date
+    * (validity-interval predicate: valid_from <= d < valid_to) next
+    * to the CURRENT view, as one per-segment rollup. The current view
+    * reads `state = 'current'` — on the state-partitioned layout that
+    * predicate prunes the entire history at the directory level, so
+    * the common "latest snapshot" query costs the same as a plain
+    * dimension read no matter how deep the history grows; the as-of
+    * read scans both partitions but filters on the (pushed) validity
+    * stamps. ISO date strings compare lexicographically, so the
+    * interval predicate is engine-portable with no temporal types
+    * crossing the compare boundary.
+    *
+    * Scale posture: one write of the merged dimension (the same
+    * two-broadcast-join merge as merge_scd2), then two partition-
+    * aware scans + map-side-combining rollups on the tiny segment
+    * grid. The partition prune is spec-pinned in
+    * LayoutAnalyticsSpec. */
+  val mergeScd2Asof: GQuery = GQuery(
+    "merge_scd2_asof",
+    s"""$scd2OracleCte
+      |SELECT 'current' AS snap, seg,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(round(sum(bal), 2) AS DOUBLE) AS bal_sum
+      |FROM scd WHERE is_current
+      |GROUP BY seg
+      |UNION ALL
+      |SELECT 'asof_2021-06-01' AS snap, seg,
+      |  CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+      |  CAST(round(sum(bal), 2) AS DOUBLE)
+      |FROM scd
+      |WHERE valid_from <= '2021-06-01'
+      |  AND (valid_to IS NULL OR valid_to > '2021-06-01')
+      |GROUP BY seg
+      |ORDER BY snap, seg""".stripMargin) { (s, dir) =>
+    val path = tmpDir("scd2_asof", dir)
+    scd2Frame(s, dir)
+      .write.mode("overwrite").partitionBy("state").parquet(path)
+    val scd = s.read.parquet(path)
+    def rollup(df: DataFrame, snap: String): DataFrame =
+      df.groupBy(lit(snap).as("snap"), col("seg"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+          round(sum(col("bal")), 2).cast("double").as("bal_sum"))
+    val current = rollup(scd.filter(col("state") === "current"), "current")
+    val asof = rollup(scd.filter(col("valid_from") <= "2021-06-01")
+        .filter(col("valid_to").isNull || col("valid_to") > "2021-06-01"),
+      "asof_2021-06-01")
+    current.unionAll(asof).orderBy(col("snap"), col("seg"))
   }
 
   /** CDC APPLY — the third merge semantic next to
@@ -761,5 +827,5 @@ object LayoutQueries {
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
     mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
-    mergeDeleteApply, mergePartitionOverwrite)
+    mergeDeleteApply, mergePartitionOverwrite, mergeScd2Asof)
 }

@@ -1129,6 +1129,47 @@ object TextQueries {
       .orderBy(col("batch"))
   }
 
+  /** Per-document n-gram novelty — the memorization-risk profile of a
+    * training corpus: the share of a document's word-3-grams that
+    * appear in NO other document (corpus document-frequency 1). Heavy
+    * boilerplate/mirror duplication shows up as novelty ≈ 0 long
+    * before an exact-dup pass fires; a novelty histogram is the
+    * first-look answer to "how much of this crawl is actually new
+    * text". Reuses the dedup family's memoized shingle table and
+    * df-stats (the corpus is shingled ONCE per session across all
+    * consumers).
+    *
+    * Scale posture: df is a map-side-combining count on the shingle
+    * key; the df attach is a keyed join on that same key (never
+    * hinted — vocabulary cardinality); the per-doc share collapses
+    * map-side to one row per document. No pair joins, no windows. */
+  val textNgramNovelty: GQuery = GQuery(
+    "text_ngram_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |          for i in generate_series(1, len(t) - 2)]) AS shingle
+      |  FROM toks),
+      |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+      |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+      |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  round(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS novelty
+      |FROM sh JOIN df ON df.shingle = sh.shingle
+      |GROUP BY sh.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sh = DedupQueries.shingles(s, dir)
+    val novel = when(col("df") === 1, 1).otherwise(0)
+    sh.join(DedupQueries.shingleDfreq(s, dir), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(novel).as("n_novel"),
+        round(sum(novel).cast("double") / count(lit(1)), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
@@ -1136,5 +1177,5 @@ object TextQueries {
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
-    textLangidConfusion, textVocabGrowth)
+    textLangidConfusion, textVocabGrowth, textNgramNovelty)
 }

@@ -22,6 +22,18 @@ class LayoutAnalyticsSpec extends SparkTestBase {
       s"o_orderpriority not in PartitionFilters:\n$plan")
   }
 
+  test("merge_scd2_asof: the current-view read prunes the history partition") {
+    // run once so the state-partitioned SCD table exists on disk
+    LayoutQueries.mergeScd2Asof.fn(spark, sfDir).count()
+    val path = LayoutQueries.tmpDir("scd2_asof", sfDir)
+    val plan = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("state") === "current")
+      .queryExecution.executedPlan.toString
+    val partFilterRe = """PartitionFilters: \[[^\]]*state[^\]]*\]""".r
+    assert(partFilterRe.findFirstIn(plan).isDefined,
+      s"state predicate not a PartitionFilter (history not pruned):\n$plan")
+  }
+
   test("bucketed orders⋈customer join plans no exchange on either side") {
     // pin the BIG-BIG shape: at fixture scale the planner would just
     // broadcast the customer side (fine, but it proves nothing about
@@ -267,6 +279,45 @@ class LayoutAnalyticsSpec extends SparkTestBase {
     assert(listing("1998-01").keySet != patchedBefore.keySet ||
       listing("1998-01") != patchedBefore,
       "patched partition should have been rewritten")
+  }
+
+  test("tpch_q19 stays one equi-join; per-side envelopes of the disjunction push to the scans") {
+    val mk = "spark.sql.maxMetadataStringLength"
+    val savedLen = spark.conf.get(mk)
+    spark.conf.set(mk, "10000")
+    try {
+      val plan = AnalyticsQueries.tpchQ19BrandRevenue.fn(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"q19's OR-of-ANDs broke the equi-join:\n$plan")
+      // Catalyst extracts each side's envelope of the disjunction as
+      // its own pushed filter — the scans must not read every row
+      assert(plan.contains("In(p_brand") ||
+        plan.contains("EqualTo(p_brand,Brand#1)"),
+        s"brand envelope not pushed to the part scan:\n$plan")
+      assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+        s"quantity envelope not pushed to the lineitem scan:\n$plan")
+    } finally spark.conf.set(mk, savedLen)
+  }
+
+  test("tpch_q21's double correlation plans as semi + anti probes (no row multiplication)") {
+    val plan = AnalyticsQueries.tpchQ21WaitingSupplier.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS did not plan as a left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS did not plan as a left-anti join:\n$plan")
+  }
+
+  test("tpch_q2's regional minimum is aggregate+rejoin, never a correlated re-scan or window") {
+    val optimized = AnalyticsQueries.tpchQ2MinCost.fn(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"per-part minimum should be a grouped aggregate, not a window:\n$optimized")
   }
 
   test("tpch_q3/q10 plan exactly one shuffle (the aggregate exchange)") {
