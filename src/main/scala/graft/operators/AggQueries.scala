@@ -474,9 +474,62 @@ object AggQueries {
       .orderBy(col("flag"))
   }
 
+  /** Shared scalar-math tail for agg_skew_kurtosis: central moments
+    * from raw power sums, written ONCE and embedded verbatim in both
+    * the Spark selectExpr and the DuckDB oracle so the double
+    * expression trees are identical token-for-token. */
+  private val momentExprs = Seq(
+    "flag",
+    "CAST(n AS BIGINT) AS n",
+    "round(s1 / n, 6) AS mean_q",
+    "round((s2 / n - (s1 / n) * (s1 / n)), 6) AS var_q",
+    "round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * power(s1 / n, 3))" +
+      " / power(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew_q",
+    "round((s4 / n - 4 * (s1 / n) * (s3 / n)" +
+      " + 6 * power(s1 / n, 2) * (s2 / n) - 3 * power(s1 / n, 4))" +
+      " / power(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS kurt_q")
+
+  /** Population skewness / excess kurtosis of l_quantity per return
+    * flag, computed from EXACT integer power sums: l_quantity is
+    * integer-valued (1..50, FIXTURES.md), so sum(x), sum(x²), sum(x³),
+    * sum(x⁴) are exact BIGINTs on both engines regardless of partial-
+    * aggregation order (every partial sum < 2^53) — the one way to get
+    * deterministic cross-engine higher moments without trusting each
+    * engine's own skewness/kurtosis definition (Spark's `skewness` is
+    * population-form, DuckDB's is sample-form: NOT comparable). The
+    * double math happens once, at the very end, over identical
+    * formula text on both sides.
+    *
+    * Scale shape: a single map-side-combining groupBy producing 4
+    * integer sums per group — the cheapest possible distributed
+    * moment sketch; the moment arithmetic is a 3-row projection. */
+  val aggSkewKurtosis: GQuery = GQuery(
+    "agg_skew_kurtosis",
+    s"""WITH p AS (
+      |  SELECT l_returnflag AS flag, count(*) AS n,
+      |    sum(q) AS s1, sum(q * q) AS s2,
+      |    sum(q * q * q) AS s3, sum(q * q * q * q) AS s4
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT ${momentExprs.mkString(",\n  ")}
+      |FROM p ORDER BY flag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("bigint").as("q"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+      .selectExpr(momentExprs: _*)
+      .orderBy(col("flag"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
-    aggWeightedPercentile)
+    aggWeightedPercentile, aggSkewKurtosis)
 }

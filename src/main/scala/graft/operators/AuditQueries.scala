@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GQuery
@@ -336,6 +337,51 @@ object AuditQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Benford's-law first-digit audit of o_totalprice — the classic
+    * fabricated-data / broken-upstream detector: the leading digit of
+    * naturally-occurring amounts follows P(d) = log10(1 + 1/d); a
+    * synthetic or truncated feed does not. Output is the per-digit
+    * observed count, observed vs expected share, and the chi-square
+    * contribution (n_d − N·p_d)²/(N·p_d).
+    *
+    * Determinism: the digit comes from the TEXT of the DECIMAL(18,2)
+    * view (both engines render decimals in plain `1234.56` form, and
+    * every o_totalprice ≥ 1 so char 1 is always a significant digit)
+    * — no double log10/floor on the extraction path; the expected-
+    * share math is identical formula text on both sides, rounded 6.
+    *
+    * Scale shape: a 1-char projection + 9-group map-side-combining
+    * count; the share/chi² arithmetic is a 9-row window. The audit
+    * reads ONE column (ReadSchema prunes the rest). */
+  val dqBenford: GQuery = GQuery(
+    "dq_benford",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |      AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS tot FROM d)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  round(n / CAST(tot AS DOUBLE), 6) AS obs_share,
+      |  round(log10(1 + 1.0 / digit), 6) AS exp_share,
+      |  round(power(n - tot * log10(1 + 1.0 / digit), 2)
+      |    / (tot * log10(1 + 1.0 / digit)), 6) AS chi2_term
+      |FROM t
+      |ORDER BY digit""".stripMargin) { (s, dir) =>
+    val d = Tables.orders(s, dir)
+      .select(substring(col("o_totalprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    d.withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      .selectExpr("digit", "CAST(n AS BIGINT) AS n",
+        "round(n / CAST(tot AS DOUBLE), 6) AS obs_share",
+        "round(log10(1 + 1.0 / digit), 6) AS exp_share",
+        "round(power(n - tot * log10(1 + 1.0 / digit), 2)" +
+          " / (tot * log10(1 + 1.0 / digit)), 6) AS chi2_term")
+      .orderBy(col("digit"))
+  }
+
   val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi,
-    dqDriftPsiNumeric, dqAnomalyIqr)
+    dqDriftPsiNumeric, dqAnomalyIqr, dqBenford)
 }

@@ -1026,11 +1026,112 @@ object EventQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** POINT-IN-TIME FEATURE ROLLUP — the feature-store join that
+    * backs every leakage-free training set: for each label event (a
+    * purchase), the user's trailing-7-day behavioral features
+    * computed STRICTLY BEFORE the label timestamp (views, clicks,
+    * errors, prior spend). Using only `< ts` data is what makes the
+    * features causally valid; the companion dedup_split_leakage
+    * audits the split, this builds the features.
+    *
+    * Spend sums ride the DECIMAL(12,2) grid; zero-history purchases
+    * survive via the left join with coalesced zeros.
+    *
+    * Scale shape: purchases×events joins on user_id with the 7-day
+    * bound as a residual conjunct — state per user is one bounded
+    * window (the as-of/interval discipline shared with
+    * ev_attribution_linear); features collapse map-side to one row
+    * per label before output. At 100 TB this is the classic
+    * range-bounded stream-stream join keyed by entity. */
+  val evFeatureAsof: GQuery = GQuery(
+    "ev_feature_asof",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts, e.event_type AS f_type,
+      |    CAST(round(e.value, 2) AS DECIMAL(12,2)) AS f_value
+      |  FROM p LEFT JOIN events e ON e.user_id = p.user_id
+      |    AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 7 DAY)
+      |SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+      |  CAST(count(*) FILTER (WHERE f_type = 'view') AS BIGINT)
+      |    AS views_7d,
+      |  CAST(count(*) FILTER (WHERE f_type = 'click') AS BIGINT)
+      |    AS clicks_7d,
+      |  CAST(count(*) FILTER (WHERE f_type = 'error') AS BIGINT)
+      |    AS errors_7d,
+      |  CAST(round(coalesce(sum(f_value)
+      |    FILTER (WHERE f_type = 'purchase'), 0), 2) AS DOUBLE)
+      |    AS prior_spend_7d
+      |FROM j GROUP BY event_id, user_id, ts
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val f = ev.select(col("user_id").as("f_user"), col("ts").as("fts"),
+      col("event_type").as("f_type"),
+      round(col("value"), 2).cast("decimal(12,2)").as("f_value"))
+    p.join(f, col("f_user") === col("user_id") &&
+        col("fts") < col("ts") &&
+        col("fts") >= col("ts") - expr("INTERVAL 7 DAY"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(
+        count(when(col("f_type") === "view", 1)).as("views_7d"),
+        count(when(col("f_type") === "click", 1)).as("clicks_7d"),
+        count(when(col("f_type") === "error", 1)).as("errors_7d"),
+        round(coalesce(sum(when(col("f_type") === "purchase",
+          col("f_value"))), lit(0)), 2).cast("double")
+          .as("prior_spend_7d"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("label_ts"),
+        col("views_7d"), col("clicks_7d"), col("errors_7d"),
+        col("prior_spend_7d"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Daily NEW vs RETURNING active users — the growth-accounting
+    * split every DAU dashboard carries: a user is "new" on the first
+    * day they ever appear, "returning" on any later active day.
+    *
+    * Scale shape: first-seen is one map-side-combining min per user;
+    * the daily split joins actives to first-seen ON THE USER KEY
+    * (both sides partition by user_id — co-located), then collapses
+    * to the bounded day grid. No windows, no broadcast. */
+  val evNewVsReturning: GQuery = GQuery(
+    "ev_new_vs_returning",
+    """WITH fs AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS d0
+      |  FROM events GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+      |SELECT strftime(d, '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS active_users,
+      |  CAST(count(*) FILTER (WHERE d = d0) AS BIGINT) AS new_users,
+      |  CAST(count(*) FILTER (WHERE d > d0) AS BIGINT)
+      |    AS returning_users
+      |FROM act JOIN fs USING (user_id)
+      |GROUP BY d
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val fs = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"))
+    val act = ev.select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    act.join(fs, Seq("user_id"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("active_users"),
+        count(when(col("d") === col("d0"), 1)).as("new_users"),
+        count(when(col("d") > col("d0"), 1)).as("returning_users"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("active_users"), col("new_users"), col("returning_users"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
     evVelocityBurst, evAttributionLinear, evCohortLtv,
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
-    evCumulativeUniques)
+    evCumulativeUniques, evFeatureAsof, evNewVsReturning)
 }

@@ -235,6 +235,43 @@ object GraphQueries {
     }
   }
 
+  /** DEGREE DISTRIBUTION of the co-purchase graph — the first plot
+    * anyone makes of a large graph (is it power-law? is there a
+    * super-node that will wreck the joins?). Per-degree node count
+    * plus its share of all nodes; the share math is n/total in one
+    * double expression rounded 6.
+    *
+    * Scale shape: two map-side-combining aggregates (node→degree,
+    * degree→count) and a bounded window over the ≤|distinct degrees|
+    * histogram rows — this is THE skew probe you run before choosing
+    * salting constants, so it must itself be skew-proof: it is (a
+    * count per node never exceeds the node's edge count, and the
+    * histogram is tiny by construction). */
+  val graphDegreeDistribution: GQuery = GQuery(
+    "graph_degree_distribution",
+    s"""$duckEdges,
+       |deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+       |h AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree),
+       |t AS (SELECT degree, n_nodes,
+       |        CAST(sum(n_nodes) OVER () AS BIGINT) AS tot FROM h)
+       |SELECT CAST(degree AS BIGINT) AS degree,
+       |  CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  round(n_nodes / CAST(tot AS DOUBLE), 6) AS node_share
+       |FROM t
+       |ORDER BY degree""".stripMargin) { (s, dir) =>
+    val deg = edges(s, dir).groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+    val h = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    h.withColumn("tot",
+        sum(col("n_nodes")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .selectExpr("CAST(degree AS BIGINT) AS degree",
+        "CAST(n_nodes AS BIGINT) AS n_nodes",
+        "round(n_nodes / CAST(tot AS DOUBLE), 6) AS node_share")
+      .orderBy(col("degree"))
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
-    graphCommunities, graphShortestPaths, graphKCore)
+    graphCommunities, graphShortestPaths, graphKCore,
+    graphDegreeDistribution)
 }

@@ -182,7 +182,44 @@ object WindowQueries {
     }
   }
 
+  /** 7-row moving MEDIAN over the daily order-revenue series — the
+    * robust-statistics window (a moving average is ruined by one
+    * outlier day; the median is not). Daily revenue aggregates on the
+    * DECIMAL(18,2) grid (exact), is cast to DOUBLE (exact: the grid
+    * values are far below 2^53 ulp loss), and the frame median
+    * interpolates identically on both engines (Spark `percentile`
+    * and DuckDB `quantile_cont` both average the middle pair on even
+    * counts); round(4) clears any last-ulp pow/divide noise.
+    *
+    * Scale shape: one shuffle to the day grain (map-side combining
+    * sum), then a single unpartitioned window over the BOUNDED daily
+    * series (~2400 rows at any SF — the calendar, not the data,
+    * bounds it), matching the repo's bounded-window policy
+    * (WindowQueries.scala:107 precedent). */
+  val winMovingMedian: GQuery = GQuery(
+    "win_moving_median",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, round(rev, 2) AS rev,
+      |  round(quantile_cont(rev, 0.5) OVER (ORDER BY d
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+      |FROM daily
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("rev"))
+    val w = Window.orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+    daily.select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        round(col("rev"), 2).as("rev"),
+        round(percentile(col("rev"), lit(0.5)).over(w), 4).as("med7"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
-    winRangeInterval)
+    winRangeInterval, winMovingMedian)
 }
