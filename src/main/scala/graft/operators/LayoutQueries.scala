@@ -823,9 +823,71 @@ object LayoutQueries {
       .orderBy(col("om"))
   }
 
+  /** SNAPSHOT DIFF / reconciliation — given two keyed snapshots of
+    * the same table, emit every key whose row was ADDED, REMOVED, or
+    * CHANGED (unchanged rows are suppressed — at 100 TB they are the
+    * overwhelming majority and nobody wants them). This is the data-
+    * validation twin of merge_upsert_snapshot: merge APPLIES a delta,
+    * diff RECOVERS one — the check you run after a migration,
+    * backfill, or vendor re-delivery.
+    *
+    * Snapshots are carved deterministically from orders (old drops
+    * keys ≡3 mod 7; new drops keys ≡2 mod 5 and shifts the price of
+    * keys ≡0 mod 11 by +100.00 on the DECIMAL(18,2) grid — addition,
+    * so exact on both engines).
+    *
+    * Scale shape: ONE full-outer sort-merge join on the primary key
+    * (both snapshots shuffle exactly once, co-partitioned), status is
+    * a per-row projection, and the unchanged majority is filtered
+    * BEFORE the sink — output is proportional to the drift, not the
+    * table. */
+  val mergeSnapshotDiff: GQuery = GQuery(
+    "merge_snapshot_diff",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |old AS (SELECT * FROM base WHERE k % 7 <> 3),
+      |new AS (
+      |  SELECT k, CASE WHEN k % 11 = 0
+      |    THEN price + CAST(100.00 AS DECIMAL(18,2)) ELSE price END
+      |    AS price
+      |  FROM base WHERE k % 5 <> 2)
+      |SELECT coalesce(old.k, new.k) AS o_orderkey,
+      |  CASE WHEN old.k IS NULL THEN 'added'
+      |       WHEN new.k IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status,
+      |  CAST(old.price AS DOUBLE) AS old_price,
+      |  CAST(new.price AS DOUBLE) AS new_price
+      |FROM old FULL OUTER JOIN new ON old.k = new.k
+      |WHERE old.k IS NULL OR new.k IS NULL OR old.price <> new.price
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price"))
+    val old = base.filter(col("k") % 7 =!= 3)
+      .select(col("k").as("ok"), col("price").as("old_price"))
+    val nw = base.filter(col("k") % 5 =!= 2)
+      .select(col("k").as("nk"),
+        when(col("k") % 11 === 0,
+          col("price") + lit(BigDecimal("100.00")).cast("decimal(18,2)"))
+          .otherwise(col("price")).as("new_price"))
+    old.join(nw, col("ok") === col("nk"), "full_outer")
+      .filter(col("ok").isNull || col("nk").isNull ||
+        col("old_price") =!= col("new_price"))
+      .select(coalesce(col("ok"), col("nk")).as("o_orderkey"),
+        when(col("ok").isNull, "added")
+          .when(col("nk").isNull, "removed")
+          .otherwise("changed").as("status"),
+        col("old_price").cast("double").as("old_price"),
+        col("new_price").cast("double").as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
     mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
-    mergeDeleteApply, mergePartitionOverwrite, mergeScd2Asof)
+    mergeDeleteApply, mergePartitionOverwrite, mergeScd2Asof,
+    mergeSnapshotDiff)
 }

@@ -292,7 +292,53 @@ object SampleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CLASS-BALANCED downsample — cap every label at the MINORITY
+    * class's count, keeping each label's lowest-portable-hash rows:
+    * the deterministic version of the rebalancing step in front of a
+    * classifier (no seed, no engine RNG — the same rows survive on
+    * every engine, every run, any partitioning).
+    *
+    * Scale shape: one row_number window per label (each label's
+    * partition is its own class — the natural key), a 10-row count
+    * aggregate whose global min rides a BOUNDED window over those 10
+    * rows, and an equi-join of the two on label. No scalar cross
+    * join, no broadcast hint. A hot majority class costs one window
+    * partition — the same cost any per-class top-k pays. */
+  val sampleClassBalance: GQuery = GQuery(
+    "sample_class_balance",
+    s"""WITH h AS (
+       |  SELECT label, vec_id,
+       |    ${duckHash("concat('bal:', CAST(vec_id AS VARCHAR))")} AS hv
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT label, count(*) AS n FROM h GROUP BY label),
+       |m AS (
+       |  SELECT label, CAST(min(n) OVER () AS BIGINT) AS cap FROM c),
+       |r AS (
+       |  SELECT label, vec_id,
+       |    row_number() OVER (PARTITION BY label ORDER BY hv, vec_id)
+       |      AS rk
+       |  FROM h)
+       |SELECT CAST(r.label AS INT) AS label, r.vec_id
+       |FROM r JOIN m ON r.label = m.label
+       |WHERE r.rk <= m.cap
+       |ORDER BY label, vec_id""".stripMargin) { (s, dir) =>
+    val h = Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"),
+        graft.api.Sampling.portableHash(col("vec_id"), "bal:").as("hv"))
+    val caps = h.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("cap", min(col("n")).over(Window.partitionBy()))
+      .select(col("label"), col("cap"))
+    val r = h.withColumn("rk", row_number().over(
+      Window.partitionBy(col("label")).orderBy(col("hv"), col("vec_id"))))
+    r.join(caps, Seq("label"))
+      .filter(col("rk") <= col("cap"))
+      .select(col("label").cast("int").as("label"), col("vec_id"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
     sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
-    sampleTemperature, sampleTokenBudget, sampleBottomK)
+    sampleTemperature, sampleTokenBudget, sampleBottomK,
+    sampleClassBalance)
 }

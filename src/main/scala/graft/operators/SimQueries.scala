@@ -1250,10 +1250,62 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** MUTUAL k-NN GRAPH over the embedding corpus (k=3): an edge
+    * survives only if each endpoint ranks the other in its own top-k
+    * — the standard symmetrization that feeds HDBSCAN/spectral
+    * clustering and graph-based ANN indexes (NN-Descent's target
+    * structure). Exact brute-force tier: every vector ranks the full
+    * corpus (the sim_cosine_topk probe-broadcast shape with probes =
+    * corpus), then the mutual filter is one self-equi-join of the
+    * directed k-NN lists on the reversed key pair — output ≤ n·k/2
+    * edges. At 100 TB the directed lists come from the IVF/LSH tiers
+    * instead (bounded candidates per vector); the mutual join is
+    * unchanged — it is keyed, linear, and output-bound either way.
+    * Cosine rounds to 6 before ranking (cross-engine ties
+    * deterministic, neighbor-id tiebreak). */
+  val simKnnGraph: GQuery = {
+    val k = 3
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val knn = graft.api.Similarity.cosineTopK(ev, ev, "vec_id", "v", k)
+        .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
+          col("cosine"))
+      // mutual = both directions present; normalize each directed edge
+      // to (lo, hi) and keep pairs seen twice (cosine is symmetric and
+      // rounded identically in both directions, so max() is exact).
+      knn.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"), col("cosine"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"), max(col("cosine")).as("cosine"))
+        .filter(col("n") === 2)
+        .select(col("src"), col("dst"), col("cosine"))
+        .orderBy(col("src"), col("dst"))
+    }
+    GQuery("sim_knn_graph",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |pairs AS (
+        |  SELECT p.vec_id AS src, c.vec_id AS dst,
+        |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cosine
+        |  FROM n p JOIN n c ON c.vec_id != p.vec_id),
+        |knn AS (
+        |  SELECT src, dst, cosine FROM (
+        |    SELECT src, dst, cosine,
+        |      row_number() OVER (PARTITION BY src
+        |        ORDER BY cosine DESC, dst) AS rk
+        |    FROM pairs) WHERE rk <= $k)
+        |SELECT a.src, a.dst, a.cosine
+        |FROM knn a
+        |WHERE a.src < a.dst AND EXISTS (
+        |  SELECT 1 FROM knn b WHERE b.src = a.dst AND b.dst = a.src)
+        |ORDER BY a.src, a.dst""".stripMargin)(sparkImpl)
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
-      simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest)
+      simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
+      simKnnGraph)
 }

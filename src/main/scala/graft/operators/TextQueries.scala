@@ -1170,6 +1170,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** LEXICAL DIVERSITY per document — type-token ratio and hapax
+    * ratio (share of a doc's vocabulary used exactly once), the two
+    * standard diversity scores next to text_repetition's redundancy
+    * view: low TTR = templated/boilerplate text, high hapax = fresh
+    * vocabulary. Ratios are one double divide each, rounded 6.
+    *
+    * Scale shape: tokens → per-(doc, term) counts is the map-side-
+    * combining shuffle every tf consumer pays (shared via the
+    * memoized tokens frame); the diversity rollup collapses to one
+    * row per doc. No vocabulary-global state at all. */
+  val textTtr: GQuery = GQuery(
+    "text_ttr",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+      |  round(count(*) FILTER (WHERE c = 1)
+      |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+      |FROM tf GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    tokens(s, dir)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(count(lit(1)) / sum(col("c")).cast("double"), 6).as("ttr"),
+        round(count(when(col("c") === 1, 1))
+          / count(lit(1)).cast("double"), 6).as("hapax_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
@@ -1177,5 +1214,5 @@ object TextQueries {
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
-    textLangidConfusion, textVocabGrowth, textNgramNovelty)
+    textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr)
 }

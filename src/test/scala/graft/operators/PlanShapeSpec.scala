@@ -51,7 +51,8 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_hybrid_ivf",   // IVF serving tier: bounded probe-cell broadcasts
     "ev_rfm_segmentation", // 1-row max-ts anchor scalar cross join
     "tpch_q22_balance", // 1-row balance-threshold scalar cross join (inequality compare)
-    "tpch_q11_important_stock") // 1-row regional-total scalar cross join (inequality compare)
+    "tpch_q11_important_stock", // 1-row regional-total scalar cross join (inequality compare)
+    "sim_knn_graph")    // exact tier IS the sim_cosine_topk probe-broadcast scan (probes = corpus; bounded fixture)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
