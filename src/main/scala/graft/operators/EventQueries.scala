@@ -1127,11 +1127,59 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** ERROR-BUDGET / SLO MONITOR — the SRE readout over the event
+    * stream: daily error rate against a 25% SLO (the fixture's error
+    * type is one of five, so the series hovers near the objective and
+    * both breach states occur), plus the month-to-date budget burn
+    * (cumulative errors over cumulative allowance). The breach flag
+    * compares the single-divide rate — identical arithmetic on both
+    * engines; displayed rates round 6.
+    *
+    * Scale shape: one map-side-combining daily aggregate, then a
+    * cumulative window over the BOUNDED day grid. The streaming twin
+    * is a tumbling-window count (ev_tumbling's shape) with the burn
+    * computed downstream. */
+  val evErrorBudget: GQuery = GQuery(
+    "ev_error_budget",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+      |    count(*) FILTER (WHERE event_type = 'error') AS errs
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT day, n, errs,
+      |    CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+      |    CAST(sum(errs) OVER (ORDER BY day) AS BIGINT) AS cum_errs
+      |  FROM d)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(n AS BIGINT) AS n_events, CAST(errs AS BIGINT) AS n_errors,
+      |  round(errs / CAST(n AS DOUBLE), 6) AS error_rate,
+      |  CAST(CASE WHEN errs / CAST(n AS DOUBLE) > 0.25 THEN 1 ELSE 0 END
+      |    AS INT) AS slo_breach,
+      |  round(cum_errs / (0.25 * cum_n), 6) AS budget_burn
+      |FROM c
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("errs"))
+    val w = Window.orderBy(col("day"))
+    d.withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_errs", sum(col("errs")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_events"), col("errs").as("n_errors"),
+        round(col("errs") / col("n").cast("double"), 6).as("error_rate"),
+        when(col("errs") / col("n").cast("double") > 0.25, 1)
+          .otherwise(0).cast("int").as("slo_breach"),
+        round(col("cum_errs") / (lit(0.25) * col("cum_n")), 6)
+          .as("budget_burn"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
     evVelocityBurst, evAttributionLinear, evCohortLtv,
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
-    evCumulativeUniques, evFeatureAsof, evNewVsReturning)
+    evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget)
 }

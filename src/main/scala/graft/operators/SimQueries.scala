@@ -1301,11 +1301,105 @@ object SimQueries {
         |ORDER BY a.src, a.dst""".stripMargin)(sparkImpl)
   }
 
+  /** DOMINANT PRINCIPAL COMPONENT of the embedding corpus by
+    * distributed POWER ITERATION — the spectral summary a pipeline
+    * uses to detect anisotropy/collapsed embeddings (one direction
+    * soaking up variance) and to whiten cheaply. Three unrolled
+    * iterations of v ← Gv/‖Gv‖ over the uncentered Gram matrix
+    * G = ΣxxT, from the exact start v0 = 1/√64 = 0.125.
+    *
+    * Cross-engine determinism end-to-end: inputs quantize to the
+    * DECIMAL(18,9) grid (the embed_dim_stats discipline), so G is an
+    * EXACT decimal sum (order-free); every iteration's products
+    * round to the DECIMAL(24,12) grid before their exact sums; norms
+    * and normalized loadings round 8. Both engines run token-
+    * identical formulas, so even the eigenvector's sign is pinned —
+    * no sign-fix needed.
+    *
+    * Scale shape: ONE corpus-sized stage exists (the per-vector
+    * dim×dim self-join that feeds G's map-side-combining sum —
+    * state 64² rows per task regardless of corpus size); G is then
+    * localCheckpointed at 4096 rows and each iteration is a
+    * broadcast-sized join + 64-row aggregate. The three 1-row norm
+    * scalars ride cross joins (bounded; PlanShapeSpec-documented). */
+  val embedPcaPower: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val x = Tables.embeddings(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("vec_id"))
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"),
+          col("xf").cast("double").cast("decimal(18,9)").as("xd"))
+      val xa = x.select(col("vec_id"), col("dim").as("i"),
+        col("xd").as("xa"))
+      val xb = x.select(col("vec_id"), col("dim").as("j"),
+        col("xd").as("xb"))
+      val g = xa.join(xb, Seq("vec_id"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xa") * col("xb")).as("gram"))
+        .localCheckpoint()
+      val v0 = g.filter(col("j") === 0).select(col("i").as("j"))
+        .withColumn("v", lit(BigDecimal("0.125")).cast("decimal(10,8)"))
+      val (v3, n3) = (1 to 3).foldLeft((v0, v0)) { case ((v, _), _) =>
+        val w = g.join(v, Seq("j"))
+          .selectExpr("i",
+            "CAST(round(CAST(gram AS DOUBLE) * CAST(v AS DOUBLE), 12)" +
+              " AS DECIMAL(24,12)) AS p")
+          .groupBy(col("i")).agg(sum(col("p")).as("w"))
+        val n = w.selectExpr(
+            "CAST(round(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 12)" +
+              " AS DECIMAL(24,12)) AS ww")
+          .agg(sum(col("ww")).as("sww"))
+          .selectExpr("round(sqrt(CAST(sww AS DOUBLE)), 8) AS nrm")
+        val vn = w.crossJoin(n).selectExpr("i AS j",
+          "CAST(round(CAST(w AS DOUBLE) / nrm, 8) AS DECIMAL(10,8)) AS v")
+        (vn, n)
+      }
+      v3.crossJoin(n3)
+        .selectExpr("CAST(j AS INT) AS dim", "CAST(v AS DOUBLE) AS loading",
+          "CAST(nrm AS DOUBLE) AS eigval")
+        .orderBy(col("dim"))
+    }
+    val duckIter = (t: Int) =>
+      s"""w$t AS (
+         |  SELECT g.i, sum(CAST(round(CAST(g.gram AS DOUBLE)
+         |      * CAST(v${t - 1}.v AS DOUBLE), 12) AS DECIMAL(24,12))) AS w
+         |  FROM g JOIN v${t - 1} ON g.j = v${t - 1}.j GROUP BY g.i),
+         |n$t AS (
+         |  SELECT round(sqrt(CAST(sum(CAST(round(CAST(w AS DOUBLE)
+         |      * CAST(w AS DOUBLE), 12) AS DECIMAL(24,12))) AS DOUBLE)), 8)
+         |    AS nrm
+         |  FROM w$t),
+         |v$t AS (
+         |  SELECT i AS j, CAST(round(CAST(w AS DOUBLE) / nrm, 8)
+         |      AS DECIMAL(10,8)) AS v
+         |  FROM w$t CROSS JOIN n$t)""".stripMargin
+    GQuery("embed_pca_power",
+      s"""WITH x AS (
+         |  SELECT vec_id,
+         |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS xd,
+         |    generate_subscripts(embedding, 1) - 1 AS dim
+         |  FROM embeddings),
+         |g AS (
+         |  SELECT a.dim AS i, b.dim AS j, sum(a.xd * b.xd) AS gram
+         |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+         |  GROUP BY a.dim, b.dim),
+         |v0 AS (
+         |  SELECT i AS j, CAST(0.125 AS DECIMAL(10,8)) AS v
+         |  FROM g WHERE g.j = 0),
+         |${(1 to 3).map(duckIter).mkString(",\n")}
+         |SELECT CAST(j AS INT) AS dim, CAST(v AS DOUBLE) AS loading,
+         |  CAST(nrm AS DOUBLE) AS eigval
+         |FROM v3 CROSS JOIN n3
+         |ORDER BY dim""".stripMargin)(sparkImpl)
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
-      simKnnGraph)
+      simKnnGraph, embedPcaPower)
 }

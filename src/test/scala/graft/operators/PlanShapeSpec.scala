@@ -52,7 +52,8 @@ class PlanShapeSpec extends SparkTestBase {
     "ev_rfm_segmentation", // 1-row max-ts anchor scalar cross join
     "tpch_q22_balance", // 1-row balance-threshold scalar cross join (inequality compare)
     "tpch_q11_important_stock", // 1-row regional-total scalar cross join (inequality compare)
-    "sim_knn_graph")    // exact tier IS the sim_cosine_topk probe-broadcast scan (probes = corpus; bounded fixture)
+    "sim_knn_graph",    // exact tier IS the sim_cosine_topk probe-broadcast scan (probes = corpus; bounded fixture)
+    "embed_pca_power")  // three 1-row norm scalars + final eigval scalar cross-joined onto 64-row frames
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
