@@ -1175,11 +1175,67 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE of daily purchase revenue
+    * (α = 0.2, adjusted form: weights (1−α)^(t−i) normalized over the
+    * observed prefix — pandas `ewm(adjust=True)` semantics). EMA's
+    * recursive definition is inherently sequential; the distributed
+    * form used here expands it to an explicit weighted sum over the
+    * BOUNDED day grid (the fixture's 30-day month; the calendar, not
+    * the corpus, bounds the t×i pairing — the ev_gap_fill day-spine
+    * discipline). Weight×value products round to fixed decimal grids
+    * before their exact sums, so the cross-engine result is
+    * bit-identical; the final divide rounds 6.
+    *
+    * Scale shape: one map-side-combining daily aggregate (the only
+    * corpus-sized stage), then a day-grid×day-grid triangular join —
+    * ≤ 366² pairs per year regardless of data volume. */
+  val evValueEma: GQuery = GQuery(
+    "ev_value_ema",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(round(sum(CAST(round(value, 2) AS DECIMAL(12,2))), 2)
+      |      AS DOUBLE) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |j AS (
+      |  SELECT t.day AS tday,
+      |    sum(CAST(round(power(0.8, date_diff('day', i.day, t.day)) * i.x,
+      |      8) AS DECIMAL(24,8))) AS num,
+      |    sum(CAST(round(power(0.8, date_diff('day', i.day, t.day)), 12)
+      |      AS DECIMAL(24,12))) AS den
+      |  FROM d t JOIN d i ON i.day <= t.day
+      |  GROUP BY 1)
+      |SELECT strftime(j.tday, '%Y-%m-%d') AS day, d.x AS daily_value,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ema
+      |FROM j JOIN d ON d.day = j.tday
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(round(col("value"), 2).cast("decimal(12,2)")), 2)
+        .cast("double").as("x"))
+    val t = d.select(col("day").as("tday"))
+    val j = t.join(d, col("day") <= col("tday"))
+      .selectExpr("tday",
+        "CAST(round(power(0.8, datediff(tday, day)) * x, 8)" +
+          " AS DECIMAL(24,8)) AS num_p",
+        "CAST(round(power(0.8, datediff(tday, day)), 12)" +
+          " AS DECIMAL(24,12)) AS den_p")
+      .groupBy(col("tday"))
+      .agg(sum(col("num_p")).as("num"), sum(col("den_p")).as("den"))
+    j.join(d, col("day") === col("tday"))
+      .select(date_format(col("tday"), "yyyy-MM-dd").as("day"),
+        col("x").as("daily_value"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ema"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
     evFunnelWindow, evUserPaths, evRollingActiveUsers, evConversionLag,
     evVelocityBurst, evAttributionLinear, evCohortLtv,
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
-    evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget)
+    evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
+    evValueEma)
 }

@@ -227,6 +227,51 @@ object MiningQueries {
       .orderBy(col("antecedent"), col("consequent"))
   }
 
+  /** FREQUENT 3-ITEMSETS — the Apriori step above mining_copurchase's
+    * pairs: brand triples co-bought in ≥ 15 baskets, via the ordered
+    * a<b<c three-way self-join of the distinct (order, brand) frame
+    * (each triple counted exactly once, the graph_triangles
+    * discipline applied to baskets). Top-20 by support with a full
+    * lexicographic tiebreak.
+    *
+    * Scale shape: joins key on the basket id, so per-basket fan-out
+    * is C(brands-in-basket, 3) — bounded by basket width, never by
+    * corpus size; the support count combines map-side. The real
+    * Apriori prune (only extend frequent pairs) is what the api
+    * would add at 100 TB; at any scale the join stays basket-keyed
+    * and output-bounded. */
+  val miningItemset3: GQuery = GQuery(
+    "mining_itemset3",
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |tri AS (
+      |  SELECT a.brand AS b1, b.brand AS b2, c.brand AS b3,
+      |    count(*) AS support
+      |  FROM ob a
+      |  JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      |  JOIN ob c ON b.okey = c.okey AND b.brand < c.brand
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) >= 15)
+      |SELECT b1, b2, b3, CAST(support AS BIGINT) AS support
+      |FROM tri
+      |ORDER BY support DESC, b1, b2, b3
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val ob = orderBrands(s, dir)
+    val a = ob.select(col("okey"), col("brand").as("b1"))
+    val b = ob.select(col("okey"), col("brand").as("b2"))
+    val c = ob.select(col("okey"), col("brand").as("b3"))
+    a.join(b, Seq("okey")).filter(col("b1") < col("b2"))
+      .join(c, Seq("okey")).filter(col("b2") < col("b3"))
+      .groupBy(col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 15)
+      .select(col("b1"), col("b2"), col("b3"),
+        col("support").cast("bigint").as("support"))
+      .orderBy(col("support").desc, col("b1"), col("b2"), col("b3"))
+      .limit(20)
+  }
+
   val all: Seq[GQuery] = Seq(miningCopurchase, miningAssocRules,
-    miningKmeans)
+    miningKmeans, miningItemset3)
 }

@@ -219,7 +219,66 @@ object WindowQueries {
       .orderBy(col("day"))
   }
 
+  /** PARETO / REVENUE-CONCENTRATION CURVE — customers ranked by
+    * revenue with each one's cumulative share of total revenue and an
+    * in-top-80% flag (the 80/20 readout every account team asks for).
+    *
+    * The global running total is NOT a single-partition window: it
+    * reuses graft.api.Text.packFromCounts' DISTRIBUTED prefix sum
+    * (range-bucket by a sort key, per-bucket totals, broadcast base
+    * offsets + within-bucket windows). The sort key is a zero-padded
+    * string encoding of (max−revenue, custkey), whose lexicographic
+    * order IS revenue-descending with a unique tiebreak. Revenue
+    * rides the integer-cents grid end-to-end, so cum and tot are
+    * exact integers; share is one rounded divide and the 80% flag an
+    * integer compare (5·cum ≤ 4·tot) — zero float surface in the
+    * decision.
+    *
+    * Scale shape: one groupBy to the customer grain, the prefix-sum
+    * machinery's bounded moves (8-row base collect, broadcast), and
+    * a 1-row total scalar cross join (PlanShapeSpec-documented). */
+  val winParetoShare: GQuery = GQuery(
+    "win_pareto_share",
+    """WITH cr AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT o_custkey, cents,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(cents) OVER () AS BIGINT) AS tot
+      |  FROM cr)
+      |SELECT o_custkey, round(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+      |  round(cum / CAST(tot AS DOUBLE), 6) AS cum_share,
+      |  CAST(CASE WHEN 5 * cum <= 4 * tot THEN 1 ELSE 0 END AS INT)
+      |    AS in_top80
+      |FROM r
+      |ORDER BY revenue DESC, o_custkey""".stripMargin) { (s, dir) =>
+    val cr = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+        * 100).cast("bigint").as("cents"))
+    val keyed = cr.select(
+      format_string("%013d#%012d", lit(1000000000000L) - col("cents"),
+        col("o_custkey")).as("k"),
+      col("o_custkey"), col("cents"))
+    val packed = graft.api.Text.packFromCounts(
+      keyed.select(col("k"), col("cents")), "k", "cents",
+      seqLen = 1, ranges = 8)
+      .select(col("k"), (col("off") + col("tok")).as("cum"))
+    val tot = cr.agg(sum(col("cents")).cast("bigint").as("tot"))
+    keyed.join(packed, Seq("k")).crossJoin(tot)
+      .select(col("o_custkey"),
+        round(col("cents").cast("double") / 100, 2).as("revenue"),
+        round(col("cum") / col("tot").cast("double"), 6).as("cum_share"),
+        when(lit(5) * col("cum") <= lit(4) * col("tot"), 1)
+          .otherwise(0).cast("int").as("in_top80"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
-    winRangeInterval, winMovingMedian)
+    winRangeInterval, winMovingMedian, winParetoShare)
 }

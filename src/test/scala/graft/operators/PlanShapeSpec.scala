@@ -53,7 +53,9 @@ class PlanShapeSpec extends SparkTestBase {
     "tpch_q22_balance", // 1-row balance-threshold scalar cross join (inequality compare)
     "tpch_q11_important_stock", // 1-row regional-total scalar cross join (inequality compare)
     "sim_knn_graph",    // exact tier IS the sim_cosine_topk probe-broadcast scan (probes = corpus; bounded fixture)
-    "embed_pca_power")  // three 1-row norm scalars + final eigval scalar cross-joined onto 64-row frames
+    "embed_pca_power",  // three 1-row norm scalars + final eigval scalar cross-joined onto 64-row frames
+    "ev_value_ema",     // triangular join over the bounded day spine (ev_gap_fill discipline)
+    "win_pareto_share") // 1-row revenue-total scalar cross join (share divide)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
