@@ -1230,6 +1230,42 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** DAY-OF-WEEK SEASONALITY PROFILE — the first decomposition step
+    * of any traffic series: per-ISO-weekday event counts, share of
+    * the week, and the seasonality index vs a uniform week (share·7;
+    * 1.0 = no weekly pattern). Day names come from an explicit CASE,
+    * not locale-dependent formatting.
+    *
+    * Scale shape: a 7-group map-side-combining count and a 7-row
+    * window — nothing else. */
+  val evSeasonalityDow: GQuery = GQuery(
+    "ev_seasonality_dow",
+    """WITH d AS (
+      |  SELECT isodow(CAST(ts AS DATE)) AS dow, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT dow, n, CAST(sum(n) OVER () AS BIGINT) AS tot FROM d)
+      |SELECT CAST(dow AS INT) AS dow,
+      |  CASE dow WHEN 1 THEN 'Mon' WHEN 2 THEN 'Tue' WHEN 3 THEN 'Wed'
+      |    WHEN 4 THEN 'Thu' WHEN 5 THEN 'Fri' WHEN 6 THEN 'Sat'
+      |    ELSE 'Sun' END AS day_name,
+      |  CAST(n AS BIGINT) AS n_events,
+      |  round(n / CAST(tot AS DOUBLE), 6) AS share,
+      |  round(7 * n / CAST(tot AS DOUBLE), 6) AS seasonality_index
+      |FROM t ORDER BY dow""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy((weekday(to_date(col("ts"))) + 1).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    d.withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      .selectExpr("CAST(dow AS INT) AS dow",
+        """CASE dow WHEN 1 THEN 'Mon' WHEN 2 THEN 'Tue' WHEN 3 THEN 'Wed'
+          |WHEN 4 THEN 'Thu' WHEN 5 THEN 'Fri' WHEN 6 THEN 'Sat'
+          |ELSE 'Sun' END AS day_name""".stripMargin,
+        "CAST(n AS BIGINT) AS n_events",
+        "round(n / CAST(tot AS DOUBLE), 6) AS share",
+        "round(7 * n / CAST(tot AS DOUBLE), 6) AS seasonality_index")
+      .orderBy(col("dow"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1237,5 +1273,5 @@ object EventQueries {
     evVelocityBurst, evAttributionLinear, evCohortLtv,
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
-    evValueEma)
+    evValueEma, evSeasonalityDow)
 }

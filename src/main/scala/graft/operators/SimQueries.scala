@@ -1395,11 +1395,82 @@ object SimQueries {
          |ORDER BY dim""".stripMargin)(sparkImpl)
   }
 
+  /** MATRYOSHKA two-stage top-k — the dimension-truncation ANN trade
+    * next to IVF (partition pruning), PQ (code compression), and SQ8
+    * (scalar quantization): stage 1 shortlists top-20 by cosine over
+    * the FIRST 16 of 64 dimensions (4× fewer multiplies per
+    * candidate, the MRL-embedding serving pattern), stage 2 re-ranks
+    * the shortlist by exact full-dimension cosine and keeps top-5.
+    * Both cosines round to 6 before their rankings (deterministic
+    * cross-engine tiebreaks, as everywhere in the family).
+    *
+    * Scale shape: the truncated pass is the same probe-broadcast
+    * corpus scan as sim_cosine_topk but at a quarter of the arithmetic
+    * and bandwidth (only the prefix slice is touched); the exact pass
+    * runs on 20 rows per probe. At 100 TB the truncated columns live
+    * in their own parquet column (ReadSchema prunes the full vector
+    * until re-rank) or behind the IVF index. */
+  val simMatryoshkaTopk: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val base = vecs(s, dir)
+        .withColumn("vt", expr("slice(v, 1, 16)"))
+        .withColumn("nt", expr("vec_norm(vt)"))
+      val c = base.select(col("vec_id").as("cand_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("vt").as("vtb"), col("nt").as("ntb"))
+      val p = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("va"),
+          col("nrm").as("na"), col("vt").as("vta"), col("nt").as("nta"))
+      val w1 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("tcos").desc, col("cand_id"))
+      val short = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+        .withColumn("tcos",
+          round(expr("vec_dot(vta, vtb)") / (col("nta") * col("ntb")), 6))
+        .withColumn("trk", row_number().over(w1))
+        .filter(col("trk") <= 20)
+      val w2 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))
+      short
+        .withColumn("cosine",
+          round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6))
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"),
+          col("cand_id").as("neighbor_id"), col("cosine"))
+        .orderBy(col("probe_id"), col("rk"))
+    }
+    GQuery("sim_matryoshka_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    v[1:16] AS vt,
+        |    sqrt(list_dot_product(v[1:16], v[1:16])) AS nt
+        |  FROM e),
+        |s1 AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(p.vt, c.vt) / (p.nt * c.nt), 6) AS tcos,
+        |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cosine
+        |  FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id != p.vec_id),
+        |short AS (
+        |  SELECT * FROM (
+        |    SELECT probe_id, cand_id, cosine,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY tcos DESC, cand_id) AS trk
+        |    FROM s1) WHERE trk <= 20),
+        |r2 AS (
+        |  SELECT probe_id, cand_id, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, cand_id) AS rk
+        |  FROM short)
+        |SELECT probe_id, rk, cand_id AS neighbor_id, cosine
+        |FROM r2 WHERE rk <= 5
+        |ORDER BY probe_id, rk""".stripMargin)(sparkImpl)
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
-      simKnnGraph, embedPcaPower)
+      simKnnGraph, embedPcaPower, simMatryoshkaTopk)
 }

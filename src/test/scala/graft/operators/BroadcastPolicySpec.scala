@@ -105,6 +105,16 @@ class BroadcastPolicySpec extends SparkTestBase {
     "embed_standardize" -> 1,
     // 1-row budget scalar + the 8-row pack-bucket base-offset frame
     "sample_token_budget" -> 2,
+    // exact tier reuses cosineTopK's probe broadcast with probes =
+    // corpus (bounded fixture; the IVF/LSH candidate lists replace
+    // the exact tier at scale — see the sim_knn_graph scaladoc)
+    "sim_knn_graph" -> 1,
+    // packFromCounts' 8-row range-bucket base-offset frame (the
+    // text_pack_sequences prefix-sum machinery reused for revenue)
+    "win_pareto_share" -> 1,
+    // literal-filtered (vec_id < 5) probe set broadcast into the
+    // truncated-dimension shortlist scan (sim_cosine_topk shape)
+    "sim_matryoshka_topk" -> 1,
     // observed-day spine: distinct calendar days (bounded by the time
     // span, not the data volume) semi-joined onto the 7-day fan-out
     "ev_rolling_active_users" -> 1,

@@ -55,7 +55,8 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_knn_graph",    // exact tier IS the sim_cosine_topk probe-broadcast scan (probes = corpus; bounded fixture)
     "embed_pca_power",  // three 1-row norm scalars + final eigval scalar cross-joined onto 64-row frames
     "ev_value_ema",     // triangular join over the bounded day spine (ev_gap_fill discipline)
-    "win_pareto_share") // 1-row revenue-total scalar cross join (share divide)
+    "win_pareto_share", // 1-row revenue-total scalar cross join (share divide)
+    "sim_matryoshka_topk") // stage-1 truncated pass IS the sim_cosine_topk probe-broadcast scan
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
