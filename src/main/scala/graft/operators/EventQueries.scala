@@ -1266,6 +1266,49 @@ object EventQueries {
       .orderBy(col("dow"))
   }
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the baseline every real
+    * forecasting system must beat: predict each day's per-type count
+    * with the value 7 observed days earlier (lag-7 row offset over
+    * the per-type day series), then score MAE and MAPE over the days
+    * that have a prediction. Per-row APE rounds to the DECIMAL(18,8)
+    * grid before the exact sum, so the mean is order-free
+    * cross-engine; MAE is integer arithmetic until one final divide.
+    *
+    * Scale shape: one map-side-combining (type, day) count, then a
+    * lag window over the BOUNDED per-type day grid and a |types|-row
+    * rollup. */
+  val evForecastBaseline: GQuery = GQuery(
+    "ev_forecast_baseline",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, day, n,
+      |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+      |  FROM d)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  round(CAST(sum(abs(n - fc)) AS DOUBLE) / count(*), 4) AS mae,
+      |  round(CAST(sum(CAST(round(abs(n - fc) / CAST(n AS DOUBLE), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS mape
+      |FROM l WHERE fc IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val l = d.withColumn("fc", lag(col("n"), 7).over(
+      Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .filter(col("fc").isNotNull)
+    l.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(abs(col("n") - col("fc"))).cast("double")
+          / count(lit(1)), 4).as("mae"),
+        round(sum(round(abs(col("n") - col("fc"))
+            / col("n").cast("double"), 8).cast("decimal(18,8)"))
+          .cast("double") / count(lit(1)), 6).as("mape"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1273,5 +1316,5 @@ object EventQueries {
     evVelocityBurst, evAttributionLinear, evCohortLtv,
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
-    evValueEma, evSeasonalityDow)
+    evValueEma, evSeasonalityDow, evForecastBaseline)
 }

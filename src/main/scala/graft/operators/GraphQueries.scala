@@ -271,7 +271,60 @@ object GraphQueries {
       .orderBy(col("degree"))
   }
 
+  /** LINK PREDICTION by neighbor-set Jaccard over the customer–part
+    * bipartite graph: the 20 part pairs whose CUSTOMER sets overlap
+    * most (|common| / |union|, common ≥ 5) — the classic
+    * collaborative-filtering / link-prediction feature
+    * (mining_copurchase counts raw co-occurrence; this normalizes by
+    * popularity, so a blockbuster part doesn't dominate every pair).
+    *
+    * Scale shape: common counts come from the per-customer pair
+    * fan-out (bounded by basket width per customer, the
+    * mining_copurchase discipline); degrees are one map-side-
+    * combining count rejoined on the part key. Jaccard rounds to 6
+    * before the top-20 TakeOrdered with a full pair tiebreak. */
+  val graphJaccardLinkpred: GQuery = GQuery(
+    "graph_jaccard_linkpred",
+    """WITH cp AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |deg AS (SELECT part, count(*) AS d FROM cp GROUP BY part),
+      |common AS (
+      |  SELECT a.part AS p1, b.part AS p2, count(*) AS c
+      |  FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5)
+      |SELECT p1, p2, CAST(c AS BIGINT) AS common,
+      |  round(c / CAST(d1.d + d2.d - c AS DOUBLE), 6) AS jaccard
+      |FROM common
+      |JOIN deg d1 ON common.p1 = d1.part
+      |JOIN deg d2 ON common.p2 = d2.part
+      |ORDER BY jaccard DESC, p1, p2
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val cp = Tables.orders(s, dir)
+      .select(col("o_custkey").as("cust"), col("o_orderkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("part")), Seq("o_orderkey"))
+      .select(col("cust"), col("part")).distinct()
+    val deg = cp.groupBy(col("part")).agg(count(lit(1)).as("d"))
+    val common = cp.select(col("cust"), col("part").as("p1"))
+      .join(cp.select(col("cust"), col("part").as("p2")), Seq("cust"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5)
+    common
+      .join(deg.select(col("part").as("p1"), col("d").as("d1")), Seq("p1"))
+      .join(deg.select(col("part").as("p2"), col("d").as("d2")), Seq("p2"))
+      .select(col("p1"), col("p2"), col("c").cast("bigint").as("common"),
+        round(col("c") / (col("d1") + col("d2") - col("c")).cast("double"),
+          6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
     graphCommunities, graphShortestPaths, graphKCore,
-    graphDegreeDistribution)
+    graphDegreeDistribution, graphJaccardLinkpred)
 }

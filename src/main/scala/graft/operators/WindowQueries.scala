@@ -278,7 +278,45 @@ object WindowQueries {
       .orderBy(col("revenue").desc, col("o_custkey"))
   }
 
+  /** MAXIMUM-DRAWDOWN report over the daily revenue series — the
+    * running-peak decline readout (finance's risk staple, equally
+    * useful for "how far did daily volume fall from its peak"
+    * capacity reviews): the 10 deepest peak-to-day declines. Revenue
+    * aggregates on the DECIMAL grid; the drawdown ratio is one double
+    * divide rounded 6 with a (day) tiebreak on the rank.
+    *
+    * Scale shape: one shuffle to the day grain, a running-max window
+    * over the BOUNDED daily series, and a top-10 TakeOrdered. */
+  val winDrawdown: GQuery = GQuery(
+    "win_drawdown",
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT day, rev, max(rev) OVER (ORDER BY day) AS runmax FROM d)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(rev AS DOUBLE) AS rev, CAST(runmax AS DOUBLE) AS runmax,
+      |  round(1 - rev / CAST(runmax AS DOUBLE), 6) AS drawdown
+      |FROM r
+      |ORDER BY drawdown DESC, day
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val d = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .as("rev"))
+    val r = d.withColumn("runmax",
+      max(col("rev")).over(Window.orderBy(col("day"))))
+    r.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev").cast("double").as("rev"),
+        col("runmax").cast("double").as("runmax"),
+        round(lit(1) - col("rev") / col("runmax").cast("double"), 6)
+          .as("drawdown"))
+      .orderBy(col("drawdown").desc, col("day"))
+      .limit(10)
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
-    winRangeInterval, winMovingMedian, winParetoShare)
+    winRangeInterval, winMovingMedian, winParetoShare, winDrawdown)
 }
