@@ -527,9 +527,60 @@ object AggQueries {
       .orderBy(col("flag"))
   }
 
+  /** GINI CONCENTRATION — revenue-concentration Gini coefficient per
+    * market segment (the whale-dependence readout: 0 = every active
+    * customer spends equally, → 1 = one customer is the business),
+    * over per-customer DECIMAL(18,2) revenue. The rank formula
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ ascending keeps
+    * EVERY sum exact: revenue sums and rank-weighted sums are
+    * decimal/integer arithmetic; the only float operation is the
+    * final division, one fixed expression rounded 6 on both engines.
+    * (The GiniAggregator UDAF demo computes label-impurity Gini; this
+    * is the economic-inequality Gini as a contract row.)
+    *
+    * Scale shape: one keyed aggregate to the customer grain, one
+    * shuffle to the segment grain for the rank window (segments are
+    * bounded; within-segment rank over customers is the unavoidable
+    * sort of any exact Gini), |segments|-row output. */
+  val aggGiniConcentration: GQuery = GQuery(
+    "agg_gini_concentration",
+    """WITH cr AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+      |    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT seg, rev,
+      |        CAST(row_number() OVER (PARTITION BY seg
+      |          ORDER BY rev, ck) AS BIGINT) AS i
+      |      FROM cr)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev,
+      |  round((2.0 * CAST(sum(i * rev) AS DOUBLE)
+      |         - (count(*) + 1) * CAST(sum(rev) AS DOUBLE))
+      |        / (count(*) * CAST(sum(rev) AS DOUBLE)), 6) AS gini
+      |FROM r GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (s, dir) =>
+    val cr = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val r = cr.withColumn("i",
+      row_number().over(Window.partitionBy(col("seg"))
+        .orderBy(col("rev"), col("ck"))).cast("long"))
+    r.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("rev")), 2).cast("double").as("total_rev"),
+        round((lit(2.0) * sum(col("i") * col("rev")).cast("double")
+          - (count(lit(1)) + 1) * sum(col("rev")).cast("double"))
+          / (count(lit(1)) * sum(col("rev")).cast("double")), 6)
+          .as("gini"))
+      .orderBy(col("seg"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
-    aggWeightedPercentile, aggSkewKurtosis)
+    aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration)
 }

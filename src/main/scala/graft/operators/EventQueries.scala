@@ -1309,6 +1309,109 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** ACTIVITY STREAKS — longest consecutive-day run per user (the
+    * habit/engagement metric every consumer product tracks), the
+    * classic gaps-and-islands computation: distinct active days per
+    * user, row_number along the day axis, and `day − rn` as the
+    * island anchor (consecutive days share it); per-island length +
+    * start, then a per-user min-struct argmax picks the LONGEST
+    * streak (earliest start on ties — window-free, the agg_mode
+    * discipline). Top-20 users by (streak desc, user_id).
+    *
+    * Scale shape: the raw stream collapses to DISTINCT (user, day)
+    * first (map-side combine), so the windows run on the bounded
+    * per-user day grid, partitioned by user — never an unpartitioned
+    * window; the top-20 is TakeOrderedAndProject. */
+  val evActivityStreaks: GQuery = GQuery(
+    "ev_activity_streaks",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |           FROM events),
+      |r AS (SELECT user_id, day,
+      |        day - CAST(row_number() OVER (PARTITION BY user_id
+      |                ORDER BY day) AS INT) AS anchor
+      |      FROM d),
+      |i AS (SELECT user_id, anchor, count(*) AS len, min(day) AS start
+      |      FROM r GROUP BY user_id, anchor),
+      |b AS (SELECT user_id, len, start,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY len DESC, start) AS rk
+      |      FROM i),
+      |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+      |        CAST(sum(len) AS BIGINT) AS active_days
+      |      FROM i GROUP BY user_id)
+      |SELECT u.user_id, u.active_days, u.n_streaks,
+      |  CAST(b.len AS BIGINT) AS longest_streak,
+      |  strftime(b.start, '%Y-%m-%d') AS streak_start
+      |FROM u JOIN b ON b.user_id = u.user_id AND b.rk = 1
+      |ORDER BY longest_streak DESC, u.user_id
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val r = d.withColumn("anchor",
+      expr("date_sub(day, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day))"))
+    val i = r.groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+    i.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        sum(col("len")).cast("long").as("active_days"),
+        min(struct((-col("len")).as("nl"), col("start").as("st")))
+          .as("best"))
+      .select(col("user_id"), col("active_days"), col("n_streaks"),
+        (-col("best.nl")).cast("long").as("longest_streak"),
+        date_format(col("best.st"), "yyyy-MM-dd").as("streak_start"))
+      .orderBy(col("longest_streak").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** INTER-ARRIVAL cadence per event feed — the gap distribution
+    * between consecutive events of each type (the capacity-planning /
+    * feed-health readout next to dq_freshness's point-in-time lag):
+    * gap count, mean, exact p50/p75, and max, all from integer-µs
+    * lag differences. p50/p75 are DYADIC fractions over integer µs,
+    * so the percentile interpolation is bit-exact cross-engine in any
+    * algebraic form (the agg_percentiles argument); the mean divides
+    * two exact integers once and is emitted in SECONDS rounded 6 —
+    * rounding the µs mean directly would push value·10⁶ past 2⁵³,
+    * where DuckDB's multiply-round-divide round() loses ulps.
+    *
+    * Scale shape: one shuffle to the event_type grain (5 keys — each
+    * partition's window state is a single previous-timestamp row);
+    * output is |types| rows. A hot single type serializes through one
+    * task in ANY engine for this per-feed total order; the per-user
+    * cadence variant would shard it. */
+  val evInterarrival: GQuery = GQuery(
+    "ev_interarrival",
+    """WITH o AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT event_type, CAST(count(gap) AS BIGINT) AS n_gaps,
+      |  round(CAST(sum(gap) AS DOUBLE) / count(gap) / 1000000.0, 6)
+      |    AS mean_gap_s,
+      |  quantile_cont(gap, 0.50) AS p50_gap_us,
+      |  quantile_cont(gap, 0.75) AS p75_gap_us,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_us
+      |FROM o WHERE gap IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val o = Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    o.groupBy(col("event_type"))
+      .agg(count(col("gap")).as("n_gaps"),
+        round(sum(col("gap")).cast("double") / count(col("gap"))
+          / lit(1000000.0), 6).as("mean_gap_s"),
+        expr("percentile(gap, 0.50d)").as("p50_gap_us"),
+        expr("percentile(gap, 0.75d)").as("p75_gap_us"),
+        max(col("gap")).cast("long").as("max_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1316,5 +1419,6 @@ object EventQueries {
     evVelocityBurst, evAttributionLinear, evCohortLtv,
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
-    evValueEma, evSeasonalityDow, evForecastBaseline)
+    evValueEma, evSeasonalityDow, evForecastBaseline,
+    evActivityStreaks, evInterarrival)
 }

@@ -324,7 +324,61 @@ object GraphQueries {
       .limit(20)
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT — per-node transitivity
+    * 2·Δ(v) / (deg(v)·(deg(v)−1)): how close each brand's
+    * neighborhood is to a clique (the small-world/community signal a
+    * raw triangle count can't normalize). Composes the two existing
+    * graph kernels — degree-ordered triangle counting
+    * (graft.api.Graph.triangles) and the symmetric-edge degree
+    * aggregate — with a left join so triangle-free nodes read 0, and
+    * one float division rounded 6 (CASE-guarded for deg < 2, where
+    * the coefficient is 0 by convention).
+    *
+    * Scale shape: triangles ride the √|E| wedge-orientation bound;
+    * degree is a map-side-combining count; the final join is keyed on
+    * the node — |V|-row output, no new shuffle shape beyond the
+    * triangle kernel itself. */
+  val graphClusteringCoeff: GQuery = GQuery(
+    "graph_clustering_coeff",
+    s"""$duckEdges,
+       |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM e),
+       |tri AS (
+       |  SELECT x.a AS v1, x.b AS v2, y.b AS v3
+       |  FROM ue x JOIN ue y ON x.b = y.a
+       |  JOIN ue z ON z.a = x.a AND z.b = y.b),
+       |tc AS (
+       |  SELECT brand, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT v1 AS brand FROM tri
+       |        UNION ALL SELECT v2 FROM tri
+       |        UNION ALL SELECT v3 FROM tri)
+       |  GROUP BY brand),
+       |deg AS (SELECT src AS brand, CAST(count(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY src)
+       |SELECT d.brand, d.deg,
+       |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CASE WHEN d.deg < 2 THEN 0.0
+       |       ELSE round(2.0 * coalesce(tc.n_triangles, 0)
+       |                  / (d.deg * (d.deg - 1)), 6) END AS clustering
+       |FROM deg d LEFT JOIN tc ON tc.brand = d.brand
+       |ORDER BY d.brand""".stripMargin) { (s, dir) =>
+    val e = edges(s, dir)
+    val deg = e.groupBy(col("src").as("brand"))
+      .agg(count(lit(1)).as("deg"))
+    val tc = graft.api.Graph.triangles(e, "src", "dst")
+      .select(col("node").as("brand"), col("n_triangles"))
+    deg.join(tc, Seq("brand"), "left")
+      .select(col("brand"), col("deg").cast("long").as("deg"),
+        coalesce(col("n_triangles"), lit(0L)).cast("long")
+          .as("n_triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("deg") * (col("deg") - 1)), 6)).as("clustering"))
+      .orderBy(col("brand"))
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
     graphCommunities, graphShortestPaths, graphKCore,
-    graphDegreeDistribution, graphJaccardLinkpred)
+    graphDegreeDistribution, graphJaccardLinkpred,
+    graphClusteringCoeff)
 }

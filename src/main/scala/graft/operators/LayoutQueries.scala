@@ -884,10 +884,70 @@ object LayoutQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the nightly-ETL contract:
+    * a materialized monthly rollup (the "base", everything before a
+    * data-driven cutoff: the last 90 days of orders are the
+    * late-arriving batch) is brought current by aggregating ONLY the
+    * delta and merging it in with a keyed full-outer coalesce —
+    * never re-scanning history. Provably ≡ the full recompute,
+    * because count/sum are commutative monoids and the DECIMAL(18,2)
+    * totals make the merge order-free; the `updated` flag marks
+    * months the delta touched (the downstream-invalidation signal).
+    *
+    * Scale shape: at 100 TB the base is a saved table read once and
+    * the delta aggregate is sized by the batch, not by history; both
+    * sides collapse to ≤ |months| rows BEFORE the merge join, so the
+    * full-outer join is over bounded aggregates. The cutoff is a
+    * 1-row broadcast scalar. */
+  val mergeIncrementalAgg: GQuery = GQuery(
+    "merge_incremental_agg",
+    """WITH cut AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS c
+      |             FROM orders),
+      |base AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+      |    count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+      |  FROM orders, cut WHERE o_orderdate < cut.c GROUP BY 1),
+      |delta AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+      |    count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+      |  FROM orders, cut WHERE o_orderdate >= cut.c GROUP BY 1)
+      |SELECT coalesce(b.mon, d.mon) AS mon,
+      |  CAST(coalesce(b.n, 0) + coalesce(d.n, 0) AS BIGINT) AS n_orders,
+      |  round(CAST(coalesce(b.tot, 0) + coalesce(d.tot, 0) AS DOUBLE), 2)
+      |    AS total,
+      |  d.mon IS NOT NULL AS updated
+      |FROM base b FULL OUTER JOIN delta d ON b.mon = d.mon
+      |ORDER BY mon""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val cut = o.agg((max(col("o_orderdate"))
+      - expr("INTERVAL 90 DAY")).as("c"))
+    val withCut = o.crossJoin(broadcast(cut))
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+    val base = rollup(withCut.filter(col("o_orderdate") < col("c")))
+      .select(col("mon").as("bmon"), col("n").as("bn"),
+        col("tot").as("btot"))
+    val delta = rollup(withCut.filter(col("o_orderdate") >= col("c")))
+      .select(col("mon").as("dmon"), col("n").as("dn"),
+        col("tot").as("dtot"))
+    base.join(delta, col("bmon") === col("dmon"), "full_outer")
+      .select(coalesce(col("bmon"), col("dmon")).as("mon"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .cast("long").as("n_orders"),
+        round(coalesce(col("btot"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("dtot"), lit(0).cast("decimal(18,2)")), 2)
+          .cast("double").as("total"),
+        col("dmon").isNotNull.as("updated"))
+      .orderBy(col("mon"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
     mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
     mergeDeleteApply, mergePartitionOverwrite, mergeScd2Asof,
-    mergeSnapshotDiff)
+    mergeSnapshotDiff, mergeIncrementalAgg)
 }

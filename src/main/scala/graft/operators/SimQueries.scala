@@ -1466,11 +1466,76 @@ object SimQueries {
         |ORDER BY probe_id, rk""".stripMargin)(sparkImpl)
   }
 
+  /** SQ8 QUANTIZATION-ERROR audit — the distortion side of the
+    * sim_topk_sq8 serving trade (its recall spec answers "does
+    * ranking survive?"; this answers "how much signal does int8
+    * throw away, and for which labels?"): each vector is quantized
+    * with the corpus-wide 127/max|x| scale (exactly
+    * Similarity.sq8Quantize), dequantized, and scored by per-vector
+    * reconstruction SSE; per label — mean SSE, worst vector, and
+    * max per-dimension absolute error. The decide-before-deploying
+    * artifact for every compressed-serving rollout, and the
+    * calibration sibling of dedup_minhash_error.
+    *
+    * Determinism: the scale is a 1-row aggregate; round() ties break
+    * away from zero on both engines (the sq8 oracle's argument);
+    * each per-vector fold runs in index order on both engines (the
+    * vec_dot precedent), then rounds to 8 and lands on the
+    * DECIMAL(18,8) grid, so the per-label sums are order-free.
+    *
+    * Scale shape: one corpus scan with per-row array arithmetic, a
+    * 1-row broadcast scale, and a ≤|labels|-row map-side-combining
+    * aggregate — flat at any corpus size. */
+  val embedSq8Error: GQuery = GQuery(
+    "embed_sq8_error",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |mx AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+      |       FROM e),
+      |p AS (
+      |  SELECT label,
+      |    CAST(round(list_sum(list_transform(v,
+      |        x -> (x - round(x * 127.0 / greatest(mx, 1e-30)) * mx / 127.0)
+      |           * (x - round(x * 127.0 / greatest(mx, 1e-30)) * mx / 127.0)
+      |      )), 8) AS DECIMAL(18,8)) AS sse,
+      |    CAST(round(list_max(list_transform(v,
+      |        x -> abs(x - round(x * 127.0 / greatest(mx, 1e-30))
+      |                   * mx / 127.0)
+      |      )), 8) AS DECIMAL(18,8)) AS mae
+      |  FROM e, mx)
+      |SELECT CAST(label AS INT) AS label,
+      |  CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(CAST(sum(sse) AS DOUBLE) / count(*), 6) AS mean_sse,
+      |  round(CAST(max(sse) AS DOUBLE), 6) AS max_sse,
+      |  round(CAST(max(mae) AS DOUBLE), 6) AS max_dim_abs_err
+      |FROM p GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    val e = vecs(s, dir).select(col("vec_id"), col("label"), col("v"))
+    val mx = e.agg(
+      max(expr("array_max(transform(v, x -> abs(x)))")).as("mx"))
+    val errExpr =
+      "x - round(x * 127.0 / greatest(mx, 1e-30d)) * mx / 127.0d"
+    val p = e.crossJoin(broadcast(mx))
+      .select(col("label"),
+        round(expr(s"aggregate(transform(v, x -> ($errExpr) * ($errExpr)), " +
+          "0d, (a, b) -> a + b)"), 8)
+          .cast("decimal(18,8)").as("sse"),
+        round(expr(s"array_max(transform(v, x -> abs($errExpr)))"), 8)
+          .cast("decimal(18,8)").as("mae"))
+    p.groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("sse")).cast("double") / count(lit(1)), 6)
+          .as("mean_sse"),
+        round(max(col("sse")).cast("double"), 6).as("max_sse"),
+        round(max(col("mae")).cast("double"), 6).as("max_dim_abs_err"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
-      simKnnGraph, embedPcaPower, simMatryoshkaTopk)
+      simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error)
 }

@@ -121,6 +121,82 @@ object TextQueries {
       .limit(20)
   }
 
+  /** PMI COLLOCATIONS — pointwise-mutual-information-scored bigrams,
+    * the classic collocation extractor (Church & Hanks 1990): which
+    * word pairs co-occur far more than their unigram frequencies
+    * predict (multi-word expressions, named entities, domain terms —
+    * the phrases a tokenizer or stopword list should treat as units).
+    * PMI = ln p(ab) − ln p(a) − ln p(b) over bigram/unigram corpus
+    * probabilities, restricted to bigrams seen ≥ 3 times (raw PMI is
+    * noise-dominated at count 1), top-20 by (pmi desc, bigram).
+    *
+    * Determinism: every ln() is rounded to 8 places and combined on
+    * the DECIMAL(14,8) grid (the text_zipf_fit discipline), so the
+    * score is order-free and bit-identical cross-engine; the final
+    * cast-to-double rounds at 6.
+    *
+    * Scale shape: both count frames ride the SHARED memoized token /
+    * bigram explodes (materialized once per corpus); the two corpus
+    * totals are 1-row broadcasts; the unigram attach joins are keyed
+    * on the word (never a vocabulary broadcast — the fleet policy);
+    * the ≥ 3 support filter shrinks the bigram side before both
+    * joins. */
+  val textPmiCollocations: GQuery = GQuery(
+    "text_pmi_collocations",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |uc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+      |nu AS (SELECT sum(cnt) AS n FROM uc),
+      |bg AS (
+      |  SELECT unnest([t[i] || ' ' || t[i+1]
+      |                 for i in generate_series(1, len(t) - 1)]) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+      |bc AS (SELECT bigram, count(*) AS cnt FROM bg
+      |       GROUP BY bigram HAVING count(*) >= 3),
+      |nb AS (SELECT count(*) AS n FROM bg),
+      |s AS (
+      |  SELECT b.bigram, b.cnt,
+      |    CAST(round(ln(CAST(b.cnt AS DOUBLE)), 8) AS DECIMAL(14,8))
+      |      - CAST(round(ln(CAST(nb.n AS DOUBLE)), 8) AS DECIMAL(14,8))
+      |      - CAST(round(ln(CAST(ua.cnt AS DOUBLE)), 8) AS DECIMAL(14,8))
+      |      - CAST(round(ln(CAST(ub.cnt AS DOUBLE)), 8) AS DECIMAL(14,8))
+      |      + CAST(round(ln(CAST(nu.n AS DOUBLE)), 8) AS DECIMAL(14,8))
+      |      + CAST(round(ln(CAST(nu.n AS DOUBLE)), 8) AS DECIMAL(14,8))
+      |      AS p
+      |  FROM bc b
+      |  JOIN uc ua ON ua.term = string_split(b.bigram, ' ')[1]
+      |  JOIN uc ub ON ub.term = string_split(b.bigram, ' ')[2],
+      |  nu, nb)
+      |SELECT bigram, CAST(cnt AS BIGINT) AS cnt,
+      |  round(CAST(p AS DOUBLE), 6) AS pmi
+      |FROM s
+      |ORDER BY pmi DESC, bigram
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    def l8(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")), 8).cast("decimal(14,8)")
+    val uc = tokens(s, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("ucnt"))
+    val nu = uc.agg(sum(col("ucnt")).as("nuni"))
+    val bc = bigrams(s, dir)
+      .groupBy(col("ngram").as("bigram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+    val nb = bigrams(s, dir).agg(count(lit(1)).as("nbi"))
+    bc.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uc.select(col("term").as("w1"), col("ucnt").as("ca")),
+        Seq("w1"))
+      .join(uc.select(col("term").as("w2"), col("ucnt").as("cb")),
+        Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("p",
+        l8(col("cnt")) - l8(col("nbi")) - l8(col("ca")) - l8(col("cb"))
+          + l8(col("nuni")) + l8(col("nuni")))
+      .select(col("bigram"), col("cnt").cast("long").as("cnt"),
+        round(col("p").cast("double"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Per-language corpus profile. Averages are emitted at 6 places
     * alongside the exact integer sums they derive from. */
   val textLangProfile: GQuery = GQuery(
@@ -1214,5 +1290,6 @@ object TextQueries {
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
-    textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr)
+    textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr,
+    textPmiCollocations)
 }

@@ -153,7 +153,14 @@ class BroadcastPolicySpec extends SparkTestBase {
     // 1-row regional value total (the 0.1% importance threshold)
     "tpch_q11_important_stock" -> 1,
     // 5-row per-priority IQR fence grid (bounded by the priority dim)
-    "dq_anomaly_iqr" -> 1
+    "dq_anomaly_iqr" -> 1,
+    // 1-row corpus-wide quantization-scale scalar (max |x|)
+    "embed_sq8_error" -> 1,
+    // two 1-row corpus-total scalars (unigram N, bigram N)
+    "text_pmi_collocations" -> 2,
+    // 1-row data-driven cutoff scalar; the cutoff-carrying orders
+    // subtree feeds BOTH the base and delta branches (2 resolutions)
+    "merge_incremental_agg" -> 2
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -1533,4 +1533,191 @@ class OperatorPropertySpec extends SparkTestBase {
     val files = dir.listFiles().map(_.getName).filter(_.endsWith(".gz"))
     assert(files.nonEmpty, "no .csv.gz files written")
   }
+
+  test("ev_activity_streaks: gaps-and-islands replay") {
+    val got = EventQueries.evActivityStreaks.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val days = Tables.events(spark, sfDir)
+      .select($"user_id", date_format(to_date($"ts"), "yyyy-MM-dd"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val perUser = days.groupBy(_._1).map { case (u, xs) =>
+      val ds = xs.map(x => java.time.LocalDate.parse(x._2, fmt)).sorted
+      // islands: split the sorted day list wherever the gap is > 1 day
+      val streaks = ds.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc, d) => acc match {
+          case (h :: t) :: rest if h.plusDays(1) == d =>
+            (d :: h :: t) :: rest
+          case _ => List(d) :: acc
+        }
+      }.map(s => (s.length.toLong, s.min))
+      val (len, start) = streaks.minBy { case (l, st) =>
+        (-l, st.toEpochDay) }
+      (u, ds.length.toLong, streaks.length.toLong, len, start.toString)
+    }
+    val expected = perUser.toSeq
+      .sortBy { case (u, _, _, l, _) => (-l, u) }.take(20)
+    assert(got.toSeq == expected)
+  }
+
+  test("ev_interarrival: gap stats replay (exact dyadic percentiles)") {
+    val got = EventQueries.evInterarrival.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", unix_micros($"ts"), $"event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def pct(sorted: Array[Long], f: Double): Double = {
+      val pos = f * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (frac == 0) sorted(lo).toDouble
+      else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+    }
+    val expected = ev.groupBy(_._1).map { case (t, xs) =>
+      val gaps = xs.map(x => (x._2, x._3)).sorted.sliding(2)
+        .collect { case Array((a, _), (b, _)) => b - a }.toArray.sorted
+      (t, gaps.length.toLong,
+        BigDecimal(gaps.sum.toDouble / gaps.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        pct(gaps, 0.50), pct(gaps, 0.75), gaps.max)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+  }
+
+  test("agg_gini_concentration: rank-formula replay, bounds hold") {
+    val got = AggQueries.aggGiniConcentration.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val rev = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2)))
+    val expected = rev.groupBy(_._1).map { case (seg, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      val n = sorted.length
+      val srev = sorted.map(BigDecimal(_)).sum
+      val swrev = sorted.zipWithIndex
+        .map { case (x, i) => BigDecimal(x) * (i + 1) }.sum
+      val g = (2.0 * swrev.toDouble - (n + 1) * srev.toDouble) /
+        (n * srev.toDouble)
+      (seg, n.toLong,
+        BigDecimal(srev.toDouble).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(g).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    got.foreach { case (seg, _, _, g) =>
+      assert(g >= 0.0 && g < 1.0, s"$seg: gini $g out of [0, 1)")
+    }
+  }
+
+  test("graph_clustering_coeff: consistent with triangles + degrees") {
+    val coeff = GraphQueries.graphClusteringCoeff.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val tri = GraphQueries.graphTriangles.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // every triangle-carrying node appears, with the same count
+    assert(tri.keySet.subsetOf(coeff.map(_._1).toSet))
+    coeff.foreach { case (b, deg, t, c) =>
+      assert(t == tri.getOrElse(b, 0L), s"$b: triangle count mismatch")
+      val expect =
+        if (deg < 2) 0.0
+        else BigDecimal(2.0 * t / (deg * (deg - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c == expect, s"$b: coeff $c != $expect")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("merge_incremental_agg: merged rollup == full recompute") {
+    val got = LayoutQueries.mergeIncrementalAgg.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val full = Tables.orders(spark, sfDir)
+      .groupBy(date_format(date_trunc("month", $"o_orderdate"),
+        "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast("decimal(18,2)")), 2)
+          .cast("double").as("tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == full.toSeq,
+      "incremental merge diverges from the full recompute")
+    // the updated flag marks exactly the months at/after the cutoff
+    val cut = Tables.orders(spark, sfDir)
+      .agg((max($"o_orderdate") - expr("INTERVAL 90 DAY")).as("c"))
+    val touched = got.filter(_._4).map(_._1).toSet
+    val expectTouched = Tables.orders(spark, sfDir)
+      .crossJoin(cut).filter($"o_orderdate" >= $"c")
+      .select(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(touched == expectTouched)
+  }
+
+  test("embed_sq8_error: per-label distortion replay; step bound holds") {
+    val got = SimQueries.embedSq8Error.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val mx = vecs.flatMap(_._2).map(math.abs).max
+    def rnd(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // round half AWAY FROM ZERO (Spark/DuckDB round()), not
+    // Math.round's half-towards-positive-infinity
+    def rhafz(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perVec = vecs.map { case (l, v) =>
+      val errs = v.map { x =>
+        x - rhafz(x * 127.0 / math.max(mx, 1e-30)) * mx / 127.0 }
+      (l, rnd(errs.foldLeft(0.0)((a, e) => a + e * e), 8),
+        rnd(errs.map(math.abs).max, 8))
+    }
+    val expected = perVec.groupBy(_._1).map { case (l, xs) =>
+      val sses = xs.map(x => BigDecimal(x._2))
+      (l, xs.length.toLong,
+        rnd((sses.sum / xs.length).toDouble, 6),
+        rnd(sses.max.toDouble, 6),
+        rnd(xs.map(_._3).max, 6))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // quantization-step bound: per-dim error can never exceed half a
+    // step (mx/127/2), up to the 6-place output rounding grid
+    got.foreach { case (l, _, _, _, maxErr) =>
+      assert(maxErr <= mx / 127.0 / 2.0 + 1e-6, s"label $l step bound")
+    }
+  }
+
+  test("text_pmi_collocations: PMI replay on the rounded-log grid") {
+    val got = TextQueries.textPmiCollocations.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val texts = Tables.documents(spark, sfDir)
+      .select($"text").collect().map(_.getString(0))
+    val uni = texts.flatMap(_.split(" ", -1))
+    val ucnt = uni.groupBy(identity).map { case (k, v) => (k, v.length) }
+    val bi = texts.flatMap(t => t.split(" ", -1).sliding(2)
+      .collect { case Array(a, b) => s"$a $b" })
+    val bcnt = bi.groupBy(identity).map { case (k, v) => (k, v.length) }
+      .filter(_._2 >= 3)
+    def rnd(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    def l8(c: Long) = rnd(math.log(c.toDouble), 8)
+    val nu = uni.length.toLong
+    val nb = bi.length.toLong
+    val expected = bcnt.map { case (bg, c) =>
+      val Array(a, b) = bg.split(" ", -1)
+      val p = l8(c) - l8(nb) - l8(ucnt(a)) - l8(ucnt(b)) + l8(nu) + l8(nu)
+      (bg, c.toLong, rnd(p.toDouble, 6).toDouble)
+    }.toSeq.sortBy { case (bg, _, p) => (-p, bg) }.take(20)
+    assert(got.toSeq == expected)
+  }
 }

@@ -56,7 +56,10 @@ class PlanShapeSpec extends SparkTestBase {
     "embed_pca_power",  // three 1-row norm scalars + final eigval scalar cross-joined onto 64-row frames
     "ev_value_ema",     // triangular join over the bounded day spine (ev_gap_fill discipline)
     "win_pareto_share", // 1-row revenue-total scalar cross join (share divide)
-    "sim_matryoshka_topk") // stage-1 truncated pass IS the sim_cosine_topk probe-broadcast scan
+    "sim_matryoshka_topk", // stage-1 truncated pass IS the sim_cosine_topk probe-broadcast scan
+    "embed_sq8_error",  // 1-row quantization-scale scalar cross join
+    "text_pmi_collocations", // two 1-row corpus-total scalars (unigram/bigram N) cross-joined
+    "merge_incremental_agg") // 1-row cutoff-date scalar cross join (inequality compare)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
