@@ -1412,6 +1412,74 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** GROWTH-ACCOUNTING matrix — the canonical DAU decomposition
+    * (new / retained / resurrected / churned) that refines
+    * [[evNewVsReturning]]'s returning bucket: on each active day a
+    * user is `new` (first day ever), `retained` (also active the
+    * previous calendar day) or `resurrected` (last active more than
+    * one day ago); `churned(d)` is the count active on d−1 but not d,
+    * computed EXACTLY as dau(d−1) − retained(d) — no second pass over
+    * users, and correct even when a calendar day has zero activity
+    * (the day join is on the literal d−1 date, not a row lag).
+    *
+    * Scale shape: one distinct to the (user, day) grain (map-side
+    * combine), one per-user window for first-seen + previous active
+    * day (single user-keyed shuffle), then a bounded per-day rollup
+    * and a day-keyed self-join on the tiny daily frame. */
+  val evGrowthAccounting: GQuery = GQuery(
+    "ev_growth_accounting",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |fs AS (
+      |  SELECT user_id, d,
+      |    min(d) OVER (PARTITION BY user_id) AS first_d,
+      |    lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      |  FROM ud),
+      |cls AS (
+      |  SELECT d,
+      |    CASE WHEN d = first_d THEN 'new'
+      |         WHEN prev_d = d - INTERVAL 1 DAY THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM fs),
+      |daily AS (
+      |  SELECT d, CAST(count(*) AS BIGINT) AS dau,
+      |    CAST(count(*) FILTER (WHERE cls = 'new') AS BIGINT) AS new_users,
+      |    CAST(count(*) FILTER (WHERE cls = 'retained') AS BIGINT)
+      |      AS retained,
+      |    CAST(count(*) FILTER (WHERE cls = 'resurrected') AS BIGINT)
+      |      AS resurrected
+      |  FROM cls GROUP BY d)
+      |SELECT strftime(a.d, '%Y-%m-%d') AS day,
+      |  a.dau, a.new_users, a.retained, a.resurrected,
+      |  coalesce(b.dau, 0) - a.retained AS churned
+      |FROM daily a
+      |LEFT JOIN daily b ON b.d = a.d - INTERVAL 1 DAY
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val uw = Window.partitionBy(col("user_id"))
+    val ow = uw.orderBy(col("d"))
+    val cls = ud
+      .withColumn("first_d", min(col("d")).over(uw))
+      .withColumn("prev_d", lag(col("d"), 1).over(ow))
+      .select(col("d"),
+        when(col("d") === col("first_d"), "new")
+          .when(col("prev_d") === date_sub(col("d"), 1), "retained")
+          .otherwise("resurrected").as("cls"))
+    val daily = cls.groupBy(col("d"))
+      .agg(count(lit(1)).as("dau"),
+        count(when(col("cls") === "new", 1)).as("new_users"),
+        count(when(col("cls") === "retained", 1)).as("retained"),
+        count(when(col("cls") === "resurrected", 1)).as("resurrected"))
+    val prev = daily.select(date_add(col("d"), 1).as("d"),
+      col("dau").as("pdau"))
+    daily.join(prev, Seq("d"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("new_users"), col("retained"), col("resurrected"),
+        (coalesce(col("pdau"), lit(0L)) - col("retained")).as("churned"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1420,5 +1488,5 @@ object EventQueries {
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
     evValueEma, evSeasonalityDow, evForecastBaseline,
-    evActivityStreaks, evInterarrival)
+    evActivityStreaks, evInterarrival, evGrowthAccounting)
 }

@@ -1531,11 +1531,111 @@ object SimQueries {
       .orderBy(col("label"))
   }
 
+  /** BM25 LEXICAL RETRIEVAL — Okapi BM25 (k1 = 1.2, b = 0.75) top-5
+    * per probe, the ranked-retrieval scorer the hybrid tier's raw
+    * shared-term count approximates: per shared term,
+    * idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), with
+    * idf(t) = ln((N−df+0.5)/(df+0.5)+1) (the non-negative BM25+ idf).
+    *
+    * Determinism discipline: idf and the per-doc length norm are each
+    * quantized to DECIMAL(14,8) first, the per-term score is ONE fixed
+    * double expression over those quantized inputs rounded to a
+    * DECIMAL(16,8) grid, and the per-(probe,doc) score is the exact
+    * decimal SUM of those grid values — order-free, so ranking on it
+    * is cross-engine stable with the doc_id tiebreak.
+    *
+    * Scale shape: the posting list (doc, term, tf) and the df table
+    * both key on term; the probe term set is tiny and drives every
+    * join, so the candidate set is probe-bounded exactly like the
+    * hybrid lexical tier (never a vocabulary broadcast — df rides the
+    * term-keyed join). Corpus-global N and token total are 1-row
+    * broadcasts. */
+  val simBm25Topk: GQuery = GQuery(
+    "sim_bm25_topk",
+    """WITH dtok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |       FROM dtok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM dtok GROUP BY doc_id),
+      |nt AS (SELECT count(*) AS n FROM documents),
+      |tt AS (SELECT count(*) AS t FROM dtok),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (SELECT DISTINCT doc_id AS probe_id, term
+      |       FROM dtok WHERE doc_id < 5),
+      |idf AS (
+      |  SELECT term,
+      |    CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1), 8)
+      |      AS DECIMAL(14,8)) AS idf
+      |  FROM df, nt),
+      |lnorm AS (
+      |  SELECT doc_id,
+      |    CAST(round(0.3 + 0.9 * (CAST(dl * n AS DOUBLE) / t), 8)
+      |      AS DECIMAL(14,8)) AS lnorm
+      |  FROM dl, nt, tt),
+      |sc AS (
+      |  SELECT q.probe_id, f.doc_id,
+      |    sum(CAST(round(CAST(i.idf AS DOUBLE) * (f.tf * 2.2)
+      |          / (f.tf + CAST(l.lnorm AS DOUBLE)), 8)
+      |        AS DECIMAL(16,8))) AS sc
+      |  FROM qt q
+      |  JOIN tf f ON f.term = q.term AND f.doc_id != q.probe_id
+      |  JOIN idf i ON i.term = q.term
+      |  JOIN lnorm l ON l.doc_id = f.doc_id
+      |  GROUP BY q.probe_id, f.doc_id),
+      |rk AS (
+      |  SELECT probe_id, doc_id,
+      |    round(CAST(sc AS DOUBLE), 6) AS score,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY sc DESC, doc_id) AS rk
+      |  FROM sc)
+      |SELECT probe_id, rk, doc_id, score
+      |FROM rk WHERE rk <= 5
+      |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
+    val tok = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nt = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val tt = tok.agg(count(lit(1)).as("t"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("term")).distinct()
+    val idf = df.crossJoin(broadcast(nt))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 8)
+          .cast("decimal(14,8)").as("idf"))
+    val lnorm = dl.crossJoin(broadcast(nt)).crossJoin(broadcast(tt))
+      .select(col("doc_id"),
+        round(lit(0.3) + lit(0.9)
+          * ((col("dl") * col("n")).cast("double") / col("t")), 8)
+          .cast("decimal(14,8)").as("lnorm"))
+    val sc = qt.join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(idf, Seq("term"))
+      .join(lnorm, Seq("doc_id"))
+      .withColumn("s8",
+        round(col("idf").cast("double") * (col("tf") * lit(2.2))
+          / (col("tf") + col("lnorm").cast("double")), 8)
+          .cast("decimal(16,8)"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("s8")).as("sc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sc").desc, col("doc_id"))
+    sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("doc_id"),
+        round(col("sc").cast("double"), 6).as("score"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
-      simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error)
+      simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,
+      simBm25Topk)
 }

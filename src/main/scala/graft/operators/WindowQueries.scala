@@ -316,7 +316,91 @@ object WindowQueries {
       .limit(10)
   }
 
+  /** BOLLINGER BANDS over the daily revenue series — trailing 7-day
+    * moving mean ± 2 sample standard deviations with a breakout flag
+    * (the volatility-band monitor ops dashboards run on any daily
+    * metric; `above`/`below` rows are the alert feed).
+    *
+    * Determinism discipline: the window carries only EXACT decimal
+    * state (sum and sum-of-squares of the DECIMAL(18,2) daily grid —
+    * the squares quantized to DECIMAL(30,4) before the window sum so
+    * both engines sum identical values), then mean and stddev are each
+    * ONE fixed double expression rounded 6; the bands are derived from
+    * the already-rounded mean/sd so every float op sees identical
+    * inputs on both engines. Bands (and the flag) are null until the
+    * frame is full (n=7) — a 6-day stddev is a different statistic,
+    * not a noisier one.
+    *
+    * Scale: one shuffle to the daily grain with map-side combine, then
+    * a single unpartitioned window over the BOUNDED daily series (the
+    * calendar bounds it, not the data — WindowQueries.scala:107
+    * precedent). */
+  val winBollinger: GQuery = GQuery(
+    "win_bollinger",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT d, rev,
+      |    count(*) OVER win AS n,
+      |    sum(rev) OVER win AS s,
+      |    sum(CAST(rev * rev AS DECIMAL(30,4))) OVER win AS s2
+      |  FROM daily
+      |  WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT d, rev, n,
+      |    round(CAST(s AS DOUBLE) / n, 6) AS ma7,
+      |    CASE WHEN n = 7 THEN
+      |      round(sqrt((7 * CAST(s2 AS DOUBLE)
+      |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 42), 6)
+      |    END AS sd7
+      |  FROM w),
+      |b AS (
+      |  SELECT d, rev, n, ma7, sd7,
+      |    round(ma7 + 2 * sd7, 6) AS upper_band,
+      |    round(ma7 - 2 * sd7, 6) AS lower_band
+      |  FROM f)
+      |SELECT strftime(d, '%Y-%m-%d') AS day,
+      |  CAST(rev AS DOUBLE) AS rev, CAST(n AS BIGINT) AS n,
+      |  ma7, sd7, upper_band, lower_band,
+      |  CASE WHEN sd7 IS NULL THEN NULL
+      |       WHEN CAST(rev AS DOUBLE) > upper_band THEN 'above'
+      |       WHEN CAST(rev AS DOUBLE) < lower_band THEN 'below'
+      |       ELSE 'in' END AS breakout
+      |FROM b
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .as("rev"))
+    val win = Window.orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+    val w = daily
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s", sum(col("rev")).over(win))
+      .withColumn("s2",
+        sum((col("rev") * col("rev")).cast("decimal(30,4)")).over(win))
+    val f = w
+      .withColumn("ma7", round(col("s").cast("double") / col("n"), 6))
+      .withColumn("sd7", when(col("n") === 7,
+        round(sqrt((lit(7) * col("s2").cast("double")
+          - col("s").cast("double") * col("s").cast("double")) / 42), 6)))
+    f.withColumn("upper_band", round(col("ma7") + lit(2) * col("sd7"), 6))
+      .withColumn("lower_band", round(col("ma7") - lit(2) * col("sd7"), 6))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("rev").cast("double").as("rev"),
+        col("n").cast("long").as("n"),
+        col("ma7"), col("sd7"), col("upper_band"), col("lower_band"),
+        when(col("sd7").isNull, lit(null).cast("string"))
+          .when(col("rev").cast("double") > col("upper_band"), "above")
+          .when(col("rev").cast("double") < col("lower_band"), "below")
+          .otherwise("in").as("breakout"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
-    winRangeInterval, winMovingMedian, winParetoShare, winDrawdown)
+    winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
+    winBollinger)
 }

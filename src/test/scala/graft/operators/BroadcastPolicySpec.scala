@@ -160,7 +160,10 @@ class BroadcastPolicySpec extends SparkTestBase {
     "text_pmi_collocations" -> 2,
     // 1-row data-driven cutoff scalar; the cutoff-carrying orders
     // subtree feeds BOTH the base and delta branches (2 resolutions)
-    "merge_incremental_agg" -> 2
+    "merge_incremental_agg" -> 2,
+    // three 1-row corpus scalars: doc count N (×2: idf + length norm)
+    // and token total T (length norm)
+    "sim_bm25_topk" -> 3
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -1720,4 +1720,114 @@ class OperatorPropertySpec extends SparkTestBase {
     }.toSeq.sortBy { case (bg, _, p) => (-p, bg) }.take(20)
     assert(got.toSeq == expected)
   }
+
+  test("win_bollinger: bands replay from exact decimal window sums") {
+    val got = WindowQueries.winBollinger.fn(spark, sfDir).collect()
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_format(to_date($"o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(sum(round($"o_totalprice", 2).cast("decimal(18,2)")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1)))
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val revs = daily.map(_._2)
+    val expected = daily.indices.map { i =>
+      val frame = revs.slice(math.max(0, i - 6), i + 1)
+      val n = frame.length
+      val s = frame.map(BigDecimal(_)).sum
+      val s2 = frame.map(v => (BigDecimal(v) * BigDecimal(v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      val ma = r6(s.toDouble / n)
+      val sd = if (n == 7)
+        Some(r6(math.sqrt(
+          (7 * s2.toDouble - s.toDouble * s.toDouble) / 42)))
+      else None
+      val up = sd.map(v => r6(ma + 2 * v))
+      val lo = sd.map(v => r6(ma - 2 * v))
+      val rev = revs(i).doubleValue
+      val brk = sd.map { _ =>
+        if (rev > up.get) "above" else if (rev < lo.get) "below" else "in"
+      }
+      (daily(i)._1, rev, n.toLong, ma, sd, up, lo, brk)
+    }
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.getString(0) == e._1 && g.getDouble(1) == e._2
+        && g.getLong(2) == e._3 && g.getDouble(3) == e._4)
+      def optD(i: Int): Option[Double] =
+        if (g.isNullAt(i)) None else Some(g.getDouble(i))
+      assert(optD(4) == e._5 && optD(5) == e._6 && optD(6) == e._7,
+        s"bands mismatch on ${e._1}")
+      val gb = if (g.isNullAt(7)) None else Some(g.getString(7))
+      assert(gb == e._8, s"breakout mismatch on ${e._1}")
+    }
+    // the first 6 days can't fill the frame; every later day does
+    assert(got.take(6).forall(_.isNullAt(4)))
+    assert(got.drop(6).forall(r => !r.isNullAt(4)))
+  }
+
+  test("ev_growth_accounting: matrix replays from per-day active sets") {
+    val got = EventQueries.evGrowthAccounting.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ud = Tables.events(spark, sfDir)
+      .select($"user_id", date_format(to_date($"ts"), "yyyy-MM-dd").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val firstDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def prev(d: String): String =
+      java.time.LocalDate.parse(d, fmt).minusDays(1).format(fmt)
+    val expected = byDay.keys.toSeq.sorted.map { d =>
+      val act = byDay(d)
+      val pAct = byDay.getOrElse(prev(d), Set.empty[Long])
+      val nu = act.count(u => firstDay(u) == d)
+      val ret = act.count(pAct)
+      val res = act.size - nu - ret
+      val churn = pAct.count(u => !act(u))
+      (d, act.size.toLong, nu.toLong, ret.toLong, res.toLong, churn.toLong)
+    }
+    assert(got.toSeq == expected)
+    // identity the query relies on: churned(d) = dau(d-1) - retained(d)
+    got.foreach { case (d, dau, nu, ret, res, _) =>
+      assert(dau == nu + ret + res, s"$d: dau must decompose exactly")
+    }
+  }
+
+  test("sim_bm25_topk: scores replay from an in-memory BM25") {
+    val got = SimQueries.simBm25Topk.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    def r(x: Double, p: Int): BigDecimal =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP)
+    val n = docs.size
+    val t = docs.valuesIterator.map(_.length.toLong).sum
+    val tf = docs.view.mapValues(_.groupBy(identity).view
+      .mapValues(_.length).toMap).toMap
+    val df = tf.valuesIterator.flatMap(_.keys).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val idf = df.view.mapValues(d =>
+      r(math.log((n - d + 0.5) / (d + 0.5) + 1), 8)).toMap
+    val lnorm = docs.view.mapValues(ts =>
+      r(0.3 + 0.9 * (ts.length.toDouble * n / t), 8)).toMap
+    val probes = docs.keys.filter(_ < 5)
+    val expected = probes.flatMap { p =>
+      val qterms = docs(p).toSet
+      val scores = docs.keys.filter(_ != p).flatMap { d =>
+        val terms = qterms.intersect(tf(d).keySet)
+        if (terms.isEmpty) None
+        else Some(d -> terms.toSeq.map { term =>
+          val f = tf(d)(term)
+          r(idf(term).toDouble * (f * 2.2)
+            / (f + lnorm(d).toDouble), 8)
+        }.sum)
+      }.toSeq
+      scores.sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((d, s), i) =>
+          (p, i + 1, d, r(s.toDouble, 6).toDouble) }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+  }
 }
