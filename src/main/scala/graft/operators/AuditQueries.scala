@@ -382,6 +382,60 @@ object AuditQueries {
       .orderBy(col("digit"))
   }
 
+  /** FUNCTIONAL-DEPENDENCY audit — the schema-discovery pass profilers
+    * (Metanome/HyFD-style) run before trusting "X determines Y"
+    * assumptions baked into joins and dedup keys: for each candidate
+    * FD, the share of determinant keys that map to MORE than one
+    * distinct dependent value (an exact FD holds iff that share is 0).
+    * Three candidates over the fixture, chosen so the report shows
+    * both outcomes: part→supplier (violated by design — multi-sourced
+    * parts), customer→priority (violated — priorities vary per
+    * order), nation→segment (violated — segments span nations).
+    *
+    * Scale shape: each FD is one exact distinct-count aggregate keyed
+    * by its determinant — the (lhs, rhs) distinct collapses map-side,
+    * the per-key rollup is the second map-side-combining pass, and the
+    * final per-FD row is a 1-row reduce; three bounded rows union. */
+  val dqFdViolations: GQuery = {
+    def fdSql(fd: String, tbl: String, lhs: String, rhs: String) =
+      s"""SELECT '$fd' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT)
+         |    AS violating_keys,
+         |  round(CAST(count(*) FILTER (WHERE nd > 1) AS DOUBLE)
+         |    / count(*), 6) AS violation_rate,
+         |  CAST(max(nd) AS BIGINT) AS max_distinct_rhs
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd
+         |      FROM $tbl GROUP BY $lhs)""".stripMargin
+    GQuery("dq_fd_violations",
+      s"""${fdSql("customer: c_nationkey -> c_mktsegment", "customer",
+            "c_nationkey", "c_mktsegment")}
+         |UNION ALL
+         |${fdSql("lineitem: l_partkey -> l_suppkey", "lineitem",
+            "l_partkey", "l_suppkey")}
+         |UNION ALL
+         |${fdSql("orders: o_custkey -> o_orderpriority", "orders",
+            "o_custkey", "o_orderpriority")}
+         |ORDER BY fd""".stripMargin) { (s, dir) =>
+      def fd(name: String, t: DataFrame, lhs: String, rhs: String) =
+        t.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+          .agg(count(lit(1)).as("n_keys"),
+            count(when(col("nd") > 1, 1)).as("violating_keys"),
+            round(count(when(col("nd") > 1, 1)).cast("double")
+              / count(lit(1)), 6).as("violation_rate"),
+            max(col("nd")).as("max_distinct_rhs"))
+          .select(lit(name).as("fd"), col("n_keys"),
+            col("violating_keys"), col("violation_rate"),
+            col("max_distinct_rhs"))
+      fd("customer: c_nationkey -> c_mktsegment",
+          Tables.customer(s, dir), "c_nationkey", "c_mktsegment")
+        .unionAll(fd("lineitem: l_partkey -> l_suppkey",
+          Tables.lineitem(s, dir), "l_partkey", "l_suppkey"))
+        .unionAll(fd("orders: o_custkey -> o_orderpriority",
+          Tables.orders(s, dir), "o_custkey", "o_orderpriority"))
+        .orderBy(col("fd"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi,
-    dqDriftPsiNumeric, dqAnomalyIqr, dqBenford)
+    dqDriftPsiNumeric, dqAnomalyIqr, dqBenford, dqFdViolations)
 }

@@ -1480,6 +1480,57 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** STICKINESS (DAU/MAU) — the engagement ratio every product review
+    * opens with, at the calendar-month grain: per month, the exact
+    * MAU, the average DAU over the month's ACTIVE days, and their
+    * ratio (1.0 = every monthly user active every day). Calendar
+    * months, not trailing windows — the board-deck convention
+    * ([[evRollingActiveUsers]] owns the trailing-window variant).
+    *
+    * Scale shape: one distinct to the (user, day) grain (map-side
+    * combine), then two independent bounded rollups off it — daily
+    * counts re-aggregated to months, and a per-month exact distinct
+    * (second map-side-combining pass over (month, user)) — joined on
+    * the tiny month grid. No windows, no broadcast. */
+  val evStickiness: GQuery = GQuery(
+    "ev_stickiness",
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+      |mau AS (
+      |  SELECT date_trunc('month', d) AS mth,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM ud GROUP BY 1),
+      |davg AS (
+      |  SELECT date_trunc('month', d) AS mth,
+      |    CAST(sum(dau) AS BIGINT) AS sum_dau,
+      |    CAST(count(*) AS BIGINT) AS n_days
+      |  FROM dau GROUP BY 1)
+      |SELECT strftime(m.mth, '%Y-%m') AS month, a.n_days, a.sum_dau,
+      |  m.mau,
+      |  round(CAST(a.sum_dau AS DOUBLE) / a.n_days, 6) AS avg_dau,
+      |  round(CAST(a.sum_dau AS DOUBLE) / a.n_days / m.mau, 6)
+      |    AS stickiness
+      |FROM mau m JOIN davg a USING (mth)
+      |ORDER BY month""".stripMargin) { (s, dir) =>
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val mau = ud.groupBy(trunc(col("d"), "month").as("mth"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    val davg = dau.groupBy(trunc(col("d"), "month").as("mth"))
+      .agg(sum(col("dau")).cast("long").as("sum_dau"),
+        count(lit(1)).as("n_days"))
+    mau.join(davg, Seq("mth"))
+      .select(date_format(col("mth"), "yyyy-MM").as("month"),
+        col("n_days"), col("sum_dau"), col("mau"),
+        round(col("sum_dau").cast("double") / col("n_days"), 6)
+          .as("avg_dau"),
+        round(col("sum_dau").cast("double") / col("n_days") / col("mau"),
+          6).as("stickiness"))
+      .orderBy(col("month"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1488,5 +1539,5 @@ object EventQueries {
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
     evValueEma, evSeasonalityDow, evForecastBaseline,
-    evActivityStreaks, evInterarrival, evGrowthAccounting)
+    evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GQuery, PlanCache}
@@ -377,8 +378,116 @@ object GraphQueries {
       .orderBy(col("brand"))
   }
 
+  /** HITS (hubs & authorities, Kleinberg) on the DIRECTED bipartite
+    * customer→part purchase graph — 2 full mutual-reinforcement
+    * rounds: authority(p) = Σ hub(c) over buyers, hub(c) = Σ
+    * authority(p) over purchases, max-normalized after every half-step
+    * (h₀ = 1, so a₁ is the in-degree). Output is the top-10 of each
+    * role — "which parts does the market agree on, and which buyers
+    * span them" (the query-independent salience pass link-analysis
+    * ranking started from; PageRank answers the random-surfer variant
+    * on the co-purchase projection).
+    *
+    * Determinism: every vertex score stays on a DECIMAL(12,8) grid —
+    * each normalize divides by the 1-row max scalar in ONE double
+    * expression rounded 8, and each half-step sums those exact
+    * decimals (order-free) keyed by the edge join; final display
+    * rounds 6 with (role, score desc, node) total order.
+    *
+    * Scale shape: edges shuffle only on their join keys (src/dst —
+    * the bipartite grain), each half-step is a map-side-combining
+    * aggregate, and the four max scalars are 1-row broadcasts;
+    * per-round cost is |E| with no vertex-count state, exactly like
+    * the pageRank kernel. */
+  val graphHits: GQuery = GQuery(
+    "graph_hits",
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |a1 AS (SELECT dst, count(*) AS a FROM e GROUP BY dst),
+      |am1 AS (SELECT max(a) AS m FROM a1),
+      |a1n AS (SELECT dst, CAST(round(CAST(a AS DOUBLE) / m, 8)
+      |          AS DECIMAL(12,8)) AS a FROM a1, am1),
+      |h1 AS (SELECT src, sum(a) AS h FROM e JOIN a1n USING (dst)
+      |       GROUP BY src),
+      |hm1 AS (SELECT max(h) AS m FROM h1),
+      |h1n AS (SELECT src, CAST(round(CAST(h AS DOUBLE)
+      |          / CAST(m AS DOUBLE), 8) AS DECIMAL(12,8)) AS h
+      |        FROM h1, hm1),
+      |a2 AS (SELECT dst, sum(h) AS a FROM e JOIN h1n USING (src)
+      |       GROUP BY dst),
+      |am2 AS (SELECT max(a) AS m FROM a2),
+      |a2n AS (SELECT dst, CAST(round(CAST(a AS DOUBLE)
+      |          / CAST(m AS DOUBLE), 8) AS DECIMAL(12,8)) AS a
+      |        FROM a2, am2),
+      |h2 AS (SELECT src, sum(a) AS h FROM e JOIN a2n USING (dst)
+      |       GROUP BY src),
+      |hm2 AS (SELECT max(h) AS m FROM h2),
+      |h2n AS (SELECT src, CAST(round(CAST(h AS DOUBLE)
+      |          / CAST(m AS DOUBLE), 8) AS DECIMAL(12,8)) AS h
+      |        FROM h2, hm2),
+      |ranked AS (
+      |  SELECT 'authority' AS role, dst AS node,
+      |    round(CAST(a AS DOUBLE), 6) AS score,
+      |    row_number() OVER (ORDER BY a DESC, dst) AS rk
+      |  FROM a2n
+      |  UNION ALL
+      |  SELECT 'hub' AS role, src AS node,
+      |    round(CAST(h AS DOUBLE), 6) AS score,
+      |    row_number() OVER (ORDER BY h DESC, src) AS rk
+      |  FROM h2n)
+      |SELECT role, rk, node, score
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY role, rk""".stripMargin) { (s, dir) =>
+    // per-half-step localCheckpoint: the pageRank-kernel discipline
+    // (api/Graph.scala:12) — each normalized frame is referenced
+    // twice downstream (the next half-step and its own max scalar),
+    // so without truncation both lineage and the hinted-scalar
+    // subtrees double per round
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def norm8(x: org.apache.spark.sql.Column,
+        m: org.apache.spark.sql.Column) =
+      round(x.cast("double") / m.cast("double"), 8).cast("decimal(12,8)")
+    def normalize(scores: DataFrame, key: String, v: String): DataFrame = {
+      val c = scores.localCheckpoint(true)
+      c.crossJoin(broadcast(c.agg(max(col(v)).as("m"))))
+        .select(col(key), norm8(col(v), col("m")).as(v))
+        .localCheckpoint(true)
+    }
+    val a1n = normalize(
+      e.groupBy(col("dst")).agg(count(lit(1)).as("a")), "dst", "a")
+    val h1n = normalize(e.join(a1n, Seq("dst")).groupBy(col("src"))
+      .agg(sum(col("a")).as("h")), "src", "h")
+    val a2n = normalize(e.join(h1n, Seq("src")).groupBy(col("dst"))
+      .agg(sum(col("h")).as("a")), "dst", "a")
+    val h2n = normalize(e.join(a2n, Seq("dst")).groupBy(col("src"))
+      .agg(sum(col("a")).as("h")), "src", "h")
+    // top-10 via orderBy+limit (TakeOrderedAndProject — a distributed
+    // heap merge, never a vertex-set-wide single-task window); the
+    // rank window then runs over the bounded 10-row frame only
+    val authTop = a2n.orderBy(col("a").desc, col("dst")).limit(10)
+    val hubTop = h2n.orderBy(col("h").desc, col("src")).limit(10)
+    val auth = authTop
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("a").desc, col("dst"))))
+      .select(lit("authority").as("role"), col("rk"),
+        col("dst").as("node"),
+        round(col("a").cast("double"), 6).as("score"))
+    val hub = hubTop
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("h").desc, col("src"))))
+      .select(lit("hub").as("role"), col("rk"), col("src").as("node"),
+        round(col("h").cast("double"), 6).as("score"))
+    auth.unionAll(hub).orderBy(col("role"), col("rk"))
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
     graphCommunities, graphShortestPaths, graphKCore,
     graphDegreeDistribution, graphJaccardLinkpred,
-    graphClusteringCoeff)
+    graphClusteringCoeff, graphHits)
 }

@@ -163,7 +163,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     "merge_incremental_agg" -> 2,
     // three 1-row corpus scalars: doc count N (×2: idf + length norm)
     // and token total T (length norm)
-    "sim_bm25_topk" -> 3
+    "sim_bm25_topk" -> 3,
+    // four 1-row max scalars (one per HITS normalize half-step)
+    "graph_hits" -> 4
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -1830,4 +1830,91 @@ class OperatorPropertySpec extends SparkTestBase {
     }.toSeq.sortBy(x => (x._1, x._2))
     assert(got.toSeq == expected)
   }
+
+  test("graph_hits: top-10 replays from an in-memory 2-round HITS") {
+    val got = GraphQueries.graphHits.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val e = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def r8(x: Double): BigDecimal =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def half(scores: Map[Long, BigDecimal],
+        edgesByTo: Map[Long, Seq[Long]]): Map[Long, BigDecimal] = {
+      val raw = edgesByTo.view.mapValues(_.map(scores).sum).toMap
+      val m = raw.values.max
+      raw.view.mapValues(v => r8(v.toDouble / m.toDouble)).toMap
+    }
+    val byDst = e.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val bySrc = e.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val h0 = bySrc.keys.map(_ -> BigDecimal(1)).toMap
+    val a1 = half(h0, byDst)
+    val h1 = half(a1, bySrc)
+    val a2 = half(h1, byDst)
+    val h2 = half(a2, bySrc)
+    def top(role: String, m: Map[Long, BigDecimal]) =
+      m.toSeq.sortBy { case (n, s) => (-s, n) }.take(10).zipWithIndex
+        .map { case ((n, s), i) => (role, i + 1, n,
+          s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val expected = top("authority", a2) ++ top("hub", h2)
+    assert(got.toSeq == expected)
+  }
+
+  test("dq_fd_violations: rates replay; the multi-sourced-part FD is violated") {
+    val got = AuditQueries.dqFdViolations.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    def replay(fd: String, pairs: Seq[(Any, Any)]) = {
+      val nd = pairs.distinct.groupBy(_._1).view.mapValues(_.size).toMap
+      val viol = nd.values.count(_ > 1)
+      (fd, nd.size.toLong, viol.toLong,
+        BigDecimal(viol.toDouble / nd.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        nd.values.max.toLong)
+    }
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_nationkey", $"c_mktsegment").collect()
+      .map(r => (r.get(0), r.get(1))).toSeq
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey").collect()
+      .map(r => (r.get(0), r.get(1))).toSeq
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderpriority").collect()
+      .map(r => (r.get(0), r.get(1))).toSeq
+    val expected = Seq(
+      replay("customer: c_nationkey -> c_mktsegment", cust),
+      replay("lineitem: l_partkey -> l_suppkey", li),
+      replay("orders: o_custkey -> o_orderpriority", ord))
+    assert(got == expected)
+    // the report must show a genuinely violated FD, not all-zeros
+    assert(got.exists(_._3 > 0), "fixture should violate at least one FD")
+  }
+
+  test("ev_stickiness: ratio replays from (user, day) pairs; bounds hold") {
+    val got = EventQueries.evStickiness.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val ud = Tables.events(spark, sfDir)
+      .select(date_format(to_date($"ts"), "yyyy-MM-dd").as("d"),
+        $"user_id")
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ud.groupBy(_._1.substring(0, 7)).toSeq.sortBy(_._1)
+      .map { case (m, xs) =>
+        val days = xs.groupBy(_._1).view.mapValues(_.size).toMap
+        val sumDau = days.values.sum.toLong
+        val mau = xs.map(_._2).distinct.size.toLong
+        val avg = sumDau.toDouble / days.size
+        (m, days.size.toLong, sumDau, mau, r6(avg), r6(avg / mau))
+      }
+    assert(got.toSeq == expected)
+    got.foreach { case (m, _, _, mau, avgDau, st) =>
+      assert(st > 0 && st <= 1.0, s"$m: stickiness out of range")
+      assert(avgDau <= mau, s"$m: avg dau cannot exceed mau")
+    }
+  }
 }

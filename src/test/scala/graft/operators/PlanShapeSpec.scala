@@ -60,7 +60,8 @@ class PlanShapeSpec extends SparkTestBase {
     "embed_sq8_error",  // 1-row quantization-scale scalar cross join
     "text_pmi_collocations", // two 1-row corpus-total scalars (unigram/bigram N) cross-joined
     "merge_incremental_agg", // 1-row cutoff-date scalar cross join (inequality compare)
-    "sim_bm25_topk")    // 1-row corpus-size / token-total scalars (N, T) cross-joined
+    "sim_bm25_topk",    // 1-row corpus-size / token-total scalars (N, T) cross-joined
+    "graph_hits")       // four 1-row max-normalization scalars cross-joined per half-step
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
