@@ -578,9 +578,69 @@ object AggQueries {
       .orderBy(col("seg"))
   }
 
+  /** ROBUST-SCALE statistics — per-segment median and MAD (median
+    * absolute deviation) of account balances, plus the robust-z
+    * outlier count at the standard 3·1.4826·MAD fence (1.4826 is the
+    * Gaussian consistency constant). The IQR fence ([[dq_anomaly_iqr]]
+    * in AuditQueries) and the MAD fence are the two canonical
+    * mean-free outlier rules; MAD survives up to 50% contamination
+    * where the IQR breaks at 25%.
+    *
+    * Determinism: both medians are exact interpolated percentiles
+    * (the agg_percentiles discipline — identical lo+frac·(hi−lo)
+    * arithmetic in both engines), deviations are one abs-subtract on
+    * the raw doubles, fences one fixed float product; displays round
+    * 6.
+    *
+    * Scale shape: two exact-percentile aggregates over the bounded
+    * segment grid (5 groups) with a segment-keyed join between —
+    * group-bounded state; the 100 TB substitute is the mergeable
+    * percentile_approx sketch, pinned against the exact form in
+    * OperatorPropertySpec. */
+  val aggMad: GQuery = GQuery(
+    "agg_mad",
+    """WITH med AS (
+      |  SELECT c_mktsegment AS seg,
+      |    quantile_cont(c_acctbal, 0.5) AS med
+      |  FROM customer GROUP BY 1),
+      |dev AS (
+      |  SELECT c.c_mktsegment AS seg, m.med,
+      |    abs(c.c_acctbal - m.med) AS adev
+      |  FROM customer c JOIN med m ON c.c_mktsegment = m.seg),
+      |mad AS (
+      |  SELECT seg, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT d.seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  round(max(d.med), 6) AS median_bal,
+      |  round(max(m.mad), 6) AS mad,
+      |  CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (seg)
+      |GROUP BY d.seg
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val med = cust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(percentile(col("c_acctbal"), lit(0.5)).as("med"))
+    val dev = cust.select(col("c_mktsegment").as("seg"), col("c_acctbal"))
+      .join(med, Seq("seg"))
+      .withColumn("adev", abs(col("c_acctbal") - col("med")))
+    val mad = dev.groupBy(col("seg"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, Seq("seg"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("median_bal"),
+        round(max(col("mad")), 6).as("mad"),
+        count(when(col("adev") > lit(3) * lit(1.4826) * col("mad"), 1))
+          .as("n_outliers"))
+      .select(col("seg").as("c_mktsegment"), col("n"),
+        col("median_bal"), col("mad"), col("n_outliers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
-    aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration)
+    aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration,
+    aggMad)
 }

@@ -708,9 +708,82 @@ object DedupQueries {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** THRESHOLD-SWEEP tuning readout — the S-curve table every
+    * MinHash+LSH deployment produces before choosing its Jaccard
+    * cutoff: for each candidate threshold τ on a 0.5–0.9 grid, how
+    * many LSH candidate pairs survive EXACT verification (J ≥ τ) and
+    * the resulting candidate precision. This is the artifact that
+    * decides bands/rows and the verify cutoff before a 100 TB corpus
+    * is deduped — run once on a sample, read the knee.
+    *
+    * Scale shape: the candidate pairs are the SHARED banded-LSH memo
+    * (never all-pairs); exact Jaccard is verified candidate-bounded —
+    * the pair list joins the shingle table per side keyed on
+    * (doc, shingle), so verification cost is Σ|shingles| over
+    * CANDIDATES only; the τ grid rides a constant ×5 per-row explode
+    * (no join), and the rollup is 5 bounded rows. */
+  val dedupThresholdSweep: GQuery = GQuery(
+    "dedup_threshold_sweep",
+    s"""$minhashPairsCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc1, p.doc2, count(*) AS i
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.doc1
+       |  JOIN sh b ON b.doc_id = p.doc2 AND b.shingle = a.shingle
+       |  GROUP BY p.doc1, p.doc2),
+       |pj AS (
+       |  SELECT p.doc1, p.doc2,
+       |    round(CAST(coalesce(i.i, 0) AS DOUBLE)
+       |      / (sa.n + sb.n - coalesce(i.i, 0)), 6) AS j
+       |  FROM pairs p
+       |  LEFT JOIN inter i ON i.doc1 = p.doc1 AND i.doc2 = p.doc2
+       |  JOIN sizes sa ON p.doc1 = sa.doc_id
+       |  JOIN sizes sb ON p.doc2 = sb.doc_id),
+       |sweep AS (
+       |  SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau, doc1, j
+       |  FROM pj)
+       |SELECT CAST(tau AS DOUBLE) AS tau,
+       |  CAST(count(*) AS BIGINT) AS candidates,
+       |  CAST(count(*) FILTER (WHERE j >= CAST(tau AS DOUBLE))
+       |    AS BIGINT) AS confirmed,
+       |  round(CAST(count(*) FILTER (WHERE j >= CAST(tau AS DOUBLE))
+       |    AS DOUBLE) / count(*), 6) AS prec
+       |FROM sweep
+       |GROUP BY tau
+       |ORDER BY tau""".stripMargin) { (s, dir) =>
+    val p = minhashPairsSpark(s, dir).select(col("doc1"), col("doc2"))
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = p
+      .join(sh.select(col("doc_id").as("doc1"),
+        col("shingle").as("s1")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle").as("s2")),
+        col("doc2") === col("d2") && col("s2") === col("s1"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("i"))
+    val pj = p
+      .join(inter, Seq("doc1", "doc2"), "left")
+      .join(sizes.select(col("doc_id").as("doc1"), col("n").as("na")),
+        Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("n").as("nb")),
+        Seq("doc2"))
+      .select(round(coalesce(col("i"), lit(0L)).cast("double")
+        / (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 6)
+        .as("j"))
+    pj.withColumn("tau",
+        explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("candidates"),
+        count(when(col("j") >= col("tau"), 1)).as("confirmed"),
+        round(count(when(col("j") >= col("tau"), 1)).cast("double")
+          / count(lit(1)), 6).as("prec"))
+      .orderBy(col("tau"))
+  }
+
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
     dedupIngest, dedupContainment, dedupContainmentIngest,
-    dedupSpanGlobal, dedupSplitLeakage, dedupMinhashError)
+    dedupSpanGlobal, dedupSplitLeakage, dedupMinhashError,
+    dedupThresholdSweep)
 }

@@ -1283,6 +1283,101 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase pass curation stacks run where TF-IDF's single terms
+    * fall short: candidate phrases are the maximal stopword-free token
+    * runs (gaps-and-islands on the api.Text.defaultStopwords breaks),
+    * each word scores degree/frequency (degree = Σ length of the
+    * phrase instances containing it, frequency = its occurrence count
+    * in phrases), and a phrase scores the sum of its member word
+    * scores (with multiplicity). Top-15 phrases by score.
+    *
+    * Determinism: word scores land on a DECIMAL(14,8) grid (one
+    * integer divide rounded 8), phrase scores are exact decimal sums
+    * of those grid values, ranking is (score desc, phrase) on the
+    * exact decimals; display rounds 6.
+    *
+    * Scale shape: run assignment is one doc-keyed window (position −
+    * row_number, the gaps-and-islands id); word stats are
+    * map-side-combining aggregates; the word-score attach is a
+    * WORD-KEYED join (the text_vocab_oov discipline — a vocabulary is
+    * never broadcast); phrase reassembly groups on (doc, run). Top-15
+    * is a distributed heap merge. */
+  val textRakeKeywords: GQuery = {
+    val stop = graft.api.Text.defaultStopwords
+    val stopList = stop.map(w => s"'$w'").mkString(", ")
+    GQuery("text_rake_keywords",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |              FROM documents),
+         |tw AS (
+         |  SELECT doc_id, s.p AS p, s.w AS w FROM (
+         |    SELECT doc_id, unnest([{'p': i, 'w': t[i]}
+         |      for i in generate_series(1, len(t))]) AS s
+         |    FROM toks)),
+         |ns AS (
+         |  SELECT doc_id, p, w,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+         |      AS grp
+         |  FROM tw WHERE w NOT IN ($stopList)),
+         |freq AS (SELECT w, count(*) AS freq FROM ns GROUP BY w),
+         |plen AS (SELECT doc_id, grp, count(*) AS plen
+         |         FROM ns GROUP BY doc_id, grp),
+         |deg AS (
+         |  SELECT n.w, sum(l.plen) AS deg
+         |  FROM ns n JOIN plen l
+         |    ON n.doc_id = l.doc_id AND n.grp = l.grp
+         |  GROUP BY n.w),
+         |wsc AS (
+         |  SELECT w, CAST(round(CAST(deg AS DOUBLE) / freq, 8)
+         |    AS DECIMAL(14,8)) AS ws
+         |  FROM deg JOIN freq USING (w)),
+         |pinst AS (
+         |  SELECT n.doc_id, n.grp,
+         |    string_agg(n.w, ' ' ORDER BY n.p) AS phrase,
+         |    sum(s.ws) AS score
+         |  FROM ns n JOIN wsc s ON n.w = s.w
+         |  GROUP BY n.doc_id, n.grp),
+         |agg AS (
+         |  SELECT phrase, CAST(count(*) AS BIGINT) AS cnt,
+         |    max(score) AS score
+         |  FROM pinst GROUP BY phrase)
+         |SELECT phrase, cnt, round(CAST(score AS DOUBLE), 6) AS score
+         |FROM agg
+         |ORDER BY score DESC, phrase
+         |LIMIT 15""".stripMargin) { (s, dir) =>
+      val tw = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      // 0-based positions (vs the oracle's 1-based) shift every run id
+      // by a per-doc constant — the (doc, grp) grouping is identical
+      val ns = tw.filter(!col("w").isin(stop: _*))
+        .withColumn("grp", col("p") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      val freq = ns.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val plen = ns.groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("plen"))
+      val deg = ns.join(plen, Seq("doc_id", "grp"))
+        .groupBy(col("w")).agg(sum(col("plen")).as("deg"))
+      val wsc = deg.join(freq, Seq("w"))
+        .select(col("w"),
+          round(col("deg").cast("double") / col("freq"), 8)
+            .cast("decimal(14,8)").as("ws"))
+      val pinst = ns.join(wsc, Seq("w"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w")), " ").as("phrase"),
+          sum(col("ws")).as("score"))
+      pinst.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("cnt"), max(col("score")).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(15)
+        .select(col("phrase"), col("cnt"),
+          round(col("score").cast("double"), 6).as("score"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
@@ -1291,5 +1386,5 @@ object TextQueries {
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
     textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr,
-    textPmiCollocations)
+    textPmiCollocations, textRakeKeywords)
 }

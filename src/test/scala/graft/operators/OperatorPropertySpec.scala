@@ -1893,6 +1893,101 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got.exists(_._3 > 0), "fixture should violate at least one FD")
   }
 
+  test("agg_mad: median/MAD replay; the MAD fence is mean-free") {
+    val got = AggQueries.aggMad.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val bal = Tables.customer(spark, sfDir)
+      .select($"c_mktsegment", $"c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def interp(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (frac == 0) s(lo) else s(lo) + frac * (s(lo + 1) - s(lo))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bal.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (seg, xs) =>
+        val vs = xs.map(_._2)
+        val med = interp(vs)
+        val adev = vs.map(v => math.abs(v - med))
+        val mad = interp(adev)
+        val out = adev.count(_ > 3 * 1.4826 * mad)
+        (seg, vs.length.toLong, r6(med), r6(mad), out.toLong)
+    }
+    assert(got.toSeq == expected)
+    // outliers exist but are rare (the fence is a tail rule)
+    got.foreach { case (seg, n, _, mad, out) =>
+      assert(mad > 0, s"$seg: degenerate MAD")
+      assert(out < n / 10, s"$seg: MAD fence flagged >10% as outliers")
+    }
+  }
+
+  test("dedup_threshold_sweep: S-curve replays; precision monotone in tau") {
+    val got = DedupQueries.dedupThresholdSweep.fn(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val cand = DedupQueries.dedupNearMinhash.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shingleSets = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      .toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val js = cand.map { case (a, b) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val i = sa.intersect(sb).size
+      r6(i.toDouble / (sa.size + sb.size - i))
+    }
+    val expected = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { tau =>
+      val conf = js.count(_ >= tau)
+      (tau, js.length.toLong, conf.toLong, r6(conf.toDouble / js.length))
+    }
+    assert(got.toSeq == expected)
+    // S-curve shape: candidates constant, confirmed non-increasing
+    assert(got.map(_._2).distinct.length == 1)
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("text_rake_keywords: top-15 replays from an in-memory RAKE") {
+    val got = TextQueries.textRakeKeywords.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val stop = graft.api.Text.defaultStopwords.toSet
+    val texts = Tables.documents(spark, sfDir)
+      .select($"text").collect().map(_.getString(0))
+    def r(x: Double, p: Int): BigDecimal =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP)
+    // phrase instances: maximal stopword-free runs per doc
+    val instances = texts.flatMap { t =>
+      val runs = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      t.split(" ", -1).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = instances.flatten.groupBy(identity).view
+      .mapValues(_.length).toMap
+    val deg = instances.flatMap(ph => ph.map(_ -> ph.length))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ws = freq.keys.map(w =>
+      w -> r(deg(w).toDouble / freq(w), 8)).toMap
+    val expected = instances.groupBy(_.mkString(" ")).toSeq
+      .map { case (ph, insts) =>
+        (ph, insts.length.toLong, insts.head.map(ws).sum) }
+      .sortBy { case (ph, _, sc) => (-sc, ph) }.take(15)
+      .map { case (ph, c, sc) =>
+        (ph, c, r(sc.toDouble, 6).toDouble) }
+    assert(got.toSeq == expected)
+  }
+
   test("ev_stickiness: ratio replays from (user, day) pairs; bounds hold") {
     val got = EventQueries.evStickiness.fn(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
