@@ -43,7 +43,7 @@ object DedupQueries {
 
   /** DuckDB spelling of the portable 48-bit md5 hash (the Spark side
     * lives in graft.api). */
-  private def duckHash(seedAndVal: String): String =
+  private[operators] def duckHash(seedAndVal: String): String =
     s"CAST(concat('0x', substr(md5($seedAndVal), 1, 12)) AS BIGINT)"
 
   /** Word 3-gram shingles, distinct per doc (Spark side). Uses the

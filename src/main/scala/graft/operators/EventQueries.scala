@@ -1531,6 +1531,45 @@ object EventQueries {
       .orderBy(col("month"))
   }
 
+  /** ACTIVITY HEATMAP — the day-of-week × hour-of-day traffic matrix
+    * (0 = Monday; the ops-calendar readout behind capacity planning
+    * and maintenance-window choice): per cell, event volume, exact
+    * distinct actives, and the cell's share of its day's events
+    * (`day_share` sums to 1 per row-of-the-heatmap, making weekday
+    * shapes comparable regardless of volume).
+    *
+    * Scale shape: one map-side-combining count to the bounded ≤ 168
+    * cell grid + one exact distinct over (cell, user) — both collapse
+    * before the shuffle; the day-total join runs on ≤ 7 rows. */
+  val evHourlyHeatmap: GQuery = GQuery(
+    "ev_hourly_heatmap",
+    """WITH b AS (
+      |  SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+      |    CAST(hour(ts) AS INT) AS hr, user_id
+      |  FROM events),
+      |cell AS (
+      |  SELECT dow, hr, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM b GROUP BY dow, hr),
+      |tot AS (SELECT dow, sum(n_events) AS dtot FROM cell GROUP BY dow)
+      |SELECT c.dow, c.hr, c.n_events, c.n_users,
+      |  round(CAST(c.n_events AS DOUBLE) / t.dtot, 6) AS day_share
+      |FROM cell c JOIN tot t USING (dow)
+      |ORDER BY dow, hr""".stripMargin) { (s, dir) =>
+    val b = Tables.events(s, dir)
+      .select(weekday(col("ts")).as("dow"), hour(col("ts")).as("hr"),
+        col("user_id"))
+    val cell = b.groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val tot = cell.groupBy(col("dow")).agg(sum(col("n_events")).as("dtot"))
+    cell.join(tot, Seq("dow"))
+      .select(col("dow"), col("hr"), col("n_events"), col("n_users"),
+        round(col("n_events").cast("double") / col("dtot"), 6)
+          .as("day_share"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1539,5 +1578,6 @@ object EventQueries {
     evAttributionPosition, evAttributionDecay, evRfmSegmentation,
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
     evValueEma, evSeasonalityDow, evForecastBaseline,
-    evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness)
+    evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
+    evHourlyHeatmap)
 }

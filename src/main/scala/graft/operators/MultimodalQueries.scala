@@ -150,6 +150,67 @@ object MultimodalQueries {
       .orderBy(col("shard"))
   }
 
+  /** PERCEPTUAL-HASH near-dup for opaque binary assets — the
+    * pHash/SimHash pass a blob store runs where no tokenizer exists:
+    * each payload's features are its byte-aligned sliding 4-byte
+    * windows (hex 8-grams — shift-robust where [[multimodalDedup]]'s
+    * fixed blocks are alignment-bound), folded into the SAME 16-bit
+    * portable SimHash the text tier uses (graft.api.Dedup
+    * .simhashSignatures over a feature string), then paired by the
+    * exact 4×4-bit Hamming-band pigeonhole join (≤ 3 bits apart). A
+    * real image pipeline swaps the byte windows for decoded-pixel
+    * features (MultimodalPipeline.decodeStub's seam) and keeps this
+    * entire signature/banding plan unchanged.
+    *
+    * Scale shape: feature extraction is a per-row projection (the
+    * payload bytes never shuffle — each row collapses to one 16-bit
+    * signature at the scan task); the pair search is the banded
+    * equi-join, never all-pairs. */
+  val multimodalPhashNeardup: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val feats = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("hx", hex(col("payload")))
+        .withColumn("features", expr(
+          """array_join(transform(
+            |  sequence(0, greatest(CAST(octet_length(payload) AS INT)
+            |                         - 4, 0)),
+            |  i -> substr(hx, 2 * i + 1, 8)), ' ')""".stripMargin))
+      val sim = graft.api.Dedup.simhashSignatures(
+        feats, "doc_id", "features")
+      graft.api.Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
+        .orderBy(col("doc1"), col("doc2"))
+    }
+    GQuery("multimodal_phash_neardup",
+      s"""WITH pay AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS nb
+         |  FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([substr(hx, 2 * i + 1, 8)
+         |            for i in generate_series(0, greatest(nb - 4, 0))])
+         |      AS term
+         |  FROM pay),
+         |th AS (SELECT doc_id, term,
+         |         ${DedupQueries.duckHash("term")} AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |  ${(0 to 15).map(j =>
+             s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS bal$j")
+             .mkString(", ")}
+         |  FROM th GROUP BY doc_id),
+         |sim AS (SELECT doc_id,
+         |  ${(0 to 15).map(j =>
+             s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+             .mkString(" + ")} AS simhash
+         |  FROM bits)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
+  }
+
   val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures,
-    multimodalDedup, multimodalShardManifest)
+    multimodalDedup, multimodalShardManifest, multimodalPhashNeardup)
 }

@@ -1630,6 +1630,92 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** ANN RECALL EVALUATION for the IVF tier — [[simRecallEval]]'s
+    * harness pointed at the SAVED IVF index instead of sign-LSH: exact
+    * brute-force top-3 ground truth for the sampled probes vs the
+    * index-served `ivfTopK` answer (k = 3, nProbe = 3 of 8 cells),
+    * per-probe recall@3. Together the two recall queries are the
+    * tables/bits-vs-cells/nProbe decision matrix an ANN deployment
+    * reads before indexing a 100 TB corpus — and this one exercises
+    * the exact serving path sim_topk_ivf ships (same ivf_c8 index
+    * family, one build, fourth consumer).
+    *
+    * Scale shape: ground truth probe-bounded (one broadcast-probe
+    * corpus scan); the ANN side reads only the probed cid partitions
+    * of the saved index (literal IN → PartitionFilters); the recall
+    * join is ≤ 2·k rows per probe. */
+  val simRecallIvf: GQuery = GQuery(
+    "sim_recall_ivf",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM fin),
+       |ex AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY round(list_dot_product(p.v, c.v)
+       |                       / (p.nrm * c.nrm), 6) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM n p JOIN n c ON p.vec_id < 50 AND c.vec_id != p.vec_id)
+       |  WHERE rk <= 3),
+       |pd AS (
+       |  SELECT p.vec_id, p.v, p.nrm, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 50) p, cfin c),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn, cid FROM (
+       |    SELECT vec_id, v, nrm, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 3),
+       |ann AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rk
+       |    FROM (
+       |      SELECT pc.probe_id, n.vec_id AS neighbor_id,
+       |        round(list_dot_product(pc.pv, n.v) / (pc.pn * n.nrm), 6)
+       |          AS cosine
+       |      FROM pc JOIN n ON n.cid = pc.cid
+       |                    AND n.vec_id != pc.probe_id))
+       |  WHERE rk <= 3),
+       |hits AS (
+       |  SELECT ex.probe_id, count(*) AS n_hits
+       |  FROM ex JOIN ann ON ex.probe_id = ann.probe_id
+       |                  AND ex.neighbor_id = ann.neighbor_id
+       |  GROUP BY ex.probe_id),
+       |den AS (SELECT probe_id, count(*) AS n_exact FROM ex
+       |        GROUP BY probe_id)
+       |SELECT den.probe_id, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6) AS recall
+       |FROM den LEFT JOIN hits ON den.probe_id = hits.probe_id
+       |ORDER BY den.probe_id""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val probes = ev.filter(col("vec_id") < 50)
+    val exact = graft.api.Similarity.cosineTopK(ev, probes, "vec_id", "v",
+      k = 3).select(col("probe_id"), col("neighbor_id"))
+    val ivfPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
+        k = 8, rounds = 2)
+    }
+    val ann = graft.api.Similarity.ivfTopK(probes, "vec_id", "v",
+      ivfPath, k = 3, nProbe = 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = ann.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
@@ -1637,5 +1723,5 @@ object SimQueries {
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
       simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,
-      simBm25Topk)
+      simBm25Topk, simRecallIvf)
 }

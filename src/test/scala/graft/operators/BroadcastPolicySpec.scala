@@ -165,7 +165,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     // and token total T (length norm)
     "sim_bm25_topk" -> 3,
     // four 1-row max scalars (one per HITS normalize half-step)
-    "graph_hits" -> 4
+    "graph_hits" -> 4,
+    // literal-filtered probe set (exact tier) + the saved-IVF serving
+    // probes: k-row centers, probed-cell set, probe frame — all
+    // probe- or k-bounded (the sim_topk_ivf proof)
+    "sim_recall_ivf" -> 4
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

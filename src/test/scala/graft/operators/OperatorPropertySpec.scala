@@ -1988,6 +1988,106 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got.toSeq == expected)
   }
 
+  test("sim_recall_ivf: recall replays from the two tiers' own answers") {
+    val got = SimQueries.simRecallIvf.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // exact ground truth replayed in memory from the raw vectors
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exact = vecs.filter(_._1 < 50).map { case (p, pv) =>
+      p -> vecs.filter(_._1 != p).map { case (c, cv) =>
+        val dot = pv.zip(cv).map { case (a, b) => a * b }.sum
+        (c, r6(dot / (norms(p) * norms(c))))
+      }.sortBy { case (c, cos) => (-cos, c) }.take(3).map(_._1).toSet
+    }.toMap
+    // the ANN answer is the sim_topk_ivf contract query's own output
+    val ann = SimQueries.simTopkIvf.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = exact.toSeq.sortBy(_._1).map { case (p, ex) =>
+      val hits = ex.intersect(ann.getOrElse(p, Set.empty)).size
+      (p, ex.size.toLong, hits.toLong, r6(hits.toDouble / ex.size))
+    }
+    assert(got.toSeq == expected)
+    val mean = got.map(_._4).sum / got.length
+    assert(mean >= 0.5, s"IVF nProbe=3/8 mean recall@3 $mean below floor")
+  }
+
+  test("multimodal_phash_neardup: pairs replay from in-memory byte simhash") {
+    val got = MultimodalQueries.multimodalPhashNeardup.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => "%02x".format(b & 0xff)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def sig(text: String): Long = {
+      val hx = text.getBytes("UTF-8").map("%02X".format(_)).mkString
+      val nb = text.getBytes("UTF-8").length
+      val feats = (0 to math.max(nb - 4, 0))
+        .map(i => hx.slice(2 * i, 2 * i + 8)).distinct
+      val bal = Array.fill(16)(0)
+      feats.foreach { f =>
+        val h = h48(f)
+        (0 to 15).foreach(j =>
+          bal(j) += (if (((h >> j) & 1) == 1) 1 else -1))
+      }
+      (0 to 15).map(j => if (bal(j) > 0) 1L << j else 0L).sum
+    }
+    val sigs = docs.map { case (id, t) => (id, sig(t)) }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 3
+    } yield (a, b, ham)).sortBy(p => (p._1, p._2))
+    assert(got.toSeq == expected.toSeq)
+    // signature-identical payloads exist (the near-dup template
+    // groups) and every reported pair is within the banding bound
+    assert(got.exists(_._3 == 0), "no Hamming-0 collisions found")
+    assert(got.forall(_._3 <= 3))
+    // any byte-identical payloads MUST collide at Hamming 0
+    docs.groupBy(_._2).values.filter(_.length > 1).foreach { grp =>
+      val ids = grp.map(_._1).sorted.take(2)
+      assert(got.contains((ids(0), ids(1), 0)))
+    }
+  }
+
+  test("ev_hourly_heatmap: cells replay; day shares sum to 1") {
+    val got = EventQueries.evHourlyHeatmap.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_micros($"ts"), $"user_id")
+      .collect().map { r =>
+        val dt = java.time.Instant.ofEpochSecond(r.getLong(0) / 1000000)
+          .atZone(java.time.ZoneOffset.UTC)
+        (dt.getDayOfWeek.getValue - 1, dt.getHour, r.getLong(1))
+      }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDay = ev.groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = ev.groupBy(e => (e._1, e._2)).toSeq
+      .sortBy(_._1)
+      .map { case ((dw, hr), xs) =>
+        (dw, hr, xs.length.toLong, xs.map(_._3).distinct.length.toLong,
+          r6(xs.length.toDouble / byDay(dw)))
+      }
+    assert(got.toSeq == expected)
+    got.groupBy(_._1).foreach { case (dw, cells) =>
+      val s = cells.map(_._5).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"dow $dw shares sum to $s")
+    }
+  }
+
   test("ev_stickiness: ratio replays from (user, day) pairs; bounds hold") {
     val got = EventQueries.evStickiness.fn(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
