@@ -211,6 +211,55 @@ object MultimodalQueries {
          |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
   }
 
+  /** CLUSTER-COMPOSITION profile — the SemDeDup-style QA readout over
+    * the SAVED IVF index's cells joined back to the TEXT modality: per
+    * quantizer cell, the language mix (doc counts + within-cell
+    * share). This is the table a curation pass reads to see whether
+    * embedding clusters align with metadata (a cell dominated by one
+    * language means the quantizer is partly encoding language — the
+    * known SemDeDup caveat), and a fifth consumer of the one ivf_c8
+    * build (top-k, range, semantic dedup, recall eval, now QA).
+    *
+    * Scale shape: the cells scan carries (cid, vec_id) only (columns
+    * pruned from the cid-partitioned layout), the text join is
+    * id-keyed, and the rollup collapses to ≤ k·|langs| rows map-side;
+    * the per-cell total join runs on ≤ k rows. */
+  val multimodalClusterProfile: GQuery = GQuery(
+    "multimodal_cluster_profile",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |cl AS (
+       |  SELECT f.cid, d.lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM fin f JOIN documents d ON d.doc_id = f.vec_id
+       |  GROUP BY f.cid, d.lang),
+       |tot AS (SELECT cid, sum(n_docs) AS ct FROM cl GROUP BY cid)
+       |SELECT c.cid, c.lang, c.n_docs,
+       |  round(CAST(c.n_docs AS DOUBLE) / t.ct, 6) AS cell_share
+       |FROM cl c JOIN tot t USING (cid)
+       |ORDER BY cid, lang""".stripMargin) { (s, dir) =>
+    // the exact same vector prep sim_topk_ivf builds from, so a fresh
+    // build here is bit-identical to the one the serving path ships
+    val ev = SimQueries.vecs(s, dir).select(col("vec_id"), col("v"))
+    val ivfPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
+        k = 8, rounds = 2)
+    }
+    val cells = s.read.parquet(s"$ivfPath/cells")
+      .select(col("cid"), col("vec_id"))
+    val cl = cells
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+      .groupBy(col("cid"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cl.groupBy(col("cid")).agg(sum(col("n_docs")).as("ct"))
+    cl.join(tot, Seq("cid"))
+      .select(col("cid"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("ct"), 6)
+          .as("cell_share"))
+      .orderBy(col("cid"), col("lang"))
+  }
+
   val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures,
-    multimodalDedup, multimodalShardManifest, multimodalPhashNeardup)
+    multimodalDedup, multimodalShardManifest, multimodalPhashNeardup,
+    multimodalClusterProfile)
 }

@@ -1716,6 +1716,75 @@ object SimQueries {
       .orderBy(col("probe_id"))
   }
 
+  /** PQ RECONSTRUCTION-DISTORTION audit — [[embedSq8Error]]'s readout
+    * for the PRODUCT quantizer, served from the SAVED ivfpq_c8r8
+    * index (fifth consumer: codebooks + per-vector codes are read
+    * back from the index the serving path ships, so this audits the
+    * bytes actually deployed, not a re-derivation): per label, the
+    * mean and max squared reconstruction error Σ_s‖sub_s −
+    * codebook_s[code_s]‖². Next to the SQ8 table this completes the
+    * quantizer decision matrix (8× int8 scalar grid vs 32× one-byte
+    * PQ codes) a 100 TB ANN deployment reads before choosing its
+    * memory tier.
+    *
+    * Determinism: per-subspace d2 is the index build's own assignment
+    * expression (dot(sub,sub) − 2·dot(sub,c) + dot(c,c), the vec_dot
+    * fold both engines share) rounded to the DECIMAL(18,8) grid; the
+    * per-vector sum over the 8 subspaces is an exact decimal sum.
+    *
+    * Scale shape: the cells scan carries (vec, codes); the codebook
+    * join attaches ≤ m·ksub = 512 rows (un-hinted — AQE promotes);
+    * per-label rollup is map-side-combining over ≤|labels| rows. */
+  val embedPqError: GQuery = GQuery(
+    "embed_pq_error",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |${pqOracleCte(m = 8, subDim = 8, ksub = 64, rounds = 2)},
+       |err AS (
+       |  SELECT sv.vec_id,
+       |    CAST(round(list_dot_product(sv.sub, sv.sub)
+       |      - 2 * list_dot_product(sv.sub, cb.c)
+       |      + list_dot_product(cb.c, cb.c), 8) AS DECIMAL(18,8)) AS d2
+       |  FROM sv
+       |  JOIN enc ON sv.vec_id = enc.vec_id AND sv.s = enc.s
+       |  JOIN cbfin cb ON cb.s = enc.s AND cb.code = enc.code),
+       |pv AS (SELECT vec_id, sum(d2) AS sse FROM err GROUP BY vec_id),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT CAST(label AS INT) AS label,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(sum(sse) AS DOUBLE) / count(*), 6) AS mean_sse,
+       |  round(CAST(max(sse) AS DOUBLE), 6) AS max_sse
+       |FROM pv JOIN lab USING (vec_id)
+       |GROUP BY label
+       |ORDER BY label""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val pqPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivfpq_c8r8", dir, "embeddings.parquet")) {
+      tmp => graft.api.IvfPq.build(ev, "vec_id", "v", tmp,
+        k = 8, rounds = 2, m = 8, ksub = 64)
+    }
+    val cells = s.read.parquet(s"$pqPath/cells")
+      .select(col("vec_id"), col("v"), col("codes"))
+    val cb = s.read.parquet(s"$pqPath/codebooks")
+    val sub = cells
+      .select(col("vec_id"), col("v"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .withColumn("sub", expr("slice(v, 8 * s + 1, 8)"))
+      .join(cb, Seq("s", "code"))
+      .select(col("vec_id"),
+        round(expr("vec_dot(sub, sub) - 2 * vec_dot(sub, c)"
+          + " + vec_dot(c, c)"), 8).cast("decimal(18,8)").as("d2"))
+    val pv = sub.groupBy(col("vec_id")).agg(sum(col("d2")).as("sse"))
+    pv.join(vecs(s, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("sse")).cast("double") / count(lit(1)), 6)
+          .as("mean_sse"),
+        round(max(col("sse")).cast("double"), 6).as("max_sse"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
@@ -1723,5 +1792,5 @@ object SimQueries {
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
       simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,
-      simBm25Topk, simRecallIvf)
+      simBm25Topk, simRecallIvf, embedPqError)
 }

@@ -2088,6 +2088,79 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("embed_pq_error: distortion replays from the saved index bytes") {
+    val got = SimQueries.embedPqError.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val pqPath = graft.IndexStore.stampedPath("ivfpq_c8r8", sfDir,
+      "embeddings.parquet")
+    val cells = spark.read.parquet(s"$pqPath/cells")
+      .select($"vec_id", $"v", $"codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Int](2).toArray))
+    val cb = spark.read.parquet(s"$pqPath/codebooks")
+      .select($"s", $"code", $"c").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val labels = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def r(x: Double, p: Int): BigDecimal =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP)
+    val sse = cells.map { case (id, v, codes) =>
+      id -> codes.zipWithIndex.map { case (code, s) =>
+        val sub = v.slice(8 * s, 8 * s + 8)
+        val c = cb((s, code))
+        r(dot(sub, sub) - 2 * dot(sub, c) + dot(c, c), 8)
+      }.sum
+    }
+    val expected = sse.groupBy(x => labels(x._1)).toSeq.sortBy(_._1)
+      .map { case (lab, xs) =>
+        (lab, xs.length.toLong,
+          r(xs.map(_._2).sum.toDouble / xs.length, 6).toDouble,
+          r(xs.map(_._2).max.toDouble, 6).toDouble)
+      }
+    assert(got.toSeq == expected)
+    // codes must quantize: every label carries positive distortion
+    assert(got.forall(_._3 > 0))
+  }
+
+  test("multimodal_cluster_profile: shares partition each cell; cells partition the corpus") {
+    val got = MultimodalQueries.multimodalClusterProfile.fn(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // cells partition the joined corpus exactly once
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(got.map(_._3).sum == nDocs)
+    // shares sum to 1 within each cell and respect the counts
+    got.groupBy(_._1).foreach { case (cid, rows) =>
+      val tot = rows.map(_._3).sum
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4,
+        s"cell $cid shares do not sum to 1")
+      rows.foreach { case (_, lang, n, share) =>
+        val exp = BigDecimal(n.toDouble / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(share == exp, s"cell $cid/$lang share mismatch")
+      }
+    }
+    // the per-cell totals must MATCH the saved index's cells exactly
+    val ivfPath = graft.IndexStore.stampedPath("ivf_c8", sfDir,
+      "embeddings.parquet")
+    val idx = spark.read.parquet(s"$ivfPath/cells")
+      .groupBy($"cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (cid, rows) =>
+      assert(idx.get(cid).contains(rows.map(_._3).sum),
+        s"cell $cid size disagrees with the saved index")
+    }
+    assert(got.map(_._1).toSet == idx.keySet,
+      "every saved cell must appear in the profile")
+  }
+
   test("ev_stickiness: ratio replays from (user, day) pairs; bounds hold") {
     val got = EventQueries.evStickiness.fn(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
