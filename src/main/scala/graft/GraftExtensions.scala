@@ -55,9 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => WordNgrams(exprs.head,
         intLit("word_ngrams", exprs(1)))))
     ext.injectFunction((FunctionIdentifier("char_ngrams"),
-      info("char_ngrams", "char_ngrams(s, n) - sliding character n-grams"),
+      info("char_ngrams",
+        "char_ngrams(s, n[, step]) - sliding character n-grams"),
       (exprs: Seq[Expression]) => CharNgrams(exprs.head,
-        intLit("char_ngrams", exprs(1)))))
+        intLit("char_ngrams", exprs(1)),
+        if (exprs.length > 2) intLit("char_ngrams", exprs(2)) else 1)))
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b, minNeeded) - early-exit merge " +

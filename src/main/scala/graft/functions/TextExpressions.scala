@@ -58,11 +58,14 @@ case class WordNgrams(child: Expression, n: Int)
 }
 
 /** Character n-gram (sliding substring) generation, one pass per row —
-  * same motivation as [[WordNgrams]]; used by the fingerprint sketch.
-  * Registered as `char_ngrams(str, n)`. */
-case class CharNgrams(child: Expression, n: Int)
+  * same motivation as [[WordNgrams]]; used by the fingerprint sketch
+  * and (with `step` = 2 over a hex string) the byte-aligned window
+  * features of the perceptual-hash near-dup pass.
+  * Registered as `char_ngrams(str, n[, step])` (step defaults 1). */
+case class CharNgrams(child: Expression, n: Int, step: Int = 1)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "ngram size must be >= 1")
+  require(step >= 1, "ngram step must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -71,17 +74,19 @@ case class CharNgrams(child: Expression, n: Int)
     val len = s.numChars()
     val m = len - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](m)
+    val out = new Array[Any]((m + step - 1) / step)
     var i = 0
+    var j = 0
     while (i < m) {
-      out(i) = s.substring(i, i + n)
-      i += 1
+      out(j) = s.substring(i, i + n)
+      i += step
+      j += 1
     }
     new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
-    copy(child = newChild)
+    copy(child = newChild, n = n, step = step)
 }
 
 object TextExpressions {
@@ -109,7 +114,8 @@ object TextExpressions {
       exprs => WordNgrams(exprs.head, intLitArg("word_ngrams", exprs(1))),
       "built-in")
     reg.createOrReplaceTempFunction("char_ngrams",
-      exprs => CharNgrams(exprs.head, intLitArg("char_ngrams", exprs(1))),
+      exprs => CharNgrams(exprs.head, intLitArg("char_ngrams", exprs(1)),
+        if (exprs.length > 2) intLitArg("char_ngrams", exprs(2)) else 1),
       "built-in")
   }
 }

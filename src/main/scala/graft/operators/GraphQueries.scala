@@ -453,12 +453,14 @@ object GraphQueries {
     def norm8(x: org.apache.spark.sql.Column,
         m: org.apache.spark.sql.Column) =
       round(x.cast("double") / m.cast("double"), 8).cast("decimal(12,8)")
-    def normalize(scores: DataFrame, key: String, v: String): DataFrame = {
-      val c = scores.localCheckpoint(true)
-      c.crossJoin(broadcast(c.agg(max(col(v)).as("m"))))
+    // only the normalized OUTPUT is checkpointed: that alone keeps
+    // lineage (and the hinted max-scalar subtree) from doubling per
+    // round; the un-checkpointed `scores` agg is recomputed once for
+    // the max side — one cheap aggregate over the checkpointed edges
+    def normalize(scores: DataFrame, key: String, v: String): DataFrame =
+      scores.crossJoin(broadcast(scores.agg(max(col(v)).as("m"))))
         .select(col(key), norm8(col(v), col("m")).as(v))
         .localCheckpoint(true)
-    }
     val a1n = normalize(
       e.groupBy(col("dst")).agg(count(lit(1)).as("a")), "dst", "a")
     val h1n = normalize(e.join(a1n, Seq("dst")).groupBy(col("src"))

@@ -168,14 +168,15 @@ object MultimodalQueries {
     * equi-join, never all-pairs. */
   val multimodalPhashNeardup: GQuery = {
     val sparkImpl = (s: SparkSession, dir: String) => {
+      graft.functions.TextExpressions.register(s)
+      // byte-aligned 4-byte windows = step-2 8-grams over the hex
+      // string, via the native single-pass char_ngrams expression (an
+      // interpreted transform lambda here cost 3× the whole query)
       val feats = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .withColumn("hx", hex(col("payload")))
-        .withColumn("features", expr(
-          """array_join(transform(
-            |  sequence(0, greatest(CAST(octet_length(payload) AS INT)
-            |                         - 4, 0)),
-            |  i -> substr(hx, 2 * i + 1, 8)), ' ')""".stripMargin))
+        .withColumn("features", array_join(
+          call_function("char_ngrams", hex(col("payload")), lit(8),
+            lit(2)), " "))
       val sim = graft.api.Dedup.simhashSignatures(
         feats, "doc_id", "features")
       graft.api.Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
@@ -189,7 +190,7 @@ object MultimodalQueries {
          |tok AS (
          |  SELECT DISTINCT doc_id,
          |    unnest([substr(hx, 2 * i + 1, 8)
-         |            for i in generate_series(0, greatest(nb - 4, 0))])
+         |            for i in generate_series(0, nb - 4)])
          |      AS term
          |  FROM pay),
          |th AS (SELECT doc_id, term,

@@ -111,6 +111,13 @@ class FunctionsSpec extends SparkTestBase {
     assert(grams == Seq("a b c", "b c d"))
     val chars = df.select(expr("char_ngrams(t, 3)")).as[Seq[String]].head()
     assert(chars == Seq("a b", " b ", "b c", " c ", "c d"))
+    // step > 1: strided windows (the byte-aligned hex-window recipe)
+    val strided = df.select(expr("char_ngrams(t, 3, 2)"))
+      .as[Seq[String]].head()
+    assert(strided == Seq("a b", "b c", "c d"))
+    val short = df.select(expr("char_ngrams('ab', 3, 2)"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
     // degenerate: fewer tokens than n -> empty array, not an error
     val empty = Seq("a b").toDF("t")
       .select(expr("word_ngrams(split(t, ' '), 3)")).as[Seq[String]].head()
