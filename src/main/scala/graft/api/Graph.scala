@@ -308,14 +308,20 @@ object Graph {
     require(iters >= 1, "kCore needs at least one peel round")
     var cur = edges.select(col(src).as("src"), col(dst).as("dst"))
     var surv: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       surv = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"), col("deg"))
         .localCheckpoint(true)
-      cur = cur
-        .join(surv.select(col("node").as("src")), Seq("src"))
-        .join(surv.select(col("node").as("dst")), Seq("dst"))
+      if (t < iters) {
+        // checkpoint the peeled edge frame too: without this, round
+        // t's degree pass replays every earlier round's joins off the
+        // raw edges — O(rounds²) join work instead of O(rounds)
+        cur = cur
+          .join(surv.select(col("node").as("src")), Seq("src"))
+          .join(surv.select(col("node").as("dst")), Seq("dst"))
+          .localCheckpoint(true)
+      }
     }
     surv
   }
