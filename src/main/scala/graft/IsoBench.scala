@@ -46,7 +46,15 @@ object IsoBench {
     "win_frame_rows", "sink_compact_small_files", "text_entropy",
     // round-12 session 3: the only new rows above the 1 s warm band
     "sample_token_budget", "pipeline_filter_funnel",
-    "text_langid_confusion")
+    "text_langid_confusion",
+    // round-12 sessions 4-8: every later addition above the 1 s warm
+    // band in the session-8 quiet bench (186.1 s / 268 q), so the
+    // standing artifact adjudicates the whole fleet's expensive tail
+    "graph_k_core", "graph_jaccard_linkpred", "sim_lex_ingest",
+    "graph_hits", "graph_clustering_coeff", "embed_pca_power",
+    "merge_partition_overwrite", "sim_knn_graph",
+    "tpch_q21_waiting_supplier", "text_rake_keywords", "sim_bm25_topk",
+    "multimodal_phash_neardup")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
