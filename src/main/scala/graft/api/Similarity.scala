@@ -492,4 +492,90 @@ object Similarity {
   private[graft] def lexBucket(nBuckets: Int) =
     pmod(Sampling.portableHash(col("term"), "lex:"), lit(nBuckets))
       .cast("int")
+
+  /** Build a BM25 serving index (k1 = 1.2, b = 0.75): everything a
+    * query needs is precomputed and stored, so serving touches no
+    * corpus-global state —
+    *  - `postings/` (bkt, term, doc_id, tf), term-hash-bucketed like
+    *    [[lexIndexBuild]] so probes prune to their terms' buckets;
+    *  - `termstats/` (bkt, term, idf) with idf already on the
+    *    DECIMAL(14,8) grid (ln((N−df+0.5)/(df+0.5)+1) rounded 8) —
+    *    the corpus size N is baked in at build;
+    *  - `docnorm/` (doc_id, lnorm) with the per-doc length norm
+    *    k1·(1−b) + k1·b·dl/avgdl on the same grid — avgdl baked in;
+    *  - `meta/` (n_buckets).
+    * Every stored value is computed by the exact expressions the
+    * in-memory spelling uses, so an index-served query is
+    * value-identical to the from-scratch one (Bm25IndexSpec pins
+    * it). */
+  def bm25IndexBuild(docs: DataFrame, id: String, text: String,
+      path: String, nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val tok = docs.select(col(id).as("doc_id"),
+      explode(split(col(text), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nt = docs.agg(count(lit(1)).as("n"))
+    val tt = tok.agg(count(lit(1)).as("t"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.withColumn("bkt", lexBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$path/postings")
+    df.crossJoin(broadcast(nt))
+      .select(col("term"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 8)
+          .cast("decimal(14,8)").as("idf"))
+      .withColumn("bkt", lexBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$path/termstats")
+    dl.crossJoin(broadcast(nt)).crossJoin(broadcast(tt))
+      .select(col("doc_id"),
+        round(lit(0.3) + lit(0.9)
+          * ((col("dl") * col("n")).cast("double") / col("t")), 8)
+          .cast("decimal(14,8)").as("lnorm"))
+      .write.mode("overwrite").parquet(s"$path/docnorm")
+  }
+
+  /** Serve BM25 top-k from a [[bm25IndexBuild]] index: probe terms
+    * prune the postings AND termstats scans to their buckets (literal
+    * `bkt IN` → PartitionFilters, the [[lexSharedTerms]] discipline),
+    * the per-term score is the same fixed double expression over the
+    * STORED decimal grids, and the per-(probe, doc) score is the
+    * exact decimal sum — value-identical to the from-scratch
+    * spelling, cost proportional to the probes' posting lists. */
+  def bm25TopK(probes: DataFrame, id: String, text: String,
+      path: String, k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("n_buckets")
+    val pterms = probes.select(col(id).as("probe_id"),
+        explode(split(col(text), " ")).as("term")).distinct()
+      .withColumn("bkt", lexBucket(nBuckets))
+    val bks = pterms.select(col("bkt")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    def pruned(name: String) = spark.read.parquet(s"$path/$name")
+      .filter(col("bkt").isin(bks.map(_.asInstanceOf[Any]): _*))
+    val sc = pterms
+      .join(pruned("postings"), Seq("bkt", "term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(pruned("termstats"), Seq("bkt", "term"))
+      .join(spark.read.parquet(s"$path/docnorm"), Seq("doc_id"))
+      .withColumn("s8",
+        round(col("idf").cast("double") * (col("tf") * lit(2.2))
+          / (col("tf") + col("lnorm").cast("double")), 8)
+          .cast("decimal(16,8)"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("s8")).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sc").desc, col("doc_id"))
+    sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("doc_id"),
+        round(col("sc").cast("double"), 6).as("score"))
+  }
 }

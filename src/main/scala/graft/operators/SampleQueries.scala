@@ -337,8 +337,50 @@ object SampleQueries {
       .orderBy(col("label"), col("vec_id"))
   }
 
+  /** K-FOLD cross-validation manifest — [[sampleSplitAssign]]'s
+    * holdout generalized to the CV loop: fold = portable-hash(doc_id)
+    * mod 5, reported as the per-(fold, lang) manifest plus each
+    * fold's share of the corpus (balance readout — hashed folds are
+    * near-uniform but never exactly 1/k, and the table shows by how
+    * much). The fold is a pure function of the id, so every engine,
+    * re-read, and training job derives the same folds with no stored
+    * assignment table.
+    *
+    * Scale shape: per-row projection + one map-side-combining rollup
+    * to the ≤ 5·|langs| grid + a 1-row total broadcast for the
+    * share. Streaming-safe (stateless assignment). */
+  val sampleKfoldAssign: GQuery = GQuery(
+    "sample_kfold_assign",
+    s"""WITH a AS (
+       |  SELECT lang, n_chars,
+       |    ${duckHash("concat('kf:', CAST(doc_id AS VARCHAR))")} % 5
+       |      AS fold
+       |  FROM documents),
+       |g AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |      FROM a GROUP BY fold, lang),
+       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+       |SELECT CAST(fold AS INT) AS fold, lang, n_docs, sum_chars,
+       |  round(CAST(n_docs AS DOUBLE) / total, 6) AS corpus_share
+       |FROM g, t
+       |ORDER BY fold, lang""".stripMargin) { (s, dir) =>
+    val a = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        (graft.api.Sampling.portableHash(col("doc_id"), "kf:") % 5)
+          .cast("int").as("fold"))
+    val g = a.groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+    val t = g.agg(sum(col("n_docs")).cast("bigint").as("total"))
+    g.crossJoin(broadcast(t))
+      .select(col("fold"), col("lang"), col("n_docs"), col("sum_chars"),
+        round(col("n_docs").cast("double") / col("total"), 6)
+          .as("corpus_share"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
     sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
     sampleTemperature, sampleTokenBudget, sampleBottomK,
-    sampleClassBalance)
+    sampleClassBalance, sampleKfoldAssign)
 }

@@ -171,6 +171,49 @@ object EventStreams {
       }
   }
 
+  case class GrowthMark(user_id: Long, epoch_day: Long, cls: String)
+
+  /** GROWTH-ACCOUNTING classification as keyed streaming state — the
+    * streaming twin of ev_growth_accounting's per-(user, day) labels:
+    * state is TWO numbers per user (first-seen day, last-active day);
+    * each newly seen activity day emits `new` (first ever),
+    * `retained` (previous calendar day active) or `resurrected`
+    * (gap > 1 day). On ordered feeds the drained marks aggregate to
+    * exactly the batch matrix's new/retained/resurrected columns
+    * (churned is a derived batch readout: dau(d−1) − retained(d) —
+    * the same identity the batch query uses). Days at or before the
+    * last-active day are late duplicates and emit nothing, so
+    * re-delivery is idempotent and the output is split-independent
+    * on ordered delivery (EventStreamsSpec pins one-batch ≡ splits).
+    *
+    * @param day event → epoch-day of its activity */
+  def growthAccounting[E](events: Dataset[E], uid: E => Long,
+      day: E => Long): Dataset[GrowthMark] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(uid)
+      .flatMapGroupsWithState[(Long, Long), GrowthMark](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[E], state: GroupState[(Long, Long)]) =>
+          val days = rows.map(day).toSeq.distinct.sorted
+          var (first, last) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[GrowthMark]
+          days.foreach { d =>
+            if (d > last) {
+              val cls =
+                if (first == Long.MinValue) "new"
+                else if (d == last + 1) "retained"
+                else "resurrected"
+              if (first == Long.MinValue) first = d
+              last = d
+              out += GrowthMark(user, d, cls)
+            }
+          }
+          if (first != Long.MinValue) state.update((first, last))
+          out.result().iterator
+      }
+  }
+
   def transitions[E](events: Dataset[E], uid: E => Long,
       ts: E => (Long, Long), typ: E => String): Dataset[Transition] = {
     import events.sparkSession.implicits._

@@ -169,7 +169,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // literal-filtered probe set (exact tier) + the saved-IVF serving
     // probes: k-row centers, probed-cell set, probe frame — all
     // probe- or k-bounded (the sim_topk_ivf proof)
-    "sim_recall_ivf" -> 4
+    "sim_recall_ivf" -> 4,
+    // 1-row corpus-total scalar (the fold-share divide)
+    "sample_kfold_assign" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

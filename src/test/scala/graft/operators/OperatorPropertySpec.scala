@@ -1464,6 +1464,23 @@ class OperatorPropertySpec extends SparkTestBase {
       s"no bkt PartitionFilters on the postings scan:\n$plan")
   }
 
+  test("sim_bm25_indexed: equals the from-scratch spelling; scans are bucket-pruned") {
+    val mk = "spark.sql.maxMetadataStringLength"
+    val savedLen = spark.conf.get(mk)
+    spark.conf.set(mk, "10000")
+    val indexed = SimQueries.simBm25Indexed.fn(spark, sfDir)
+    val plan = try indexed.queryExecution.executedPlan.toString
+      finally spark.conf.set(mk, savedLen)
+    val got = indexed.collect().map(_.toSeq).toSeq
+    val inMem = SimQueries.simBm25Topk.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == inMem, "saved-index spelling diverged from in-memory")
+    // the point of the index: postings + termstats reads prune on bkt
+    val pruneRe = """PartitionFilters: \[[^\]]*bkt[^\]]*\]""".r
+    assert(pruneRe.findAllIn(plan).size >= 2,
+      s"bkt PartitionFilters missing on postings/termstats scans:\n$plan")
+  }
+
   test("ev_attribution_position: credit conserves touched purchases; models agree on totals") {
     val pos = EventQueries.evAttributionPosition.fn(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
@@ -2159,6 +2176,37 @@ class OperatorPropertySpec extends SparkTestBase {
     }
     assert(got.map(_._1).toSet == idx.keySet,
       "every saved cell must appear in the profile")
+  }
+
+  test("sample_kfold_assign: folds replay from the portable hash and partition the corpus") {
+    val got = SampleQueries.sampleKfoldAssign.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(id: Long): Int = {
+      val hex = md.digest(s"kf:$id".getBytes("UTF-8"))
+        .map(b => "%02x".format(b & 0xff)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) % 5).toInt
+    }
+    val total = docs.length
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.groupBy(d => (fold(d._1), d._2)).toSeq
+      .sortBy(_._1)
+      .map { case ((f, lang), xs) =>
+        (f, lang, xs.length.toLong, xs.map(_._3).sum,
+          r6(xs.length.toDouble / total)) }
+    assert(got.toSeq == expected)
+    // folds partition the corpus; every fold is populated and roughly
+    // balanced (hashed assignment: no fold may hold half the corpus)
+    assert(got.map(_._3).sum == total)
+    val perFold = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(perFold.keySet == Set(0, 1, 2, 3, 4))
+    perFold.foreach { case (f, n) =>
+      assert(n < total / 2, s"fold $f holds $n of $total docs") }
   }
 
   test("ev_stickiness: ratio replays from (user, day) pairs; bounds hold") {

@@ -62,7 +62,8 @@ class PlanShapeSpec extends SparkTestBase {
     "merge_incremental_agg", // 1-row cutoff-date scalar cross join (inequality compare)
     "sim_bm25_topk",    // 1-row corpus-size / token-total scalars (N, T) cross-joined
     "graph_hits",       // four 1-row max-normalization scalars cross-joined per half-step
-    "sim_recall_ivf")   // ground-truth tier IS sim_cosine_topk's probe-broadcast scan
+    "sim_recall_ivf",   // ground-truth tier IS sim_cosine_topk's probe-broadcast scan
+    "sample_kfold_assign") // 1-row corpus-total scalar cross join (share divide)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()

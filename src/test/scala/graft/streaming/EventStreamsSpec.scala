@@ -261,6 +261,43 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("growthAccounting: drained marks roll up to the batch matrix; split-independent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ordered = fixture.sortBy(e => (e.ts.getTime, e.event_id))
+    def epochDay(e: Ev): Long = e.ts.getTime / 86400000L
+    def run(name: String, batchSize: Int): Map[(Long, Long), String] = {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.growthAccounting[Ev](mem.toDS(), _.user_id,
+          epochDay)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      ordered.grouped(batchSize).foreach { b =>
+        mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[(Long, Long, String)].collect()
+        .map { case (u, d, c) => (u, d) -> c }.toMap
+    }
+    val oneBatch = run("growth_one", ordered.size)
+    val split = run("growth_split", 250)
+    assert(oneBatch == split && oneBatch.nonEmpty,
+      "micro-batch splitting changed the classification")
+    // roll up to the batch contract query's per-day matrix
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val byDay = oneBatch.toSeq
+      .groupBy { case ((_, d), _) =>
+        java.time.LocalDate.ofEpochDay(d).format(fmt) }
+      .view.mapValues { xs =>
+        (xs.count(_._2 == "new").toLong,
+          xs.count(_._2 == "retained").toLong,
+          xs.count(_._2 == "resurrected").toLong)
+      }.toMap
+    val batch = graft.operators.EventQueries.evGrowthAccounting.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byDay == batch,
+      "drained marks disagree with the batch growth matrix")
+  }
+
   test("event-time TTL evicts idle keyed state; a returning user restarts from zero") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
