@@ -1570,6 +1570,173 @@ object EventQueries {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /** HOLT double-exponential (linear-trend) forecast backtest over the
+    * per-type daily event-count series — the level+trend upgrade of
+    * `ev_forecast_baseline`'s seasonal-naive: l_t = α·y_t +
+    * (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} with
+    * α = 0.5, β = 0.25 (exact binary fractions), initialized l₂ = y₂,
+    * b₂ = y₂−y₁; the one-step-ahead forecast ŷ_t = l_{t−1}+b_{t−1}
+    * scores a MAE backtest over t ≥ 3, and the head of the output is
+    * tomorrow's forecast l_T+b_T. The coupled level/trend recursion has
+    * no window spelling (unlike EMA's closed-form weight expansion, the
+    * round-12 leave-behind note) — the distributed spelling is a
+    * per-group FOLD over the calendar-bounded day series:
+    * `aggregate(sort_array(collect_list(...)))` carries O(1) state
+    * (t, l, b, Σ|err|, y₁) through ≤366 ordered steps per group, and
+    * the DuckDB oracle replays the identical double recursion as a
+    * recursive CTE — same IEEE ops in the same order, so the rounded
+    * outputs are bit-identical.
+    *
+    * Scale shape: one map-side-combining daily aggregate is the only
+    * corpus-sized stage; the fold runs on |event_type| rows of ≤366
+    * elements each — the calendar, not the corpus, bounds the
+    * sequential work, and the fold itself is whole-stage-codegen'd
+    * (HOF, not a UDF). */
+  val evHoltForecast: GQuery = GQuery(
+    "ev_holt_forecast",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |h AS (
+      |  SELECT s2.event_type, 2 AS t, s2.y AS l, s2.y - s1.y AS b,
+      |    CAST(0 AS DOUBLE) AS esum
+      |  FROM s s1 JOIN s s2
+      |    ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+      |  UNION ALL
+      |  SELECT h.event_type, h.t + 1,
+      |    0.5 * s.y + 0.5 * (h.l + h.b),
+      |    0.25 * ((0.5 * s.y + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b,
+      |    h.esum + abs(s.y - (h.l + h.b))
+      |  FROM h JOIN s ON s.event_type = h.event_type AND s.rn = h.t + 1),
+      |f AS (SELECT event_type, max(t) AS tmax FROM h GROUP BY 1)
+      |SELECT h.event_type, CAST(h.t AS BIGINT) AS n_days,
+      |  round(h.l, 6) AS level, round(h.b, 6) AS trend,
+      |  round(h.l + h.b, 6) AS forecast_next,
+      |  round(h.esum / (h.t - 2), 6) AS mae
+      |FROM h JOIN f ON h.event_type = f.event_type AND h.t = f.tmax
+      |ORDER BY h.event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val st = d.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("ser"))
+      .withColumn("st", expr(
+        """aggregate(ser,
+          |  named_struct('t', 0, 'l', CAST(0 AS DOUBLE),
+          |    'b', CAST(0 AS DOUBLE), 'esum', CAST(0 AS DOUBLE),
+          |    'y1', CAST(0 AS DOUBLE)),
+          |  (acc, e) -> CASE
+          |    WHEN acc.t = 0 THEN named_struct('t', 1, 'l', e.y,
+          |      'b', CAST(0 AS DOUBLE), 'esum', CAST(0 AS DOUBLE),
+          |      'y1', e.y)
+          |    WHEN acc.t = 1 THEN named_struct('t', 2, 'l', e.y,
+          |      'b', e.y - acc.y1, 'esum', CAST(0 AS DOUBLE),
+          |      'y1', acc.y1)
+          |    ELSE named_struct('t', acc.t + 1,
+          |      'l', 0.5D * e.y + 0.5D * (acc.l + acc.b),
+          |      'b', 0.25D * ((0.5D * e.y + 0.5D * (acc.l + acc.b))
+          |             - acc.l) + 0.75D * acc.b,
+          |      'esum', acc.esum + abs(e.y - (acc.l + acc.b)),
+          |      'y1', acc.y1)
+          |  END)""".stripMargin))
+    st.select(col("event_type"),
+        col("st.t").cast("bigint").as("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + col("st.b"), 6).as("forecast_next"),
+        round(col("st.esum") / (col("st.t") - 2), 6).as("mae"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A/B-TEST readout — the two-proportion z-test every experimentation
+    * platform computes: users are assigned to control/treatment by the
+    * fleet's portable salted 48-bit hash (`Sampling.portableHash`, salt
+    * `ab:` — the SAME deterministic bucketing the sample_* family uses,
+    * so assignment is reproducible on any engine and any run; never
+    * seed-based `rand()`), conversion = "made at least one big-ticket
+    * purchase (value > 100)", and the single-row report carries both
+    * arms' counts/rates, the absolute lift, and the pooled-variance
+    * z-score z = (p_t−p_c) / √(p̂(1−p̂)(1/n_c+1/n_t)). Every double op
+    * appears in the same order in both engines, so the rounded z is
+    * bit-identical.
+    *
+    * Scale shape: variant is a per-row projection (no assignment
+    * table, no join); one map-side-combining per-user aggregate is the
+    * only corpus-sized stage; the z-test itself runs on a 1-row frame.
+    * At 100 TB the per-user grain shuffles once on user_id — the
+    * minimum any per-user conversion metric can do. */
+  val evAbZtest: GQuery = GQuery(
+    "ev_ab_ztest",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    ${DedupQueries.duckHash("concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 100
+       |             THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1, 2),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_control,
+       |    CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_control,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_treatment,
+       |    CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_treatment
+       |  FROM u)
+       |SELECT n_control, conv_control,
+       |  round(CAST(conv_control AS DOUBLE) / n_control, 6)
+       |    AS rate_control,
+       |  n_treatment, conv_treatment,
+       |  round(CAST(conv_treatment AS DOUBLE) / n_treatment, 6)
+       |    AS rate_treatment,
+       |  round(CAST(conv_treatment AS DOUBLE) / n_treatment
+       |    - CAST(conv_control AS DOUBLE) / n_control, 6) AS lift,
+       |  round((CAST(conv_treatment AS DOUBLE) / n_treatment
+       |      - CAST(conv_control AS DOUBLE) / n_control)
+       |    / sqrt(
+       |      (CAST(conv_control + conv_treatment AS DOUBLE)
+       |        / (n_control + n_treatment))
+       |      * (1 - CAST(conv_control + conv_treatment AS DOUBLE)
+       |        / (n_control + n_treatment))
+       |      * (CAST(1 AS DOUBLE) / n_control
+       |        + CAST(1 AS DOUBLE) / n_treatment)), 6) AS z_score
+       |FROM a""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .withColumn("v",
+        graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+      .groupBy(col("user_id"), col("v"))
+      .agg(max(when(col("event_type") === "purchase"
+        && col("value") > 100, 1).otherwise(0)).as("conv"))
+    val a = u.agg(
+      sum(when(col("v") === 0, 1).otherwise(0)).cast("bigint")
+        .as("n_control"),
+      sum(when(col("v") === 0, col("conv")).otherwise(0)).cast("bigint")
+        .as("conv_control"),
+      sum(when(col("v") === 1, 1).otherwise(0)).cast("bigint")
+        .as("n_treatment"),
+      sum(when(col("v") === 1, col("conv")).otherwise(0)).cast("bigint")
+        .as("conv_treatment"))
+    val pc = col("conv_control").cast("double") / col("n_control")
+    val pt = col("conv_treatment").cast("double") / col("n_treatment")
+    val pooled = (col("conv_control") + col("conv_treatment"))
+      .cast("double") / (col("n_control") + col("n_treatment"))
+    a.select(col("n_control"), col("conv_control"),
+      round(pc, 6).as("rate_control"),
+      col("n_treatment"), col("conv_treatment"),
+      round(pt, 6).as("rate_treatment"),
+      round(pt - pc, 6).as("lift"),
+      round((pt - pc) / sqrt(pooled * (lit(1) - pooled)
+        * (lit(1.0) / col("n_control") + lit(1.0) / col("n_treatment"))),
+        6).as("z_score"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1579,5 +1746,5 @@ object EventQueries {
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
     evValueEma, evSeasonalityDow, evForecastBaseline,
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
-    evHourlyHeatmap)
+    evHourlyHeatmap, evHoltForecast, evAbZtest)
 }

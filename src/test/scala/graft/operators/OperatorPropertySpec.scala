@@ -2233,4 +2233,56 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(avgDau <= mau, s"$m: avg dau cannot exceed mau")
     }
   }
+
+  test("ev_holt_forecast: fold replays the sequential Holt recursion") {
+    val got = EventQueries.evHoltForecast.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (et, xs) =>
+        val ys = xs.sortBy(_._2).map(_._3)
+        // the textbook sequential recursion, NOT the fold under test
+        var l = ys(1); var b = ys(1) - ys(0); var esum = 0.0
+        ys.drop(2).foreach { y =>
+          val f = l + b
+          val l2 = 0.5 * y + 0.5 * (l + b)
+          b = 0.25 * (l2 - l) + 0.75 * b
+          l = l2
+          esum += math.abs(y - f)
+        }
+        (et, ys.size.toLong, r6(l), r6(b), r6(l + b),
+          r6(esum / (ys.size - 2)))
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
+    val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
+    val (nc, cc, nt, ct) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    val conv = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 100, 1)
+        .otherwise(0)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(nc + nt == conv.length.toLong,
+      "arms must partition the user base")
+    assert(cc + ct == conv.map(_._2).sum.toLong,
+      "conversions must partition too")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pc, pt) = (cc.toDouble / nc, ct.toDouble / nt)
+    val pooled = (cc + ct).toDouble / (nc + nt)
+    val z = (pt - pc) /
+      math.sqrt(pooled * (1 - pooled) * (1.0 / nc + 1.0 / nt))
+    assert(r.getDouble(2) == r6(pc) && r.getDouble(5) == r6(pt))
+    assert(r.getDouble(6) == r6(pt - pc) && r.getDouble(7) == r6(z))
+  }
 }
