@@ -1737,6 +1737,115 @@ object EventQueries {
         6).as("z_score"))
   }
 
+  /** KAPLAN–MEIER time-to-conversion curve — survival analysis with
+    * CENSORING, the discipline `ev_conversion_lag`'s plain mean cannot
+    * provide: duration = whole hours from a user's first click to
+    * their first subsequent purchase, administratively censored at the
+    * 48-hour horizon (lag ≥ 48 h, or no purchase at all, counts as
+    * "still unconverted when observation ended", not as a datapoint at
+    * its eventual lag — the estimand is P(not yet converted by t)
+    * using only what a 48-hour-old experiment could know). Standard
+    * K-M: at each death-time t, S ∗= (1 − d_t/n_t) with n_t = users
+    * whose duration ≥ t (censored users count while at risk); output
+    * is one row per conversion hour (d_t > 0) with the at-risk /
+    * converted / censored counts and S(t).
+    *
+    * The running product is inherently sequential — like
+    * `ev_holt_forecast` it folds (`aggregate` HOF) over the
+    * horizon-bounded duration grid (≤49 rows), here with an
+    * array-building accumulator so every PREFIX product is emitted,
+    * while the DuckDB oracle replays the identical double products as
+    * a recursive CTE — same IEEE ops in the same order.
+    *
+    * Scale shape: two map-side-combining per-user aggregates (first
+    * click, first qualifying purchase) are the only corpus-sized
+    * stages; the K-M table itself lives on the ≤49-row hour grid
+    * (bounded-grid window precedent, WindowQueries frame rows), and
+    * the fold is codegen'd. */
+  val evSurvivalKm: GQuery = GQuery(
+    "ev_survival_km",
+    """WITH RECURSIVE fc AS (
+      |  SELECT user_id, min(ts) AS c FROM events
+      |  WHERE event_type = 'click' GROUP BY 1),
+      |fp AS (
+      |  SELECT f.user_id, min(e.ts) AS p
+      |  FROM fc f JOIN events e ON e.user_id = f.user_id
+      |    AND e.event_type = 'purchase' AND e.ts > f.c
+      |  GROUP BY 1),
+      |u AS (
+      |  SELECT CASE WHEN p IS NOT NULL
+      |              AND date_diff('second', c, p) // 3600 < 48
+      |         THEN CAST(date_diff('second', c, p) // 3600 AS INT)
+      |         ELSE 48 END AS t,
+      |         CASE WHEN p IS NOT NULL
+      |              AND date_diff('second', c, p) // 3600 < 48
+      |         THEN 1 ELSE 0 END AS ev
+      |  FROM fc LEFT JOIN fp USING (user_id)),
+      |tt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+      |         CAST(count(*) AS BIGINT) AS a,
+      |         CAST(sum(1 - ev) AS BIGINT) AS c FROM u GROUP BY t),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+      |r AS (SELECT t, d, c,
+      |        CAST(n - COALESCE(sum(a) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS nr,
+      |        row_number() OVER (ORDER BY t) AS rn
+      |      FROM tt, tot),
+      |km AS (
+      |  SELECT t, rn, nr, d, c, 1 - CAST(d AS DOUBLE) / nr AS s
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.t, r.rn, r.nr, r.d, r.c,
+      |    km.s * (1 - CAST(r.d AS DOUBLE) / r.nr)
+      |  FROM km JOIN r ON r.rn = km.rn + 1)
+      |SELECT CAST(t AS INT) AS t_hours, nr AS n_risk, d AS n_converted,
+      |  c AS n_censored, round(s, 6) AS survival
+      |FROM km WHERE d > 0 ORDER BY t_hours""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val fc = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c"))
+    val fp = fc.join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")), Seq("user_id"))
+      .filter(col("ts") > col("c"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p"))
+    val lag = expr("(unix_timestamp(p) - unix_timestamp(c)) DIV 3600")
+    val dead = col("p").isNotNull && lag < 48
+    val u = fc.join(fp, Seq("user_id"), "left")
+      .select(when(dead, lag.cast("int")).otherwise(lit(48)).as("t"),
+        when(dead, 1).otherwise(0).as("ev"))
+    val tt = u.groupBy(col("t"))
+      .agg(sum(col("ev")).cast("bigint").as("d"),
+        count(lit(1)).cast("bigint").as("a"),
+        sum(lit(1) - col("ev")).cast("bigint").as("c"))
+    val tot = u.agg(count(lit(1)).cast("bigint").as("n"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = tt.crossJoin(broadcast(tot))
+      .withColumn("nr",
+        (col("n") - coalesce(sum(col("a")).over(w), lit(0)))
+          .cast("bigint"))
+    r.select(struct(col("t"), col("nr"), col("d"), col("c")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("ser"))
+      .withColumn("out", expr(
+        """aggregate(ser,
+          |  named_struct('s', CAST(1 AS DOUBLE),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<t:INT, nr:BIGINT, d:BIGINT, c:BIGINT,
+          |                   s:DOUBLE>>)),
+          |  (acc, e) -> named_struct(
+          |    's', acc.s * (1 - CAST(e.d AS DOUBLE) / e.nr),
+          |    'out', concat(acc.out, array(named_struct(
+          |      't', e.t, 'nr', e.nr, 'd', e.d, 'c', e.c,
+          |      's', acc.s * (1 - CAST(e.d AS DOUBLE) / e.nr))))),
+          |  acc -> acc.out)""".stripMargin))
+      .select(explode(col("out")).as("e"))
+      .filter(col("e.d") > 0)
+      .select(col("e.t").as("t_hours"), col("e.nr").as("n_risk"),
+        col("e.d").as("n_converted"), col("e.c").as("n_censored"),
+        round(col("e.s"), 6).as("survival"))
+      .orderBy(col("t_hours"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1746,5 +1855,5 @@ object EventQueries {
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
     evValueEma, evSeasonalityDow, evForecastBaseline,
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
-    evHourlyHeatmap, evHoltForecast, evAbZtest)
+    evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm)
 }

@@ -379,8 +379,63 @@ object SampleQueries {
       .orderBy(col("fold"), col("lang"))
   }
 
+  /** SOFT-DEDUP sampling weights — the "down-weight, don't drop"
+    * alternative to hard dedup used when duplicated content should
+    * still be seen, just not over-represented: each doc gets weight
+    * 1/|dup group|, so every duplicate GROUP contributes exactly one
+    * effective document to the training mixture regardless of its
+    * copy count. The dup key is the 8-token BOILERPLATE PREFIX (the
+    * C4/RefinedWeb-style prefix-dedup signal — the fixture has no
+    * byte-exact dup texts, but prefix groups reach size 4), hashed to
+    * md5 so the group key and join key are a fixed-width digest, not
+    * the text itself. Per-lang report: raw docs, effective docs
+    * (Σ weights), the dup discount ratio, and effective char mass
+    * (Σ w·n_chars). Weights round to the DECIMAL(18,8) grid BEFORE
+    * their exact sums (the ev_value_ema grid discipline), so both
+    * engines sum identical quantized values in any order.
+    *
+    * Scale shape: one map-side-combining group-size aggregate on the
+    * digest + one digest-keyed join back (the exchange carries the
+    * 16-byte key, never the text), then a \|langs\|-row rollup — the
+    * minimum shape for any per-group reweighting at 100 TB. */
+  val sampleDedupWeights: GQuery = GQuery(
+    "sample_dedup_weights",
+    """WITH k AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    md5(array_to_string(
+      |      list_slice(string_split(text, ' '), 1, 8), ' ')) AS k
+      |  FROM documents),
+      |g AS (SELECT k, count(*) AS sz FROM k GROUP BY k),
+      |w AS (
+      |  SELECT lang, n_chars,
+      |    CAST(round(CAST(1 AS DOUBLE) / sz, 8) AS DECIMAL(18,8)) AS w
+      |  FROM k JOIN g USING (k))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(w) AS DOUBLE), 6) AS eff_docs,
+      |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS dup_discount,
+      |  round(CAST(sum(w * n_chars) AS DOUBLE), 4) AS eff_chars
+      |FROM w GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val k = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(array_join(slice(split(col("text"), " "), 1, 8), " "))
+          .as("k"))
+    val g = k.groupBy(col("k")).agg(count(lit(1)).as("sz"))
+    val w = k.join(g, Seq("k"))
+      .select(col("lang"), col("n_chars"),
+        round(lit(1.0) / col("sz"), 8).cast("decimal(18,8)").as("w"))
+    w.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        round(sum(col("w")).cast("double"), 6).as("eff_docs"),
+        round(sum(col("w")).cast("double") / count(lit(1)), 6)
+          .as("dup_discount"),
+        round(sum(col("w") * col("n_chars")).cast("double"), 4)
+          .as("eff_chars"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
     sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
     sampleTemperature, sampleTokenBudget, sampleBottomK,
-    sampleClassBalance, sampleKfoldAssign)
+    sampleClassBalance, sampleKfoldAssign, sampleDedupWeights)
 }

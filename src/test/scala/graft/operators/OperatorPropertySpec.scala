@@ -2263,6 +2263,78 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got.toSeq == expected)
   }
 
+  test("ev_survival_km: curve replays from per-user durations; S is a step-down") {
+    val got = EventQueries.evSurvivalKm.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000))
+    val firstClick = ev.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    // per-user duration under the 48 h administrative horizon
+    val durs = firstClick.toSeq.map { case (u, c) =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 > c)
+        .map(_._3)
+      val lag = if (p.isEmpty) None else Some((p.min - c) / 3600)
+      lag match {
+        case Some(h) if h < 48 => (h.toInt, 1)
+        case _                 => (48, 0)
+      }
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var s = 1.0
+    val expected = durs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (t, xs) =>
+        val d = xs.count(_._2 == 1).toLong
+        val nr = durs.count(_._1 >= t).toLong
+        s = s * (1 - d.toDouble / nr)
+        if (d > 0)
+          Some((t, nr, d, xs.count(_._2 == 0).toLong, r6(s)))
+        else None
+    }
+    assert(got.toSeq == expected)
+    // S must be strictly decreasing across emitted rows and in (0, 1]
+    got.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b < a, "survival must step down")
+      case _           =>
+    }
+    assert(got.forall(r => r._5 > 0 && r._5 <= 1.0))
+  }
+
+  test("sample_dedup_weights: each prefix group contributes one effective doc") {
+    val got = SampleQueries.sampleDedupWeights.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"lang", $"n_chars", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).take(8).mkString(" ")))
+    val sz = docs.groupBy(_._3).view.mapValues(_.size).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Σ over all langs of eff_docs == number of distinct prefix groups
+    // (each group contributes exactly weight 1 in total)
+    val totalEff = got.map(_._3).sum
+    assert(math.abs(totalEff - sz.size) < 1e-4,
+      s"effective docs $totalEff != distinct groups ${sz.size}")
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, xs) =>
+        val ws = xs.map(x => BigDecimal(1.0 / sz(x._3))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        val eff = ws.sum
+        val effChars = xs.zip(ws)
+          .map { case (x, w) => w * x._2 }.sum
+        (lang, xs.size.toLong, r6(eff.toDouble),
+          r6(eff.toDouble / xs.size),
+          BigDecimal(effChars.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
     val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
     val (nc, cc, nt, ct) =
