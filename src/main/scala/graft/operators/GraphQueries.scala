@@ -488,8 +488,105 @@ object GraphQueries {
     auth.unionAll(hub).orderBy(col("role"), col("rk"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman's r) — do hub words collocate with
+    * other hubs (r > 0) or with the periphery (r < 0)? Pearson
+    * correlation of (deg(src), deg(dst)) over the symmetric edge list
+    * of the STRONG-COLLOCATION word graph: nodes are vocabulary
+    * terms, an edge joins the two words of any adjacent-bigram pair
+    * whose count exceeds the corpus's own p75 pair count (a
+    * DATA-DRIVEN threshold — no fixture constant; the co-purchase
+    * graphs the other §2.11 rows use are complete cliques on this
+    * uniform fixture, so their degree variance is 0 and r is
+    * undefined — the thresholded collocation graph is the one fixture
+    * graph with real degree structure at every SF). With
+    * `graph_degree_distribution` and `graph_clustering_coeff` this
+    * completes the standard structural QA triple run before trusting
+    * any graph-derived feature. All five moment sums (Σx, Σy, Σxy,
+    * Σx², Σy²) are INTEGER-exact BIGINTs (degrees are counts), so the
+    * only floating-point work is one final correlation expression,
+    * spelled identically in both engines.
+    *
+    * Scale shape: bigram pair counts combine map-side off the
+    * session-memoized bigram explode; the threshold is a 1-row
+    * percentile broadcast; one map-side-combining degree aggregate;
+    * two keyed equi-joins decorate each edge with its endpoint
+    * degrees (the degree table is |vocab| rows — AQE promotes it to
+    * broadcast; no hint per the fleet policy since vocabulary scales
+    * with the corpus), then a single-row total aggregate. No windows,
+    * no collects. */
+  val graphAssortativity: GQuery = GQuery(
+    "graph_assortativity",
+    s"""WITH bg AS (
+       |  SELECT unnest([{'a': t[i], 'b': t[i+1]}
+       |                 for i in generate_series(1, len(t) - 1)]) AS p
+       |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+       |pairs AS (SELECT p.a AS a, p.b AS b, count(*) AS c
+       |          FROM bg GROUP BY 1, 2),
+       |th AS (SELECT quantile_cont(CAST(c AS DOUBLE), 0.75) AS t
+       |       FROM pairs),
+       |e AS (SELECT a AS src, b AS dst FROM pairs, th
+       |      WHERE c > t AND a <> b
+       |      UNION
+       |      SELECT b, a FROM pairs, th WHERE c > t AND a <> b),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY src),
+       |ed AS (SELECT dx.deg AS x, dy.deg AS y
+       |       FROM e JOIN deg dx ON e.src = dx.node
+       |              JOIN deg dy ON e.dst = dy.node),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |        CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * y) AS BIGINT) AS sxy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx,
+       |        CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM ed),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+       |SELECT m AS n_edges, n_nodes,
+       |  round(CAST(m AS DOUBLE) / n_nodes, 6) AS mean_degree,
+       |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |       * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+       |    6) AS assortativity
+       |FROM m, n""".stripMargin) { (s, dir) =>
+    val pairs = TextQueries.bigrams(s, dir)
+      .select(split(col("ngram"), " ").getItem(0).as("a"),
+        split(col("ngram"), " ").getItem(1).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val th = pairs.agg(
+      expr("percentile(CAST(c AS DOUBLE), 0.75d)").as("t"))
+    val strong = pairs.crossJoin(broadcast(th))
+      .filter(col("c") > col("t") && col("a") =!= col("b"))
+    val e = strong.select(col("a").as("src"), col("b").as("dst"))
+      .union(strong.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("deg"))
+    val ed = e
+      .join(deg.select(col("node").as("src"), col("deg").as("x")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")),
+        Seq("dst"))
+    val mrow = ed.agg(count(lit(1)).cast("bigint").as("m"),
+      sum(col("x")).cast("bigint").as("sx"),
+      sum(col("y")).cast("bigint").as("sy"),
+      sum(col("x") * col("y")).cast("bigint").as("sxy"),
+      sum(col("x") * col("x")).cast("bigint").as("sxx"),
+      sum(col("y") * col("y")).cast("bigint").as("syy"))
+    val nrow = deg.agg(count(lit(1)).cast("bigint").as("n_nodes"))
+    val md = col("m").cast("double")
+    mrow.crossJoin(broadcast(nrow))
+      .select(col("m").as("n_edges"), col("n_nodes"),
+        round(md / col("n_nodes"), 6).as("mean_degree"),
+        round((md * col("sxy") - col("sx").cast("double") * col("sy"))
+          / (sqrt(md * col("sxx")
+              - col("sx").cast("double") * col("sx"))
+            * sqrt(md * col("syy")
+              - col("sy").cast("double") * col("sy"))), 6)
+          .as("assortativity"))
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
     graphCommunities, graphShortestPaths, graphKCore,
     graphDegreeDistribution, graphJaccardLinkpred,
-    graphClusteringCoeff, graphHits)
+    graphClusteringCoeff, graphHits, graphAssortativity)
 }

@@ -42,7 +42,7 @@ object TextQueries {
     * persisted: three contract queries consume it (bigram top-k,
     * repetition signals, bigram LM score) — at 100 TB the bigram
     * explode is materialized once, not re-run per consumer. */
-  private def bigrams(s: SparkSession, dir: String): DataFrame =
+  private[operators] def bigrams(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.memo(s, dir, "doc_bigrams") {
       graft.api.Text.ngrams(Tables.documentsSpread(s, dir),
         "doc_id", "text", n = 2)
@@ -1378,6 +1378,78 @@ object TextQueries {
     }
   }
 
+  /** CCNet-style QUALITY BUCKETING — the head/middle/tail split CCNet
+    * applies to each language's crawl before choosing what to train
+    * on: per-LANG terciles of the `text_surprisal` LM score partition
+    * that language's docs into head (lowest surprisal — most fluent
+    * under the corpus model), middle, and tail (rare-token-heavy /
+    * noisy), reported per (lang, bucket) with doc count, token mass,
+    * and mean surprisal. Thresholds are the exact interpolated
+    * terciles (percentile ≡ DuckDB quantile_cont — the
+    * agg_percentiles precedent) ROUNDED to the score's own 6-place
+    * grid before the ≤ compares, so boundary docs bucket identically
+    * on every engine; per-bucket means re-quantize the 6-place scores
+    * to DECIMAL(14,6) before their exact sums.
+    *
+    * Scale shape: the surprisal chain is the text_surprisal plan (its
+    * token explode is the session-memoized frame); thresholds are a
+    * \|langs\|-row aggregate broadcast back (never a corpus shuffle
+    * onto \|langs\| tasks); the rest is one map-side-combining
+    * rollup. Exact per-lang percentiles accumulate value→count maps
+    * over the 6-place score grid — at 100 TB swap for
+    * approx_percentile exactly as agg_percentiles documents. */
+  val textQualityBuckets: GQuery = GQuery(
+    "text_quality_buckets",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt),
+      |sc AS (SELECT token,
+      |         CAST(round(-ln((c + 1.0) / (n + v)), 8) AS DECIMAL(14,8)) AS s
+      |       FROM cnt CROSS JOIN tot),
+      |sd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS sur
+      |       FROM tok JOIN sc USING (token) GROUP BY doc_id),
+      |wl AS (SELECT sd.doc_id, sd.n_tokens, sd.sur, d.lang
+      |       FROM sd JOIN documents d USING (doc_id)),
+      |th AS (SELECT lang,
+      |         round(quantile_cont(sur, 0.33333333), 6) AS q33,
+      |         round(quantile_cont(sur, 0.66666667), 6) AS q66
+      |       FROM wl GROUP BY lang),
+      |b AS (SELECT wl.lang,
+      |        CASE WHEN sur <= q33 THEN 'head'
+      |             WHEN sur <= q66 THEN 'middle'
+      |             ELSE 'tail' END AS bucket,
+      |        n_tokens, CAST(sur AS DECIMAL(14,6)) AS surd
+      |      FROM wl JOIN th USING (lang))
+      |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  round(CAST(sum(surd) AS DOUBLE) / count(*), 6) AS mean_surprisal
+      |FROM b GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin) { (s, dir) =>
+    val sd = graft.api.Text.surprisalFromTokens(
+      tokens(s, dir).withColumnRenamed("term", "token"), "doc_id")
+    val wl = sd.join(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      Seq("doc_id"))
+    val th = wl.groupBy(col("lang")).agg(
+      round(expr("percentile(surprisal, 0.33333333d)"), 6).as("q33"),
+      round(expr("percentile(surprisal, 0.66666667d)"), 6).as("q66"))
+    wl.join(broadcast(th), Seq("lang"))
+      .select(col("lang"),
+        when(col("surprisal") <= col("q33"), "head")
+          .when(col("surprisal") <= col("q66"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_tokens"),
+        col("surprisal").cast("decimal(14,6)").as("surd"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        round(sum(col("surd")).cast("double") / count(lit(1)), 6)
+          .as("mean_surprisal"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
@@ -1386,5 +1458,5 @@ object TextQueries {
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
     textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr,
-    textPmiCollocations, textRakeKeywords)
+    textPmiCollocations, textRakeKeywords, textQualityBuckets)
 }

@@ -2335,6 +2335,86 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got.toSeq == expected)
   }
 
+  test("text_quality_buckets: buckets partition each lang; means are ordered") {
+    val got = TextQueries.textQualityBuckets.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // per-doc scores from the contract query the buckets derive from
+    val sur = TextQueries.textSurprisal.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val langOf = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = (s.size - 1) * p
+      val lo = pos.toInt
+      if (lo == s.size - 1) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+    }
+    val expected = sur.groupBy(x => langOf(x._1)).toSeq.sortBy(_._1)
+      .flatMap { case (lang, xs) =>
+        val q33 = r6(pct(xs.map(_._3), 0.33333333))
+        val q66 = r6(pct(xs.map(_._3), 0.66666667))
+        xs.map { case (_, nt, s) =>
+          val b = if (s <= q33) "head"
+                  else if (s <= q66) "middle" else "tail"
+          (lang, b, nt, s)
+        }.groupBy(_._2).toSeq.sortBy(_._1).map { case (b, ys) =>
+          val mean = ys.map(y => BigDecimal(y._4)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum /
+            ys.size
+          (lang, b, ys.size.toLong, ys.map(_._3).sum,
+            r6(mean.toDouble))
+        }
+      }
+    assert(got.toSeq == expected)
+    // buckets partition each lang, and head is the most fluent tier
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val m = rows.map(r => r._2 -> r._5).toMap
+      assert(m("head") <= m("middle") && m("middle") <= m("tail"),
+        s"$lang: bucket means out of order")
+    }
+  }
+
+  test("graph_assortativity: r replays from the thresholded collocation graph") {
+    val r = GraphQueries.graphAssortativity.fn(spark, sfDir)
+      .collect().head
+    val docs = Tables.documents(spark, sfDir).select($"text").collect()
+      .map(_.getString(0).split(" ", -1))
+    val pairs = docs.flatMap(t => t.dropRight(1).zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = (s.size - 1) * p
+      val lo = pos.toInt
+      if (lo == s.size - 1) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+    }
+    val t = pct(pairs.values.map(_.toDouble).toSeq, 0.75)
+    val e = pairs.toSeq.collect {
+      case ((a, b), c) if c > t && a != b => Seq((a, b), (b, a))
+    }.flatten.distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = e.size.toLong
+    val (xs, ys) = e.map { case (a, b) => (deg(a), deg(b)) }.unzip
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+    val num = m.toDouble * sxy - sx.toDouble * sy
+    val den = math.sqrt(m.toDouble * sxx - sx.toDouble * sx) *
+      math.sqrt(m.toDouble * syy - sy.toDouble * sy)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == m && r.getLong(1) == deg.size.toLong)
+    assert(r.getDouble(3) == r6(num / den))
+    assert(math.abs(r.getDouble(3)) <= 1.0)
+    // undirected contract: the degree-decorated edge list is symmetric
+    assert(e.toSet == e.map(p => (p._2, p._1)).toSet)
+  }
+
   test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
     val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
     val (nc, cc, nt, ct) =
