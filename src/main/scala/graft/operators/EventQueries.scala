@@ -1846,6 +1846,95 @@ object EventQueries {
       .orderBy(col("t_hours"))
   }
 
+  /** WELCH t-TEST on a CONTINUOUS metric — the experimentation
+    * readout `ev_ab_ztest`'s proportion test cannot give: per-user
+    * purchase revenue (the metric most A/B decisions actually ride
+    * on) compared between the same hash-assigned arms, with
+    * unpooled variances (Welch, the default of every modern experiment
+    * platform — arms need not share a variance). Per-user revenue
+    * lands on the DECIMAL(18,2) grid and both moment sums (Σr, Σr²)
+    * are DECIMAL-exact, so the sample variances
+    * s² = (Σr² − (Σr)²/n)/(n−1) and
+    * t = (m_t − m_c)/√(s_c²/n_c + s_t²/n_t) are each ONE double
+    * expression spelled identically in both engines.
+    *
+    * Scale shape: variant is a per-row projection; one map-side
+    * combining per-user aggregate, one 1-row conditional rollup —
+    * same minimal shape as ev_ab_ztest. */
+  val evAbWelch: GQuery = GQuery(
+    "ev_ab_welch",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    ${DedupQueries.duckHash(
+              "concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS r
+       |  FROM events GROUP BY 1, 2),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c,
+       |    CAST(sum(CASE WHEN v = 0 THEN r END) AS DECIMAL(28,2)) AS s_c,
+       |    CAST(sum(CASE WHEN v = 0 THEN r * r END) AS DECIMAL(38,4))
+       |      AS q_c,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t,
+       |    CAST(sum(CASE WHEN v = 1 THEN r END) AS DECIMAL(28,2)) AS s_t,
+       |    CAST(sum(CASE WHEN v = 1 THEN r * r END) AS DECIMAL(38,4))
+       |      AS q_t
+       |  FROM u)
+       |SELECT n_c AS n_control,
+       |  round(CAST(s_c AS DOUBLE) / n_c, 4) AS mean_control,
+       |  round((CAST(q_c AS DOUBLE)
+       |    - CAST(s_c AS DOUBLE) * s_c / n_c) / (n_c - 1), 4)
+       |    AS var_control,
+       |  n_t AS n_treatment,
+       |  round(CAST(s_t AS DOUBLE) / n_t, 4) AS mean_treatment,
+       |  round((CAST(q_t AS DOUBLE)
+       |    - CAST(s_t AS DOUBLE) * s_t / n_t) / (n_t - 1), 4)
+       |    AS var_treatment,
+       |  round((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+       |    / sqrt(
+       |      ((CAST(q_c AS DOUBLE)
+       |         - CAST(s_c AS DOUBLE) * s_c / n_c) / (n_c - 1)) / n_c
+       |      + ((CAST(q_t AS DOUBLE)
+       |         - CAST(s_t AS DOUBLE) * s_t / n_t) / (n_t - 1)) / n_t),
+       |    6) AS t_stat
+       |FROM a""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .withColumn("v",
+        graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+      .groupBy(col("user_id"), col("v"))
+      .agg(sum(when(col("event_type") === "purchase",
+          round(col("value"), 2).cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)")))
+        .cast("decimal(18,2)").as("r"))
+    val a = u.agg(
+      sum(when(col("v") === 0, 1).otherwise(0)).cast("bigint").as("n_c"),
+      sum(when(col("v") === 0, col("r"))).cast("decimal(28,2)").as("s_c"),
+      sum(when(col("v") === 0, col("r") * col("r")))
+        .cast("decimal(38,4)").as("q_c"),
+      sum(when(col("v") === 1, 1).otherwise(0)).cast("bigint").as("n_t"),
+      sum(when(col("v") === 1, col("r"))).cast("decimal(28,2)").as("s_t"),
+      sum(when(col("v") === 1, col("r") * col("r")))
+        .cast("decimal(38,4)").as("q_t"))
+    def mean(sc: String, n: String) =
+      col(sc).cast("double") / col(n)
+    def varr(q: String, sc: String, n: String) =
+      (col(q).cast("double")
+        - col(sc).cast("double") * col(sc) / col(n)) / (col(n) - 1)
+    a.select(col("n_c").as("n_control"),
+      round(mean("s_c", "n_c"), 4).as("mean_control"),
+      round(varr("q_c", "s_c", "n_c"), 4).as("var_control"),
+      col("n_t").as("n_treatment"),
+      round(mean("s_t", "n_t"), 4).as("mean_treatment"),
+      round(varr("q_t", "s_t", "n_t"), 4).as("var_treatment"),
+      round((mean("s_t", "n_t") - mean("s_c", "n_c"))
+        / sqrt(varr("q_c", "s_c", "n_c") / col("n_c")
+          + varr("q_t", "s_t", "n_t") / col("n_t")), 6).as("t_stat"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1855,5 +1944,6 @@ object EventQueries {
     evCumulativeUniques, evFeatureAsof, evNewVsReturning, evErrorBudget,
     evValueEma, evSeasonalityDow, evForecastBaseline,
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
-    evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm)
+    evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
+    evAbWelch)
 }

@@ -290,6 +290,53 @@ object EventStreams {
     * semantics no built-in window covers. State per key is one
     * (count, sum) pair, so a billion users is a billion tiny state
     * entries in the state store, updated incrementally per batch. */
+  case class AbMark(user_id: Long, variant: Int, kind: String)
+
+  /** The Scala spelling of graft.api.Sampling.portableHash — MD5 of
+    * (salt + id), first 12 hex chars as a 48-bit non-negative long —
+    * so keyed streaming state can bucket users EXACTLY as the batch
+    * sampling and A/B queries do (spec-pinned against the Column
+    * form). */
+  def portableHash(id: Long, salt: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + id.toString).getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  /** A/B EXPERIMENT MARKS as keyed streaming state — the streaming
+    * twin of ev_ab_ztest's counting stage: per user, one `exposure`
+    * mark on first sight (denominator) and at most one `conversion`
+    * mark on the first qualifying event (numerator), with the arm
+    * assigned by the SAME portable hash as the batch query (salt
+    * `ab:`). State is one boolean per user; duplicate and late
+    * qualifying events emit nothing, so the drained mark SET is
+    * independent of micro-batch splitting and delivery order, and
+    * the z-test is recomputable from the sink at any time:
+    * n_arm = exposures, conv_arm = conversions (EventStreamsSpec pins
+    * the drained counts against ev_ab_ztest's row).
+    *
+    * @param qualifies the conversion predicate (the batch query's
+    *                  "purchase with value > 100") */
+  def abMarks[E](events: Dataset[E], uid: E => Long,
+      qualifies: E => Boolean): Dataset[AbMark] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(uid)
+      .flatMapGroupsWithState[Boolean, AbMark](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[E], state: GroupState[Boolean]) =>
+          val variant = (portableHash(user, "ab:") % 2).toInt
+          val out = Seq.newBuilder[AbMark]
+          val seen = state.getOption
+          if (seen.isEmpty) out += AbMark(user, variant, "exposure")
+          val converted = seen.getOrElse(false)
+          val convertsNow = !converted && rows.exists(qualifies)
+          if (convertsNow) out += AbMark(user, variant, "conversion")
+          state.update(converted || convertsNow)
+          out.result().iterator
+      }
+  }
+
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   def runningUserStats[E](events: Dataset[E], uid: E => Long,

@@ -2415,6 +2415,39 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(e.toSet == e.map(p => (p._2, p._1)).toSet)
   }
 
+  test("ev_ab_welch: t replays from per-user revenue moments") {
+    val r = EventQueries.evAbWelch.fn(spark, sfDir).collect().head
+    val rev = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+          round($"value", 2).cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)"))).as("r"))
+      .collect()
+      .map(x => (x.getLong(0), x.getDecimal(1)))
+    def arm(u: Long): Int =
+      (graft.streaming.EventStreams.portableHash(u, "ab:") % 2).toInt
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def moments(v: Int): (Long, Double, Double) = {
+      val xs = rev.filter(x => arm(x._1) == v).map(_._2)
+      val n = xs.length.toLong
+      val s = xs.map(BigDecimal(_)).sum
+      val q = xs.map(x => BigDecimal(x) * BigDecimal(x)).sum
+      val mean = s.toDouble / n
+      val varr = (q.toDouble - s.toDouble * s.toDouble / n) / (n - 1)
+      (n, mean, varr)
+    }
+    val (nc, mc, vc) = moments(0)
+    val (nt, mt, vt) = moments(1)
+    val t = (mt - mc) / math.sqrt(vc / nc + vt / nt)
+    assert(r.getLong(0) == nc && r.getLong(3) == nt)
+    assert(r.getDouble(1) == r4(mc) && r.getDouble(4) == r4(mt))
+    assert(r.getDouble(2) == r4(vc) && r.getDouble(5) == r4(vt))
+    assert(r.getDouble(6) == r6(t))
+  }
+
   test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
     val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
     val (nc, cc, nt, ct) =

@@ -261,6 +261,47 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("abMarks: drained marks reproduce ev_ab_ztest's counts; split/order-independent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the Scala hash must BE the batch Column hash
+    val ids = fixture.map(_.user_id).distinct
+    val colHash = spark.createDataset(ids).toDF("id")
+      .select($"id", graft.api.Sampling.portableHash($"id", "ab:").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(EventStreams.portableHash(id, "ab:") == colHash(id),
+        s"hash mismatch for user $id")
+    }
+    def qualifies(e: Ev): Boolean =
+      e.event_type == "purchase" && e.value > 100
+    val ordered = fixture.sortBy(e => (e.ts.getTime, e.event_id))
+    def run(name: String, rows: Seq[Ev], batchSize: Int): Set[(Long, Int, String)] = {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.abMarks[Ev](mem.toDS(), _.user_id, qualifies)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      rows.grouped(batchSize).foreach { b =>
+        mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[(Long, Int, String)].collect().toSet
+    }
+    val one = run("ab_one", ordered, ordered.size)
+    val split = run("ab_split", ordered, 250)
+    val reversed = run("ab_rev", ordered.reverse, 250)
+    assert(one == split && one == reversed && one.nonEmpty,
+      "drained mark set must not depend on batching or delivery order")
+    // roll up to the batch z-test counts
+    val b = graft.operators.EventQueries.evAbZtest.fn(spark, sfDir)
+      .collect().head
+    def cnt(v: Int, kind: String): Long =
+      one.count(m => m._2 == v && m._3 == kind).toLong
+    assert(cnt(0, "exposure") == b.getLong(0)
+      && cnt(0, "conversion") == b.getLong(1)
+      && cnt(1, "exposure") == b.getLong(3)
+      && cnt(1, "conversion") == b.getLong(4),
+      "streaming marks disagree with the batch arms")
+  }
+
   test("growthAccounting: drained marks roll up to the batch matrix; split-independent") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ordered = fixture.sortBy(e => (e.ts.getTime, e.event_id))
