@@ -514,20 +514,49 @@ object GraphQueries {
     * broadcast; no hint per the fleet policy since vocabulary scales
     * with the corpus), then a single-row total aggregate. No windows,
     * no collects. */
+  /** The DuckDB CTE prefix producing the strong-collocation word
+    * graph's symmetric edge list `e` (the Spark twin is
+    * [[collocEdges]]). */
+  private val duckCollocEdges =
+    """bg AS (
+      |  SELECT unnest([{'a': t[i], 'b': t[i+1]}
+      |                 for i in generate_series(1, len(t) - 1)]) AS p
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+      |pairs AS (SELECT p.a AS a, p.b AS b, count(*) AS c
+      |          FROM bg GROUP BY 1, 2),
+      |th AS (SELECT quantile_cont(CAST(c AS DOUBLE), 0.75) AS t
+      |       FROM pairs),
+      |e AS (SELECT a AS src, b AS dst FROM pairs, th
+      |      WHERE c > t AND a <> b
+      |      UNION
+      |      SELECT b, a FROM pairs, th WHERE c > t AND a <> b)""".stripMargin
+
+  /** Symmetric edge list of the STRONG-COLLOCATION word graph: an
+    * edge joins the two words of any adjacent-bigram pair whose count
+    * exceeds the corpus's own p75 pair count (data-driven — no
+    * fixture constant). The co-purchase graphs above are complete
+    * cliques on this uniform fixture (zero degree variance); this is
+    * the one fixture graph with real degree structure at every SF.
+    * Memoized: assortativity and the recursive-CTE reachability both
+    * read it. */
+  private def collocEdges(s: SparkSession, dir: String): DataFrame =
+    PlanCache.memo(s, dir, "colloc_edges") {
+      val pairs = TextQueries.bigrams(s, dir)
+        .select(split(col("ngram"), " ").getItem(0).as("a"),
+          split(col("ngram"), " ").getItem(1).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      val th = pairs.agg(
+        expr("percentile(CAST(c AS DOUBLE), 0.75d)").as("t"))
+      val strong = pairs.crossJoin(broadcast(th))
+        .filter(col("c") > col("t") && col("a") =!= col("b"))
+      strong.select(col("a").as("src"), col("b").as("dst"))
+        .union(strong.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+    }
+
   val graphAssortativity: GQuery = GQuery(
     "graph_assortativity",
-    s"""WITH bg AS (
-       |  SELECT unnest([{'a': t[i], 'b': t[i+1]}
-       |                 for i in generate_series(1, len(t) - 1)]) AS p
-       |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
-       |pairs AS (SELECT p.a AS a, p.b AS b, count(*) AS c
-       |          FROM bg GROUP BY 1, 2),
-       |th AS (SELECT quantile_cont(CAST(c AS DOUBLE), 0.75) AS t
-       |       FROM pairs),
-       |e AS (SELECT a AS src, b AS dst FROM pairs, th
-       |      WHERE c > t AND a <> b
-       |      UNION
-       |      SELECT b, a FROM pairs, th WHERE c > t AND a <> b),
+    s"""WITH $duckCollocEdges,
        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
        |        FROM e GROUP BY src),
        |ed AS (SELECT dx.deg AS x, dy.deg AS y
@@ -548,17 +577,7 @@ object GraphQueries {
        |       * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
        |    6) AS assortativity
        |FROM m, n""".stripMargin) { (s, dir) =>
-    val pairs = TextQueries.bigrams(s, dir)
-      .select(split(col("ngram"), " ").getItem(0).as("a"),
-        split(col("ngram"), " ").getItem(1).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    val th = pairs.agg(
-      expr("percentile(CAST(c AS DOUBLE), 0.75d)").as("t"))
-    val strong = pairs.crossJoin(broadcast(th))
-      .filter(col("c") > col("t") && col("a") =!= col("b"))
-    val e = strong.select(col("a").as("src"), col("b").as("dst"))
-      .union(strong.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
+    val e = collocEdges(s, dir)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("bigint").as("deg"))
     val ed = e
@@ -585,8 +604,52 @@ object GraphQueries {
           .as("assortativity"))
   }
 
+  /** The BFS recursion both engines run VERBATIM — Spark 4.1 executes
+    * ANSI `WITH RECURSIVE` natively (Catalyst UnionLoop), so the
+    * recursive half of this query is the ONE SQL text in the fleet
+    * that runs unchanged on both the engine and the oracle (the
+    * non-recursive edge derivation stays engine-idiomatic). */
+  private val reachRecursion =
+    """r AS (
+      |  SELECT (SELECT min(src) FROM %s) AS node, 0 AS lvl
+      |  UNION ALL
+      |  SELECT e.dst, r.lvl + 1
+      |  FROM r JOIN %s e ON e.src = r.node
+      |  WHERE r.lvl < 3)
+      |SELECT node, CAST(min(lvl) AS INT) AS hops
+      |FROM r GROUP BY node
+      |ORDER BY hops, node""".stripMargin
+
+  /** GRAPH REACHABILITY via a NATIVE RECURSIVE CTE — min-hop BFS
+    * distances (≤ 3 hops) from the lexicographically-smallest node of
+    * the strong-collocation graph, written as ANSI `WITH RECURSIVE`
+    * and executed by Spark 4.1's UnionLoop operator: the recursion
+    * text is IDENTICAL in the Spark plan and the DuckDB oracle (same
+    * anchor, same step, same min-over-paths), so the parity check
+    * covers the engine's recursion semantics themselves — iterative
+    * driver loops (graph_shortest_paths' unrolled form) are no longer
+    * the only way to express a traversal.
+    *
+    * Scale shape: each recursion level is one keyed equi-join of the
+    * frontier against the edge list — the same per-iteration shape as
+    * the unrolled BFS; the depth bound caps path fan-out (this
+    * UNION ALL spelling enumerates paths, so an unbounded-depth
+    * variant at 100 TB needs the level-dedup form — grouping the
+    * frontier per level — exactly as graph_shortest_paths does). The
+    * final min collapses paths with a map-side-combining aggregate. */
+  val graphReachabilityCte: GQuery = GQuery(
+    "graph_reachability_cte",
+    s"""WITH RECURSIVE $duckCollocEdges,
+       |${reachRecursion.format("e", "e")}""".stripMargin) { (s, dir) =>
+    collocEdges(s, dir).createOrReplaceTempView("colloc_edges_v")
+    s.sql(s"""WITH RECURSIVE
+      |${reachRecursion.format("colloc_edges_v", "colloc_edges_v")}"""
+      .stripMargin)
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
     graphCommunities, graphShortestPaths, graphKCore,
     graphDegreeDistribution, graphJaccardLinkpred,
-    graphClusteringCoeff, graphHits, graphAssortativity)
+    graphClusteringCoeff, graphHits, graphAssortativity,
+    graphReachabilityCte)
 }

@@ -171,7 +171,21 @@ class BroadcastPolicySpec extends SparkTestBase {
     // probe- or k-bounded (the sim_topk_ivf proof)
     "sim_recall_ivf" -> 4,
     // 1-row corpus-total scalar (the fold-share divide)
-    "sample_kfold_assign" -> 1
+    "sample_kfold_assign" -> 1,
+    // 1-row (N, V) surprisal-model scalar (inherited text_surprisal
+    // chain, resolved on both the score and threshold branches) +
+    // the |langs|-row tercile-threshold grid
+    "text_quality_buckets" -> 3,
+    // 1-row at-risk-total scalar onto the ≤49-row K-M hour grid
+    "ev_survival_km" -> 1,
+    // the 1-row p75-threshold scalar rides the strong-edge subtree,
+    // which resolves once per degree-join side and once per moment
+    // aggregate (2 edge-list directions × sides), plus the 1-row
+    // node-count scalar — every hinted frame is a 1-row scalar
+    "graph_assortativity" -> 9,
+    // the same 1-row p75-threshold scalar inside the shared
+    // colloc_edges memo (both union directions)
+    "graph_reachability_cte" -> 2
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

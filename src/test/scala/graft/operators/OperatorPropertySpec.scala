@@ -2448,6 +2448,42 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(r.getDouble(6) == r6(t))
   }
 
+  test("graph_reachability_cte: native UnionLoop executes; BFS replays in memory") {
+    val df = GraphQueries.graphReachabilityCte.fn(spark, sfDir)
+    // the recursion must be the NATIVE recursive-CTE operator, not a
+    // rewritten union — pin the Spark 4.1 UnionLoop in the plan
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "recursive CTE was not planned as UnionLoop")
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1)))
+    // replay: classic BFS over the same thresholded collocation edges
+    val docs = Tables.documents(spark, sfDir).select($"text").collect()
+      .map(_.getString(0).split(" ", -1))
+    val pairs = docs.flatMap(t => t.dropRight(1).zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = (s.size - 1) * p
+      val lo = pos.toInt
+      if (lo == s.size - 1) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+    }
+    val t = pct(pairs.values.map(_.toDouble).toSeq, 0.75)
+    val adj = pairs.toSeq.collect {
+      case ((a, b), c) if c > t && a != b => Seq((a, b), (b, a))
+    }.flatten.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = adj.keys.min
+    var frontier = Set(seed)
+    var dist = Map(seed -> 0)
+    (1 to 3).foreach { lvl =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> lvl)
+    }
+    val expected = dist.toSeq.map { case (n, d) => (n, d) }
+      .sortBy(x => (x._2, x._1))
+    assert(got.toSeq == expected)
+  }
+
   test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
     val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
     val (nc, cc, nt, ct) =
