@@ -54,7 +54,10 @@ object IsoBench {
     "graph_hits", "graph_clustering_coeff", "embed_pca_power",
     "merge_partition_overwrite", "sim_knn_graph",
     "tpch_q21_waiting_supplier", "text_rake_keywords", "sim_bm25_topk",
-    "multimodal_phash_neardup")
+    "multimodal_phash_neardup",
+    // round-12 session 9: the additions above the 1 s warm band at
+    // sf0.1 (quality_buckets 2.1, survival_km 1.2, reachability 1.1)
+    "text_quality_buckets", "ev_survival_km", "graph_reachability_cte")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
