@@ -637,10 +637,75 @@ object AggQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** WINSORIZED and TRIMMED means — the robust-location pair next to
+    * the MAD robust-scale row (`agg_mad`): per return flag, extended
+    * prices are clamped to (winsorized) or dropped outside (trimmed)
+    * the group's own [p05, p95], the standard tail-taming treatment
+    * for heavy-tailed revenue metrics. The exact-percentile
+    * thresholds round to the price's DECIMAL(18,2) grid BEFORE any
+    * compare, so boundary rows clamp/trim identically on both
+    * engines, and all three means divide exact decimal sums.
+    *
+    * Scale: one exact-percentile aggregate (value→count map state —
+    * the agg_percentiles note: swap for approx_percentile at 100 TB),
+    * one \|flags\|-row keyed threshold join back, one
+    * map-side-combining rollup. */
+  val aggWinsorizedMean: GQuery = GQuery(
+    "agg_winsorized_mean",
+    """WITH th AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+      |      0.05), 2) AS DECIMAL(18,2)) AS lo,
+      |    CAST(round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+      |      0.95), 2) AS DECIMAL(18,2)) AS hi
+      |  FROM lineitem GROUP BY l_returnflag),
+      |v AS (
+      |  SELECT l.l_returnflag,
+      |    CAST(l.l_extendedprice AS DECIMAL(18,2)) AS p, th.lo, th.hi
+      |  FROM lineitem l JOIN th ON l.l_returnflag = th.l_returnflag)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(p) AS DOUBLE) / count(*), 4) AS mean_raw,
+      |  round(CAST(sum(least(greatest(p, lo), hi)) AS DOUBLE)
+      |    / count(*), 4) AS mean_winsorized,
+      |  round(CAST(sum(CASE WHEN p >= lo AND p <= hi THEN p END)
+      |      AS DOUBLE)
+      |    / sum(CASE WHEN p >= lo AND p <= hi THEN 1 ELSE 0 END), 4)
+      |    AS mean_trimmed,
+      |  CAST(sum(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(sum(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high
+      |FROM v GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"))
+    val th = li.groupBy(col("l_returnflag")).agg(
+      round(expr("percentile(CAST(p AS DOUBLE), 0.05d)"), 2)
+        .cast("decimal(18,2)").as("lo"),
+      round(expr("percentile(CAST(p AS DOUBLE), 0.95d)"), 2)
+        .cast("decimal(18,2)").as("hi"))
+    val inBand = col("p") >= col("lo") && col("p") <= col("hi")
+    li.join(th, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 4)
+          .as("mean_raw"),
+        round(sum(least(greatest(col("p"), col("lo")), col("hi")))
+          .cast("double") / count(lit(1)), 4).as("mean_winsorized"),
+        round(sum(when(inBand, col("p"))).cast("double")
+          / sum(when(inBand, 1).otherwise(0)), 4).as("mean_trimmed"),
+        sum(when(col("p") < col("lo"), 1).otherwise(0)).cast("bigint")
+          .as("n_clipped_low"),
+        sum(when(col("p") > col("hi"), 1).otherwise(0)).cast("bigint")
+          .as("n_clipped_high"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
     aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration,
-    aggMad)
+    aggMad, aggWinsorizedMean)
 }

@@ -1935,6 +1935,152 @@ object EventQueries {
           + varr("q_t", "s_t", "n_t") / col("n_t")), 6).as("t_stat"))
   }
 
+  /** CUPED variance reduction — the third leg of the experimentation
+    * family (z-test → Welch → CUPED): each user's POST-period revenue
+    * is adjusted by their PRE-period revenue via Y′ = Y − θ(X − X̄)
+    * with θ = cov(X,Y)/var(X) pooled across arms; the launch boundary
+    * is DATA-DRIVEN (min event date + 15 days — in production it is
+    * the experiment's start date, a config constant) and rides a
+    * 1-row broadcast (the ev_rfm anchor pattern). θ uses
+    * the Microsoft/Netflix-standard trick that shrinks metric
+    * variance using only pre-experiment data, so the same experiment
+    * reaches significance with a fraction of the users. Report: θ,
+    * per-arm n / raw and adjusted means / raw and adjusted variances,
+    * and the achieved variance-reduction ratio 1 − var(Y′)/var(Y).
+    *
+    * Portability: X and Y live on the DECIMAL(18,2) grid; all pooled
+    * moments (Σx, Σy, Σxy, Σx²) are DECIMAL-exact, so θ and X̄ are
+    * single double expressions; per-user adjusted values quantize to
+    * DECIMAL(18,6) BEFORE their exact per-arm sums (the fleet's
+    * grid-before-sum discipline), so per-arm moments of Y′ are exact
+    * again.
+    *
+    * Scale shape: one map-side-combining per-user aggregate, a 1-row
+    * pooled-moments broadcast back onto the user grain (never a
+    * shuffle onto one task), one per-arm rollup. */
+  val evUpliftCuped: GQuery = GQuery(
+    "ev_uplift_cuped",
+    s"""WITH b AS (
+       |  SELECT min(CAST(ts AS DATE)) + 15 AS launch FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |    ${DedupQueries.duckHash(
+              "concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |          AND CAST(ts AS DATE) < launch
+       |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |          AND CAST(ts AS DATE) >= launch
+       |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y
+       |  FROM events, b GROUP BY 1, 2),
+       |p AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS DECIMAL(28,2)) AS sx,
+       |    CAST(sum(y) AS DECIMAL(28,2)) AS sy,
+       |    CAST(sum(x * y) AS DECIMAL(38,4)) AS sxy,
+       |    CAST(sum(x * x) AS DECIMAL(38,4)) AS sxx
+       |  FROM u),
+       |t AS (
+       |  SELECT n,
+       |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+       |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+       |      AS theta,
+       |    CAST(sx AS DOUBLE) / n AS xbar
+       |  FROM p),
+       |adj AS (
+       |  SELECT v,
+       |    y,
+       |    CAST(round(CAST(y AS DOUBLE)
+       |      - theta * (CAST(x AS DOUBLE) - xbar), 6) AS DECIMAL(18,6))
+       |      AS ya,
+       |    theta
+       |  FROM u, t),
+       |arm AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(y) AS DECIMAL(28,2)) AS sy,
+       |    CAST(sum(y * y) AS DECIMAL(38,4)) AS syy,
+       |    CAST(sum(ya) AS DECIMAL(32,6)) AS sa,
+       |    CAST(sum(CAST(ya AS DECIMAL(28,6)) * ya) AS DECIMAL(38,12))
+       |      AS saa,
+       |    max(theta) AS theta
+       |  FROM adj GROUP BY v)
+       |SELECT CAST(v AS INT) AS variant, n_users,
+       |  round(theta, 6) AS theta,
+       |  round(CAST(sy AS DOUBLE) / n_users, 4) AS mean_raw,
+       |  round(CAST(sa AS DOUBLE) / n_users, 4) AS mean_adj,
+       |  round((CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * sy / n_users) / (n_users - 1), 4)
+       |    AS var_raw,
+       |  round((CAST(saa AS DOUBLE)
+       |    - CAST(sa AS DOUBLE) * sa / n_users) / (n_users - 1), 4)
+       |    AS var_adj,
+       |  round(1 - ((CAST(saa AS DOUBLE)
+       |      - CAST(sa AS DOUBLE) * sa / n_users) / (n_users - 1))
+       |    / ((CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * sy / n_users) / (n_users - 1)), 6)
+       |    AS var_reduction
+       |FROM arm
+       |ORDER BY variant""".stripMargin) { (s, dir) =>
+    val dec2 = "decimal(18,2)"
+    val b = Tables.events(s, dir)
+      .agg(date_add(min(to_date(col("ts"))), 15).as("launch"))
+    val u = Tables.events(s, dir)
+      .crossJoin(broadcast(b))
+      .withColumn("v",
+        graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+      .groupBy(col("user_id"), col("v"))
+      .agg(
+        sum(when(col("event_type") === "purchase"
+            && to_date(col("ts")) < col("launch"),
+          round(col("value"), 2).cast(dec2))
+          .otherwise(lit(0).cast(dec2))).cast(dec2).as("x"),
+        sum(when(col("event_type") === "purchase"
+            && to_date(col("ts")) >= col("launch"),
+          round(col("value"), 2).cast(dec2))
+          .otherwise(lit(0).cast(dec2))).cast(dec2).as("y"))
+    val p = u.agg(count(lit(1)).cast("bigint").as("n"),
+      sum(col("x")).cast("decimal(28,2)").as("sx"),
+      sum(col("y")).cast("decimal(28,2)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,4)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,4)").as("sxx"))
+    val t = p.select(col("n"),
+      ((col("sxy").cast("double") - col("sx").cast("double") * col("sy")
+          / col("n"))
+        / (col("sxx").cast("double") - col("sx").cast("double")
+          * col("sx") / col("n"))).as("theta"),
+      (col("sx").cast("double") / col("n")).as("xbar"))
+    val adj = u.crossJoin(broadcast(t))
+      .select(col("v"), col("y"),
+        round(col("y").cast("double")
+          - col("theta") * (col("x").cast("double") - col("xbar")), 6)
+          .cast("decimal(18,6)").as("ya"),
+        col("theta"))
+    val arm = adj.groupBy(col("v"))
+      .agg(count(lit(1)).cast("bigint").as("n_users"),
+        sum(col("y")).cast("decimal(28,2)").as("sy"),
+        sum(col("y") * col("y")).cast("decimal(38,4)").as("syy"),
+        sum(col("ya")).cast("decimal(32,6)").as("sa"),
+        sum(col("ya") * col("ya")).cast("decimal(38,12)").as("saa"),
+        max(col("theta")).as("theta"))
+    def vr(q: String, sc: String) =
+      ((col(q).cast("double")
+        - col(sc).cast("double") * col(sc) / col("n_users"))
+        / (col("n_users") - 1))
+    arm.select(col("v").cast("int").as("variant"), col("n_users"),
+        round(col("theta"), 6).as("theta"),
+        round(col("sy").cast("double") / col("n_users"), 4)
+          .as("mean_raw"),
+        round(col("sa").cast("double") / col("n_users"), 4)
+          .as("mean_adj"),
+        round(vr("syy", "sy"), 4).as("var_raw"),
+        round(vr("saa", "sa"), 4).as("var_adj"),
+        round(lit(1) - vr("saa", "sa") / vr("syy", "sy"), 6)
+          .as("var_reduction"))
+      .orderBy(col("variant"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -1945,5 +2091,5 @@ object EventQueries {
     evValueEma, evSeasonalityDow, evForecastBaseline,
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
-    evAbWelch)
+    evAbWelch, evUpliftCuped)
 }

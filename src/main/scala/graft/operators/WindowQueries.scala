@@ -399,8 +399,79 @@ object WindowQueries {
       .orderBy(col("day"))
   }
 
+  /** CUSUM CHANGE-POINT detection on each event type's daily volume —
+    * the classic drift detector ops teams run beside the z-score
+    * monitor (`ev_anomaly_zscore` flags single-day spikes; CUSUM
+    * catches slow LEVEL SHIFTS): cusum_t = Σ_{i≤t}(y_i − ȳ) peaks
+    * exactly where the series switches regimes, so each type reports
+    * its maximum-|cusum| day (earliest on ties), the regime direction
+    * (above/below the global mean before the shift), and the peak
+    * magnitude.
+    *
+    * Determinism discipline: the per-type mean is rounded to the
+    * DECIMAL(12,6) grid FIRST, so every deviation and the running
+    * cusum are exact decimals — the argmax compares exact values,
+    * never accumulated floats; the tie-break is the day itself.
+    *
+    * Scale: one map-side-combining daily aggregate, a \|types\|-row
+    * mean join (keyed), and a window over the calendar-bounded
+    * per-type day grid (the win_bollinger precedent). */
+  val winCusumChangepoint: GQuery = GQuery(
+    "win_cusum_changepoint",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(round(CAST(sum(n) AS DOUBLE) / count(*), 6)
+      |      AS DECIMAL(12,6)) AS mu,
+      |    CAST(count(*) AS BIGINT) AS n_days
+      |  FROM d GROUP BY event_type),
+      |c AS (
+      |  SELECT d.event_type, d.day, m.mu, m.n_days,
+      |    sum(CAST(d.n AS DECIMAL(12,6)) - m.mu) OVER (
+      |      PARTITION BY d.event_type ORDER BY d.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM d JOIN m ON d.event_type = m.event_type),
+      |r AS (
+      |  SELECT event_type, day, mu, n_days, cusum, abs(cusum) AS ac,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cusum) DESC, day) AS rk
+      |  FROM c)
+      |SELECT event_type, n_days,
+      |  round(CAST(mu AS DOUBLE), 6) AS mean_daily,
+      |  strftime(day, '%Y-%m-%d') AS cp_day,
+      |  round(CAST(ac AS DOUBLE), 6) AS max_abs_cusum,
+      |  CASE WHEN cusum > 0 THEN 'above' ELSE 'below' END AS regime
+      |FROM r WHERE rk = 1
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val m = d.groupBy(col("event_type"))
+      .agg(round(sum(col("n")).cast("double") / count(lit(1)), 6)
+          .cast("decimal(12,6)").as("mu"),
+        count(lit(1)).cast("bigint").as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = d.join(m, Seq("event_type"))
+      .withColumn("cusum",
+        sum(col("n").cast("decimal(12,6)") - col("mu")).over(w))
+    val rk = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    c.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_days"),
+        round(col("mu").cast("double"), 6).as("mean_daily"),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        round(abs(col("cusum")).cast("double"), 6).as("max_abs_cusum"),
+        when(col("cusum") > 0, "above").otherwise("below").as("regime"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
-    winBollinger)
+    winBollinger, winCusumChangepoint)
 }

@@ -185,7 +185,10 @@ class BroadcastPolicySpec extends SparkTestBase {
     "graph_assortativity" -> 9,
     // the same 1-row p75-threshold scalar inside the shared
     // colloc_edges memo (both union directions)
-    "graph_reachability_cte" -> 2
+    "graph_reachability_cte" -> 2,
+    // 1-row launch-date anchor (the ev_rfm pattern, resolved on both
+    // the x and y branches' lineage) + the 1-row pooled-theta scalar
+    "ev_uplift_cuped" -> 3
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

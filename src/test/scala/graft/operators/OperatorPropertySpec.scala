@@ -2484,6 +2484,114 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got.toSeq == expected)
   }
 
+  test("ev_uplift_cuped: theta and adjusted moments replay; means are theta-invariant") {
+    val got = EventQueries.evUpliftCuped.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(got.map(_._1).toSeq == Seq(0, 1))
+    // theta identical in both rows (pooled)
+    assert(got(0)._3 == got(1)._3)
+    // CUPED preserves each arm's mean up to theta * (arm mean_x - pooled
+    // xbar): with theta near 0 on this fixture, mean_adj ≈ mean_raw,
+    // but the exact invariant is pooled: Σ over arms n·(mean_adj -
+    // mean_raw) = -theta · Σ n·(mean_x - xbar) = 0 pooled
+    val pooledShift = got.map(r => r._2 * (r._5 - r._4)).sum
+    assert(math.abs(pooledShift) < 1.0,
+      s"pooled adjusted mean drifted: $pooledShift")
+    // variance reduction consistent with the reported variances
+    got.foreach { r =>
+      val vrExpected = 1 - r._7 / r._6
+      assert(math.abs(r._8 - vrExpected) < 1e-4,
+        s"variant ${r._1}: var_reduction inconsistent")
+    }
+    // theta = cov/var minimizes POOLED var(Y − θX), so the pooled
+    // variance must not increase (per-arm CAN, on small arms — the
+    // guarantee is population-level); recombine pooled SS from the
+    // per-arm moments
+    def pooledVar(sel: ((Int, Long, Double, Double, Double, Double,
+        Double, Double)) => (Double, Double)): Double = {
+      val n = got.map(_._2).sum
+      val mbar = got.map(r => r._2 * sel(r)._1).sum / n
+      val ss = got.map { r =>
+        val (mean, varr) = sel(r)
+        (r._2 - 1) * varr + r._2 * mean * mean
+      }.sum
+      (ss - n * mbar * mbar) / (n - 1)
+    }
+    val rawP = pooledVar(r => (r._4, r._6))
+    val adjP = pooledVar(r => (r._5, r._7))
+    assert(adjP <= rawP * 1.0001,
+      s"pooled CUPED variance increased: $adjP vs $rawP")
+  }
+
+  test("win_cusum_changepoint: peak replays from the exact decimal cusum walk") {
+    val got = WindowQueries.winCusumChangepoint.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (et, xs) =>
+        val ys = xs.sortBy(_._2)
+        val mu = BigDecimal(ys.map(_._3).sum.toDouble / ys.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        var c = BigDecimal(0)
+        val walk = ys.map { case (_, d, n) =>
+          c += BigDecimal(n) - mu; (d, c)
+        }
+        // earliest day with the maximal |cusum|
+        val mx = walk.map(_._2.abs).max
+        val (cpDay, cpC) = walk.filter(_._2.abs == mx).minBy(_._1)
+        (et, ys.size.toLong, r6(mu.toDouble), cpDay, r6(cpC.abs.toDouble),
+          if (cpC > 0) "above" else "below")
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("agg_winsorized_mean: clamp/trim replay; robust means are tail-bounded") {
+    val got = AggQueries.aggWinsorizedMean.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+    val rows = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag",
+        $"l_extendedprice".cast("decimal(18,2)")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = (s.size - 1) * p
+      val lo = pos.toInt
+      if (lo == s.size - 1) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (f, xs) =>
+        val vs = xs.map(_._2)
+        val lo = BigDecimal(pct(vs.map(_.toDouble), 0.05))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val hi = BigDecimal(pct(vs.map(_.toDouble), 0.95))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val wins = vs.map(v => v.max(lo).min(hi))
+        val inb = vs.filter(v => v >= lo && v <= hi)
+        (f, vs.size.toLong, r4(vs.sum.toDouble / vs.size),
+          r4(wins.sum.toDouble / wins.size),
+          r4(inb.sum.toDouble / inb.size),
+          vs.count(_ < lo).toLong, vs.count(_ > hi).toLong)
+    }
+    assert(got.toSeq == expected)
+    got.foreach { r =>
+      assert(r._4 >= math.min(r._3, r._4) && r._6 + r._7 > 0,
+        s"${r._1}: tails must actually clip on this fixture")
+    }
+  }
+
   test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
     val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
     val (nc, cc, nt, ct) =
