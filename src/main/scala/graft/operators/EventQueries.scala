@@ -2081,6 +2081,104 @@ object EventQueries {
       .orderBy(col("variant"))
   }
 
+  /** POWER ANALYSIS — the "how many users does this experiment need"
+    * readout that closes the experimentation family (assign → z-test /
+    * Welch → CUPED → power): from the same per-user revenue moments as
+    * `ev_ab_welch`, report the observed effect Δ = m_t − m_c, the
+    * per-arm users needed to detect that Δ at α = 0.05 / 80% power
+    * (n = ⌈(z_α/2 + z_β)²(s_c² + s_t²)/Δ²⌉, the two-sample normal
+    * approximation with unpooled variances), and the minimum
+    * detectable effect at the CURRENT arm sizes
+    * (MDE = (z_α/2+z_β)·√(s_c²/n_c + s_t²/n_t)). z constants are the
+    * same literals in both engines (1.96, 0.8416); every moment is
+    * DECIMAL-exact, so each statistic is one double expression.
+    *
+    * Scale shape: identical to ev_ab_welch — per-row arm projection,
+    * one per-user map-side-combining aggregate, a 1-row readout. */
+  val evPowerAnalysis: GQuery = GQuery(
+    "ev_power_analysis",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    ${DedupQueries.duckHash(
+              "concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS r
+       |  FROM events GROUP BY 1, 2),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c,
+       |    CAST(sum(CASE WHEN v = 0 THEN r END) AS DECIMAL(28,2)) AS s_c,
+       |    CAST(sum(CASE WHEN v = 0 THEN r * r END) AS DECIMAL(38,4))
+       |      AS q_c,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t,
+       |    CAST(sum(CASE WHEN v = 1 THEN r END) AS DECIMAL(28,2)) AS s_t,
+       |    CAST(sum(CASE WHEN v = 1 THEN r * r END) AS DECIMAL(38,4))
+       |      AS q_t
+       |  FROM u),
+       |m AS (
+       |  SELECT n_c, n_t,
+       |    CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c
+       |      AS delta,
+       |    (CAST(q_c AS DOUBLE)
+       |      - CAST(s_c AS DOUBLE) * s_c / n_c) / (n_c - 1) AS vc,
+       |    (CAST(q_t AS DOUBLE)
+       |      - CAST(s_t AS DOUBLE) * s_t / n_t) / (n_t - 1) AS vt
+       |  FROM a)
+       |SELECT n_c AS n_control, n_t AS n_treatment,
+       |  round(delta, 4) AS delta_observed,
+       |  round(sqrt(vc), 4) AS sd_control,
+       |  round(sqrt(vt), 4) AS sd_treatment,
+       |  CASE WHEN delta <> 0 THEN CAST(ceil(
+       |    (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+       |    * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+       |    * (vc + vt)
+       |      / (delta * delta)) AS BIGINT) END AS n_needed_per_arm,
+       |  round((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+       |    * sqrt(vc / n_c + vt / n_t), 4)
+       |    AS mde_current
+       |FROM m""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .withColumn("v",
+        graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+      .groupBy(col("user_id"), col("v"))
+      .agg(sum(when(col("event_type") === "purchase",
+          round(col("value"), 2).cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)")))
+        .cast("decimal(18,2)").as("r"))
+    val a = u.agg(
+      sum(when(col("v") === 0, 1).otherwise(0)).cast("bigint").as("n_c"),
+      sum(when(col("v") === 0, col("r"))).cast("decimal(28,2)").as("s_c"),
+      sum(when(col("v") === 0, col("r") * col("r")))
+        .cast("decimal(38,4)").as("q_c"),
+      sum(when(col("v") === 1, 1).otherwise(0)).cast("bigint").as("n_t"),
+      sum(when(col("v") === 1, col("r"))).cast("decimal(28,2)").as("s_t"),
+      sum(when(col("v") === 1, col("r") * col("r")))
+        .cast("decimal(38,4)").as("q_t"))
+    val m = a.select(col("n_c"), col("n_t"),
+      (col("s_t").cast("double") / col("n_t")
+        - col("s_c").cast("double") / col("n_c")).as("delta"),
+      ((col("q_c").cast("double")
+        - col("s_c").cast("double") * col("s_c") / col("n_c"))
+        / (col("n_c") - 1)).as("vc"),
+      ((col("q_t").cast("double")
+        - col("s_t").cast("double") * col("s_t") / col("n_t"))
+        / (col("n_t") - 1)).as("vt"))
+    val z = lit(1.96) + lit(0.8416)
+    m.select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+      round(col("delta"), 4).as("delta_observed"),
+      round(sqrt(col("vc")), 4).as("sd_control"),
+      round(sqrt(col("vt")), 4).as("sd_treatment"),
+      when(col("delta") =!= 0,
+        ceil(z * z * (col("vc") + col("vt"))
+          / (col("delta") * col("delta"))).cast("bigint"))
+        .as("n_needed_per_arm"),
+      round(z * sqrt(col("vc") / col("n_c") + col("vt") / col("n_t")),
+        4).as("mde_current"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2091,5 +2189,5 @@ object EventQueries {
     evValueEma, evSeasonalityDow, evForecastBaseline,
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
-    evAbWelch, evUpliftCuped)
+    evAbWelch, evUpliftCuped, evPowerAnalysis)
 }

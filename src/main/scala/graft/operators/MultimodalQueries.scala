@@ -260,7 +260,57 @@ object MultimodalQueries {
       .orderBy(col("cid"), col("lang"))
   }
 
+  /** FRAME SAMPLING over an opaque video-like payload — the temporal
+    * subsampling step every video pipeline runs before decode (keep
+    * 1 of every k frames, hand ONLY those to the expensive codec
+    * stage): the payload is modeled as consecutive 32-byte frames and
+    * every 4th frame (stride 128 bytes) is sampled, emitting the
+    * manifest a downstream mapInPandas decode stage consumes —
+    * (doc_id, frame_idx, byte offset, frame digest, total frame
+    * count). Digests are md5 over the frame bytes, so the manifest is
+    * engine-independent; the real-codec decode of the SAMPLED frames
+    * is the clearly-marked stub in sources.MultimodalPipeline (the
+    * container has no codecs — the Spark-side plumbing is real).
+    *
+    * Scale shape: a pure per-row `sequence`+`transform` projection
+    * followed by posexplode — no shuffle, no state, streaming-safe;
+    * output is corpus × (frames/4) rows, the point of sampling. */
+  val multimodalFrameSample: GQuery = GQuery(
+    "multimodal_frame_sample",
+    """WITH f AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |    unnest([{'idx': CAST((o - 1) // 128 AS INT),
+      |             'off': CAST(o AS INT),
+      |             'h': md5(substring(text, o, 32))}
+      |            for o in generate_series(1,
+      |              greatest(octet_length(encode(text)) - 31, 1), 128)])
+      |      AS fr
+      |  FROM documents)
+      |SELECT doc_id, fr.idx AS frame_idx, fr.off AS frame_off,
+      |  fr.h AS frame_md5,
+      |  CAST((n_bytes + 31) // 32 AS INT) AS n_frames_total
+      |FROM f
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        explode(expr(
+          """transform(
+            |  sequence(1, greatest(octet_length(cast(text AS binary))
+            |    - 31, 1), 128),
+            |  o -> named_struct(
+            |    'idx', CAST((o - 1) DIV 128 AS INT),
+            |    'off', CAST(o AS INT),
+            |    'h', md5(cast(substr(text, o, 32) AS binary))))"""
+            .stripMargin)).as("fr"))
+      .select(col("doc_id"), col("fr.idx").as("frame_idx"),
+        col("fr.off").as("frame_off"), col("fr.h").as("frame_md5"),
+        ((col("n_bytes") + 31).cast("int") / 32).cast("int")
+          .as("n_frames_total"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures,
     multimodalDedup, multimodalShardManifest, multimodalPhashNeardup,
-    multimodalClusterProfile)
+    multimodalClusterProfile, multimodalFrameSample)
 }

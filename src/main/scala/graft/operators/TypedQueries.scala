@@ -67,5 +67,78 @@ object TypedQueries {
       .orderBy(col("o_orderpriority"))
   }
 
-  val all: Seq[GQuery] = Seq(typedAggDataset)
+  case class EvRow(event_id: Long, user_id: Long, tsec: Long)
+
+  /** Per-user SESSION RECONSTRUCTION through `mapGroups` — the second
+    * typed surface next to the Aggregator row: imperative per-group
+    * logic (a sorted walk splitting sessions at 30-minute gaps, the
+    * ev_session semantics) that is natural as Scala and awkward as
+    * Column algebra; the oracle is the relational gaps-and-islands
+    * spelling, so the typed walk must equal the window-function form
+    * exactly. Timestamps are pre-floored to epoch SECONDS in the
+    * relational projection (both engines' date_diff('second')
+    * semantics), so the Scala comparison is integer-exact.
+    *
+    * Honest trade (the typedAggDataset scaladoc applies, plus one
+    * more): unlike an Aggregator, `mapGroups` has NO map-side partial
+    * — every row of a group crosses the shuffle raw, and the group's
+    * rows materialize in memory at once. Right for bounded per-user
+    * event lists (sessions, funnels); wrong for unbounded groups —
+    * which is exactly why the streaming twins use
+    * flatMapGroupsWithState (incremental state) instead. */
+  val typedMapGroups: GQuery = GQuery(
+    "typed_map_groups",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    date_diff('second', TIMESTAMP '1970-01-01', ts) AS tsec
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, tsec, event_id,
+      |    CASE WHEN lag(tsec) OVER w IS NULL
+      |         OR tsec - lag(tsec) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+      |s AS (
+      |  SELECT user_id,
+      |    sum(brk) OVER (PARTITION BY user_id
+      |      ORDER BY tsec, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS sid
+      |  FROM b),
+      |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(max(n) AS BIGINT) AS longest_session_events,
+      |  CAST(sum(n) AS BIGINT) AS total_events
+      |FROM g GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .as[EvRow]
+      .groupByKey(_.user_id)
+      .mapGroups { (user, rows) =>
+        val sorted = rows.toSeq.sortBy(e => (e.tsec, e.event_id))
+        var nSessions = 0L
+        var longest = 0L
+        var cur = 0L
+        var prev = Long.MinValue
+        sorted.foreach { e =>
+          if (prev == Long.MinValue || e.tsec - prev > 1800) {
+            nSessions += 1
+            longest = math.max(longest, cur)
+            cur = 0L
+          }
+          cur += 1
+          prev = e.tsec
+        }
+        longest = math.max(longest, cur)
+        (user, nSessions, longest, sorted.size.toLong)
+      }
+      .toDF("user_id", "n_sessions", "longest_session_events",
+        "total_events")
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(typedAggDataset, typedMapGroups)
 }

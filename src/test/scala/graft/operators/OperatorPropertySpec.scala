@@ -2592,6 +2592,91 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("multimodal_frame_sample: manifest replays from byte windows; stride holds") {
+    val got = MultimodalQueries.multimodalFrameSample.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getInt(4)))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expected = docs.sortBy(_._1).flatMap { case (id, text) =>
+      val n = text.getBytes("UTF-8").length
+      val offs = 1 to math.max(n - 31, 1) by 128
+      offs.zipWithIndex.map { case (o, i) =>
+        (id, i, o, md5hex(text.substring(o - 1,
+          math.min(o - 1 + 32, text.length))), (n + 31) / 32)
+      }
+    }
+    assert(got.toSeq == expected.toSeq)
+    // sampling contract: offsets stride exactly 128 bytes (1 of 4
+    // 32-byte frames), indices dense from 0
+    got.groupBy(_._1).values.foreach { fs =>
+      val s = fs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == s.indices.toSeq)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 == 128)
+        case _           =>
+      }
+    }
+  }
+
+  test("typed_map_groups: the imperative walk equals ev_session's island count") {
+    val typed = TypedQueries.typedMapGroups.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay from raw events
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", unix_timestamp($"ts").as("tsec"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (u, xs) =>
+        val ts = xs.map(x => (x._2, x._3)).sorted.map(_._1)
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) {
+          (acc, t) =>
+            if (t - acc.head.head > 1800) List(t) :: acc
+            else (t :: acc.head) :: acc.tail
+        }
+        (u, sessions.size.toLong,
+          sessions.map(_.size).max.toLong, ts.size.toLong)
+    }
+    assert(typed.toSeq == expected)
+    typed.foreach { r =>
+      assert(r._2 >= 1 && r._3 <= r._4, s"user ${r._1}: bounds")
+    }
+  }
+
+  test("ev_power_analysis: n and MDE replay from the Welch moments") {
+    val r = EventQueries.evPowerAnalysis.fn(spark, sfDir).collect().head
+    val rev = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+          round($"value", 2).cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)"))).as("r"))
+      .collect().map(x => (x.getLong(0), BigDecimal(x.getDecimal(1))))
+    def arm(u: Long): Int =
+      (graft.streaming.EventStreams.portableHash(u, "ab:") % 2).toInt
+    def moments(v: Int): (Long, Double, Double) = {
+      val xs = rev.filter(x => arm(x._1) == v).map(_._2)
+      val n = xs.length.toLong
+      val s = xs.sum.toDouble
+      val q = xs.map(x => x * x).sum.toDouble
+      (n, s / n, (q - s * s / n) / (n - 1))
+    }
+    val (nc, mc, vc) = moments(0)
+    val (nt, mt, vt) = moments(1)
+    val z = 1.96 + 0.8416
+    val delta = mt - mc
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == nc && r.getLong(1) == nt)
+    assert(r.getDouble(2) == r4(delta))
+    assert(r.getLong(5) ==
+      math.ceil(z * z * (vc + vt) / (delta * delta)).toLong)
+    assert(r.getDouble(6) == r4(z * math.sqrt(vc / nc + vt / nt)))
+  }
+
   test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
     val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
     val (nc, cc, nt, ct) =
