@@ -1815,6 +1815,87 @@ object SimQueries {
       .orderBy(col("label"))
   }
 
+  /** PER-DIMENSION QUANTILE CLIPPING profile — the outlier-taming
+    * pass run before scalar quantization (an SQ8 grid sized by a
+    * heavy-tailed dimension wastes most of its codes on outliers; see
+    * embed_sq8_error): each dimension's values clamp to that
+    * dimension's own [p01, p99], and the report says what clipping
+    * would cost — per-dim thresholds, clipped counts/rate, and the
+    * mean squared error the clamp introduces. Thresholds round to the
+    * family's 6-place grid before the compares (boundary values
+    * classify identically cross-engine); values and errors live on
+    * the DECIMAL(18,9) grid (the embed_dim_stats discipline), so all
+    * sums are exact.
+    *
+    * Scale: one posexplode + per-dim exact-percentile aggregate (64
+    * groups; swap for approx_percentile at 100 TB per the
+    * agg_percentiles note), the 64-row threshold frame BROADCAST back
+    * (a dim-keyed shuffle join would funnel the corpus onto 64 tasks
+    * — the embed_standardize note), one map-side-combining rollup. */
+  val embedQuantileClip: GQuery = GQuery(
+    "embed_quantile_clip",
+    """WITH x AS (
+      |  SELECT CAST(unnest(embedding) AS DOUBLE) AS xe,
+      |         generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings),
+      |d AS (SELECT dim, CAST(xe AS DECIMAL(18,9)) AS xd FROM x),
+      |th AS (
+      |  SELECT dim,
+      |    CAST(round(quantile_cont(CAST(xd AS DOUBLE), 0.01), 6)
+      |      AS DECIMAL(18,9)) AS lo,
+      |    CAST(round(quantile_cont(CAST(xd AS DOUBLE), 0.99), 6)
+      |      AS DECIMAL(18,9)) AS hi
+      |  FROM d GROUP BY dim),
+      |c AS (
+      |  SELECT d.dim, d.xd, th.lo, th.hi,
+      |    least(greatest(d.xd, th.lo), th.hi) AS xc
+      |  FROM d JOIN th ON d.dim = th.dim)
+      |SELECT CAST(dim AS INT) AS dim,
+      |  CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+      |  CAST(sum(CASE WHEN xd < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(sum(CASE WHEN xd > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high,
+      |  round(CAST(sum(CASE WHEN xd < lo OR xd > hi THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS clip_rate,
+      |  round(CAST(sum(CAST((xd - xc) AS DECIMAL(19,9))
+      |    * (xd - xc)) AS DOUBLE) / count(*), 9) AS clip_mse
+      |FROM c GROUP BY dim, lo, hi
+      |ORDER BY dim""".stripMargin) { (s, dir) =>
+    val d = Tables.embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        col("x").cast("double").cast("decimal(18,9)").as("xd"))
+    val th = d.groupBy(col("dim")).agg(
+      round(expr("percentile(CAST(xd AS DOUBLE), 0.01d)"), 6)
+        .cast("decimal(18,9)").as("lo"),
+      round(expr("percentile(CAST(xd AS DOUBLE), 0.99d)"), 6)
+        .cast("decimal(18,9)").as("hi"))
+    val c = d.join(broadcast(th), Seq("dim"))
+      .withColumn("xc",
+        least(greatest(col("xd"), col("lo")), col("hi")))
+    c.groupBy(col("dim"), col("lo"), col("hi"))
+      .agg(
+        sum(when(col("xd") < col("lo"), 1).otherwise(0)).cast("bigint")
+          .as("n_clipped_low"),
+        sum(when(col("xd") > col("hi"), 1).otherwise(0)).cast("bigint")
+          .as("n_clipped_high"),
+        round(sum(when(col("xd") < col("lo")
+            || col("xd") > col("hi"), 1).otherwise(0)).cast("double")
+          / count(lit(1)), 6).as("clip_rate"),
+        round(sum((col("xd") - col("xc")).cast("decimal(19,9)")
+            * (col("xd") - col("xc"))).cast("double") / count(lit(1)),
+          9).as("clip_mse"))
+      .select(col("dim").cast("int").as("dim"),
+        col("lo").cast("double").as("lo"),
+        col("hi").cast("double").as("hi"),
+        col("n_clipped_low"), col("n_clipped_high"), col("clip_rate"),
+        col("clip_mse"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
@@ -1822,5 +1903,6 @@ object SimQueries {
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
       simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,
-      simBm25Topk, simRecallIvf, embedPqError, simBm25Indexed)
+      simBm25Topk, simRecallIvf, embedPqError, simBm25Indexed,
+      embedQuantileClip)
 }

@@ -470,8 +470,83 @@ object WindowQueries {
       .orderBy(col("event_type"))
   }
 
+  /** TRAILING 7-day ROLLING CORRELATION between two daily series
+    * (clicks vs purchases) — the co-movement monitor quant/ops teams
+    * run beside the volatility bands (`win_bollinger`): a funnel
+    * whose click→purchase correlation decays is breaking even when
+    * both volumes look healthy. All five frame sums (Σx, Σy, Σxy,
+    * Σx², Σy²) are INTEGER window sums — exact on any engine — and
+    * each day's correlation is ONE double expression over them; null
+    * until the frame holds 7 days (a 5-day correlation is a different
+    * statistic), and null on zero variance (the guard compares the
+    * exact integer discriminants, so both engines null the same
+    * rows).
+    *
+    * Scale: one map-side-combining daily aggregate, then a window
+    * over the calendar-bounded day grid (win_bollinger precedent). */
+  val winRollingCorr: GQuery = GQuery(
+    "win_rolling_corr",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, x, y,
+      |    CAST(count(*) OVER f AS BIGINT) AS n,
+      |    CAST(sum(x) OVER f AS BIGINT) AS sx,
+      |    CAST(sum(y) OVER f AS BIGINT) AS sy,
+      |    CAST(sum(x * y) OVER f AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) OVER f AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) OVER f AS BIGINT) AS syy
+      |  FROM d
+      |  WINDOW f AS (ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT strftime(day, '%Y-%m-%d') AS day, x, y,
+      |  CASE WHEN n = 7 AND n * sxx - sx * sx > 0
+      |        AND n * syy - sy * sy > 0
+      |    THEN round((CAST(n AS DOUBLE) * sxy
+      |        - CAST(sx AS DOUBLE) * sy)
+      |      / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |        * sqrt(CAST(n AS DOUBLE) * syy
+      |          - CAST(sy AS DOUBLE) * sy)), 6)
+      |  END AS corr7
+      |FROM w
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0))
+          .cast("bigint").as("x"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("bigint").as("y"))
+    val f = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val w = d
+      .withColumn("n", count(lit(1)).over(f).cast("bigint"))
+      .withColumn("sx", sum(col("x")).over(f).cast("bigint"))
+      .withColumn("sy", sum(col("y")).over(f).cast("bigint"))
+      .withColumn("sxy", sum(col("x") * col("y")).over(f).cast("bigint"))
+      .withColumn("sxx", sum(col("x") * col("x")).over(f).cast("bigint"))
+      .withColumn("syy", sum(col("y") * col("y")).over(f).cast("bigint"))
+    val nd = col("n").cast("double")
+    w.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x"), col("y"),
+        when(col("n") === 7
+            && col("n") * col("sxx") - col("sx") * col("sx") > 0
+            && col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round((nd * col("sxy") - col("sx").cast("double") * col("sy"))
+            / (sqrt(nd * col("sxx")
+                - col("sx").cast("double") * col("sx"))
+              * sqrt(nd * col("syy")
+                - col("sy").cast("double") * col("sy"))), 6))
+          .as("corr7"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
-    winBollinger, winCusumChangepoint)
+    winBollinger, winCusumChangepoint, winRollingCorr)
 }

@@ -188,7 +188,10 @@ class BroadcastPolicySpec extends SparkTestBase {
     "graph_reachability_cte" -> 2,
     // 1-row launch-date anchor (the ev_rfm pattern, resolved on both
     // the x and y branches' lineage) + the 1-row pooled-theta scalar
-    "ev_uplift_cuped" -> 3
+    "ev_uplift_cuped" -> 3,
+    // the 64-row per-dim threshold grid (bounded by the embedding
+    // dimension — the embed_standardize broadcast-back discipline)
+    "embed_quantile_clip" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -2677,6 +2677,60 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(r.getDouble(6) == r4(z * math.sqrt(vc / nc + vt / nt)))
   }
 
+  test("win_rolling_corr: correlation replays from exact integer frame sums") {
+    val got = WindowQueries.winRollingCorr.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(when($"event_type" === "click", 1).otherwise(0)).as("x"),
+        sum(when($"event_type" === "purchase", 1).otherwise(0)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.indices.map { i =>
+      val (day, x, y) = daily(i)
+      val fr = daily.slice(math.max(0, i - 6), i + 1)
+      val corr = if (fr.size < 7) None else {
+        val n = fr.size.toLong
+        val sx = fr.map(_._2).sum; val sy = fr.map(_._3).sum
+        val sxy = fr.map(f => f._2 * f._3).sum
+        val sxx = fr.map(f => f._2 * f._2).sum
+        val syy = fr.map(f => f._3 * f._3).sum
+        if (n * sxx - sx * sx <= 0 || n * syy - sy * sy <= 0) None
+        else Some(r6((n.toDouble * sxy - sx.toDouble * sy)
+          / (math.sqrt(n.toDouble * sxx - sx.toDouble * sx)
+            * math.sqrt(n.toDouble * syy - sy.toDouble * sy))))
+      }
+      (day, x, y, corr)
+    }
+    assert(got.toSeq == expected)
+    // first 6 days must be null; correlations bounded
+    assert(got.take(6).forall(_._4.isEmpty))
+    assert(got.flatMap(_._4).forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("embed_quantile_clip: thresholds ordered; clip mass ~2%; mse nonneg") {
+    val got = SimQueries.embedQuantileClip.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.map(_._1).toSeq == (0 until 64))
+    val n = Tables.embeddings(spark, sfDir).count()
+    got.foreach { d =>
+      assert(d._2 <= d._3, s"dim ${d._1}: lo > hi")
+      assert(d._7 >= 0, s"dim ${d._1}: negative mse")
+      // p01/p99 clipping leaves at most ~2% + interpolation slack out
+      assert(d._6 <= 0.03, s"dim ${d._1}: clip rate ${d._6} too high")
+      assert(d._4 + d._5 == math.round(d._6 * n),
+        s"dim ${d._1}: clip counts inconsistent with rate")
+      // positive clip error implies something was clipped (the
+      // converse can round to zero on the 9-place grid)
+      assert(d._7 == 0.0 || d._4 + d._5 > 0,
+        s"dim ${d._1}: mse without clipping")
+    }
+  }
+
   test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
     val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
     val (nc, cc, nt, ct) =
