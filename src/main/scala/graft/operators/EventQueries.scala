@@ -2179,6 +2179,64 @@ object EventQueries {
         4).as("mde_current"))
   }
 
+  /** BEHAVIORAL-DIVERSITY feature: per-user Shannon entropy over the
+    * user's own event-type distribution — H = −Σ p·ln p, the
+    * feature-engineering staple that separates single-behavior users
+    * (H = 0: pure viewers, bots hammering one endpoint) from diverse
+    * ones (H → ln 5), used as a churn-model input and a bot signal.
+    * Top-20 by (entropy desc, user_id). Portability: the per-type
+    * shares round to the 6-place grid and their logs to the 8-place
+    * grid BEFORE the products and the sum (the text_surprisal log
+    * discipline), so H is decimal-exact cross-engine.
+    *
+    * Scale shape: one (user, type) map-side-combining count (state
+    * ≤ 5 rows per user), one per-user rollup, TakeOrderedAndProject
+    * top-20 — no windows, no joins. */
+  val evUserEntropy: GQuery = GQuery(
+    "ev_user_entropy",
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS k
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n,
+      |        CAST(count(*) AS INT) AS n_types
+      |      FROM c GROUP BY user_id),
+      |t AS (
+      |  SELECT c.user_id,
+      |    CAST(round(CAST(c.k AS DOUBLE) / n.n, 6) AS DECIMAL(12,6))
+      |      AS p
+      |  FROM c JOIN n ON c.user_id = n.user_id),
+      |h AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN p > 0 THEN -p * CAST(round(
+      |      ln(CAST(p AS DOUBLE)), 8) AS DECIMAL(14,8))
+      |      ELSE CAST(0 AS DECIMAL(26,14)) END) AS ent
+      |  FROM t GROUP BY user_id)
+      |SELECT h.user_id, n.n AS n_events, n.n_types,
+      |  round(CAST(h.ent AS DOUBLE), 6) AS entropy
+      |FROM h JOIN n ON h.user_id = n.user_id
+      |ORDER BY entropy DESC, h.user_id
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("k"))
+    val n = c.groupBy(col("user_id"))
+      .agg(sum(col("k")).cast("bigint").as("n"),
+        count(lit(1)).cast("int").as("n_types"))
+    val t = c.join(n, Seq("user_id"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        round(col("k").cast("double") / col("n"), 6)
+          .cast("decimal(12,6)").as("p"))
+    t.groupBy(col("user_id"), col("n"), col("n_types"))
+      .agg(sum(when(col("p") > 0,
+          -col("p") * round(log(col("p").cast("double")), 8)
+            .cast("decimal(14,8)"))
+        .otherwise(lit(0).cast("decimal(26,14)"))).as("ent"))
+      .select(col("user_id"), col("n").as("n_events"), col("n_types"),
+        round(col("ent").cast("double"), 6).as("entropy"))
+      .orderBy(col("entropy").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2189,5 +2247,5 @@ object EventQueries {
     evValueEma, evSeasonalityDow, evForecastBaseline,
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
-    evAbWelch, evUpliftCuped, evPowerAnalysis)
+    evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy)
 }

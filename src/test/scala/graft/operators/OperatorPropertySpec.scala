@@ -2731,6 +2731,30 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("ev_user_entropy: H replays on the decimal grid; bounded by ln(types)") {
+    val got = EventQueries.evUserEntropy.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    val counts = Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def r(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val expected = counts.groupBy(_._1).toSeq.map { case (u, xs) =>
+      val n = xs.map(_._3).sum
+      val ent = xs.map { x =>
+        val p = r(x._3.toDouble / n, 6)
+        if (p > 0) -p * r(math.log(p.toDouble), 8) else BigDecimal(0)
+      }.sum
+      (u, n, xs.size, r(ent.toDouble, 6).toDouble)
+    }.sortBy(x => (-x._4, x._1)).take(20)
+    assert(got.toSeq == expected)
+    got.foreach { g =>
+      assert(g._4 >= 0 && g._4 <= math.log(g._3.toDouble) + 1e-6,
+        s"user ${g._1}: entropy out of [0, ln n_types]")
+    }
+  }
+
   test("ev_ab_ztest: z replays from per-user conversions; arms partition users") {
     val r = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
     val (nc, cc, nt, ct) =
