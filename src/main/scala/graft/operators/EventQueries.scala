@@ -2237,6 +2237,77 @@ object EventQueries {
       .limit(20)
   }
 
+  /** SAMPLE-RATIO-MISMATCH check — the standard pre-readout guardrail
+    * every experimentation platform runs before trusting a test
+    * (Fabijan et al.'s "SRM" diagnostic): if the realized per-arm user
+    * counts deviate from the designed 50/50 split by more than chance,
+    * the assignment or logging pipeline is broken and the readout is
+    * invalid. Arms come from the SAME portable salted hash as
+    * ev_ab_ztest / ev_ab_welch (salt `ab:`), so this row audits
+    * exactly the assignment those readouts use. The statistic is the
+    * 1-dof chi-square against equal expected counts, χ² =
+    * Σ(obs−exp)²/exp with exp = n/2, flagged at the conventional
+    * p < 0.001 boundary (χ² > 10.828, the literal both engines
+    * compare against). Every double op appears in the same order in
+    * both engines → bit-identical rounded χ².
+    *
+    * Scale shape: variant is a per-row projection (no assignment
+    * table); one map-side-combining distinct-user aggregate is the
+    * only corpus-sized stage; the χ² runs on a 2-row frame. */
+  val evAbSrmCheck: GQuery = GQuery(
+    "ev_ab_srm_check",
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id,
+       |    ${DedupQueries.duckHash("concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v
+       |  FROM events),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_control,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_treatment
+       |  FROM u)
+       |SELECT n_control, n_treatment,
+       |  round(CAST(n_control AS DOUBLE) / (n_control + n_treatment), 6)
+       |    AS control_share,
+       |  round(
+       |    (n_control - CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |      * (n_control - CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |      / (CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |    + (n_treatment - CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |      * (n_treatment - CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |      / (CAST(n_control + n_treatment AS DOUBLE) / 2), 6)
+       |    AS chi_square,
+       |  CAST(
+       |    (n_control - CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |      * (n_control - CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |      / (CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |    + (n_treatment - CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |      * (n_treatment - CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |      / (CAST(n_control + n_treatment AS DOUBLE) / 2)
+       |    > 10.828 AS BOOLEAN) AS srm_detected
+       |FROM a""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .select(col("user_id"),
+        (graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+          .as("v"))
+      .distinct()
+    val a = u.agg(
+      sum(when(col("v") === 0, 1).otherwise(0)).cast("bigint")
+        .as("n_control"),
+      sum(when(col("v") === 1, 1).otherwise(0)).cast("bigint")
+        .as("n_treatment"))
+    val n = (col("n_control") + col("n_treatment")).cast("double")
+    val e = n / 2
+    val chi = (col("n_control") - e) * (col("n_control") - e) / e +
+      (col("n_treatment") - e) * (col("n_treatment") - e) / e
+    a.select(col("n_control"), col("n_treatment"),
+      round(col("n_control").cast("double") /
+        (col("n_control") + col("n_treatment")), 6).as("control_share"),
+      round(chi, 6).as("chi_square"),
+      (chi > 10.828).cast("boolean").as("srm_detected"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2247,5 +2318,6 @@ object EventQueries {
     evValueEma, evSeasonalityDow, evForecastBaseline,
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
-    evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy)
+    evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
+    evAbSrmCheck)
 }

@@ -623,9 +623,45 @@ object JoinQueries {
     }
   }
 
+  /** LATERAL correlated subquery — the ANSI "for each outer row, run
+    * this dependent subquery" join surface (engine-capability row,
+    * like graph_reachability_cte's WITH RECURSIVE): each nation pulls
+    * its top-3 customers by account balance through a correlated
+    * `LATERAL (... ORDER BY ... LIMIT 3)`. The SQL text is IDENTICAL
+    * in both engines — Spark 4.1 and DuckDB both execute it natively.
+    *
+    * Scale shape: Spark does NOT execute the naive
+    * subquery-per-outer-row loop; the optimizer decorrelates the
+    * LATERAL into a rank-based group-limit — the physical plan is
+    * Scan(customer) → `WindowGroupLimit` (map-side per-partition top-3
+    * heap) → one shuffle on the correlation key → final
+    * WindowGroupLimit → BroadcastHashJoin against the 25-row nation
+    * side. That is exactly the win_rank_topk_per_group plan, derived
+    * automatically from the declarative LATERAL — no per-row
+    * re-execution at any scale, and the map-side group limit bounds
+    * the shuffle at 3 rows per (partition, nation). Ties broken by
+    * c_name so the LIMIT cut is a total order (hash-stable across
+    * engines). */
+  val joinLateralTopk: GQuery = {
+    def lateralSql(nation: String, customer: String): String =
+      s"""SELECT n.n_name, t.c_name, t.c_acctbal
+         |FROM $nation n,
+         |LATERAL (SELECT c_name, c_acctbal FROM $customer c
+         |         WHERE c.c_nationkey = n.n_nationkey
+         |         ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+    GQuery("join_lateral_topk", lateralSql("nation", "customer")) {
+      (s, dir) =>
+        Tables.nation(s, dir).createOrReplaceTempView("lat_nation")
+        Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+        s.sql(lateralSql("lat_nation", "lat_customer"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(joinHashEqui, joinBroadcast, joinSortmerge,
     joinMultiway, joinLeftOuter, joinSemi, joinAnti, joinThetaRange,
     joinAsof, joinAsofTolerance, joinTimeProximity, joinFullOuter,
     joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe,
-    joinPointInTime, joinIntervalOverlap, joinSkewSalted)
+    joinPointInTime, joinIntervalOverlap, joinSkewSalted,
+    joinLateralTopk)
 }

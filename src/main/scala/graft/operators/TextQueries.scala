@@ -1450,6 +1450,75 @@ object TextQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** FLESCH-style readability per document — the classic
+    * words-per-sentence × syllables-per-word readability screen every
+    * corpus-quality pipeline runs next to stopword/length filters
+    * (text_quality_score covers lexical diversity; this covers
+    * syntactic complexity). Counts are regex-class tallies portable
+    * across engines (RE2-safe classes, same discipline as
+    * text_pii_audit): words = `[A-Za-z]+` runs, sentences = `[.!?]+`
+    * runs (floored at 1 — headlines without terminal punctuation are
+    * one sentence), syllables ≈ vowel-group runs `[aeiouy]+` over the
+    * lowercased text (the standard cheap estimator). The two ratios
+    * are rounded to the 6-place grid, and the Flesch linear combo
+    * `206.835 − 1.015·wps − 84.6·spw` runs on DECIMAL literals in
+    * BOTH engines (a bare `1.015` parses as DECIMAL in Spark SQL and
+    * DuckDB alike), so the score is exact, not
+    * accumulation-order-dependent.
+    *
+    * Scale shape: pure per-row projection — three regexp scans per
+    * doc, no shuffle, no state; streaming-safe and embarrassingly
+    * parallel at any corpus size. */
+  val textReadability: GQuery = GQuery(
+    "text_readability",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1)
+      |      AS n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |      AS n_sentences,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_sentences AS BIGINT) AS n_sentences,
+      |  CAST(n_syllables AS BIGINT) AS n_syllables,
+      |  round(CAST(n_words AS DOUBLE) / n_sentences, 6)
+      |    AS words_per_sentence,
+      |  round(CAST(n_syllables AS DOUBLE) / n_words, 6)
+      |    AS syllables_per_word,
+      |  CAST(round(206.835
+      |    - 1.015 * CAST(round(CAST(n_words AS DOUBLE) / n_sentences, 6)
+      |               AS DECIMAL(14,6))
+      |    - 84.6 * CAST(round(CAST(n_syllables AS DOUBLE) / n_words, 6)
+      |              AS DECIMAL(14,6)), 6) AS DOUBLE) AS flesch
+      |FROM c
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        greatest(size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+"), lit(0))), lit(1)).as("w"),
+        greatest(size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))), lit(1)).as("sen"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))).as("syl"))
+      .select(col("doc_id"),
+        col("w").cast("bigint").as("n_words"),
+        col("sen").cast("bigint").as("n_sentences"),
+        col("syl").cast("bigint").as("n_syllables"),
+        round(col("w").cast("double") / col("sen"), 6)
+          .as("words_per_sentence"),
+        round(col("syl").cast("double") / col("w"), 6)
+          .as("syllables_per_word"),
+        round(expr("206.835") -
+          expr("1.015") * round(col("w").cast("double") / col("sen"), 6)
+            .cast("decimal(14,6)") -
+          expr("84.6") * round(col("syl").cast("double") / col("w"), 6)
+            .cast("decimal(14,6)"), 6).cast("double").as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
@@ -1458,5 +1527,6 @@ object TextQueries {
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
     textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr,
-    textPmiCollocations, textRakeKeywords, textQualityBuckets)
+    textPmiCollocations, textRakeKeywords, textQualityBuckets,
+    textReadability)
 }

@@ -2777,4 +2777,75 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(r.getDouble(2) == r6(pc) && r.getDouble(5) == r6(pt))
     assert(r.getDouble(6) == r6(pt - pc) && r.getDouble(7) == r6(z))
   }
+
+  test("ev_ab_srm_check: chi2 replays from ztest's arm counts; decorrelated from assignment") {
+    val srm = EventQueries.evAbSrmCheck.fn(spark, sfDir).collect().head
+    val (nc, nt) = (srm.getLong(0), srm.getLong(1))
+    // same assignment hash as ev_ab_ztest → identical arm counts
+    val z = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
+    assert(nc == z.getLong(0) && nt == z.getLong(3),
+      "SRM must audit the same arms the readout uses")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = (nc + nt).toDouble / 2
+    val chi = (nc - e) * (nc - e) / e + (nt - e) * (nt - e) / e
+    assert(srm.getDouble(3) == r6(chi))
+    assert(srm.getBoolean(4) == (chi > 10.828))
+    // the fixture's hash split is designed-healthy: no SRM expected
+    assert(!srm.getBoolean(4),
+      s"portable-hash 50/50 split flagged SRM (chi2=$chi) — " +
+        "assignment hash is broken")
+  }
+
+  test("join_lateral_topk: true per-nation top-3; LATERAL decorrelates to a group-limit, not a per-row loop") {
+    val got = JoinQueries.joinLateralTopk.fn(spark, sfDir)
+    val rows = got.collect()
+    // ≤3 rows per nation and exactly the window-rank top-3
+    val byNation = rows.groupBy(_.getString(0))
+    assert(byNation.values.forall(_.length <= 3))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_name")
+    val want = Tables.customer(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .join(Tables.nation(spark, sfDir),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_name", $"c_acctbal")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == want)
+    // plan: the correlated LIMIT must become a rank/group-limit join,
+    // never a nested-loop re-execution per outer row
+    val phys = got.queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit") || phys.contains("Window"),
+      s"expected decorrelated group-limit plan, got:\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      "LATERAL must not plan as a nested-loop join")
+  }
+
+  test("text_readability: counts replay per-row; flesch on the decimal grid") {
+    val rows = TextQueries.textReadability.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(200).foreach { r =>
+      val t = texts(r.getLong(0))
+      val w = math.max("[A-Za-z]+".r.findAllIn(t).length, 1)
+      val sen = math.max("[.!?]+".r.findAllIn(t).length, 1)
+      val syl = "[aeiouy]+".r.findAllIn(t.toLowerCase).length
+      assert(r.getLong(1) == w && r.getLong(2) == sen && r.getLong(3) == syl)
+      val wps = r6(w.toDouble / sen)
+      val spw = r6(syl.toDouble / w)
+      assert(r.getDouble(4) == wps && r.getDouble(5) == spw)
+      val flesch = (BigDecimal("206.835") -
+        BigDecimal("1.015") * BigDecimal(wps) -
+        BigDecimal("84.6") * BigDecimal(spw))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(6) == flesch, s"doc ${r.getLong(0)} flesch")
+    }
+  }
 }
