@@ -110,6 +110,38 @@ object SortSetQueries {
       .orderBy(col("kind"), col("key"))
   }
 
+  /** EXCEPT ALL — bag semantics: each 1995 order-row survives unless
+    * matched 1:1 by a 1998 row of the same key (multiplicity
+    * max(m−n, 0)), the set-difference the DISTINCT variant above
+    * cannot express (a customer with 3 orders in 1995 and 1 in 1998
+    * contributes 2 rows here, 0 rows there). Spark plans `exceptAll`
+    * as a count-tagged aggregate + generator replay — one shuffle on
+    * the key, no join, the same shape at any scale. */
+  val setopExceptAll: GQuery = GQuery(
+    "setop_except_all",
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    activeKeys(s, dir, 1995)
+      .exceptAll(activeKeys(s, dir, 1998))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** INTERSECT ALL — bag semantics: min(m, n) copies of each key
+    * survive (pairs up 1995 and 1998 order-rows one-to-one). */
+  val setopIntersectAll: GQuery = GQuery(
+    "setop_intersect_all",
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    activeKeys(s, dir, 1995)
+      .intersectAll(activeKeys(s, dir, 1998))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[GQuery] = Seq(sortMultiKey, setopUnionAll,
-    setopUnionDistinct, setopIntersect, setopExcept, setopUnionByName)
+    setopUnionDistinct, setopIntersect, setopExcept, setopUnionByName,
+    setopExceptAll, setopIntersectAll)
 }

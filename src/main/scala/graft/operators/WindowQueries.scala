@@ -545,8 +545,76 @@ object WindowQueries {
       .orderBy(col("day"))
   }
 
+  /** THEIL–SEN robust trend — the median-of-pairwise-slopes estimator
+    * per event type's daily count series: slope = median{(y_j−y_i)/
+    * (j−i) : i<j}, intercept = median{y_i − slope·i}. Unlike the OLS
+    * slope (ev_forecast_baseline's family), a single anomalous day
+    * cannot move it — the robust-regression companion to
+    * agg_mad/agg_winsorized_mean's robust location estimators. The
+    * slope medians run over exact pairwise divisions; the proven
+    * quantile_cont ↔ percentile pairing (win_moving_median) makes the
+    * interpolated median bit-identical cross-engine, and the rounded
+    * slope is re-quantized before the intercept residuals so both
+    * medians ride deterministic inputs.
+    *
+    * Scale shape: the pairwise self-join is CALENDAR-bounded — ≤366
+    * rn values per event type regardless of corpus size (≤67k pairs
+    * per type), reached through one map-side-combining daily
+    * aggregate; the corpus is never paired with itself. Partitioned
+    * by event_type end-to-end, fully parallel across types. */
+  val winTheilSen: GQuery = GQuery(
+    "win_theil_sen",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |m AS (
+      |  SELECT a.event_type,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    round(quantile_cont((b.y - a.y) / (b.rn - a.rn), 0.5), 6)
+      |      AS slope
+      |  FROM s a JOIN s b
+      |    ON a.event_type = b.event_type AND b.rn > a.rn
+      |  GROUP BY 1)
+      |SELECT s.event_type,
+      |  CAST(max(s.rn) AS BIGINT) AS n_days, m.n_pairs, m.slope,
+      |  round(quantile_cont(s.y - m.slope * s.rn, 0.5), 6) AS intercept
+      |FROM s JOIN m USING (event_type)
+      |GROUP BY s.event_type, m.n_pairs, m.slope
+      |ORDER BY s.event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ser = d.select(col("event_type"), col("y"),
+      row_number().over(w).as("rn"))
+    val a = ser.select(col("event_type"), col("y").as("ya"),
+      col("rn").as("ra"))
+    val b = ser.select(col("event_type").as("et2"), col("y").as("yb"),
+      col("rn").as("rb"))
+    val m = a.join(b, col("event_type") === col("et2")
+        && col("rb") > col("ra"))
+      .select(col("event_type"),
+        ((col("yb") - col("ya")) / (col("rb") - col("ra"))).as("sl"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        round(percentile(col("sl"), lit(0.5)), 6).as("slope"))
+    ser.join(m, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_pairs"), col("slope"))
+      .agg(max(col("rn")).cast("bigint").as("n_days"),
+        round(percentile(col("y") - col("slope") * col("rn"),
+          lit(0.5)), 6).as("intercept"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope"), col("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
-    winBollinger, winCusumChangepoint, winRollingCorr)
+    winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen)
 }

@@ -2797,6 +2797,80 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("setop bag semantics: EXCEPT ALL = max(m-n,0), INTERSECT ALL = min(m,n) per key") {
+    def counts(yr: Int): Map[Long, Long] = Tables.orders(spark, sfDir)
+      .filter(year($"o_orderdate") === yr).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (m95, m98) = (counts(1995), counts(1998))
+    val exceptAll = SortSetQueries.setopExceptAll.fn(spark, sfDir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantExcept = m95.map { case (k, m) =>
+      k -> math.max(m - m98.getOrElse(k, 0L), 0L) }.filter(_._2 > 0)
+    assert(exceptAll == wantExcept)
+    val interAll = SortSetQueries.setopIntersectAll.fn(spark, sfDir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantInter = m95.map { case (k, m) =>
+      k -> math.min(m, m98.getOrElse(k, 0L)) }.filter(_._2 > 0)
+    assert(interAll == wantInter)
+  }
+
+  test("win_theil_sen: slope replays as the median of pairwise slopes; outlier-robust") {
+    val rows = WindowQueries.winTheilSen.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (et, xs) =>
+        et -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val ys = daily(et)
+      assert(r.getLong(1) == ys.length.toLong)
+      val slopes = for {
+        i <- ys.indices; j <- (i + 1) until ys.length
+      } yield (ys(j) - ys(i)) / (j - i)
+      assert(r.getLong(2) == slopes.length.toLong)
+      val slope = r6(med(slopes))
+      assert(r.getDouble(3) == slope, s"$et slope")
+      val resid = ys.zipWithIndex.map { case (y, i) =>
+        y - slope * (i + 1) }
+      assert(r.getDouble(4) == r6(med(resid)), s"$et intercept")
+      // robustness: spiking ONE day 10x moves the T-S slope by less
+      // than it moves the OLS slope (the estimator's whole point)
+      val spiked = ys.updated(ys.length / 2, ys(ys.length / 2) * 10)
+      val spikedSlopes = for {
+        i <- spiked.indices; j <- (i + 1) until spiked.length
+      } yield (spiked(j) - spiked(i)) / (j - i)
+      def ols(v: IndexedSeq[Double]): Double = {
+        val n = v.length.toDouble
+        val xb = (n + 1) / 2
+        val yb = v.sum / n
+        val num = v.zipWithIndex.map { case (y, i) =>
+          (i + 1 - xb) * (y - yb) }.sum
+        val den = v.zipWithIndex.map { case (_, i) =>
+          (i + 1 - xb) * (i + 1 - xb) }.sum
+        num / den
+      }
+      val tsShift = math.abs(med(spikedSlopes) - med(slopes))
+      val olsShift = math.abs(ols(spiked) - ols(ys))
+      assert(tsShift <= olsShift,
+        s"$et: T-S shifted $tsShift vs OLS $olsShift under one spike")
+    }
+  }
+
   test("join_lateral_topk: true per-nation top-3; LATERAL decorrelates to a group-limit, not a per-row loop") {
     val got = JoinQueries.joinLateralTopk.fn(spark, sfDir)
     val rows = got.collect()
