@@ -2308,6 +2308,129 @@ object EventQueries {
       (chi > 10.828).cast("boolean").as("srm_detected"))
   }
 
+  /** RATIO-METRIC readout with DELTA-METHOD variance — the missing
+    * member of the experimentation family (z-test: proportions;
+    * Welch/CUPED: user-level means; this: RATIO metrics like
+    * revenue-per-event whose denominator also varies per user, where
+    * naive per-user averaging is biased and the delta method is the
+    * industry-standard fix, e.g. Deng et al.'s metric framework).
+    * Per user: x = purchase revenue (DECIMAL(18,2) grid), y = event
+    * count. Per arm: R = Σx/Σy, and the delta-method squared standard
+    * error se² = (var(x) − 2R·cov(x,y) + R²·var(y)) / (n·ȳ²); the
+    * readout is both arms' R, their difference, and z = ΔR /
+    * √(se²_c + se²_t). Arms come from the SAME `ab:` portable hash as
+    * the rest of the family. All moments (Σx, Σx², Σxy integer-scaled
+    * DECIMAL; Σy, Σy² BIGINT) are exact, and every double expression
+    * is textually identical in both engines → bit-identical rounded
+    * outputs.
+    *
+    * Scale shape: one map-side-combining per-user aggregate is the
+    * only corpus-sized stage; moments collapse to one row; the delta
+    * algebra runs on that row. */
+  val evAbRatioDelta: GQuery = {
+    def r(x: String) = s"CAST(s_$x AS DOUBLE) / y_$x"
+    def varx(x: String) =
+      s"(CAST(q_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * s_$x / n_$x) / (n_$x - 1)"
+    def vary(x: String) =
+      s"(CAST(yy_$x AS DOUBLE) - CAST(y_$x AS DOUBLE) * y_$x / n_$x) / (n_$x - 1)"
+    def cov(x: String) =
+      s"(CAST(xy_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * y_$x / n_$x) / (n_$x - 1)"
+    def se2(x: String) =
+      s"""((${varx(x)}) - 2 * (${r(x)}) * (${cov(x)})
+         | + (${r(x)}) * (${r(x)}) * (${vary(x)}))
+         | / (n_$x * (CAST(y_$x AS DOUBLE) / n_$x)
+         |   * (CAST(y_$x AS DOUBLE) / n_$x))""".stripMargin
+    GQuery("ev_ab_ratio_delta",
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    ${DedupQueries.duckHash(
+                "concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+         |    CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |a AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_c,
+         |    CAST(sum(CASE WHEN v = 0 THEN x END) AS DECIMAL(28,2)) AS s_c,
+         |    CAST(sum(CASE WHEN v = 0 THEN x * x END) AS DECIMAL(38,4))
+         |      AS q_c,
+         |    CAST(sum(CASE WHEN v = 0 THEN y END) AS BIGINT) AS y_c,
+         |    CAST(sum(CASE WHEN v = 0 THEN y * y END) AS BIGINT) AS yy_c,
+         |    CAST(sum(CASE WHEN v = 0 THEN x * y END) AS DECIMAL(38,2))
+         |      AS xy_c,
+         |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    CAST(sum(CASE WHEN v = 1 THEN x END) AS DECIMAL(28,2)) AS s_t,
+         |    CAST(sum(CASE WHEN v = 1 THEN x * x END) AS DECIMAL(38,4))
+         |      AS q_t,
+         |    CAST(sum(CASE WHEN v = 1 THEN y END) AS BIGINT) AS y_t,
+         |    CAST(sum(CASE WHEN v = 1 THEN y * y END) AS BIGINT) AS yy_t,
+         |    CAST(sum(CASE WHEN v = 1 THEN x * y END) AS DECIMAL(38,2))
+         |      AS xy_t
+         |  FROM u)
+         |SELECT n_c AS n_control,
+         |  round(${r("c")}, 6) AS ratio_control,
+         |  round(sqrt(${se2("c")}), 6) AS se_control,
+         |  n_t AS n_treatment,
+         |  round(${r("t")}, 6) AS ratio_treatment,
+         |  round(sqrt(${se2("t")}), 6) AS se_treatment,
+         |  round((${r("t")}) - (${r("c")}), 6) AS diff,
+         |  round(((${r("t")}) - (${r("c")}))
+         |    / sqrt((${se2("c")}) + (${se2("t")})), 6) AS z_score
+         |FROM a""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .withColumn("v",
+          graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+        .groupBy(col("user_id"), col("v"))
+        .agg(sum(when(col("event_type") === "purchase",
+            round(col("value"), 2).cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("x"),
+          count(lit(1)).cast("bigint").as("y"))
+      def arm(v: Int, sfx: String) = Seq(
+        sum(when(col("v") === v, 1).otherwise(0)).cast("bigint")
+          .as(s"n_$sfx"),
+        sum(when(col("v") === v, col("x"))).cast("decimal(28,2)")
+          .as(s"s_$sfx"),
+        sum(when(col("v") === v, col("x") * col("x")))
+          .cast("decimal(38,4)").as(s"q_$sfx"),
+        sum(when(col("v") === v, col("y"))).cast("bigint")
+          .as(s"y_$sfx"),
+        sum(when(col("v") === v, col("y") * col("y"))).cast("bigint")
+          .as(s"yy_$sfx"),
+        sum(when(col("v") === v, col("x") * col("y")))
+          .cast("decimal(38,2)").as(s"xy_$sfx"))
+      val cols = arm(0, "c") ++ arm(1, "t")
+      val a = u.agg(cols.head, cols.tail: _*)
+      def rr(x: String) = col(s"s_$x").cast("double") / col(s"y_$x")
+      def varx(x: String) = (col(s"q_$x").cast("double")
+        - col(s"s_$x").cast("double") * col(s"s_$x") / col(s"n_$x")) /
+        (col(s"n_$x") - 1)
+      def vary(x: String) = (col(s"yy_$x").cast("double")
+        - col(s"y_$x").cast("double") * col(s"y_$x") / col(s"n_$x")) /
+        (col(s"n_$x") - 1)
+      def cv(x: String) = (col(s"xy_$x").cast("double")
+        - col(s"s_$x").cast("double") * col(s"y_$x") / col(s"n_$x")) /
+        (col(s"n_$x") - 1)
+      def se2(x: String) =
+        (varx(x) - lit(2) * rr(x) * cv(x) + rr(x) * rr(x) * vary(x)) /
+          (col(s"n_$x") * (col(s"y_$x").cast("double") / col(s"n_$x")) *
+            (col(s"y_$x").cast("double") / col(s"n_$x")))
+      a.select(col("n_c").as("n_control"),
+        round(rr("c"), 6).as("ratio_control"),
+        round(sqrt(se2("c")), 6).as("se_control"),
+        col("n_t").as("n_treatment"),
+        round(rr("t"), 6).as("ratio_treatment"),
+        round(sqrt(se2("t")), 6).as("se_treatment"),
+        round(rr("t") - rr("c"), 6).as("diff"),
+        round((rr("t") - rr("c")) / sqrt(se2("c") + se2("t")), 6)
+          .as("z_score"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2319,5 +2442,5 @@ object EventQueries {
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
-    evAbSrmCheck)
+    evAbSrmCheck, evAbRatioDelta)
 }

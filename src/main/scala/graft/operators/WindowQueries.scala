@@ -613,8 +613,76 @@ object WindowQueries {
       .orderBy(col("event_type"))
   }
 
+  /** ADDITIVE SEASONAL DECOMPOSITION of the daily revenue series —
+    * STL-lite: trend = centered 7-day moving average (defined only on
+    * full windows), seasonal = day-of-week mean of the detrended
+    * series, residual = detrended − seasonal. The trend MA sums
+    * DECIMAL(18,2) revenue exactly inside the frame (order-free) and
+    * divides once; detrended values re-quantize to DECIMAL(18,6)
+    * before the per-dow mean (grid-before-sum), so every output is a
+    * deterministic single-divide double.
+    *
+    * Scale shape: the unpartitioned window runs over the BOUNDED
+    * daily series (~2400 rows at any SF — the calendar bounds it,
+    * WindowQueries.scala:107 policy); the corpus-sized stage is one
+    * map-side-combining daily aggregate. The dow profile is a 7-row
+    * broadcast joined back by a projection key. */
+  val winSeasonalDecompose: GQuery = GQuery(
+    "win_seasonal_decompose",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         AS DECIMAL(18,2)) AS rev
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT d, rev,
+      |    CASE WHEN count(*) OVER w = 7
+      |      THEN round(CAST(sum(rev) OVER w AS DOUBLE) / 7, 6) END
+      |      AS trend
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+      |               AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT d, rev, trend,
+      |    CAST(round(CAST(rev AS DOUBLE) - trend, 6) AS DECIMAL(18,6))
+      |      AS det
+      |  FROM t),
+      |sp AS (
+      |  SELECT CAST(isodow(d) - 1 AS INT) AS dow,
+      |    round(CAST(sum(det) AS DOUBLE) / count(det), 6) AS seasonal
+      |  FROM dt GROUP BY 1)
+      |SELECT strftime(dt.d, '%Y-%m-%d') AS day,
+      |  CAST(rev AS DOUBLE) AS rev, trend, sp.seasonal,
+      |  round(CAST(det AS DOUBLE) - sp.seasonal, 6) AS residual
+      |FROM dt JOIN sp ON CAST(isodow(dt.d) - 1 AS INT) = sp.dow
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+    val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val t = daily.select(col("d"), col("rev"),
+      when(count(lit(1)).over(w) === 7,
+        round(sum(col("rev")).over(w).cast("double") / 7, 6))
+        .as("trend"))
+    val dt = t.withColumn("det",
+      round(col("rev").cast("double") - col("trend"), 6)
+        .cast("decimal(18,6)"))
+    val sp = dt.groupBy(weekday(col("d")).as("dow"))
+      .agg(round(sum(col("det")).cast("double") / count(col("det")), 6)
+        .as("seasonal"))
+    dt.join(broadcast(sp), weekday(dt("d")) === sp("dow"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("rev").cast("double").as("rev"), col("trend"),
+        col("seasonal"),
+        round(col("det").cast("double") - col("seasonal"), 6)
+          .as("residual"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
-    winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen)
+    winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
+    winSeasonalDecompose)
 }

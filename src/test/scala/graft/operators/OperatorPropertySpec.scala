@@ -2797,6 +2797,117 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("graph_closeness: distances replay from a driver-side BFS; harmonic consistent") {
+    val rows = GraphQueries.graphCloseness.fn(spark, sfDir).collect()
+    assert(rows.length == 8)
+    // rebuild the part graph driver-side (small at test SF) and BFS
+    val edges = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("okey"), $"l_partkey".as("pk")).distinct()
+    val byOrder: Seq[Seq[Long]] = edges.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val adj: Map[Long, Set[Long]] = byOrder
+      .flatMap { ps =>
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val seed = r.getLong(0)
+      var dist = Map(seed -> 0)
+      var frontier = Set(seed)
+      for (d <- 1 to 3) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> d)
+      }
+      val reached = dist.filter(_._2 > 0)
+      assert(r.getLong(1) == reached.size.toLong, s"seed $seed n_reached")
+      assert(r.getLong(2) == reached.values.map(_.toLong).sum,
+        s"seed $seed sum_dist")
+      assert(r.getDouble(3) ==
+        r6(reached.size.toDouble / reached.values.sum))
+      val harm = reached.values
+        .map(d => BigDecimal(r6(1.0 / d))).sum.toDouble
+      assert(r.getDouble(4) == harm, s"seed $seed harmonic")
+    }
+  }
+
+  test("ev_ab_ratio_delta: ratio and delta-method SE replay from per-user moments") {
+    val r = EventQueries.evAbRatioDelta.fn(spark, sfDir).collect().head
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val users = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+          round($"value", 2).cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)"))).as("x"),
+        count(lit(1)).as("y"))
+      .join(Tables.events(spark, sfDir).select($"user_id").distinct(),
+        Seq("user_id"))
+      .withColumn("v",
+        graft.api.Sampling.portableHash($"user_id", "ab:") % 2)
+      .collect()
+      .map(x => (x.getLong(x.fieldIndex("v")),
+        x.getDecimal(1).doubleValue(), x.getLong(2).toDouble))
+    def arm(v: Long) = {
+      val xs = users.filter(_._1 == v)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val rr = sx / sy
+      val vx = (xs.map(t => t._2 * t._2).sum - sx * sx / n) / (n - 1)
+      val vy = (xs.map(t => t._3 * t._3).sum - sy * sy / n) / (n - 1)
+      val cv = (xs.map(t => t._2 * t._3).sum - sx * sy / n) / (n - 1)
+      val se2 = (vx - 2 * rr * cv + rr * rr * vy) /
+        (n * (sy / n) * (sy / n))
+      (n.toLong, rr, se2)
+    }
+    val (nc, rc, se2c) = arm(0)
+    val (nt, rt, se2t) = arm(1)
+    assert(r.getLong(0) == nc && r.getLong(3) == nt)
+    // replay tolerance: the spec recomputes with double accumulation
+    // (not the query's exact DECIMAL moments), so allow 1e-9 relative
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(1, math.abs(b))
+    assert(close(r.getDouble(1), r6(rc)))
+    assert(close(r.getDouble(4), r6(rt)))
+    assert(close(r.getDouble(7), r6((rt - rc) / math.sqrt(se2c + se2t))))
+    assert(r.getDouble(2) > 0 && r.getDouble(5) > 0,
+      "delta-method SEs must be positive")
+  }
+
+  test("win_seasonal_decompose: trend iff full window; residual = det - seasonal; dow means replay") {
+    val rows = WindowQueries.winSeasonalDecompose.fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // rows are day-ordered: trend defined exactly on interior days
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val hasTrend = !r.isNullAt(2)
+      assert(hasTrend == (i >= 3 && i < n - 3),
+        s"day ${r.getString(0)}: trend presence wrong at index $i")
+      if (hasTrend) {
+        val det = r6(r.getDouble(1) - r.getDouble(2))
+        assert(r6(det - r.getDouble(3)) == r.getDouble(4),
+          s"day ${r.getString(0)}: residual mismatch")
+      } else assert(r.isNullAt(4))
+    }
+    // seasonal is constant per dow and equals the mean of detrended
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val byDow = rows.filter(r => !r.isNullAt(2))
+      .groupBy(r => java.time.LocalDate.parse(r.getString(0), fmt)
+        .getDayOfWeek.getValue - 1)
+    byDow.foreach { case (_, rs) =>
+      assert(rs.map(_.getDouble(3)).distinct.length == 1,
+        "seasonal must be one value per dow")
+      val dets = rs.map(r => BigDecimal(r6(r.getDouble(1) - r.getDouble(2))))
+      val want = r6((dets.sum / dets.length).toDouble)
+      assert(math.abs(rs.head.getDouble(3) - want) <= 1e-6)
+    }
+  }
+
   test("setop bag semantics: EXCEPT ALL = max(m-n,0), INTERSECT ALL = min(m,n) per key") {
     def counts(yr: Int): Map[Long, Long] = Tables.orders(spark, sfDir)
       .filter(year($"o_orderdate") === yr).groupBy($"o_custkey")
