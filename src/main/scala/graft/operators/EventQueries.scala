@@ -2431,6 +2431,101 @@ object EventQueries {
     }
   }
 
+  /** BOT-DETECTION heuristics — the composite per-user screen an
+    * event pipeline runs before metrics or training-data export,
+    * combining the three classic signals (each individually covered
+    * by ev_user_entropy / ev_interarrival — this row fuses them into
+    * the per-user verdict table): volume (events, active days),
+    * behavioral narrowness (top event type's share), and TIMING
+    * REGULARITY — the coefficient of variation of inter-event gaps
+    * (humans are bursty, cron jobs are metronomes; low CV = machine).
+    * Gap moments ride exact integer µs / DECIMAL(38,0) sums, so the
+    * CV is a deterministic single expression; the flag is
+    * ((cv < 0.3 OR top_share ≥ 0.95) AND n ≥ 30) on rounded grid
+    * values — identical literals both engines.
+    *
+    * Scale shape: one user-keyed window pass for gaps (single
+    * shuffle), two map-side-combining per-user aggregates, one
+    * user-keyed join — every stage keyed on user_id; no global state. */
+  val evBotScore: GQuery = GQuery(
+    "ev_bot_score",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |gm AS (
+      |  SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+      |    CAST(sum(CAST(gap AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sg,
+      |    CAST(sum(CAST(gap AS DECIMAL(19,0))
+      |             * CAST(gap AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS qg
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |       FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |        CAST(max(c) AS BIGINT) AS top_cnt
+      |      FROM tc GROUP BY 1),
+      |d AS (SELECT user_id,
+      |        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      |      FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT t.user_id AS user_id, n_events, n_days,
+      |    round(CAST(n_events AS DOUBLE) / n_days, 6) AS events_per_day,
+      |    round(CAST(top_cnt AS DOUBLE) / n_events, 6) AS top_share,
+      |    coalesce(gm.n_gaps, 0) AS n_gaps,
+      |    CASE WHEN gm.n_gaps >= 2 THEN round(
+      |      sqrt((CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n_gaps)
+      |           / (n_gaps - 1))
+      |      / (CAST(sg AS DOUBLE) / n_gaps), 6) END AS cv_gap
+      |  FROM t JOIN d ON t.user_id = d.user_id
+      |  LEFT JOIN gm ON t.user_id = gm.user_id)
+      |SELECT user_id, n_events, n_days, events_per_day, top_share,
+      |  n_gaps, cv_gap,
+      |  CAST(((cv_gap IS NOT NULL AND cv_gap < 0.3)
+      |        OR top_share >= 0.95)
+      |       AND n_events >= 30 AS BOOLEAN) AS bot_flag
+      |FROM f
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val wg = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = ev.withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wg))
+      .filter(col("gap").isNotNull)
+      .select(col("user_id"), col("gap").cast("decimal(19,0)").as("gd"))
+    val gm = g.groupBy(col("user_id"))
+      .agg(count(col("gd")).cast("bigint").as("n_gaps_raw"),
+        sum(col("gd")).cast("decimal(38,0)").as("sg"),
+        sum(col("gd") * col("gd")).cast("decimal(38,0)").as("qg"))
+    val tc = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val t = tc.groupBy(col("user_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_events"),
+        max(col("c")).cast("bigint").as("top_cnt"))
+    val d = ev.groupBy(col("user_id"))
+      .agg(countDistinct(to_date(col("ts"))).cast("bigint").as("n_days"))
+    val cv = when(col("n_gaps_raw") >= 2, round(
+      sqrt((col("qg").cast("double")
+          - col("sg").cast("double") * col("sg") / col("n_gaps_raw"))
+        / (col("n_gaps_raw") - 1))
+        / (col("sg").cast("double") / col("n_gaps_raw")), 6))
+    val f = t.join(d, Seq("user_id")).join(gm, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_days"),
+        round(col("n_events").cast("double") / col("n_days"), 6)
+          .as("events_per_day"),
+        round(col("top_cnt").cast("double") / col("n_events"), 6)
+          .as("top_share"),
+        coalesce(col("n_gaps_raw"), lit(0L)).as("n_gaps"),
+        cv.as("cv_gap"))
+    f.select(col("user_id"), col("n_events"), col("n_days"),
+        col("events_per_day"), col("top_share"), col("n_gaps"),
+        col("cv_gap"),
+        (((col("cv_gap").isNotNull && col("cv_gap") < 0.3)
+          || col("top_share") >= 0.95)
+          && col("n_events") >= 30).cast("boolean").as("bot_flag"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2442,5 +2537,5 @@ object EventQueries {
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
-    evAbSrmCheck, evAbRatioDelta)
+    evAbSrmCheck, evAbRatioDelta, evBotScore)
 }

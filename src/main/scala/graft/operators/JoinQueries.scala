@@ -623,6 +623,39 @@ object JoinQueries {
     }
   }
 
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): each
+    * purchase attaches the NEXT click at or after it — the
+    * "time-to-next-touch" direction join_asof's backward form cannot
+    * express (post-purchase re-engagement, next-quote-after-trade).
+    * Same single-shuffle window plan: one partition by user, state per
+    * key = one running min over the reversed frame — no self-join, no
+    * pair blowup, identical shape at any user count. */
+  val joinAsofForward: GQuery = GQuery(
+    "join_asof_forward",
+    """SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+      |  epoch_us(next_click) AS click_us
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |      AS next_click
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("next_click",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("next_click")).as("click_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** LATERAL correlated subquery — the ANSI "for each outer row, run
     * this dependent subquery" join surface (engine-capability row,
     * like graph_reachability_cte's WITH RECURSIVE): each nation pulls
@@ -663,5 +696,5 @@ object JoinQueries {
     joinAsof, joinAsofTolerance, joinTimeProximity, joinFullOuter,
     joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe,
     joinPointInTime, joinIntervalOverlap, joinSkewSalted,
-    joinLateralTopk)
+    joinLateralTopk, joinAsofForward)
 }

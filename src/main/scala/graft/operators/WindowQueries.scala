@@ -680,9 +680,49 @@ object WindowQueries {
       .orderBy(col("day"))
   }
 
+  /** YEAR-OVER-YEAR growth per month — the BI staple next to
+    * win_drawdown/win_bollinger: monthly revenue joined to itself on
+    * the CALENDAR key month−12 (add_months / INTERVAL arithmetic, NOT
+    * a row-offset lag(12) — a row lag silently mis-pairs the moment
+    * any month is absent from the series), with pct change on exact
+    * DECIMAL month sums divided once.
+    *
+    * Scale shape: one map-side-combining monthly aggregate (the only
+    * corpus-sized stage) and a self-join on the ≤ |months| frame —
+    * both sides tiny and broadcastable at any SF. */
+  val winYoyGrowth: GQuery = GQuery(
+    "win_yoy_growth",
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS md,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         AS DECIMAL(18,2)) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT strftime(a.md, '%Y-%m') AS month,
+      |  CAST(a.rev AS DOUBLE) AS rev,
+      |  CAST(b.rev AS DOUBLE) AS rev_prior_year,
+      |  round((CAST(a.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
+      |        / CAST(b.rev AS DOUBLE) * 100, 6) AS yoy_pct
+      |FROM m a LEFT JOIN m b ON b.md = a.md - INTERVAL 12 MONTH
+      |ORDER BY month""".stripMargin) { (s, dir) =>
+    val m = Tables.orders(s, dir)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate")))
+        .as("md"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+    val b = m.select(col("md").as("md2"), col("rev").as("rev2"))
+    m.join(broadcast(b), col("md2") === add_months(col("md"), -12),
+        "left")
+      .select(date_format(col("md"), "yyyy-MM").as("month"),
+        col("rev").cast("double").as("rev"),
+        col("rev2").cast("double").as("rev_prior_year"),
+        round((col("rev").cast("double") - col("rev2").cast("double"))
+          / col("rev2").cast("double") * 100, 6).as("yoy_pct"))
+      .orderBy(col("month"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
     winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
-    winSeasonalDecompose)
+    winSeasonalDecompose, winYoyGrowth)
 }

@@ -2797,6 +2797,86 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("join_asof_forward: next click is the true successor; symmetric to backward asof") {
+    val fwd = JoinQueries.joinAsofForward.fn(spark, sfDir).collect()
+    assert(fwd.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val clicksByUser: Map[Long, Seq[(Long, Long)]] =
+      ev.filter(_._2 == "click").toSeq
+        .groupBy(_._1).map { case (u, xs) =>
+          u -> xs.map(x => (x._3, x._4)).sorted }
+    fwd.foreach { r =>
+      val (user, pUs) = (r.getLong(1), r.getLong(2))
+      val pId = r.getLong(0)
+      // the true next click strictly after the purchase in
+      // (ts, event_id) order
+      val want = clicksByUser.getOrElse(user, Seq.empty)
+        .find(c => c._1 > pUs || (c._1 == pUs && c._2 > pId))
+        .map(_._1)
+      if (r.isNullAt(3)) assert(want.isEmpty,
+        s"purchase $pId: expected a next click, got null")
+      else assert(want.contains(r.getLong(3)),
+        s"purchase $pId: wrong next click")
+    }
+  }
+
+  test("win_yoy_growth: pct change replays from calendar-joined month sums") {
+    val rows = WindowQueries.winYoyGrowth.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byMonth = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val m = r.getString(0)
+      val Array(y, mm) = m.split("-").map(_.toInt)
+      val prior = f"${y - 1}%04d-$mm%02d"
+      byMonth.get(prior) match {
+        case Some(p) =>
+          assert(r.getDouble(2) == p)
+          assert(r.getDouble(3) == r6((r.getDouble(1) - p) / p * 100),
+            s"month $m yoy")
+        case None =>
+          assert(r.isNullAt(2) && r.isNullAt(3),
+            s"month $m: no prior year, yoy must be null")
+      }
+    }
+    // sanity: at least one joined row exists (the series spans years)
+    assert(rows.exists(r => !r.isNullAt(3)))
+  }
+
+  test("ev_bot_score: CV replays from integer gap moments; flag logic holds") {
+    val rows = EventQueries.evBotScore.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gaps = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (u, xs) =>
+        val sorted = xs.map(x => (x._2, x._3)).sorted.map(_._1)
+        u -> sorted.zip(sorted.tail).map { case (a, b) => b - a }
+      }
+    rows.take(100).foreach { r =>
+      val u = r.getLong(0)
+      val gs = gaps(u)
+      assert(r.getLong(5) == gs.length.toLong, s"user $u n_gaps")
+      if (gs.length >= 2) {
+        val n = gs.length.toDouble
+        val sg = gs.map(BigDecimal(_)).sum.toDouble
+        val qg = gs.map(g => BigDecimal(g) * BigDecimal(g)).sum.toDouble
+        val cv = math.sqrt((qg - sg * sg / n) / (n - 1)) / (sg / n)
+        assert(math.abs(r.getDouble(6) - r6(cv)) <= 1e-9, s"user $u cv")
+      } else assert(r.isNullAt(6))
+      val flag = ((!r.isNullAt(6) && r.getDouble(6) < 0.3)
+        || r.getDouble(4) >= 0.95) && r.getLong(1) >= 30
+      assert(r.getBoolean(7) == flag, s"user $u flag")
+    }
+  }
+
   test("graph_closeness: distances replay from a driver-side BFS; harmonic consistent") {
     val rows = GraphQueries.graphCloseness.fn(spark, sfDir).collect()
     assert(rows.length == 8)
