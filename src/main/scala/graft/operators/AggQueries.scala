@@ -702,10 +702,153 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** OLS LINEAR REGRESSION per group — slope / intercept / R² of
+    * extended price on quantity per return flag, the regr_slope /
+    * regr_r2 surface both engines ship natively but whose built-in
+    * forms accumulate doubles in partition order (non-deterministic
+    * cross-engine); here the five moments (Σx, Σy, Σx², Σxy, Σy²)
+    * ride exact DECIMAL sums and each statistic is one double
+    * expression over them, textually identical in both engines →
+    * bit-identical rounded outputs (the ev_ab_welch discipline
+    * applied to regression).
+    *
+    * Scale shape: one map-side-combining aggregate to |flags| rows;
+    * the algebra runs on that bounded frame. */
+  val aggRegression: GQuery = {
+    def sl = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)" +
+      " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    GQuery("agg_regression",
+      s"""WITH m AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(12,2)))
+         |         AS DECIMAL(28,2)) AS sx,
+         |    CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2)))
+         |         AS DECIMAL(30,2)) AS sy,
+         |    CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(12,2))
+         |             * CAST(round(l_quantity, 2) AS DECIMAL(12,2)))
+         |         AS DECIMAL(38,4)) AS sxx,
+         |    CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(12,2))
+         |             * CAST(round(l_extendedprice, 2) AS DECIMAL(14,2)))
+         |         AS DECIMAL(38,4)) AS sxy,
+         |    CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2))
+         |             * CAST(round(l_extendedprice, 2) AS DECIMAL(14,2)))
+         |         AS DECIMAL(38,4)) AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  round($sl, 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) - ($sl) * sx) / n, 6) AS intercept,
+         |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+         |    6) AS r2
+         |FROM m
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val x = round(col("l_quantity"), 2).cast("decimal(12,2)")
+      val y = round(col("l_extendedprice"), 2).cast("decimal(14,2)")
+      val m = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(x).cast("decimal(28,2)").as("sx"),
+          sum(y).cast("decimal(30,2)").as("sy"),
+          sum(x * x).cast("decimal(38,4)").as("sxx"),
+          sum(x * y).cast("decimal(38,4)").as("sxy"),
+          sum(y * y).cast("decimal(38,4)").as("syy"))
+      val num = col("n").cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy")
+      val denX = col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx")
+      val denY = col("n").cast("double") * col("syy") -
+        col("sy").cast("double") * col("sy")
+      val slope = num / denX
+      m.select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round((col("sy").cast("double") - slope * col("sx")) / col("n"),
+            6).as("intercept"),
+          round(num * num / (denX * denY), 6).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }
+  }
+
+  /** POISSON BOOTSTRAP confidence interval — the distributed-systems
+    * way to put a CI on a mean (resampling rows is impossible at
+    * scale; attaching independent Poisson(1) weights per (replica,
+    * row) is one streaming pass — the Dremel/online-bootstrap
+    * technique). 32 replicas; each row's weight comes from the
+    * portable 48-bit hash of (replica, order key) compared against
+    * PRECOMPUTED integer thresholds of the Poisson(1) CDF (⌊CDF·2⁴⁸⌋
+    * literals — the weight decision is pure integer compares, zero
+    * float surface, reproducible on any engine). Replica means ride
+    * exact DECIMAL sums; the 2.5/97.5% band over the 32 bounded
+    * replica means uses the proven quantile_cont ↔ percentile
+    * pairing.
+    *
+    * Scale shape: the 32-row replica frame is a broadcast expand
+    * (map-side ×32 on weights only — rows are never resampled or
+    * shuffled per replica); sums combine map-side to 32 rows. */
+  val aggBootstrapCi: GQuery = {
+    // floor(CDF_Poisson(1)(k) * 2^48) for k = 0..5; weight 6 beyond
+    val th = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+      276130285696162L, 280444821410164L, 281307728552965L)
+    val duckH = DedupQueries.duckHash(
+      "concat('boot:', CAST(b AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))")
+    val duckCase = "CASE " + th.zipWithIndex.map { case (t, k) =>
+      s"WHEN h < $t THEN $k" }.mkString(" ") + " ELSE 6 END"
+    GQuery("agg_bootstrap_ci",
+      s"""WITH w AS (
+         |  SELECT b, $duckCase AS wt,
+         |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS p
+         |  FROM (
+         |    SELECT g.b AS b, o_orderkey, o_totalprice, $duckH AS h
+         |    FROM orders CROSS JOIN generate_series(0, 31) g(b))),
+         |r AS (SELECT b, CAST(sum(wt) AS BIGINT) AS nw,
+         |        CAST(sum(wt * p) AS DECIMAL(38,2)) AS sp
+         |      FROM w GROUP BY b),
+         |m AS (SELECT CAST(sp AS DOUBLE) / nw AS mean FROM r),
+         |pt AS (SELECT round(CAST(sum(CAST(round(o_totalprice, 2)
+         |         AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS pm
+         |       FROM orders)
+         |SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+         |  (SELECT pm FROM pt) AS point_mean,
+         |  round(quantile_cont(mean, 0.025), 6) AS ci_lo,
+         |  round(quantile_cont(mean, 0.975), 6) AS ci_hi
+         |FROM m""".stripMargin) { (s, dir) =>
+      val reps = s.range(32).select(col("id").cast("int").as("b"))
+      val h = conv(substring(md5(concat(lit("boot:"),
+        col("b").cast("string"), lit(":"),
+        col("o_orderkey").cast("string"))), 1, 12), 16, 10).cast("long")
+      val wt = th.zipWithIndex.foldRight(lit(6): org.apache.spark.sql
+          .Column) { case ((t, k), acc) =>
+        when(col("h") < t, k).otherwise(acc)
+      }
+      val w = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).cast("decimal(18,2)").as("p"))
+        .crossJoin(broadcast(reps))
+        .withColumn("h", h)
+        .select(col("b"), wt.as("wt"), col("p"))
+      val r = w.groupBy(col("b"))
+        .agg(sum(col("wt")).cast("bigint").as("nw"),
+          sum(col("wt") * col("p")).cast("decimal(38,2)").as("sp"))
+      val m = r.select((col("sp").cast("double") / col("nw")).as("mean"))
+      val pt = Tables.orders(s, dir)
+        .agg(round(sum(round(col("o_totalprice"), 2)
+          .cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
+          .as("pm"))
+      m.agg(count(lit(1)).cast("bigint").as("n_replicas"),
+          round(percentile(col("mean"), lit(0.025)), 6).as("ci_lo"),
+          round(percentile(col("mean"), lit(0.975)), 6).as("ci_hi"))
+        .crossJoin(broadcast(pt))
+        .select(col("n_replicas"), col("pm").as("point_mean"),
+          col("ci_lo"), col("ci_hi"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
     aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration,
-    aggMad, aggWinsorizedMean)
+    aggMad, aggWinsorizedMean, aggRegression, aggBootstrapCi)
 }

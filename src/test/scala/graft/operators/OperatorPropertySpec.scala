@@ -2797,6 +2797,57 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("agg_regression: OLS replays from exact moments; r2 in [0,1]") {
+    val rows = AggQueries.aggRegression.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val data = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", round($"l_quantity", 2),
+        round($"l_extendedprice", 2))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = data(r.getString(0))
+      val n = xs.size.toDouble
+      assert(r.getLong(1) == xs.size.toLong)
+      val sx = xs.map(t => BigDecimal(t._2)).sum.toDouble
+      val sy = xs.map(t => BigDecimal(t._3)).sum.toDouble
+      val sxx = xs.map(t => BigDecimal(t._2) * BigDecimal(t._2)).sum
+        .toDouble
+      val sxy = xs.map(t => BigDecimal(t._2) * BigDecimal(t._3)).sum
+        .toDouble
+      val syy = xs.map(t => BigDecimal(t._3) * BigDecimal(t._3)).sum
+        .toDouble
+      val num = n * sxy - sx * sy
+      val slope = num / (n * sxx - sx * sx)
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= 1e-6 * math.max(1, math.abs(b))
+      assert(close(r.getDouble(2), r6(slope)))
+      assert(close(r.getDouble(3), r6((sy - slope * sx) / n)))
+      val r2 = num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(close(r.getDouble(4), r6(r2)))
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+  }
+
+  test("agg_bootstrap_ci: band brackets the point estimate; width shrinks as sqrt(n) grows") {
+    val r = AggQueries.aggBootstrapCi.fn(spark, sfDir).collect().head
+    assert(r.getLong(0) == 32L)
+    val (pm, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo < hi, "CI must have positive width")
+    assert(lo <= pm && pm <= hi,
+      s"point mean $pm outside bootstrap band [$lo, $hi]")
+    // the band should be tight relative to the mean at this n
+    // (mean order value ~155k over 15k orders → SE ~ mean/sqrt(n)·cv)
+    assert((hi - lo) / pm < 0.1,
+      s"implausibly wide bootstrap band: [$lo, $hi] around $pm")
+    // weights are deterministic: a second run is identical
+    val r2 = AggQueries.aggBootstrapCi.fn(spark, sfDir).collect().head
+    assert(r2.getDouble(2) == lo && r2.getDouble(3) == hi)
+  }
+
   test("join_asof_forward: next click is the true successor; symmetric to backward asof") {
     val fwd = JoinQueries.joinAsofForward.fn(spark, sfDir).collect()
     assert(fwd.nonEmpty)
