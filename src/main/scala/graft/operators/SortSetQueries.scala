@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GQuery
@@ -141,7 +142,41 @@ object SortSetQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** EXPLICIT NULL-ORDERING sort — engines DISAGREE by default (Spark
+    * sorts nulls FIRST on ASC, DuckDB LAST), so any cross-engine
+    * pipeline must pin NULLS FIRST/LAST explicitly; this row proves
+    * the pinned form agrees bit-for-bit. The nullable key is real
+    * (each type's first day has no prior-day count), the sort mixes
+    * NULLS FIRST ASC with a DESC tiebreak, and the driver's compare
+    * preserves row order — so a default-ordering regression in either
+    * engine fails the hash. */
+  val sortNullsOrdering: GQuery = GQuery(
+    "sort_nulls_ordering",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+      |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS prev_cnt
+      |  FROM d)
+      |SELECT event_type, day, cnt, prev_cnt
+      |FROM l
+      |ORDER BY prev_cnt ASC NULLS FIRST, cnt DESC, event_type, day"""
+      .stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    d.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("cnt"),
+        lag(col("cnt"), 1).over(w).as("prev_cnt"))
+      .orderBy(col("prev_cnt").asc_nulls_first, col("cnt").desc,
+        col("event_type"), col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(sortMultiKey, setopUnionAll,
     setopUnionDistinct, setopIntersect, setopExcept, setopUnionByName,
-    setopExceptAll, setopIntersectAll)
+    setopExceptAll, setopIntersectAll, sortNullsOrdering)
 }

@@ -337,6 +337,63 @@ object EventStreams {
       }
   }
 
+  case class BotSignal(user_id: Long, n_gaps: Long,
+      cv_gap: Option[Double])
+
+  /** RUNNING BOT-SIGNAL state — the streaming twin of ev_bot_score's
+    * timing-regularity column: per user, the inter-event-gap moments
+    * (count, Σgap, Σgap²) as keyed state, emitting the updated
+    * coefficient of variation after every batch. Σgap² exceeds Long
+    * range (a 90-day gap² ≈ 6·10²⁵), so the state carries it as a
+    * BigInt STRING — exact integer arithmetic end-to-end, which is
+    * what lets the drained CV equal the batch query's DECIMAL-exact
+    * value bit-for-bit (same double ops in the same order at readout).
+    * Within a batch rows sort by (ts, event_id) and the state bridges
+    * from the previous batch's last event, so any split of the
+    * ts-ordered stream drains to the same final row per user (spec
+    * pins two different batchings against ev_bot_score).
+    *
+    * Scale shape: state is O(1) per user (4 scalars + 2 short
+    * strings); a billion users is a billion tiny state entries
+    * updated incrementally — no re-scan of history, ever. */
+  def botSignals[E](events: Dataset[E], uid: E => Long,
+      tsUs: E => Long, eid: E => Long): Dataset[BotSignal] = {
+    import events.sparkSession.implicits._
+    // state: (lastUs, lastId, nGaps, sumGap, sumGapSq-as-BigInt-string)
+    events.groupByKey(uid)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, String), BotSignal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[E],
+            state: GroupState[(Long, Long, Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(e => (tsUs(e), eid(e)))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var (lastUs, lastId, n, sg, qgStr) =
+              state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, "0"))
+            var qg = BigInt(qgStr)
+            sorted.foreach { e =>
+              if (lastUs != Long.MinValue) {
+                val gap = tsUs(e) - lastUs
+                n += 1; sg += gap; qg += BigInt(gap) * BigInt(gap)
+              }
+              lastUs = tsUs(e); lastId = eid(e)
+            }
+            state.update((lastUs, lastId, n, sg, qg.toString))
+            // readout matches the batch column expression op-for-op:
+            // sqrt((qgD - sgD*sgD/n)/(n-1)) / (sgD/n), rounded to 6
+            val cv = if (n >= 2) {
+              val nD = n.toDouble
+              val sgD = sg.toDouble
+              val raw = math.sqrt((qg.toDouble - sgD * sgD / nD)
+                / (nD - 1)) / (sgD / nD)
+              Some(BigDecimal(raw)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            } else None
+            Iterator(BotSignal(user, n, cv))
+          }
+      }
+  }
+
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   def runningUserStats[E](events: Dataset[E], uid: E => Long,

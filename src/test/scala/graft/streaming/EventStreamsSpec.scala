@@ -466,6 +466,41 @@ class EventStreamsSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L, 3L), s"expected exactly-once ids, got $ids")
   }
 
+  test("botSignals: drained CV equals ev_bot_score's; split-independent exact state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // µs with full sub-ms precision, matching the batch unix_micros
+    def tsUs(e: Ev): Long =
+      (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+    val ordered = fixture.sortBy(e => (tsUs(e), e.event_id))
+    def run(name: String, batchSize: Int): Map[Long, (Long, Option[Double])] = {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.botSignals[Ev](mem.toDS(), _.user_id,
+          tsUs, _.event_id)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      ordered.grouped(batchSize).foreach { b =>
+        mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      // n_gaps is monotone per user: the max-n row is the final state
+      spark.table(name).as[(Long, Long, Option[Double])].collect()
+        .groupBy(_._1).map { case (u, xs) =>
+          val last = xs.maxBy(_._2)
+          u -> (last._2, last._3)
+        }
+    }
+    val one = run("bot_one", ordered.size)
+    val many = run("bot_many", 997)
+    assert(one == many,
+      "drained bot state must not depend on micro-batch splitting")
+    val batch = graft.operators.EventQueries.evBotScore.fn(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      .toMap
+    assert(one == batch,
+      "streaming gap moments disagree with the batch CV")
+  }
+
   test("late data beyond the watermark is excluded from its window") {
     val base = 86400L // day 2 boundary, seconds
     val batch1 = Seq(
