@@ -814,7 +814,6 @@ object AggQueries {
          |  round(quantile_cont(mean, 0.025), 6) AS ci_lo,
          |  round(quantile_cont(mean, 0.975), 6) AS ci_hi
          |FROM m""".stripMargin) { (s, dir) =>
-      val reps = s.range(32).select(col("id").cast("int").as("b"))
       val h = conv(substring(md5(concat(lit("boot:"),
         col("b").cast("string"), lit(":"),
         col("o_orderkey").cast("string"))), 1, 12), 16, 10).cast("long")
@@ -822,16 +821,20 @@ object AggQueries {
           .Column) { case ((t, k), acc) =>
         when(col("h") < t, k).otherwise(acc)
       }
+      // replica expand is a PROJECTION (explode of a 32-int literal),
+      // not a cross join — no BNLJ anywhere in the plan
       val w = Tables.orders(s, dir)
         .select(col("o_orderkey"),
           round(col("o_totalprice"), 2).cast("decimal(18,2)").as("p"))
-        .crossJoin(broadcast(reps))
+        .withColumn("b", explode(lit((0 until 32).toArray)))
         .withColumn("h", h)
         .select(col("b"), wt.as("wt"), col("p"))
       val r = w.groupBy(col("b"))
         .agg(sum(col("wt")).cast("bigint").as("nw"),
           sum(col("wt") * col("p")).cast("decimal(38,2)").as("sp"))
       val m = r.select((col("sp").cast("double") / col("nw")).as("mean"))
+      // 1-row × 1-row scalar attach (allowlisted BNLJ class — the
+      // text_lang_id vocab-scalar pattern; both sides are single rows)
       val pt = Tables.orders(s, dir)
         .agg(round(sum(round(col("o_totalprice"), 2)
           .cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)

@@ -68,7 +68,8 @@ class PlanShapeSpec extends SparkTestBase {
     "ev_survival_km",   // 1-row at-risk-total scalar cross join onto the ≤49-row hour grid
     "graph_assortativity", // 1-row p75-threshold + node-count scalars cross-joined
     "graph_reachability_cte", // 1-row seed scalar subquery + the colloc p75 scalar
-    "ev_uplift_cuped")  // 1-row launch-date anchor + pooled-theta scalar cross joins
+    "ev_uplift_cuped",  // 1-row launch-date anchor + pooled-theta scalar cross joins
+    "agg_bootstrap_ci") // 1-row point-mean scalar attached to the 1-row CI frame
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
