@@ -436,6 +436,78 @@ object AuditQueries {
     }
   }
 
+  /** CROSS-TABLE RECONCILIATION — the warehouse close-of-books check:
+    * does each order header's total agree with the sum of its lines
+    * (price·(1−disc)·(1+tax))? One report row with matched /
+    * overbilled / underbilled counts at a ±0.01 tolerance, headers
+    * with no lines, and the drift moments. Each FACTOR (price,
+    * discount, tax) quantizes to its grid BEFORE the multiply, and
+    * the per-line value is pure DECIMAL arithmetic — never "round a
+    * double product", whose half-way cases fall differently across
+    * engines — so diffs are exact decimals and every count is an
+    * integer compare; the fixture intentionally
+    * does NOT reconcile (synthetic totals) — the operator's job is to
+    * REPORT that truthfully, which is exactly what a recon does.
+    *
+    * Scale shape: one map-side-combining per-order aggregate over
+    * lineitem, one order-keyed join, one full-outer-ish rollup to a
+    * single row; no state beyond the order grain. */
+  val dqReconciliation: GQuery = GQuery(
+    "dq_reconciliation",
+    """WITH ls AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2))
+      |             * (1 - CAST(round(l_discount, 2) AS DECIMAL(4,2)))
+      |             * (1 + CAST(round(l_tax, 2) AS DECIMAL(4,2))))
+      |         AS DECIMAL(32,6)) AS actual
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderkey,
+      |    CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)) AS expected,
+      |    ls.actual
+      |  FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey)
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(*) FILTER (WHERE actual IS NULL) AS BIGINT)
+      |    AS n_no_lines,
+      |  CAST(count(*) FILTER (WHERE abs(actual - expected) <= 0.01)
+      |       AS BIGINT) AS n_matched,
+      |  CAST(count(*) FILTER (WHERE actual - expected > 0.01)
+      |       AS BIGINT) AS n_overbilled,
+      |  CAST(count(*) FILTER (WHERE expected - actual > 0.01)
+      |       AS BIGINT) AS n_underbilled,
+      |  CAST(max(abs(actual - expected)) AS DOUBLE) AS max_abs_diff,
+      |  round(CAST(sum(actual - expected) AS DOUBLE)
+      |        / count(actual), 6) AS mean_diff
+      |FROM j""".stripMargin) { (s, dir) =>
+    val ls = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice"), 2).cast("decimal(14,2)")
+          * (lit(1) - round(col("l_discount"), 2).cast("decimal(4,2)"))
+          * (lit(1) + round(col("l_tax"), 2).cast("decimal(4,2)")))
+        .cast("decimal(32,6)").as("actual"))
+    val j = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).cast("decimal(18,2)")
+          .as("expected"))
+      .join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+    j.agg(
+      count(lit(1)).cast("bigint").as("n_orders"),
+      sum(when(col("actual").isNull, 1).otherwise(0)).cast("bigint")
+        .as("n_no_lines"),
+      sum(when(abs(col("actual") - col("expected")) <= 0.01, 1)
+        .otherwise(0)).cast("bigint").as("n_matched"),
+      sum(when(col("actual") - col("expected") > 0.01, 1).otherwise(0))
+        .cast("bigint").as("n_overbilled"),
+      sum(when(col("expected") - col("actual") > 0.01, 1).otherwise(0))
+        .cast("bigint").as("n_underbilled"),
+      max(abs(col("actual") - col("expected"))).cast("double")
+        .as("max_abs_diff"),
+      round(sum(col("actual") - col("expected")).cast("double")
+        / count(col("actual")), 6).as("mean_diff"))
+  }
+
   val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi,
-    dqDriftPsiNumeric, dqAnomalyIqr, dqBenford, dqFdViolations)
+    dqDriftPsiNumeric, dqAnomalyIqr, dqBenford, dqFdViolations,
+    dqReconciliation)
 }

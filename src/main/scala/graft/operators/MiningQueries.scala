@@ -272,6 +272,74 @@ object MiningQueries {
       .limit(20)
   }
 
+  /** ORDERED SEQUENCE MINING (PrefixSpan's length-2 tier) — the
+    * mining family's baskets (copurchase, itemset3, assoc_rules) are
+    * UNORDERED; this mines directional patterns "a happens before b
+    * in a session" with support and the directionality ratio
+    * P(a→b) / (P(a→b)+P(b→a)) — the signal that distinguishes
+    * view→purchase from purchase→view. A session = (user, day); a
+    * session supports a→b iff its FIRST a precedes its FIRST b (the
+    * standard first-occurrence semantics, which keeps per-session
+    * state at one timestamp per event type — never the full
+    * sequence).
+    *
+    * Scale shape: one map-side-combining (session, type)→min(ts)
+    * aggregate, a per-session self-join bounded by |types|² = 25
+    * pairs per session (type count, not event count), one pattern
+    * rollup; the session-total scalar is a 1-row broadcast. */
+  val miningSeqPatterns: GQuery = GQuery(
+    "mining_seq_patterns",
+    """WITH s AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    min(ts) AS first_ts
+      |  FROM events GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT)
+      |          AS n_sessions FROM s),
+      |p AS (
+      |  SELECT a.event_type AS ante, b.event_type AS post,
+      |    CAST(count(*) AS BIGINT) AS n_support
+      |  FROM s a JOIN s b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |    AND a.event_type <> b.event_type
+      |    AND a.first_ts < b.first_ts
+      |  GROUP BY 1, 2)
+      |SELECT p.ante, p.post, p.n_support,
+      |  round(CAST(p.n_support AS DOUBLE) / t.n_sessions, 6)
+      |    AS support,
+      |  round(CAST(p.n_support AS DOUBLE)
+      |        / (p.n_support + coalesce(r.n_support, 0)), 6)
+      |    AS direction_ratio
+      |FROM p LEFT JOIN p r ON r.ante = p.post AND r.post = p.ante
+      |CROSS JOIN tot t
+      |ORDER BY p.ante, p.post""".stripMargin) { (s, dir) =>
+    val firsts = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(min(col("ts")).as("first_ts"))
+    val b = firsts.select(col("user_id").as("u2"), col("day").as("d2"),
+      col("event_type").as("post"), col("first_ts").as("ts2"))
+    val p = firsts.join(b,
+        col("user_id") === col("u2") && col("day") === col("d2")
+          && col("event_type") =!= col("post")
+          && col("first_ts") < col("ts2"))
+      .groupBy(col("event_type").as("ante"), col("post"))
+      .agg(count(lit(1)).cast("bigint").as("n_support"))
+    val tot = firsts.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).cast("bigint").as("n_sessions"))
+    val r = p.select(col("ante").as("r_post"), col("post").as("r_ante"),
+      col("n_support").as("n_rev"))
+    p.join(r, col("ante") === col("r_ante") && col("post") === col("r_post"),
+        "left")
+      .crossJoin(broadcast(tot))
+      .select(col("ante"), col("post"), col("n_support"),
+        round(col("n_support").cast("double") / col("n_sessions"), 6)
+          .as("support"),
+        round(col("n_support").cast("double")
+          / (col("n_support") + coalesce(col("n_rev"), lit(0L))), 6)
+          .as("direction_ratio"))
+      .orderBy(col("ante"), col("post"))
+  }
+
   val all: Seq[GQuery] = Seq(miningCopurchase, miningAssocRules,
-    miningKmeans, miningItemset3)
+    miningKmeans, miningItemset3, miningSeqPatterns)
 }

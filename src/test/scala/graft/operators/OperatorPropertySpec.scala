@@ -2797,6 +2797,63 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("dq_reconciliation: buckets partition orders; diffs replay on the decimal grid") {
+    val r = AuditQueries.dqReconciliation.fn(spark, sfDir).collect().head
+    val (n, noLines, matched, over, under) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    assert(n == Tables.orders(spark, sfDir).count())
+    assert(noLines + matched + over + under == n,
+      "recon buckets must partition the order set")
+    // replay a sample of per-order diffs exactly
+    val lines = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", round($"l_extendedprice", 2),
+        round($"l_discount", 2), round($"l_tax", 2))
+      .collect()
+      .map(x => (x.getLong(0), BigDecimal(x.getDouble(1))
+        * (1 - BigDecimal(x.getDouble(2)))
+        * (1 + BigDecimal(x.getDouble(3)))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val heads = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", round($"o_totalprice", 2)).collect()
+      .map(x => x.getLong(0) -> BigDecimal(x.getDouble(1))).toMap
+    val diffs = heads.flatMap { case (k, exp) =>
+      lines.get(k).map(_ - exp) }
+    assert(diffs.count(d => d.abs <= BigDecimal("0.01")).toLong == matched)
+    assert(diffs.count(_ > BigDecimal("0.01")).toLong == over)
+    assert(r.getDouble(5) == diffs.map(_.abs).max.toDouble)
+  }
+
+  test("mining_seq_patterns: support replays from first-occurrence order; ratios consistent") {
+    val rows = MiningQueries.miningSeqPatterns.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val firsts: Map[(Long, String), Array[(String, Long)]] =
+      Tables.events(spark, sfDir)
+        .groupBy($"user_id", to_date($"ts").as("day"), $"event_type")
+        .agg(min(unix_micros($"ts")).as("t"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getDate(1).toString),
+          (r.getString(2), r.getLong(3))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nSessions = firsts.size.toLong
+    val want: Map[(String, String), Long] = firsts.values.toSeq
+      .flatMap { xs =>
+        for (a <- xs.toSeq; b <- xs.toSeq if a._1 != b._1 && a._2 < b._2)
+          yield (a._1, b._1)
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.map(r => (r.getString(0), r.getString(1))
+      -> r.getLong(2)).toMap
+    assert(got == want, "support counts disagree with the replay")
+    rows.foreach { r =>
+      val fwd = r.getLong(2)
+      val rev = want.getOrElse((r.getString(1), r.getString(0)), 0L)
+      assert(r.getDouble(3) == r6(fwd.toDouble / nSessions))
+      assert(r.getDouble(4) == r6(fwd.toDouble / (fwd + rev)))
+    }
+  }
+
   test("agg_regression: OLS replays from exact moments; r2 in [0,1]") {
     val rows = AggQueries.aggRegression.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -69,7 +69,8 @@ class PlanShapeSpec extends SparkTestBase {
     "graph_assortativity", // 1-row p75-threshold + node-count scalars cross-joined
     "graph_reachability_cte", // 1-row seed scalar subquery + the colloc p75 scalar
     "ev_uplift_cuped",  // 1-row launch-date anchor + pooled-theta scalar cross joins
-    "agg_bootstrap_ci") // 1-row point-mean scalar attached to the 1-row CI frame
+    "agg_bootstrap_ci", // 1-row point-mean scalar attached to the 1-row CI frame
+    "mining_seq_patterns") // 1-row session-total scalar cross join (support divide)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
