@@ -1250,6 +1250,63 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** k-NN-DISTANCE OUTLIER SCORE — the classic distance-based outlier
+    * detector over the embedding corpus (Ramaswamy et al.'s "distance
+    * to k-th/mean-of-k neighbors"): each vector's score is its mean
+    * cosine DISTANCE (1 − cos) to its k = 5 nearest neighbors; the
+    * top-20 scores are the isolation candidates a curation pass
+    * reviews (mislabeled, corrupted, or off-distribution points —
+    * embeddings far from everything). Exact brute-force tier (the
+    * sim_cosine_topk probe-broadcast shape with probes = corpus); at
+    * 100 TB the shortlist comes from the IVF/LSH tiers instead and
+    * the scoring tail is unchanged. Cosines round to 6 before the
+    * DECIMAL(8,6) grid mean, so ranking ties are deterministic
+    * (vec_id tiebreak).
+    *
+    * Scale shape: one probe-broadcast scan + per-probe k-row window,
+    * then a 5-row-per-vector mean and TakeOrderedAndProject(20). */
+  val embedOutlierKnn: GQuery = {
+    val k = 5
+    GQuery("embed_outlier_knn",
+      s"""WITH e AS (SELECT vec_id, label,
+         |    embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |pairs AS (
+         |  SELECT p.vec_id, p.label,
+         |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+         |      AS cosine
+         |  FROM n p JOIN n c ON c.vec_id != p.vec_id),
+         |knn AS (
+         |  SELECT vec_id, label, cosine FROM (
+         |    SELECT vec_id, label, cosine,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM pairs) WHERE rk <= $k)
+         |SELECT vec_id, label,
+         |  round(CAST(sum(CAST(round(1 - cosine, 6) AS DECIMAL(8,6)))
+         |             AS DOUBLE) / $k, 6) AS knn_dist
+         |FROM knn
+         |GROUP BY vec_id, label
+         |ORDER BY knn_dist DESC, vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"))
+      graft.api.Similarity.cosineTopK(ev, ev, "vec_id", "v", k)
+        .select(col("probe_id").as("vec_id"),
+          round(lit(1) - col("cosine"), 6).cast("decimal(8,6)")
+            .as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum(col("dist")).cast("double") / k, 6)
+          .as("knn_dist"))
+        .join(labels, Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("knn_dist"))
+        .orderBy(col("knn_dist").desc, col("vec_id"))
+        .limit(20)
+    }
+  }
+
   /** MUTUAL k-NN GRAPH over the embedding corpus (k=3): an edge
     * survives only if each endpoint ranks the other in its own top-k
     * — the standard symmetrization that feeds HDBSCAN/spectral
@@ -1904,5 +1961,5 @@ object SimQueries {
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
       simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,
       simBm25Topk, simRecallIvf, embedPqError, simBm25Indexed,
-      embedQuantileClip)
+      embedQuantileClip, embedOutlierKnn)
 }

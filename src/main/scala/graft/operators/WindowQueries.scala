@@ -720,9 +720,110 @@ object WindowQueries {
       .orderBy(col("month"))
   }
 
+  /** STL-RESIDUAL ANOMALY DAYS — the detector the decomposition
+    * exists for: after removing trend (centered 7-day MA) and
+    * day-of-week seasonality exactly as win_seasonal_decompose does,
+    * a day is anomalous iff |residual| > 3σ of the residual
+    * distribution. Unlike ev_anomaly_zscore (raw z-score per point),
+    * deseasonalizing first means a busy-but-normal Monday does NOT
+    * alert while a quiet Monday DOES — the difference between paging
+    * on weekday shape and paging on real incidents. Residuals ride
+    * the DECIMAL(18,6) grid; σ comes from exact Σ/Σ² moments (the
+    * ev_ab_welch formula); the 3σ cut compares rounded grid values.
+    *
+    * Scale shape: win_seasonal_decompose's bounded-calendar plan plus
+    * one 1-row moment broadcast re-joined by projection — nothing
+    * grows with the corpus except the one daily aggregate. */
+  val winStlAnomaly: GQuery = GQuery(
+    "win_stl_anomaly",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         AS DECIMAL(18,2)) AS rev
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT d, rev,
+      |    CASE WHEN count(*) OVER w = 7
+      |      THEN round(CAST(sum(rev) OVER w AS DOUBLE) / 7, 6) END
+      |      AS trend
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+      |               AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT d, rev, trend,
+      |    CAST(round(CAST(rev AS DOUBLE) - trend, 6) AS DECIMAL(18,6))
+      |      AS det
+      |  FROM t),
+      |sp AS (
+      |  SELECT CAST(isodow(d) - 1 AS INT) AS dow,
+      |    round(CAST(sum(det) AS DOUBLE) / count(det), 6) AS seasonal
+      |  FROM dt GROUP BY 1),
+      |res AS (
+      |  SELECT dt.d, dt.rev,
+      |    CAST(round(CAST(det AS DOUBLE) - sp.seasonal, 6)
+      |         AS DECIMAL(18,6)) AS r
+      |  FROM dt JOIN sp ON CAST(isodow(dt.d) - 1 AS INT) = sp.dow
+      |  WHERE det IS NOT NULL),
+      |mo AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(r) AS DECIMAL(38,6)) AS s,
+      |    CAST(sum(CAST(r AS DECIMAL(19,6)) * CAST(r AS DECIMAL(19,6)))
+      |         AS DECIMAL(38,12)) AS q
+      |  FROM res)
+      |SELECT strftime(res.d, '%Y-%m-%d') AS day,
+      |  CAST(res.rev AS DOUBLE) AS rev,
+      |  CAST(res.r AS DOUBLE) AS residual,
+      |  round((CAST(res.r AS DOUBLE) - CAST(mo.s AS DOUBLE) / mo.n)
+      |    / sqrt((CAST(mo.q AS DOUBLE)
+      |            - CAST(mo.s AS DOUBLE) * mo.s / mo.n) / (mo.n - 1)),
+      |    6) AS z
+      |FROM res CROSS JOIN mo
+      |WHERE abs((CAST(res.r AS DOUBLE) - CAST(mo.s AS DOUBLE) / mo.n)
+      |    / sqrt((CAST(mo.q AS DOUBLE)
+      |            - CAST(mo.s AS DOUBLE) * mo.s / mo.n) / (mo.n - 1)))
+      |  > 3
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+    val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val t = daily.select(col("d"), col("rev"),
+      when(count(lit(1)).over(w) === 7,
+        round(sum(col("rev")).over(w).cast("double") / 7, 6))
+        .as("trend"))
+    val dt = t.withColumn("det",
+      round(col("rev").cast("double") - col("trend"), 6)
+        .cast("decimal(18,6)"))
+    val sp = dt.groupBy(weekday(col("d")).as("dow"))
+      .agg(round(sum(col("det")).cast("double") / count(col("det")), 6)
+        .as("seasonal"))
+    val res = dt.join(broadcast(sp), weekday(dt("d")) === sp("dow"))
+      .filter(col("det").isNotNull)
+      .select(col("d"), col("rev"),
+        round(col("det").cast("double") - col("seasonal"), 6)
+          .cast("decimal(18,6)").as("r"))
+    val mo = res.agg(count(lit(1)).cast("bigint").as("n"),
+      sum(col("r")).cast("decimal(38,6)").as("s"),
+      sum(col("r").cast("decimal(19,6)") * col("r").cast("decimal(19,6)"))
+        .cast("decimal(38,12)").as("q"))
+    val z = (col("r").cast("double")
+      - col("s").cast("double") / col("n")) /
+      sqrt((col("q").cast("double")
+        - col("s").cast("double") * col("s") / col("n")) /
+        (col("n") - 1))
+    res.crossJoin(broadcast(mo))
+      .filter(abs(z) > 3)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("rev").cast("double").as("rev"),
+        col("r").cast("double").as("residual"),
+        round(z, 6).as("z"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
     winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
-    winSeasonalDecompose, winYoyGrowth)
+    winSeasonalDecompose, winYoyGrowth, winStlAnomaly)
 }

@@ -2797,6 +2797,59 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("win_stl_anomaly: flagged days are exactly the >3-sigma residuals of the decomposition") {
+    val decomp = WindowQueries.winSeasonalDecompose.fn(spark, sfDir)
+      .collect().filter(r => !r.isNullAt(4))
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(4)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = decomp.length.toDouble
+    val s = decomp.map(d => BigDecimal(d._3)).sum.toDouble
+    val q = decomp.map(d => BigDecimal(d._3) * BigDecimal(d._3)).sum
+      .toDouble
+    val sd = math.sqrt((q - s * s / n) / (n - 1))
+    val want = decomp
+      .map(d => (d._1, d._2, d._3, (d._3 - s / n) / sd))
+      .filter(d => math.abs(d._4) > 3)
+      .map(d => (d._1, d._2, d._3, r6(d._4)))
+      .sortBy(_._1)
+    val got = WindowQueries.winStlAnomaly.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == want.toSeq,
+      s"anomaly set mismatch: got ${got.length}, want ${want.length}")
+    assert(got.nonEmpty, "fixture should contain at least one anomaly")
+  }
+
+  test("embed_outlier_knn: scores replay from the exact knn lists; descending top-20") {
+    val rows = SimQueries.embedOutlierKnn.fn(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted.reverse),
+      "scores must be descending")
+    // replay: mean (1 - cosine) over the exact top-5 neighbor list
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.take(5).foreach { r =>
+      val id = r.getLong(0)
+      val v = vs.find(_._1 == id).get._2
+      val top5 = vs.filter(_._1 != id)
+        .map { case (oid, ov) => (r6(cos(v, ov)), oid) }
+        .sortBy { case (c, oid) => (-c, oid) }.take(5)
+      val want = r6(top5.map { case (c, _) =>
+        BigDecimal(r6(1 - c)) }.sum.toDouble / 5)
+      assert(r.getDouble(2) == want, s"vec $id knn_dist")
+    }
+  }
+
   test("dq_reconciliation: buckets partition orders; diffs replay on the decimal grid") {
     val r = AuditQueries.dqReconciliation.fn(spark, sfDir).collect().head
     val (n, noLines, matched, over, under) =

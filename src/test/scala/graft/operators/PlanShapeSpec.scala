@@ -70,7 +70,9 @@ class PlanShapeSpec extends SparkTestBase {
     "graph_reachability_cte", // 1-row seed scalar subquery + the colloc p75 scalar
     "ev_uplift_cuped",  // 1-row launch-date anchor + pooled-theta scalar cross joins
     "agg_bootstrap_ci", // 1-row point-mean scalar attached to the 1-row CI frame
-    "mining_seq_patterns") // 1-row session-total scalar cross join (support divide)
+    "mining_seq_patterns", // 1-row session-total scalar cross join (support divide)
+    "win_stl_anomaly",  // 1-row residual-moment scalar onto the bounded day series
+    "embed_outlier_knn") // exact tier IS sim_cosine_topk's probe-broadcast scan (probes = corpus)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
