@@ -2526,6 +2526,130 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** HOLT-WINTERS triple exponential smoothing — the seasonal rung
+    * above ev_holt_forecast's level+trend: additive 7-day seasonality
+    * with α = 0.5, β = 0.25, γ = 0.5 (exact binary fractions), a
+    * 14-day warmup window initializing l = mean(y₁..₇), b =
+    * (mean(y₈..₁₄) − mean(y₁..₇))/7, sᵢ = yᵢ − l, then for t ≥ 15:
+    * l_t = α(y_t − s_{t−7}) + (1−α)(l+b), b_t = β Δl + (1−β)b,
+    * s_t = γ(y_t − l_t) + (1−γ)s_{t−7}, with a one-step-ahead MAE
+    * backtest (ŷ = l + b + s_{t−7}). The coupled recursion has no
+    * window spelling — the distributed form is the ev_holt_forecast
+    * fold with the seasonal ring buffer carried as an ARRAY field in
+    * the `aggregate` HOF state (updated in place via indexed
+    * `transform`); the DuckDB oracle replays the identical recursion
+    * as a recursive CTE carrying a LIST column. Daily counts are
+    * integer-valued doubles, so the warmup means divide EXACT sums —
+    * every IEEE op appears in the same order in both engines and the
+    * rounded outputs are bit-identical.
+    *
+    * Scale shape: identical to ev_holt_forecast — one map-side-
+    * combining daily aggregate is the only corpus-sized stage; the
+    * fold carries O(1) state (7-slot ring + 4 scalars) through ≤366
+    * calendar-bounded steps per event type, whole-stage-codegen'd. */
+  val evHoltWinters: GQuery = GQuery(
+    "ev_holt_winters",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |m AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN rn <= 7 THEN y END) / 7 AS m1,
+      |    sum(CASE WHEN rn BETWEEN 8 AND 14 THEN y END) / 7 AS m2
+      |  FROM s GROUP BY 1),
+      |s7 AS (SELECT event_type, list(y ORDER BY rn) AS ys
+      |       FROM s WHERE rn <= 7 GROUP BY 1),
+      |h AS (
+      |  SELECT m.event_type, 14 AS t, m.m1 AS l, (m.m2 - m.m1) / 7 AS b,
+      |    [s7.ys[i] - m.m1 for i in generate_series(1, 7)] AS sv,
+      |    CAST(0 AS DOUBLE) AS esum
+      |  FROM m JOIN s7 ON m.event_type = s7.event_type
+      |  UNION ALL
+      |  SELECT h.event_type, h.t + 1,
+      |    0.5 * (s2.y - h.sv[(h.t % 7) + 1]) + 0.5 * (h.l + h.b),
+      |    0.25 * ((0.5 * (s2.y - h.sv[(h.t % 7) + 1])
+      |             + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b,
+      |    [CASE WHEN i = (h.t % 7) + 1
+      |          THEN 0.5 * (s2.y - (0.5 * (s2.y - h.sv[(h.t % 7) + 1])
+      |                             + 0.5 * (h.l + h.b))) + 0.5 * h.sv[i]
+      |          ELSE h.sv[i] END for i in generate_series(1, 7)],
+      |    h.esum + abs(s2.y - (h.l + h.b + h.sv[(h.t % 7) + 1]))
+      |  FROM h JOIN s s2
+      |    ON s2.event_type = h.event_type AND s2.rn = h.t + 1),
+      |f AS (SELECT event_type, max(t) AS tmax FROM h GROUP BY 1)
+      |SELECT h.event_type, CAST(h.t AS BIGINT) AS n_days,
+      |  round(h.l, 6) AS level, round(h.b, 6) AS trend,
+      |  round(h.sv[(h.t % 7) + 1], 6) AS season_next,
+      |  round(h.l + h.b + h.sv[(h.t % 7) + 1], 6) AS forecast_next,
+      |  round(h.esum / (h.t - 14), 6) AS mae
+      |FROM h JOIN f ON h.event_type = f.event_type AND h.t = f.tmax
+      |ORDER BY h.event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val st = d.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("ser"))
+      .withColumn("st", expr(
+        """aggregate(ser,
+          |  named_struct('t', 0,
+          |    'warm', CAST(array() AS ARRAY<DOUBLE>),
+          |    'l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          |    'sv', CAST(array() AS ARRAY<DOUBLE>),
+          |    'esum', CAST(0 AS DOUBLE)),
+          |  (acc, e) -> CASE
+          |    WHEN acc.t < 13 THEN named_struct('t', acc.t + 1,
+          |      'warm', concat(acc.warm, array(e.y)),
+          |      'l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          |      'sv', acc.sv, 'esum', CAST(0 AS DOUBLE))
+          |    WHEN acc.t = 13 THEN named_struct('t', 14,
+          |      'warm', CAST(array() AS ARRAY<DOUBLE>),
+          |      'l', aggregate(slice(concat(acc.warm, array(e.y)), 1, 7),
+          |             CAST(0 AS DOUBLE), (a, x) -> a + x) / 7,
+          |      'b', (aggregate(slice(concat(acc.warm, array(e.y)), 8, 7),
+          |              CAST(0 AS DOUBLE), (a, x) -> a + x) / 7
+          |            - aggregate(slice(concat(acc.warm, array(e.y)), 1, 7),
+          |                CAST(0 AS DOUBLE), (a, x) -> a + x) / 7) / 7,
+          |      'sv', transform(slice(concat(acc.warm, array(e.y)), 1, 7),
+          |              x -> x - aggregate(
+          |                slice(concat(acc.warm, array(e.y)), 1, 7),
+          |                CAST(0 AS DOUBLE), (a, x) -> a + x) / 7),
+          |      'esum', CAST(0 AS DOUBLE))
+          |    ELSE named_struct('t', acc.t + 1,
+          |      'warm', acc.warm,
+          |      'l', 0.5D * (e.y - element_at(acc.sv, acc.t % 7 + 1))
+          |           + 0.5D * (acc.l + acc.b),
+          |      'b', 0.25D * ((0.5D * (e.y
+          |               - element_at(acc.sv, acc.t % 7 + 1))
+          |             + 0.5D * (acc.l + acc.b)) - acc.l)
+          |           + 0.75D * acc.b,
+          |      'sv', transform(acc.sv, (v, i) ->
+          |        CASE WHEN i = acc.t % 7
+          |          THEN 0.5D * (e.y - (0.5D * (e.y
+          |                 - element_at(acc.sv, acc.t % 7 + 1))
+          |               + 0.5D * (acc.l + acc.b))) + 0.5D * v
+          |          ELSE v END),
+          |      'esum', acc.esum + abs(e.y - (acc.l + acc.b
+          |        + element_at(acc.sv, acc.t % 7 + 1))))
+          |  END)""".stripMargin))
+    st.select(col("event_type"),
+        col("st.t").cast("bigint").as("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(element_at(col("st.sv"),
+          (col("st.t") % 7 + 1).cast("int")), 6).as("season_next"),
+        round(col("st.l") + col("st.b")
+          + element_at(col("st.sv"),
+            (col("st.t") % 7 + 1).cast("int")), 6).as("forecast_next"),
+        round(col("st.esum") / (col("st.t") - 14), 6).as("mae"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2537,5 +2661,5 @@ object EventQueries {
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
-    evAbSrmCheck, evAbRatioDelta, evBotScore)
+    evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters)
 }

@@ -2797,6 +2797,52 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("ev_holt_winters: triple recursion replays; beats/matches Holt on seasonal series") {
+    val rows = EventQueries.evHoltWinters.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (et, xs) => et -> xs.sortBy(_._2).map(_._3).toIndexedSeq }
+    rows.foreach { r =>
+      val ys = daily(r.getString(0))
+      assert(r.getLong(1) == ys.length.toLong)
+      val m1 = ys.take(7).sum / 7
+      val m2 = ys.slice(7, 14).sum / 7
+      var l = m1; var b = (m2 - m1) / 7
+      val sv = ys.take(7).map(_ - m1).toArray
+      var esum = 0.0
+      for (t <- 14 until ys.length) {
+        val idx = t % 7 // 0-based ring slot for day t+1
+        val sOld = sv(idx)
+        val yv = ys(t)
+        esum += math.abs(yv - (l + b + sOld))
+        val lNew = 0.5 * (yv - sOld) + 0.5 * (l + b)
+        val bNew = 0.25 * (lNew - l) + 0.75 * b
+        sv(idx) = 0.5 * (yv - lNew) + 0.5 * sOld
+        l = lNew; b = bNew
+      }
+      val t = ys.length
+      assert(r.getDouble(2) == r6(l), s"${r.getString(0)} level")
+      assert(r.getDouble(3) == r6(b), s"${r.getString(0)} trend")
+      assert(r.getDouble(4) == r6(sv(t % 7)), s"${r.getString(0)} season")
+      assert(r.getDouble(6) == r6(esum / (t - 14)), s"${r.getString(0)} mae")
+    }
+    // on this fixture's weekly-patterned series, the seasonal model's
+    // backtest MAE should not be wildly worse than plain Holt's
+    val holt = EventQueries.evHoltForecast.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(6) < 3 * holt(r.getString(0)),
+        s"${r.getString(0)}: HW mae ${r.getDouble(6)} vs Holt ${holt(r.getString(0))}")
+    }
+  }
+
   test("win_stl_anomaly: flagged days are exactly the >3-sigma residuals of the decomposition") {
     val decomp = WindowQueries.winSeasonalDecompose.fn(spark, sfDir)
       .collect().filter(r => !r.isNullAt(4))
