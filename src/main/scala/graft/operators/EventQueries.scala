@@ -2650,6 +2650,129 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES — the causal readout for a launch with
+    * a pre-period: each user's purchase revenue splits at the launch
+    * boundary (min event date + 15 days, the ev_uplift_cuped anchor)
+    * into pre (x) and post (y); the effect estimate is the classic
+    * 2×2 cell-mean contrast DiD = (ȳ_t − x̄_t) − (ȳ_c − x̄_c), and
+    * because users are observed in BOTH periods the standard error is
+    * the paired form — Welch over the per-user differences d = y − x:
+    * SE = √(var_t(d)/n_t + var_c(d)/n_c). Where CUPED uses the
+    * pre-period to SHRINK variance of a post-only metric, DiD uses it
+    * to DIFFERENCE OUT user-level baselines — the right tool when
+    * treatment correlates with baseline level. All moments (Σx, Σy,
+    * Σd, Σd²) ride exact DECIMAL sums; every double expression is
+    * textually identical in both engines.
+    *
+    * Scale shape: one map-side-combining per-user aggregate under a
+    * 1-row launch-anchor broadcast (the CUPED plan), then a 1-row
+    * contrast. */
+  val evDidAnalysis: GQuery = GQuery(
+    "ev_did_analysis",
+    s"""WITH b AS (
+       |  SELECT min(CAST(ts AS DATE)) + 15 AS launch FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |    ${DedupQueries.duckHash(
+              "concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |          AND CAST(ts AS DATE) < launch
+       |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |          AND CAST(ts AS DATE) >= launch
+       |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y
+       |  FROM events, b GROUP BY 1, 2),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c,
+       |    CAST(sum(CASE WHEN v = 0 THEN x END) AS DECIMAL(28,2)) AS sx_c,
+       |    CAST(sum(CASE WHEN v = 0 THEN y END) AS DECIMAL(28,2)) AS sy_c,
+       |    CAST(sum(CASE WHEN v = 0 THEN y - x END) AS DECIMAL(28,2))
+       |      AS sd_c,
+       |    CAST(sum(CASE WHEN v = 0 THEN (y - x) * (y - x) END)
+       |         AS DECIMAL(38,4)) AS qd_c,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t,
+       |    CAST(sum(CASE WHEN v = 1 THEN x END) AS DECIMAL(28,2)) AS sx_t,
+       |    CAST(sum(CASE WHEN v = 1 THEN y END) AS DECIMAL(28,2)) AS sy_t,
+       |    CAST(sum(CASE WHEN v = 1 THEN y - x END) AS DECIMAL(28,2))
+       |      AS sd_t,
+       |    CAST(sum(CASE WHEN v = 1 THEN (y - x) * (y - x) END)
+       |         AS DECIMAL(38,4)) AS qd_t
+       |  FROM u)
+       |SELECT n_c AS n_control, n_t AS n_treatment,
+       |  round(CAST(sx_c AS DOUBLE) / n_c, 4) AS pre_control,
+       |  round(CAST(sy_c AS DOUBLE) / n_c, 4) AS post_control,
+       |  round(CAST(sx_t AS DOUBLE) / n_t, 4) AS pre_treatment,
+       |  round(CAST(sy_t AS DOUBLE) / n_t, 4) AS post_treatment,
+       |  round(CAST(sd_t AS DOUBLE) / n_t - CAST(sd_c AS DOUBLE) / n_c,
+       |    6) AS did,
+       |  round(sqrt(
+       |    ((CAST(qd_t AS DOUBLE)
+       |      - CAST(sd_t AS DOUBLE) * sd_t / n_t) / (n_t - 1)) / n_t
+       |    + ((CAST(qd_c AS DOUBLE)
+       |      - CAST(sd_c AS DOUBLE) * sd_c / n_c) / (n_c - 1)) / n_c),
+       |    6) AS se,
+       |  round((CAST(sd_t AS DOUBLE) / n_t - CAST(sd_c AS DOUBLE) / n_c)
+       |    / sqrt(
+       |      ((CAST(qd_t AS DOUBLE)
+       |        - CAST(sd_t AS DOUBLE) * sd_t / n_t) / (n_t - 1)) / n_t
+       |      + ((CAST(qd_c AS DOUBLE)
+       |        - CAST(sd_c AS DOUBLE) * sd_c / n_c) / (n_c - 1)) / n_c),
+       |    6) AS t_stat
+       |FROM a""".stripMargin) { (s, dir) =>
+    val launch = Tables.events(s, dir)
+      .agg(date_add(min(to_date(col("ts"))), 15).as("launch"))
+    val u = Tables.events(s, dir)
+      .crossJoin(broadcast(launch))
+      .withColumn("v",
+        graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+      .groupBy(col("user_id"), col("v"))
+      .agg(
+        sum(when(col("event_type") === "purchase"
+            && to_date(col("ts")) < col("launch"),
+          round(col("value"), 2).cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("x"),
+        sum(when(col("event_type") === "purchase"
+            && to_date(col("ts")) >= col("launch"),
+          round(col("value"), 2).cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("y"))
+    def arm(v: Int, sfx: String) = Seq(
+      sum(when(col("v") === v, 1).otherwise(0)).cast("bigint")
+        .as(s"n_$sfx"),
+      sum(when(col("v") === v, col("x"))).cast("decimal(28,2)")
+        .as(s"sx_$sfx"),
+      sum(when(col("v") === v, col("y"))).cast("decimal(28,2)")
+        .as(s"sy_$sfx"),
+      sum(when(col("v") === v, col("y") - col("x")))
+        .cast("decimal(28,2)").as(s"sd_$sfx"),
+      sum(when(col("v") === v,
+        (col("y") - col("x")) * (col("y") - col("x"))))
+        .cast("decimal(38,4)").as(s"qd_$sfx"))
+    val cols = arm(0, "c") ++ arm(1, "t")
+    val a = u.agg(cols.head, cols.tail: _*)
+    def mean(x: String, n: String) = col(x).cast("double") / col(n)
+    def vard(q: String, sd: String, n: String) =
+      (col(q).cast("double")
+        - col(sd).cast("double") * col(sd) / col(n)) / (col(n) - 1)
+    val did = mean("sd_t", "n_t") - mean("sd_c", "n_c")
+    val se = sqrt(vard("qd_t", "sd_t", "n_t") / col("n_t")
+      + vard("qd_c", "sd_c", "n_c") / col("n_c"))
+    a.select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+      round(mean("sx_c", "n_c"), 4).as("pre_control"),
+      round(mean("sy_c", "n_c"), 4).as("post_control"),
+      round(mean("sx_t", "n_t"), 4).as("pre_treatment"),
+      round(mean("sy_t", "n_t"), 4).as("post_treatment"),
+      round(did, 6).as("did"),
+      round(se, 6).as("se"),
+      round(did / se, 6).as("t_stat"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2661,5 +2784,6 @@ object EventQueries {
     evActivityStreaks, evInterarrival, evGrowthAccounting, evStickiness,
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
-    evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters)
+    evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
+    evDidAnalysis)
 }

@@ -2797,6 +2797,26 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("ev_did_analysis: DiD = cell-mean contrast; SE is the paired Welch form") {
+    val r = EventQueries.evDidAnalysis.fn(spark, sfDir).collect().head
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the 2x2 identity: did == (post_t - pre_t) - (post_c - pre_c)
+    // on the unrounded means — check against the rounded cells with
+    // a grid-width tolerance
+    val cellDid = (r.getDouble(5) - r.getDouble(4)) -
+      (r.getDouble(3) - r.getDouble(2))
+    assert(math.abs(r.getDouble(6) - cellDid) <= 4e-4,
+      s"did ${r.getDouble(6)} vs cell contrast $cellDid")
+    assert(r.getDouble(7) > 0, "SE must be positive")
+    assert(r6(r.getDouble(6) / r.getDouble(7)) == r.getDouble(8)
+      || math.abs(r.getDouble(6) / r.getDouble(7) - r.getDouble(8)) <= 1e-5,
+      "t_stat must be did/se")
+    // arms agree with the family's shared assignment
+    val z = EventQueries.evAbZtest.fn(spark, sfDir).collect().head
+    assert(r.getLong(0) == z.getLong(0) && r.getLong(1) == z.getLong(3))
+  }
+
   test("ev_holt_winters: triple recursion replays; beats/matches Holt on seasonal series") {
     val rows = EventQueries.evHoltWinters.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -72,7 +72,8 @@ class PlanShapeSpec extends SparkTestBase {
     "agg_bootstrap_ci", // 1-row point-mean scalar attached to the 1-row CI frame
     "mining_seq_patterns", // 1-row session-total scalar cross join (support divide)
     "win_stl_anomaly",  // 1-row residual-moment scalar onto the bounded day series
-    "embed_outlier_knn") // exact tier IS sim_cosine_topk's probe-broadcast scan (probes = corpus)
+    "embed_outlier_knn", // exact tier IS sim_cosine_topk's probe-broadcast scan (probes = corpus)
+    "ev_did_analysis")  // 1-row launch-date anchor scalar cross join (the CUPED plan)
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
