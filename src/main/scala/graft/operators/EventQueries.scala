@@ -2773,6 +2773,97 @@ object EventQueries {
       round(did / se, 6).as("t_stat"))
   }
 
+  /** RETENTION HALF-LIFE — the exponential-decay fit every retention
+    * curve gets turned into for planning: pooled day-o retention
+    * rate(o) = |users active o days after their first day| / |users|
+    * for o = 1..7, then OLS on ln(rate) ~ o (the linearized
+    * exponential fit): slope λ, half-life = −ln 2 / λ, and the fit's
+    * R². ln values round to the 8-place grid (the text_lang_divergence
+    * ln discipline — engine ln implementations differ in the last
+    * ulp) and ride DECIMAL(16,8) sums; x-moments over o = 1..7 are
+    * the integer constants Σo = 28, Σo² = 140 — the agg_regression
+    * algebra on a 7-point frame.
+    *
+    * Scale shape: one distinct to the (user, day) grain, one per-user
+    * min, one bounded rollup to 7 rows; the fit runs on the 7-row
+    * frame with a 1-row user-count scalar. */
+  val evRetentionHalflife: GQuery = GQuery(
+    "ev_retention_halflife",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |           FROM events),
+      |c AS (SELECT user_id, min(d) AS c0 FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM c),
+      |r AS (
+      |  SELECT CAST(date_diff('day', c.c0, d.d) AS INT) AS o,
+      |    CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+      |  FROM d JOIN c ON d.user_id = c.user_id
+      |  WHERE date_diff('day', c.c0, d.d) BETWEEN 1 AND 7
+      |  GROUP BY 1),
+      |ly AS (
+      |  SELECT o,
+      |    CAST(round(ln(CAST(n_active AS DOUBLE) / t.n_users), 8)
+      |         AS DECIMAL(16,8)) AS l
+      |  FROM r CROSS JOIN tot t),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(l) AS DECIMAL(24,8)) AS sy,
+      |    CAST(sum(o * l) AS DECIMAL(24,8)) AS sxy,
+      |    CAST(sum(CAST(o AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(o AS BIGINT) * o) AS BIGINT) AS sxx,
+      |    CAST(sum(l * l) AS DECIMAL(38,16)) AS syy
+      |  FROM ly)
+      |SELECT t.n_users, m.n AS n_points,
+      |  round((CAST(m.n AS DOUBLE) * m.sxy
+      |         - CAST(m.sx AS DOUBLE) * m.sy)
+      |    / (CAST(m.n AS DOUBLE) * m.sxx
+      |       - CAST(m.sx AS DOUBLE) * m.sx), 6) AS lambda,
+      |  round(-CAST(0.6931471805599453 AS DOUBLE)
+      |    / ((CAST(m.n AS DOUBLE) * m.sxy
+      |        - CAST(m.sx AS DOUBLE) * m.sy)
+      |       / (CAST(m.n AS DOUBLE) * m.sxx
+      |          - CAST(m.sx AS DOUBLE) * m.sx)), 6) AS halflife_days,
+      |  round((CAST(m.n AS DOUBLE) * m.sxy
+      |         - CAST(m.sx AS DOUBLE) * m.sy)
+      |    * (CAST(m.n AS DOUBLE) * m.sxy
+      |       - CAST(m.sx AS DOUBLE) * m.sy)
+      |    / ((CAST(m.n AS DOUBLE) * m.sxx
+      |        - CAST(m.sx AS DOUBLE) * m.sx)
+      |       * (CAST(m.n AS DOUBLE) * m.syy
+      |          - CAST(m.sy AS DOUBLE) * m.sy)), 6) AS r2
+      |FROM m CROSS JOIN tot t""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val c = d.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+    val tot = c.agg(count(lit(1)).cast("bigint").as("n_users"))
+    val r = d.join(c, Seq("user_id"))
+      .withColumn("o", datediff(col("d"), col("c0")).cast("int"))
+      .filter(col("o").between(1, 7))
+      .groupBy(col("o"))
+      .agg(countDistinct(col("user_id")).cast("bigint").as("n_active"))
+    val ly = r.crossJoin(broadcast(tot))
+      .select(col("o"),
+        round(log(col("n_active").cast("double") / col("n_users")), 8)
+          .cast("decimal(16,8)").as("l"))
+    val m = ly.agg(count(lit(1)).cast("bigint").as("n"),
+      sum(col("l")).cast("decimal(24,8)").as("sy"),
+      sum(col("o") * col("l")).cast("decimal(24,8)").as("sxy"),
+      sum(col("o").cast("bigint")).cast("bigint").as("sx"),
+      sum(col("o").cast("bigint") * col("o")).cast("bigint").as("sxx"),
+      sum(col("l") * col("l")).cast("decimal(38,16)").as("syy"))
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val denX = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    val denY = col("n").cast("double") * col("syy") -
+      col("sy").cast("double") * col("sy")
+    val slope = num / denX
+    m.crossJoin(broadcast(tot))
+      .select(col("n_users"), col("n").as("n_points"),
+        round(slope, 6).as("lambda"),
+        round(-lit(0.6931471805599453) / slope, 6).as("halflife_days"),
+        round(num * num / (denX * denY), 6).as("r2"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2785,5 +2876,5 @@ object EventQueries {
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
-    evDidAnalysis)
+    evDidAnalysis, evRetentionHalflife)
 }

@@ -656,6 +656,76 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of join — the third pandas merge_asof direction
+    * (`direction='nearest'`): each purchase attaches whichever click
+    * is closer in time, before or after, ties to the earlier one.
+    * Composes the backward (join_asof) and forward (join_asof_forward)
+    * window states in ONE pass — still a single user-keyed shuffle,
+    * two O(1) running extremes per row, and a pure projection pick;
+    * the µs distance compare is exact integer arithmetic. */
+  val joinAsofNearest: GQuery = GQuery(
+    "join_asof_nearest",
+    """SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+      |  CASE
+      |    WHEN last_click IS NULL THEN epoch_us(next_click)
+      |    WHEN next_click IS NULL THEN epoch_us(last_click)
+      |    WHEN epoch_us(ts) - epoch_us(last_click)
+      |         <= epoch_us(next_click) - epoch_us(ts)
+      |      THEN epoch_us(last_click)
+      |    ELSE epoch_us(next_click) END AS click_us,
+      |  CASE
+      |    WHEN last_click IS NULL AND next_click IS NULL
+      |      THEN CAST(NULL AS VARCHAR)
+      |    WHEN next_click IS NULL THEN 'backward'
+      |    WHEN last_click IS NULL THEN 'forward'
+      |    WHEN epoch_us(ts) - epoch_us(last_click)
+      |         <= epoch_us(next_click) - epoch_us(ts)
+      |      THEN 'backward'
+      |    ELSE 'forward' END AS direction
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_click,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |      AS next_click
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val marked = ev
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(back))
+      .withColumn("next_click",
+        min(when(col("event_type") === "click", col("ts"))).over(fwd))
+      .filter(col("event_type") === "purchase")
+    val pUs = unix_micros(col("ts"))
+    val lUs = unix_micros(col("last_click"))
+    val nUs = unix_micros(col("next_click"))
+    marked.select(col("event_id"), col("user_id"),
+        pUs.as("purchase_us"),
+        when(col("last_click").isNull, nUs)
+          .when(col("next_click").isNull, lUs)
+          .when(pUs - lUs <= nUs - pUs, lUs)
+          .otherwise(nUs).as("click_us"),
+        when(col("last_click").isNull && col("next_click").isNull,
+            lit(null).cast("string"))
+          .when(col("next_click").isNull, lit("backward"))
+          .when(col("last_click").isNull, lit("forward"))
+          .when(pUs - lUs <= nUs - pUs, lit("backward"))
+          .otherwise(lit("forward")).as("direction"))
+      .orderBy(col("event_id"))
+  }
+
   /** LATERAL correlated subquery — the ANSI "for each outer row, run
     * this dependent subquery" join surface (engine-capability row,
     * like graph_reachability_cte's WITH RECURSIVE): each nation pulls
@@ -696,5 +766,5 @@ object JoinQueries {
     joinAsof, joinAsofTolerance, joinTimeProximity, joinFullOuter,
     joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe,
     joinPointInTime, joinIntervalOverlap, joinSkewSalted,
-    joinLateralTopk, joinAsofForward)
+    joinLateralTopk, joinAsofForward, joinAsofNearest)
 }

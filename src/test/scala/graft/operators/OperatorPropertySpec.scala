@@ -2797,6 +2797,72 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("join_asof_nearest: picks the true closer click; agrees with backward/forward rows") {
+    val nearest = JoinQueries.joinAsofNearest.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val back = JoinQueries.joinAsof.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val fwd = JoinQueries.joinAsofForward.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(nearest.keySet == back.keySet && nearest.keySet == fwd.keySet)
+    var sawBack = 0; var sawFwd = 0
+    nearest.foreach { case (id, r) =>
+      val p = r.getLong(2)
+      (back(id), fwd(id)) match {
+        case (None, None) =>
+          assert(r.isNullAt(3) && r.isNullAt(4))
+        case (Some(b), None) =>
+          assert(r.getLong(3) == b && r.getString(4) == "backward")
+        case (None, Some(f)) =>
+          assert(r.getLong(3) == f && r.getString(4) == "forward")
+        case (Some(b), Some(f)) =>
+          val pick = if (p - b <= f - p) ("backward", b) else ("forward", f)
+          assert(r.getString(4) == pick._1 && r.getLong(3) == pick._2,
+            s"purchase $id picked wrong direction")
+          if (pick._1 == "backward") sawBack += 1 else sawFwd += 1
+      }
+    }
+    assert(sawBack > 0 && sawFwd > 0,
+      "fixture should exercise both directions")
+  }
+
+  test("ev_retention_halflife: fit replays from the pooled retention curve") {
+    val r = EventQueries.evRetentionHalflife.fn(spark, sfDir)
+      .collect().head
+    def rd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val days = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+      .collect().map(x => (x.getLong(0), x.getDate(1).toLocalDate))
+    val first = days.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min }
+    val nUsers = first.size.toLong
+    assert(r.getLong(0) == nUsers)
+    val rate = (1 to 7).map { o =>
+      val active = days.count { case (u, d) =>
+        java.time.temporal.ChronoUnit.DAYS.between(first(u), d) == o }
+      o -> active.toDouble / nUsers
+    }.filter(_._2 > 0)
+    assert(r.getLong(1) == rate.length.toLong)
+    val pts = rate.map { case (o, rt) =>
+      (o.toDouble, rd(math.log(rt), 8)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(2) - rd(slope, 6)) <= 1e-6)
+    assert(math.abs(r.getDouble(3)
+      - rd(-0.6931471805599453 / slope, 6)) <= 1e-5)
+    // sign consistency (the synthetic fixture's pooled activity is
+    // near-flat and may tilt either way): half-life and slope are
+    // opposite-signed by construction, r2 lives in [0, 1]
+    assert(r.getDouble(2) * r.getDouble(3) < 0)
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+  }
+
   test("ev_did_analysis: DiD = cell-mean contrast; SE is the paired Welch form") {
     val r = EventQueries.evDidAnalysis.fn(spark, sfDir).collect().head
     def r6(x: Double): Double =

@@ -73,7 +73,8 @@ class PlanShapeSpec extends SparkTestBase {
     "mining_seq_patterns", // 1-row session-total scalar cross join (support divide)
     "win_stl_anomaly",  // 1-row residual-moment scalar onto the bounded day series
     "embed_outlier_knn", // exact tier IS sim_cosine_topk's probe-broadcast scan (probes = corpus)
-    "ev_did_analysis")  // 1-row launch-date anchor scalar cross join (the CUPED plan)
+    "ev_did_analysis",  // 1-row launch-date anchor scalar cross join (the CUPED plan)
+    "ev_retention_halflife") // 1-row user-count scalar onto the 7-row curve + the 1-row fit
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
