@@ -1519,6 +1519,98 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** GOPHER QUALITY RULES — the named rule-based document filter
+    * (Rae et al.'s Gopher / MassiveText heuristics), distinct from
+    * text_quality_score's weighted composite: each document gets a
+    * BOOLEAN verdict per rule plus the conjunction, which is how
+    * production filters actually run (a doc fails on named rules you
+    * can audit, not on an opaque score). Rules adapted to the
+    * contract's deterministic grid: word-count bounds [10, 100000],
+    * mean word length in [2, 10], symbol-to-word ratio ≤ 0.1
+    * (# and ellipsis), ≥ 2 distinct common stopwords present, and
+    * ≥ 80% of words containing an alphabetic character. All counts
+    * are RE2-portable regex-class tallies; ratios round to the
+    * 6-place grid before their literal-bound compares.
+    *
+    * Scale shape: pure per-row projection — no shuffle, no state;
+    * streaming-safe, embarrassingly parallel (the text_readability
+    * growth law). */
+  val textGopherRules: GQuery = {
+    val stops = Seq("the", "a", "of", "to", "and", "in", "is")
+    val duckStopHits = stops.map(w =>
+      s"CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    GQuery("text_gopher_rules",
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    greatest(len(string_split(text, ' ')), 1) AS n_words,
+         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha_chars,
+         |    length(replace(text, ' ', '')) AS n_nonspace,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+         |    len([w for w in string_split(text, ' ')
+         |         if regexp_matches(w, '[A-Za-z]')]) AS n_alpha_words,
+         |    $duckStopHits AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round(CAST(n_nonspace AS DOUBLE) / n_words, 6)
+         |    AS mean_word_len,
+         |  CAST(stop_hits AS INT) AS stop_hits,
+         |  CAST(n_words BETWEEN 10 AND 100000 AS BOOLEAN)
+         |    AS rule_word_count,
+         |  CAST(round(CAST(n_nonspace AS DOUBLE) / n_words, 6)
+         |       BETWEEN 2 AND 10 AS BOOLEAN) AS rule_word_len,
+         |  CAST(round(CAST(n_symbols AS DOUBLE) / n_words, 6) <= 0.1
+         |       AS BOOLEAN) AS rule_symbol_ratio,
+         |  CAST(stop_hits >= 2 AS BOOLEAN) AS rule_stopwords,
+         |  CAST(round(CAST(n_alpha_words AS DOUBLE) / n_words, 6) >= 0.8
+         |       AS BOOLEAN) AS rule_alpha_words,
+         |  CAST(n_words BETWEEN 10 AND 100000
+         |    AND round(CAST(n_nonspace AS DOUBLE) / n_words, 6)
+         |        BETWEEN 2 AND 10
+         |    AND round(CAST(n_symbols AS DOUBLE) / n_words, 6) <= 0.1
+         |    AND stop_hits >= 2
+         |    AND round(CAST(n_alpha_words AS DOUBLE) / n_words, 6) >= 0.8
+         |    AS BOOLEAN) AS passes_all
+         |FROM c
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val stopHits = stops.map(w =>
+        when(concat(lit(" "), col("text"), lit(" "))
+          .like(s"% $w %"), 1).otherwise(0))
+        .reduce(_ + _)
+      val c = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          greatest(size(split(col("text"), " ")), lit(1)).as("n_words"),
+          length(regexp_replace(col("text"), " ", "")).as("n_nonspace"),
+          size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."),
+            lit(0))).as("n_symbols"),
+          size(filter(split(col("text"), " "),
+            w => w.rlike("[A-Za-z]"))).as("n_alpha_words"),
+          stopHits.as("stop_hits"))
+      val meanLen = round(col("n_nonspace").cast("double")
+        / col("n_words"), 6)
+      val symRatio = round(col("n_symbols").cast("double")
+        / col("n_words"), 6)
+      val alphaRatio = round(col("n_alpha_words").cast("double")
+        / col("n_words"), 6)
+      val rWc = col("n_words").between(10, 100000)
+      val rWl = meanLen.between(2, 10)
+      val rSym = symRatio <= 0.1
+      val rStop = col("stop_hits") >= 2
+      val rAlpha = alphaRatio >= 0.8
+      c.select(col("doc_id"), col("n_words").cast("bigint").as("n_words"),
+          meanLen.as("mean_word_len"),
+          col("stop_hits").cast("int").as("stop_hits"),
+          rWc.cast("boolean").as("rule_word_count"),
+          rWl.cast("boolean").as("rule_word_len"),
+          rSym.cast("boolean").as("rule_symbol_ratio"),
+          rStop.cast("boolean").as("rule_stopwords"),
+          rAlpha.cast("boolean").as("rule_alpha_words"),
+          (rWc && rWl && rSym && rStop && rAlpha).cast("boolean")
+            .as("passes_all"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
@@ -1528,5 +1620,5 @@ object TextQueries {
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
     textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr,
     textPmiCollocations, textRakeKeywords, textQualityBuckets,
-    textReadability)
+    textReadability, textGopherRules)
 }

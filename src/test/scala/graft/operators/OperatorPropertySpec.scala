@@ -2797,6 +2797,39 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("text_gopher_rules: rule verdicts replay per-row; conjunction holds") {
+    val rows = TextQueries.textGopherRules.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val stops = Seq("the", "a", "of", "to", "and", "in", "is")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var failedSome = false
+    rows.take(200).foreach { r =>
+      val t = texts(r.getLong(0))
+      val words = t.split(" ", -1)
+      val nWords = math.max(words.length, 1)
+      assert(r.getLong(1) == nWords)
+      val meanLen = r6(t.replace(" ", "").length.toDouble / nWords)
+      assert(r.getDouble(2) == meanLen)
+      val hits = stops.count(w => s" $t ".contains(s" $w "))
+      assert(r.getInt(3) == hits)
+      val alphaW = words.count(_.exists(_.isLetter))
+      assert(r.getBoolean(4) == (nWords >= 10 && nWords <= 100000))
+      assert(r.getBoolean(5) == (meanLen >= 2 && meanLen <= 10))
+      assert(r.getBoolean(7) == (hits >= 2))
+      assert(r.getBoolean(8) ==
+        (r6(alphaW.toDouble / nWords) >= 0.8))
+      val all = r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6) &&
+        r.getBoolean(7) && r.getBoolean(8)
+      assert(r.getBoolean(9) == all, s"doc ${r.getLong(0)} conjunction")
+      if (!all) failedSome = true
+    }
+    assert(rows.exists(_.getBoolean(9)), "some doc should pass")
+  }
+
   test("join_asof_nearest: picks the true closer click; agrees with backward/forward rows") {
     val nearest = JoinQueries.joinAsofNearest.fn(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r).toMap
