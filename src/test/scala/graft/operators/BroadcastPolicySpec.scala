@@ -191,7 +191,26 @@ class BroadcastPolicySpec extends SparkTestBase {
     "ev_uplift_cuped" -> 3,
     // the 64-row per-dim threshold grid (bounded by the embedding
     // dimension — the embed_standardize broadcast-back discipline)
-    "embed_quantile_clip" -> 1
+    "embed_quantile_clip" -> 1,
+    // 1-row point-mean scalar attached to the 1-row CI frame
+    "agg_bootstrap_ci" -> 1,
+    // the 7-row day-of-week seasonal profile broadcast back
+    "win_seasonal_decompose" -> 1,
+    // the same 7-row dow profile + the 1-row residual-moment scalar
+    // (resolved on both the filter and projection branches)
+    "win_stl_anomaly" -> 3,
+    // the ≤|months| calendar frame self-joined for the lag-12 lookup
+    "win_yoy_growth" -> 1,
+    // probe set = corpus: the sim_cosine_topk brute-force tier's
+    // probe broadcast (bounded fixture; IVF shortlist is the scale path)
+    "embed_outlier_knn" -> 1,
+    // 1-row launch-date anchor (the ev_uplift_cuped pattern)
+    "ev_did_analysis" -> 1,
+    // 1-row session-total scalar (the support divide)
+    "mining_seq_patterns" -> 1,
+    // 1-row user-count scalar, resolved on the rate and readout
+    // branches
+    "ev_retention_halflife" -> 2
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a
