@@ -727,9 +727,74 @@ object GraphQueries {
     }
   }
 
+  /** DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec corpus
+    * primitive: one walk of 3 hops from each of the 8 landmark seeds
+    * over the part co-purchase graph, where step t from node u moves
+    * to the neighbor v minimizing the portable hash of
+    * (`rw:`, t, u, v) — hash-guided instead of rand()-guided, so the
+    * "random" walk is reproducible on any engine and any run (the
+    * property production samplers get from seeded PRNGs, obtained
+    * here from the fleet's cross-engine hash; min ties broken by v).
+    *
+    * Scale shape: per-walk state is ONE current node — each hop is a
+    * keyed join of the 8-row frontier against the edge list plus a
+    * frontier-bounded window pick; a billion concurrent walks is a
+    * billion-row frontier, still one keyed join per hop (the
+    * shortestPaths discipline with argmin instead of min-dist). */
+  val graphRandomWalk: GQuery = {
+    val hops = 3
+    def duckH(t: Int) = DedupQueries.duckHash(
+      s"concat('rw:$t:', CAST(w${t - 1}.node AS VARCHAR), ':', " +
+        "CAST(e1.dst AS VARCHAR))")
+    val duckStep = (t: Int) =>
+      s"""w$t AS (
+         |  SELECT seed, node FROM (
+         |    SELECT w${t - 1}.seed, e1.dst AS node,
+         |      row_number() OVER (PARTITION BY w${t - 1}.seed
+         |        ORDER BY ${duckH(t)}, e1.dst) AS rk
+         |    FROM e1 JOIN w${t - 1} ON e1.src = w${t - 1}.node)
+         |  WHERE rk = 1)""".stripMargin
+    GQuery("graph_random_walk",
+      s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+         |            FROM lineitem),
+         |e1 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM ob a JOIN ob b ON a.okey = b.okey AND a.pk <> b.pk),
+         |seeds AS (SELECT DISTINCT src AS seed FROM e1
+         |          ORDER BY seed LIMIT 8),
+         |w0 AS (SELECT seed, seed AS node FROM seeds),
+         |${(1 to hops).map(duckStep).mkString(",\n")}
+         |${(0 to hops).map(t =>
+             s"SELECT seed, $t AS step, node FROM w$t").mkString(
+             "\nUNION ALL\n")}
+         |ORDER BY seed, step""".stripMargin) { (s, dir) =>
+      val e = partEdges(s, dir)
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed")).limit(8)
+      var frontier = seeds.select(col("seed"), col("seed").as("node"))
+      var acc = frontier.select(col("seed"), lit(0).as("step"),
+        col("node"))
+      for (t <- 1 to hops) {
+        val h = graft.api.Sampling.portableHash(
+          concat(col("src").cast("string"), lit(":"),
+            col("dst").cast("string")), s"rw:$t:")
+        val w = Window.partitionBy(col("seed"))
+          .orderBy(h, col("dst"))
+        frontier = e.join(frontier.select(col("seed"),
+              col("node").as("src")), Seq("src"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("seed"), col("dst").as("node"))
+          .localCheckpoint(true)
+        acc = acc.unionAll(frontier.select(col("seed"),
+          lit(t).as("step"), col("node")))
+      }
+      acc.orderBy(col("seed"), col("step"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
     graphCommunities, graphShortestPaths, graphKCore,
     graphDegreeDistribution, graphJaccardLinkpred,
     graphClusteringCoeff, graphHits, graphAssortativity,
-    graphReachabilityCte, graphCloseness)
+    graphReachabilityCte, graphCloseness, graphRandomWalk)
 }

@@ -2797,6 +2797,42 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("graph_random_walk: each hop follows a real edge and the min-hash pick; reproducible") {
+    val rows = GraphQueries.graphRandomWalk.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val walks = rows.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(walks.size == 8 && walks.values.forall(_.length == 4))
+    walks.foreach { case (seed, path) => assert(path.head == seed) }
+    // every hop is an actual edge, and exactly the min-hash neighbor
+    val edges = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).toSeq
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def h(t: Int, u: Long, v: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rw:$t:$u:$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    walks.foreach { case (seed, path) =>
+      for (t <- 1 to 3) {
+        val u = path(t - 1); val v = path(t)
+        assert(edges.contains((u, v)), s"walk $seed hop $t not an edge")
+        val want = adj(u).map(n => (h(t, u, n), n)).min
+        assert(v == want._2, s"walk $seed hop $t: picked $v, want ${want._2}")
+      }
+    }
+    // determinism: a second run is identical
+    val again = GraphQueries.graphRandomWalk.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("text_gopher_rules: rule verdicts replay per-row; conjunction holds") {
     val rows = TextQueries.textGopherRules.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
