@@ -507,7 +507,100 @@ object AuditQueries {
         / count(col("actual")), 6).as("mean_diff"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift test — the EDF-based
+    * complement to dq_drift_psi's binned divergence: D = max
+    * |F₁ − F₂| between the first and second half of the order
+    * history (split at the midpoint date, a 1-row data-driven
+    * anchor), flagged at the α = 0.05 critical value
+    * 1.358·√((n₁+n₂)/(n₁n₂)). Prices land on a FIXED $500 bucket
+    * grid before the EDFs — the grid-bucketed KS every monitoring
+    * system actually runs, because the exact-EDF form needs a
+    * cumulative walk over every distinct value (an unpartitioned
+    * window over the corpus — the win_pareto_share scale trap), while
+    * the bucket grid bounds the window at ≤ |price range / 500| rows
+    * with all counts combined map-side. Counts are exact integers;
+    * each EDF value is one double divide.
+    *
+    * Scale shape: one map-side-combining bucket aggregate, a bounded
+    * window over the bucket grid, a 1-row max. */
+  val dqDistributionKs: GQuery = GQuery(
+    "dq_distribution_ks",
+    """WITH b AS (
+      |  SELECT CAST(min(o_orderdate) AS DATE)
+      |    + CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+      |                     CAST(max(o_orderdate) AS DATE))
+      |           / 2 AS INT) AS mid
+      |  FROM orders),
+      |l AS (
+      |  SELECT CAST(floor(o_totalprice / 500) AS BIGINT) AS bkt,
+      |    CASE WHEN CAST(o_orderdate AS DATE) < mid THEN 1 ELSE 2 END
+      |      AS g
+      |  FROM orders, b),
+      |n AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM l),
+      |c AS (
+      |  SELECT bkt,
+      |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM l GROUP BY 1),
+      |e AS (
+      |  SELECT bkt,
+      |    CAST(sum(c1) OVER (ORDER BY bkt) AS BIGINT) AS f1,
+      |    CAST(sum(c2) OVER (ORDER BY bkt) AS BIGINT) AS f2
+      |  FROM c)
+      |SELECT n.n1, n.n2,
+      |  round(max(abs(CAST(f1 AS DOUBLE) / n.n1
+      |                - CAST(f2 AS DOUBLE) / n.n2)), 6) AS ks_d,
+      |  round(1.358 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE)
+      |                     / (CAST(n.n1 AS DOUBLE) * n.n2)), 6)
+      |    AS d_critical,
+      |  CAST(max(abs(CAST(f1 AS DOUBLE) / n.n1
+      |               - CAST(f2 AS DOUBLE) / n.n2))
+      |    > 1.358 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE)
+      |                   / (CAST(n.n1 AS DOUBLE) * n.n2)) AS BOOLEAN)
+      |    AS drift_detected
+      |FROM e CROSS JOIN n
+      |GROUP BY n.n1, n.n2""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val anchor = o.agg(
+      (min(to_date(col("o_orderdate"))) + (datediff(
+        max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate")))) / 2).cast("int"))
+        .as("mid"))
+    val l = o.crossJoin(broadcast(anchor))
+      .select(floor(col("o_totalprice") / 500).cast("bigint").as("bkt"),
+        when(to_date(col("o_orderdate")) < col("mid"), 1).otherwise(2)
+          .as("g"))
+    val n = l.agg(
+      sum(when(col("g") === 1, 1).otherwise(0)).cast("bigint").as("n1"),
+      sum(when(col("g") === 2, 1).otherwise(0)).cast("bigint").as("n2"))
+    val c = l.groupBy(col("bkt"))
+      .agg(sum(when(col("g") === 1, 1).otherwise(0)).cast("bigint")
+        .as("c1"),
+        sum(when(col("g") === 2, 1).otherwise(0)).cast("bigint")
+          .as("c2"))
+    val w = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = c.select(col("bkt"),
+      sum(col("c1")).over(w).cast("bigint").as("f1"),
+      sum(col("c2")).over(w).cast("bigint").as("f2"))
+    val d = abs(col("f1").cast("double") / col("n1")
+      - col("f2").cast("double") / col("n2"))
+    val crit = lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+      / (col("n1").cast("double") * col("n2")))
+    e.crossJoin(broadcast(n))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(d).as("dmax"))
+      .select(col("n1"), col("n2"),
+        round(col("dmax"), 6).as("ks_d"),
+        round(crit, 6).as("d_critical"),
+        (col("dmax") > crit).cast("boolean").as("drift_detected"))
+  }
+
   val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi,
     dqDriftPsiNumeric, dqAnomalyIqr, dqBenford, dqFdViolations,
-    dqReconciliation)
+    dqReconciliation, dqDistributionKs)
 }

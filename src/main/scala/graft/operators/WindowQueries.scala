@@ -821,9 +821,98 @@ object WindowQueries {
       .orderBy(col("day"))
   }
 
+  /** WESTERN-ELECTRIC SPC RULES over the daily revenue control chart —
+    * the classic rule set a statistical-process-control monitor runs
+    * where win_cusum_changepoint detects slow drifts and
+    * ev_anomaly_zscore single spikes: per day, rule 1 = |z| > 3 (one
+    * point beyond 3σ), rule 2 = ≥ 2 of the last 3 points beyond 2σ on
+    * the SAME side, rule 3 = 8 consecutive points on one side of the
+    * center line. z-scores come from exact DECIMAL revenue moments
+    * (1-row scalar); every rule is integer/boolean logic over rounded
+    * grid z values in bounded trailing windows.
+    *
+    * Scale shape: one map-side-combining daily aggregate; all windows
+    * ride the bounded calendar series (the win_moving_median policy);
+    * the moment scalar is a 1-row broadcast. */
+  val winSpcRules: GQuery = GQuery(
+    "win_spc_rules",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         AS DECIMAL(18,2)) AS rev
+      |  FROM orders GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(rev) AS DECIMAL(38,2)) AS s,
+      |    CAST(sum(CAST(rev AS DECIMAL(19,2))
+      |             * CAST(rev AS DECIMAL(19,2))) AS DECIMAL(38,4)) AS q
+      |  FROM daily),
+      |z AS (
+      |  SELECT d, rev,
+      |    round((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / n)
+      |      / sqrt((CAST(q AS DOUBLE)
+      |              - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6) AS z
+      |  FROM daily CROSS JOIN mo),
+      |r AS (
+      |  SELECT d, rev, z,
+      |    CAST(abs(z) > 3 AS BOOLEAN) AS rule1,
+      |    CAST(sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 >= 2
+      |      OR sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 >= 2
+      |      AS BOOLEAN) AS rule2,
+      |    CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 = 8
+      |      OR sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 = 8
+      |      AS BOOLEAN) AS rule3,
+      |    CAST(count(*) OVER w8 AS BIGINT) AS n_in_w8
+      |  FROM z
+      |  WINDOW w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING
+      |                AND CURRENT ROW),
+      |         w8 AS (ORDER BY d ROWS BETWEEN 7 PRECEDING
+      |                AND CURRENT ROW))
+      |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(rev AS DOUBLE) AS rev,
+      |  z, rule1, rule2,
+      |  CAST(rule3 AND n_in_w8 = 8 AS BOOLEAN) AS rule3,
+      |  CAST(rule1 OR rule2 OR (rule3 AND n_in_w8 = 8) AS BOOLEAN)
+      |    AS any_rule
+      |FROM r
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+    val mo = daily.agg(count(lit(1)).cast("bigint").as("n"),
+      sum(col("rev")).cast("decimal(38,2)").as("s"),
+      sum(col("rev").cast("decimal(19,2)")
+        * col("rev").cast("decimal(19,2)")).cast("decimal(38,4)")
+        .as("q"))
+    val z = daily.crossJoin(broadcast(mo))
+      .select(col("d"), col("rev"),
+        round((col("rev").cast("double")
+            - col("s").cast("double") / col("n"))
+          / sqrt((col("q").cast("double")
+              - col("s").cast("double") * col("s") / col("n"))
+            / (col("n") - 1)), 6).as("z"))
+    val w3 = Window.orderBy(col("d")).rowsBetween(-2, Window.currentRow)
+    val w8 = Window.orderBy(col("d")).rowsBetween(-7, Window.currentRow)
+    val r3raw = (sum(when(col("z") > 0, 1).otherwise(0)).over(w8) === 8
+      || sum(when(col("z") < 0, 1).otherwise(0)).over(w8) === 8)
+    val full8 = count(lit(1)).over(w8) === 8
+    val r = z.select(col("d"), col("rev"), col("z"),
+      (abs(col("z")) > 3).cast("boolean").as("rule1"),
+      (sum(when(col("z") > 2, 1).otherwise(0)).over(w3) >= 2
+        || sum(when(col("z") < -2, 1).otherwise(0)).over(w3) >= 2)
+        .cast("boolean").as("rule2"),
+      (r3raw && full8).cast("boolean").as("rule3"))
+    r.select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("rev").cast("double").as("rev"), col("z"),
+        col("rule1"), col("rule2"), col("rule3"),
+        (col("rule1") || col("rule2") || col("rule3")).cast("boolean")
+          .as("any_rule"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
     winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
-    winSeasonalDecompose, winYoyGrowth, winStlAnomaly)
+    winSeasonalDecompose, winYoyGrowth, winStlAnomaly, winSpcRules)
 }

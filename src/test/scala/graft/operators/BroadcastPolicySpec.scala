@@ -210,7 +210,12 @@ class BroadcastPolicySpec extends SparkTestBase {
     "mining_seq_patterns" -> 1,
     // 1-row user-count scalar, resolved on the rate and readout
     // branches
-    "ev_retention_halflife" -> 2
+    "ev_retention_halflife" -> 2,
+    // 1-row midpoint anchor (resolved on both the counts and bucket
+    // branches' lineage) + the 1-row (n1, n2) counts scalar
+    "dq_distribution_ks" -> 3,
+    // 1-row revenue-moment scalar onto the bounded day series
+    "win_spc_rules" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -2797,6 +2797,54 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("dq_distribution_ks: D replays from the bucketed EDFs; critical value correct") {
+    val r = AuditQueries.dqDistributionKs.fn(spark, sfDir).collect().head
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dates = Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("d"), $"o_totalprice")
+      .collect().map(x => (x.getDate(0).toLocalDate, x.getDouble(1)))
+    val (dMin, dMax) = (dates.map(_._1).min, dates.map(_._1).max)
+    val mid = dMin.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(dMin, dMax) / 2)
+    val g1 = dates.filter(_._1.isBefore(mid)).map(x =>
+      math.floor(x._2 / 500).toLong)
+    val g2 = dates.filterNot(_._1.isBefore(mid)).map(x =>
+      math.floor(x._2 / 500).toLong)
+    assert(n1 == g1.length.toLong && n2 == g2.length.toLong)
+    val bks = (g1 ++ g2).distinct.sorted
+    val d = bks.map { b =>
+      math.abs(g1.count(_ <= b).toDouble / n1
+        - g2.count(_ <= b).toDouble / n2)
+    }.max
+    assert(r.getDouble(2) == r6(d), "KS statistic mismatch")
+    val crit = 1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))
+    assert(r.getDouble(3) == r6(crit))
+    assert(r.getBoolean(4) == (d > crit))
+  }
+
+  test("win_spc_rules: each rule replays from the z-series; windows honor warmup") {
+    val rows = WindowQueries.winSpcRules.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val zs = rows.map(_.getDouble(2))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val z = zs(i)
+      assert(r.getBoolean(3) == (math.abs(z) > 3), s"day $i rule1")
+      val w3 = zs.slice(math.max(0, i - 2), i + 1)
+      assert(r.getBoolean(4) ==
+        (w3.count(_ > 2) >= 2 || w3.count(_ < -2) >= 2), s"day $i rule2")
+      val w8 = zs.slice(math.max(0, i - 7), i + 1)
+      val r3 = w8.length == 8 &&
+        (w8.forall(_ > 0) || w8.forall(_ < 0))
+      assert(r.getBoolean(5) == r3, s"day $i rule3")
+      assert(r.getBoolean(6) ==
+        (r.getBoolean(3) || r.getBoolean(4) || r.getBoolean(5)))
+    }
+    assert(rows.exists(_.getBoolean(6)),
+      "fixture should trip at least one SPC rule")
+  }
+
   test("graph_random_walk: each hop follows a real edge and the min-hash pick; reproducible") {
     val rows = GraphQueries.graphRandomWalk.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

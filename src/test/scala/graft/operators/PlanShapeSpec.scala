@@ -74,7 +74,9 @@ class PlanShapeSpec extends SparkTestBase {
     "win_stl_anomaly",  // 1-row residual-moment scalar onto the bounded day series
     "embed_outlier_knn", // exact tier IS sim_cosine_topk's probe-broadcast scan (probes = corpus)
     "ev_did_analysis",  // 1-row launch-date anchor scalar cross join (the CUPED plan)
-    "ev_retention_halflife") // 1-row user-count scalar onto the 7-row curve + the 1-row fit
+    "ev_retention_halflife", // 1-row user-count scalar onto the 7-row curve + the 1-row fit
+    "dq_distribution_ks", // 1-row midpoint anchor + 1-row (n1, n2) scalar cross joins
+    "win_spc_rules")    // 1-row revenue-moment scalar onto the bounded day series
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
