@@ -848,10 +848,64 @@ object AggQueries {
     }
   }
 
+  /** WILSON SCORE INTERVAL — the right confidence interval for a
+    * proportion (the normal-approximation ±z√(p̂q̂/n) misbehaves near
+    * 0/1 and at small n; Wilson is what ranking and review systems
+    * actually use): per event type, the share of high-value events
+    * (value > 100) with its 95% Wilson bounds,
+    * (p̂ + z²/2n ± z·√(p̂q̂/n + z²/4n²)) / (1 + z²/n), z = 1.96
+    * literal in both engines. Counts are exact integers; each bound
+    * is one double expression — bit-identical rounded.
+    *
+    * Scale shape: one map-side-combining aggregate to |types| rows;
+    * the interval algebra runs on that bounded frame. */
+  val aggWilsonCi: GQuery = {
+    def sql(which: String): String = {
+      val sign = if (which == "lo") "-" else "+"
+      val z = "CAST(1.96 AS DOUBLE)"
+      s"""(CAST(k AS DOUBLE) / n + $z * $z / (2 * n)
+         | $sign $z * sqrt((CAST(k AS DOUBLE) / n)
+         |     * (1 - CAST(k AS DOUBLE) / n) / n
+         |     + $z * $z / (4 * CAST(n AS DOUBLE) * n)))
+         | / (1 + $z * $z / n)""".stripMargin
+    }
+    GQuery("agg_wilson_ci",
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS k
+         |  FROM events GROUP BY 1)
+         |SELECT event_type, n, k,
+         |  round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+         |  round(${sql("lo")}, 6) AS wilson_lo,
+         |  round(${sql("hi")}, 6) AS wilson_hi
+         |FROM c
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when(col("value") > 100, 1).otherwise(0)).cast("bigint")
+            .as("k"))
+      val p = col("k").cast("double") / col("n")
+      val z2 = lit(1.96) * lit(1.96)
+      def bound(sign: Int) =
+        (p + z2 / (lit(2) * col("n"))
+          + lit(sign) * lit(1.96) * sqrt(p * (lit(1) - p) / col("n")
+            + z2 / (lit(4) * col("n").cast("double") * col("n"))))
+          ./(lit(1) + z2 / col("n"))
+      c.select(col("event_type"), col("n"), col("k"),
+          round(p, 6).as("p_hat"),
+          round(bound(-1), 6).as("wilson_lo"),
+          round(bound(1), 6).as("wilson_hi"))
+        .orderBy(col("event_type"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
     aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration,
-    aggMad, aggWinsorizedMean, aggRegression, aggBootstrapCi)
+    aggMad, aggWinsorizedMean, aggRegression, aggBootstrapCi,
+    aggWilsonCi)
 }

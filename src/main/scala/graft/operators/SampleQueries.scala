@@ -434,8 +434,87 @@ object SampleQueries {
       .orderBy(col("lang"))
   }
 
+  /** NEYMAN OPTIMAL ALLOCATION — the survey-sampling upgrade of
+    * proportional stratification: a fixed budget of 200 sampled docs
+    * is allocated across language strata ∝ Nₕ·σₕ (stratum size ×
+    * stratum std-dev of doc length), which minimizes the variance of
+    * the estimated mean length — big noisy strata get more budget
+    * than big uniform ones (sample_stratified's fixed-k treats them
+    * all alike). σₕ comes from exact integer/DECIMAL n_chars moments;
+    * the real-valued allocation floors to integers and the remainder
+    * seats go to the largest fractional parts (largest-remainder
+    * method, doc-deterministic via the lang tiebreak) so the
+    * allocation always sums EXACTLY to the budget.
+    *
+    * Scale shape: one map-side-combining per-stratum moment
+    * aggregate; the allocation algebra runs on the |langs|-row frame
+    * with a 1-row Σ(N·σ) scalar and a bounded fractional-rank
+    * window. */
+  val sampleNeymanAlloc: GQuery = {
+    val budget = 200
+    GQuery("sample_neyman_alloc",
+      s"""WITH m AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+         |    CAST(sum(n_chars) AS BIGINT) AS s_h,
+         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q_h
+         |  FROM documents GROUP BY 1),
+         |sd AS (
+         |  SELECT lang, n_h,
+         |    round(sqrt((CAST(q_h AS DOUBLE)
+         |      - CAST(s_h AS DOUBLE) * s_h / n_h) / (n_h - 1)), 6)
+         |      AS sigma_h
+         |  FROM m),
+         |t AS (SELECT CAST(sum(CAST(round(n_h * sigma_h, 6)
+         |          AS DECIMAL(24,6))) AS DECIMAL(30,6)) AS w FROM sd),
+         |a AS (
+         |  SELECT lang, n_h, sigma_h,
+         |    $budget * n_h * sigma_h / CAST(t.w AS DOUBLE) AS raw
+         |  FROM sd CROSS JOIN t),
+         |fl AS (
+         |  SELECT lang, n_h, sigma_h, raw,
+         |    CAST(floor(raw) AS BIGINT) AS base,
+         |    row_number() OVER (ORDER BY raw - floor(raw) DESC, lang)
+         |      AS frac_rank
+         |  FROM a),
+         |rem AS (SELECT $budget - sum(base) AS k FROM fl)
+         |SELECT lang, n_h, sigma_h, round(raw, 6) AS raw_alloc,
+         |  CAST(base + CASE WHEN frac_rank <= rem.k THEN 1 ELSE 0 END
+         |       AS BIGINT) AS alloc
+         |FROM fl CROSS JOIN rem
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val m = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_h"),
+          sum(col("n_chars")).cast("bigint").as("s_h"),
+          sum(col("n_chars") * col("n_chars")).cast("bigint").as("q_h"))
+      val sd = m.select(col("lang"), col("n_h"),
+        round(sqrt((col("q_h").cast("double")
+            - col("s_h").cast("double") * col("s_h") / col("n_h"))
+          / (col("n_h") - 1)), 6).as("sigma_h"))
+      val t = sd.agg(sum(round(col("n_h") * col("sigma_h"), 6)
+        .cast("decimal(24,6)")).cast("decimal(30,6)").as("w"))
+      val a = sd.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_h"), col("sigma_h"),
+          (lit(budget) * col("n_h") * col("sigma_h")
+            / col("w").cast("double")).as("raw"))
+      val wf = Window.orderBy((col("raw") - floor(col("raw"))).desc,
+        col("lang"))
+      val fl = a.select(col("lang"), col("n_h"), col("sigma_h"),
+        col("raw"), floor(col("raw")).cast("bigint").as("base"),
+        row_number().over(wf).as("frac_rank"))
+      val rem = fl.agg((lit(budget) - sum(col("base"))).as("k"))
+      fl.crossJoin(broadcast(rem))
+        .select(col("lang"), col("n_h"), col("sigma_h"),
+          round(col("raw"), 6).as("raw_alloc"),
+          (col("base") + when(col("frac_rank") <= col("k"), 1)
+            .otherwise(0)).cast("bigint").as("alloc"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
     sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
     sampleTemperature, sampleTokenBudget, sampleBottomK,
-    sampleClassBalance, sampleKfoldAssign, sampleDedupWeights)
+    sampleClassBalance, sampleKfoldAssign, sampleDedupWeights,
+    sampleNeymanAlloc)
 }

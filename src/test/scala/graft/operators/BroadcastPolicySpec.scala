@@ -215,7 +215,10 @@ class BroadcastPolicySpec extends SparkTestBase {
     // branches' lineage) + the 1-row (n1, n2) counts scalar
     "dq_distribution_ks" -> 3,
     // 1-row revenue-moment scalar onto the bounded day series
-    "win_spc_rules" -> 1
+    "win_spc_rules" -> 1,
+    // 1-row sum(N*sigma) scalar (resolved on both the base and
+    // remainder branches' lineage) + the 1-row remainder-seat scalar
+    "sample_neyman_alloc" -> 3
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -2797,6 +2797,46 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("sample_neyman_alloc: allocation sums exactly to budget and tracks N*sigma") {
+    val rows = SampleQueries.sampleNeymanAlloc.fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(4)).sum == 200L,
+      "largest-remainder allocation must sum exactly to the budget")
+    // alloc within 1 seat of the raw real-valued allocation
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(4) - r.getDouble(3)) < 1.0 + 1e-9,
+        s"${r.getString(0)}: alloc ${r.getLong(4)} vs raw ${r.getDouble(3)}")
+    }
+    // monotone in N*sigma: a stratum with strictly larger n*sigma
+    // never gets a smaller raw allocation
+    val ns = rows.toSeq.map(r =>
+      r.getLong(1) * r.getDouble(2) -> r.getDouble(3))
+    for ((a1, r1) <- ns; (a2, r2) <- ns if a1 > a2)
+      assert(r1 >= r2 - 1e-9)
+  }
+
+  test("agg_wilson_ci: interval brackets p_hat, inside [0,1], narrower at larger n") {
+    val rows = AggQueries.aggWilsonCi.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo >= 0 && hi <= 1 && lo < hi)
+      assert(lo <= p && p <= hi)
+      // replay
+      val ph = k.toDouble / n
+      val z = 1.96; val z2 = z * z
+      val den = 1 + z2 / n
+      val center = ph + z2 / (2 * n)
+      val half = z * math.sqrt(ph * (1 - ph) / n + z2 / (4.0 * n * n))
+      assert(math.abs(lo - r6((center - half) / den)) <= 1e-9)
+      assert(math.abs(hi - r6((center + half) / den)) <= 1e-9)
+    }
+  }
+
   test("dq_distribution_ks: D replays from the bucketed EDFs; critical value correct") {
     val r = AuditQueries.dqDistributionKs.fn(spark, sfDir).collect().head
     val (n1, n2) = (r.getLong(0), r.getLong(1))

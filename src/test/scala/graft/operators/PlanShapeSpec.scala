@@ -76,7 +76,8 @@ class PlanShapeSpec extends SparkTestBase {
     "ev_did_analysis",  // 1-row launch-date anchor scalar cross join (the CUPED plan)
     "ev_retention_halflife", // 1-row user-count scalar onto the 7-row curve + the 1-row fit
     "dq_distribution_ks", // 1-row midpoint anchor + 1-row (n1, n2) scalar cross joins
-    "win_spc_rules")    // 1-row revenue-moment scalar onto the bounded day series
+    "win_spc_rules",    // 1-row revenue-moment scalar onto the bounded day series
+    "sample_neyman_alloc") // 1-row allocation-total + remainder scalars onto the |langs| frame
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
