@@ -2864,6 +2864,207 @@ object EventQueries {
         round(num * num / (denX * denY), 6).as("r2"))
   }
 
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven attribution
+    * model (Anderl et al.) that the heuristic linear/position/decay
+    * rows approximate: build the session journey transition matrix
+    * (start → touches → conv/null, journeys truncated at the first
+    * purchase), compute the absorbing-chain conversion probability
+    * from `start` by 12 unrolled power iterations, then each
+    * channel's REMOVAL EFFECT = 1 − P(conv | channel's inbound edges
+    * redirected to null) / P(conv), normalized into attribution
+    * shares. All five scenarios (base + 4 removals) ride ONE
+    * scenario-keyed matrix (≤ 5·49 rows), so the iteration is a
+    * single bounded join per round — never one pipeline per channel.
+    * Per-round products round to the 12-place grid before exact
+    * DECIMAL sums (both engines iterate token-identically), so the
+    * chain solution is bit-identical.
+    *
+    * Scale shape: the corpus-sized stages are one session-keyed
+    * window pass (first purchase + lead) and one map-side-combining
+    * transition count to ≤ 49 cells; the 12 iterations run on the
+    * ≤ 245-row scenario matrix with per-round localCheckpoint (the
+    * graph_pagerank discipline). */
+  val evAttributionMarkov: GQuery = {
+    val iters = 12
+    val duckRound = (t: Int) =>
+      s"""p$t AS (
+         |  SELECT m.scenario, m.from_state AS state,
+         |    CAST(round(sum(CAST(round(m.prob * p.p, 12)
+         |      AS DECIMAL(14,12))), 12) AS DOUBLE) AS p
+         |  FROM m JOIN p${t - 1} p ON p.scenario = m.scenario
+         |    AND p.state = m.to_state
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT scenario, state, p FROM absorb)""".stripMargin
+    GQuery("ev_attribution_markov",
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+         |    event_type
+         |  FROM events),
+         |fp AS MATERIALIZED (
+         |  SELECT user_id, day, ts AS pts, event_id AS pid FROM (
+         |    SELECT user_id, day, ts, event_id,
+         |      row_number() OVER (PARTITION BY user_id, day
+         |        ORDER BY ts, event_id) AS prn
+         |    FROM ev WHERE event_type = 'purchase') WHERE prn = 1),
+         |t AS MATERIALIZED (
+         |  SELECT e.user_id, e.day, e.ts, e.event_id, e.event_type,
+         |    fp.pts IS NOT NULL AS has_conv
+         |  FROM ev e LEFT JOIN fp
+         |    ON e.user_id = fp.user_id AND e.day = fp.day
+         |  WHERE e.event_type <> 'purchase'
+         |    AND (fp.pts IS NULL OR e.ts < fp.pts
+         |         OR (e.ts = fp.pts AND e.event_id < fp.pid))),
+         |seq AS (
+         |  SELECT user_id, day, event_type, has_conv,
+         |    row_number() OVER w AS rn,
+         |    lead(event_type) OVER w AS nxt
+         |  FROM t WINDOW w AS (PARTITION BY user_id, day
+         |                      ORDER BY ts, event_id)),
+         |tr AS (
+         |  SELECT 'start' AS from_state, event_type AS to_state
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, coalesce(nxt,
+         |    CASE WHEN has_conv THEN 'conv' ELSE 'null' END) FROM seq
+         |  UNION ALL
+         |  SELECT 'start', 'conv' FROM fp f
+         |  WHERE NOT EXISTS (SELECT 1 FROM t
+         |    WHERE t.user_id = f.user_id AND t.day = f.day)),
+         |cnt AS MATERIALIZED (
+         |  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+         |  FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS nt
+         |        FROM cnt GROUP BY 1),
+         |chans AS (SELECT DISTINCT to_state AS c FROM cnt
+         |          WHERE to_state NOT IN ('conv', 'null')),
+         |scen AS MATERIALIZED (
+         |  SELECT 'base' AS scenario, CAST(NULL AS VARCHAR) AS removed
+         |  UNION ALL SELECT 'rm_' || c, c FROM chans),
+         |m AS MATERIALIZED (
+         |  SELECT s.scenario, c.from_state,
+         |    CASE WHEN s.removed IS NOT NULL AND c.to_state = s.removed
+         |         THEN 'null' ELSE c.to_state END AS to_state,
+         |    round(CAST(sum(c.n) AS DOUBLE) / t.nt, 8) AS prob
+         |  FROM cnt c JOIN tot t ON c.from_state = t.from_state
+         |  CROSS JOIN scen s
+         |  WHERE s.removed IS NULL OR c.from_state <> s.removed
+         |  GROUP BY 1, 2, 3, t.nt),
+         |absorb AS MATERIALIZED (
+         |  SELECT scenario, 'conv' AS state, CAST(1 AS DOUBLE) AS p
+         |  FROM scen
+         |  UNION ALL
+         |  SELECT scenario, 'null', CAST(0 AS DOUBLE) FROM scen),
+         |p0 AS (SELECT scenario, state, p FROM absorb),
+         |${(1 to iters).map(duckRound).mkString(",\n")},
+         |base AS (SELECT p AS pb FROM p$iters
+         |         WHERE scenario = 'base' AND state = 'start'),
+         |rem AS MATERIALIZED (
+         |  SELECT substr(scenario, 4) AS channel,
+         |    round(1 - p.p / b.pb, 6) AS removal_effect
+         |  FROM p$iters p CROSS JOIN base b
+         |  WHERE p.scenario LIKE 'rm_%' AND p.state = 'start'),
+         |s2 AS (SELECT CAST(sum(CAST(round(removal_effect, 6)
+         |         AS DECIMAL(12,6))) AS DOUBLE) AS tot FROM rem)
+         |SELECT r.channel, r.removal_effect,
+         |  round(r.removal_effect / s2.tot, 6) AS attribution_share,
+         |  round((SELECT pb FROM base), 6) AS base_conversion
+         |FROM rem r CROSS JOIN s2
+         |ORDER BY r.channel""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+          col("event_id"), col("event_type"))
+      val wp = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") === 1)
+        .select(col("user_id"), col("day"), col("ts").as("pts"),
+          col("event_id").as("pid"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .join(fp, Seq("user_id", "day"), "left")
+        .filter(col("pts").isNull || col("ts") < col("pts")
+          || (col("ts") === col("pts") && col("event_id") < col("pid")))
+        .withColumn("has_conv", col("pts").isNotNull)
+        .localCheckpoint(true)
+      val seq2 = touches
+        .withColumn("rn", row_number().over(wp))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wp))
+      val tr = seq2.filter(col("rn") === 1)
+        .select(lit("start").as("from_state"),
+          col("event_type").as("to_state"))
+        .unionAll(seq2.select(col("event_type").as("from_state"),
+          coalesce(col("nxt"), when(col("has_conv"), "conv")
+            .otherwise("null")).as("to_state")))
+        .unionAll(fp.join(
+            touches.select(col("user_id"), col("day")).distinct(),
+            Seq("user_id", "day"), "left_anti")
+          .select(lit("start").as("from_state"),
+            lit("conv").as("to_state")))
+      val cnt = tr.groupBy(col("from_state"), col("to_state"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+        .localCheckpoint(true)
+      val tot = cnt.groupBy(col("from_state"))
+        .agg(sum(col("n")).cast("bigint").as("nt"))
+      val scen = cnt.filter(!col("to_state").isin("conv", "null"))
+        .select(col("to_state").as("removed")).distinct()
+        .select(concat(lit("rm_"), col("removed")).as("scenario"),
+          col("removed"))
+        .unionAll(s.range(1).select(lit("base").as("scenario"),
+          lit(null).cast("string").as("removed")))
+      val m = cnt.join(tot, Seq("from_state"))
+        .crossJoin(scen)
+        .filter(col("removed").isNull
+          || col("from_state") =!= col("removed"))
+        .select(col("scenario"), col("from_state"),
+          when(col("removed").isNotNull
+            && col("to_state") === col("removed"), "null")
+            .otherwise(col("to_state")).as("to_state"),
+          col("n"), col("nt"))
+        .groupBy(col("scenario"), col("from_state"), col("to_state"),
+          col("nt"))
+        .agg(round(sum(col("n")).cast("double") / col("nt"), 8)
+          .as("prob"))
+        .select(col("scenario"), col("from_state"), col("to_state"),
+          col("prob"))
+        .localCheckpoint(true)
+      val absorb = scen.select(col("scenario"), lit("conv").as("state"),
+          lit(1.0).as("p"))
+        .unionAll(scen.select(col("scenario"), lit("null").as("state"),
+          lit(0.0).as("p")))
+        .localCheckpoint(true)
+      var p = absorb
+      for (_ <- 1 to iters) {
+        p = m.join(p.select(col("scenario"), col("state").as("to_state"),
+              col("p")), Seq("scenario", "to_state"))
+          .groupBy(col("scenario"), col("from_state"))
+          .agg(round(sum(round(col("prob") * col("p"), 12)
+            .cast("decimal(14,12)")), 12).cast("double").as("p"))
+          .select(col("scenario"), col("from_state").as("state"),
+            col("p"))
+          .unionAll(absorb)
+          .localCheckpoint(true)
+      }
+      val base = p.filter(col("scenario") === "base"
+          && col("state") === "start")
+        .select(col("p").as("pb"))
+      val rem = p.filter(col("scenario").startsWith("rm_")
+          && col("state") === "start")
+        .crossJoin(broadcast(base))
+        .select(expr("substr(scenario, 4)").as("channel"),
+          round(lit(1) - col("p") / col("pb"), 6).as("removal_effect"))
+      val s2 = rem.agg(sum(round(col("removal_effect"), 6)
+        .cast("decimal(12,6)")).cast("double").as("tot"))
+      rem.crossJoin(broadcast(s2))
+        .crossJoin(broadcast(base))
+        .select(col("channel"), col("removal_effect"),
+          round(col("removal_effect") / col("tot"), 6)
+            .as("attribution_share"),
+          round(col("pb"), 6).as("base_conversion"))
+        .orderBy(col("channel"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -2876,5 +3077,5 @@ object EventQueries {
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
-    evDidAnalysis, evRetentionHalflife)
+    evDidAnalysis, evRetentionHalflife, evAttributionMarkov)
 }

@@ -218,7 +218,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     "win_spc_rules" -> 1,
     // 1-row sum(N*sigma) scalar (resolved on both the base and
     // remainder branches' lineage) + the 1-row remainder-seat scalar
-    "sample_neyman_alloc" -> 3
+    "sample_neyman_alloc" -> 3,
+    // 1-row base-conversion scalar (resolved on the removal branch
+    // AND twice on the readout chain's lineage) + the 1-row
+    // share-total scalar — all 1-row
+    "ev_attribution_markov" -> 4
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

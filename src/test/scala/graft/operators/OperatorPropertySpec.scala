@@ -2797,6 +2797,73 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("ev_attribution_markov: chain replays driver-side; shares normalize") {
+    val rows = EventQueries.evAttributionMarkov.fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // rebuild journeys driver-side
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day"),
+        unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .collect()
+      .map(x => ((x.getLong(0), x.getDate(1).toString),
+        (x.getLong(2), x.getLong(3), x.getString(4))))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).sortBy(e => (e._1, e._2)) }
+    val transitions = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    evs.values.foreach { es =>
+      val firstP = es.indexWhere(_._3 == "purchase")
+      val touches =
+        (if (firstP >= 0) es.take(firstP) else es).map(_._3)
+      if (touches.isEmpty) {
+        if (firstP >= 0) transitions(("start", "conv")) += 1
+      } else {
+        transitions(("start", touches.head)) += 1
+        touches.toSeq.sliding(2).foreach { pair =>
+          if (pair.length == 2) transitions((pair(0), pair(1))) += 1
+        }
+        transitions((touches.last,
+          if (firstP >= 0) "conv" else "null")) += 1
+      }
+    }
+    val tot = transitions.groupBy(_._1._1).map { case (f, xs) =>
+      f -> xs.values.sum }
+    val chans = transitions.keys.map(_._2)
+      .filter(c => c != "conv" && c != "null").toSeq.distinct.sorted
+    def solve(removed: Option[String]): Double = {
+      val mat = transitions.toSeq.flatMap { case ((f, t0), n) =>
+        if (removed.contains(f)) None
+        else Some(((f, if (removed.contains(t0)) "null" else t0), n))
+      }.groupBy(_._1).map { case ((f, t), xs) =>
+        (f, t, r(xs.map(_._2).sum.toDouble / tot(f), 8)) }.toSeq
+      var p = Map("conv" -> 1.0, "null" -> 0.0).withDefaultValue(0.0)
+      for (_ <- 1 to 12) {
+        val nxt = mat.groupBy(_._1).map { case (f, xs) =>
+          f -> r(xs.map(x => BigDecimal(r(x._3 * p(x._2), 12))).sum
+            .toDouble, 12)
+        }
+        p = (nxt ++ Map("conv" -> 1.0, "null" -> 0.0))
+          .withDefaultValue(0.0)
+      }
+      p("start")
+    }
+    val pb = solve(None)
+    val want = chans.map { c =>
+      c -> r(1 - solve(Some(c)) / pb, 6) }.toMap
+    val tots = want.values.map(v => BigDecimal(v)).sum.toDouble
+    rows.foreach { row =>
+      val ch = row.getString(0)
+      assert(row.getDouble(1) == want(ch), s"$ch removal effect")
+      assert(row.getDouble(2) == r(want(ch) / tots, 6), s"$ch share")
+      assert(row.getDouble(3) == r(pb, 6))
+    }
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4,
+      "shares must normalize")
+  }
+
   test("sample_neyman_alloc: allocation sums exactly to budget and tracks N*sigma") {
     val rows = SampleQueries.sampleNeymanAlloc.fn(spark, sfDir)
       .collect()

@@ -77,7 +77,8 @@ class PlanShapeSpec extends SparkTestBase {
     "ev_retention_halflife", // 1-row user-count scalar onto the 7-row curve + the 1-row fit
     "dq_distribution_ks", // 1-row midpoint anchor + 1-row (n1, n2) scalar cross joins
     "win_spc_rules",    // 1-row revenue-moment scalar onto the bounded day series
-    "sample_neyman_alloc") // 1-row allocation-total + remainder scalars onto the |langs| frame
+    "sample_neyman_alloc", // 1-row allocation-total + remainder scalars onto the |langs| frame
+    "ev_attribution_markov") // bounded scenario-matrix cross join (<=5 scenarios x 49 cells) + 1-row base/total scalars
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
