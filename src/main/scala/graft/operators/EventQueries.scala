@@ -3028,39 +3028,47 @@ object EventQueries {
         .select(col("scenario"), col("from_state"), col("to_state"),
           col("prob"))
         .localCheckpoint(true)
-      val absorb = scen.select(col("scenario"), lit("conv").as("state"),
-          lit(1.0).as("p"))
-        .unionAll(scen.select(col("scenario"), lit("null").as("state"),
-          lit(0.0).as("p")))
-        .localCheckpoint(true)
-      var p = absorb
+      // the scenario matrix is bounded by the TYPE VOCABULARY, not the
+      // corpus (≤ (|types|+2)² cells × (|types|+1) scenarios ≈ 245
+      // rows) — the fleet's bounded-collect class (k-row seeds, nProbe
+      // cell ids), so the 12 chain iterations run driver-side instead
+      // of paying 12 scheduler round-trips on a 245-row frame (6 s →
+      // sub-second warm). Rounding uses java BigDecimal.valueOf — the
+      // exact semantics of Spark's round() on doubles — and the
+      // DECIMAL-grid sums stay exact, so the result is bit-identical
+      // to the distributed spelling (oracle-verified at all SFs).
+      def r(x: Double, scale: Int): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+      val mat = m.collect().map(row => (row.getString(0),
+        row.getString(1), row.getString(2), row.getDouble(3)))
+      val scenarios = mat.map(_._1).distinct
+      var p = scenarios.flatMap(sc =>
+        Seq((sc, "conv") -> 1.0, (sc, "null") -> 0.0)).toMap
+        .withDefaultValue(0.0)
+      // decimal-grid sum: BigDecimal.valueOf on the ROUNDED double is
+      // exactly the engines' CAST(round(x,12) AS DECIMAL(14,12))
+      def dec(x: Double): scala.math.BigDecimal =
+        scala.math.BigDecimal(java.math.BigDecimal.valueOf(x))
       for (_ <- 1 to iters) {
-        p = m.join(p.select(col("scenario"), col("state").as("to_state"),
-              col("p")), Seq("scenario", "to_state"))
-          .groupBy(col("scenario"), col("from_state"))
-          .agg(round(sum(round(col("prob") * col("p"), 12)
-            .cast("decimal(14,12)")), 12).cast("double").as("p"))
-          .select(col("scenario"), col("from_state").as("state"),
-            col("p"))
-          .unionAll(absorb)
-          .localCheckpoint(true)
+        val nxt = mat.groupBy(x => (x._1, x._2)).map { case (k, xs) =>
+          k -> r(xs.map(x => dec(r(x._4 * p((x._1, x._3)), 12)))
+            .sum.toDouble, 12)
+        }
+        p = (nxt ++ scenarios.flatMap(sc =>
+          Seq((sc, "conv") -> 1.0, (sc, "null") -> 0.0)))
+          .withDefaultValue(0.0)
       }
-      val base = p.filter(col("scenario") === "base"
-          && col("state") === "start")
-        .select(col("p").as("pb"))
-      val rem = p.filter(col("scenario").startsWith("rm_")
-          && col("state") === "start")
-        .crossJoin(broadcast(base))
-        .select(expr("substr(scenario, 4)").as("channel"),
-          round(lit(1) - col("p") / col("pb"), 6).as("removal_effect"))
-      val s2 = rem.agg(sum(round(col("removal_effect"), 6)
-        .cast("decimal(12,6)")).cast("double").as("tot"))
-      rem.crossJoin(broadcast(s2))
-        .crossJoin(broadcast(base))
-        .select(col("channel"), col("removal_effect"),
-          round(col("removal_effect") / col("tot"), 6)
-            .as("attribution_share"),
-          round(col("pb"), 6).as("base_conversion"))
+      val pb = p(("base", "start"))
+      val removals = scenarios.filter(_.startsWith("rm_")).sorted.map {
+        sc => (sc.substring(3), r(1 - p((sc, "start")) / pb, 6))
+      }
+      val shareTot = removals.map(x => dec(x._2)).sum.toDouble
+      import s.implicits._
+      removals.toSeq.map { case (ch, re) =>
+        (ch, re, r(re / shareTot, 6), r(pb, 6))
+      }.toDF("channel", "removal_effect", "attribution_share",
+        "base_conversion")
         .orderBy(col("channel"))
     }
   }
