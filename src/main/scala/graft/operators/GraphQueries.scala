@@ -792,9 +792,92 @@ object GraphQueries {
     }
   }
 
+  /** MODULARITY of label-propagation communities over the PART
+    * co-purchase graph — the quality readout community detection is
+    * judged by (Newman's Q): per detected community, Q_c =
+    * e_c/2m − (D_c/2m)², where e_c counts intra-community directed
+    * edges, D_c sums member degrees, and 2m is the directed edge
+    * count. The brand graph is complete (labels collapse trivially —
+    * the graph_communities caveat), so this runs on the 2000-node
+    * part graph where the partition is non-trivial. Everything up to
+    * the final per-community algebra is exact integers; the oracle
+    * unrolls the same 2 label-propagation rounds (deterministic
+    * count-desc/label tiebreak).
+    *
+    * Scale shape: label propagation is one keyed join + one
+    * map-side-combining top-label aggregate per round; the modularity
+    * rollup is |communities| rows with a 1-row 2m scalar. */
+  val graphModularity: GQuery = {
+    val duckRound = (t: Int) =>
+      s"""c$t AS (SELECT e1.src, l${t - 1}.lbl, count(*) AS c
+         |  FROM e1 JOIN l${t - 1} ON e1.dst = l${t - 1}.node
+         |  GROUP BY 1, 2),
+         |l$t AS (SELECT src AS node, lbl FROM (
+         |    SELECT src, lbl, row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, lbl) AS rn FROM c$t)
+         |  WHERE rn = 1)""".stripMargin
+    GQuery("graph_modularity",
+      s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+         |            FROM lineitem),
+         |e1 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM ob a JOIN ob b ON a.okey = b.okey AND a.pk <> b.pk),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e1),
+         |${(1 to 2).map(duckRound).mkString(",\n")},
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+         |        FROM e1 GROUP BY 1),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e1),
+         |intra AS (
+         |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM e1 JOIN l2 la ON e1.src = la.node
+         |  JOIN l2 lb ON e1.dst = lb.node
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |comm AS (
+         |  SELECT l2.lbl AS community,
+         |    CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg.d) AS BIGINT) AS d_sum
+         |  FROM l2 JOIN deg ON l2.node = deg.node GROUP BY 1)
+         |SELECT c.community, c.n_nodes,
+         |  CAST(coalesce(i.e_in, 0) AS BIGINT) AS intra_edges, c.d_sum,
+         |  round(CAST(coalesce(i.e_in, 0) AS DOUBLE) / m2.m
+         |    - (CAST(c.d_sum AS DOUBLE) / m2.m)
+         |      * (CAST(c.d_sum AS DOUBLE) / m2.m), 6) AS q_contrib
+         |FROM comm c LEFT JOIN intra i ON c.community = i.community
+         |CROSS JOIN m2
+         |ORDER BY c.community""".stripMargin) { (s, dir) =>
+      val e = partEdges(s, dir)
+      val labels = graft.api.Graph.labelPropagation(e, "src", "dst",
+        iters = 2)
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("bigint").as("d"))
+      val m2 = e.agg(count(lit(1)).cast("bigint").as("m"))
+      val la = labels.select(col("node").as("src"), col("lbl").as("ca"))
+      val lb = labels.select(col("node").as("dst"), col("lbl").as("cb"))
+      val intra = e.join(la, Seq("src")).join(lb, Seq("dst"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).cast("bigint").as("e_in"))
+      val comm = labels.join(deg, Seq("node"))
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+          sum(col("d")).cast("bigint").as("d_sum"))
+      comm.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(m2))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).cast("bigint")
+            .as("intra_edges"),
+          col("d_sum"),
+          round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
+            - (col("d_sum").cast("double") / col("m"))
+              * (col("d_sum").cast("double") / col("m")), 6)
+            .as("q_contrib"))
+        .orderBy(col("community"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(graphPagerank, graphTriangles,
     graphCommunities, graphShortestPaths, graphKCore,
     graphDegreeDistribution, graphJaccardLinkpred,
     graphClusteringCoeff, graphHits, graphAssortativity,
-    graphReachabilityCte, graphCloseness, graphRandomWalk)
+    graphReachabilityCte, graphCloseness, graphRandomWalk,
+    graphModularity)
 }

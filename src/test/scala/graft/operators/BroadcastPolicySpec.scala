@@ -222,7 +222,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // 1-row base-conversion scalar (resolved on the removal branch
     // AND twice on the readout chain's lineage) + the 1-row
     // share-total scalar — all 1-row
-    "ev_attribution_markov" -> 4
+    "ev_attribution_markov" -> 4,
+    // 1-row directed-edge-count (2m) scalar
+    "graph_modularity" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -2797,6 +2797,34 @@ class OperatorPropertySpec extends SparkTestBase {
         "assignment hash is broken")
   }
 
+  test("graph_modularity: identities hold (partition sums, degree total = 2m, Q in range)") {
+    val rows = GraphQueries.graphModularity.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // degrees sum over communities = directed edge count (2m)
+    val edges = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).toSeq
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.toSet
+    val m2 = edges.size.toLong
+    assert(rows.map(_.getLong(3)).sum == m2,
+      "community degree sums must total the directed edge count")
+    // intra edges never exceed the community's degree sum
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      // per-community contribution is bounded: e/2m ≤ 1, (D/2m)² ≥ 0
+      assert(r.getDouble(4) <= 1.0 && r.getDouble(4) >= -1.0)
+    }
+    // total modularity is a proper number in [-0.5, 1]
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+    // nodes partition: community sizes sum to |V|
+    val nNodes = edges.map(_._1).size
+    assert(rows.map(_.getLong(1)).sum == nNodes.toLong)
+  }
+
   test("ev_attribution_markov: chain replays driver-side; shares normalize") {
     val rows = EventQueries.evAttributionMarkov.fn(spark, sfDir)
       .collect()

@@ -78,7 +78,8 @@ class PlanShapeSpec extends SparkTestBase {
     "dq_distribution_ks", // 1-row midpoint anchor + 1-row (n1, n2) scalar cross joins
     "win_spc_rules",    // 1-row revenue-moment scalar onto the bounded day series
     "sample_neyman_alloc", // 1-row allocation-total + remainder scalars onto the |langs| frame
-    "ev_attribution_markov") // bounded scenario-matrix cross join (<=5 scenarios x 49 cells) + 1-row base/total scalars
+    "ev_attribution_markov", // bounded scenario-matrix cross join (<=5 scenarios x 49 cells) + 1-row base/total scalars
+    "graph_modularity") // 1-row 2m edge-count scalar onto the |communities| frame
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
