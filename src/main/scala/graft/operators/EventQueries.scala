@@ -3073,6 +3073,162 @@ object EventQueries {
     }
   }
 
+  /** ALWAYS-VALID SEQUENTIAL A/B TEST (mSPRT) — the peeking-safe
+    * monitor the fixed-horizon `ev_ab_ztest` cannot be: one row per
+    * day of the experiment with the cumulative two-proportion state
+    * and the MIXTURE sequential probability ratio, τ = 0.01. Per day
+    * t, with cumulative lift L_t = p̂_T − p̂_C and its variance
+    * V_t = p̂(1−p̂)(1/n_C + 1/n_T):
+    * ln Λ_t = ½·ln(V/(V+τ)) + τL²/(2V(V+τ)), and the always-valid
+    * p-value is p_t = min(1, exp(−max_{s≤t} ln Λ_s)) — the running
+    * extremum rides a cumulative window MAX (exact on doubles, no
+    * recursion needed; exp/ln only at the readout, 6-place grid).
+    * Days before both arms have users and a non-degenerate pooled
+    * rate carry a NULL ratio and inherit the running max (window max
+    * ignores NULLs — both engines). Arms come from the fleet's
+    * portable salted hash (the ev_ab_ztest assignment), conversion =
+    * first purchase with value > 100.
+    *
+    * Scale shape: one map-side-combining per-user aggregate (arm,
+    * first day, first conversion day) is the only corpus-sized
+    * stage; the daily state lives on the calendar-bounded ≤366-row
+    * grid (the ev_value_ema window precedent). */
+  val evAbSprt: GQuery = GQuery(
+    "ev_ab_sprt",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    ${DedupQueries.duckHash(
+              "concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v,
+       |    min(CAST(ts AS DATE)) AS f,
+       |    min(CASE WHEN event_type = 'purchase' AND value > 100
+       |             THEN CAST(ts AS DATE) END) AS c
+       |  FROM events GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+       |enter AS (
+       |  SELECT f AS day,
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ec,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS et
+       |  FROM u GROUP BY 1),
+       |conv AS (
+       |  SELECT c AS day,
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cc,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ct
+       |  FROM u WHERE c IS NOT NULL GROUP BY 1),
+       |g AS (
+       |  SELECT d.day,
+       |    CAST(sum(coalesce(e.ec, 0)) OVER w AS BIGINT) AS n_c,
+       |    CAST(sum(coalesce(e.et, 0)) OVER w AS BIGINT) AS n_t,
+       |    CAST(sum(coalesce(v.cc, 0)) OVER w AS BIGINT) AS conv_c,
+       |    CAST(sum(coalesce(v.ct, 0)) OVER w AS BIGINT) AS conv_t
+       |  FROM days d
+       |  LEFT JOIN enter e ON d.day = e.day
+       |  LEFT JOIN conv v ON d.day = v.day
+       |  WINDOW w AS (ORDER BY d.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ll AS (
+       |  SELECT day, n_c, n_t, conv_c, conv_t,
+       |    CASE WHEN n_c > 0 AND n_t > 0
+       |           AND conv_c + conv_t > 0
+       |           AND conv_c + conv_t < n_c + n_t
+       |    THEN 0.5 * ln(
+       |        (CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t)
+       |          * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+       |          * (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t))
+       |        / ((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t)
+       |          * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+       |          * (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t))
+       |          + 0.01))
+       |      + 0.01 * (CAST(conv_t AS DOUBLE) / n_t
+       |          - CAST(conv_c AS DOUBLE) / n_c)
+       |        * (CAST(conv_t AS DOUBLE) / n_t
+       |          - CAST(conv_c AS DOUBLE) / n_c)
+       |        / (2 * (CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t)
+       |          * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+       |          * (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t))
+       |          * ((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t)
+       |          * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+       |          * (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t))
+       |          + 0.01))
+       |    END AS log_lambda
+       |  FROM g)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, n_c, n_t, conv_c,
+       |  conv_t,
+       |  round(CASE WHEN n_c > 0 AND n_t > 0
+       |    THEN CAST(conv_t AS DOUBLE) / n_t
+       |      - CAST(conv_c AS DOUBLE) / n_c END, 6) AS lift,
+       |  round(log_lambda, 6) AS log_lambda,
+       |  round(least(CAST(1 AS DOUBLE),
+       |    exp(-max(log_lambda) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6)
+       |    AS p_always_valid,
+       |  coalesce(least(CAST(1 AS DOUBLE),
+       |    exp(-max(log_lambda) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+       |    <= 0.05, false) AS significant
+       |FROM ll
+       |ORDER BY day""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .withColumn("v",
+        graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+      .groupBy(col("user_id"), col("v"))
+      .agg(min(to_date(col("ts"))).as("f"),
+        min(when(col("event_type") === "purchase" && col("value") > 100,
+          to_date(col("ts")))).as("c"))
+    val days = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day")).distinct()
+    val enter = u.groupBy(col("f").as("day"))
+      .agg(sum(when(col("v") === 0, 1).otherwise(0)).cast("bigint")
+          .as("ec"),
+        sum(when(col("v") === 1, 1).otherwise(0)).cast("bigint")
+          .as("et"))
+    val conv = u.filter(col("c").isNotNull)
+      .groupBy(col("c").as("day"))
+      .agg(sum(when(col("v") === 0, 1).otherwise(0)).cast("bigint")
+          .as("cc"),
+        sum(when(col("v") === 1, 1).otherwise(0)).cast("bigint")
+          .as("ct"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = days.join(enter, Seq("day"), "left")
+      .join(conv, Seq("day"), "left")
+      .select(col("day"),
+        sum(coalesce(col("ec"), lit(0L))).over(w).cast("bigint")
+          .as("n_c"),
+        sum(coalesce(col("et"), lit(0L))).over(w).cast("bigint")
+          .as("n_t"),
+        sum(coalesce(col("cc"), lit(0L))).over(w).cast("bigint")
+          .as("conv_c"),
+        sum(coalesce(col("ct"), lit(0L))).over(w).cast("bigint")
+          .as("conv_t"))
+    val vEst = (col("conv_c") + col("conv_t")).cast("double")
+      ./(col("n_c") + col("n_t"))
+      .*(lit(1) - (col("conv_c") + col("conv_t")).cast("double")
+        / (col("n_c") + col("n_t")))
+      .*(lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))
+    val liftE = col("conv_t").cast("double") / col("n_t") -
+      col("conv_c").cast("double") / col("n_c")
+    val ll = g.withColumn("log_lambda",
+      when(col("n_c") > 0 && col("n_t") > 0
+          && col("conv_c") + col("conv_t") > 0
+          && col("conv_c") + col("conv_t") < col("n_c") + col("n_t"),
+        lit(0.5) * log(vEst / (vEst + lit(0.01)))
+          + lit(0.01) * liftE * liftE
+            / (lit(2) * vEst * (vEst + lit(0.01)))))
+    val pCol = least(lit(1.0), exp(-max(col("log_lambda")).over(w)))
+    ll.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
+        round(when(col("n_c") > 0 && col("n_t") > 0, liftE), 6)
+          .as("lift"),
+        round(col("log_lambda"), 6).as("log_lambda"),
+        round(pCol, 6).as("p_always_valid"),
+        coalesce(pCol <= 0.05, lit(false)).as("significant"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -3085,5 +3241,5 @@ object EventQueries {
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
-    evDidAnalysis, evRetentionHalflife, evAttributionMarkov)
+    evDidAnalysis, evRetentionHalflife, evAttributionMarkov, evAbSprt)
 }

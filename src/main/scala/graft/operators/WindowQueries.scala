@@ -910,9 +910,196 @@ object WindowQueries {
       .orderBy(col("day"))
   }
 
+  /** LOCAL-LEVEL KALMAN FILTER over the per-type daily count series —
+    * the optimal recursive smoother for a random-walk-plus-noise
+    * process, the classic online alternative to the fixed-alpha EMA
+    * (`ev_value_ema`): the gain ADAPTS, starting high (trust the
+    * data while the state is uncertain) and converging to the
+    * steady-state Riccati fixed point. Model: y_t = l_t + ε (R = 10),
+    * l_t = l_{t−1} + η (Q = 1). Per step: p_pred = p + Q,
+    * k = p_pred/(p_pred + R), l ← l + k(y − l), p ← (1 − k)·p_pred;
+    * init l = y_1, p = R. Like `ev_holt_winters` the coupled
+    * recursion has no window spelling, so the engine folds
+    * (`aggregate` HOF) over the per-type ordered daily array while
+    * the DuckDB oracle replays the IDENTICAL double expressions as a
+    * recursive CTE — same IEEE ops in the same textual order;
+    * innovation MAE accumulates |y − l_pred| from step 2 on.
+    *
+    * Scale shape: one map-side-combining (type, day) count is the
+    * only corpus-sized stage; the fold runs per type over the
+    * calendar-bounded ≤366-element array — O(1) state, codegen'd. */
+  val winKalmanLevel: GQuery = GQuery(
+    "win_kalman_level",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |h AS (
+      |  SELECT event_type, 1 AS t, y AS l, CAST(10.0 AS DOUBLE) AS p,
+      |    CAST(0 AS DOUBLE) AS esum
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT h.event_type, h.t + 1,
+      |    h.l + ((h.p + 1.0) / (h.p + 1.0 + 10.0)) * (s2.y - h.l),
+      |    (1.0 - (h.p + 1.0) / (h.p + 1.0 + 10.0)) * (h.p + 1.0),
+      |    h.esum + abs(s2.y - h.l)
+      |  FROM h JOIN s s2
+      |    ON s2.event_type = h.event_type AND s2.rn = h.t + 1),
+      |f AS (SELECT event_type, max(t) AS tmax FROM h GROUP BY 1)
+      |SELECT h.event_type, CAST(h.t AS BIGINT) AS n_days,
+      |  round(h.l, 6) AS level,
+      |  round((h.p + 1.0) / (h.p + 1.0 + 10.0), 6) AS gain_next,
+      |  round(h.p, 6) AS p_var,
+      |  round(h.esum / (h.t - 1), 6) AS innovation_mae
+      |FROM h JOIN f ON h.event_type = f.event_type AND h.t = f.tmax
+      |ORDER BY h.event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val st = d.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("ser"))
+      .withColumn("st", expr(
+        """aggregate(ser,
+          |  named_struct('t', 0, 'l', CAST(0 AS DOUBLE),
+          |    'p', CAST(0 AS DOUBLE), 'esum', CAST(0 AS DOUBLE)),
+          |  (acc, e) -> CASE
+          |    WHEN acc.t = 0 THEN named_struct('t', 1, 'l', e.y,
+          |      'p', 10.0D, 'esum', CAST(0 AS DOUBLE))
+          |    ELSE named_struct('t', acc.t + 1,
+          |      'l', acc.l + ((acc.p + 1.0D) / (acc.p + 1.0D + 10.0D))
+          |             * (e.y - acc.l),
+          |      'p', (1.0D - (acc.p + 1.0D) / (acc.p + 1.0D + 10.0D))
+          |             * (acc.p + 1.0D),
+          |      'esum', acc.esum + abs(e.y - acc.l))
+          |  END)""".stripMargin))
+    st.select(col("event_type"),
+        col("st.t").cast("bigint").as("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round((col("st.p") + lit(1.0)) / (col("st.p") + lit(1.0)
+          + lit(10.0)), 6).as("gain_next"),
+        round(col("st.p"), 6).as("p_var"),
+        round(col("st.esum") / (col("st.t") - 1), 6)
+          .as("innovation_mae"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MANN–KENDALL trend test over the per-type daily count series —
+    * the NON-parametric significance companion to `win_theil_sen`'s
+    * slope estimate (same pair sweep, same series): S = Σ_{i<j}
+    * sign(y_j − y_i) counts concordant minus discordant pairs, and
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18 corrects
+    * for tie groups in y. Everything through S, the tie sum, and
+    * 18·Var(S) is EXACT INTEGER arithmetic — the only doubles are
+    * the final continuity-corrected z = (S∓1)/√Var(S) and the
+    * two-decade-standard verdict at |z| > 1.96.
+    *
+    * Scale shape: the pair sweep is event_type-keyed (the theil_sen
+    * plan — ≤366 rows per key, never corpus²); tie groups are one
+    * (type, y) aggregate. */
+  val winMannKendall: GQuery = GQuery(
+    "win_mann_kendall",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |p AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+      |                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+      |      AS s_stat,
+      |    CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM s a JOIN s b
+      |    ON a.event_type = b.event_type AND b.rn > a.rn
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT event_type,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+      |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+      |        FROM d GROUP BY event_type, y)
+      |  GROUP BY 1),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d
+      |      GROUP BY 1)
+      |SELECT n.event_type, n.n AS n_days, p.s_stat,
+      |  CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_sum AS BIGINT)
+      |    AS var18,
+      |  round(CASE
+      |    WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_sum = 0 THEN 0.0
+      |    WHEN p.s_stat > 0 THEN (CAST(p.s_stat AS DOUBLE) - 1.0)
+      |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_sum
+      |             AS DOUBLE) / 18.0)
+      |    WHEN p.s_stat < 0 THEN (CAST(p.s_stat AS DOUBLE) + 1.0)
+      |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_sum
+      |             AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END, 6) AS z_score,
+      |  CASE
+      |    WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_sum = 0
+      |      THEN 'no_trend'
+      |    WHEN p.s_stat > 0 AND (CAST(p.s_stat AS DOUBLE) - 1.0)
+      |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_sum
+      |             AS DOUBLE) / 18.0) > 1.96 THEN 'increasing'
+      |    WHEN p.s_stat < 0 AND (CAST(p.s_stat AS DOUBLE) + 1.0)
+      |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_sum
+      |             AS DOUBLE) / 18.0) < -1.96 THEN 'decreasing'
+      |    ELSE 'no_trend' END AS verdict
+      |FROM n JOIN p ON n.event_type = p.event_type
+      |JOIN t ON n.event_type = t.event_type
+      |ORDER BY n.event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("bigint").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ser = d.select(col("event_type"), col("y"),
+      row_number().over(w).as("rn"))
+    val a = ser.select(col("event_type"), col("y").as("ya"),
+      col("rn").as("ra"))
+    val b = ser.select(col("event_type").as("et2"), col("y").as("yb"),
+      col("rn").as("rb"))
+    val p = a.join(b, col("event_type") === col("et2")
+        && col("rb") > col("ra"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("yb") > col("ya"), 1)
+          .when(col("yb") < col("ya"), -1).otherwise(0)).cast("bigint")
+          .as("s_stat"),
+        count(lit(1)).cast("bigint").as("n_pairs"))
+    val t = d.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).cast("bigint").as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .cast("bigint").as("tie_sum"))
+    val n = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val var18 = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+      - col("tie_sum")).cast("bigint")
+    val sd = sqrt(var18.cast("double") / lit(18.0))
+    val zPos = (col("s_stat").cast("double") - lit(1.0)) / sd
+    val zNeg = (col("s_stat").cast("double") + lit(1.0)) / sd
+    n.join(p, Seq("event_type")).join(t, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        var18.as("var18"),
+        round(when(var18 === 0, lit(0.0))
+          .when(col("s_stat") > 0, zPos)
+          .when(col("s_stat") < 0, zNeg)
+          .otherwise(lit(0.0)), 6).as("z_score"),
+        when(var18 === 0, lit("no_trend"))
+          .when(col("s_stat") > 0 && zPos > 1.96, lit("increasing"))
+          .when(col("s_stat") < 0 && zNeg < -1.96, lit("decreasing"))
+          .otherwise(lit("no_trend")).as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
     winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
-    winSeasonalDecompose, winYoyGrowth, winStlAnomaly, winSpcRules)
+    winSeasonalDecompose, winYoyGrowth, winStlAnomaly, winSpcRules,
+    winKalmanLevel, winMannKendall)
 }

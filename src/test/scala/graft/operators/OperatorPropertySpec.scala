@@ -3658,4 +3658,99 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(r.getDouble(6) == flesch, s"doc ${r.getLong(0)} flesch")
     }
   }
+
+  test("win_kalman_level: filter replays driver-side; gain in (0,1); p converges") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = WindowQueries.winKalmanLevel.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val series = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect()
+      .map(x => (x.getString(0), (x.getDate(1).toString, x.getDouble(2))))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).sortBy(_._1).map(_._2) }
+    rows.foreach { row =>
+      val ys = series(row.getString(0))
+      var l = ys.head; var p = 10.0; var esum = 0.0
+      ys.tail.foreach { y =>
+        val k = (p + 1.0) / (p + 1.0 + 10.0)
+        esum += math.abs(y - l)
+        l = l + k * (y - l)
+        p = (1.0 - k) * (p + 1.0)
+      }
+      assert(row.getLong(1) == ys.length.toLong)
+      assert(row.getDouble(2) == r6(l), s"${row.getString(0)} level")
+      val gain = (p + 1.0) / (p + 1.0 + 10.0)
+      assert(row.getDouble(3) == r6(gain))
+      assert(gain > 0.0 && gain < 1.0)
+      // steady-state Riccati fixed point for Q=1, R=10: with
+      // x = p* + Q, x solves x² − x − 10 = 0 → x = (1+√41)/2, so
+      // p* = x − 1 ≈ 2.7016 — converged well below the R=10 prior
+      // after a month of days
+      assert(row.getDouble(4) < 2.8 && row.getDouble(4) > 2.6,
+        s"p_var ${row.getDouble(4)} not converged")
+      assert(row.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("win_mann_kendall: S and tie-corrected variance replay exactly; verdict matches z") {
+    val rows = WindowQueries.winMannKendall.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val series = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(x => (x.getString(0), (x.getDate(1).toString, x.getLong(2))))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).sortBy(_._1).map(_._2) }
+    rows.foreach { row =>
+      val ys = series(row.getString(0))
+      val n = ys.length.toLong
+      var s = 0L
+      for (i <- ys.indices; j <- (i + 1) until ys.length)
+        s += java.lang.Long.signum(ys(j) - ys(i))
+      val tieSum = ys.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) })
+        .sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tieSum
+      assert(row.getLong(1) == n)
+      assert(row.getLong(2) == s, s"${row.getString(0)} S")
+      assert(row.getLong(3) == var18)
+      val z = row.getDouble(4)
+      val verdict = row.getString(5)
+      if (verdict == "increasing") assert(z > 1.96)
+      else if (verdict == "decreasing") assert(z < -1.96)
+      else assert(math.abs(z) <= 1.96 + 1e-6 || var18 == 0)
+    }
+  }
+
+  test("ev_ab_sprt: always-valid p is monotone non-increasing; counts cumulative; flag consistent") {
+    val rows = EventQueries.evAbSprt.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // day strings sorted = chronological
+    val days = rows.map(_.getString(0))
+    assert(days.sameElements(days.sorted))
+    var prevP = Double.MaxValue
+    var prev = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      val cur = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // cumulative counts never decrease; conversions never exceed arms
+      assert(cur._1 >= prev._1 && cur._2 >= prev._2 &&
+        cur._3 >= prev._3 && cur._4 >= prev._4)
+      assert(cur._3 <= cur._1 && cur._4 <= cur._2)
+      prev = cur
+      val p = r.getDouble(7)
+      assert(p > 0.0 && p <= 1.0)
+      assert(p <= prevP + 1e-9, "always-valid p must never increase")
+      prevP = p
+      assert(r.getBoolean(8) == (p <= 0.05))
+    }
+    // the final row has every user enrolled
+    val nUsers = Tables.events(spark, sfDir)
+      .select($"user_id").distinct().count()
+    val last = rows.last
+    assert(last.getLong(1) + last.getLong(2) == nUsers)
+  }
 }
