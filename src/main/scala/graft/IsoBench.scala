@@ -57,7 +57,15 @@ object IsoBench {
     "multimodal_phash_neardup",
     // round-12 session 9: the additions above the 1 s warm band at
     // sf0.1 (quality_buckets 2.1, survival_km 1.2, reachability 1.1)
-    "text_quality_buckets", "ev_survival_km", "graph_reachability_cte")
+    "text_quality_buckets", "ev_survival_km", "graph_reachability_cte",
+    // round-12 session 10: the additions above the 1 s warm band at
+    // sf0.1 (closeness 2.9, markov 2.5, random_walk 2.6, outlier 1.3,
+    // stl 1.1)
+    "graph_closeness", "ev_attribution_markov", "graph_random_walk",
+    "embed_outlier_knn", "win_stl_anomaly",
+    // round-12 session 11: the only addition above the 1 s warm band
+    // (1.35 s at sf0.1)
+    "sim_topk_hamming")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()

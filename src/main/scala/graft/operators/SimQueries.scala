@@ -1953,8 +1953,105 @@ object SimQueries {
       .orderBy(col("dim"))
   }
 
+  /** MULTI-INDEX HAMMING top-k (Norouzi et al.'s MIH construction) —
+    * the BINARY-code serving tier alongside SQ8 (int8) and IVF-PQ:
+    * each vector collapses to a 64-bit sign signature stored as eight
+    * 8-bit BANDS, candidates are pairs agreeing on AT LEAST ONE band
+    * (the pigeonhole guarantee: any neighbor within Hamming radius 7
+    * of 64 bits MUST share a band — the dedup_simhash discipline,
+    * here driving top-k retrieval instead of dedup), ranking is full
+    * 64-bit Hamming via `bit_count(xor)` per band, and the final
+    * top-5 is an EXACT float cosine re-rank of the ≤64-row Hamming
+    * shortlist. Signatures and band values are integer-exact in both
+    * engines (fold acc·2+bit ≡ Σ bit·2^(16−i)); ties break on
+    * neighbor_id at both ranks.
+    *
+    * Scale shape: banding is a per-row projection (one corpus scan,
+    * no shuffle to build); candidates meet on an EQUI key
+    * (band#, value) — never probes×corpus; the probe side is
+    * broadcast-bounded by the literal vec_id < 50 filter; Hamming is
+    * evaluated only on candidates and float math only on the
+    * shortlist. At 100 TB the binary index is 1/32 the float bytes
+    * and the band join prunes like the simhash pair join —
+    * output-bound, fully keyed. */
+  val simTopkHamming: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val e = vecs(s, dir)
+      val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+        expr("""transform(sequence(0, 7), t ->
+               |  aggregate(transform(slice(v, 8 * t + 1, 8),
+               |    x -> CASE WHEN x >= CAST(0 AS DOUBLE)
+               |         THEN CAST(1 AS BIGINT)
+               |         ELSE CAST(0 AS BIGINT) END),
+               |    CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b))"""
+          .stripMargin).as("bands"))
+      val corpus = banded.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"),
+        col("bands").as("bb"),
+        posexplode(col("bands")).as(Seq("t", "bv")))
+      val probes = banded.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("v").as("va"),
+          col("nrm").as("na"), col("bands").as("ba"),
+          posexplode(col("bands")).as(Seq("t", "bv")))
+      val cand = corpus.join(broadcast(probes), Seq("t", "bv"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          expr("""aggregate(zip_with(ba, bb,
+                 |  (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),
+                 |  CAST(0 AS BIGINT), (acc, h) -> acc + h)"""
+            .stripMargin).as("hamming"),
+          round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
+        .distinct()
+      val w1 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))
+      val w2 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cand.withColumn("hk", row_number().over(w1))
+        .filter(col("hk") <= 64)
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("neighbor_id"),
+          col("hamming"), col("cosine"))
+        .orderBy(col("probe_id"), col("rk"))
+    }
+    GQuery("sim_topk_hamming",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |  list_transform(generate_series(0, 7), t ->
+        |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+        |      CASE WHEN v[8 * t + i] >= 0
+        |           THEN CAST(1 AS BIGINT) << (8 - i)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bands
+        |  FROM e),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 8), j ->
+        |      CAST(bit_count(xor(p.bands[j], c.bands[j])) AS BIGINT)))
+        |      AS BIGINT) AS hamming,
+        |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+        |      AS cosine
+        |  FROM n p
+        |  JOIN n c ON p.vec_id < 50 AND c.vec_id != p.vec_id
+        |  CROSS JOIN generate_series(0, 7) AS g(t)
+        |  WHERE p.bands[t + 1] = c.bands[t + 1]),
+        |h AS (
+        |  SELECT probe_id, neighbor_id, hamming, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY hamming, neighbor_id) AS hk
+        |  FROM cand),
+        |r AS (
+        |  SELECT probe_id, neighbor_id, hamming, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM h WHERE hk <= 64)
+        |SELECT probe_id, rk, neighbor_id, hamming, cosine
+        |FROM r WHERE rk <= 5
+        |ORDER BY probe_id, rk""".stripMargin)(sparkImpl)
+  }
+
   val all: Seq[GQuery] =
-    Seq(simCosineTopk, simPairThreshold, simPairThresholdSalted,
+    Seq(simTopkHamming, simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,

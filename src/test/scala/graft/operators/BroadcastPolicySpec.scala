@@ -224,7 +224,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // share-total scalar — all 1-row
     "ev_attribution_markov" -> 4,
     // 1-row directed-edge-count (2m) scalar
-    "graph_modularity" -> 1
+    "graph_modularity" -> 1,
+    // literal-filtered probe set (vec_id < 50) on the banded equi key
+    "sim_topk_hamming" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -3753,4 +3753,37 @@ class OperatorPropertySpec extends SparkTestBase {
     val last = rows.last
     assert(last.getLong(1) + last.getLong(2) == nUsers)
   }
+
+  test("sim_topk_hamming: hamming replays from sign bits; every hit shares a band; cosine ranks") {
+    val rows = SimQueries.simTopkHamming.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sigs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        r.getLong(0) -> v.map(x => if (x.toDouble >= 0.0) 1 else 0).toArray
+      }.toMap
+    def bands(bits: Array[Int]): Array[Long] =
+      (0 until 8).map(t =>
+        bits.slice(8 * t, 8 * t + 8).foldLeft(0L)(_ * 2 + _)).toArray
+    rows.groupBy(_.getLong(0)).foreach { case (pid, prs) =>
+      val pb = bands(sigs(pid))
+      val ranked = prs.sortBy(_.getInt(1))
+      // rk dense from 1; cosine non-increasing with rk
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length).toSeq)
+      ranked.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0).getDouble(4) >= w(1).getDouble(4))
+      }
+      prs.foreach { r =>
+        val nb = bands(sigs(r.getLong(2)))
+        // hamming = Σ per-band popcounts of the sign signature
+        val h = pb.zip(nb).map { case (a, b) =>
+          java.lang.Long.bitCount(a ^ b).toLong }.sum
+        assert(r.getLong(3) == h, s"probe $pid neighbor ${r.getLong(2)}")
+        // candidate admission requires at least one agreeing band
+        assert(pb.zip(nb).exists { case (a, b) => a == b })
+      }
+    }
+  }
 }
