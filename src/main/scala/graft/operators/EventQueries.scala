@@ -3229,6 +3229,83 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** QUANTILE TREATMENT EFFECTS — the distributional readout the
+    * mean-difference tests (`ev_ab_welch`, `ev_did_analysis`) hide:
+    * per-user purchase revenue (the Welch metric, DECIMAL(18,2)-
+    * exact per-user sums, non-purchasers count as 0) compared
+    * between the portable-hash arms at the p25/p50/p75 quantiles —
+    * one row per quantile with both arms' values and the effect
+    * QTE(q) = T(q) − C(q). A treatment that only moves the tail
+    * shows QTE(p75) ≫ QTE(p50) while the mean test smears it.
+    * Interpolated (continuous) quantiles on doubles cast FROM the
+    * exact decimals; both engines interpolate identically
+    * (percentile ≡ quantile_cont, the win_theil_sen precedent);
+    * 6-place grid.
+    *
+    * Scale shape: one map-side-combining per-user aggregate, then
+    * six single-pass percentiles on a 1-row frame unpivoted to the
+    * 3-row readout. */
+  val evQuantileTe: GQuery = GQuery(
+    "ev_quantile_te",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    ${DedupQueries.duckHash(
+              "concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS v,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+       |      AS rev
+       |  FROM events GROUP BY 1, 2),
+       |a AS (
+       |  SELECT
+       |    quantile_cont(CASE WHEN v = 0 THEN CAST(rev AS DOUBLE) END,
+       |      0.25) AS c25,
+       |    quantile_cont(CASE WHEN v = 1 THEN CAST(rev AS DOUBLE) END,
+       |      0.25) AS t25,
+       |    quantile_cont(CASE WHEN v = 0 THEN CAST(rev AS DOUBLE) END,
+       |      0.5) AS c50,
+       |    quantile_cont(CASE WHEN v = 1 THEN CAST(rev AS DOUBLE) END,
+       |      0.5) AS t50,
+       |    quantile_cont(CASE WHEN v = 0 THEN CAST(rev AS DOUBLE) END,
+       |      0.75) AS c75,
+       |    quantile_cont(CASE WHEN v = 1 THEN CAST(rev AS DOUBLE) END,
+       |      0.75) AS t75
+       |  FROM u)
+       |SELECT q, round(control, 6) AS control,
+       |  round(treatment, 6) AS treatment,
+       |  round(treatment - control, 6) AS qte
+       |FROM (
+       |  SELECT 'p25' AS q, c25 AS control, t25 AS treatment FROM a
+       |  UNION ALL
+       |  SELECT 'p50', c50, t50 FROM a
+       |  UNION ALL
+       |  SELECT 'p75', c75, t75 FROM a)
+       |ORDER BY q""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .withColumn("v",
+        graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+      .groupBy(col("user_id"), col("v"))
+      .agg(sum(when(col("event_type") === "purchase",
+          round(col("value"), 2).cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)")))
+        .cast("decimal(18,2)").as("rev"))
+    def q(arm: Int, p: Double) = percentile(
+      when(col("v") === arm, col("rev").cast("double")), lit(p))
+    val a = u.agg(
+      q(0, 0.25).as("c25"), q(1, 0.25).as("t25"),
+      q(0, 0.5).as("c50"), q(1, 0.5).as("t50"),
+      q(0, 0.75).as("c75"), q(1, 0.75).as("t75"))
+    a.select(expr(
+        """stack(3,
+          |  'p25', c25, t25,
+          |  'p50', c50, t50,
+          |  'p75', c75, t75) AS (q, control, treatment)""".stripMargin))
+      .select(col("q"), round(col("control"), 6).as("control"),
+        round(col("treatment"), 6).as("treatment"),
+        round(col("treatment") - col("control"), 6).as("qte"))
+      .orderBy(col("q"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -3241,5 +3318,6 @@ object EventQueries {
     evHourlyHeatmap, evHoltForecast, evAbZtest, evSurvivalKm,
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
-    evDidAnalysis, evRetentionHalflife, evAttributionMarkov, evAbSprt)
+    evDidAnalysis, evRetentionHalflife, evAttributionMarkov, evAbSprt,
+    evQuantileTe)
 }

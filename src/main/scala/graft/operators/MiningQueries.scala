@@ -340,6 +340,86 @@ object MiningQueries {
       .orderBy(col("ante"), col("post"))
   }
 
+  /** ITEM-ITEM COLLABORATIVE FILTERING — the normalized cousin of
+    * `mining_copurchase`: interactions are CUSTOMER-grain (a customer
+    * "interacted with" a brand if any of their orders contains it —
+    * the binary user×item matrix of classic item-CF), and neighbors
+    * rank by COSINE co/√(n_a·n_b), not raw co-counts, so a
+    * universally popular brand no longer tops every list. Counts are
+    * exact integers; the only double is the final cosine, rounded to
+    * the 6-place grid with (cosine DESC, other) tiebreak. Top-3
+    * recommendations per brand, support floor co ≥ 2.
+    *
+    * Scale shape: the interaction matrix is one distinct shuffle on
+    * (custkey, brand); pairs meet keyed on custkey with per-customer
+    * fan-out bounded by their brand degree (the copurchase shape);
+    * the 25-row brand-popularity frame joins broadcast under AQE —
+    * no corpus² stage anywhere. */
+  val miningItemCf: GQuery = GQuery(
+    "mining_item_cf",
+    """WITH cb AS (
+      |  SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+      |  FROM orders o
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT brand, CAST(count(*) AS BIGINT) AS nu FROM cb
+      |      GROUP BY 1),
+      |co AS (
+      |  SELECT a.brand AS brand, b.brand AS other,
+      |    CAST(count(*) AS BIGINT) AS co
+      |  FROM cb a JOIN cb b
+      |    ON a.ck = b.ck AND a.brand <> b.brand
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT co.brand, co.other, co.co,
+      |    round(CAST(co.co AS DOUBLE)
+      |      / sqrt(CAST(na.nu AS DOUBLE) * CAST(nb.nu AS DOUBLE)), 6)
+      |      AS cosine
+      |  FROM co JOIN n na ON co.brand = na.brand
+      |  JOIN n nb ON co.other = nb.brand
+      |  WHERE co.co >= 2),
+      |ranked AS (
+      |  SELECT brand, other, co, cosine,
+      |    row_number() OVER (PARTITION BY brand
+      |      ORDER BY cosine DESC, other) AS rk
+      |  FROM sc)
+      |SELECT brand, rk, other, co, cosine
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY brand, rk""".stripMargin) { (s, dir) =>
+    val cb = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("ck"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        Seq("o_orderkey"))
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"),
+          col("p_brand").as("brand")), Seq("l_partkey"))
+      .select(col("ck"), col("brand")).distinct()
+    val n = cb.groupBy(col("brand"))
+      .agg(count(lit(1)).cast("bigint").as("nu"))
+    val co = cb.join(cb.select(col("ck"), col("brand").as("other")),
+        Seq("ck"))
+      .filter(col("brand") =!= col("other"))
+      .groupBy(col("brand"), col("other"))
+      .agg(count(lit(1)).cast("bigint").as("co"))
+    val sc = co
+      .join(n.select(col("brand"), col("nu").as("na")), Seq("brand"))
+      .join(n.select(col("brand").as("other"), col("nu").as("nb")),
+        Seq("other"))
+      .filter(col("co") >= 2)
+      .select(col("brand"), col("other"), col("co"),
+        round(col("co").cast("double")
+          / sqrt(col("na").cast("double") * col("nb").cast("double")),
+          6).as("cosine"))
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("cosine").desc, col("other"))
+    sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("brand"), col("rk"), col("other"), col("co"),
+        col("cosine"))
+      .orderBy(col("brand"), col("rk"))
+  }
+
   val all: Seq[GQuery] = Seq(miningCopurchase, miningAssocRules,
-    miningKmeans, miningItemset3, miningSeqPatterns)
+    miningKmeans, miningItemset3, miningSeqPatterns, miningItemCf)
 }

@@ -3786,4 +3786,77 @@ class OperatorPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("mining_item_cf: cosine replays from exact interaction counts; symmetric co") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = MiningQueries.miningItemCf.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val inter = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_partkey"),
+        Seq("o_orderkey"))
+      .join(Tables.part(spark, sfDir)
+        .select($"p_partkey".as("l_partkey"), $"p_brand"),
+        Seq("l_partkey"))
+      .select($"o_custkey", $"p_brand").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byBrand = inter.groupBy(_._2)
+      .map { case (b, xs) => b -> xs.map(_._1).toSet }
+    rows.foreach { r =>
+      val (brand, other) = (r.getString(0), r.getString(2))
+      val co = (byBrand(brand) & byBrand(other)).size.toLong
+      assert(r.getLong(3) == co, s"$brand/$other co")
+      assert(co >= 2)
+      val cos = co.toDouble /
+        math.sqrt(byBrand(brand).size.toDouble * byBrand(other).size)
+      assert(r.getDouble(4) == r6(cos))
+    }
+    // per-brand rec lists are top-3, ranked by cosine desc
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val byRk = rs.sortBy(_.getInt(1))
+      byRk.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0).getDouble(4) >= w(1).getDouble(4))
+      }
+    }
+  }
+
+  test("ev_quantile_te: quantiles replay driver-side; qte consistent; monotone across q") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = EventQueries.evQuantileTe.fn(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("p25", "p50", "p75"))
+    // rebuild per-user revenue driver-side with the same hash arms
+    val u = Tables.events(spark, sfDir)
+      .withColumn("v",
+        graft.api.Sampling.portableHash($"user_id", "ab:") % 2)
+      .groupBy($"user_id", $"v")
+      .agg(sum(when($"event_type" === "purchase",
+          round($"value", 2).cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)")))
+        .cast("decimal(18,2)").as("rev"))
+      .collect()
+      .map(r => (r.getLong(1), r.getDecimal(2).doubleValue()))
+    def quantile(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val c = u.filter(_._1 == 0L).map(_._2)
+    val t = u.filter(_._1 == 1L).map(_._2)
+    val ps = Map("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+    var prevC = Double.MinValue
+    rows.foreach { r =>
+      val p = ps(r.getString(0))
+      assert(r.getDouble(1) == r6(quantile(c, p)), s"${r.getString(0)} control")
+      assert(r.getDouble(2) == r6(quantile(t, p)), s"${r.getString(0)} treatment")
+      assert(r.getDouble(3) == r6(quantile(t, p) - quantile(c, p)))
+      // quantiles are monotone in q
+      assert(r.getDouble(1) >= prevC); prevC = r.getDouble(1)
+    }
+  }
 }
