@@ -63,9 +63,9 @@ object IsoBench {
     // stl 1.1)
     "graph_closeness", "ev_attribution_markov", "graph_random_walk",
     "embed_outlier_knn", "win_stl_anomaly",
-    // round-12 session 11: the only addition above the 1 s warm band
-    // (1.35 s at sf0.1)
-    "sim_topk_hamming")
+    // round-12 session 11: the additions above the 1 s warm band at
+    // sf0.1 (hamming 1.35, item_cf 3.6)
+    "sim_topk_hamming", "mining_item_cf")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()

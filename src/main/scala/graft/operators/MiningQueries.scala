@@ -386,14 +386,21 @@ object MiningQueries {
       |SELECT brand, rk, other, co, cosine
       |FROM ranked WHERE rk <= 3
       |ORDER BY brand, rk""".stripMargin) { (s, dir) =>
-    val cb = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey").as("ck"))
-      .join(Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
-        Seq("o_orderkey"))
+    // ONE wide exchange builds the interaction matrix: both dims
+    // (25-brand part projection, 2-col orders) broadcast onto the
+    // lineitem scan — at 100 TB orders stops fitting a broadcast and
+    // AQE falls back to a shuffle join, still one pass — and the
+    // single distinct dedups map-side before its (ck, brand) shuffle
+    // (measured vs the two-distinct and basket-explode spellings:
+    // 1.10 s vs 1.67 / 4.6 warm at sf0.1)
+    val cb = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"))
       .join(Tables.part(s, dir)
         .select(col("p_partkey").as("l_partkey"),
           col("p_brand").as("brand")), Seq("l_partkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("ck")),
+        Seq("o_orderkey"))
       .select(col("ck"), col("brand")).distinct()
     val n = cb.groupBy(col("brand"))
       .agg(count(lit(1)).cast("bigint").as("nu"))
