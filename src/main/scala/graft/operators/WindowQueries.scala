@@ -1096,10 +1096,96 @@ object WindowQueries {
       .orderBy(col("event_type"))
   }
 
+  /** AUTOCORRELATION FUNCTION at lags 1..7 over the per-type daily
+    * count series — the diagnostic that justifies everything else in
+    * the time-series family (a lag-7 spike validates
+    * `win_seasonal_decompose`'s weekly indices; fast decay justifies
+    * `ev_forecast_baseline`'s seasonal-naive choice). Standard sample
+    * ACF with the GLOBAL mean: r_l = Σ_{t>l}(y_t−ȳ)(y_{t−l}−ȳ) /
+    * Σ(y_t−ȳ)². Every sum through the lagged cross-products is EXACT
+    * INTEGER arithmetic — multiplying numerator and denominator by n²
+    * clears the rational mean (num = n²C_l − n·S1·(A_l+B_l) +
+    * (n−l)·S1², den = n²S2 − n·S1²), so the only double op is the
+    * final single division, rounded to 6 identically on both engines.
+    *
+    * Scale shape: the lag pairing is event_type-keyed with offset
+    * ≤ 7 (the theil_sen / mann_kendall plan — per-key series is
+    * calendar-bounded at ≤366 rows, never corpus²); the moment frame
+    * is one map-side-combining aggregate; the final join runs on
+    * |types|×7 rows. */
+  val winAcf: GQuery = GQuery(
+    "win_acf",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS s1,
+      |    CAST(sum(y * y) AS BIGINT) AS s2
+      |  FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type, CAST(b.rn - a.rn AS INT) AS lag,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(a.y * b.y) AS BIGINT) AS c,
+      |    CAST(sum(b.y) AS BIGINT) AS al,
+      |    CAST(sum(a.y) AS BIGINT) AS bl
+      |  FROM s a JOIN s b
+      |    ON a.event_type = b.event_type
+      |    AND b.rn - a.rn BETWEEN 1 AND 7
+      |  GROUP BY 1, 2)
+      |SELECT p.event_type, p.lag, m.n AS n_days, p.n_pairs,
+      |  CASE WHEN m.n * m.n * m.s2 - m.n * m.s1 * m.s1 = 0
+      |    THEN CAST(NULL AS DOUBLE)
+      |    ELSE round(
+      |      CAST(m.n * m.n * p.c - m.n * m.s1 * (p.al + p.bl)
+      |           + (m.n - p.lag) * m.s1 * m.s1 AS DOUBLE)
+      |      / CAST(m.n * m.n * m.s2 - m.n * m.s1 * m.s1 AS DOUBLE), 6)
+      |  END AS acf
+      |FROM p JOIN m ON p.event_type = m.event_type
+      |ORDER BY p.event_type, p.lag""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("bigint").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ser = d.select(col("event_type"), col("y"),
+      row_number().over(w).as("rn"))
+    val m = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("y")).cast("bigint").as("s1"),
+        sum(col("y") * col("y")).cast("bigint").as("s2"))
+    val b = ser.select(col("event_type").as("et2"), col("y").as("yb"),
+      col("rn").as("rb"))
+    val p = ser.join(b, col("event_type") === col("et2")
+        && (col("rb") - col("rn")).between(1, 7))
+      .groupBy(col("event_type"),
+        (col("rb") - col("rn")).cast("int").as("lag"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("y") * col("yb")).cast("bigint").as("c"),
+        sum(col("yb")).cast("bigint").as("al"),
+        sum(col("y")).cast("bigint").as("bl"))
+    val den = (col("n") * col("n") * col("s2")
+      - col("n") * col("s1") * col("s1"))
+    val num = (col("n") * col("n") * col("c")
+      - col("n") * col("s1") * (col("al") + col("bl"))
+      + (col("n") - col("lag")) * col("s1") * col("s1"))
+    p.join(m, Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n").as("n_days"),
+        col("n_pairs"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
     winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
     winSeasonalDecompose, winYoyGrowth, winStlAnomaly, winSpcRules,
-    winKalmanLevel, winMannKendall)
+    winKalmanLevel, winMannKendall, winAcf)
 }

@@ -226,7 +226,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     // 1-row directed-edge-count (2m) scalar
     "graph_modularity" -> 1,
     // literal-filtered probe set (vec_id < 50) on the banded equi key
-    "sim_topk_hamming" -> 1
+    "sim_topk_hamming" -> 1,
+    // the 2-row arm spine (spark.range(2)) crossed onto the day grid
+    "ev_bandit_ucb" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

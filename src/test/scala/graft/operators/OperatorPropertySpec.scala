@@ -3859,4 +3859,183 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(r.getDouble(1) >= prevC); prevC = r.getDouble(1)
     }
   }
+
+  test("win_acf: integer-moment ACF replays exactly; lag-pair counts check out") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = WindowQueries.winAcf.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val series = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(x => (x.getString(0), (x.getDate(1).toString, x.getLong(2))))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).sortBy(_._1).map(_._2) }
+    rows.foreach { r =>
+      val ys = series(r.getString(0))
+      val n = ys.length.toLong
+      val lag = r.getInt(1)
+      val s1 = ys.sum
+      val s2 = ys.map(y => y * y).sum
+      val pairs = ys.drop(lag).zip(ys.dropRight(lag))
+      val c = pairs.map { case (a, b) => a * b }.sum
+      val al = ys.drop(lag).sum
+      val bl = ys.dropRight(lag).sum
+      assert(r.getLong(2) == n)
+      assert(r.getLong(3) == n - lag, s"${r.getString(0)} lag $lag n_pairs")
+      val num = n * n * c - n * s1 * (al + bl) + (n - lag) * s1 * s1
+      val den = n * n * s2 - n * s1 * s1
+      assert(den != 0)
+      assert(r.getDouble(4) == r6(num.toDouble / den.toDouble),
+        s"${r.getString(0)} lag $lag acf")
+      // a sample autocorrelation with the global mean is bounded
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9)
+    }
+    // every type reports all 7 lags
+    rows.groupBy(_.getString(0)).foreach { case (t, g) =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to 7), t)
+    }
+  }
+
+  test("ev_bandit_ucb: cumulative UCB1 replays from portable-hash arms; one choice per day") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = EventQueries.evBanditUcb.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // replay: per (day, arm) pulls/rewards from the same salted hash
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date($"ts").cast("string").as("day"), $"user_id",
+        $"event_type", $"value")
+      .collect()
+      .map { r =>
+        val arm =
+          (graft.streaming.EventStreams.portableHash(r.getLong(1), "ab:")
+            % 2).toInt
+        val rew = if (r.getString(2) == "purchase" && r.getDouble(3) > 100)
+          1L else 0L
+        ((r.getString(0), arm), (1L, rew))
+      }
+      .groupBy(_._1)
+      .map { case (k, v) => k -> (v.map(_._2._1).sum, v.map(_._2._2).sum) }
+    val days = ev.keys.map(_._1).toSeq.distinct.sorted
+    var cum = Map(0 -> (0L, 0L), 1 -> (0L, 0L))
+    val expect = days.flatMap { d =>
+      (0 to 1).map { a =>
+        val (p, w) = ev.getOrElse((d, a), (0L, 0L))
+        val (cp, cw) = cum(a)
+        cum = cum.updated(a, (cp + p, cw + w))
+        (d, a) -> cum(a)
+      }
+    }.toMap
+    assert(rows.length == days.length * 2)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      val (n, w) = expect(key)
+      assert(r.getLong(2) == n, s"$key pulls")
+      assert(r.getLong(3) == w, s"$key rewards")
+      val ntot = expect((r.getString(0), 0))._1 + expect((r.getString(0), 1))._1
+      assert(r.getDouble(4) == r6(w.toDouble / n), s"$key mean")
+      val ucb = w.toDouble / n + math.sqrt(2.0 * math.log(ntot.toDouble) / n)
+      assert(r.getDouble(5) == r6(ucb), s"$key ucb")
+      // exploration bonus keeps the index above the plain mean
+      assert(r.getDouble(5) > r.getDouble(4))
+    }
+    // exactly one arm chosen per day, and it carries the max rounded ucb
+    rows.groupBy(_.getString(0)).foreach { case (d, g) =>
+      val chosen = g.filter(_.getBoolean(6))
+      assert(chosen.length == 1, s"$d chosen count")
+      assert(chosen.head.getDouble(5) == g.map(_.getDouble(5)).max, d)
+    }
+  }
+
+  test("text_winnowing: full MOSS replay (k=8, w=4, rightmost-min ties, df<=20) matches") {
+    val rows = TextQueries.textWinnowing.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def h32(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    // selection: min of h*1024 + (1023 - pos) over each 4-gram window
+    val sel: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      val es = (1 to text.length - 7).map { pos =>
+        h32(text.substring(pos - 1, pos + 7)) * 1024L + (1023L - pos)
+      }
+      id -> es.sliding(4).filter(_.length == 4).map(_.min)
+        .map(_ / 1024L).toSet
+    }.toMap
+    val df = sel.values.flatten.groupBy(identity).map { case (f, o) =>
+      f -> o.size }
+    val kept = sel.map { case (id, fs) =>
+      id -> fs.filter(f => df(f) >= 2 && df(f) <= 20) }
+    val ids = kept.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      shared = (kept(i) & kept(j)).size if shared >= 5
+    } yield (i, j) -> shared).toMap
+    assert(rows.keySet == expect.keySet,
+      s"pair sets differ: spark-only ${rows.keySet -- expect.keySet}, " +
+        s"replay-only ${expect.keySet -- rows.keySet}")
+    expect.foreach { case (p, shared) =>
+      val (n, overlap) = rows(p)
+      assert(n == shared, s"$p n_shared")
+      val mn = math.min(kept(p._1).size, kept(p._2).size)
+      assert(overlap ==
+        BigDecimal(shared.toDouble / mn)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$p overlap")
+    }
+  }
+
+  test("multimodal_phash_wide: strict precision subset of the 16-bit tier") {
+    val wide = MultimodalQueries.multimodalPhashWide.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val narrow = MultimodalQueries.multimodalPhashNeardup.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(wide.nonEmpty, "wide tier should still find template pairs")
+    // the 32-bit signature's low 16 bits ARE the 16-bit signature
+    // (same hash bits, same balances), so hamming32 >= hamming16 and
+    // every wide pair must appear in the 16-bit tier with a <= distance
+    wide.foreach { case (p, h32) =>
+      assert(narrow.contains(p), s"wide pair $p missing from 16-bit tier")
+      assert(narrow(p) <= h32, s"$p: hamming16 ${narrow(p)} > hamming32 $h32")
+    }
+    // and it must actually sharpen: an order of magnitude fewer pairs
+    assert(wide.size * 10 <= narrow.size,
+      s"wide ${wide.size} vs narrow ${narrow.size}")
+  }
+
+  test("embed_isotropy: exact-decimal replay; Jensen bound holds per label") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SimQueries.embedIsotropy.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"label", $"embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    rows.foreach { r =>
+      val label = r.getInt(0)
+      val vs = vecs.filter(_._1 == label).map(_._2)
+      val n = vs.length
+      assert(r.getLong(1) == n.toLong)
+      def q(x: Double): BigDecimal =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val dims = vs.head.length
+      val s = (0 until dims).map(d => vs.map(v => q(v(d).toDouble)).sum)
+      val ss = s.map(x => x * x).sum
+      val sxx = vs.flatten.map(x => { val v = q(x.toDouble); v * v }).sum
+      assert(r.getDouble(2) == r6(math.sqrt(ss.toDouble) / n), s"$label mu")
+      assert(r.getDouble(3) == r6(math.sqrt(sxx.toDouble / n)), s"$label rms")
+      assert(r.getDouble(4) == r6(ss.toDouble / (n.toDouble * sxx.toDouble)),
+        s"$label isotropy")
+      // Jensen: ||mean vec||^2 <= mean ||vec||^2
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
 }

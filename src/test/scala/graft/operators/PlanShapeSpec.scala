@@ -79,7 +79,8 @@ class PlanShapeSpec extends SparkTestBase {
     "win_spc_rules",    // 1-row revenue-moment scalar onto the bounded day series
     "sample_neyman_alloc", // 1-row allocation-total + remainder scalars onto the |langs| frame
     "ev_attribution_markov", // bounded scenario-matrix cross join (<=5 scenarios x 49 cells) + 1-row base/total scalars
-    "graph_modularity") // 1-row 2m edge-count scalar onto the |communities| frame
+    "graph_modularity", // 1-row 2m edge-count scalar onto the |communities| frame
+    "ev_bandit_ucb")    // 2-row arm spine crossed onto the bounded day grid
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
