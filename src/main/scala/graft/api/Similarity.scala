@@ -578,4 +578,107 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("doc_id"),
         round(col("sc").cast("double"), 6).as("score"))
   }
+
+  /** Build a k-NN GRAPH index — the NSW/HNSW base layer (Malkov &
+    * Yashunin's navigable small-world structure, flattened to one
+    * layer): every corpus vector's k nearest neighbors by rounded-6
+    * cosine (neighbor-id tiebreak) as directed `edges`
+    * (src, rk, dst, cosine); their SYMMETRIZATION as `adj` (src, dst
+    * distinct pairs in both directions — undirected expansion is what
+    * makes a flat k-NN graph navigable, NSW's core trick); the node
+    * vectors as `nodes` (vec_id, v, nrm) so serving never re-reads
+    * the corpus; and `entries`, the nEntries nodes with the smallest
+    * portable salted hash (salt `nng:`) — deterministic pseudo-random
+    * starts spread over the manifold, replacing HNSW's upper layers.
+    * The fixture-scale list build is the exact all-pairs tier
+    * ([[cosineTopK]] with probes = corpus, one broadcast corpus
+    * scan); at 100 TB the lists come from NN-Descent or the IVF
+    * tier's bounded candidates — the serving walk ([[nngTopK]]) is
+    * unchanged either way, which is the point of the graph index:
+    * build cost is paid once, every query after it touches only
+    * frontier-keyed adjacency lists. */
+  def nngBuild(corpus: DataFrame, id: String, vec: String, path: String,
+      k: Int = 10, nEntries: Int = 8): Unit = {
+    val e = prep(corpus, id, vec)
+    val edges = cosineTopK(corpus, corpus, id, vec, k)
+      .select(col("probe_id").as("src"), col("rk"),
+        col("neighbor_id").as("dst"), col("cosine"))
+    edges.write.mode("overwrite").parquet(s"$path/edges")
+    val d = edges.select(col("src"), col("dst"))
+    d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/adj")
+    e.select(col("vid").as("vec_id"), col("v"), col("nrm"))
+      .write.mode("overwrite").parquet(s"$path/nodes")
+    e.select(col("vid").as("node"))
+      .orderBy(Sampling.portableHash(col("node"), "nng:"), col("node"))
+      .limit(nEntries)
+      .write.mode("overwrite").parquet(s"$path/entries")
+  }
+
+  /** GREEDY BEAM SEARCH over a saved k-NN graph — the graph-traversal
+    * ANN serving family next to the bucketed tiers (LSH/IVF/PQ/SQ8):
+    * every probe scores the saved entry points, then `rounds` times
+    * expands its current best-`beam` visited nodes through the
+    * symmetrized adjacency lists, scoring unseen targets by exact
+    * cosine against the stored node vectors; the answer is the top-k
+    * of everything visited (self excluded — a probe that is itself a
+    * graph node tops its own frontier at cosine 1 and immediately
+    * expands its true neighbor list, which is a feature). Fully
+    * deterministic: cosines round to 6 before every ranking, ties
+    * break on node id, the trajectory is a pure function of
+    * (graph, entries, probe) — which is what lets a DuckDB oracle
+    * replay the whole search.
+    *
+    * Scale shape: the corpus is NEVER scanned at query time — each
+    * round is a frontier-keyed equi-join into the adjacency lists
+    * (probes×beam rows) and one keyed join into `nodes` to score the
+    * ≤ probes×beam×2k new candidates; the probe set rides one bounded
+    * broadcast. The visited frame (≤ probes×(nEntries +
+    * rounds·beam·2k) rows — CONSTANT in corpus size, which is the
+    * whole case for the family) is eagerly localCheckpointed per
+    * round, so plan depth stays constant in `rounds` and the returned
+    * frame's lineage carries no hint or join tail. Returns
+    * (probe_id, rk, neighbor_id, cosine). */
+  def nngTopK(probes: DataFrame, id: String, vec: String, path: String,
+      k: Int = 3, beam: Int = 10, rounds: Int = 4): DataFrame = {
+    val spark = probes.sparkSession
+    val adj = spark.read.parquet(s"$path/adj")
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .select(col("vec_id").as("node"), col("v").as("vb"),
+        col("nrm").as("nb"))
+    val entries = spark.read.parquet(s"$path/entries")
+    val p = prep(probes, id, vec)
+      .select(col("vid").as("probe_id"), col("v").as("va"),
+        col("nrm").as("na"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(nodes, Seq("node"))
+        .join(broadcast(p), Seq("probe_id"))
+        .select(col("probe_id"), col("node"),
+          round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
+    // round 0: every probe scores the bounded entry set
+    val v0 = score(p.select(col("probe_id"))
+        .crossJoin(broadcast(entries)))
+      .localCheckpoint()
+    val visited = (1 to rounds).foldLeft(v0) { (v, _) =>
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("node"))
+      val frontier = v.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("probe_id"), col("node"))
+      val cand = frontier
+        .join(adj, frontier("node") === adj("src"))
+        .select(col("probe_id"), col("dst").as("node")).distinct()
+        .join(v.select(col("probe_id"), col("node")),
+          Seq("probe_id", "node"), "left_anti")
+      v.unionByName(score(cand)).localCheckpoint()
+    }
+    val wf = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("node"))
+    visited.filter(col("node") =!= col("probe_id"))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("node").as("neighbor_id"),
+        col("cosine"))
+  }
 }

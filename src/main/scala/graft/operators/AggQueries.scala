@@ -901,11 +901,103 @@ object AggQueries {
     }
   }
 
+  /** CHI-SQUARE TEST OF INDEPENDENCE + CRAMÉR'S V over the
+    * market-segment × order-priority contingency table — the
+    * categorical-association audit next to the numeric drift tests
+    * (dq_distribution_ks is two-sample-numeric, dq_drift_psi is
+    * share-compare; this is the classic R×C independence question "does
+    * segment PREDICT priority"). χ² = N·(Σ_ij O_ij²/(r_i·c_j) − 1) —
+    * the algebraic form that needs only the observed counts and the
+    * margins, never a per-cell expected-count subtraction. Effect size
+    * is Cramér's V = √(χ²/(N·min(R−1,C−1))), the [0,1] normalization a
+    * raw χ² (which grows with N) can't give.
+    *
+    * Exactness: O, margins and N are exact integers; each cell's
+    * u = O²/(r·c) is ONE double division rounded to 12 and quantized to
+    * DECIMAL(24,12), so the cell sum is order-free; χ² = (Σu − 1)·N
+    * stays EXACT on the decimal grid (N cast to DECIMAL(12,0) keeps the
+    * product inside precision 38 on both engines — no precision-loss
+    * rescale); the only remaining double ops are the final round and
+    * the V square root, each one expression in the same order in both
+    * engines. The 0.95 rejection literal 26.296 is χ²₀.₉₅ at the
+    * fixture grid's 16 dof (5 segments × 5 priorities, present at all
+    * SFs; dof is emitted so a different grid is visible).
+    *
+    * Scale shape: one orders⋈customer equi-join (un-hinted — customer
+    * scales with SF, AQE promotes the build side from runtime stats)
+    * and one map-side-combining (seg, prio) count are the only
+    * corpus-sized stages; margins, cells and the final scalar all live
+    * on the ≤R×C aggregated grid — no window, no cross join, no
+    * broadcast hint. */
+  val aggChi2Independence: GQuery = GQuery(
+    "agg_chi2_independence",
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |cell AS (
+      |  SELECT seg, prio, CAST(count(*) AS BIGINT) AS obs
+      |  FROM j GROUP BY 1, 2),
+      |r AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS rt
+      |      FROM cell GROUP BY 1),
+      |c AS (SELECT prio, CAST(sum(obs) AS BIGINT) AS ct
+      |      FROM cell GROUP BY 1),
+      |u AS (
+      |  SELECT cell.seg, cell.prio, cell.obs,
+      |    CAST(round(CAST(cell.obs * cell.obs AS DOUBLE)
+      |               / (r.rt * c.ct), 12) AS DECIMAL(24,12)) AS u
+      |  FROM cell JOIN r ON cell.seg = r.seg
+      |            JOIN c ON cell.prio = c.prio),
+      |s AS (
+      |  SELECT CAST(sum(obs) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT seg) AS BIGINT) AS seg_levels,
+      |    CAST(count(DISTINCT prio) AS BIGINT) AS prio_levels,
+      |    CAST(sum(u) AS DECIMAL(24,12)) AS su
+      |  FROM u)
+      |SELECT n, seg_levels, prio_levels,
+      |  (seg_levels - 1) * (prio_levels - 1) AS dof,
+      |  round(CAST((su - 1) * CAST(n AS DECIMAL(12,0)) AS DOUBLE), 6)
+      |    AS chi2,
+      |  round(sqrt(CAST((su - 1) * CAST(n AS DECIMAL(12,0)) AS DOUBLE)
+      |    / (n * least(seg_levels - 1, prio_levels - 1))), 6)
+      |    AS cramers_v,
+      |  CAST(CAST((su - 1) * CAST(n AS DECIMAL(12,0)) AS DOUBLE)
+      |    > 26.296 AS BOOLEAN) AS dependent_95
+      |FROM s""".stripMargin) { (s, dir) =>
+    val j = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+    val cell = j.groupBy(col("seg"), col("prio"))
+      .agg(count(lit(1)).cast("bigint").as("obs"))
+    val r = cell.groupBy(col("seg"))
+      .agg(sum(col("obs")).cast("bigint").as("rt"))
+    val c = cell.groupBy(col("prio"))
+      .agg(sum(col("obs")).cast("bigint").as("ct"))
+    val u = cell.join(r, Seq("seg")).join(c, Seq("prio"))
+      .select(col("seg"), col("prio"), col("obs"),
+        round(col("obs").cast("double") * col("obs")
+          / (col("rt") * col("ct")), 12).cast("decimal(24,12)").as("u"))
+    val chiExact = (col("su") - 1) * col("n").cast("decimal(12,0)")
+    u.agg(sum(col("obs")).cast("bigint").as("n"),
+        countDistinct(col("seg")).cast("bigint").as("seg_levels"),
+        countDistinct(col("prio")).cast("bigint").as("prio_levels"),
+        sum(col("u")).cast("decimal(24,12)").as("su"))
+      .select(col("n"), col("seg_levels"), col("prio_levels"),
+        ((col("seg_levels") - 1) * (col("prio_levels") - 1)).as("dof"),
+        round(chiExact.cast("double"), 6).as("chi2"),
+        round(sqrt(chiExact.cast("double")
+          / (col("n") * least(col("seg_levels") - 1,
+              col("prio_levels") - 1))), 6).as("cramers_v"),
+        (chiExact.cast("double") > 26.296).cast("boolean")
+          .as("dependent_95"))
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
     aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration,
     aggMad, aggWinsorizedMean, aggRegression, aggBootstrapCi,
-    aggWilsonCi)
+    aggWilsonCi, aggChi2Independence)
 }

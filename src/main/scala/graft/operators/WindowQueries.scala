@@ -1113,6 +1113,83 @@ object WindowQueries {
     * calendar-bounded at ≤366 rows, never corpus²); the moment frame
     * is one map-side-combining aggregate; the final join runs on
     * |types|×7 rows. */
+  /** The exact-integer-moment ACF grid shared by win_acf (the readout)
+    * and win_ljung_box (the portmanteau test): (event_type, lag 1..7,
+    * n_days, n_pairs, acf) with acf = round 6 of the single double
+    * division over integer numerator/denominator — see winAcf's
+    * scaladoc for the n²-cleared algebra. */
+  private def acfLags(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("bigint").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ser = d.select(col("event_type"), col("y"),
+      row_number().over(w).as("rn"))
+    val m = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("y")).cast("bigint").as("s1"),
+        sum(col("y") * col("y")).cast("bigint").as("s2"))
+    val b = ser.select(col("event_type").as("et2"), col("y").as("yb"),
+      col("rn").as("rb"))
+    val p = ser.join(b, col("event_type") === col("et2")
+        && (col("rb") - col("rn")).between(1, 7))
+      .groupBy(col("event_type"),
+        (col("rb") - col("rn")).cast("int").as("lag"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("y") * col("yb")).cast("bigint").as("c"),
+        sum(col("yb")).cast("bigint").as("al"),
+        sum(col("y")).cast("bigint").as("bl"))
+    val den = (col("n") * col("n") * col("s2")
+      - col("n") * col("s1") * col("s1"))
+    val num = (col("n") * col("n") * col("c")
+      - col("n") * col("s1") * (col("al") + col("bl"))
+      + (col("n") - col("lag")) * col("s1") * col("s1"))
+    p.join(m, Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n").as("n_days"),
+        col("n_pairs"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("acf"))
+  }
+
+  /** The win_acf oracle's CTE chain up to the per-lag ACF rows —
+    * shared verbatim by the win_ljung_box oracle so both replay ONE
+    * spelling of the grid. */
+  private val acfSqlCtes: String =
+    """d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS s1,
+      |    CAST(sum(y * y) AS BIGINT) AS s2
+      |  FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type, CAST(b.rn - a.rn AS INT) AS lag,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(a.y * b.y) AS BIGINT) AS c,
+      |    CAST(sum(b.y) AS BIGINT) AS al,
+      |    CAST(sum(a.y) AS BIGINT) AS bl
+      |  FROM s a JOIN s b
+      |    ON a.event_type = b.event_type
+      |    AND b.rn - a.rn BETWEEN 1 AND 7
+      |  GROUP BY 1, 2),
+      |acf AS (
+      |  SELECT p.event_type, p.lag, m.n AS n_days, p.n_pairs,
+      |    CASE WHEN m.n * m.n * m.s2 - m.n * m.s1 * m.s1 = 0
+      |      THEN CAST(NULL AS DOUBLE)
+      |      ELSE round(
+      |        CAST(m.n * m.n * p.c - m.n * m.s1 * (p.al + p.bl)
+      |             + (m.n - p.lag) * m.s1 * m.s1 AS DOUBLE)
+      |        / CAST(m.n * m.n * m.s2 - m.n * m.s1 * m.s1 AS DOUBLE), 6)
+      |    END AS acf
+      |  FROM p JOIN m ON p.event_type = m.event_type)""".stripMargin
+
   val winAcf: GQuery = GQuery(
     "win_acf",
     """WITH d AS (
@@ -1148,38 +1225,63 @@ object WindowQueries {
       |  END AS acf
       |FROM p JOIN m ON p.event_type = m.event_type
       |ORDER BY p.event_type, p.lag""".stripMargin) { (s, dir) =>
-    val d = Tables.events(s, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).cast("bigint").as("y"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val ser = d.select(col("event_type"), col("y"),
-      row_number().over(w).as("rn"))
-    val m = d.groupBy(col("event_type"))
-      .agg(count(lit(1)).cast("bigint").as("n"),
-        sum(col("y")).cast("bigint").as("s1"),
-        sum(col("y") * col("y")).cast("bigint").as("s2"))
-    val b = ser.select(col("event_type").as("et2"), col("y").as("yb"),
-      col("rn").as("rb"))
-    val p = ser.join(b, col("event_type") === col("et2")
-        && (col("rb") - col("rn")).between(1, 7))
-      .groupBy(col("event_type"),
-        (col("rb") - col("rn")).cast("int").as("lag"))
-      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
-        sum(col("y") * col("yb")).cast("bigint").as("c"),
-        sum(col("yb")).cast("bigint").as("al"),
-        sum(col("y")).cast("bigint").as("bl"))
-    val den = (col("n") * col("n") * col("s2")
-      - col("n") * col("s1") * col("s1"))
-    val num = (col("n") * col("n") * col("c")
-      - col("n") * col("s1") * (col("al") + col("bl"))
-      + (col("n") - col("lag")) * col("s1") * col("s1"))
-    p.join(m, Seq("event_type"))
-      .select(col("event_type"), col("lag"), col("n").as("n_days"),
-        col("n_pairs"),
-        when(den === 0, lit(null).cast("double"))
-          .otherwise(round(num.cast("double") / den.cast("double"), 6))
-          .as("acf"))
-      .orderBy(col("event_type"), col("lag"))
+    acfLags(s, dir).orderBy(col("event_type"), col("lag"))
+  }
+
+  /** LJUNG–BOX PORTMANTEAU TEST over the win_acf grid — the "is there
+    * ANY autocorrelation at all" gate that turns the 7-lag ACF readout
+    * into a single decision per series (the residual-whiteness check
+    * every forecasting pipeline runs before trusting a model; here it
+    * adjudicates whether ev_forecast_baseline's seasonal-naive
+    * structure is even present): Q = n(n+2)·Σ_{l=1..h} r_l²/(n−l),
+    * rejected at the 0.95 χ² boundary for h=7 dof (literal 14.067 in
+    * both engines; h is emitted so a shorter series is visible).
+    *
+    * Exactness: r_l is win_acf's round-6 value quantized to
+    * DECIMAL(10,6), so r_l² is EXACT at scale 12; each term's division
+    * by (n−l) is ONE double op rounded to 12 and re-quantized, making
+    * the lag sum order-free; n(n+2) rides in as DECIMAL(12,0) so
+    * Q stays exact decimal through the final round. NULL-acf lags
+    * (zero-variance series) are excluded and shrink h.
+    *
+    * Scale shape: identical to win_acf — the only corpus-sized stage is
+    * the (type, day) count; the lag pairing is key-local with offset
+    * ≤ 7 over calendar-bounded series, and the test itself runs on a
+    * ≤|types|×7-row grid. */
+  val winLjungBox: GQuery = GQuery(
+    "win_ljung_box",
+    s"""WITH $acfSqlCtes,
+      |t AS (
+      |  SELECT event_type, n_days,
+      |    CAST(round(
+      |      CAST(CAST(acf AS DECIMAL(10,6)) * CAST(acf AS DECIMAL(10,6))
+      |           AS DOUBLE) / (n_days - lag), 12)
+      |      AS DECIMAL(24,12)) AS term
+      |  FROM acf WHERE acf IS NOT NULL)
+      |SELECT event_type, n_days,
+      |  CAST(count(*) AS BIGINT) AS h,
+      |  round(CAST(CAST(sum(term) AS DECIMAL(24,12))
+      |    * CAST(n_days * (n_days + 2) AS DECIMAL(12,0)) AS DOUBLE), 6)
+      |    AS q_stat,
+      |  CAST(count(*) = 7 AND
+      |    CAST(CAST(sum(term) AS DECIMAL(24,12))
+      |      * CAST(n_days * (n_days + 2) AS DECIMAL(12,0)) AS DOUBLE)
+      |    > 14.067 AS BOOLEAN) AS autocorrelated_95
+      |FROM t GROUP BY event_type, n_days
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val r6 = col("acf").cast("decimal(10,6)")
+    val t = acfLags(s, dir).where(col("acf").isNotNull)
+      .select(col("event_type"), col("n_days"),
+        round((r6 * r6).cast("double") / (col("n_days") - col("lag")),
+          12).cast("decimal(24,12)").as("term"))
+    val q = sum(col("term")).cast("decimal(24,12)") *
+      (col("n_days") * (col("n_days") + 2)).cast("decimal(12,0)")
+    t.groupBy(col("event_type"), col("n_days"))
+      .agg(count(lit(1)).cast("bigint").as("h"),
+        round(q.cast("double"), 6).as("q_stat"),
+        (count(lit(1)) === 7 && q.cast("double") > 14.067)
+          .cast("boolean").as("autocorrelated_95"))
+      .orderBy(col("event_type"))
   }
 
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
@@ -1187,5 +1289,5 @@ object WindowQueries {
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
     winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
     winSeasonalDecompose, winYoyGrowth, winStlAnomaly, winSpcRules,
-    winKalmanLevel, winMannKendall, winAcf)
+    winKalmanLevel, winMannKendall, winAcf, winLjungBox)
 }

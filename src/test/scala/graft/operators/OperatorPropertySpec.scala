@@ -4038,4 +4038,135 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
     }
   }
+
+  test("agg_chi2_independence: chi2 replays from the exact contingency table") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = AggQueries.aggChi2Independence.fn(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // replay the whole statistic from the raw join
+    val cells = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority").count()
+      .collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val n = cells.values.sum
+    val rt = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val su = cells.map { case ((sg, pr), o) =>
+      q12(o.toDouble * o / (rt(sg) * ct(pr)))
+    }.sum
+    val chiExact = (su - 1) * BigDecimal(n)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == rt.size && r.getLong(2) == ct.size)
+    assert(r.getLong(3) == (rt.size - 1).toLong * (ct.size - 1))
+    assert(r.getDouble(4) == r6(chiExact.toDouble), "chi2")
+    assert(r.getDouble(5) == r6(math.sqrt(
+      chiExact.toDouble / (n * math.min(rt.size - 1, ct.size - 1)))),
+      "cramers_v")
+    assert(r.getBoolean(6) == (chiExact.toDouble > 26.296))
+    // chi2 and V live in their valid ranges
+    assert(r.getDouble(4) >= 0.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    // the fixture's grid is the full 5x5 at every SF (the dof-16
+    // rejection literal's precondition)
+    assert(r.getLong(3) == 16)
+  }
+
+  test("sim_topk_nng: full beam-walk replay matches; recall@3 vs exact >= 0.7") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val byId = vecs.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    // directed k=10 edge lists, then the symmetrized adjacency
+    val g: Map[Long, Seq[Long]] = vecs.map { case (src, v) =>
+      src -> vecs.filter(_._1 != src)
+        .map { case (dst, w) => (dst, cos(v, w)) }
+        .sortBy { case (dst, c) => (-c, dst) }.take(10).map(_._1).toSeq
+    }.toMap
+    val adj: Map[Long, Set[Long]] = {
+      val both = g.toSeq.flatMap { case (s2, ds) =>
+        ds.flatMap(d => Seq(s2 -> d, d -> s2)) }
+      both.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    }
+    // 8 entries by smallest portable hash (salt nng:)
+    def phash(id2: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"nng:$id2".getBytes("UTF-8"))
+      md.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val entries = vecs.map(_._1).sortBy(i => (phash(i), i)).take(8)
+    val probes = vecs.map(_._1).filter(_ < 50)
+    // replay the greedy beam walk: beam 10, 4 rounds
+    val expected = probes.flatMap { pid =>
+      val pv = byId(pid)
+      var visited: Map[Long, Double] =
+        entries.map(e => e -> cos(pv, byId(e))).toMap
+      for (_ <- 1 to 4) {
+        val frontier = visited.toSeq
+          .sortBy { case (n, c) => (-c, n) }.take(10).map(_._1)
+        val fresh = frontier.flatMap(adj(_)).distinct
+          .filterNot(visited.contains)
+        visited = visited ++ fresh.map(n => n -> cos(pv, byId(n)))
+      }
+      visited.toSeq.filter(_._1 != pid)
+        .sortBy { case (n, c) => (-c, n) }.take(3).zipWithIndex
+        .map { case ((n, c), i) => (pid, i + 1, n, c) }
+    }.toSet
+    val got = SimQueries.simTopkNng.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected, "beam-walk trajectory diverged")
+    // recall@3 of the graph walk vs the exact brute-force top-3
+    val exact = probes.map { pid =>
+      val pv = byId(pid)
+      pid -> vecs.filter(_._1 != pid)
+        .map { case (n, w) => (n, cos(pv, w)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1).toSet
+    }.toMap
+    val hits = got.groupBy(_._1).map { case (pid, rows) =>
+      rows.map(_._3).count(exact(pid)) }.sum
+    val recall = hits.toDouble / (probes.length * 3)
+    assert(recall >= 0.7, f"mean recall@3 $recall%.3f below floor")
+  }
+
+  test("win_ljung_box: Q replays from win_acf's rounded grid; h = 7 everywhere") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val acf = WindowQueries.winAcf.fn(spark, sfDir).collect()
+      .map(x => (x.getString(0),
+        (x.getInt(1), x.getLong(2), x.getDouble(4))))
+      .groupBy(_._1)
+    val rows = WindowQueries.winLjungBox.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == acf.size)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val lags = acf(t).map(_._2)
+      val n = lags.head._2
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == 7, s"$t h") // every series has >= 8 days
+      val su = lags.map { case (lag, _, a) =>
+        val rq = BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        q12((rq * rq).toDouble / (n - lag))
+      }.sum
+      val qStat = su * BigDecimal(n * (n + 2))
+      assert(r.getDouble(3) == r6(qStat.toDouble), s"$t q_stat")
+      assert(r.getBoolean(4) == (qStat.toDouble > 14.067), t)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
 }
