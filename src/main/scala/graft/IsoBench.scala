@@ -65,7 +65,10 @@ object IsoBench {
     "embed_outlier_knn", "win_stl_anomaly",
     // round-12 session 11: the additions above the 1 s warm band at
     // sf0.1 (hamming 1.35, item_cf 3.6)
-    "sim_topk_hamming", "mining_item_cf")
+    "sim_topk_hamming", "mining_item_cf",
+    // session-12 rows above (or near) the 1 s warm band
+    "graph_modularity", "text_winnowing", "multimodal_phash_wide",
+    "sim_topk_nng", "sim_nng_ingest")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()

@@ -681,4 +681,29 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("node").as("neighbor_id"),
         col("cosine"))
   }
+
+  /** NSW BULK INSERTION into a saved [[nngBuild]] index: each arrival
+    * finds its k link targets by SEARCHING the existing graph (the
+    * [[nngTopK]] walk with k = the graph degree — insertion and
+    * serving are the same traversal, which is the NSW insight), then
+    * the links, their reverses, and the arrival vectors are APPENDED
+    * (`adj` gains both directions so later walks can flow through the
+    * new nodes; existing files are never rewritten). The whole batch
+    * links against the pre-insert graph (bulk semantics), so the
+    * result is independent of arrival order. Returns the link rows
+    * (probe_id, rk, neighbor_id, cosine). */
+  def nngInsert(arrivals: DataFrame, id: String, vec: String,
+      path: String, k: Int = 10, beam: Int = 10,
+      rounds: Int = 4): DataFrame = {
+    val links = nngTopK(arrivals, id, vec, path, k, beam, rounds)
+      .localCheckpoint()
+    prep(arrivals, id, vec)
+      .select(col("vid").as("vec_id"), col("v"), col("nrm"))
+      .write.mode("append").parquet(s"$path/nodes")
+    val d = links.select(col("probe_id").as("src"),
+      col("neighbor_id").as("dst"))
+    d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
+      .write.mode("append").parquet(s"$path/adj")
+    links
+  }
 }

@@ -2142,8 +2142,16 @@ object SimQueries {
     * (expensive build, frontier-bounded queries) is the reason this
     * family exists. Recall vs the exact tier and the full walk
     * trajectory are spec-pinned (OperatorPropertySpec). */
-  val simTopkNng: GQuery = {
-    val (kNeighbors, nEntries, beam, rounds, k) = (10, 8, 10, 4, 3)
+  /** The nng walk's oracle CTE chain, parametrized so the serving row
+    * (sim_topk_nng: graph over the full corpus) and the insertion row
+    * (sim_nng_ingest: graph over the base slice, probes = arrivals)
+    * replay ONE spelling: builds `e`/`n`, the graph CTEs over
+    * `baseWhere` rows (directed top-kNeighbors lists, symmetrized
+    * adj, hash-ordered entries), probes from `probeWhere`, then
+    * `rounds` beam-expansion rounds ending in `v{rounds}` =
+    * (probe_id, node, cosine), every visited node scored. */
+  private def nngWalkCtes(kNeighbors: Int, nEntries: Int, beam: Int,
+      rounds: Int, baseWhere: String, probeWhere: String): String = {
     val sc = "round(list_dot_product(p.v, nn.v) / (p.nrm * nn.nrm), 6)"
     val roundCte = (r: Int) =>
       s"""f$r AS (
@@ -2160,39 +2168,46 @@ object SimQueries {
          |s$r AS (
          |  SELECT c.probe_id, c.node, $sc AS cosine
          |  FROM c$r c JOIN p ON p.probe_id = c.probe_id
-         |             JOIN n nn ON nn.vec_id = c.node),
+         |             JOIN nb nn ON nn.vec_id = c.node),
          |v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r)"""
         .stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM e),
+       |nb AS (SELECT * FROM n WHERE $baseWhere),
+       |pairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       |      AS cosine
+       |  FROM nb a JOIN nb b ON a.vec_id != b.vec_id),
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rk
+       |    FROM pairs) WHERE rk <= $kNeighbors),
+       |adj AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g
+       |    UNION ALL SELECT dst AS src, src AS dst FROM g)),
+       |p AS (SELECT vec_id AS probe_id, v, nrm FROM n
+       |      WHERE $probeWhere),
+       |ent AS (
+       |  SELECT vec_id AS node FROM nb
+       |  ORDER BY CAST(concat('0x', substr(md5(
+       |    concat('nng:', CAST(vec_id AS VARCHAR))), 1, 12)) AS BIGINT),
+       |    vec_id
+       |  LIMIT $nEntries),
+       |v0 AS (
+       |  SELECT p.probe_id, ent.node, $sc AS cosine
+       |  FROM p CROSS JOIN ent JOIN nb nn ON nn.vec_id = ent.node),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
+  val simTopkNng: GQuery = {
+    val (kNeighbors, nEntries, beam, rounds, k) = (10, 8, 10, 4, 3)
     GQuery("sim_topk_nng",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-         |      FROM e),
-         |pairs AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
-         |      AS cosine
-         |  FROM n a JOIN n b ON a.vec_id != b.vec_id),
-         |g AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src
-         |      ORDER BY cosine DESC, dst) AS rk
-         |    FROM pairs) WHERE rk <= $kNeighbors),
-         |adj AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM g
-         |    UNION ALL SELECT dst AS src, src AS dst FROM g)),
-         |p AS (SELECT vec_id AS probe_id, v, nrm FROM n
-         |      WHERE vec_id < 50),
-         |ent AS (
-         |  SELECT vec_id AS node FROM e
-         |  ORDER BY CAST(concat('0x', substr(md5(
-         |    concat('nng:', CAST(vec_id AS VARCHAR))), 1, 12)) AS BIGINT),
-         |    vec_id
-         |  LIMIT $nEntries),
-         |v0 AS (
-         |  SELECT p.probe_id, ent.node, $sc AS cosine
-         |  FROM p CROSS JOIN ent JOIN n nn ON nn.vec_id = ent.node),
-         |${(1 to rounds).map(roundCte).mkString(",\n")}
+      s"""WITH ${nngWalkCtes(kNeighbors, nEntries, beam, rounds,
+           "TRUE", "vec_id < 50")}
          |SELECT probe_id, rk, node AS neighbor_id, cosine FROM (
          |  SELECT probe_id, node, cosine, row_number() OVER (
          |    PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
@@ -2212,8 +2227,57 @@ object SimQueries {
     }
   }
 
+  /** GRAPH-INDEX INGESTION — the online-maintenance shape of the nng
+    * tier, completing the ingest family (dedup_ingest /
+    * dedup_containment_ingest / sim_lex_ingest): arriving vectors
+    * (vec_id % 5 = 4, the held-out 20%) are INSERTED into a graph
+    * built over the base 80% by SEARCHING it — NSW insertion IS the
+    * serving walk with k = the graph degree: each arrival's beam
+    * search over the base graph yields its 10 link targets, which
+    * (with their reverses) become its adjacency rows. The contract
+    * row is the link computation itself — order-free because the
+    * whole batch links against the BASE graph (bulk insertion), so
+    * the oracle replays it with the same walk CTEs over the base
+    * slice; the contract index stays pure-base so reruns are
+    * idempotent. The MUTATING half (graft.api.Similarity.nngInsert:
+    * append links + reverses + node vectors) is spec-pinned on a
+    * scratch copy in OperatorPropertySpec — grown-graph adjacency
+    * symmetry, arrival degree, and links ≡ this row's output.
+    *
+    * Scale shape: identical to sim_topk_nng serving — per-arrival
+    * cost is constant in corpus size (frontier-keyed adjacency joins,
+    * bounded visited set), which is exactly why graph indexes ingest
+    * well: no rebuild, no corpus scan, existing adjacency untouched
+    * except appends. */
+  val simNngIngest: GQuery = {
+    val (kNeighbors, nEntries, beam, rounds) = (10, 8, 10, 4)
+    GQuery("sim_nng_ingest",
+      s"""WITH ${nngWalkCtes(kNeighbors, nEntries, beam, rounds,
+           "vec_id % 5 < 4", "vec_id % 5 = 4")}
+         |SELECT probe_id, rk, node AS neighbor_id, cosine FROM (
+         |  SELECT probe_id, node, cosine, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
+         |  FROM v$rounds WHERE node != probe_id)
+         |WHERE rk <= $kNeighbors
+         |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val base = ev.filter(col("vec_id") % 5 < 4)
+      val nngPath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("nng_base_k10e8", dir,
+          "embeddings.parquet")) {
+        tmp => graft.api.Similarity.nngBuild(base, "vec_id", "v", tmp,
+          k = kNeighbors, nEntries = nEntries)
+      }
+      graft.api.Similarity.nngTopK(ev.filter(col("vec_id") % 5 === 4),
+        "vec_id", "v", nngPath, k = kNeighbors, beam = beam,
+        rounds = rounds)
+        .orderBy(col("probe_id"), col("rk"))
+    }
+  }
+
   val all: Seq[GQuery] =
-    Seq(simTopkNng, simTopkHamming, simCosineTopk, simPairThreshold, simPairThresholdSalted,
+    Seq(simTopkNng, simNngIngest, simTopkHamming, simCosineTopk,
+      simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,

@@ -1284,10 +1284,99 @@ object WindowQueries {
       .orderBy(col("event_type"))
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST on the per-type daily count series —
+    * the nonparametric RANDOMNESS check completing the diagnostic
+    * trio (win_mann_kendall: monotone trend; win_ljung_box: linear
+    * autocorrelation; this: ANY sequence structure — clustering of
+    * high/low days that both of those can miss). Days are classified
+    * above/below the per-type exact interpolated median (ties dropped,
+    * the standard treatment); R = observed runs, compared to the
+    * known-mean/variance null: μ = 2n₁n₂/n + 1,
+    * σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)).
+    *
+    * Exactness: n₁/n₂/R are exact integers (the run count is a lag
+    * comparison over the kept sequence); every moment's numerator and
+    * denominator is an exact BIGINT product cast once to double, so z
+    * is a fixed double expression in the same order in both engines;
+    * the median is the exact dyadic interpolation (integer counts →
+    * k or k+.5, exact in double).
+    *
+    * Scale shape: the (type, day) count is the only corpus-sized
+    * stage (map-side combining); the classification join, the run lag
+    * and the test all run on the ≤|types|×366 bounded grid. */
+  val winRunsTest: GQuery = GQuery(
+    "win_runs_test",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, quantile_cont(y, 0.5) AS med
+      |      FROM d GROUP BY 1),
+      |s AS (
+      |  SELECT d.event_type, d.day,
+      |    CASE WHEN d.y > m.med THEN 1 ELSE 0 END AS sgn
+      |  FROM d JOIN m ON d.event_type = m.event_type
+      |  WHERE d.y != m.med),
+      |r AS (
+      |  SELECT event_type, sgn,
+      |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+      |        ORDER BY day) IS DISTINCT FROM sgn THEN 1 ELSE 0 END
+      |      AS brk
+      |  FROM s),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(sum(sgn) AS BIGINT) AS n1,
+      |    CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+      |    CAST(sum(brk) AS BIGINT) AS runs
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n1, n2, runs,
+      |  round((CAST(runs AS DOUBLE)
+      |      - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
+      |    / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+      |      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)), 6)
+      |    AS z_score,
+      |  CASE WHEN abs((CAST(runs AS DOUBLE)
+      |      - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
+      |    / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+      |      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+      |      > 1.96
+      |    THEN 'non_random' ELSE 'random' END AS verdict
+      |FROM a
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("bigint").as("y"))
+    val m = d.groupBy(col("event_type"))
+      .agg(percentile(col("y"), lit(0.5)).as("med"))
+    val sg = d.join(m, Seq("event_type"))
+      .filter(col("y") =!= col("med"))
+      .select(col("event_type"), col("day"),
+        when(col("y") > col("med"), 1).otherwise(0).as("sgn"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val r = sg.select(col("event_type"), col("sgn"),
+      when(not(lag(col("sgn"), 1).over(w) <=> col("sgn")), 1).otherwise(0)
+        .as("brk"))
+    val a = r.groupBy(col("event_type"))
+      .agg(sum(col("sgn")).cast("bigint").as("n1"),
+        (count(lit(1)) - sum(col("sgn"))).cast("bigint").as("n2"),
+        sum(col("brk")).cast("bigint").as("runs"))
+    val n = col("n1") + col("n2")
+    val mu = (lit(2) * col("n1") * col("n2")).cast("double") / n + 1
+    val v2 = (lit(2) * col("n1") * col("n2")
+        * (lit(2) * col("n1") * col("n2") - col("n1") - col("n2")))
+      .cast("double") / (n * n * (n - 1)).cast("double")
+    val z = (col("runs").cast("double") - mu) / sqrt(v2)
+    a.select(col("event_type"), col("n1"), col("n2"), col("runs"),
+        round(z, 6).as("z_score"),
+        when(abs(z) > 1.96, lit("non_random")).otherwise(lit("random"))
+          .as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
     winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
     winSeasonalDecompose, winYoyGrowth, winStlAnomaly, winSpcRules,
-    winKalmanLevel, winMannKendall, winAcf, winLjungBox)
+    winKalmanLevel, winMannKendall, winAcf, winLjungBox, winRunsTest)
 }

@@ -4142,6 +4142,87 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(recall >= 0.7, f"mean recall@3 $recall%.3f below floor")
   }
 
+  test("sim_nng_ingest: links = base-graph walk; nngInsert grows a symmetric graph") {
+    val rows = SimQueries.simNngIngest.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every arrival links to exactly 10 BASE nodes, ranked
+    rows.groupBy(_._1).foreach { case (pid, g) =>
+      assert(pid % 5 == 4, s"probe $pid not an arrival")
+      assert(g.map(_._2).sorted.sameElements(1 to 10), s"$pid ranks")
+      g.foreach { case (_, _, dst, _) =>
+        assert(dst % 5 < 4, s"$pid linked to non-base $dst") }
+      // ranked by (cosine desc, id)
+      val sorted2 = g.sortBy(_._2).map(x => (-x._4, x._3))
+      assert(sorted2.sameElements(sorted2.sorted), s"$pid rank order")
+    }
+    // the mutating half on a scratch copy of the base index
+    import graft.api.Similarity
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val base = ev.filter($"vec_id" % 5 < 4)
+    val arrivals = ev.filter($"vec_id" % 5 === 4)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("nng_ingest_spec").toString
+    Similarity.nngBuild(base, "vec_id", "v", tmp, k = 10, nEntries = 8)
+    val links = Similarity.nngInsert(arrivals, "vec_id", "v", tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(links.toSet == rows.toSet,
+      "nngInsert links diverge from the contract row")
+    val adj = spark.read.parquet(s"$tmp/adj")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // symmetric after insert
+    assert(adj.forall { case (a, b) => adj((b, a)) }, "adj asymmetric")
+    // every arrival present with its full degree (10 out-links)
+    val arrIds = arrivals.select($"vec_id").collect().map(_.getLong(0))
+    arrIds.foreach { a =>
+      assert(adj.count(_._1 == a) >= 10, s"arrival $a under-linked") }
+    // grown nodes cover base + arrivals
+    val nNodes = spark.read.parquet(s"$tmp/nodes").count()
+    assert(nNodes == ev.count(), "nodes not grown to full corpus")
+  }
+
+  test("win_runs_test: runs/moments replay from the daily series; ties dropped") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val series = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(x => (x.getString(0), (x.getDate(1).toString, x.getLong(2))))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).sortBy(_._1).map(_._2) }
+    val rows = WindowQueries.winRunsTest.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == series.size)
+    rows.foreach { r =>
+      val ys = series(r.getString(0))
+      // exact interpolated median of the sorted counts
+      val sorted = ys.sorted
+      val med =
+        if (sorted.length % 2 == 1) sorted(sorted.length / 2).toDouble
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+      val signs = ys.filter(_.toDouble != med).map(y => if (y > med) 1 else 0)
+      val n1 = signs.count(_ == 1).toLong
+      val n2 = signs.count(_ == 0).toLong
+      val runs = (1 +
+        signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))).toLong
+      assert(r.getLong(1) == n1 && r.getLong(2) == n2, r.getString(0))
+      assert(r.getLong(3) == runs, s"${r.getString(0)} runs")
+      val n = n1 + n2
+      val mu = (2L * n1 * n2).toDouble / n + 1
+      val v2 = (2L * n1 * n2 * (2L * n1 * n2 - n1 - n2)).toDouble /
+        (n * n * (n - 1)).toDouble
+      val z = (runs.toDouble - mu) / math.sqrt(v2)
+      assert(r.getDouble(4) == r6(z), s"${r.getString(0)} z")
+      assert(r.getString(5) ==
+        (if (math.abs(z) > 1.96) "non_random" else "random"))
+      // runs count is bounded by the sequence length
+      assert(runs >= 1 && runs <= n)
+    }
+  }
+
   test("win_ljung_box: Q replays from win_acf's rounded grid; h = 7 everywhere") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
