@@ -406,6 +406,74 @@ object LayoutQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** SCHEMA-EVOLUTION MERGE — upsert where the UPDATE BATCH carries a
+    * column the snapshot never had (the day the upstream team adds
+    * `channel` to their feed): the merge widens the published schema
+    * in place — updated rows carry the new value, never-updated rows
+    * surface NULL — without rewriting history's bytes for the old
+    * column set (at 100 TB the only affordable answer, the
+    * source_schema_drift read-side argument applied to the WRITE
+    * path). The audit re-reads the published snapshot FILES and
+    * groups by priority × channel with NULL surfaced as '(legacy)',
+    * proving both the widening and the padding are in the files.
+    * Deterministic update slice (o_orderkey % 3) and channel
+    * derivation (orderkey parity), so the oracle replays the whole
+    * merge + audit relationally.
+    *
+    * Scale shape: one key-equi full-outer merge (the
+    * merge_upsert_snapshot plan — AQE sizes both sides) + one
+    * scan/write + a map-side-combining audit over the rewritten
+    * files; the widened column costs only its own bytes. */
+  val mergeSchemaEvolution: GQuery = GQuery(
+    "merge_schema_evolution",
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |         THEN round(CAST(o_totalprice AS DECIMAL(18,2))
+      |                    * CAST(1.1 AS DECIMAL(3,1)), 2)
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |         THEN CASE WHEN o_orderkey % 2 = 0 THEN 'online'
+      |                   ELSE 'store' END
+      |         ELSE NULL END AS channel
+      |  FROM orders
+      |  WHERE o_orderkey % 7 <> 0 OR o_orderkey % 3 = 0)
+      |SELECT o_orderpriority, coalesce(channel, '(legacy)') AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_price
+      |FROM merged
+      |GROUP BY 1, 2
+      |ORDER BY o_orderpriority, channel""".stripMargin) { (s, dir) =>
+    val snapPath = tmpDir("merge_schema_evo", dir)
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    // the v1 snapshot: no channel column exists yet
+    val base = orders.filter(col("o_orderkey") % 7 =!= 0)
+    // the update feed arrives WIDER: price bump + the new channel
+    val updates = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        col("o_orderpriority").as("u_priority"),
+        round(col("price") * lit(BigDecimal("1.1")).cast("decimal(3,1)"), 2)
+          .as("u_price"),
+        when(col("o_orderkey") % 2 === 0, "online").otherwise("store")
+          .as("u_channel"))
+    base.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("u_key"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("u_priority"), col("o_orderpriority"))
+          .as("o_orderpriority"),
+        coalesce(col("u_price"), col("price")).as("price"),
+        col("u_channel").as("channel"))
+      .write.mode("overwrite").parquet(snapPath)
+    s.read.parquet(snapPath)
+      .groupBy(col("o_orderpriority"),
+        coalesce(col("channel"), lit("(legacy)")).as("channel"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("price")), 2).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"), col("channel"))
+  }
+
   /** Schema-evolution read — the other day-one reality of a
     * continuously-appended table (the [[sinkCompactSmallFiles]]
     * scenario over time): batch 1 is written before a column existed,
@@ -949,5 +1017,5 @@ object LayoutQueries {
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
     mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
     mergeDeleteApply, mergePartitionOverwrite, mergeScd2Asof,
-    mergeSnapshotDiff, mergeIncrementalAgg)
+    mergeSnapshotDiff, mergeIncrementalAgg, mergeSchemaEvolution)
 }

@@ -2227,6 +2227,79 @@ object SimQueries {
     }
   }
 
+  /** ANN RECALL EVALUATION for the GRAPH tier — the recall harness
+    * ([[simRecallEval]] sign-LSH, [[simRecallIvf]] saved-IVF) pointed
+    * at the saved k-NN graph: exact brute-force top-3 ground truth vs
+    * the beam walk's answer, per-probe recall@3. With the LSH and IVF
+    * rows this completes the PER-TIER ANN DECISION MATRIX — the three
+    * numbers (plus each tier's serving cost from the bench) that
+    * decide bits vs cells vs graph degree/beam before a 100 TB corpus
+    * is indexed. Same nng_k10e8 family, one build, second consumer;
+    * the whole evaluation is deterministic, so even the recall table
+    * is oracle-replayable (walk CTEs + exact CTE + the hit join).
+    *
+    * Scale shape: ground truth probe-bounded (one broadcast-probe
+    * corpus scan); the walk side never scans the corpus; the recall
+    * join is ≤ 2·k rows per probe. */
+  val simRecallNng: GQuery = {
+    val (kNeighbors, nEntries, beam, rounds) = (10, 8, 10, 4)
+    GQuery("sim_recall_nng",
+      s"""WITH ${nngWalkCtes(kNeighbors, nEntries, beam, rounds,
+           "TRUE", "vec_id < 50")},
+         |ex AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(list_dot_product(p.v, c.v)
+         |                       / (p.nrm * c.nrm), 6) DESC,
+         |                 c.vec_id) AS rk
+         |    FROM n p JOIN n c ON p.vec_id < 50 AND c.vec_id != p.vec_id)
+         |  WHERE rk <= 3),
+         |ann AS (
+         |  SELECT probe_id, node AS neighbor_id FROM (
+         |    SELECT probe_id, node, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
+         |    FROM v$rounds WHERE node != probe_id)
+         |  WHERE rk <= 3),
+         |hits AS (
+         |  SELECT ex.probe_id, count(*) AS n_hits
+         |  FROM ex JOIN ann ON ex.probe_id = ann.probe_id
+         |                  AND ex.neighbor_id = ann.neighbor_id
+         |  GROUP BY ex.probe_id),
+         |den AS (SELECT probe_id, count(*) AS n_exact FROM ex
+         |        GROUP BY probe_id)
+         |SELECT den.probe_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6)
+         |    AS recall
+         |FROM den LEFT JOIN hits ON den.probe_id = hits.probe_id
+         |ORDER BY den.probe_id""".stripMargin) { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val probes = ev.filter(col("vec_id") < 50)
+      val exact = graft.api.Similarity.cosineTopK(ev, probes, "vec_id",
+        "v", k = 3).select(col("probe_id"), col("neighbor_id"))
+      val nngPath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("nng_k10e8", dir,
+          "embeddings.parquet")) {
+        tmp => graft.api.Similarity.nngBuild(ev, "vec_id", "v", tmp,
+          k = kNeighbors, nEntries = nEntries)
+      }
+      val ann = graft.api.Similarity.nngTopK(probes, "vec_id", "v",
+        nngPath, k = 3, beam = beam, rounds = rounds)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = ann.join(exact, Seq("probe_id", "neighbor_id"),
+        "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact"), 6).as("recall"))
+        .orderBy(col("probe_id"))
+    }
+  }
+
   /** GRAPH-INDEX INGESTION — the online-maintenance shape of the nng
     * tier, completing the ingest family (dedup_ingest /
     * dedup_containment_ingest / sim_lex_ingest): arriving vectors
@@ -2276,7 +2349,7 @@ object SimQueries {
   }
 
   val all: Seq[GQuery] =
-    Seq(simTopkNng, simNngIngest, simTopkHamming, simCosineTopk,
+    Seq(simTopkNng, simNngIngest, simRecallNng, simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,

@@ -4184,6 +4184,74 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(nNodes == ev.count(), "nodes not grown to full corpus")
   }
 
+  test("sim_recall_nng: hits = |walk top-3 ∩ exact top-3|; mean recall >= 0.7") {
+    val rows = SimQueries.simRecallNng.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val walk = SimQueries.simTopkNng.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val exact = graft.api.Similarity
+      .cosineTopK(ev, ev.filter($"vec_id" < 50), "vec_id", "v", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { case (pid, nExact, nHits, recall) =>
+      assert(nExact == 3)
+      assert(nHits == (walk(pid) & exact(pid)).size.toLong, s"probe $pid")
+      assert(recall == nHits.toDouble / 3)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    val mean = rows.map(_._4).sum / rows.length
+    assert(mean >= 0.7, f"mean recall $mean%.3f below floor")
+  }
+
+  test("merge_schema_evolution: widened snapshot replays; legacy rows null-padded") {
+    val rows = LayoutQueries.mergeSchemaEvolution.fn(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    // in-memory replay from raw orders
+    val raw = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority",
+        $"o_totalprice".cast("decimal(18,2)").as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2).stripTrailingZeros))
+    val merged = raw.filter { case (k, _, _) => k % 7 != 0 || k % 3 == 0 }
+      .map { case (k, pr, p) =>
+        val price =
+          if (k % 3 == 0)
+            (BigDecimal(p) * BigDecimal("1.1"))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          else BigDecimal(p).setScale(2)
+        val ch =
+          if (k % 3 == 0) { if (k % 2 == 0) "online" else "store" }
+          else "(legacy)"
+        ((pr, ch), price)
+      }
+    val expected = merged.groupBy(_._1).map { case (k, v) =>
+      k -> (v.size.toLong,
+        v.map(_._2).sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (k, (n, s)) =>
+      assert(rows(k)._1 == n, s"$k count")
+      assert(rows(k)._2 == s, s"$k sum")
+    }
+    // the published files actually carry the widened schema
+    val snap = spark.read.parquet(
+      s"/tmp/graft_layout/merge_schema_evo_" +
+        sfDir.replaceAll("[^a-zA-Z0-9]", "_"))
+    assert(snap.columns.contains("channel"))
+    val legacyNulls = snap.filter($"channel".isNull).count()
+    assert(legacyNulls > 0, "no null-padded legacy rows in the files")
+  }
+
   test("win_runs_test: runs/moments replay from the daily series; ties dropped") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
