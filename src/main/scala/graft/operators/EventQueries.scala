@@ -3406,6 +3406,133 @@ object EventQueries {
       .orderBy(col("day"), col("arm"))
   }
 
+  /** SHAPLEY-VALUE ATTRIBUTION — the game-theoretic capstone of the
+    * attribution family (last-touch → linear → U-shaped → decay →
+    * Markov removal-effect → this): each channel's credit is its
+    * average marginal contribution to conversion over every coalition
+    * of the other channels (Shapley 1953, applied to journeys as in
+    * the set-based simplification the ad-tech literature uses): the
+    * characteristic function is v(S) = conversion rate of users whose
+    * observed channel SET is exactly S (v = 0 for unobserved sets),
+    * and φ_i = Σ_{S ∌ i} w(|S|)·(v(S∪i) − v(S)) with
+    * w(s) = s!(n−1−s)!/n!.
+    *
+    * Exactness: channel sets ride a BITMASK (rank = alphabetical
+    * position among the 4 non-purchase types — the fixture's channel
+    * count at every SF, so n = 4 and the 24·w(s) weights are the
+    * integer literals 6/2/2/6; n is visible through the 16-row mask
+    * spine); v quantizes one round-12 double division to
+    * DECIMAL(16,12), so every marginal, the weighted sum, and the
+    * efficiency identity Σφ·24 = 24·(v(full) − v(∅)) are EXACT
+    * decimals (spec-pinned); the only remaining doubles are the final
+    * /24 and the share division, rounded 6 in the same order in both
+    * engines.
+    *
+    * Scale shape: three map-side-combining corpus stages (distinct
+    * (user, channel), distinct converters, the per-user mask sum);
+    * the coalition lattice is a 16-row spine — all Shapley algebra
+    * runs on ≤ |channels|·2ⁿ⁻¹ = 32 rows, and the share rides a
+    * 4-row unpartitioned window. */
+  val evAttributionShapley: GQuery = GQuery(
+    "ev_attribution_shapley",
+    """WITH ch AS (
+      |  SELECT event_type AS channel,
+      |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT)
+      |      AS rnk
+      |  FROM (SELECT DISTINCT event_type FROM events
+      |        WHERE event_type <> 'purchase')),
+      |uch AS (
+      |  SELECT DISTINCT e.user_id, c.rnk
+      |  FROM events e JOIN ch c ON e.event_type = c.channel),
+      |um AS (SELECT user_id, CAST(sum(1 << rnk) AS INT) AS mask
+      |       FROM uch GROUP BY 1),
+      |conv AS (SELECT DISTINCT user_id FROM events
+      |         WHERE event_type = 'purchase'),
+      |allu AS (SELECT DISTINCT user_id FROM events),
+      |base AS (
+      |  SELECT a.user_id, coalesce(um.mask, 0) AS mask,
+      |    CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS cv
+      |  FROM allu a
+      |  LEFT JOIN um ON a.user_id = um.user_id
+      |  LEFT JOIN conv ON a.user_id = conv.user_id),
+      |vs AS (
+      |  SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(cv) AS BIGINT) AS n_conv,
+      |    CAST(round(CAST(sum(cv) AS DOUBLE) / count(*), 12)
+      |      AS DECIMAL(16,12)) AS v
+      |  FROM base GROUP BY 1),
+      |spine AS (SELECT CAST(unnest(range(16)) AS INT) AS mask),
+      |vall AS (
+      |  SELECT s.mask,
+      |    coalesce(vs.v, CAST(0 AS DECIMAL(16,12))) AS v
+      |  FROM spine s LEFT JOIN vs ON s.mask = vs.mask),
+      |marg AS (
+      |  SELECT c.channel,
+      |    CASE bit_count(a.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |      WHEN 2 THEN 2 ELSE 6 END AS w24,
+      |    b.v - a.v AS dv
+      |  FROM ch c
+      |  JOIN vall a ON (a.mask & (1 << c.rnk)) = 0
+      |  JOIN vall b ON b.mask = a.mask + (1 << c.rnk)),
+      |phi AS (
+      |  SELECT channel, CAST(sum(w24 * dv) AS DECIMAL(24,12)) AS s24
+      |  FROM marg GROUP BY 1)
+      |SELECT channel,
+      |  round(CAST(s24 AS DOUBLE) / 24, 6) AS shapley,
+      |  CASE WHEN CAST(sum(s24) OVER () AS DOUBLE) = 0
+      |    THEN CAST(NULL AS DOUBLE)
+      |    ELSE round(CAST(s24 AS DOUBLE)
+      |      / CAST(sum(s24) OVER () AS DOUBLE), 6) END AS share
+      |FROM phi
+      |ORDER BY channel""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val ch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("channel")).distinct()
+      .select(col("channel"),
+        (row_number().over(Window.orderBy(col("channel"))) - 1)
+          .cast("int").as("rnk"))
+    val uch = ev.join(ch, ev("event_type") === ch("channel"))
+      .select(col("user_id"), col("rnk")).distinct()
+    val um = uch.groupBy(col("user_id"))
+      .agg(sum(expr("1 << rnk")).cast("int").as("mask"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("cvf", lit(1))
+    val allu = ev.select(col("user_id")).distinct()
+    val base = allu.join(um, Seq("user_id"), "left")
+      .join(conv, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0)).as("mask"),
+        coalesce(col("cvf"), lit(0)).as("cv"))
+    val vs = base.groupBy(col("mask"))
+      .agg(count(lit(1)).cast("bigint").as("n_users"),
+        sum(col("cv")).cast("bigint").as("n_conv"))
+      .select(col("mask"),
+        round(col("n_conv").cast("double") / col("n_users"), 12)
+          .cast("decimal(16,12)").as("v"))
+    val spine = s.range(16).select(col("id").cast("int").as("mask"))
+    val vall = spine.join(vs, Seq("mask"), "left")
+      .select(col("mask"),
+        coalesce(col("v"), lit(0).cast("decimal(16,12)")).as("v"))
+    val a = vall.select(col("mask").as("amask"), col("v").as("av"))
+    val b = vall.select(col("mask").as("bmask"), col("v").as("bv"))
+    val w24 = when(expr("bit_count(amask)") === 0, 6)
+      .when(expr("bit_count(amask)") === 1, 2)
+      .when(expr("bit_count(amask)") === 2, 2).otherwise(6)
+    val marg = ch
+      .join(a, expr("(amask & (1 << rnk)) = 0"))
+      .join(b, expr("bmask = amask + (1 << rnk)"))
+      .select(col("channel"), (w24 * (col("bv") - col("av"))).as("t"))
+    val phi = marg.groupBy(col("channel"))
+      .agg(sum(col("t")).cast("decimal(24,12)").as("s24"))
+    val wAll = Window.partitionBy()
+    val tot = sum(col("s24")).over(wAll).cast("double")
+    phi.select(col("channel"),
+        round(col("s24").cast("double") / 24, 6).as("shapley"),
+        when(tot === 0, lit(null).cast("double"))
+          .otherwise(round(col("s24").cast("double") / tot, 6))
+          .as("share"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -3419,5 +3546,5 @@ object EventQueries {
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
     evDidAnalysis, evRetentionHalflife, evAttributionMarkov, evAbSprt,
-    evQuantileTe, evBanditUcb)
+    evQuantileTe, evBanditUcb, evAttributionShapley)
 }

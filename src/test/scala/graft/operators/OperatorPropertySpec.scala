@@ -4291,6 +4291,50 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("ev_attribution_shapley: exact lattice replay; efficiency identity holds") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val channels = ev.map(_._2).distinct.filter(_ != "purchase").sorted
+    assert(channels.length == 4, "fixture channel count (weights precondition)")
+    val rnk = channels.zipWithIndex.toMap
+    val users = ev.map(_._1).distinct
+    val conv = ev.filter(_._2 == "purchase").map(_._1).toSet
+    val masks = ev.filter(x => x._2 != "purchase")
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.map(x => 1 << rnk(x._2)).distinct.sum }
+    val byMask = users.groupBy(u => masks.getOrElse(u, 0))
+    val v: Map[Int, BigDecimal] = (0 until 16).map { m =>
+      m -> byMask.get(m).map { us =>
+        q12(us.count(conv).toDouble / us.length)
+      }.getOrElse(BigDecimal(0))
+    }.toMap
+    val w24 = Map(0 -> 6, 1 -> 2, 2 -> 2, 3 -> 6)
+    val s24: Map[String, BigDecimal] = channels.map { c =>
+      val bit = 1 << rnk(c)
+      c -> (0 until 16).filter(m => (m & bit) == 0).map { m =>
+        BigDecimal(w24(Integer.bitCount(m))) * (v(m + bit) - v(m))
+      }.sum
+    }.toMap
+    val rows = EventQueries.evAttributionShapley.fn(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(channels))
+    val total = s24.values.sum
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getDouble(1) == r6(s24(c).toDouble / 24), s"$c shapley")
+      assert(r.getDouble(2) == r6(s24(c).toDouble / total.toDouble),
+        s"$c share")
+    }
+    // Shapley efficiency: sum of credits = v(full) - v(empty), exact
+    // in the 24-scaled decimal domain
+    assert(total == (v(15) - v(0)) * 24, "efficiency identity")
+  }
+
   test("win_ljung_box: Q replays from win_acf's rounded grid; h = 7 everywhere") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -80,7 +80,11 @@ class PlanShapeSpec extends SparkTestBase {
     "sample_neyman_alloc", // 1-row allocation-total + remainder scalars onto the |langs| frame
     "ev_attribution_markov", // bounded scenario-matrix cross join (<=5 scenarios x 49 cells) + 1-row base/total scalars
     "graph_modularity", // 1-row 2m edge-count scalar onto the |communities| frame
-    "ev_bandit_ucb")    // 2-row arm spine crossed onto the bounded day grid
+    "ev_bandit_ucb",    // 2-row arm spine crossed onto the bounded day grid
+    // 4-channel × 16-mask coalition-lattice join (the subset test
+    // (amask & (1 << rnk)) = 0 has no equi key; both sides bounded by
+    // construction: 2^n masks, n = 4 channels)
+    "ev_attribution_shapley")
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
