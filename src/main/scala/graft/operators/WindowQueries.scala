@@ -1373,10 +1373,118 @@ object WindowQueries {
       .orderBy(col("event_type"))
   }
 
+  /** GRANGER CAUSALITY (lag 1) between every ordered pair of
+    * event-type daily series — "do yesterday's views predict today's
+    * purchases beyond what yesterday's purchases already do?": the
+    * F-test comparing the restricted AR(1) model
+    * y_t = a + b·y_{t−1} against the augmented
+    * y_t = a + b·y_{t−1} + c·x_{t−1}, the lead-lag diagnostic that
+    * turns the per-series trio (trend / autocorrelation / randomness)
+    * into a CROSS-series matrix. F = (RSS_R − RSS_U)·(n−3)/RSS_U,
+    * flagged at the F(1, n−3≈360) 95% literal 3.87.
+    *
+    * Exactness: all ten raw moments are exact BIGINT sums; each casts
+    * to double ONCE and the centered sums / Cramer 2×2 solve / RSS
+    * chain is ONE shared formula string — `expr(...)` on the Spark
+    * side, spliced verbatim into the oracle — so both engines run
+    * token-identical IEEE ops in the same order (the ev_ab_welch
+    * discipline). Degenerate pairs (singular normal matrix or
+    * zero residual) surface NULL.
+    *
+    * Scale shape: the (type, day) count is the only corpus-sized
+    * stage; the lag alignment is a calendar-keyed self-join and the
+    * moment frame is |types|²-bounded (20 rows of state). */
+  val winGrangerCausality: GQuery = {
+    // the shared double-formula chain over the exact integer moments
+    // (nD..sxl2): centered sums, the 2x2 solve, both RSS, then F
+    val syy = "(sy2D - syD * syD / nD)"
+    val sylyl = "(syl2D - sylD * sylD / nD)"
+    val sxlxl = "(sxl2D - sxlD * sxlD / nD)"
+    val syyl = "(syylD - syD * sylD / nD)"
+    val syxl = "(syxlD - syD * sxlD / nD)"
+    val sylxl = "(sylxlD - sylD * sxlD / nD)"
+    val det = s"($sylyl * $sxlxl - $sylxl * $sylxl)"
+    val bU = s"(($syyl * $sxlxl - $syxl * $sylxl) / $det)"
+    val cU = s"(($syxl * $sylyl - $syyl * $sylxl) / $det)"
+    val rssR = s"($syy - $syyl * $syyl / $sylyl)"
+    val rssU = s"($syy - $bU * $syyl - $cU * $syxl)"
+    val f = s"(($rssR - $rssU) * (nD - 3) / $rssU)"
+    val guard = s"$det <= 0 OR $sylyl <= 0 OR $rssU <= 0"
+    val casts = Seq("n" -> "nD", "sy" -> "syD", "syl" -> "sylD",
+      "sxl" -> "sxlD", "sy2" -> "sy2D", "syl2" -> "syl2D",
+      "sxl2" -> "sxl2D", "syyl" -> "syylD", "syxl" -> "syxlD",
+      "sylxl" -> "sylxlD")
+      .map { case (i, d) => s"CAST($i AS DOUBLE) AS $d" }
+      .mkString(", ")
+    val finalCols = Seq("cause", "effect", "n",
+      s"CASE WHEN $guard THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE round($f, 6) END AS f_stat",
+      s"CASE WHEN $guard THEN CAST(NULL AS BOOLEAN) " +
+        s"ELSE $f > 3.87 END AS causal_95")
+    GQuery("win_granger_causality",
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |tri AS (
+         |  SELECT x.event_type AS cause, ye.event_type AS effect,
+         |    ye.y AS y, yl.y AS yl, x.y AS xl
+         |  FROM d ye
+         |  JOIN d yl ON yl.event_type = ye.event_type
+         |           AND yl.day = ye.day - 1
+         |  JOIN d x ON x.day = ye.day - 1
+         |          AND x.event_type != ye.event_type),
+         |m AS (
+         |  SELECT cause, effect, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(yl) AS BIGINT) AS syl,
+         |    CAST(sum(xl) AS BIGINT) AS sxl,
+         |    CAST(sum(y * y) AS BIGINT) AS sy2,
+         |    CAST(sum(yl * yl) AS BIGINT) AS syl2,
+         |    CAST(sum(xl * xl) AS BIGINT) AS sxl2,
+         |    CAST(sum(y * yl) AS BIGINT) AS syyl,
+         |    CAST(sum(y * xl) AS BIGINT) AS syxl,
+         |    CAST(sum(yl * xl) AS BIGINT) AS sylxl
+         |  FROM tri GROUP BY 1, 2),
+         |md AS (SELECT cause, effect, n, $casts FROM m)
+         |SELECT ${finalCols.mkString(",\n  ")}
+         |FROM md
+         |ORDER BY cause, effect""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("bigint").as("y"))
+      val ye = d.select(col("event_type").as("effect"),
+        col("day"), col("y"))
+      val yl = d.select(col("event_type").as("effect"),
+        date_add(col("day"), 1).as("day"), col("y").as("yl"))
+      val x = d.select(col("event_type").as("cause"),
+        date_add(col("day"), 1).as("day"), col("y").as("xl"))
+      val tri = ye.join(yl, Seq("effect", "day"))
+        .join(x, Seq("day"))
+        .filter(col("cause") =!= col("effect"))
+      val m = tri.groupBy(col("cause"), col("effect"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("y")).cast("bigint").as("sy"),
+          sum(col("yl")).cast("bigint").as("syl"),
+          sum(col("xl")).cast("bigint").as("sxl"),
+          sum(col("y") * col("y")).cast("bigint").as("sy2"),
+          sum(col("yl") * col("yl")).cast("bigint").as("syl2"),
+          sum(col("xl") * col("xl")).cast("bigint").as("sxl2"),
+          sum(col("y") * col("yl")).cast("bigint").as("syyl"),
+          sum(col("y") * col("xl")).cast("bigint").as("syxl"),
+          sum(col("yl") * col("xl")).cast("bigint").as("sylxl"))
+      m.selectExpr(Seq("cause", "effect", "n") ++
+          casts.split(", ").toSeq: _*)
+        .selectExpr(finalCols: _*)
+        .orderBy(col("cause"), col("effect"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(winRankTopkPerGroup, winRankDensePct,
     winAnalytic, winFrameRows, winFrameRange, winCumeDist,
     winRangeInterval, winMovingMedian, winParetoShare, winDrawdown,
     winBollinger, winCusumChangepoint, winRollingCorr, winTheilSen,
     winSeasonalDecompose, winYoyGrowth, winStlAnomaly, winSpcRules,
-    winKalmanLevel, winMannKendall, winAcf, winLjungBox, winRunsTest)
+    winKalmanLevel, winMannKendall, winAcf, winLjungBox, winRunsTest,
+    winGrangerCausality)
 }

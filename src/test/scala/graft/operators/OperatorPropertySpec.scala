@@ -4291,6 +4291,66 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("win_granger_causality: F replays from exact moments; matrix complete") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val series: Map[String, Map[String, Long]] = Tables
+      .events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(x => x._2 -> x._3).toMap }
+    val rows = WindowQueries.winGrangerCausality.fn(spark, sfDir)
+      .collect()
+    val types = series.keySet
+    assert(rows.length == types.size * (types.size - 1), "matrix size")
+    rows.foreach { r =>
+      val (cse, eff) = (r.getString(0), r.getString(1))
+      // align on calendar days where effect(t), effect(t-1), cause(t-1)
+      val ef = series(eff); val ca = series(cse)
+      val obs = ef.keys.toSeq.sorted.flatMap { d =>
+        val prev = java.time.LocalDate.parse(d).minusDays(1).toString
+        for (yl <- ef.get(prev); xl <- ca.get(prev))
+          yield (ef(d), yl, xl)
+      }
+      val n = obs.length.toLong
+      assert(r.getLong(2) == n, s"$cse->$eff n")
+      // exact integer moments, cast once, fixed-order formula
+      val nD = n.toDouble
+      val syD = obs.map(_._1).sum.toDouble
+      val sylD = obs.map(_._2).sum.toDouble
+      val sxlD = obs.map(_._3).sum.toDouble
+      val sy2D = obs.map(o => o._1 * o._1).sum.toDouble
+      val syl2D = obs.map(o => o._2 * o._2).sum.toDouble
+      val sxl2D = obs.map(o => o._3 * o._3).sum.toDouble
+      val syylD = obs.map(o => o._1 * o._2).sum.toDouble
+      val syxlD = obs.map(o => o._1 * o._3).sum.toDouble
+      val sylxlD = obs.map(o => o._2 * o._3).sum.toDouble
+      val syy = sy2D - syD * syD / nD
+      val sylyl = syl2D - sylD * sylD / nD
+      val sxlxl = sxl2D - sxlD * sxlD / nD
+      val syyl = syylD - syD * sylD / nD
+      val syxl = syxlD - syD * sxlD / nD
+      val sylxl = sylxlD - sylD * sxlD / nD
+      val det = sylyl * sxlxl - sylxl * sylxl
+      val bU = (syyl * sxlxl - syxl * sylxl) / det
+      val cU = (syxl * sylyl - syyl * sylxl) / det
+      val rssR = syy - syyl * syyl / sylyl
+      val rssU = syy - bU * syyl - cU * syxl
+      val fStat = (rssR - rssU) * (nD - 3) / rssU
+      if (det <= 0 || sylyl <= 0 || rssU <= 0) {
+        assert(r.isNullAt(3) && r.isNullAt(4), s"$cse->$eff guard")
+      } else {
+        assert(r.getDouble(3) == r6(fStat), s"$cse->$eff F")
+        assert(r.getBoolean(4) == (fStat > 3.87), s"$cse->$eff verdict")
+        // F is a ratio of sums of squares: non-negative up to rounding
+        assert(r.getDouble(3) >= -1e-6)
+      }
+    }
+  }
+
   test("ev_attribution_shapley: exact lattice replay; efficiency identity holds") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
