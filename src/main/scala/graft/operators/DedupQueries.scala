@@ -247,6 +247,47 @@ object DedupQueries {
       .orderBy(col("cluster_rep"))
   }
 
+  /** INCREMENTAL cluster maintenance — the merge_incremental_agg
+    * discipline applied to the near-dup GRAPH: yesterday's cluster
+    * state (one (node → label) row per base doc, doc_id % 5 < 4) is
+    * CONTRACTED into label edges and merged with only the
+    * ARRIVAL-TOUCHING candidate pairs — connected components never
+    * re-walks the base pair graph, because CC(labelEdges ∪ newEdges)
+    * provably has the same partition as CC(allEdges): label edges
+    * preserve every base component, new edges add exactly the merges
+    * the arrivals introduce, and labels are min node ids so the
+    * merged minimum is the global minimum. The oracle is the SAME
+    * transitive-closure SQL as dedup_clusters — passing proves
+    * incremental ≡ full recompute (the sim_bm25_indexed same-oracle
+    * discipline).
+    *
+    * Scale shape: the CC input shrinks from |base pairs| + |new
+    * pairs| to |base nodes| + |new pairs| — at a 100 TB corpus with
+    * daily arrivals, the state table is linear in CORPUS NODES while
+    * the pair graph it replaces is quadratic in cluster sizes; the
+    * arrival-touching pairs come from the saved signature index probe
+    * (dedup_ingest's plan) rather than the full band join, so the
+    * daily cost is arrival-bounded end to end. (At fixture scale the
+    * shared memo computes all pairs once for every dedup row — the
+    * claim measured here is the CC stage's input contraction.) */
+  val dedupClustersIncremental: GQuery = GQuery(
+    "dedup_clusters_incremental", duckClustersSql) { (s, dir) =>
+    val pairs = minhashPairsSpark(s, dir).select(col("doc1"), col("doc2"))
+    val baseOnly = (col("doc1") % 5 < 4) && (col("doc2") % 5 < 4)
+    val basePairs = pairs.filter(baseOnly)
+    val newPairs = pairs.filter(!baseOnly)
+    // yesterday's state: one (node, label) row per base-graph node
+    val baseState = graft.api.Dedup
+      .connectedComponents(basePairs, "doc1", "doc2")
+      .select(col("node").as("doc1"), col("label").as("doc2"))
+    // today's apply: contracted state + arrival-touching pairs only
+    graft.api.Dedup.connectedComponents(
+        baseState.unionByName(newPairs), "doc1", "doc2")
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** The end-to-end dedup DECISION — what a training-data pipeline
     * actually ships: one row per document with its fate.
     * `drop_exact` = byte-identical text, not the smallest doc_id;
@@ -782,6 +823,7 @@ object DedupQueries {
 
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
+    dedupClustersIncremental,
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
     dedupIngest, dedupContainment, dedupContainmentIngest,
     dedupSpanGlobal, dedupSplitLeakage, dedupMinhashError,

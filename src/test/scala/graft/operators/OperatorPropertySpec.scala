@@ -4291,6 +4291,23 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("dedup_clusters_incremental: contracted apply == full recompute; boundary merges exist") {
+    val full = DedupQueries.dedupClusters.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = DedupQueries.dedupClustersIncremental.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, "incremental CC diverges from full recompute")
+    // the test is only meaningful if some candidate pair actually
+    // straddles the base/arrival boundary (a merge the contracted
+    // state cannot know about)
+    val pairs = DedupQueries.minhashPairsSpark(spark, sfDir)
+      .select($"doc1", $"doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cross = pairs.count { case (a, b) =>
+      (a % 5 < 4) != (b % 5 < 4) }
+    assert(cross > 0, "fixture has no base/arrival straddling pairs")
+  }
+
   test("win_granger_causality: F replays from exact moments; matrix complete") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
