@@ -170,6 +170,12 @@ class BroadcastPolicySpec extends SparkTestBase {
     // probes: k-row centers, probed-cell set, probe frame — all
     // probe- or k-bounded (the sim_topk_ivf proof)
     "sim_recall_ivf" -> 4,
+    // literal-filtered (vec_id < 50) probe set in the exact tier's
+    // cosineTopK; the hinted exact subtree feeds BOTH the hit join
+    // and the per-probe denominator, so it resolves twice (the
+    // merge_cdc_apply situation); the nng walk side contributes no
+    // hints — its lineage is checkpoint-truncated
+    "sim_recall_nng" -> 2,
     // 1-row corpus-total scalar (the fold-share divide)
     "sample_kfold_assign" -> 1,
     // 1-row (N, V) surprisal-model scalar (inherited text_surprisal

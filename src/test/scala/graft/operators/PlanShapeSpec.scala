@@ -63,6 +63,7 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_bm25_topk",    // 1-row corpus-size / token-total scalars (N, T) cross-joined
     "graph_hits",       // four 1-row max-normalization scalars cross-joined per half-step
     "sim_recall_ivf",   // ground-truth tier IS sim_cosine_topk's probe-broadcast scan
+    "sim_recall_nng",   // same ground-truth tier; the walk side is checkpoint-truncated
     "sample_kfold_assign", // 1-row corpus-total scalar cross join (share divide)
     "text_quality_buckets", // 1-row (N, V) surprisal-model scalar cross join (the text_surprisal chain)
     "ev_survival_km",   // 1-row at-risk-total scalar cross join onto the ≤49-row hour grid
