@@ -993,11 +993,131 @@ object AggQueries {
           .as("dependent_95"))
   }
 
+  /** MUTUAL INFORMATION + normalized MI over the same segment ×
+    * priority contingency table as agg_chi2_independence — the
+    * information-theoretic sibling (χ² asks "is there association";
+    * MI measures it in nats and NMI = MI/min(H_row, H_col) puts it on
+    * [0,1], the feature-selection statistic): MI = Σ p_ij·(ln O_ij +
+    * ln N − ln r_i − ln c_j), each entropy H = −Σ p·ln p.
+    *
+    * Exactness (the text_lang_divergence log discipline): every ln()
+    * rounds to 8 and lands on DECIMAL(14,8); every probability is one
+    * round-12 division on DECIMAL(16,12); all products and sums are
+    * then EXACT decimals — MI, H_seg, H_prio never see a float sum.
+    * The three statistics ride ONE tagged union (mi/hs/hp term rows)
+    * into a single conditional aggregate, so the final row needs no
+    * scalar cross join; NMI is the single remaining double division,
+    * rounded 6.
+    *
+    * Scale shape: identical to agg_chi2_independence — one equi-join
+    * + one (seg, prio) map-side-combining count; margins ride three
+    * windows over the ≤R×C (25-row) cell frame; the term union and
+    * final aggregate are ≤35 rows. */
+  val aggMutualInfo: GQuery = {
+    def l8(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE)), 8) AS DECIMAL(14,8))"
+    def p12(num: String, den: String) =
+      s"CAST(round(CAST($num AS DOUBLE) / $den, 12) AS DECIMAL(16,12))"
+    GQuery("agg_mutual_info",
+      s"""WITH j AS (
+         |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |cell AS (
+         |  SELECT seg, prio, CAST(count(*) AS BIGINT) AS obs
+         |  FROM j GROUP BY 1, 2),
+         |w AS (
+         |  SELECT seg, prio, obs,
+         |    CAST(sum(obs) OVER (PARTITION BY seg) AS BIGINT) AS rt,
+         |    CAST(sum(obs) OVER (PARTITION BY prio) AS BIGINT) AS ct,
+         |    CAST(sum(obs) OVER () AS BIGINT) AS n
+         |  FROM cell),
+         |terms AS (
+         |  SELECT 'mi' AS kind, obs,
+         |    CAST(${p12("obs", "n")}
+         |      * (${l8("obs")} + ${l8("n")} - ${l8("rt")} - ${l8("ct")})
+         |      AS DECIMAL(32,20)) AS t
+         |  FROM w
+         |  UNION ALL
+         |  SELECT 'hs', CAST(0 AS BIGINT),
+         |    CAST(-(${p12("rt", "n")}
+         |      * (${l8("rt")} - ${l8("n")})) AS DECIMAL(32,20))
+         |  FROM (SELECT DISTINCT seg, rt, n FROM w)
+         |  UNION ALL
+         |  SELECT 'hp', CAST(0 AS BIGINT),
+         |    CAST(-(${p12("ct", "n")}
+         |      * (${l8("ct")} - ${l8("n")})) AS DECIMAL(32,20))
+         |  FROM (SELECT DISTINCT prio, ct, n FROM w)),
+         |s AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN kind = 'mi' THEN obs ELSE 0 END)
+         |      AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN kind = 'mi' THEN t END)
+         |      AS DECIMAL(32,20)) AS mi,
+         |    CAST(sum(CASE WHEN kind = 'hs' THEN t END)
+         |      AS DECIMAL(32,20)) AS hs,
+         |    CAST(sum(CASE WHEN kind = 'hp' THEN t END)
+         |      AS DECIMAL(32,20)) AS hp
+         |  FROM terms)
+         |SELECT n, round(CAST(mi AS DOUBLE), 6) AS mi_nats,
+         |  round(CAST(hs AS DOUBLE), 6) AS h_seg,
+         |  round(CAST(hp AS DOUBLE), 6) AS h_prio,
+         |  CASE WHEN least(CAST(hs AS DOUBLE), CAST(hp AS DOUBLE)) <= 0
+         |    THEN CAST(NULL AS DOUBLE)
+         |    ELSE round(CAST(mi AS DOUBLE)
+         |      / least(CAST(hs AS DOUBLE), CAST(hp AS DOUBLE)), 6)
+         |  END AS nmi
+         |FROM s""".stripMargin) { (s, dir) =>
+      val j = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("prio"))
+      val cell = j.groupBy(col("seg"), col("prio"))
+        .agg(count(lit(1)).cast("bigint").as("obs"))
+      val w = cell.select(col("seg"), col("prio"), col("obs"),
+        sum(col("obs")).over(Window.partitionBy(col("seg")))
+          .cast("bigint").as("rt"),
+        sum(col("obs")).over(Window.partitionBy(col("prio")))
+          .cast("bigint").as("ct"),
+        sum(col("obs")).over(Window.partitionBy())
+          .cast("bigint").as("n"))
+      val miT = w.selectExpr("'mi' AS kind", "obs",
+        s"CAST(${p12("obs", "n")} * (${l8("obs")} + ${l8("n")} " +
+          s"- ${l8("rt")} - ${l8("ct")}) AS DECIMAL(32,20)) AS t")
+      val hsT = w.select(col("seg"), col("rt"), col("n")).distinct()
+        .selectExpr("'hs' AS kind", "CAST(0 AS BIGINT) AS obs",
+          s"CAST(-(${p12("rt", "n")} * (${l8("rt")} - ${l8("n")})) " +
+            "AS DECIMAL(32,20)) AS t")
+      val hpT = w.select(col("prio"), col("ct"), col("n")).distinct()
+        .selectExpr("'hp' AS kind", "CAST(0 AS BIGINT) AS obs",
+          s"CAST(-(${p12("ct", "n")} * (${l8("ct")} - ${l8("n")})) " +
+            "AS DECIMAL(32,20)) AS t")
+      miT.unionByName(hsT).unionByName(hpT)
+        .agg(
+          sum(when(col("kind") === "mi", col("obs")).otherwise(0))
+            .cast("bigint").as("n"),
+          sum(when(col("kind") === "mi", col("t")))
+            .cast("decimal(32,20)").as("mi"),
+          sum(when(col("kind") === "hs", col("t")))
+            .cast("decimal(32,20)").as("hs"),
+          sum(when(col("kind") === "hp", col("t")))
+            .cast("decimal(32,20)").as("hp"))
+        .selectExpr("n", "round(CAST(mi AS DOUBLE), 6) AS mi_nats",
+          "round(CAST(hs AS DOUBLE), 6) AS h_seg",
+          "round(CAST(hp AS DOUBLE), 6) AS h_prio",
+          """CASE WHEN least(CAST(hs AS DOUBLE), CAST(hp AS DOUBLE)) <= 0
+            |  THEN CAST(NULL AS DOUBLE)
+            |  ELSE round(CAST(mi AS DOUBLE)
+            |    / least(CAST(hs AS DOUBLE), CAST(hp AS DOUBLE)), 6)
+            |END AS nmi""".stripMargin)
+    }
+  }
+
   val all: Seq[GQuery] = Seq(aggPricingSummary, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggHaving,
     aggStats, aggCorrCovar, aggListagg, aggHistogram, aggApproxPercentile,
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
     aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration,
     aggMad, aggWinsorizedMean, aggRegression, aggBootstrapCi,
-    aggWilsonCi, aggChi2Independence)
+    aggWilsonCi, aggChi2Independence, aggMutualInfo)
 }

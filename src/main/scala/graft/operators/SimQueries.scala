@@ -2300,6 +2300,61 @@ object SimQueries {
     }
   }
 
+  /** FILTERED VECTOR SEARCH — exact top-3 cosine among corpus vectors
+    * sharing the probe's LABEL (label-constrained retrieval, the
+    * "filtered ANN" mode every production vector store treats as
+    * first-class: tenant-scoped, language-scoped, or
+    * license-scoped neighbor queries): the predicate IS the blocking,
+    * so the probe×corpus pairing becomes a label-keyed EQUI-JOIN —
+    * never a corpus broadcast scan — and the filter makes search
+    * CHEAPER, not harder (post-filtering an unfiltered ANN shortlist,
+    * the naive spelling, loses recall exactly when the filter is
+    * selective).
+    *
+    * Scale shape: one label-keyed shuffle join; a low-cardinality hot
+    * label skews it — the mitigations are the
+    * sim_pair_threshold_salted block decomposition or a per-label
+    * saved sub-index (IVF-within-label), both leaving these semantics
+    * unchanged. Cosines round to 6 before ranking (neighbor-id
+    * tiebreak). */
+  val simTopkFiltered: GQuery = GQuery(
+    "sim_topk_filtered",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |pairs AS (
+      |  SELECT p.vec_id AS probe_id, p.label, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+      |      AS cosine
+      |  FROM n p JOIN n c ON c.label = p.label
+      |                   AND c.vec_id != p.vec_id
+      |  WHERE p.vec_id < 50)
+      |SELECT probe_id, rk, neighbor_id, cosine, label FROM (
+      |  SELECT probe_id, label, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rk
+      |  FROM pairs)
+      |WHERE rk <= 3
+      |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir)
+    val p = ev.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("label"),
+        col("v").as("va"), col("nrm").as("na"))
+    val c = ev.select(col("vec_id").as("neighbor_id"),
+      col("label"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    p.join(c, Seq("label"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", round(expr(dot) / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        col("cosine"), col("label"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** GRAPH-INDEX INGESTION — the online-maintenance shape of the nng
     * tier, completing the ingest family (dedup_ingest /
     * dedup_containment_ingest / sim_lex_ingest): arriving vectors
@@ -2349,7 +2404,8 @@ object SimQueries {
   }
 
   val all: Seq[GQuery] =
-    Seq(simTopkNng, simNngIngest, simRecallNng, simTopkHamming, simCosineTopk,
+    Seq(simTopkNng, simNngIngest, simRecallNng, simTopkFiltered,
+      simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,

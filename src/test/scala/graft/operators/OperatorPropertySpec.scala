@@ -4291,6 +4291,72 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("agg_mutual_info: exact-grid replay; MI within [0, min entropy]") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def l8(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def p12(num: Long, den: Long): BigDecimal =
+      BigDecimal(num.toDouble / den)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val cells = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority").count()
+      .collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val n = cells.values.sum
+    val rt = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val mi = cells.map { case ((sg, pr), o) =>
+      p12(o, n) * (l8(o.toDouble) + l8(n.toDouble)
+        - l8(rt(sg).toDouble) - l8(ct(pr).toDouble))
+    }.sum
+    def h(m: Map[String, Long]): BigDecimal =
+      m.values.map(v => -(p12(v, n) * (l8(v.toDouble) - l8(n.toDouble)))).sum
+    val (hs, hp) = (h(rt), h(ct))
+    val r = AggQueries.aggMutualInfo.fn(spark, sfDir).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == r6(mi.toDouble), "mi")
+    assert(r.getDouble(2) == r6(hs.toDouble), "h_seg")
+    assert(r.getDouble(3) == r6(hp.toDouble), "h_prio")
+    assert(r.getDouble(4) ==
+      r6(mi.toDouble / math.min(hs.toDouble, hp.toDouble)), "nmi")
+    // information-theoretic bounds (up to the 8-place log rounding)
+    assert(r.getDouble(1) >= -1e-6)
+    assert(r.getDouble(1) <= math.min(r.getDouble(2), r.getDouble(3)) + 1e-6)
+    assert(r.getDouble(4) >= -1e-6 && r.getDouble(4) <= 1 + 1e-6)
+  }
+
+  test("sim_topk_filtered: label blocking == brute-force filtered ranking") {
+    val rows = SimQueries.simTopkFiltered.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val expected = vecs.filter(_._1 < 50).flatMap { case (pid, lb, pv) =>
+      vecs.filter(x => x._2 == lb && x._1 != pid)
+        .map { case (nid, _, nv) => (nid, cos(pv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3).zipWithIndex
+        .map { case ((nid, c), i) => (pid, i + 1, nid, c, lb) }
+    }.toSet
+    assert(rows.toSet == expected)
+    // every result shares the probe's label (the filter actually binds)
+    val lbl = vecs.map(v => v._1 -> v._2).toMap
+    rows.foreach { case (pid, _, nid, _, l) =>
+      assert(lbl(pid) == l && lbl(nid) == l) }
+  }
+
   test("dedup_clusters_incremental: contracted apply == full recompute; boundary merges exist") {
     val full = DedupQueries.dedupClusters.fn(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
