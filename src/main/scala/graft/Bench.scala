@@ -51,7 +51,8 @@ object Bench {
     val prebuilt = Seq("sim_topk_ivf", "sim_topk_ivfpq", "dedup_ingest",
         "dedup_containment_ingest", "join_bucketed_colocated",
         "sim_hybrid_indexed", "sim_hybrid_ivf", "sim_lex_ingest",
-        "sim_bm25_indexed", "sim_topk_nng", "sim_nng_ingest")
+        "sim_bm25_indexed", "sim_topk_nng", "sim_nng_ingest",
+        "sim_topk_nng_descent")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

@@ -2150,8 +2150,12 @@ object SimQueries {
     * adj, hash-ordered entries), probes from `probeWhere`, then
     * `rounds` beam-expansion rounds ending in `v{rounds}` =
     * (probe_id, node, cosine), every visited node scored. */
-  private def nngWalkCtes(kNeighbors: Int, nEntries: Int, beam: Int,
-      rounds: Int, baseWhere: String, probeWhere: String): String = {
+  /** The greedy-beam-walk CTE rounds — assumes CTEs `adj(src, dst)`
+    * (the symmetrized graph), `nb(vec_id, v, nrm)` (scorable nodes),
+    * `p(probe_id, v, nrm)` (probes), and `ent(node)` (entry points)
+    * are already in scope; produces `v0..v{rounds}` with every
+    * visited (probe_id, node, cosine). */
+  private def nngBeamCtes(beam: Int, rounds: Int): String = {
     val sc = "round(list_dot_product(p.v, nn.v) / (p.nrm * nn.nrm), 6)"
     val roundCte = (r: Int) =>
       s"""f$r AS (
@@ -2171,6 +2175,14 @@ object SimQueries {
          |             JOIN nb nn ON nn.vec_id = c.node),
          |v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r)"""
         .stripMargin
+    s"""v0 AS (
+       |  SELECT p.probe_id, ent.node, $sc AS cosine
+       |  FROM p CROSS JOIN ent JOIN nb nn ON nn.vec_id = ent.node),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
+  private def nngWalkCtes(kNeighbors: Int, nEntries: Int, beam: Int,
+      rounds: Int, baseWhere: String, probeWhere: String): String = {
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
        |      FROM e),
@@ -2197,10 +2209,136 @@ object SimQueries {
        |    concat('nng:', CAST(vec_id AS VARCHAR))), 1, 12)) AS BIGINT),
        |    vec_id
        |  LIMIT $nEntries),
-       |v0 AS (
-       |  SELECT p.probe_id, ent.node, $sc AS cosine
-       |  FROM p CROSS JOIN ent JOIN nb nn ON nn.vec_id = ent.node),
-       |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
+       |${nngBeamCtes(beam, rounds)}""".stripMargin
+  }
+
+  /** The NN-Descent build's oracle CTE chain (graft.api.Similarity
+    * .nngBuildDescent): hash-ring init at pool width, `buildRounds`
+    * symmetrize → neighbor-of-neighbor → re-score → top-pool
+    * refinements, then the final top-k lists as `g(src, dst)` and
+    * their symmetrization as `adj` — the graph the beam walk serves.
+    * Assumes `e`/`n` in scope; all descent CTEs are d-prefixed so the
+    * walk CTEs compose without collision. */
+  private def nngDescentGraphCtes(k: Int, pool: Int,
+      buildRounds: Int): String = {
+    val sc = "round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)"
+    // AS MATERIALIZED breaks DuckDB's default CTE inlining — each
+    // round references the previous one several times, so inlined
+    // plans double per round (2^rounds base-table scans blew the fd
+    // limit at 11 rounds)
+    val roundCte = (r: Int) =>
+      s"""dad$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM dc${r - 1}
+         |    UNION ALL SELECT dst AS src, src AS dst FROM dc${r - 1})),
+         |du$r AS (
+         |  SELECT DISTINCT x.src, y.dst
+         |  FROM dad$r x JOIN dad$r y ON x.dst = y.src
+         |  WHERE x.src != y.dst
+         |  UNION
+         |  SELECT src, dst FROM dc${r - 1}),
+         |ds$r AS (
+         |  SELECT u.src, u.dst, $sc AS cosine
+         |  FROM du$r u JOIN n a ON a.vec_id = u.src
+         |              JOIN n b ON b.vec_id = u.dst),
+         |dc$r AS MATERIALIZED (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT src, dst, cosine, row_number() OVER (
+         |      PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+         |    FROM ds$r) WHERE rk <= $pool)""".stripMargin
+    s"""drk AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |    CAST(concat('0x', substr(md5(
+       |      concat('nngd:', CAST(vec_id AS VARCHAR))), 1, 12))
+       |      AS BIGINT), vec_id) - 1 AS r
+       |  FROM e),
+       |dcnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |di AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM drk a, dcnt,
+       |    (SELECT CAST(unnest(range(1, ${pool + 1})) AS BIGINT) AS o) oo,
+       |    drk b
+       |  WHERE b.r = (a.r + oo.o) % dcnt.n),
+       |ds0 AS (
+       |  SELECT u.src, u.dst, $sc AS cosine
+       |  FROM di u JOIN n a ON a.vec_id = u.src
+       |            JOIN n b ON b.vec_id = u.dst),
+       |dc0 AS MATERIALIZED (
+       |  SELECT src, dst, cosine FROM (
+       |    SELECT src, dst, cosine, row_number() OVER (
+       |      PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+       |    FROM ds0) WHERE rk <= $pool),
+       |${(1 to buildRounds).map(roundCte).mkString(",\n")},
+       |g AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rk
+       |    FROM dc$buildRounds) WHERE rk <= $k),
+       |adj AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g
+       |    UNION ALL SELECT dst AS src, src AS dst FROM g))""".stripMargin
+  }
+
+  /** GRAPH-ANN with a LINEAR-cost BUILD — the same beam-walk serving
+    * as sim_topk_nng, but over a graph built by the NN-DESCENT-style
+    * refinement (graft.api.Similarity.nngBuildDescent) instead of the
+    * exact all-pairs tier: hash-ring init, 10 symmetrize →
+    * neighbor-of-neighbor → re-score → keep-top-pool rounds (pool 20 —
+    * iterating wider than the emitted k=10 is what converges on
+    * weakly-clustered 64-dim data; measured edge recall 0.92 at 2,000
+    * vectors), then the top-10 lists serve the identical walk. This
+    * is the 100 TB BUILD story the exact tier cannot tell: per-round
+    * cost is |nodes|·(2·pool)² keyed rows — n·pool²·log n total vs
+    * the exact build's n² (BASELINE.md's IndexBench table) — and the
+    * ENTIRE pipeline (ring, every refinement round, the walk) is
+    * deterministic, so the oracle replays build AND search end to
+    * end. Build rounds are FIXED at 10 here for a stable oracle
+    * (⌈log₂ n⌉ at the bench SF; graft.IndexBench sizes adaptively).
+    *
+    * Scale shape: serving identical to sim_topk_nng (corpus never
+    * scanned, visited set corpus-invariant); the build is offline
+    * through IndexStore (family nngd_k10p20r10), each round two keyed
+    * self-joins + one scoring join + a per-src window — no stage ever
+    * materializes more than |nodes|·(2·pool)² rows. */
+  val simTopkNngDescent: GQuery = {
+    val (k, pool, buildRounds) = (10, 20, 10)
+    val (nEntries, beam, walkRounds, kOut) = (8, 10, 4, 3)
+    GQuery("sim_topk_nng_descent",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM e),
+         |nb AS (SELECT * FROM n),
+         |${nngDescentGraphCtes(k, pool, buildRounds)},
+         |p AS (SELECT vec_id AS probe_id, v, nrm FROM n
+         |      WHERE vec_id < 50),
+         |ent AS (
+         |  SELECT vec_id AS node FROM e
+         |  ORDER BY CAST(concat('0x', substr(md5(
+         |    concat('nng:', CAST(vec_id AS VARCHAR))), 1, 12)) AS BIGINT),
+         |    vec_id
+         |  LIMIT $nEntries),
+         |${nngBeamCtes(beam, walkRounds)}
+         |SELECT probe_id, rk, node AS neighbor_id, cosine FROM (
+         |  SELECT probe_id, node, cosine, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
+         |  FROM v$walkRounds WHERE node != probe_id)
+         |WHERE rk <= $kOut
+         |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val nngPath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("nngd_k10p20r10", dir,
+          "embeddings.parquet")) {
+        tmp => graft.api.Similarity.nngBuildDescent(ev, "vec_id", "v",
+          tmp, k = k, rounds = buildRounds, pool = pool,
+          nEntries = nEntries)
+      }
+      graft.api.Similarity.nngTopK(ev.filter(col("vec_id") < 50),
+        "vec_id", "v", nngPath, k = kOut, beam = beam,
+        rounds = walkRounds)
+        .orderBy(col("probe_id"), col("rk"))
+    }
   }
 
   val simTopkNng: GQuery = {
@@ -2404,8 +2542,8 @@ object SimQueries {
   }
 
   val all: Seq[GQuery] =
-    Seq(simTopkNng, simNngIngest, simRecallNng, simTopkFiltered,
-      simTopkHamming, simCosineTopk,
+    Seq(simTopkNng, simNngIngest, simRecallNng, simTopkNngDescent,
+      simTopkFiltered, simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
       dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,

@@ -4291,6 +4291,156 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("nngBuildDescent: linear build replays exactly; edge recall beats the ring") {
+    import graft.api.Similarity
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val byId = vecs.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (byId(a), byId(b))
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); na += x(i) * x(i)
+        nb += y(i) * y(i); i += 1 }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def phash(salt: String, id2: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$id2".getBytes("UTF-8"))
+      md.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val (k, rounds, pool) = (10, 6, 20)
+    val n = vecs.length
+    val ring = vecs.map(_._1).sortBy(i => (phash("nngd:", i), i))
+    val rank = ring.zipWithIndex.toMap
+    val atRank = ring.zipWithIndex.map(_.swap).toMap
+    def topN(cand: Map[Long, Set[Long]], nKeep: Int): Map[Long, Seq[Long]] =
+      cand.map { case (s2, ds) =>
+        s2 -> ds.toSeq.map(d => (d, cos(s2, d)))
+          .sortBy { case (d, c) => (-c, d) }.take(nKeep).map(_._1) }
+    val init: Map[Long, Set[Long]] = vecs.map { case (s2, _) =>
+      s2 -> (1 to pool).map(o => atRank((rank(s2) + o) % n)).toSet }.toMap
+    var cand = topN(init, pool)
+    for (_ <- 1 to rounds) {
+      val adj = cand.toSeq
+        .flatMap { case (s2, ds) => ds.flatMap(d => Seq(s2 -> d, d -> s2)) }
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      val next = vecs.map { case (s2, _) =>
+        val nn2 = adj.getOrElse(s2, Set.empty)
+          .flatMap(m => adj.getOrElse(m, Set.empty)) - s2
+        s2 -> (nn2 ++ cand(s2))
+      }.toMap
+      cand = topN(next, pool)
+    }
+    val candK = cand.map { case (k2, v) => k2 -> v.take(k) }
+    // drive the distributed build and compare the full edge set
+    val tmp = java.nio.file.Files
+      .createTempDirectory("nng_descent_spec").toString
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    Similarity.nngBuildDescent(ev, "vec_id", "v", tmp, k = k,
+      rounds = rounds, pool = pool)
+    val got = spark.read.parquet(s"$tmp/edges")
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val expected = candK.map { case (k2, v) => k2 -> v.toSet }
+    assert(got == expected, "descent trajectory diverged")
+    // edge recall vs the exact top-k lists: descent must clearly beat
+    // the hash-ring init it started from
+    val exact = vecs.map { case (s2, _) =>
+      s2 -> vecs.map(_._1).filter(_ != s2)
+        .map(d => (d, cos(s2, d)))
+        .sortBy { case (d, c) => (-c, d) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(g: Map[Long, Set[Long]]): Double =
+      g.map { case (s2, ds) => (ds & exact(s2)).size }.sum.toDouble /
+        (n * k)
+    val rInit = recall(topN(init, k)
+      .map { case (k2, v) => k2 -> v.toSet })
+    val rFinal = recall(got)
+    assert(rFinal >= 0.9, f"descent edge recall $rFinal%.3f too low")
+    assert(rFinal > rInit + 0.3,
+      f"descent ($rFinal%.3f) did not improve on the ring ($rInit%.3f)")
+    // the descent graph serves through the SAME walk
+    val served = Similarity.nngTopK(ev.filter($"vec_id" < 5),
+      "vec_id", "v", tmp, k = 3)
+    assert(served.count() == 15)
+  }
+
+  test("sim_topk_nng_descent: full build+walk replay at the contract parameters") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val byId = vecs.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (byId(a), byId(b))
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); na += x(i) * x(i)
+        nb += y(i) * y(i); i += 1 }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def phash(salt: String, id2: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$id2".getBytes("UTF-8"))
+      md.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val (k, pool, buildRounds) = (10, 20, 10)
+    val n = vecs.length
+    // descent build replay
+    val ring = vecs.map(_._1).sortBy(i => (phash("nngd:", i), i))
+    val rank = ring.zipWithIndex.toMap
+    val atRank = ring.zipWithIndex.map(_.swap).toMap
+    def topN(cand: Map[Long, Set[Long]], nKeep: Int): Map[Long, Seq[Long]] =
+      cand.map { case (s2, ds) =>
+        s2 -> ds.toSeq.map(d => (d, cos(s2, d)))
+          .sortBy { case (d, c) => (-c, d) }.take(nKeep).map(_._1) }
+    var cand = topN(vecs.map { case (s2, _) =>
+      s2 -> (1 to pool).map(o => atRank((rank(s2) + o) % n)).toSet }.toMap,
+      pool)
+    for (_ <- 1 to buildRounds) {
+      val adj = cand.toSeq
+        .flatMap { case (s2, ds) => ds.flatMap(d => Seq(s2 -> d, d -> s2)) }
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      cand = topN(vecs.map { case (s2, _) =>
+        val nn2 = adj.getOrElse(s2, Set.empty)
+          .flatMap(m => adj.getOrElse(m, Set.empty)) - s2
+        s2 -> (nn2 ++ cand(s2))
+      }.toMap, pool)
+    }
+    val g = cand.map { case (k2, v) => k2 -> v.take(k) }
+    val adjF: Map[Long, Set[Long]] = g.toSeq
+      .flatMap { case (s2, ds) => ds.flatMap(d => Seq(s2 -> d, d -> s2)) }
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    // walk replay (entries salt nng:, beam 10, 4 rounds, top-3 out)
+    val entries = vecs.map(_._1).sortBy(i => (phash("nng:", i), i)).take(8)
+    val probes = vecs.map(_._1).filter(_ < 50)
+    val expected = probes.flatMap { pid =>
+      var visited: Map[Long, Double] =
+        entries.map(e => e -> cos(pid, e)).toMap
+      for (_ <- 1 to 4) {
+        val frontier = visited.toSeq
+          .sortBy { case (nd, c) => (-c, nd) }.take(10).map(_._1)
+        val fresh = frontier.flatMap(adjF.getOrElse(_, Set.empty))
+          .distinct.filterNot(visited.contains)
+        visited = visited ++ fresh.map(nd => nd -> cos(pid, nd))
+      }
+      visited.toSeq.filter(_._1 != pid)
+        .sortBy { case (nd, c) => (-c, nd) }.take(3).zipWithIndex
+        .map { case ((nd, c), i) => (pid, i + 1, nd, c) }
+    }.toSet
+    val got = SimQueries.simTopkNngDescent.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected, "descent build+walk trajectory diverged")
+  }
+
   test("agg_mutual_info: exact-grid replay; MI within [0, min entropy]") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
