@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 339-query bench/iso fleet accumulates memoized
+  // frames and per-round localCheckpoint blocks in one JVM — at 8g the
+  // tail of the run GC-thrashes (measured 5-10x inflation on warm
+  // queries); the harness host has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -68,7 +68,7 @@ object IsoBench {
     "sim_topk_hamming", "mining_item_cf",
     // session-12 rows above (or near) the 1 s warm band
     "graph_modularity", "text_winnowing", "multimodal_phash_wide",
-    "sim_topk_nng", "sim_nng_ingest")
+    "sim_topk_nng", "sim_nng_ingest", "sim_topk_nng_descent")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
