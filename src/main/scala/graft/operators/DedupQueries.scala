@@ -277,12 +277,15 @@ object DedupQueries {
     val basePairs = pairs.filter(baseOnly)
     val newPairs = pairs.filter(!baseOnly)
     // yesterday's state: one (node, label) row per base-graph node
+    // (two-phase schedule — measured FASTER and TIGHTER than the
+    // alternating one at worst-case dup density, BASELINE.md's
+    // cleared-state 100× table)
     val baseState = graft.api.Dedup
-      .connectedComponents(basePairs, "doc1", "doc2")
+      .connectedComponentsTwoPhaseWithPasses(basePairs, "doc1", "doc2")._1
       .select(col("node").as("doc1"), col("label").as("doc2"))
     // today's apply: contracted state + arrival-touching pairs only
-    graft.api.Dedup.connectedComponents(
-        baseState.unionByName(newPairs), "doc1", "doc2")
+    graft.api.Dedup.connectedComponentsTwoPhaseWithPasses(
+        baseState.unionByName(newPairs), "doc1", "doc2")._1
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_rep"))
