@@ -55,7 +55,12 @@ object IndexBench {
         val de = spark.read.parquet(s"$base/descent/edges")
           .select(col("src"), col("dst"))
         val hit = de.join(ex, Seq("src", "dst"), "left_semi").count()
-        fields :+= f""""descent_edge_recall": ${hit.toDouble / (n * 10)}%.4f"""
+        // agreement over EMITTED descent edges (can be < n·10 per
+        // node) and coverage over the exact n·10 — reported
+        // separately so recall isn't understated by missing edges
+        val deN = de.count()
+        fields :+= f""""descent_edge_recall": ${hit.toDouble / deN}%.4f"""
+        fields :+= f""""descent_edge_coverage": ${deN.toDouble / (n * 10)}%.4f"""
       }
     }
     println(s"{${fields.mkString(", ")}, " +

@@ -746,6 +746,9 @@ object Similarity {
       .select(col("vid").as("src"), ((col("r") + col("off")) % n).as("rb"))
       .join(byRank, Seq("rb"))
       .select(col("src"), col("dst"))
+      // pool >= n wraps the ring (off ≡ 0 mod n → self-pairs, cosine
+      // 1.0, rank first, survive to the emitted edges): drop them here
+      .filter(col("src") =!= col("dst"))
     var cand = topN(score(init), pool)
     val counts = scala.collection.mutable.ArrayBuffer(cand.count())
     for (_ <- 1 to rounds) {

@@ -3491,6 +3491,16 @@ object EventQueries {
       .select(col("channel"),
         (row_number().over(Window.orderBy(col("channel"))) - 1)
           .cast("int").as("rnk"))
+    // the 16-row mask spine and the 6/2/2/6 integer weights hardcode
+    // n = 4 channels; a 5th non-purchase type would silently drop
+    // masks >= 16 and misweight coalitions IDENTICALLY in both
+    // engines (oracle parity would still pass) — fail fast instead.
+    // Bounded action: |distinct event types| rows.
+    val nCh = ch.count()
+    require(nCh == 4,
+      s"ev_attribution_shapley assumes exactly 4 non-purchase " +
+        s"channels (16-row coalition spine, 24*w(s) = 6/2/2/6); " +
+        s"fixture has $nCh")
     val uch = ev.join(ch, ev("event_type") === ch("channel"))
       .select(col("user_id"), col("rnk")).distinct()
     val um = uch.groupBy(col("user_id"))

@@ -799,9 +799,13 @@ object GraphQueries {
     * edges, D_c sums member degrees, and 2m is the directed edge
     * count. The brand graph is complete (labels collapse trivially —
     * the graph_communities caveat), so this runs on the 2000-node
-    * part graph where the partition is non-trivial. Everything up to
-    * the final per-community algebra is exact integers; the oracle
-    * unrolls the same 2 label-propagation rounds (deterministic
+    * part graph where the partition is non-trivial. The ENTIRE
+    * output is exact integers: instead of a rounded-double Q_c we
+    * emit the numerator q_num = e_c·2m − D_c² (BIGINT) plus the 2m
+    * scalar, so Q_c = q_num/(2m)² — no float crosses the oracle
+    * boundary (round(−ε, 6) is −0.0 in DuckDB but +0.0 in Spark:
+    * equal values, different hash bytes). The oracle unrolls the
+    * same 2 label-propagation rounds (deterministic
     * count-desc/label tiebreak).
     *
     * Scale shape: label propagation is one keyed join + one
@@ -838,9 +842,9 @@ object GraphQueries {
          |  FROM l2 JOIN deg ON l2.node = deg.node GROUP BY 1)
          |SELECT c.community, c.n_nodes,
          |  CAST(coalesce(i.e_in, 0) AS BIGINT) AS intra_edges, c.d_sum,
-         |  round(CAST(coalesce(i.e_in, 0) AS DOUBLE) / m2.m
-         |    - (CAST(c.d_sum AS DOUBLE) / m2.m)
-         |      * (CAST(c.d_sum AS DOUBLE) / m2.m), 6) AS q_contrib
+         |  CAST(coalesce(i.e_in, 0) * m2.m
+         |    - c.d_sum * c.d_sum AS BIGINT) AS q_num,
+         |  m2.m
          |FROM comm c LEFT JOIN intra i ON c.community = i.community
          |CROSS JOIN m2
          |ORDER BY c.community""".stripMargin) { (s, dir) =>
@@ -866,10 +870,15 @@ object GraphQueries {
           coalesce(col("e_in"), lit(0L)).cast("bigint")
             .as("intra_edges"),
           col("d_sum"),
-          round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
-            - (col("d_sum").cast("double") / col("m"))
-              * (col("d_sum").cast("double") / col("m")), 6)
-            .as("q_contrib"))
+          // Exact-integer modularity numerator: Q_c = q_num / m².
+          // Emitting the BIGINT (instead of a rounded double) removes
+          // both the half-ulp rounding surface AND the signed-zero
+          // hash hazard (DuckDB round(-4.5e-07,6) → -0.0, Spark →
+          // +0.0 — equal values, different bytes). BIGINT-safe while
+          // m < ~1.5e9 directed edges (d_sum ≤ 2m → d_sum² ≤ 4m²).
+          (coalesce(col("e_in"), lit(0L)) * col("m")
+            - col("d_sum") * col("d_sum")).cast("bigint").as("q_num"),
+          col("m"))
         .orderBy(col("community"))
     }
   }

@@ -242,10 +242,17 @@ object SampleQueries {
         TextQueries.tokens(s, dir).withColumnRenamed("term", "token"),
         "doc_id")
         .select(col("doc_id"), col("n_tokens"), col("quality"))
-      // composite rank key: quality desc then doc_id asc, as one long
+      // composite rank key: quality desc then doc_id asc, as one
+      // long. The doc_id field is 8 decimal digits — an id >= 1e8
+      // would silently corrupt both the pack order and the k % 1e8
+      // decode, so out-of-range FAILS FAST (per-row branch, still
+      // codegen'd; unreachable at fixture SFs, reachable at 100 TB).
+      val docIdChecked = graft.api.Keys.checkedRange(
+        col("doc_id"), 0L, 100000000L,
+        "sample_token_budget: doc_id (8-digit composite-key field)")
       val keyed = scored.select(
         ((lit(1000000L) - round(col("quality") * 1e6).cast("long"))
-          * lit(100000000L) + col("doc_id")).as("k"),
+          * lit(100000000L) + docIdChecked).as("k"),
         col("n_tokens").as("tok"))
       val budget = broadcast(
         keyed.agg((sum(col("tok")) / 4).cast("long").as("budget")))

@@ -260,8 +260,16 @@ object WindowQueries {
       .groupBy(col("o_custkey"))
       .agg((sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
         * 100).cast("bigint").as("cents"))
+    // Fixed-width descending-revenue sort key. %016d holds cents up
+    // to 1e15 − 1 (a $10-trillion-lifetime customer); beyond that the
+    // zero-padded field would go negative and silently break the
+    // lexicographic order, so out-of-range FAILS FAST instead —
+    // a per-row branch, still whole-stage codegen'd.
+    val centsChecked = lit(1000000000000000L) -
+      graft.api.Keys.checkedRange(col("cents"), 0L, 1000000000000000L,
+        "win_pareto_share: customer revenue cents")
     val keyed = cr.select(
-      format_string("%013d#%012d", lit(1000000000000L) - col("cents"),
+      format_string("%016d#%012d", centsChecked,
         col("o_custkey")).as("k"),
       col("o_custkey"), col("cents"))
     val packed = graft.api.Text.packFromCounts(
@@ -1330,12 +1338,16 @@ object WindowQueries {
       |    CAST(sum(brk) AS BIGINT) AS runs
       |  FROM r GROUP BY 1)
       |SELECT event_type, n1, n2, runs,
-      |  round((CAST(runs AS DOUBLE)
+      |  CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) <= 0
+      |    THEN CAST(NULL AS DOUBLE)
+      |    ELSE round((CAST(runs AS DOUBLE)
       |      - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
       |    / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
       |      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)), 6)
-      |    AS z_score,
-      |  CASE WHEN abs((CAST(runs AS DOUBLE)
+      |    END AS z_score,
+      |  CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) <= 0
+      |    THEN CAST(NULL AS VARCHAR)
+      |    WHEN abs((CAST(runs AS DOUBLE)
       |      - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
       |    / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
       |      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
@@ -1366,10 +1378,18 @@ object WindowQueries {
         * (lit(2) * col("n1") * col("n2") - col("n1") - col("n2")))
       .cast("double") / (n * n * (n - 1)).cast("double")
     val z = (col("runs").cast("double") - mu) / sqrt(v2)
+    // degenerate series guard (the win_granger_causality pattern):
+    // a single-sign series after tie-dropping (n1=0 or n2=0, or
+    // n1=n2=1) zeroes the variance numerator 2·n1·n2·(2n1n2−n1−n2)
+    // and z would be NaN/Inf — surface NULL instead
+    val degen = (lit(2) * col("n1") * col("n2")
+      * (lit(2) * col("n1") * col("n2") - col("n1") - col("n2"))) <= 0
     a.select(col("event_type"), col("n1"), col("n2"), col("runs"),
-        round(z, 6).as("z_score"),
-        when(abs(z) > 1.96, lit("non_random")).otherwise(lit("random"))
-          .as("verdict"))
+        when(degen, lit(null).cast("double"))
+          .otherwise(round(z, 6)).as("z_score"),
+        when(degen, lit(null).cast("string"))
+          .otherwise(when(abs(z) > 1.96, lit("non_random"))
+            .otherwise(lit("random"))).as("verdict"))
       .orderBy(col("event_type"))
   }
 

@@ -2812,13 +2812,17 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(rows.map(_.getLong(3)).sum == m2,
       "community degree sums must total the directed edge count")
     // intra edges never exceed the community's degree sum
+    val m = rows.head.getLong(5)
+    assert(m == m2, "emitted 2m scalar must equal the edge count")
     rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(3))
-      // per-community contribution is bounded: e/2m ≤ 1, (D/2m)² ≥ 0
-      assert(r.getDouble(4) <= 1.0 && r.getDouble(4) >= -1.0)
+      // exact-integer numerator matches its definition and is bounded:
+      // q_num = e_in*m - d_sum², so q_num/m² = e/2m - (D/2m)² ∈ [-1,1]
+      assert(r.getLong(4) == r.getLong(2) * m - r.getLong(3) * r.getLong(3))
+      assert(math.abs(r.getLong(4)) <= m * m)
     }
-    // total modularity is a proper number in [-0.5, 1]
-    val q = rows.map(_.getDouble(4)).sum
+    // total modularity Q = Σ q_num / m² is a proper number in [-0.5, 1]
+    val q = rows.map(_.getLong(4)).sum.toDouble / (m.toDouble * m)
     assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
     // nodes partition: community sizes sum to |V|
     val nNodes = edges.map(_._1).size

@@ -42,8 +42,15 @@ def values_equal(a: pd.Series, b: pd.Series) -> bool:
     if len(a) != len(b):
         return False
     if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
-        av, bv = a.to_numpy(), b.to_numpy()
-        return bool(np.array_equal(av, bv, equal_nan=True))
+        # BYTE-faithful, like the driver's hash: -0.0 != +0.0 (the
+        # graph_modularity r12 lesson — np.array_equal passed what the
+        # driver failed). Compare the int64 bit patterns, with NaNs
+        # canonicalized to one quiet-NaN payload first.
+        av = a.to_numpy(dtype="float64", copy=True)
+        bv = b.to_numpy(dtype="float64", copy=True)
+        av[np.isnan(av)] = np.nan
+        bv[np.isnan(bv)] = np.nan
+        return bool(np.array_equal(av.view(np.int64), bv.view(np.int64)))
     try:
         am, bm = a.isna(), b.isna()
         if not am.equals(bm):
