@@ -577,8 +577,13 @@ object Dedup {
   def connectedComponentsWithRounds(pairs: DataFrame, src: String,
       dst: String, maxRounds: Int = 256): (DataFrame, Int) = {
     val (cur0, selfLoops) = canonicalEdges(pairs, src, dst)
+    alternatingLoop(cur0, cur0.count(), selfLoops, maxRounds)
+  }
+
+  private def alternatingLoop(cur0: DataFrame, cnt0: Long,
+      selfLoops: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     var cur = cur0
-    var curCnt = cur.count()
+    var curCnt = cnt0
     var rounds = 0
     var done = curCnt == 0L
     while (!done && rounds < maxRounds) {
@@ -612,8 +617,13 @@ object Dedup {
   def connectedComponentsTwoPhaseWithPasses(pairs: DataFrame,
       src: String, dst: String, maxPasses: Int = 512): (DataFrame, Int) = {
     val (cur0, selfLoops) = canonicalEdges(pairs, src, dst)
+    twoPhaseLoop(cur0, cur0.count(), selfLoops, maxPasses)
+  }
+
+  private def twoPhaseLoop(cur0: DataFrame, cnt0: Long,
+      selfLoops: DataFrame, maxPasses: Int): (DataFrame, Int) = {
     var cur = cur0
-    var curCnt = cur.count()
+    var curCnt = cnt0
     var passes = 0
     // run `pass` to ITS fixed point; true iff any application changed
     // the edge set
@@ -640,6 +650,33 @@ object Dedup {
         anyChange = stabilize(largeStarPass) | stabilize(smallStarPass)
     }
     (labelStars(cur, selfLoops), passes)
+  }
+
+  /** STATS-DRIVEN contraction-schedule chooser (the jaccardPairs
+    * Σdf·(df−1)/2 precedent applied to CC): probe the canonical pair
+    * graph's average degree 2·|E|/|V| — |E| is the count every loop
+    * takes anyway as its convergence state, |V| one extra bounded
+    * aggregate — and pick the schedule the data wants. The
+    * cleared-state 100× re-probe (BASELINE.md round-12 CC table)
+    * measured TWO-PHASE 1.6–2.2× faster at crawl-mirror clone density
+    * (dup clusters of ~100 → avg degree ≫ 4) while ALTERNATING wins
+    * at fixture density (tiny cliques, avg degree < 3). Both
+    * schedules contract to identical minimum-label stars — the choice
+    * is pure speed, so callers keep their oracle either way. Returns
+    * (labels, schedule-chosen, avg degree). */
+  def connectedComponentsAuto(pairs: DataFrame, src: String,
+      dst: String, denseAvgDegree: Double = 4.0)
+      : (DataFrame, String, Double) = {
+    val (cur0, selfLoops) = canonicalEdges(pairs, src, dst)
+    val nE = cur0.count()
+    val nV = cur0.select(col("a").as("n"))
+      .union(cur0.select(col("b").as("n"))).distinct().count()
+    val avgDeg = if (nV == 0) 0.0 else 2.0 * nE / nV
+    if (avgDeg >= denseAvgDegree)
+      (twoPhaseLoop(cur0, nE, selfLoops, 512)._1, "two_phase", avgDeg)
+    else
+      (alternatingLoop(cur0, nE, selfLoops, 256)._1, "alternating",
+        avgDeg)
   }
 
   /** The end-to-end per-document dedup DECISION a training pipeline
@@ -669,7 +706,9 @@ object Dedup {
       minhashBandPairs(minhashSignatures(
         wordShingles(docs, id, text), id), id, minEst))
       .select(col("doc1"), col("doc2"))
-    val lab = connectedComponents(p, "doc1", "doc2")
+    // schedule picked by the pair graph's measured density — labels
+    // are schedule-invariant (see connectedComponentsAuto)
+    val lab = connectedComponentsAuto(p, "doc1", "doc2")._1
       .select(col("node").as(id), col("label").as("rep"))
     docs.select(col(id))
       .join(exKeep, Seq(id), "left")

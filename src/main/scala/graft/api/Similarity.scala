@@ -715,7 +715,7 @@ object Similarity {
     * re-adjudicates). */
   def nngBuildDescent(corpus: DataFrame, id: String, vec: String,
       path: String, k: Int = 10, rounds: Int = 6, pool: Int = 20,
-      nEntries: Int = 8): Seq[Long] = {
+      nEntries: Int = 8, maxJoinRows: Long = 64000000L): Seq[Long] = {
     val e = prep(corpus, id, vec).localCheckpoint()
     // planning-time ring size (bounded 1-row collect, the ivf nProbe
     // discipline)
@@ -750,17 +750,43 @@ object Similarity {
       // 1.0, rank first, survive to the emitted edges): drop them here
       .filter(col("src") =!= col("dst"))
     var cand = topN(score(init), pool)
+    var candParts: Seq[DataFrame] = Seq(cand)
     val counts = scala.collection.mutable.ArrayBuffer(cand.count())
+    // Chunked rounds (round-12 verdict item 4): the per-round
+    // neighbor-of-neighbor join materializes ≈ n·(2·pool)² rows —
+    // 320M at 200k vectors, which OOMed the single-JVM 24g default
+    // and needed 64g. Splitting the SRC side into hash chunks and
+    // running the join chunk-by-chunk bounds the in-flight join to
+    // maxJoinRows while producing the IDENTICAL result: chunks
+    // partition the src space and topN partitions by src, so the
+    // union of per-chunk topNs equals the global topN. A real
+    // cluster spreads the join across executors; chunking makes the
+    // same build reproducible at default heap on one JVM.
+    val nChunks = math.max(1, math.ceil(
+      n.toDouble * (2.0 * pool) * (2.0 * pool) / maxJoinRows).toInt)
+    val chunkOf = pmod(
+      Sampling.portableHash(col("src"), "nngd:chunk:"), lit(nChunks))
     for (_ <- 1 to rounds) {
+      val prevParts = candParts
       val d = cand.select(col("src"), col("dst"))
       val adj = d.unionByName(
-        d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      val nn2 = adj.select(col("src"), col("dst").as("mid"))
-        .join(adj.select(col("src").as("mid"), col("dst")), Seq("mid"))
-        .select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-      cand = topN(score(nn2.unionByName(d).distinct()), pool)
+        d.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      candParts = (0 until nChunks).map { c =>
+        val adjC = if (nChunks == 1) adj else adj.filter(chunkOf === c)
+        val dC = if (nChunks == 1) d else d.filter(chunkOf === c)
+        val nn2 = adjC.select(col("src"), col("dst").as("mid"))
+          .join(adj.select(col("src").as("mid"), col("dst")), Seq("mid"))
+          .select(col("src"), col("dst"))
+          .filter(col("src") =!= col("dst"))
+        topN(score(nn2.unionByName(dC).distinct()), pool)
+      }
+      cand = candParts.reduce(_ unionByName _)
       counts += cand.count()
+      // free the superseded round's checkpoints (they otherwise
+      // accumulate rounds × n·pool cached rows across ~log₂ n rounds)
+      prevParts.foreach(_.unpersist())
+      adj.unpersist()
     }
     val kept = cand.filter(col("rk") <= k)
     kept.write.mode("overwrite").parquet(s"$path/edges")

@@ -225,7 +225,11 @@ object DedupQueries {
   val dedupClusters: GQuery = GQuery(
     "dedup_clusters", duckClustersSql) { (s, dir) =>
     val pairs = minhashPairsSpark(s, dir).select(col("doc1"), col("doc2"))
-    graft.api.Dedup.connectedComponents(pairs, "doc1", "doc2")
+    // schedule chosen by the pair graph's measured density (avg
+    // degree probe): alternating at fixture density, two-phase at
+    // crawl-mirror clone density — identical labels either way, so
+    // the transitive-closure oracle is schedule-blind
+    graft.api.Dedup.connectedComponentsAuto(pairs, "doc1", "doc2")._1
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_rep"))

@@ -100,4 +100,38 @@ class ConnectedComponentsSpec extends SparkTestBase {
     (0L to 4L).foreach(v => assert(lab(v) == 0L))
     (10L to 14L).foreach(v => assert(lab(v) == 10L))
   }
+
+  test("auto chooser: sparse pairs → alternating, clone-dense → two_phase, labels schedule-invariant") {
+    // sparse: 2-cliques (pairs) — avg degree 1, fixture-like
+    val sparse = (0L until 40L by 2L).map(i => (i, i + 1))
+    val (labS, schedS, degS) = Dedup.connectedComponentsAuto(
+      sparse.toDF("s", "d"), "s", "d")
+    assert(schedS == "alternating", f"sparse avg degree $degS%.2f")
+    assert(degS < 4.0)
+    // dense: one 30-clone clique — avg degree 29, crawl-mirror-like
+    val dense = for (a <- 0L until 30L; b <- 0L until 30L if a < b)
+      yield (a, b)
+    val (labD, schedD, degD) = Dedup.connectedComponentsAuto(
+      dense.toDF("s", "d"), "s", "d")
+    assert(schedD == "two_phase", f"dense avg degree $degD%.2f")
+    assert(degD == 29.0)
+    // both schedules contract to the SAME minimum labels
+    val gotS = labS.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sparse.foreach { case (a, b) =>
+      assert(gotS(a) == a && gotS(b) == a) }
+    val gotD = labD.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 30L).foreach(v => assert(gotD(v) == 0L))
+    // and on a mixed random graph, auto == alternating == two-phase
+    val rnd = new Random(13)
+    val edges = Seq.fill(120)(
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = edges.toDF("s", "d")
+    val a = Dedup.connectedComponents(df, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = Dedup.connectedComponentsTwoPhaseWithPasses(df, "s", "d")._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val u = Dedup.connectedComponentsAuto(df, "s", "d")._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == t && t == u)
+  }
 }
