@@ -250,4 +250,89 @@ object DedupStreams {
     bandJoin(arrivals, prunedCorpus, id, Seq("bkt", "b", "k1", "k2"),
       minEst)
   }
+
+  /** Per-row SPAN cutter shared by [[spanIndexBuild]] and
+    * [[spansAgainstSavedIndex]] — the dedup_span_global chunking
+    * (consecutive non-overlapping `spanLen`-token spans) computed
+    * entirely from one document row's own arrays, so it is STATELESS
+    * and runs identically on batch and streaming frames:
+    * (id, cidx, span, ctoks, first_intra) where first_intra is true
+    * iff this is the span text's first occurrence WITHIN the document
+    * (array_position over the doc's own span list — O(spans²) per
+    * doc, bounded by document length, never cross-row). */
+  private def spanRows(docs: DataFrame, id: String, text: String,
+      spanLen: Int): DataFrame =
+    docs
+      .select(col(id), split(col(text), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("spans", expr(
+        s"""transform(sequence(0, CAST((n + ${spanLen - 1}) DIV $spanLen
+           | AS INT) - 1),
+           | i -> array_join(slice(ts, i * $spanLen + 1, $spanLen), ' '))
+           |""".stripMargin.replace("\n", "")))
+      .select(col(id), col("n"), col("spans"),
+        posexplode(col("spans")).as(Seq("cidx", "span")))
+      .select(col(id), col("cidx").cast("long").as("cidx"), col("span"),
+        least(lit(spanLen), col("n") - col("cidx") * spanLen)
+          .cast("int").as("ctoks"),
+        (array_position(col("spans"), col("span")) === col("cidx") + 1)
+          .as("first_intra"))
+
+  /** SAVED span index — the batch half of dedup_span_global's
+    * streaming twin: one hash-shuffle with map-side combine collapses
+    * the corpus to its DISTINCT span texts (plus the first-occurrence
+    * position, same (doc_id·1e6 + cidx) encoding and range guard as
+    * the batch query, for provenance). At 100 TB this is the same
+    * single shuffle the batch rewrite pays; the index is linear in
+    * distinct spans. */
+  def spanIndexBuild(docs: DataFrame, id: String, text: String,
+      path: String, spanLen: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val encodedPos = when(
+      col("cidx") >= 1000000L || col(id) < 0L ||
+        col(id) > 9000000000000L,
+      raise_error(concat(
+        lit("spanIndexBuild: (id, span) outside the 1e6 position " +
+          "encoding: id="), col(id), lit(" cidx="), col("cidx")))
+        .cast("long"))
+      .otherwise(col(id) * 1000000L + col("cidx"))
+    spanRows(docs, id, text, spanLen)
+      .groupBy(col("span"))
+      .agg(min(encodedPos).as("pos"))
+      .write.mode("overwrite").parquet(s"$path/spans")
+    import spark.implicits._
+    Seq(spanLen).toDF("span_len")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** SPAN-level rewrite of an arrival stream against the saved span
+    * index — the streaming twin of dedup_span_global (the one dedup
+    * family member without one, round-12 verdict item 8). Where the
+    * batch query reports a per-doc survival rollup, the stream emits
+    * the REWRITING form itself — one row per arrival span with its
+    * fate: `seen_in_base` (span text exists anywhere in the indexed
+    * corpus), `intra_doc` (repeated within the arrival itself), or
+    * NULL (kept — these rows ARE the cleaned span stream). Everything
+    * stream-side is per-row expressions plus ONE stream-static left
+    * join on the span text — no aggregate, no watermark, Append-safe
+    * forever; batch callers run the identical plan (the spec pins
+    * stream ≡ batch ≡ the dedup_span_global first-occurrence
+    * semantics). Cross-ARRIVAL dedup is deliberately not claimed:
+    * like nearDupsAgainstSavedIndex, arrivals probe the pre-built
+    * index (bulk semantics) — fold a batch into the index with
+    * [[spanIndexBuild]] over the grown corpus when it lands. */
+  def spansAgainstSavedIndex(stream: DataFrame, path: String,
+      id: String, text: String): DataFrame = {
+    val spark = stream.sparkSession
+    val spanLen = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("span_len")
+    val idx = spark.read.parquet(s"$path/spans")
+      .select(col("span"), lit(true).as("in_base"))
+    spanRows(stream, id, text, spanLen)
+      .join(idx, Seq("span"), "left")
+      .select(col(id), col("cidx"), col("span"), col("ctoks"),
+        when(col("in_base"), lit("seen_in_base"))
+          .when(!col("first_intra"), lit("intra_doc"))
+          .otherwise(lit(null).cast("string")).as("drop_reason"))
+  }
 }

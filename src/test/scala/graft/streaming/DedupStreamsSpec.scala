@@ -144,4 +144,55 @@ class DedupStreamsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == viaMem)
   }
+
+  test("streaming span rewrite against the saved span index equals batch and first-occurrence semantics") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_spanidx_stream").toString
+    DedupStreams.spanIndexBuild(corpusDocs.toDF(), "doc_id", "text", path)
+    // plant an arrival that is an exact copy of an indexed doc (every
+    // span must drop as seen_in_base) and one with an internal repeat
+    val copied = Doc(999997L, corpusDocs.head.text)
+    val w8 = (1 to 8).map(i => s"zq$i").mkString(" ")
+    val selfRep = Doc(999996L, s"$w8 $w8")
+    val feed = arrivals ++ Seq(copied, selfRep)
+    val mem = MemoryStream[Doc]
+    val q = DedupStreams.spansAgainstSavedIndex(mem.toDF(), path,
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("span_rewrite")
+      .outputMode("append").start()
+    feed.grouped(40).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3), Option(r.getString(4)))).toSet
+    val got = rowSet(spark.table("span_rewrite"))
+    // batch twin: the SAME function over a batch frame
+    val want = rowSet(DedupStreams.spansAgainstSavedIndex(feed.toDF(),
+      path, "doc_id", "text"))
+    assert(got == want && got.nonEmpty)
+    // the copied doc drops entirely as seen_in_base
+    val copiedRows = got.filter(_._1 == 999997L)
+    assert(copiedRows.nonEmpty &&
+      copiedRows.forall(_._5.contains("seen_in_base")))
+    // the self-repeat keeps span 0 and drops span 1 as intra_doc
+    assert(got.contains((999996L, 0L, w8, 8, None)))
+    assert(got.contains((999996L, 1L, w8, 8, Some("intra_doc"))))
+    // first-occurrence semantics vs a driver-side recompute of the
+    // dedup_span_global rule (base spans drop; else first intra wins)
+    val baseSpans = corpusDocs.flatMap(d =>
+      d.text.split(" ").grouped(8).map(_.mkString(" "))).toSet
+    val expect = feed.flatMap { d =>
+      val spans = d.text.split(" ").grouped(8).map(_.mkString(" ")).toSeq
+      val toks = d.text.split(" ").length
+      spans.zipWithIndex.map { case (sp, i) =>
+        val reason =
+          if (baseSpans(sp)) Some("seen_in_base")
+          else if (spans.indexOf(sp) != i) Some("intra_doc")
+          else None
+        (d.doc_id, i.toLong, sp, math.min(8, toks - i * 8), reason)
+      }
+    }.toSet
+    assert(got == expect)
+  }
 }
