@@ -668,16 +668,31 @@ object Dedup {
       dst: String, denseAvgDegree: Double = 4.0)
       : (DataFrame, String, Double) = {
     val (cur0, selfLoops) = canonicalEdges(pairs, src, dst)
+    val (nE, nV, sched) = scheduleProbe(cur0, denseAvgDegree)
+    val avgDeg = if (nV == 0) 0.0 else 2.0 * nE / nV
+    if (sched == "two_phase")
+      (twoPhaseLoop(cur0, nE, selfLoops, 512)._1, sched, avgDeg)
+    else
+      (alternatingLoop(cur0, nE, selfLoops, 256)._1, sched, avgDeg)
+  }
+
+  /** The chooser's density probe alone: (|E|, |V|, schedule) over the
+    * canonical edge set — the decision is the INTEGER compare
+    * 2·|E| ≥ denseAvgDegree·|V| (exact for integer thresholds), so an
+    * oracle can replay it verbatim (dedup_cluster_stats). */
+  private def scheduleProbe(cur0: DataFrame,
+      denseAvgDegree: Double): (Long, Long, String) = {
     val nE = cur0.count()
     val nV = cur0.select(col("a").as("n"))
       .union(cur0.select(col("b").as("n"))).distinct().count()
-    val avgDeg = if (nV == 0) 0.0 else 2.0 * nE / nV
-    if (avgDeg >= denseAvgDegree)
-      (twoPhaseLoop(cur0, nE, selfLoops, 512)._1, "two_phase", avgDeg)
-    else
-      (alternatingLoop(cur0, nE, selfLoops, 256)._1, "alternating",
-        avgDeg)
+    val dense = nV > 0 && 2.0 * nE >= denseAvgDegree * nV
+    (nE, nV, if (dense) "two_phase" else "alternating")
   }
+
+  /** [[scheduleProbe]] for callers holding a raw pair list. */
+  def ccScheduleProbe(pairs: DataFrame, src: String, dst: String,
+      denseAvgDegree: Double = 4.0): (Long, Long, String) =
+    scheduleProbe(canonicalEdges(pairs, src, dst)._1, denseAvgDegree)
 
   /** The end-to-end per-document dedup DECISION a training pipeline
     * ships: one row per document with its fate — `drop_exact`

@@ -235,6 +235,41 @@ object DedupQueries {
       .orderBy(col("cluster_rep"))
   }
 
+  /** The CC SCHEDULE CHOOSER's density probe as an oracle-backed
+    * query (round 13): the pair graph's node/edge counts and the
+    * contraction schedule the chooser would pick — the decision is
+    * the INTEGER compare 2·|E| ≥ 4·|V| (no float), so DuckDB replays
+    * it verbatim and the hash gate certifies the choice itself, not
+    * just the clusters it produces. At fixture density this row says
+    * `alternating`; on a crawl-mirror clone corpus the same query
+    * flips to `two_phase` (the regime the 100× probe measured
+    * 1.6–2.2× faster) — making the planning decision itself part of
+    * the replayable contract.
+    *
+    * Scale shape: the probe IS two bounded aggregates over the
+    * canonical edge set (|E| is the count every CC loop takes anyway
+    * as convergence state); the 1-row output assembles driver-side
+    * from those two scalars — the ivf nProbe bounded-collect
+    * discipline. */
+  val dedupClusterStats: GQuery = GQuery(
+    "dedup_cluster_stats",
+    s"""$minhashPairsCte,
+       |e AS (SELECT DISTINCT doc1 AS a, doc2 AS b FROM pairs),
+       |v AS (SELECT DISTINCT n FROM (
+       |  SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+       |c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_nodes,
+       |             (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges)
+       |SELECT n_nodes, n_edges,
+       |  CASE WHEN n_nodes > 0 AND 2 * n_edges >= 4 * n_nodes
+       |    THEN 'two_phase' ELSE 'alternating' END AS schedule
+       |FROM c""".stripMargin) { (s, dir) =>
+    val pairs = minhashPairsSpark(s, dir).select(col("doc1"), col("doc2"))
+    val (nE, nV, sched) = graft.api.Dedup.ccScheduleProbe(
+      pairs, "doc1", "doc2")
+    import s.implicits._
+    Seq((nV, nE, sched)).toDF("n_nodes", "n_edges", "schedule")
+  }
+
   /** The TWO-PHASE contraction schedule (large-star to its fixed
     * point, then small-star — one aggregate + one join per pass),
     * oracle-backed by the SAME transitive-closure SQL: the variant a
@@ -834,5 +869,5 @@ object DedupQueries {
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
     dedupIngest, dedupContainment, dedupContainmentIngest,
     dedupSpanGlobal, dedupSplitLeakage, dedupMinhashError,
-    dedupThresholdSweep)
+    dedupThresholdSweep, dedupClusterStats)
 }

@@ -2617,9 +2617,81 @@ object SimQueries {
     }
   }
 
+  /** GREEDY k-CENTER CORESET SELECTION (Gonzalez 1985 farthest-point
+    * traversal, the coreset/diversity-selection step of a
+    * data-efficient training run — pick k maximally-spread exemplars
+    * instead of a random sample): start from the smallest vec_id,
+    * then k−1 times add the vector FARTHEST from its nearest chosen
+    * center (cosine distance 1 − cos, cosines rounded 6 as everywhere
+    * in this family; farthest = smallest max-cosine, vec_id
+    * tiebreak). Every step is deterministic, so the oracle unrolls
+    * the whole traversal — the selected coreset is hash-checked, not
+    * just plausible.
+    *
+    * Scale shape: per round ONE corpus scan against a ≤k-row
+    * broadcast center set (corpus × k codegen'd dot products,
+    * map-side max per vec) + a TakeOrdered(1); k bounded 1-row
+    * collects (the ivf nProbe discipline) carry the chosen ids
+    * between rounds. Total k scans — linear in the corpus, never
+    * pairwise. */
+  val sampleKcenter: GQuery = {
+    val k = 4
+    val sc = "round(list_dot_product(x.v, c.v) / (x.nrm * c.nrm), 6)"
+    val roundCte = (t: Int) =>
+      s"""cand$t AS (
+         |  SELECT x.vec_id, max($sc) AS m
+         |  FROM n x JOIN n c ON c.vec_id IN (SELECT cid FROM cents$t)
+         |  WHERE x.vec_id NOT IN (SELECT cid FROM cents$t)
+         |  GROUP BY x.vec_id),
+         |c$t AS (SELECT vec_id AS cid, m FROM cand$t
+         |        ORDER BY m ASC, vec_id LIMIT 1),
+         |cents${t + 1} AS (
+         |  SELECT cid FROM cents$t UNION ALL SELECT cid FROM c$t)"""
+        .stripMargin
+    GQuery("sample_kcenter",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM e),
+         |c0 AS (SELECT min(vec_id) AS cid FROM n),
+         |cents1 AS (SELECT cid FROM c0),
+         |${(1 until k).map(roundCte).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT 0 AS rank, cid AS vec_id, CAST(NULL AS DOUBLE) AS dist
+         |  FROM c0
+         |  ${(1 until k).map(t =>
+             s"UNION ALL SELECT $t, cid, 1 - m FROM c$t").mkString("\n  ")})
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+        .localCheckpoint()
+      val c0 = ev.agg(min(col("vec_id"))).head().getLong(0)
+      // (rank, vec_id, dist-to-nearest-prior); grows to k entries via
+      // k−1 bounded 1-row collects
+      var centers = Seq((0, c0, Option.empty[Double]))
+      for (t <- 1 until k) {
+        val cent = ev.filter(col("vec_id")
+            .isin(centers.map(_._2): _*))
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cnrm"))
+        val next = ev.filter(!col("vec_id")
+            .isin(centers.map(_._2): _*))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            round(expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")), 6)
+              .as("cos"))
+          .groupBy(col("vec_id")).agg(max(col("cos")).as("m"))
+          .orderBy(col("m").asc, col("vec_id")).limit(1)
+          .head()
+        centers :+= ((t, next.getLong(0), Some(1.0 - next.getDouble(1))))
+      }
+      import s.implicits._
+      centers.toDF("rank", "vec_id", "dist")
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(simTopkNng, simNngIngest, simRecallNng, simTopkNngDescent,
-      simKnnClassifyNng,
+      simKnnClassifyNng, sampleKcenter,
       simTopkFiltered, simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
