@@ -68,7 +68,13 @@ object IsoBench {
     "sim_topk_hamming", "mining_item_cf",
     // session-12 rows above (or near) the 1 s warm band
     "graph_modularity", "text_winnowing", "multimodal_phash_wide",
-    "sim_topk_nng", "sim_nng_ingest", "sim_topk_nng_descent")
+    "sim_topk_nng", "sim_nng_ingest", "sim_topk_nng_descent",
+    // round-13: rows above ~1.7 s in the quiet 345-query capture
+    // (BENCH_r13_quiet 272.3 s at loadavg 0.30), incl. the three new
+    // round-13 queries
+    "dedup_clusters_incremental", "sim_recall_nng",
+    "dedup_cluster_stats", "sim_hybrid_ivf", "sim_knn_classify_nng",
+    "win_pareto_share", "sample_kcenter")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
