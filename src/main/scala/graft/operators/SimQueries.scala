@@ -251,6 +251,53 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** IVF INDEX-HEALTH AUDIT — per-cell population of the SAVED IVF
+    * index (the same stamped ivf_c8 family sim_topk_ivf / sim_range_ivf
+    * / dedup_semantic_indexed serve from): cell sizes plus integer-
+    * exact hot/cold flags (hot = cell ≥ 2× the average, cold = ≤ ⅕) —
+    * the readout that decides nProbe and rebuild cadence BEFORE a
+    * 100 TB corpus is served (a hot cell bounds worst-case probe
+    * latency; many cold cells mean wasted quantizer capacity; after
+    * enough ivfAppend drift the flags say rebuild). Oracle replays
+    * the quantizer ([[MiningQueries.kmeansOracleCte]]) and re-counts.
+    *
+    * Scale shape: the audit reads ONLY the index's `cid` partition
+    * column — with column pruning the scan touches parquet metadata,
+    * not vector bytes — then a ≤k-row aggregate and a 1-row total
+    * broadcast. Near-free at any corpus size; fourth consumer of one
+    * index build. */
+  val simIvfCellStats: GQuery = GQuery(
+    "sim_ivf_cell_stats",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |pc AS (SELECT CAST(cid AS INT) AS cid,
+       |         CAST(count(*) AS BIGINT) AS n_vectors
+       |       FROM fin GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+       |             CAST(count(*) AS BIGINT) AS n_cells FROM pc)
+       |SELECT cid, n_vectors, n_cells,
+       |  n_vectors * n_cells >= total * 2 AS hot,
+       |  n_vectors * n_cells * 5 <= total AS cold
+       |FROM pc CROSS JOIN t
+       |ORDER BY cid""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val ivfPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
+        k = 8, rounds = 2)
+    }
+    val perCell = s.read.parquet(s"$ivfPath/cells")
+      .select(col("cid").cast("int").as("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).cast("bigint").as("n_vectors"))
+    val tot = perCell.agg(sum(col("n_vectors")).cast("bigint").as("total"),
+      count(lit(1)).cast("bigint").as("n_cells"))
+    perCell.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vectors"), col("n_cells"),
+        (col("n_vectors") * col("n_cells") >= col("total") * 2).as("hot"),
+        (col("n_vectors") * col("n_cells") * 5 <= col("total")).as("cold"))
+      .orderBy(col("cid"))
+  }
+
   /** DuckDB replay of the per-subspace PQ codebook training
     * (graft.api.IvfPq.build): sub-vectors (m = 8, subDim = 8), seed
     * codes = rank among the 64 smallest vec_ids, each Lloyd round
@@ -2691,7 +2738,7 @@ object SimQueries {
 
   val all: Seq[GQuery] =
     Seq(simTopkNng, simNngIngest, simRecallNng, simTopkNngDescent,
-      simKnnClassifyNng, sampleKcenter,
+      simKnnClassifyNng, sampleKcenter, simIvfCellStats,
       simTopkFiltered, simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
