@@ -429,6 +429,116 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** ANN RECALL EVALUATION for the IVFPQ tier — the last missing row
+    * of the PER-TIER ANN DECISION MATRIX (sim_recall_eval sign-LSH,
+    * sim_recall_ivf saved-IVF, sim_recall_nng saved-graph, and now
+    * the compressed tier): exact brute-force top-3 ground truth vs
+    * the saved ivfpq_c8r8 index's ADC-shortlist + exact-re-rank
+    * answer, per-probe recall@3. The four rows together (plus each
+    * tier's serving cost from the bench) are the complete
+    * bits-vs-cells-vs-graph-vs-codes decision table a 100 TB corpus
+    * is indexed from. Oracle replays quantizer + codebooks + ADC +
+    * re-rank + the hit join — the recall table is as reproducible as
+    * the index it evaluates.
+    *
+    * Scale shape: ground truth probe-bounded (one broadcast-probe
+    * corpus scan); the ANN side rides the saved index's pruned-cell
+    * plan; the recall join is ≤ 2·k rows per probe. */
+  val simRecallIvfPq: GQuery = GQuery(
+    "sim_recall_ivfpq",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |${pqOracleCte(m = 8, subDim = 8, ksub = 64, rounds = 2)},
+       |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM fin),
+       |ex AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY round(list_dot_product(p.v, c.v)
+       |                       / (p.nrm * c.nrm), 6) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM n p JOIN n c ON p.vec_id < 50 AND c.vec_id != p.vec_id)
+       |  WHERE rk <= 3),
+       |pd AS (
+       |  SELECT p.vec_id, p.nrm, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 50) p, cfin c),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, nrm AS pn, cid FROM (
+       |    SELECT vec_id, nrm, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 3),
+       |pt AS (
+       |  SELECT sv.vec_id AS probe_id, cb.s, cb.code,
+       |    round(list_dot_product(sv.sub, cb.c), 6) AS pd6
+       |  FROM sv JOIN cbfin cb ON sv.s = cb.s
+       |  WHERE sv.vec_id < 50),
+       |cand AS (
+       |  SELECT pc.probe_id, n.vec_id AS neighbor_id, pc.pn,
+       |    n.nrm AS nn
+       |  FROM pc JOIN n ON n.cid = pc.cid AND n.vec_id != pc.probe_id),
+       |adc AS (
+       |  SELECT c.probe_id, c.neighbor_id, c.pn, c.nn,
+       |    round(sum(pt.pd6), 6) AS adcsum
+       |  FROM cand c
+       |    JOIN enc ON enc.vec_id = c.neighbor_id
+       |    JOIN pt ON pt.probe_id = c.probe_id AND pt.s = enc.s
+       |      AND pt.code = enc.code
+       |  GROUP BY c.probe_id, c.neighbor_id, c.pn, c.nn),
+       |shortl AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY adcsum / (pn * nn) DESC, neighbor_id) AS ark
+       |    FROM adc)
+       |  WHERE ark <= 48),
+       |ann AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT s.probe_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.probe_id
+       |        ORDER BY round(list_dot_product(p.v, c.v)
+       |                       / (p.nrm * c.nrm), 6) DESC,
+       |                 s.neighbor_id) AS rk
+       |    FROM shortl s JOIN n c ON c.vec_id = s.neighbor_id
+       |      JOIN n p ON p.vec_id = s.probe_id)
+       |  WHERE rk <= 3),
+       |hits AS (
+       |  SELECT ex.probe_id, count(*) AS n_hits
+       |  FROM ex JOIN ann ON ex.probe_id = ann.probe_id
+       |                  AND ex.neighbor_id = ann.neighbor_id
+       |  GROUP BY ex.probe_id),
+       |den AS (SELECT probe_id, count(*) AS n_exact FROM ex
+       |        GROUP BY probe_id)
+       |SELECT den.probe_id, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6) AS recall
+       |FROM den LEFT JOIN hits ON den.probe_id = hits.probe_id
+       |ORDER BY den.probe_id""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val probes = ev.filter(col("vec_id") < 50)
+    val exact = graft.api.Similarity.cosineTopK(ev, probes, "vec_id", "v",
+      k = 3).select(col("probe_id"), col("neighbor_id"))
+    val pqPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivfpq_c8r8", dir, "embeddings.parquet")) {
+      tmp => graft.api.IvfPq.build(ev, "vec_id", "v", tmp,
+        k = 8, rounds = 2, m = 8, ksub = 64)
+    }
+    val ann = graft.api.IvfPq.topK(probes, "vec_id", "v",
+      pqPath, k = 3, nProbe = 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = ann.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Cosine RANGE search (tau = 0.4, probes vec_id < 20) served from
     * the SAME saved IVF index as sim_topk_ivf / dedup_semantic_indexed
     * — the threshold-retrieval serving mode next to top-k: every
@@ -2738,7 +2848,7 @@ object SimQueries {
 
   val all: Seq[GQuery] =
     Seq(simTopkNng, simNngIngest, simRecallNng, simTopkNngDescent,
-      simKnnClassifyNng, sampleKcenter, simIvfCellStats,
+      simKnnClassifyNng, sampleKcenter, simIvfCellStats, simRecallIvfPq,
       simTopkFiltered, simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
