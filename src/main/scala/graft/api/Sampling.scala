@@ -199,4 +199,25 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn1", "__rn")
   }
+
+  /** UniMax water-filling (Chung et al. 2023): walk groups from
+    * SMALLEST available to largest, giving each
+    * min(cap·n, ⌊remaining / remaining_groups⌋) — a capped
+    * low-resource group's surplus flows to the larger groups instead
+    * of over-repeating it. Pure integer arithmetic over a
+    * vocabulary-bounded (group → count) list; returns
+    * (group, n, alloc) in the input's (n asc, group asc) walk order.
+    * The distributed half (the corpus-sized count aggregate and the
+    * per-row fill at rate alloc/n) lives with the callers. */
+  def unimaxAlloc(counts: Seq[(String, Long)], budget: Long,
+      cap: Int): Seq[(String, Long, Long)] = {
+    require(cap >= 1 && budget >= 0, "cap >= 1, budget >= 0")
+    val ordered = counts.sortBy { case (g, n) => (n, g) }
+    var remaining = budget
+    ordered.zipWithIndex.map { case ((g, n), idx) =>
+      val a = math.min(cap.toLong * n, remaining / (ordered.size - idx))
+      remaining -= a
+      (g, n, a)
+    }
+  }
 }

@@ -519,9 +519,85 @@ object SampleQueries {
     }
   }
 
+  /** UniMax-style EPOCH-CAPPED language budget allocation (Chung et
+    * al. 2023, "UniMax: Fairer and More Effective Language Sampling"):
+    * given a token budget B (half the corpus — SF-relative, no
+    * fixture constant) and an epoch cap C = 2, walk languages from
+    * SMALLEST available to largest and give each
+    * min(C·n_lang, remaining ⌊budget / remaining_langs⌋) — the
+    * water-filling that spends surplus from capped low-resource
+    * languages on the bigger ones instead of over-repeating them.
+    * Every step is INTEGER arithmetic (floor divisions), so the whole
+    * 5-step trajectory replays in unrolled CTEs and the allocation
+    * table is hash-checked; the only double is the final epochs
+    * readout (alloc/n rounded 6). The row-level fill rides the
+    * existing portable-hash samplers (sample_mixture /
+    * _upsampled) at rate alloc/n per language.
+    *
+    * Scale shape: ONE map-side-combining (lang → token count)
+    * aggregate over the corpus; the allocation walk is a ≤|langs|-row
+    * driver computation (the nProbe bounded-collect discipline —
+    * |langs| is a vocabulary, not data). The oracle unrolls exactly
+    * 5 languages, so the Spark side asserts the fixture invariant
+    * (the ev_attribution_shapley pattern). */
+  val sampleUnimax: GQuery = {
+    val nLangs = 5
+    val cap = 2
+    // step CTEs: s1..s5 each hold (a = this lang's allocation,
+    // r = remaining budget after it); language i = i-th smallest
+    val step = (i: Int) => {
+      val prev = if (i == 1) "t" else s"s${i - 1}"
+      val rem = if (i == 1) "b" else "r"
+      s"""s$i AS (
+         |  SELECT least($cap * o.n, $prev.$rem // ${nLangs - i + 1})
+         |           AS a,
+         |    $prev.$rem - least($cap * o.n, $prev.$rem // ${nLangs - i + 1})
+         |           AS r
+         |  FROM o, $prev WHERE o.i = $i)""".stripMargin
+    }
+    GQuery("sample_unimax",
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |o AS (SELECT lang, n,
+         |        row_number() OVER (ORDER BY n, lang) AS i FROM d),
+         |t AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b FROM d),
+         |${(1 to nLangs).map(step).mkString(",\n")}
+         |SELECT o.lang, o.n AS n_tokens,
+         |  CAST(CASE o.i ${(1 to nLangs).map(i =>
+             s"WHEN $i THEN (SELECT a FROM s$i)").mkString(" ")}
+         |    END AS BIGINT) AS alloc_tokens,
+         |  round(CAST(CASE o.i ${(1 to nLangs).map(i =>
+             s"WHEN $i THEN (SELECT a FROM s$i)").mkString(" ")}
+         |    END AS DOUBLE) / o.n, 6) AS epochs
+         |FROM o
+         |ORDER BY o.lang""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(size(split(col("text"), " "))).cast("bigint").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (lang, n) => (n, lang) }
+      // the oracle unrolls exactly 5 water-filling steps — fail fast
+      // if the fixture's language vocabulary drifts (the
+      // ev_attribution_shapley assert pattern; |langs| is bounded)
+      require(d.length == nLangs,
+        s"sample_unimax unrolls $nLangs languages; fixture has ${d.length}")
+      val alloc = graft.api.Sampling.unimaxAlloc(
+          d.toSeq, d.map(_._2).sum / 2, cap)
+        .map { case (lang, n, a) =>
+          (lang, n, a, BigDecimal(a.toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      import s.implicits._
+      alloc.sortBy(_._1)
+        .toDF("lang", "n_tokens", "alloc_tokens", "epochs")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
     sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
     sampleTemperature, sampleTokenBudget, sampleBottomK,
     sampleClassBalance, sampleKfoldAssign, sampleDedupWeights,
-    sampleNeymanAlloc)
+    sampleNeymanAlloc, sampleUnimax)
 }

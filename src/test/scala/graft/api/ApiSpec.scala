@@ -317,4 +317,28 @@ class ApiSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
     PlanCache.clear()
   }
+
+  test("unimaxAlloc water-filling: caps bind smallest-first, surplus flows up, budget conserved") {
+    // skewed counts at cap 2, budget 100: lo (n=10) caps at 20, its
+    // surplus flows to mid and hi; mid (n=30) takes min(60, 40)=40,
+    // hi takes the remaining 40
+    val a = Sampling.unimaxAlloc(
+      Seq("hi" -> 200L, "lo" -> 10L, "mid" -> 30L), budget = 100L,
+      cap = 2)
+    assert(a == Seq(("lo", 10L, 20L), ("mid", 30L, 40L),
+      ("hi", 200L, 40L)))
+    assert(a.map(_._3).sum == 100L)
+    // nothing exceeds its epoch cap
+    a.foreach { case (_, n, al) => assert(al <= 2 * n) }
+    // abundant budget: everyone caps, leftover unspent
+    val b = Sampling.unimaxAlloc(
+      Seq("a" -> 5L, "b" -> 7L), budget = 1000L, cap = 2)
+    assert(b == Seq(("a", 5L, 10L), ("b", 7L, 14L)))
+    // uniform when no cap binds (the fixture regime)
+    val c = Sampling.unimaxAlloc(
+      Seq("a" -> 100L, "b" -> 100L), budget = 100L, cap = 2)
+    assert(c.map(_._3) == Seq(50L, 50L))
+    // ties walk in group order (deterministic)
+    assert(c.map(_._1) == Seq("a", "b"))
+  }
 }
