@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous RETRIEVAL against the saved vector index — the serving
+  * shape of a streaming RAG / embedding-ingestion pipeline: arriving
+  * query vectors probe the batch-built IVF index
+  * (graft.api.Similarity.ivfBuild) and every corpus neighbor above
+  * the cosine threshold is emitted as it is found.
+  *
+  * RANGE search is the retrieval mode that streams Append-safely:
+  * top-k needs a per-probe rank (stateful on a stream), while a
+  * threshold test is a pure per-row filter — the same reason the
+  * dedup twins emit pair rows, not rollups. Everything stream-side is
+  * per-row expressions (double-cast, norm, the codegen'd
+  * vec_argmin_topn cell assignment against a BROADCAST 1-row
+  * codebook) plus ONE stream-static equi-join on `cid` against the
+  * saved cells — no state store, no watermark, runs in Append mode
+  * forever. The batch path (graft.api.Similarity.ivfRangeSearch)
+  * additionally prunes cell partitions through a bounded collect of
+  * the probes' cell ids — a planning-time move a stream cannot make,
+  * so here the cid keys prune at the JOIN instead of the scan; the
+  * spec pins stream ≡ batch pair-for-pair.
+  */
+object SimStreams {
+
+  def rangeAgainstSavedIvfIndex(stream: DataFrame, id: String,
+      vec: String, path: String, tau: Double,
+      nProbe: Int = 3): DataFrame = {
+    val spark = stream.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val centers = spark.read.parquet(s"$path/centers")
+    // per-row prep: double vector + norm (the Similarity.prep
+    // projection, inlined because prep is batch-private)
+    val p = stream.select(col(id).as("vec_id"),
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(size(col("v")) > 0)
+    // nProbe nearest cells per arrival: cross join with the 1-row
+    // broadcast codebook + the codegen'd vec_argmin_topn — per-row,
+    // stream-safe. nrm recomputed from v AFTER the assignment
+    // (joining two derivations of one stream would be a
+    // stream-stream join).
+    val probeCells = graft.api.VecKMeans.assignTopN(p, centers, nProbe)
+      .select(col("cid"), col("vec_id").as("probe_id"),
+        col("v").as("va"), expr("vec_norm(v)").as("na"))
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    probeCells.join(cells, Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+}
