@@ -234,7 +234,16 @@ class BroadcastPolicySpec extends SparkTestBase {
     // literal-filtered probe set (vec_id < 50) on the banded equi key
     "sim_topk_hamming" -> 1,
     // the 2-row arm spine (spark.range(2)) crossed onto the day grid
-    "ev_bandit_ucb" -> 1
+    "ev_bandit_ucb" -> 1,
+    // 1-row (total, n_cells) scalar onto the ≤k-row per-cell frame
+    // (the audit reads only the index's cid partition column)
+    "sim_ivf_cell_stats" -> 1,
+    // exact tier = cosineTopK's literal-filtered probe broadcast +
+    // the saved-PQ serving probes: m·ksub probe ADC tables, bounded
+    // probe-cell set, probe frame — all probe- or k-bounded (the
+    // sim_topk_ivfpq proof, one fewer: codebooks load from the saved
+    // index instead of training)
+    "sim_recall_ivfpq" -> 5
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

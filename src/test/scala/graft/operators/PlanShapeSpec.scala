@@ -85,7 +85,11 @@ class PlanShapeSpec extends SparkTestBase {
     // 4-channel × 16-mask coalition-lattice join (the subset test
     // (amask & (1 << rnk)) = 0 has no equi key; both sides bounded by
     // construction: 2^n masks, n = 4 channels)
-    "ev_attribution_shapley")
+    "ev_attribution_shapley",
+    "sim_ivf_cell_stats", // 1-row (total, n_cells) scalar onto the ≤k cells frame
+    // ground-truth tier IS sim_cosine_topk's probe-broadcast scan
+    // (the sim_recall_ivf adjudication, PQ serving side)
+    "sim_recall_ivfpq")
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
