@@ -166,8 +166,12 @@ object MultimodalQueries {
     * payload bytes never shuffle — each row collapses to one 16-bit
     * signature at the scan task); the pair search is the banded
     * equi-join, never all-pairs. */
-  val multimodalPhashNeardup: GQuery = {
-    val sparkImpl = (s: SparkSession, dir: String) => {
+  /** The perceptual-hash candidate pair list (doc1 < doc2, Hamming ≤
+    * 3), memoized per (session, dir) — shared by the near-dup report
+    * and cluster formation (the minhashPairsSpark pattern). */
+  private[operators] def phashPairsSpark(s: SparkSession,
+      dir: String): DataFrame =
+    graft.PlanCache.memo(s, dir, "phash_pairs") {
       graft.functions.TextExpressions.register(s)
       // byte-aligned 4-byte windows = step-2 8-grams over the hex
       // string, via the native single-pass char_ngrams expression (an
@@ -180,36 +184,45 @@ object MultimodalQueries {
       val sim = graft.api.Dedup.simhashSignatures(
         feats, "doc_id", "features")
       graft.api.Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
-        .orderBy(col("doc1"), col("doc2"))
     }
-    GQuery("multimodal_phash_neardup",
-      s"""WITH pay AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx,
-         |    octet_length(encode(text)) AS nb
-         |  FROM documents),
-         |tok AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest([substr(hx, 2 * i + 1, 8)
-         |            for i in generate_series(0, nb - 4)])
-         |      AS term
-         |  FROM pay),
-         |th AS (SELECT doc_id, term,
-         |         ${DedupQueries.duckHash("term")} AS h FROM tok),
-         |bits AS (SELECT doc_id,
-         |  ${(0 to 15).map(j =>
-             s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS bal$j")
-             .mkString(", ")}
-         |  FROM th GROUP BY doc_id),
-         |sim AS (SELECT doc_id,
-         |  ${(0 to 15).map(j =>
-             s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
-             .mkString(" + ")} AS simhash
-         |  FROM bits)
-         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
+
+  /** DuckDB CTE chain ending in `pairs(doc1, doc2, hamming)` — the
+    * oracle twin of [[phashPairsSpark]]. */
+  private[operators] val phashPairsCte: String =
+    s"""WITH pay AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |tok AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([substr(hx, 2 * i + 1, 8)
+       |            for i in generate_series(0, nb - 4)])
+       |      AS term
+       |  FROM pay),
+       |th AS (SELECT doc_id, term,
+       |         ${DedupQueries.duckHash("term")} AS h FROM tok),
+       |bits AS (SELECT doc_id,
+       |  ${(0 to 15).map(j =>
+           s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS bal$j")
+           .mkString(", ")}
+       |  FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id,
+       |  ${(0 to 15).map(j =>
+           s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+           .mkString(" + ")} AS simhash
+       |  FROM bits),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
+
+  val multimodalPhashNeardup: GQuery = GQuery(
+    "multimodal_phash_neardup",
+    s"""$phashPairsCte
+       |SELECT doc1, doc2, hamming FROM pairs
+       |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+    phashPairsSpark(s, dir).orderBy(col("doc1"), col("doc2"))
   }
 
   /** CLUSTER-COMPOSITION profile — the SemDeDup-style QA readout over
