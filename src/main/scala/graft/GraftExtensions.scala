@@ -24,7 +24,8 @@ import graft.functions.{CharNgrams, TextExpressions, VecArgminCode, VecArgminTop
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, "", name,
+      usage, "", "", "", "", "", "", "built-in")
 
   private def intLit(name: String, e: Expression): Int =
     TextExpressions.intLitArg(name, e)

@@ -480,7 +480,7 @@ object Similarity {
     val bks = pterms.select(col("bkt")).distinct()
       .collect().map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("bkt").isin(bks.map(_.asInstanceOf[Any]): _*))
+      .filter(col("bkt").isin(bks.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .select(col("bkt"), col("term"), col("id").as("doc_id"))
     pterms.join(postings, Seq("bkt", "term"))
       .groupBy(col("probe_id"), col("doc_id"))
@@ -558,7 +558,7 @@ object Similarity {
     val bks = pterms.select(col("bkt")).distinct()
       .collect().map(_.getInt(0)).sorted
     def pruned(name: String) = spark.read.parquet(s"$path/$name")
-      .filter(col("bkt").isin(bks.map(_.asInstanceOf[Any]): _*))
+      .filter(col("bkt").isin(bks.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
     val sc = pterms
       .join(pruned("postings"), Seq("bkt", "term"))
       .filter(col("doc_id") =!= col("probe_id"))
