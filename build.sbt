@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Warn on deprecated API use — the whole build is deprecation-clean
+// (round 13 fixed the last stragglers)
+ThisBuild / scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
 // Forked run output goes straight to stdout WITHOUT sbt's "[info] "

@@ -534,8 +534,8 @@ class OperatorPropertySpec extends SparkTestBase {
         .get._1
     }
     val expect = rows.groupBy(_._1).map { case (f, xs) =>
-      f -> (wquant(xs.map(x => (x._2, x._3)), 1, 2),
-        wquant(xs.map(x => (x._2, x._3)), 9, 10))
+      f -> (wquant(xs.toIndexedSeq.map(x => (x._2, x._3)), 1, 2),
+        wquant(xs.toIndexedSeq.map(x => (x._2, x._3)), 9, 10))
     }
     val got = AggQueries.aggWeightedPercentile.fn(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
@@ -2356,8 +2356,8 @@ class OperatorPropertySpec extends SparkTestBase {
     }
     val expected = sur.groupBy(x => langOf(x._1)).toSeq.sortBy(_._1)
       .flatMap { case (lang, xs) =>
-        val q33 = r6(pct(xs.map(_._3), 0.33333333))
-        val q66 = r6(pct(xs.map(_._3), 0.66666667))
+        val q33 = r6(pct(xs.toIndexedSeq.map(_._3), 0.33333333))
+        val q66 = r6(pct(xs.toIndexedSeq.map(_._3), 0.66666667))
         xs.map { case (_, nt, s) =>
           val b = if (s <= q33) "head"
                   else if (s <= q66) "middle" else "tail"
@@ -2574,9 +2574,9 @@ class OperatorPropertySpec extends SparkTestBase {
     val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (f, xs) =>
         val vs = xs.map(_._2)
-        val lo = BigDecimal(pct(vs.map(_.toDouble), 0.05))
+        val lo = BigDecimal(pct(vs.toIndexedSeq.map(_.toDouble), 0.05))
           .setScale(2, BigDecimal.RoundingMode.HALF_UP)
-        val hi = BigDecimal(pct(vs.map(_.toDouble), 0.95))
+        val hi = BigDecimal(pct(vs.toIndexedSeq.map(_.toDouble), 0.95))
           .setScale(2, BigDecimal.RoundingMode.HALF_UP)
         val wins = vs.map(v => v.max(lo).min(hi))
         val inb = vs.filter(v => v >= lo && v <= hi)
