@@ -66,15 +66,32 @@ object Bench {
     // its cost would otherwise shift invisibly into the first text
     // query.
     val tPre = System.nanoTime()
-    val prewarmedMemos =
-      try operators.TextQueries.prewarmSharedMemos(spark, sfDir)
-      catch {
-        case e: Throwable =>
-          System.err.println(
-            s"WARN prewarmSharedMemos failed (${e.getClass.getSimpleName}: " +
-              s"${e.getMessage}); memo cost shifts into the first text query")
-          0
-      }
+    val prewarmedMemos = {
+      val text =
+        try operators.TextQueries.prewarmSharedMemos(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"WARN prewarmSharedMemos failed (${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}); memo cost shifts into the first text query")
+            0
+        }
+      // graph memos AFTER text (colloc_edges reads the bigrams memo);
+      // without this the first graph query pays the shared edge
+      // builds (graph_closeness 6.40 s bench vs 2.38 s warm-iso in
+      // the round-13 quiet capture — pure attribution noise)
+      val graph =
+        try operators.GraphQueries.prewarmSharedMemos(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"WARN graph prewarmSharedMemos failed " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+                "memo cost shifts into the first graph query")
+            0
+        }
+      text + graph
+    }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // per-query value: elapsed seconds, or the -1.0 sentinel when the
     // query THREW (so failures are never mistaken for fast successes).

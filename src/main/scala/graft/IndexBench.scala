@@ -55,11 +55,16 @@ object IndexBench {
         val de = spark.read.parquet(s"$base/descent/edges")
           .select(col("src"), col("dst"))
         val hit = de.join(ex, Seq("src", "dst"), "left_semi").count()
-        // agreement over EMITTED descent edges (can be < n·10 per
-        // node) and coverage over the exact n·10 — reported
-        // separately so recall isn't understated by missing edges
+        // agreement (precision) over EMITTED descent edges (can be
+        // < n·10 per node) and coverage over the exact n·10 —
+        // reported separately so recall isn't understated by missing
+        // edges. Field renamed from descent_edge_recall (round 13):
+        // it measured hit/|emitted|, not recall — the old key would
+        // make cross-round comparisons apples-to-oranges. deN == 0
+        // (empty edges output) is reported as 0, not NaN.
         val deN = de.count()
-        fields :+= f""""descent_edge_recall": ${hit.toDouble / deN}%.4f"""
+        val agree = if (deN == 0) 0.0 else hit.toDouble / deN
+        fields :+= f""""descent_edge_agreement": $agree%.4f"""
         fields :+= f""""descent_edge_coverage": ${deN.toDouble / (n * 10)}%.4f"""
       }
     }

@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Public, fixture-independent deduplication API: every operator the
   * contract queries exercise, parameterized on the caller's column
@@ -523,7 +524,7 @@ object Dedup {
       .select(greatest(col("x"), col("y")).as("a"),
         least(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .ckpt()
     (cur, selfLoops)
   }
 
@@ -590,7 +591,7 @@ object Dedup {
       // large-star flows un-deduped into small-star: its output is
       // ≤ |cur| rows and small-star dedups right after — one
       // materialization per round, not two
-      val ss = smallStarPass(largeStarPass(cur)).localCheckpoint(true)
+      val ss = smallStarPass(largeStarPass(cur)).ckpt()
       rounds += 1
       val ssCnt = ss.count()
       // both frames are distinct sets, so equal count + empty
@@ -631,7 +632,7 @@ object Dedup {
       var changed = false
       var stable = false
       while (!stable && passes < maxPasses) {
-        val nxt = pass(cur).distinct().localCheckpoint(true)
+        val nxt = pass(cur).distinct().ckpt()
         passes += 1
         val cnt = nxt.count()
         stable = cnt == curCnt && nxt.except(cur).isEmpty
@@ -685,7 +686,16 @@ object Dedup {
     val nE = cur0.count()
     val nV = cur0.select(col("a").as("n"))
       .union(cur0.select(col("b").as("n"))).distinct().count()
-    val dense = nV > 0 && 2.0 * nE >= denseAvgDegree * nV
+    // Integral thresholds (the default 4.0, and anything a caller
+    // passes that is a whole number) compare in exact Long arithmetic
+    // so the emitted schedule string matches the oracle's BIGINT
+    // replay (2*n_edges >= t*n_nodes) at ANY count — double math
+    // loses exactness past 2^52 edges, which a 100-TB crawl can reach.
+    val dense = nV > 0 && {
+      if (denseAvgDegree.isWhole)
+        2L * nE >= denseAvgDegree.toLong * nV
+      else 2.0 * nE >= denseAvgDegree * nV
+    }
     (nE, nV, if (dense) "two_phase" else "alternating")
   }
 

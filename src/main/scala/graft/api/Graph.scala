@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Public, fixture-independent graph API (see [[Dedup]] for
   * conventions): the generic forms of the two contract staples,
@@ -50,9 +51,9 @@ object Graph {
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst"))).distinct().ckpt()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .ckpt()
     val n = nodes.agg(count(lit(1)).as("n"))
     val r0 = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
@@ -88,7 +89,7 @@ object Graph {
     for (i <- 1 to iters) {
       r = step(e, nodes, deg, n, r, damping)
       if (i % checkpointEvery == 0 && i != iters)
-        r = r.localCheckpoint(true)
+        r = r.ckpt()
     }
     r
   }
@@ -112,11 +113,11 @@ object Graph {
     require(tol > 0, "tol must be positive")
     require(maxIters >= 1, "maxIters must be >= 1")
     val (e, nodes, deg, n, r0) = prepared(edges, src, dst)
-    var r = r0.localCheckpoint(true)
+    var r = r0.ckpt()
     var delta = Double.MaxValue
     var i = 0
     while (i < maxIters && delta > tol) {
-      val next = step(e, nodes, deg, n, r, damping).localCheckpoint(true)
+      val next = step(e, nodes, deg, n, r, damping).ckpt()
       delta = next.join(r.select(col("node"), col("r").as("r0")),
           Seq("node"))
         .agg(coalesce(sum(abs(col("r") - col("r0"))), lit(0.0)))
@@ -166,7 +167,7 @@ object Graph {
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
     val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().ckpt()
     var labels = ue.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
@@ -177,7 +178,7 @@ object Graph {
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
           .as("pick"))
         .select(col("src").as("node"), col("pick.l").as("lbl"))
-        .localCheckpoint(true)
+        .ckpt()
     }
     labels
   }
@@ -198,7 +199,7 @@ object Graph {
       sources: DataFrame, srcCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .localCheckpoint(true)
+      .ckpt()
     var d = sources.select(col(srcCol).as("node"))
       .distinct()
       .withColumn("dist", lit(0))
@@ -208,7 +209,7 @@ object Graph {
             .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .ckpt()
     }
     d
   }
@@ -273,7 +274,7 @@ object Graph {
     * ONCE — without it the canonicalize+degree+orient subtree
     * (4 exchanges) replays per consumer. */
   def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val o = oriented(edges, src, dst).localCheckpoint(true)
+    val o = oriented(edges, src, dst).ckpt()
     // closing edge of a (v ≺ w) wedge is oriented (v, w): rename the
     // oriented edge set to those names and equi-join
     val close = o.select(col("u").as("v"), col("v").as("w"))
@@ -312,7 +313,7 @@ object Graph {
       surv = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"), col("deg"))
-        .localCheckpoint(true)
+        .ckpt()
       if (t < iters) {
         // checkpoint the peeled edge frame too: without this, round
         // t's degree pass replays every earlier round's joins off the
@@ -320,7 +321,7 @@ object Graph {
         cur = cur
           .join(surv.select(col("node").as("src")), Seq("src"))
           .join(surv.select(col("node").as("dst")), Seq("dst"))
-          .localCheckpoint(true)
+          .ckpt()
       }
     }
     surv

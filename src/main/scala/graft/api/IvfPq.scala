@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** IVF-PQ: the memory-compressed ANN serving path (Jégou/Douze/Schmid,
   * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
@@ -52,7 +53,7 @@ object IvfPq {
     // time. A build pass that scans the corpus once is the contract.
     val e = corpus.select(col(id).as("vec_id"), col(vec).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
-      .localCheckpoint(true)
+      .ckpt()
     val dim = e.select(size(col("v"))).first().getInt(0)
     require(dim % m == 0, s"dimension $dim not divisible by m=$m")
     val subDim = dim / m
@@ -64,7 +65,7 @@ object IvfPq {
     // aggregates per round — identical math to m independent trainings
     // (same smallest-id seeds, same (d2, code) tie-break), but ~2 jobs
     // per round instead of ~6·m
-    val subs = subVectors(ev, m, subDim).localCheckpoint(true)
+    val subs = subVectors(ev, m, subDim).ckpt()
     // seed codes are the RANK among the ksub smallest ids (0..ksub−1),
     // never a cast of the id value (see VecKMeans.seedCenters) — this
     // is also what keeps every PQ code < 256 regardless of id space
@@ -74,7 +75,7 @@ object IvfPq {
           .cast("int").as("code"))
     var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("s"), col("code"), col("sub").as("c"))
-      .localCheckpoint(true)
+      .ckpt()
     // each subspace's whole codebook folded into ONE code-sorted array
     // row, so assignment is a per-row codegen'd argmin
     // (vec_argmin_code — bit-identical to the former ksub-way
@@ -105,7 +106,7 @@ object IvfPq {
         .groupBy(col("s"), col("code"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), " +
           "q -> q.mv)").as("c"))
-        .localCheckpoint(true)
+        .ckpt()
     }
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
     // encode: nearest sub-centroid per (vector, subspace) against the
@@ -140,7 +141,7 @@ object IvfPq {
     val subDim = dims.getInt(1)
     val e = newVecs.select(col(id).as("vec_id"), col(vec).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
-      .localCheckpoint(true)
+      .ckpt()
     // GUARD (mirrors build's dim % m check): every arrival must match
     // the saved index's dimension m·subDim. Without this, a wrong-dim
     // arrival is silently slice-truncated by subVectors, encoded

@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** The end-to-end corpus-preparation pipeline a training-data user
   * actually runs first — the verified stages composed in their
@@ -57,7 +58,7 @@ object Pipeline {
       .select(col(id), col("quality"))
     val corpus = docs.join(qual, Seq(id))
       .filter(!isEval && col("quality") >= minQuality)
-      .localCheckpoint(true)
+      .ckpt()
 
     // 2. exact + near dedup among gated docs (donated pairs narrowed
     // to gated endpoints ≡ pairs of the gated subset)
@@ -72,7 +73,7 @@ object Pipeline {
     // pipeline's most expensive subtree — materialize once
     val keeps = Dedup.keepList(corpus, id, text, minEst, gatedPairs)
       .filter(col("status") === "keep").select(col(id))
-      .localCheckpoint(true)
+      .ckpt()
 
     // 3. decontamination: survivors containing an eval doc are out.
     // Membership marks both sides from the one shingle table — the

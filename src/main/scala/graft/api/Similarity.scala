@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Public, fixture-independent similarity-search API (see [[Dedup]]
   * for conventions). Vectors are `array<double>` columns; cosine is
@@ -76,7 +77,7 @@ object Similarity {
       .filter(col("rk") <= shortlist)
       .select(col("probe_id"), col("nid"), col("vb"), col("nb"),
         col("rel"))
-      .localCheckpoint(true)
+      .ckpt()
     var selected = sl
       .withColumn("rk", row_number().over(wRel)).filter(col("rk") === 1)
       .select(col("probe_id"), lit(1).as("rnk"), col("nid"),
@@ -105,7 +106,7 @@ object Similarity {
       // join, union): truncate its lineage per round — the pageRank /
       // dedup_semantic checkpoint discipline — so plan size stays
       // linear in k instead of ~3^k. The frame is ≤ probes·i rows.
-      selected = selected.union(pick).localCheckpoint(true)
+      selected = selected.union(pick).ckpt()
     }
     selected.select(col("probe_id"), col("rnk"),
       col("nid").as("neighbor_id"), col("score"))
@@ -659,7 +660,7 @@ object Similarity {
     // round 0: every probe scores the bounded entry set
     val v0 = score(p.select(col("probe_id"))
         .crossJoin(broadcast(entries)))
-      .localCheckpoint()
+      .ckptLazy()
     val visited = (1 to rounds).foldLeft(v0) { (v, _) =>
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("node"))
@@ -671,7 +672,7 @@ object Similarity {
         .select(col("probe_id"), col("dst").as("node")).distinct()
         .join(v.select(col("probe_id"), col("node")),
           Seq("probe_id", "node"), "left_anti")
-      v.unionByName(score(cand)).localCheckpoint()
+      v.unionByName(score(cand)).ckptLazy()
     }
     val wf = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("node"))
@@ -716,7 +717,7 @@ object Similarity {
   def nngBuildDescent(corpus: DataFrame, id: String, vec: String,
       path: String, k: Int = 10, rounds: Int = 6, pool: Int = 20,
       nEntries: Int = 8, maxJoinRows: Long = 64000000L): Seq[Long] = {
-    val e = prep(corpus, id, vec).localCheckpoint()
+    val e = prep(corpus, id, vec).ckptLazy()
     // planning-time ring size (bounded 1-row collect, the ivf nProbe
     // discipline)
     val n = e.count()
@@ -724,7 +725,7 @@ object Similarity {
         row_number().over(Window.orderBy(
           Sampling.portableHash(col("vid"), "nngd:"), col("vid")))
           .minus(1).as("r"))
-      .localCheckpoint()
+      .ckptLazy()
     val byRank = ranked.select(col("r").as("rb"), col("vid").as("dst"))
     def score(cand: DataFrame): DataFrame =
       cand.join(e.select(col("vid").as("src"), col("v").as("va"),
@@ -739,7 +740,7 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= nKeep)
         .select(col("src"), col("rk"), col("dst"), col("cosine"))
-        .localCheckpoint()
+        .ckptLazy()
     }
     val init = ranked
       .withColumn("off", explode(lit((1 to pool).toArray)))
@@ -771,7 +772,7 @@ object Similarity {
       val d = cand.select(col("src"), col("dst"))
       val adj = d.unionByName(
         d.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
+        .distinct().ckptLazy()
       candParts = (0 until nChunks).map { c =>
         val adjC = if (nChunks == 1) adj else adj.filter(chunkOf === c)
         val dC = if (nChunks == 1) d else d.filter(chunkOf === c)
@@ -817,7 +818,7 @@ object Similarity {
       path: String, k: Int = 10, beam: Int = 10,
       rounds: Int = 4): DataFrame = {
     val links = nngTopK(arrivals, id, vec, path, k, beam, rounds)
-      .localCheckpoint()
+      .ckptLazy()
     prep(arrivals, id, vec)
       .select(col("vid").as("vec_id"), col("v"), col("nrm"))
       .write.mode("append").parquet(s"$path/nodes")

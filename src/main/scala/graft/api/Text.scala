@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Public, fixture-independent text-analysis API (see [[Dedup]] for
   * conventions): tokenization, quality scoring, token counting,
@@ -338,7 +339,7 @@ object Text {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("seq", concat(lit(" "),
         regexp_replace(col("word"), "(.)", "$1 ")))
-      .localCheckpoint()
+      .ckptLazy()
     var w = words
     var picks = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
@@ -350,7 +351,7 @@ object Text {
       // plan roots here, not in the whole prior trajectory (the MMR
       // greedy's plan-depth discipline)
       val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
-        .localCheckpoint()
+        .ckptLazy()
       // fail loudly on a pairless vocabulary (every word one symbol —
       // merges exhausted): the crossJoin below would otherwise
       // silently annihilate the word table and drop this round's row
@@ -569,7 +570,7 @@ object Text {
         // sketch, final consumption): materialize the narrow (id, tok)
         // frame once so the input lineage is scanned a single time and
         // the two extra passes re-read the tiny checkpointed frame
-        val b = rawBase.localCheckpoint(true)
+        val b = rawBase.ckpt()
         val str = col(id).cast("string")
         val mm = b.agg(min(str).as("lo"), max(str).as("hi")).first()
         val pfx =

@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Public coarse k-means over vector frames — the quantizer behind
   * `mining_kmeans` and the IVF index ([[Similarity.ivfBuild]]).
@@ -105,7 +106,7 @@ object VecKMeans {
   def train(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     val seed = seedCenters(e, k)
     (1 to rounds).foldLeft(seed) { (cs, _) =>
-      recenter(assign(e, cs)).localCheckpoint(true)
+      recenter(assign(e, cs)).ckpt()
     }
   }
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GQuery
 import graft.sources.Tables
+import graft.Ckpt.CkptOps
 
 /** Aggregation family (SURVEY.md §2.4).
   *
@@ -422,7 +423,7 @@ object AggQueries {
     val sk = Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      .localCheckpoint(true)
+      .ckpt()
     val per = sk.select(col("event_type"),
       expr("hll_sketch_estimate(sk)").as("est_users"))
     val overall = sk

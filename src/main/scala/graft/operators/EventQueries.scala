@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GQuery
 import graft.sources.Tables
+import graft.Ckpt.CkptOps
 
 /** Event-time semantics over the events table (SURVEY.md §2.9), batch
   * form — each query here has a Structured Streaming twin in
@@ -2986,7 +2987,7 @@ object EventQueries {
         .filter(col("pts").isNull || col("ts") < col("pts")
           || (col("ts") === col("pts") && col("event_id") < col("pid")))
         .withColumn("has_conv", col("pts").isNotNull)
-        .localCheckpoint(true)
+        .ckpt()
       val seq2 = touches
         .withColumn("rn", row_number().over(wp))
         .withColumn("nxt", lead(col("event_type"), 1).over(wp))
@@ -3003,7 +3004,7 @@ object EventQueries {
             lit("conv").as("to_state")))
       val cnt = tr.groupBy(col("from_state"), col("to_state"))
         .agg(count(lit(1)).cast("bigint").as("n"))
-        .localCheckpoint(true)
+        .ckpt()
       val tot = cnt.groupBy(col("from_state"))
         .agg(sum(col("n")).cast("bigint").as("nt"))
       val scen = cnt.filter(!col("to_state").isin("conv", "null"))
@@ -3027,7 +3028,7 @@ object EventQueries {
           .as("prob"))
         .select(col("scenario"), col("from_state"), col("to_state"),
           col("prob"))
-        .localCheckpoint(true)
+        .ckpt()
       // the scenario matrix is bounded by the TYPE VOCABULARY, not the
       // corpus (≤ (|types|+2)² cells × (|types|+1) scenarios ≈ 245
       // rows) — the fleet's bounded-collect class (k-row seeds, nProbe

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GQuery
 import graft.sources.Tables
+import graft.Ckpt.CkptOps
 
 /** Join family (SURVEY.md §2.3).
   *
@@ -388,7 +389,7 @@ object JoinQueries {
     val saved = bloomRegime.map { case (k, _) => k -> s.conf.getOption(k) }
     bloomRegime.foreach { case (k, v) => s.conf.set(k, v) }
     try {
-      val out = build.localCheckpoint()
+      val out = build.ckptLazy()
       lastBloomResult = Some(out)
       out
     } finally saved.foreach {

@@ -568,9 +568,10 @@ object SampleQueries {
          |  CAST(CASE o.i ${(1 to nLangs).map(i =>
              s"WHEN $i THEN (SELECT a FROM s$i)").mkString(" ")}
          |    END AS BIGINT) AS alloc_tokens,
-         |  round(CAST(CASE o.i ${(1 to nLangs).map(i =>
+         |  CAST((2 * CAST(CASE o.i ${(1 to nLangs).map(i =>
              s"WHEN $i THEN (SELECT a FROM s$i)").mkString(" ")}
-         |    END AS DOUBLE) / o.n, 6) AS epochs
+         |    END AS HUGEINT) * 1000000 + o.n) // (2 * o.n)
+         |    AS DOUBLE) / 1000000.0 AS epochs
          |FROM o
          |ORDER BY o.lang""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir)
@@ -583,11 +584,18 @@ object SampleQueries {
       // ev_attribution_shapley assert pattern; |langs| is bounded)
       require(d.length == nLangs,
         s"sample_unimax unrolls $nLangs languages; fixture has ${d.length}")
+      // epochs rounds to 6 places in EXACT integer arithmetic on both
+      // sides — half-up micro-epochs = (2·a·10^6 + n) div (2·n), then
+      // ONE double divide by 10^6 each engine performs identically.
+      // BigDecimal-vs-round(x,6) half-boundary drift is the documented
+      // hash-gate failure class (FilterQueries.scala:21); alloc and n
+      // are exact integers so the boundary is avoidable entirely.
       val alloc = graft.api.Sampling.unimaxAlloc(
           d.toSeq, d.map(_._2).sum / 2, cap)
         .map { case (lang, n, a) =>
-          (lang, n, a, BigDecimal(a.toDouble / n)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          val microEpochs =
+            ((BigInt(2) * a * 1000000 + n) / (BigInt(2) * n)).toLong
+          (lang, n, a, microEpochs.toDouble / 1000000.0)
         }
       import s.implicits._
       alloc.sortBy(_._1)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GQuery
 import graft.sources.Tables
+import graft.Ckpt.CkptOps
 
 /** Similarity search over the embedding column (SURVEY.md §2.8).
   *
@@ -1552,7 +1553,7 @@ object SimQueries {
       val g = xa.join(xb, Seq("vec_id"))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("xa") * col("xb")).as("gram"))
-        .localCheckpoint()
+        .ckptLazy()
       val v0 = g.filter(col("j") === 0).select(col("i").as("j"))
         .withColumn("v", lit(BigDecimal("0.125")).cast("decimal(10,8)"))
       val (v3, n3) = (1 to 3).foldLeft((v0, v0)) { case ((v, _), _) =>
@@ -2820,7 +2821,7 @@ object SimQueries {
              s"UNION ALL SELECT $t, cid, 1 - m FROM c$t").mkString("\n  ")})
          |ORDER BY rank""".stripMargin) { (s, dir) =>
       val ev = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
-        .localCheckpoint()
+        .ckptLazy()
       val c0 = ev.agg(min(col("vec_id"))).head().getLong(0)
       // (rank, vec_id, dist-to-nearest-prior); grows to k entries via
       // k−1 bounded 1-row collects

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Continuous-ingestion near-dedup (SURVEY.md §2.11 round-4 note a):
   * score a STREAM of arriving documents against a signature index of
@@ -208,7 +209,7 @@ object DedupStreams {
         // attaches the two arrays exactly once for the verify. The
         // arrival arrays are materialized once (three consumers:
         // bucket realization, prefix explode, verify attach).
-        val arr = arrBase.localCheckpoint(true)
+        val arr = arrBase.ckpt()
         val pref = arr.select(col("eval_id"),
             explode(expr("slice(ea, 1, plen)")).as("shingle"))
           .withColumn("bkt", graft.api.Dedup.containmentBucket(nBuckets))

@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import graft.Ckpt.CkptOps
 
 /** Streaming CDC APPLY — the continuous counterpart of the batch
   * `merge_cdc_apply` contract query: a stream of keyed I/U/D change
@@ -108,7 +109,7 @@ object MergeStreams {
         when(bWins, col("deleted")).otherwise(col("sdel")).as("deleted"))
       .filter(!(col("deleted") && col("version") < lit(tombstoneWatermark)))
       // the plan reads statePath, so materialize before overwriting it
-      .localCheckpoint(true)
+      .ckpt()
     publish(merged, statePath)
   }
 

@@ -44,13 +44,22 @@ def values_equal(a: pd.Series, b: pd.Series) -> bool:
     if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
         # BYTE-faithful, like the driver's hash: -0.0 != +0.0 (the
         # graph_modularity r12 lesson — np.array_equal passed what the
-        # driver failed). Compare the int64 bit patterns, with NaNs
-        # canonicalized to one quiet-NaN payload first.
+        # driver failed). Compare the RAW int64 bit patterns — no NaN
+        # canonicalization, because the driver hash is byte-faithful
+        # and would fail on differing NaN sign/payload bytes too. When
+        # the ONLY difference is NaN payloads, say so explicitly (it
+        # is diagnosable, not silently passed).
         av = a.to_numpy(dtype="float64", copy=True)
         bv = b.to_numpy(dtype="float64", copy=True)
-        av[np.isnan(av)] = np.nan
-        bv[np.isnan(bv)] = np.nan
-        return bool(np.array_equal(av.view(np.int64), bv.view(np.int64)))
+        if np.array_equal(av.view(np.int64), bv.view(np.int64)):
+            return True
+        ac, bc = av.copy(), bv.copy()
+        ac[np.isnan(ac)] = np.nan
+        bc[np.isnan(bc)] = np.nan
+        if np.array_equal(ac.view(np.int64), bc.view(np.int64)):
+            print("  note: NaN-payload-only bit difference "
+                  "(byte-faithful driver hash fails this too)")
+        return False
     try:
         am, bm = a.isna(), b.isna()
         if not am.equals(bm):
