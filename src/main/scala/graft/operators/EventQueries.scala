@@ -3544,6 +3544,91 @@ object EventQueries {
       .orderBy(col("channel"))
   }
 
+  /** WATERMARK LATE-DATA AUDIT — the batch-oracle form of the one
+    * §2.9 row that was previously test-only: per (1-day event-time
+    * window, type), how many rows a 30-minute watermark WOULD drop if
+    * the fixture were replayed as a stream.
+    *
+    * The replay needs an arrival order distinct from event time (the
+    * fixture is perfectly time-sorted by event_id, under which
+    * nothing is ever late), so arrival is simulated as event time
+    * plus a bounded portable-hash jitter of ±1 h — the multi-source
+    * ingestion interleave a real collector sees. The drop rule is the
+    * per-row idealization of Structured Streaming's watermark (the
+    * one micro-batch semantics converge to as batches shrink — pinned
+    * against a one-row-per-batch MemoryStream run in
+    * EventStreamsSpec): a row is late iff its event time does not EXCEED (max event
+    * time of all PRIOR arrivals) − delay — the engine keeps a row
+    * only when its timestamp is strictly newer than the watermark,
+    * boundary rows are dropped (pinned empirically in the spec).
+    *
+    * Scale shape: the global prefix-max over arrival order decomposes
+    * by 1-hour ARRIVAL blocks — within-block running max is a window
+    * PARTITIONED by block (parallel, per-block rows bounded by ingest
+    * rate, not corpus size), and the cross-block carry is a running
+    * max over the per-block aggregate frame, whose row count is the
+    * corpus's time span in hours (bounded by calendar, not data; the
+    * same bounded-frame discipline as the distributed prefix sums in
+    * api.Text). The carry frame attaches back by block id as a
+    * broadcast. */
+  val evLateData: GQuery = {
+    val delayUs = 1800000000L // 30-min watermark delay
+    val jitterSpanUs = 7200000000L // arrival = event time ± 1 h
+    val blockUs = 3600000000L // 1-h arrival blocks for the prefix max
+    GQuery("ev_late_data",
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, epoch_us(ts) AS us,
+         |    epoch_us(ts)
+         |      + (${DedupQueries.duckHash(
+                  "concat('arr:', CAST(event_id AS VARCHAR))")}
+         |         % $jitterSpanUs) - ${jitterSpanUs / 2} AS arr
+         |  FROM events),
+         |w AS (
+         |  SELECT event_type, us,
+         |    max(us) OVER (ORDER BY arr, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM e)
+         |SELECT CAST((us // 86400000000) * 86400000000 AS BIGINT)
+         |    AS win_start_us,
+         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN pm IS NOT NULL AND us <= pm - $delayUs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+         |FROM w
+         |GROUP BY 1, 2
+         |ORDER BY win_start_us, event_type""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("arr", col("us") +
+          graft.api.Sampling.portableHash(col("event_id"), "arr:")
+            % jitterSpanUs - lit(jitterSpanUs / 2))
+        .withColumn("blk", expr(s"arr div $blockUs"))
+      // within-block prefix max EXCLUDING the current row, in exact
+      // arrival order (arr, event_id) — partitioned, so parallel
+      val inBlk = Window.partitionBy(col("blk"))
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // cross-block carry: running max of per-block maxima over all
+      // STRICTLY EARLIER blocks; the frame has span-hours rows
+      val carry = e.groupBy(col("blk")).agg(max(col("us")).as("bm"))
+        .withColumn("prev_bm", max(col("bm")).over(
+          Window.orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("blk"), col("prev_bm"))
+      e.join(broadcast(carry), Seq("blk"))
+        .withColumn("pm", greatest(max(col("us")).over(inBlk),
+          col("prev_bm")))
+        .groupBy(expr("(us div 86400000000) * 86400000000")
+            .cast("bigint").as("win_start_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("pm").isNotNull &&
+              col("us") <= col("pm") - delayUs, 1L).otherwise(0L))
+            .cast("bigint").as("n_late"))
+        .orderBy(col("win_start_us"), col("event_type"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -3557,5 +3642,5 @@ object EventQueries {
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
     evDidAnalysis, evRetentionHalflife, evAttributionMarkov, evAbSprt,
-    evQuantileTe, evBanditUcb, evAttributionShapley)
+    evQuantileTe, evBanditUcb, evAttributionShapley, evLateData)
 }

@@ -54,6 +54,18 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The rows a `delay` watermark lets THROUGH — the streaming
+    * surface EventStreamsSpec pins the `ev_late_data` batch audit
+    * against. Plain `dropDuplicates` over the (unique) event id is
+    * the stateful operator whose late-row filter is exactly the
+    * row-level watermark rule: a row older than the current watermark
+    * (= max event time of prior batches − delay) is dropped before it
+    * reaches state; everything else passes once. On unique ids
+    * nothing else is filtered, so output = survivors. */
+  def lateSurvivors(events: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id")
+
   /** STREAM-STREAM interval join: attribute each click to the same
     * user's preceding view within a 1-hour attribution window.
     *

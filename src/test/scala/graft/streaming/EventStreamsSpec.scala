@@ -517,4 +517,40 @@ class EventStreamsSpec extends SparkTestBase {
     assert(day2.toSeq == Seq(1L),
       s"late event must be dropped, got counts ${day2.toSeq}")
   }
+
+  test("ev_late_data's drop rule ≡ streaming row-level watermark (one row per batch)") {
+    // The contract query ev_late_data counts, per window, the rows a
+    // 30-min watermark WOULD drop under the per-row idealization:
+    // late iff us <= (max us of all PRIOR arrivals) − delay (the
+    // engine keeps a row only when strictly newer than the
+    // watermark — boundary rows are dropped, pinned below).
+    // One-row-per-batch feeding makes micro-batch streaming converge
+    // to exactly that rule (each row is processed under the watermark
+    // from all previously completed batches), so the rule is pinned
+    // here against the real engine, boundary rows included.
+    def ev(id: Long, sec: Long) = Ev(id, t(sec), 1L, "click", 1.0)
+    val arrivals = Seq(
+      ev(1, 10000), // first row: no watermark yet
+      ev(2, 14000), // advances max to 14000 -> wm 12200
+      ev(3, 11000), // 11000 < 12200: dropped (still feeds max stats)
+      ev(4, 12200), // EXACTLY wm: dropped (engine rule is ts > wm)
+      ev(5, 12199), // 1 s behind wm: dropped
+      ev(6, 20000), // advances max to 20000 -> wm 18200
+      ev(7, 17000), // dropped
+      ev(8, 18200)) // boundary again: dropped
+    val got = runStream("late_rule_sink", arrivals.map(Seq(_)),
+        EventStreams.lateSurvivors(_))
+      .select($"event_id").as[Long].collect().toSeq.sorted
+    // the batch rule, replicated row-for-row on the same arrivals
+    var maxUs = Long.MinValue
+    val want = arrivals.flatMap { e =>
+      val us = e.ts.getTime * 1000L
+      val late = maxUs != Long.MinValue && us <= maxUs - 1800000000L
+      maxUs = math.max(maxUs, us)
+      if (late) None else Some(e.event_id)
+    }.sorted
+    assert(want == Seq(1L, 2L, 6L))
+    assert(got == want,
+      s"streaming watermark survivors $got != batch-rule survivors $want")
+  }
 }
