@@ -351,6 +351,26 @@ object Similarity {
       .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
   }
 
+  /** RETRAIN an [[ivfBuild]] index from its own stored vectors and
+    * write the result at `newPath` — the maintenance step
+    * [[ivfAppend]] defers: appends never retrain the quantizer, so
+    * cell balance drifts (a new arrival cluster piles into one hot
+    * cell, bounding worst-case probe latency and starving recall at
+    * fixed nProbe); when the `sim_ivf_cell_stats` audit says the
+    * profile has degraded, a rebuild re-trains on the CURRENT corpus
+    * and restores balance. Reads only the saved cells (one corpus
+    * scan — the original raw table is not needed), trains with the
+    * same deterministic seeding/rounding as the build, and writes the
+    * standard layout, so the caller republishes atomically via
+    * IndexStore.ensure and every consumer (topk / range / semantic
+    * dedup / cell stats) serves the new index unchanged. */
+  def ivfRebuild(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, newPath: String, k: Int = 8,
+      rounds: Int = 2): Unit =
+    ivfBuild(spark.read.parquet(s"$oldPath/cells")
+        .select(col("vec_id"), col("v")),
+      "vec_id", "v", newPath, k = k, rounds = rounds)
+
   /** Approximate top-k cosine over a SAVED [[ivfBuild]] index:
     * (probe_id, rk, neighbor_id, cosine). Each probe is assigned to
     * its `nProbe` nearest cells; the probed cell ids — at most k of

@@ -87,37 +87,51 @@ object MiningQueries {
     * `fin AS (vec_id, v, cid, d2)`: the final assignment against
     * those centers, ready for a caller-appended SELECT (kmeans sizes,
     * within-cell pairs, probe-cell ranking). */
-  private[operators] def kmeansOracleCte(k: Int, rounds: Int): String = {
+  private[operators] def kmeansOracleCte(k: Int, rounds: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${kmeansCtes(k, rounds, "e", "")}""".stripMargin
+
+  /** The same unrolled-Lloyd CTE chain over an ARBITRARY corpus CTE
+    * `src` (vec_id, v), with every CTE name prefixed by `p` so two
+    * independent trainings can live in one WITH clause (the
+    * sim_ivf_rebuild oracle trains the pre-drift quantizer on the
+    * base corpus AND the rebuilt quantizer on base ∪ arrivals).
+    * Emits `${p}cfin` (final centers) and `${p}fin` (final
+    * assignment); the default (src = "e", p = "") reproduces exactly
+    * what [[kmeansOracleCte]] always produced (the corpus CTE is
+    * aliased `e` inside, so the chain's inner references are
+    * unchanged). */
+  private[operators] def kmeansCtes(k: Int, rounds: Int, src: String,
+      p: String): String = {
     val duckRound = (t: Int) =>
-      s"""a$t AS (
+      s"""${p}a$t AS (
          |  SELECT vec_id, v, cid, d2 FROM (
          |    SELECT vec_id, v, cid, d2,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
          |    FROM (SELECT e.vec_id, e.v, c.cid,
          |            list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
          |              + list_dot_product(c.c, c.c) AS d2
-         |          FROM e, c${t - 1} c))
+         |          FROM $src e, ${p}c${t - 1} c))
          |  WHERE rn = 1),
-         |c$t AS (
+         |${p}c$t AS (
          |  SELECT cid, list(m ORDER BY pos) AS c FROM (
          |    SELECT cid, pos, round(avg(x), 8) AS m
          |    FROM (SELECT cid, unnest(v) AS x,
-         |            unnest(range(1, len(v) + 1)) AS pos FROM a$t)
+         |            unnest(range(1, len(v) + 1)) AS pos FROM ${p}a$t)
          |    GROUP BY cid, pos)
          |  GROUP BY cid)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+    s"""${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |       FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k)),
        |${(1 to rounds).map(duckRound).mkString(",\n")},
-       |cfin AS (SELECT cid, c FROM c$rounds),
-       |fin AS (
+       |${p}cfin AS (SELECT cid, c FROM ${p}c$rounds),
+       |${p}fin AS (
        |  SELECT vec_id, v, cid, d2 FROM (
        |    SELECT vec_id, v, cid, d2,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |    FROM (SELECT e.vec_id, e.v, c.cid,
        |            list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
        |              + list_dot_product(c.c, c.c) AS d2
-       |          FROM e, cfin c))
+       |          FROM $src e, ${p}cfin c))
        |  WHERE rn = 1)""".stripMargin
   }
 

@@ -299,6 +299,115 @@ object SimQueries {
       .orderBy(col("cid"))
   }
 
+  /** IVF REBUILD — the maintenance step `sim_ivf_cell_stats` exists
+    * to schedule, certified end to end (the dedup_cluster_stats
+    * pattern: the DECISION and its outcome are themselves
+    * hash-checked rows): a drifted corpus — every 4th embedding
+    * re-arrives shifted into one tight far-away cluster, the
+    * canonical distribution shift ivfAppend cannot adapt to because
+    * appends never retrain the quantizer — is appended to a base
+    * ivf_c8 build, the pre-rebuild profile shows the arrivals piled
+    * into hot cells, then [[graft.api.Similarity.ivfRebuild]]
+    * retrains on the index's OWN stored vectors and the post-rebuild
+    * profile is re-audited. Output: one row per (phase ∈ {pre, post},
+    * cid) with the cell population and the integer-exact hot/cold
+    * flags. The oracle replays BOTH quantizer trainings (base, and
+    * base ∪ arrivals for the rebuild) via the prefixed
+    * [[MiningQueries.kmeansCtes]] chains plus the append-side
+    * nearest-cell assignment, all in one WITH clause.
+    *
+    * Scale shape: both audits read only the indexes' `cid` partition
+    * column (parquet metadata, not vector bytes); the rebuild itself
+    * is the offline ivfBuild cost — one scan of the stored cells, k
+    * centers broadcast per Lloyd round — amortized across every
+    * consumer of the republished index. IndexStore stamps both
+    * artifacts, so the drift+rebuild sequence runs once per corpus
+    * generation and re-runs are pure reads (idempotent: the append
+    * happens INSIDE the pre index's ensure block, never twice). */
+  val simIvfRebuild: GQuery = {
+    val idOff = 10000000L
+    GQuery("sim_ivf_rebuild",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |arr AS (SELECT vec_id + $idOff AS vec_id,
+         |          list_transform(v, x -> x * 0.05 + 2.0) AS v
+         |        FROM e WHERE vec_id % 4 = 0),
+         |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM arr),
+         |${MiningQueries.kmeansCtes(8, 2, "e", "b")},
+         |arrfin AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT a.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.c)
+         |          + list_dot_product(c.c, c.c), c.cid) AS rn
+         |    FROM arr a, bcfin c)
+         |  WHERE rn = 1),
+         |${MiningQueries.kmeansCtes(8, 2, "u", "r")},
+         |pre AS (SELECT vec_id, cid FROM bfin
+         |        UNION ALL SELECT vec_id, cid FROM arrfin),
+         |post AS (SELECT vec_id, cid FROM rfin),
+         |pp AS (
+         |  SELECT 'pre' AS phase, CAST(cid AS INT) AS cid,
+         |    CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM pre GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'post' AS phase, CAST(cid AS INT) AS cid,
+         |    CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM post GROUP BY 2),
+         |t AS (SELECT phase, CAST(sum(n_vectors) AS BIGINT) AS total,
+         |        CAST(count(*) AS BIGINT) AS n_cells
+         |      FROM pp GROUP BY 1)
+         |SELECT pp.phase, pp.cid, pp.n_vectors, t.n_cells,
+         |  pp.n_vectors * t.n_cells >= t.total * 2 AS hot,
+         |  pp.n_vectors * t.n_cells * 5 <= t.total AS cold
+         |FROM pp JOIN t ON pp.phase = t.phase
+         |ORDER BY pp.phase, pp.cid""".stripMargin) { (s, dir) =>
+      val base = vecs(s, dir).select(col("vec_id"), col("v"))
+      // drifted arrivals: every 4th vector re-embedded into one tight
+      // cluster far from the base distribution (x*0.05 + 2.0 is a
+      // single IEEE multiply-add per element — both engines compute
+      // bit-identical doubles, no rounding grid needed); a quarter of
+      // the corpus piling into one cell is what actually trips the
+      // integer hot flag (2x the mean) that schedules the rebuild
+      val arrivals = base.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + lit(idOff)).as("vec_id"),
+          transform(col("v"), x => x * lit(0.05) + lit(2.0)).as("v"))
+      // family names carry the drift modulus: the stamp is keyed on
+      // (family, fixture), so a parameter change must mint a new family
+      // or a stale cached index would be served
+      val prePath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("ivf_rebuild_pre_m4", dir,
+          "embeddings.parquet")) { tmp =>
+        graft.api.Similarity.ivfBuild(base, "vec_id", "v", tmp,
+          k = 8, rounds = 2)
+        graft.api.Similarity.ivfAppend(arrivals, "vec_id", "v", tmp)
+      }
+      val postPath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("ivf_rebuild_post_m4", dir,
+          "embeddings.parquet")) { tmp =>
+        graft.api.Similarity.ivfRebuild(s, prePath, tmp,
+          k = 8, rounds = 2)
+      }
+      def profile(path: String, phase: String) = {
+        val perCell = s.read.parquet(s"$path/cells")
+          .select(col("cid").cast("int").as("cid"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).cast("bigint").as("n_vectors"))
+        val tot = perCell.agg(
+          sum(col("n_vectors")).cast("bigint").as("total"),
+          count(lit(1)).cast("bigint").as("n_cells"))
+        perCell.crossJoin(broadcast(tot))
+          .select(lit(phase).as("phase"), col("cid"), col("n_vectors"),
+            col("n_cells"),
+            (col("n_vectors") * col("n_cells") >= col("total") * 2)
+              .as("hot"),
+            (col("n_vectors") * col("n_cells") * 5 <= col("total"))
+              .as("cold"))
+      }
+      profile(prePath, "pre").unionAll(profile(postPath, "post"))
+        .orderBy(col("phase"), col("cid"))
+    }
+  }
+
   /** DuckDB replay of the per-subspace PQ codebook training
     * (graft.api.IvfPq.build): sub-vectors (m = 8, subDim = 8), seed
     * codes = rank among the 64 smallest vec_ids, each Lloyd round
@@ -2849,7 +2958,8 @@ object SimQueries {
 
   val all: Seq[GQuery] =
     Seq(simTopkNng, simNngIngest, simRecallNng, simTopkNngDescent,
-      simKnnClassifyNng, sampleKcenter, simIvfCellStats, simRecallIvfPq,
+      simKnnClassifyNng, sampleKcenter, simIvfCellStats, simIvfRebuild,
+      simRecallIvfPq,
       simTopkFiltered, simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,

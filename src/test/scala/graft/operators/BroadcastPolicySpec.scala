@@ -238,6 +238,12 @@ class BroadcastPolicySpec extends SparkTestBase {
     // 1-row (total, n_cells) scalar onto the ≤k-row per-cell frame
     // (the audit reads only the index's cid partition column)
     "sim_ivf_cell_stats" -> 1,
+    // the same 1-row (total, n_cells) scalar, once per audited phase
+    // (pre-rebuild drifted index, post-rebuild index)
+    "sim_ivf_rebuild" -> 2,
+    // the cross-block watermark carry frame — one row per 1-hour
+    // arrival block, bounded by the fixture's time span in hours
+    "ev_late_data" -> 1,
     // exact tier = cosineTopK's literal-filtered probe broadcast +
     // the saved-PQ serving probes: m·ksub probe ADC tables, bounded
     // probe-cell set, probe frame — all probe- or k-bounded (the
