@@ -26,6 +26,57 @@ object Text {
         lit(n))).as("ngram"))
   }
 
+  /** Build a saved EVAL-GRAM index for decontamination — the
+    * [[Dedup.containmentIndexBuild]] discipline applied to the
+    * benchmark-leakage probe: real eval suites are FIXED and reused
+    * across every training run, so their distinct n-grams are
+    * shingled, bucket-partitioned by a portable gram hash, and
+    * written ONCE; each training corpus then probes the saved grams
+    * without ever re-shingling the eval side. Layout:
+    *  - `grams`: distinct (eval_id, ngram), partitioned by `bkt` (a
+    *    pure function of the gram, so probe and build always agree);
+    *  - `docs`: per-eval ASCENDING-sorted distinct gram arrays for
+    *    the stateless per-pair overlap count
+    *    (`sorted_intersect_count`, exact at minNeeded = 0);
+    *  - `meta`: (n, n_buckets) pinning shingling and bucketing. */
+  def evalGramIndexBuild(evalDocs: DataFrame, id: String, text: String,
+      path: String, n: Int = 4, nBuckets: Int = 32): Unit = {
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    Seq((n, nBuckets)).toDF("n", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val g = ngrams(evalDocs, id, text, n)
+      .select(col(id).as("eval_id"), col("ngram")).distinct()
+    g.withColumn("bkt", evalGramBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/grams")
+    g.groupBy(col("eval_id"))
+      .agg(sort_array(collect_list(col("ngram"))).as("eg_sorted"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Add a NEW eval suite's grams to a saved [[evalGramIndexBuild]]
+    * index — suites arrive rarely (a benchmark release), so appends
+    * only touch the new grams' bucket directories. Ids must be new. */
+  def evalGramIndexAppend(newEvalDocs: DataFrame, id: String,
+      text: String, path: String): Unit = {
+    val spark = newEvalDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, nBuckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"))
+    val g = ngrams(newEvalDocs, id, text, n)
+      .select(col(id).as("eval_id"), col("ngram")).distinct()
+    g.withColumn("bkt", evalGramBucket(nBuckets))
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/grams")
+    g.groupBy(col("eval_id"))
+      .agg(sort_array(collect_list(col("ngram"))).as("eg_sorted"))
+      .write.mode("append").parquet(s"$path/docs")
+  }
+
+  /** The eval-gram index's posting bucket — a pure function of the
+    * gram, so probe and build always agree. */
+  private[graft] def evalGramBucket(nBuckets: Int): Column =
+    pmod(Sampling.portableHash(col("ngram"), "dcn:"), lit(nBuckets))
+      .cast("int")
+
   /** Per-document mean unigram SURPRISAL under the corpus's OWN
     * add-1-smoothed unigram model — the relational core of an
     * LM-score quality filter (the CCNet-style move: score each

@@ -1066,8 +1066,10 @@ object TextQueries {
     * (BroadcastPolicySpec) rightly forbids an unconditional hint on
     * an SF-scaling frame. Both dedup passes are min-struct-free
     * distincts that combine map-side before their shuffles. */
-  val textDecontaminate: GQuery = GQuery(
-    "text_decontaminate",
+  /** One oracle for both decontamination rows: the in-memory form and
+    * the saved-eval-gram-index serving twin compute the identical
+    * (train_id, eval_id, n_shared) table, so they share this SQL. */
+  private lazy val duckDecontaminateSql =
     s"""WITH g AS (
        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |                           || ' ' || t[i+3]
@@ -1083,7 +1085,10 @@ object TextQueries {
        |          WHERE t.doc_id NOT IN (SELECT doc_id FROM ev))
        |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
        |FROM pairs GROUP BY train_id, eval_id
-       |ORDER BY train_id, eval_id""".stripMargin) { (s, dir) =>
+       |ORDER BY train_id, eval_id""".stripMargin
+
+  val textDecontaminate: GQuery = GQuery(
+    "text_decontaminate", duckDecontaminateSql) { (s, dir) =>
     val g = graft.api.Text.ngrams(
       Tables.documentsSpread(s, dir), "doc_id", "text", n = 4)
     val isEval = pmod(graft.api.Sampling.portableHash(col("doc_id"), "eval:"),
@@ -1095,6 +1100,38 @@ object TextQueries {
       .join(evalGrams, Seq("ngram"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** DECONTAMINATION served from the SAVED eval-gram index — the
+    * amortized form of `text_decontaminate` (the
+    * dedup_containment_ingest pattern): real eval suites are fixed
+    * and reused across training runs, so their distinct 4-grams are
+    * indexed ONCE (`Text.evalGramIndexBuild`, bucket-partitioned
+    * postings + per-eval sorted gram arrays) and every corpus scan
+    * probes the saved grams without re-shingling the eval side. Same
+    * oracle as the in-memory row — identical (train_id, eval_id,
+    * n_shared) — so the index path is hash-certified against it.
+    *
+    * Scale shape: the training side streams through once (grams are
+    * doc-local); the posting join is gram-keyed with the probed
+    * buckets pruned at planning time; n_shared attaches per surviving
+    * PAIR via the codegen'd sorted-merge count — the eval suite's
+    * text never rides the join. TextStreamsSpec pins the streaming
+    * (stateless, Append-safe) and batch plans equal. */
+  val textDecontaminateIndexed: GQuery = GQuery(
+    "text_decontaminate_indexed", duckDecontaminateSql) { (s, dir) =>
+    val docs = Tables.documentsSpread(s, dir)
+    val isEval = pmod(graft.api.Sampling.portableHash(col("doc_id"), "eval:"),
+      lit(50L)) === lit(0L)
+    val path = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("dcn_eval_g4", dir,
+        "documents.parquet")) { tmp =>
+      graft.api.Text.evalGramIndexBuild(docs.filter(isEval),
+        "doc_id", "text", tmp)
+    }
+    graft.streaming.TextStreams.decontaminateAgainstSavedIndex(
+      docs.filter(!isEval), path, "doc_id", "text")
       .orderBy(col("train_id"), col("eval_id"))
   }
 
@@ -1719,7 +1756,8 @@ object TextQueries {
     textRepetition, textExtractTags, textSurprisal, textPackSequences,
     textHeavyHitters, textFeatureHashing, textSurprisalBigram,
     textEntropy, textPiiAudit, textDedupUrl, textVocabOov,
-    textBpeMerges, textBpeSegment, textDecontaminate, textZipfFit,
+    textBpeMerges, textBpeSegment, textDecontaminate,
+    textDecontaminateIndexed, textZipfFit,
     textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr,
     textPmiCollocations, textRakeKeywords, textQualityBuckets,
     textReadability, textGopherRules, textWinnowing)

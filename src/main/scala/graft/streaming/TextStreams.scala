@@ -26,6 +26,78 @@ import graft.api.Text
   */
 object TextStreams {
 
+  /** DECONTAMINATION served from a saved [[Text.evalGramIndexBuild]]
+    * index: each training document's distinct n-grams probe the
+    * eval-gram postings, and every (train, eval) pair sharing at
+    * least one gram is emitted with its EXACT shared-distinct-gram
+    * count — column-identical to the in-memory `text_decontaminate`
+    * contract row ((train_id, eval_id, n_shared)), but the eval side
+    * is never re-shingled: real eval suites are fixed across training
+    * runs, so the gram index amortizes (the
+    * [[DedupStreams.containmentAgainstSavedIndex]] discipline).
+    *
+    * On a stream the plan is STATELESS and Append-safe: candidate
+    * collisions dedup to one row per pair by the first-hit rule (keep
+    * the collision whose gram IS the first element of the arrival's
+    * sorted gram array present in the eval doc's array), and n_shared
+    * is the per-row `sorted_intersect_count` of the two carried
+    * sorted arrays (exact at minNeeded = 0) — no aggregate, no
+    * watermark. The batch path produces the identical result from a
+    * SLIM (train_id, ngram) explode (arrays never ride the posting
+    * join) with the probed buckets pruned at planning time. */
+  def decontaminateAgainstSavedIndex(train: DataFrame, path: String,
+      id: String, text: String): DataFrame = {
+    val spark = train.sparkSession
+    graft.functions.TextExpressions.register(spark)
+    graft.functions.SetExpressions.register(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, nBuckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"))
+    val postings = spark.read.parquet(s"$path/grams")
+      .select(col("bkt"), col("ngram"), col("eval_id"))
+    val evalArr = spark.read.parquet(s"$path/docs")
+      .select(col("eval_id"), col("eg_sorted").as("ta"))
+    val gramArr = array_sort(array_distinct(call_function("word_ngrams",
+      split(col(text), " "), lit(n))))
+    val arrBase = train
+      .select(col(id).as("train_id"), gramArr.as("ea"))
+      .filter(size(col("ea")) > 0)
+    val paired =
+      if (train.isStreaming) {
+        // stateless carried-data plan: the arrival's gram array rides
+        // every exploded row — per-ARRIVAL cost, right for a stream's
+        // small micro-batches
+        arrBase
+          .select(col("train_id"), col("ea"),
+            explode(col("ea")).as("ngram"))
+          .withColumn("bkt", graft.api.Text.evalGramBucket(nBuckets))
+          .join(postings, Seq("bkt", "ngram"))
+          .join(evalArr, Seq("eval_id"))
+          // first-hit dedup: the joined gram is in ta by construction,
+          // so the filtered array is never empty
+          .filter(col("ngram") === element_at(
+            filter(col("ea"), x => array_contains(col("ta"), x)), 1))
+      } else {
+        // batch backfill plan, same result (spec pins them equal):
+        // slim explode, real distinct on the pair, arrays attached
+        // exactly once per surviving pair
+        import graft.Ckpt.CkptOps
+        val arr = arrBase.ckpt()
+        val slim = arr.select(col("train_id"),
+            explode(col("ea")).as("ngram"))
+          .withColumn("bkt", graft.api.Text.evalGramBucket(nBuckets))
+        val bkts = slim.select(col("bkt")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        slim.join(postings.filter(col("bkt").isin(bkts: _*)),
+            Seq("bkt", "ngram"))
+          .select(col("train_id"), col("eval_id")).distinct()
+          .join(arr, Seq("train_id"))
+          .join(evalArr, Seq("eval_id"))
+      }
+    paired.select(col("train_id"), col("eval_id"),
+      call_function("sorted_intersect_count",
+        col("ea"), col("ta"), lit(0)).cast("bigint").as("n_shared"))
+  }
+
   /** (id, n_tokens, uniq_ratio, avg_token_len, stop_ratio, quality) —
     * column-identical to the batch [[Text.qualityScore]]. */
   def qualityScoreRow(docs: DataFrame, id: String, text: String,

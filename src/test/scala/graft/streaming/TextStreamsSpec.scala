@@ -43,6 +43,48 @@ class TextStreamsSpec extends SparkTestBase {
       s"gate should pass a strict subset: ${got.size} of ${fixture.size}")
   }
 
+  test("streaming decontamination probe of the SAVED eval-gram index " +
+      "equals the batch probe and the in-memory contract row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dcnidx_stream").toString
+    val isEval = pmod(graft.api.Sampling.portableHash($"doc_id", "eval:"),
+      lit(50L)) === lit(0L)
+    graft.api.Text.evalGramIndexBuild(docs.filter(isEval),
+      "doc_id", "text", path)
+    // training docs stream in; plant a verbatim eval quote so at least
+    // one pair has n_shared = the eval doc's full gram count
+    val evalRow = docs.filter(isEval).as[(Long, String)].head()
+    val train = docs.filter(!isEval).as[(Long, String)].collect().toSeq :+
+      ((999999L, evalRow._2))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextStreams.decontaminateAgainstSavedIndex(
+        mem.toDF().toDF("doc_id", "text"), path, "doc_id", "text")
+      .writeStream.format("memory").queryName("dcn_stream")
+      .outputMode("append").start()
+    train.grouped(100).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("dcn_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: the SAME function over a batch frame (this path
+    // additionally prunes the postings scan to the probed buckets)
+    val want = TextStreams.decontaminateAgainstSavedIndex(
+        train.toDF("doc_id", "text"), path, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // the planted quote shares the eval doc's ENTIRE distinct gram set
+    val evalGrams = graft.api.Text.ngrams(
+        docs.filter($"doc_id" === evalRow._1), "doc_id", "text", n = 4)
+      .select($"ngram").distinct().count()
+    assert(got.contains((999999L, evalRow._1, evalGrams)))
+    // and equals the in-memory contract row over the same universe
+    // (restricted to the real training docs — the planted id aside)
+    val viaQuery = graft.operators.TextQueries.textDecontaminate
+      .fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.filter(_._1 != 999999L) == viaQuery)
+  }
+
   test("urlKeepFirst: ascending-id delivery equals the batch keep-list " +
       "at every micro-batch split") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
