@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
   * descent graph's edge agreement against the exact lists. Usage:
   *
   *   SPARK_GRAFT_SF_DIR=/tmp/sfx10 SPARK_GRAFT_CPUS=32 \
-  *     sbt "runMain graft.IndexBench [exact] [descent]"
+  *     sbt "runMain graft.IndexBench [exact] [descent] [serve]"
   *
-  * (args filter which builds run; default both. The exact build is
-  * O(n²) — skip it above ~50k vectors.) Prints one JSON line. */
+  * (args filter which stages run; default exact+descent. The exact
+  * build is O(n²) — skip it above ~50k vectors.) The `serve` stage
+  * measures the ONLINE half against the descent-built graph — the
+  * seam the build curves alone leave open: a warm-iso beam walk
+  * (the sim_topk_nng shape, top-3) and the k-NN classify vote (the
+  * sim_knn_classify_nng shape, top-5 + majority), each run twice so
+  * run2 is the warm number. SPARK_GRAFT_IDX_BASE pins the index
+  * directory (reuse a prior build instead of paying it again);
+  * otherwise a temp dir is used. Prints one JSON line. */
 object IndexBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,10 +39,11 @@ object IndexBench {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_idxbench").toString
+    val base = sys.env.getOrElse("SPARK_GRAFT_IDX_BASE",
+      java.nio.file.Files.createTempDirectory("graft_idxbench").toString)
     var fields = Seq(s""""n_vectors": $n""")
-    if (which("descent")) {
+    val descentDone = new java.io.File(s"$base/descent/entries").exists
+    if (which("descent") && !descentDone) {
       // rounds ~ log2(n): candidate information doubles per round
       val rounds = math.ceil(math.log(n.toDouble) / math.log(2)).toInt
       val (counts, tD) = time(graft.api.Similarity.nngBuildDescent(
@@ -43,6 +51,8 @@ object IndexBench {
       fields :+= s""""descent_rounds": $rounds"""
       fields :+= f""""descent_build_sec": $tD%.2f"""
       fields :+= s""""descent_round_pool_edges": [${counts.mkString(", ")}]"""
+    } else if (descentDone) {
+      fields :+= s""""descent_build_sec": "reused $base/descent""""
     }
     if (which("exact")) {
       val (_, tE) = time(graft.api.Similarity.nngBuild(
@@ -67,6 +77,51 @@ object IndexBench {
         fields :+= f""""descent_edge_agreement": $agree%.4f"""
         fields :+= f""""descent_edge_coverage": ${deN.toDouble / (n * 10)}%.4f"""
       }
+    }
+    if (which("serve")) {
+      // the ONLINE half over the descent-built graph: probes are every
+      // 500th vector (400 probes at the 200k-vector 100x corpus — the
+      // same probe volume as the 10x sim_knn_classify_nng record), run
+      // twice so run2 is the warm-iso number. The walk never scans the
+      // corpus; per-probe cost is corpus-invariant by construction and
+      // this measures exactly that claim on a descent-built graph.
+      val graphPath = s"$base/descent"
+      require(new java.io.File(s"$graphPath/entries").exists,
+        s"serve stage needs a descent graph at $graphPath — run the " +
+          "descent stage first or point SPARK_GRAFT_IDX_BASE at one")
+      val probes = ev.filter(col("vec_id") % 500 === 0)
+      fields :+= s""""serve_n_probes": ${probes.count()}"""
+      def walkOnce(): Long =
+        graft.api.Similarity.nngTopK(probes, "vec_id", "v", graphPath,
+          k = 3, beam = 10, rounds = 4).count()
+      // k-NN classify: top-5 walk shortlist -> neighbor-label majority
+      // vote, descending votes then smallest label (the
+      // sim_knn_classify_nng contract vote)
+      val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlabel"))
+      def classifyOnce(): Long = {
+        val top5 = graft.api.Similarity.nngTopK(probes, "vec_id", "v",
+          graphPath, k = 5, beam = 10, rounds = 4)
+        val votes = top5.join(labels, Seq("neighbor_id"))
+          .groupBy(col("probe_id"), col("nlabel"))
+          .agg(count(lit(1)).as("votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("votes").desc, col("nlabel"))
+        votes.withColumn("vr", row_number().over(w))
+          .filter(col("vr") === 1).count()
+      }
+      val (w1Rows, tW1) = time(walkOnce())
+      val (_, tW2) = time(walkOnce())
+      val (c1Rows, tC1) = time(classifyOnce())
+      val (_, tC2) = time(classifyOnce())
+      fields :+= s""""serve_walk_rows": $w1Rows"""
+      fields :+= f""""serve_walk_run1_sec": $tW1%.2f"""
+      fields :+= f""""serve_walk_run2_sec": $tW2%.2f"""
+      fields :+= s""""serve_classify_rows": $c1Rows"""
+      fields :+= f""""serve_classify_run1_sec": $tC1%.2f"""
+      fields :+= f""""serve_classify_run2_sec": $tC2%.2f"""
     }
     println(s"{${fields.mkString(", ")}, " +
       s""""sf": "$sfDir", "cpus": $cpus}""")

@@ -371,6 +371,58 @@ object Similarity {
         .select(col("vec_id"), col("v")),
       "vec_id", "v", newPath, k = k, rounds = rounds)
 
+  /** Greedy k-CENTER (Gonzalez farthest-point) exemplar selection —
+    * the `sample_kcenter` traversal as a reusable API: start at the
+    * smallest id, then k−1 times add the vector farthest from its
+    * nearest chosen center (1 − cosine on the rounded-6 grid,
+    * smallest-max-cosine argmax, id tiebreak). Returns the ranked
+    * centers ((rank, id, dist-to-nearest-prior); dist None for the
+    * seed). k linear scans against a ≤k-row broadcast center set —
+    * never pairwise; the k bounded 1-row collects carry ids between
+    * rounds (the nProbe discipline). */
+  def kcenterSelect(corpus: DataFrame, id: String, vec: String,
+      k: Int): Seq[(Int, Long, Option[Double])] = {
+    val e = prep(corpus, id, vec)
+      .select(col("vid").as("vec_id"), col("v"), col("nrm"))
+      .ckptLazy()
+    val c0 = e.agg(min(col("vec_id"))).head().getLong(0)
+    var centers = Seq((0, c0, Option.empty[Double]))
+    for (t <- 1 until k) {
+      val cent = e.filter(col("vec_id").isin(centers.map(_._2): _*))
+        .select(col("v").as("cv"), col("nrm").as("cnrm"))
+      val next = e.filter(!col("vec_id").isin(centers.map(_._2): _*))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          round(expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")), 6)
+            .as("cos"))
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("m"))
+        .orderBy(col("m").asc, col("vec_id")).limit(1)
+        .head()
+      centers :+= ((t, next.getLong(0), Some(1.0 - next.getDouble(1))))
+    }
+    centers
+  }
+
+  /** Persist a [[kcenterSelect]] coreset as a SAVED CENTER SET:
+    * (rank, cid, v, nrm) — ≤k rows, the broadcast side every later
+    * arrival assignment rides (SampleStreams.assignAgainstSavedCenters
+    * serves it statelessly on a stream). The expensive part — k
+    * corpus scans — runs once; assignment afterwards is one per-row
+    * argmax against the tiny saved frame. */
+  def kcenterIndexBuild(corpus: DataFrame, id: String, vec: String,
+      path: String, k: Int): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sel = kcenterSelect(corpus, id, vec, k)
+    val ranks = sel.map { case (r, cid, _) => (r, cid) }
+      .toDF("rank", "cid")
+    val e = prep(corpus, id, vec)
+    ranks.join(e.select(col("vid").as("cid"), col("v"), col("nrm")),
+        Seq("cid"))
+      .select(col("rank"), col("cid"), col("v"), col("nrm"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+  }
+
   /** Approximate top-k cosine over a SAVED [[ivfBuild]] index:
     * (probe_id, rk, neighbor_id, cosine). Each probe is assigned to
     * its `nProbe` nearest cells; the probed cell ids — at most k of

@@ -2901,8 +2901,13 @@ object SimQueries {
     * collects (the ivf nProbe discipline) carry the chosen ids
     * between rounds. Total k scans — linear in the corpus, never
     * pairwise. */
-  val sampleKcenter: GQuery = {
-    val k = 4
+  /** The unrolled Gonzalez k-center traversal as a reusable CTE
+    * chain: emits `n` (vec_id, v, nrm), the seed `c0`, per-round
+    * winners `c1..c{k−1}` (cid, m = max cosine to priors) and the
+    * growing center sets `cents1..cents{k}` — both kcenter rows
+    * (the selection and the saved-center assignment) append their
+    * own tails. */
+  private def kcenterCtes(k: Int): String = {
     val sc = "round(list_dot_product(x.v, c.v) / (x.nrm * c.nrm), 6)"
     val roundCte = (t: Int) =>
       s"""cand$t AS (
@@ -2915,51 +2920,96 @@ object SimQueries {
          |cents${t + 1} AS (
          |  SELECT cid FROM cents$t UNION ALL SELECT cid FROM c$t)"""
         .stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM e),
+       |c0 AS (SELECT min(vec_id) AS cid FROM n),
+       |cents1 AS (SELECT cid FROM c0),
+       |${(1 until k).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
+  val sampleKcenter: GQuery = {
+    val k = 4
     GQuery("sample_kcenter",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-         |           FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-         |      FROM e),
-         |c0 AS (SELECT min(vec_id) AS cid FROM n),
-         |cents1 AS (SELECT cid FROM c0),
-         |${(1 until k).map(roundCte).mkString(",\n")}
+      s"""WITH ${kcenterCtes(k)}
          |SELECT * FROM (
          |  SELECT 0 AS rank, cid AS vec_id, CAST(NULL AS DOUBLE) AS dist
          |  FROM c0
          |  ${(1 until k).map(t =>
              s"UNION ALL SELECT $t, cid, 1 - m FROM c$t").mkString("\n  ")})
          |ORDER BY rank""".stripMargin) { (s, dir) =>
-      val ev = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
-        .ckptLazy()
-      val c0 = ev.agg(min(col("vec_id"))).head().getLong(0)
-      // (rank, vec_id, dist-to-nearest-prior); grows to k entries via
-      // k−1 bounded 1-row collects
-      var centers = Seq((0, c0, Option.empty[Double]))
-      for (t <- 1 until k) {
-        val cent = ev.filter(col("vec_id")
-            .isin(centers.map(_._2): _*))
-          .select(col("vec_id").as("cid"), col("v").as("cv"),
-            col("nrm").as("cnrm"))
-        val next = ev.filter(!col("vec_id")
-            .isin(centers.map(_._2): _*))
-          .crossJoin(broadcast(cent))
-          .select(col("vec_id"),
-            round(expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")), 6)
-              .as("cos"))
-          .groupBy(col("vec_id")).agg(max(col("cos")).as("m"))
-          .orderBy(col("m").asc, col("vec_id")).limit(1)
-          .head()
-        centers :+= ((t, next.getLong(0), Some(1.0 - next.getDouble(1))))
-      }
+      // the traversal lives in the API (round 14: the saved-center
+      // assignment tier shares it) — (rank, vec_id,
+      // dist-to-nearest-prior), k−1 bounded 1-row collects
       import s.implicits._
-      centers.toDF("rank", "vec_id", "dist")
+      graft.api.Similarity.kcenterSelect(
+          vecs(s, dir).select(col("vec_id"), col("v")),
+          "vec_id", "v", k)
+        .toDF("rank", "vec_id", "dist")
+    }
+  }
+
+  /** k-center COVERAGE — the consumption half of `sample_kcenter`
+    * (the coreset is useless until arrivals are ASSIGNED to
+    * exemplars): the Gonzalez centers are persisted once
+    * (`Similarity.kcenterIndexBuild`, a ≤k-row saved frame under
+    * IndexStore), every corpus vector joins the broadcast center set
+    * and keeps its nearest (max rounded-6 cosine, smallest-cid tie),
+    * and the report is per-center coverage: (rank, cid, n_assigned,
+    * radius = max 1−cos). The radius row is the 2-approximation
+    * readout — how far the worst-covered vector sits from its
+    * exemplar. Oracle replays the full traversal (the shared
+    * `kcenterCtes` chain) plus the assignment argmax.
+    *
+    * Scale shape: ONE corpus scan against a ≤k-row broadcast (the
+    * selection's own per-round plan, run once more), per-key argmax,
+    * k-row rollup; SampleStreams.assignAgainstSavedCenters serves the
+    * identical assignment statelessly on a stream (spec-pinned). */
+  val sampleKcenterAssign: GQuery = {
+    val k = 4
+    GQuery("sample_kcenter_assign",
+      s"""WITH ${kcenterCtes(k)},
+         |cr AS (SELECT 0 AS rank, cid FROM c0
+         |${(1 until k).map(t =>
+             s"       UNION ALL SELECT $t, cid FROM c$t").mkString("\n")}),
+         |asn AS (
+         |  SELECT vec_id, rank, cid, cos FROM (
+         |    SELECT vec_id, rank, cid, cos,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, cid) AS rn
+         |    FROM (SELECT x.vec_id, cc.rank, cc.cid,
+         |            round(list_dot_product(x.v, cc.v)
+         |                  / (x.nrm * cc.nrm), 6) AS cos
+         |          FROM n x CROSS JOIN
+         |            (SELECT r.rank, r.cid, c.v, c.nrm
+         |             FROM cr r JOIN n c ON c.vec_id = r.cid) cc))
+         |  WHERE rn = 1)
+         |SELECT CAST(rank AS INT) AS rank, cid,
+         |  CAST(count(*) AS BIGINT) AS n_assigned,
+         |  max(round(1 - cos, 6)) AS radius
+         |FROM asn GROUP BY rank, cid
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val path = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("kcenter_c4", dir,
+          "embeddings.parquet")) { tmp =>
+        graft.api.Similarity.kcenterIndexBuild(ev, "vec_id", "v",
+          tmp, k)
+      }
+      graft.streaming.SampleStreams.assignAgainstSavedCenters(
+          ev, path, "vec_id", "v")
+        .groupBy(col("rank"), col("cid"))
+        .agg(count(lit(1)).cast("bigint").as("n_assigned"),
+          max(col("dist")).as("radius"))
+        .orderBy(col("rank"))
     }
   }
 
   val all: Seq[GQuery] =
     Seq(simTopkNng, simNngIngest, simRecallNng, simTopkNngDescent,
-      simKnnClassifyNng, sampleKcenter, simIvfCellStats, simIvfRebuild,
-      simRecallIvfPq,
+      simKnnClassifyNng, sampleKcenter, sampleKcenterAssign,
+      simIvfCellStats, simIvfRebuild, simRecallIvfPq,
       simTopkFiltered, simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,

@@ -25,6 +25,65 @@ object SampleStreams {
       salt: String = "smp:"): DataFrame =
     graft.api.Sampling.hashBernoulli(df, id, modulus, salt)
 
+  /** Arrival ASSIGNMENT against a SAVED k-center coreset
+    * ([[graft.api.Similarity.kcenterIndexBuild]]): each arriving
+    * vector joins the ≤k-row broadcast center frame and keeps its
+    * nearest center (max rounded-6 cosine, smallest center id
+    * tiebreak) — (id, rank, cid, cosine, dist). A pure per-row argmax
+    * over a bounded static side: STATELESS, Append-safe, identical
+    * code path for batch and streaming (the coverage readout a
+    * coreset consumer needs — which exemplar represents each new
+    * arrival, and how far the coreset's radius has drifted). */
+  def assignAgainstSavedCenters(stream: DataFrame, path: String,
+      id: String, vec: String): DataFrame = {
+    val spark = stream.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val centers = spark.read.parquet(s"$path/centers")
+      .select(col("rank"), col("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("cosine").desc, col("cid"))
+    val scored = stream
+      .select(col(id), col(vec).as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+      .crossJoin(broadcast(centers))
+      .select(col(id), col("rank"), col("cid"),
+        round(expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")), 6)
+          .as("cosine"))
+    val best =
+      if (stream.isStreaming) {
+        // a window is an aggregate on a stream — the stateless twin:
+        // the ≤k centers ride ONE carried array column and the argmax
+        // folds over it per row (bounded, so the struct-min is a pure
+        // expression — no state, Append-safe)
+        val centerList = centers.groupBy().agg(collect_list(
+          struct(col("rank"), col("cid"), col("cv"), col("cnrm")))
+          .as("cs"))
+        stream.select(col(id), col(vec).as("v"))
+          .withColumn("nrm", expr("vec_norm(v)"))
+          .crossJoin(broadcast(centerList))
+          .select(col(id), aggregate(
+            transform(col("cs"), c => struct(
+              round(call_function("vec_dot", col("v"), c.getField("cv"))
+                / (col("nrm") * c.getField("cnrm")), 6).as("cosine"),
+              c.getField("cid").as("cid"),
+              c.getField("rank").as("rank"))),
+            lit(null).cast("struct<cosine:double,cid:bigint,rank:int>"),
+            (acc, x) => when(acc.isNull
+                || x.getField("cosine") > acc.getField("cosine")
+                || (x.getField("cosine") === acc.getField("cosine")
+                    && x.getField("cid") < acc.getField("cid")), x)
+              .otherwise(acc)).as("b"))
+          .select(col(id), col("b.rank").as("rank"),
+            col("b.cid").as("cid"), col("b.cosine").as("cosine"))
+      } else {
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col(id), col("rank"), col("cid"), col("cosine"))
+      }
+    best.withColumn("dist", round(lit(1.0) - col("cosine"), 6))
+  }
+
   /** stateless (per-row projection + explode) — identical code path
     * for batch and streaming: up-/down-sampling a live feed into the
     * training mixture needs no state either. */

@@ -244,6 +244,8 @@ class BroadcastPolicySpec extends SparkTestBase {
     // the cross-block watermark carry frame — one row per 1-hour
     // arrival block, bounded by the fixture's time span in hours
     "ev_late_data" -> 1,
+    // the ≤k-row saved k-center frame every arrival assignment rides
+    "sample_kcenter_assign" -> 1,
     // exact tier = cosineTopK's literal-filtered probe broadcast +
     // the saved-PQ serving probes: m·ksub probe ADC tables, bounded
     // probe-cell set, probe frame — all probe- or k-bounded (the

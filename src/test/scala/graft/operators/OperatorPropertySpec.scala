@@ -4375,6 +4375,33 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(served.count() == 15)
   }
 
+  test("descent-built graph passes the serving recall floor (sim_recall_nng harness)") {
+    // the 100-TB NNG story splices two tables: serving is measured on
+    // exact-built graphs, the scale build is descent. This closes the
+    // seam at the fixture SF: the SAME walk at the SAME sim_recall_nng
+    // parameters (k=3, beam=10, rounds=4, probes vec_id < 50) over a
+    // DESCENT-built graph must clear the same mean-recall floor the
+    // exact-built graph is held to (0.7).
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val n = ev.count()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("nng_descent_recall").toString
+    graft.api.Similarity.nngBuildDescent(ev, "vec_id", "v", tmp, k = 10,
+      rounds = math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+    val probes = ev.filter($"vec_id" < 50)
+    val exact = graft.api.Similarity.cosineTopK(ev, probes, "vec_id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = graft.api.Similarity.nngTopK(probes, "vec_id", "v", tmp,
+        k = 3, beam = 10, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (served & exact).size.toDouble / exact.size
+    info(f"descent-graph serving recall@3: $recall%.3f")
+    assert(recall >= 0.7,
+      f"descent-served recall $recall%.3f below the sim_recall_nng floor")
+  }
+
   test("sim_topk_nng_descent: full build+walk replay at the contract parameters") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -88,6 +88,7 @@ class PlanShapeSpec extends SparkTestBase {
     "ev_attribution_shapley",
     "sim_ivf_cell_stats", // 1-row (total, n_cells) scalar onto the ≤k cells frame
     "sim_ivf_rebuild",    // the same 1-row scalar, once per audited phase
+    "sample_kcenter_assign", // corpus × the ≤k-row saved center frame
     // ground-truth tier IS sim_cosine_topk's probe-broadcast scan
     // (the sim_recall_ivf adjudication, PQ serving side)
     "sim_recall_ivfpq")

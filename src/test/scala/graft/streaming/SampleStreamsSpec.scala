@@ -33,6 +33,43 @@ class SampleStreamsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("k-center assignment against the SAVED center set: " +
+      "streaming ≡ batch; every center covers itself at cosine 1") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_kcenter_stream").toString
+    graft.api.Similarity.kcenterIndexBuild(ev, "vec_id", "v", path, 4)
+    val fixture = ev.as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = SampleStreams.assignAgainstSavedCenters(
+        mem.toDF().toDF("vec_id", "v"), path, "vec_id", "v")
+      .writeStream.format("memory").queryName("kc_assign")
+      .outputMode("append").start()
+    fixture.grouped(150).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))
+    val got = spark.table("kc_assign").collect().map(key).toSet
+    // batch twin: the SAME function over a batch frame (window argmax
+    // instead of the carried-array fold — spec pins them equal)
+    val want = SampleStreams.assignAgainstSavedCenters(
+        fixture.toDF("vec_id", "v"), path, "vec_id", "v")
+      .collect().map(key).toSet
+    assert(got == want && got.size == fixture.size)
+    // each saved center is its own nearest exemplar at cosine 1
+    val cids = spark.read.parquet(s"$path/centers")
+      .select($"cid").as[Long].collect().toSet
+    assert(cids.size == 4)
+    cids.foreach { c =>
+      assert(got.exists(r => r._1 == c && r._3 == c && r._4 == 1.0),
+        s"center $c not self-assigned at cosine 1")
+    }
+  }
+
   test("split assignment: streaming ≡ batch (stateless projection)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[SEv]
