@@ -52,7 +52,11 @@ object Bench {
         "dedup_containment_ingest", "join_bucketed_colocated",
         "sim_hybrid_indexed", "sim_hybrid_ivf", "sim_lex_ingest",
         "sim_bm25_indexed", "sim_topk_nng", "sim_nng_ingest",
-        "sim_topk_nng_descent")
+        "sim_topk_nng_descent",
+        // round 14: the drift/rebuild pair, the eval-gram
+        // decontamination index, and the saved k-center set
+        "sim_ivf_rebuild", "text_decontaminate_indexed",
+        "sample_kcenter_assign")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

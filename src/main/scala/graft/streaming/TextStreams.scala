@@ -54,48 +54,54 @@ object TextStreams {
     val (n, nBuckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"))
     val postings = spark.read.parquet(s"$path/grams")
       .select(col("bkt"), col("ngram"), col("eval_id"))
-    val evalArr = spark.read.parquet(s"$path/docs")
-      .select(col("eval_id"), col("eg_sorted").as("ta"))
-    val gramArr = array_sort(array_distinct(call_function("word_ngrams",
-      split(col(text), " "), lit(n))))
-    val arrBase = train
-      .select(col(id).as("train_id"), gramArr.as("ea"))
-      .filter(size(col("ea")) > 0)
-    val paired =
-      if (train.isStreaming) {
-        // stateless carried-data plan: the arrival's gram array rides
-        // every exploded row — per-ARRIVAL cost, right for a stream's
-        // small micro-batches
-        arrBase
-          .select(col("train_id"), col("ea"),
-            explode(col("ea")).as("ngram"))
-          .withColumn("bkt", graft.api.Text.evalGramBucket(nBuckets))
-          .join(postings, Seq("bkt", "ngram"))
-          .join(evalArr, Seq("eval_id"))
-          // first-hit dedup: the joined gram is in ta by construction,
-          // so the filtered array is never empty
-          .filter(col("ngram") === element_at(
-            filter(col("ea"), x => array_contains(col("ta"), x)), 1))
-      } else {
-        // batch backfill plan, same result (spec pins them equal):
-        // slim explode, real distinct on the pair, arrays attached
-        // exactly once per surviving pair
-        import graft.Ckpt.CkptOps
-        val arr = arrBase.ckpt()
-        val slim = arr.select(col("train_id"),
-            explode(col("ea")).as("ngram"))
-          .withColumn("bkt", graft.api.Text.evalGramBucket(nBuckets))
-        val bkts = slim.select(col("bkt")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        slim.join(postings.filter(col("bkt").isin(bkts: _*)),
-            Seq("bkt", "ngram"))
-          .select(col("train_id"), col("eval_id")).distinct()
-          .join(arr, Seq("train_id"))
-          .join(evalArr, Seq("eval_id"))
-      }
-    paired.select(col("train_id"), col("eval_id"),
-      call_function("sorted_intersect_count",
-        col("ea"), col("ta"), lit(0)).cast("bigint").as("n_shared"))
+    if (train.isStreaming) {
+      // stateless carried-data plan: the arrival's sorted distinct
+      // gram array rides every exploded row (per-ARRIVAL cost, right
+      // for a stream's small micro-batches), candidate collisions
+      // dedup by the first-hit rule, and n_shared is the per-row
+      // sorted-merge count — no aggregate, no watermark
+      val evalArr = spark.read.parquet(s"$path/docs")
+        .select(col("eval_id"), col("eg_sorted").as("ta"))
+      val gramArr = array_sort(array_distinct(call_function(
+        "word_ngrams", split(col(text), " "), lit(n))))
+      train
+        .select(col(id).as("train_id"), gramArr.as("ea"))
+        .filter(size(col("ea")) > 0)
+        .select(col("train_id"), col("ea"),
+          explode(col("ea")).as("ngram"))
+        .withColumn("bkt", graft.api.Text.evalGramBucket(nBuckets))
+        .join(postings, Seq("bkt", "ngram"))
+        .join(evalArr, Seq("eval_id"))
+        // first-hit dedup: the joined gram is in ta by construction,
+        // so the filtered array is never empty
+        .filter(col("ngram") === element_at(
+          filter(col("ea"), x => array_contains(col("ta"), x)), 1))
+        .select(col("train_id"), col("eval_id"),
+          call_function("sorted_intersect_count",
+            col("ea"), col("ta"), lit(0)).cast("bigint").as("n_shared"))
+    } else {
+      // batch backfill plan, same result (spec pins them equal): a
+      // count AGGREGATE is legal here, so gram arrays are never
+      // materialized — distinct (train_id, ngram) rows join the saved
+      // postings and the shared-distinct-gram count is one
+      // map-side-combining aggregate: the in-memory plan, served from
+      // the saved grams instead of re-shingling the eval side. No
+      // bucket key here: the bucket is a function of the gram, so the
+      // ngram equi-join alone is correct, and skipping it saves an
+      // md5 per corpus gram plus the probed-bucket realization scan —
+      // bucket pruning is the MICRO-BATCH win (the streaming arm's
+      // posting join reads only the arrival grams' bucket
+      // directories), not the backfill's, which touches every bucket
+      train
+        .select(col(id).as("train_id"),
+          explode(call_function("word_ngrams",
+            split(col(text), " "), lit(n))).as("ngram"))
+        .distinct()
+        .join(postings.select(col("ngram"), col("eval_id")),
+          Seq("ngram"))
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+    }
   }
 
   /** (id, n_tokens, uniq_ratio, avg_token_len, stop_ratio, quality) —
