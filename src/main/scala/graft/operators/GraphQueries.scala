@@ -683,6 +683,162 @@ object GraphQueries {
     * shortestPaths discipline, one extra key column); per-round
     * localCheckpoint keeps lineage one round deep. The final readout
     * is an 8-group aggregate. */
+  /** Seed-set BETWEENNESS centrality (Brandes 2001, horizon-bounded)
+    * over the part co-purchase graph — the broker/bridge readout the
+    * centrality family lacked (PageRank = influence, closeness =
+    * reach, betweenness = how much shortest-path traffic TRANSITS a
+    * node): for the 8 smallest-id seeds, a BFS forward pass counts
+    * shortest paths (`sigma`, exact BIGINT — sums of predecessor
+    * counts level by level), then Brandes' backward pass accumulates
+    * each node's pair dependency δ(v) = Σ_w σv/σw · (1 + δ(w)) over
+    * its level-(t+1) successors; betweenness = Σ over seeds. Paths
+    * longer than the 3-hop horizon are excluded by construction
+    * (HORIZON-L betweenness — the standard k-bounded variant; on
+    * this dense graph level 3 already exhausts reachability). The δ
+    * recursion runs ENTIRELY in integer micro-units (each term the
+    * half-up division (2a+b) div (2b) — the sample_unimax pattern:
+    * σ ratios are small rationals like 1/128 that sit exactly on
+    * 6-place rounding boundaries, where double rounding diverges
+    * cross-engine); one double division at the very end. The oracle
+    * replays forward and backward passes level by level.
+    *
+    * Scale shape: the closeness discipline extended — (seed, node)-
+    * keyed equi-joins only, sigma aggregates combine map-side, each
+    * level eagerly checkpointed (plan depth constant in L), the
+    * backward pass reuses the materialized levels; seeds bound the
+    * multiplier (Brandes at 100 TB is always seed-sampled). */
+  val graphBetweenness: GQuery = {
+    GQuery("graph_betweenness",
+      s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+         |            FROM lineitem),
+         |e1 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM ob a JOIN ob b ON a.okey = b.okey AND a.pk <> b.pk),
+         |seeds AS (SELECT DISTINCT src AS seed FROM e1
+         |          ORDER BY seed LIMIT 8),
+         |f0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+         |       FROM seeds),
+         |f1 AS (
+         |  SELECT f0.seed, e1.dst AS node,
+         |    CAST(sum(f0.sigma) AS BIGINT) AS sigma
+         |  FROM e1 JOIN f0 ON e1.src = f0.node
+         |  WHERE e1.dst <> f0.seed
+         |  GROUP BY 1, 2),
+         |f2 AS (
+         |  SELECT f1.seed, e1.dst AS node,
+         |    CAST(sum(f1.sigma) AS BIGINT) AS sigma
+         |  FROM e1 JOIN f1 ON e1.src = f1.node
+         |  WHERE e1.dst <> f1.seed
+         |    AND NOT EXISTS (SELECT 1 FROM f1 x
+         |                    WHERE x.seed = f1.seed AND x.node = e1.dst)
+         |  GROUP BY 1, 2),
+         |f3 AS (
+         |  SELECT f2.seed, e1.dst AS node,
+         |    CAST(sum(f2.sigma) AS BIGINT) AS sigma
+         |  FROM e1 JOIN f2 ON e1.src = f2.node
+         |  WHERE e1.dst <> f2.seed
+         |    AND NOT EXISTS (SELECT 1 FROM f1 x
+         |                    WHERE x.seed = f2.seed AND x.node = e1.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM f2 y
+         |                    WHERE y.seed = f2.seed AND y.node = e1.dst)
+         |  GROUP BY 1, 2),
+         |p2 AS (
+         |  SELECT v.seed, v.node,
+         |    (2 * v.sigma * 1000000 + w.sigma) // (2 * w.sigma) AS m
+         |  FROM f2 v JOIN e1 ON e1.src = v.node
+         |  JOIN f3 w ON w.seed = v.seed AND w.node = e1.dst),
+         |d2 AS (
+         |  SELECT v.seed, v.node, v.sigma,
+         |    CAST(coalesce(s.dm, 0) AS BIGINT) AS dmicro
+         |  FROM f2 v LEFT JOIN (
+         |    SELECT seed, node, sum(m) AS dm FROM p2
+         |    GROUP BY 1, 2) s
+         |    ON s.seed = v.seed AND s.node = v.node),
+         |p1 AS (
+         |  SELECT v.seed, v.node,
+         |    (2 * v.sigma * (1000000 + w.dmicro) + w.sigma)
+         |      // (2 * w.sigma) AS m
+         |  FROM f1 v JOIN e1 ON e1.src = v.node
+         |  JOIN d2 w ON w.seed = v.seed AND w.node = e1.dst),
+         |d1 AS (
+         |  SELECT v.seed, v.node,
+         |    CAST(coalesce(s.dm, 0) AS BIGINT) AS dmicro
+         |  FROM f1 v LEFT JOIN (
+         |    SELECT seed, node, sum(m) AS dm FROM p1
+         |    GROUP BY 1, 2) s
+         |    ON s.seed = v.seed AND s.node = v.node),
+         |alld AS (
+         |  SELECT seed, node, dmicro FROM d1
+         |  UNION ALL SELECT seed, node, dmicro FROM d2
+         |  UNION ALL SELECT seed, node, CAST(0 AS BIGINT) FROM f3)
+         |SELECT node AS partkey,
+         |  CAST(count(*) AS BIGINT) AS n_seed_hits,
+         |  CAST(sum(dmicro) AS DOUBLE) / 1000000 AS betweenness
+         |FROM alld GROUP BY node
+         |ORDER BY partkey""".stripMargin) { (s, dir) =>
+      val L = 3
+      val e = partEdges(s, dir)
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed")).limit(8)
+      // forward: levels(t) = nodes first reached at distance t, with
+      // exact shortest-path counts (sums of predecessor sigmas)
+      var levels = Vector(
+        seeds.select(col("seed"), col("seed").as("node"),
+          lit(1L).as("sigma")).ckpt())
+      var vis = levels(0).select(col("seed"), col("node"))
+      for (t <- 1 to L) {
+        val nxt = e.join(levels(t - 1)
+            .select(col("seed"), col("node").as("src"), col("sigma")),
+            Seq("src"))
+          .select(col("seed"), col("dst").as("node"), col("sigma"))
+          .join(vis, Seq("seed", "node"), "left_anti")
+          .groupBy(col("seed"), col("node"))
+          .agg(sum(col("sigma")).cast("bigint").as("sigma"))
+          .ckpt()
+        levels :+= nxt
+        vis = vis.unionByName(nxt.select(col("seed"), col("node"))).ckpt()
+      }
+      // backward: δ at the horizon is 0; each earlier level's δ(v)
+      // folds its level-(t+1) successors' (σv/σw)·(1+δw). ALL-INTEGER
+      // micro-units (1e-6): each term is the half-up integer division
+      // (2a + b) div (2b) — the sample_unimax/EventQueries discipline
+      // — so no double ever enters the recursion and half-boundary
+      // σ ratios (1/128, ...) cannot diverge cross-engine; ONE double
+      // division at the very end.
+      var wfr = levels(L).select(col("seed"), col("node"), col("sigma"),
+        lit(0L).as("dmicro"))
+      val acc = scala.collection.mutable.ArrayBuffer(
+        wfr.select(col("seed"), col("node"), col("dmicro")))
+      for (t <- (L - 1) to 1 by -1) {
+        val wr = wfr.select(col("seed"), col("node").as("dst"),
+          col("sigma").as("sigma_w"), col("dmicro").as("dmicro_w"))
+        val contribs = levels(t)
+          .select(col("seed"), col("node"), col("sigma").as("sigma_v"))
+          .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
+          .join(wr, Seq("seed", "dst"))
+          .select(col("seed"), col("node"),
+            expr("(2 * sigma_v * (1000000 + dmicro_w) + sigma_w)" +
+              " div (2 * sigma_w)").as("m"))
+        val dt = levels(t)
+          .join(contribs.groupBy(col("seed"), col("node"))
+            .agg(sum(col("m")).as("dm")),
+            Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"), col("sigma"),
+            coalesce(col("dm"), lit(0L)).cast("bigint").as("dmicro"))
+          .ckpt()
+        acc += dt.select(col("seed"), col("node"), col("dmicro"))
+        wfr = dt
+      }
+      acc.reduce(_ unionByName _)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).cast("bigint").as("n_seed_hits"),
+          (sum(col("dmicro")).cast("double") / lit(1000000))
+            .as("betweenness"))
+        .select(col("node").as("partkey"), col("n_seed_hits"),
+          col("betweenness"))
+        .orderBy(col("partkey"))
+    }
+  }
+
   val graphCloseness: GQuery = {
     val iters = 3
     val duckRound = (t: Int) =>
@@ -904,6 +1060,7 @@ object GraphQueries {
     graphCommunities, graphShortestPaths, graphKCore,
     graphDegreeDistribution, graphJaccardLinkpred,
     graphClusteringCoeff, graphHits, graphAssortativity,
-    graphReachabilityCte, graphCloseness, graphRandomWalk,
+    graphReachabilityCte, graphCloseness, graphBetweenness,
+    graphRandomWalk,
     graphModularity)
 }

@@ -3462,6 +3462,63 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("graph_betweenness: full Brandes replay driver-side; micro-unit recursion exact") {
+    val rows = GraphQueries.graphBetweenness.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    // rebuild the part graph and replay the horizon-3 Brandes pass
+    // with the IDENTICAL integer micro-unit recursion
+    val byOrder: Seq[Seq[Long]] = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct).toSeq
+    val adj: Map[Long, Set[Long]] = byOrder
+      .flatMap(ps => for (a <- ps; b <- ps if a != b) yield (a, b))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keys.toSeq.sorted.take(8)
+    def halfUpDiv(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+    val micro = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    val hits = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    seeds.foreach { s =>
+      // forward: levels with exact path counts
+      var levels = Vector(Map(s -> 1L))
+      var vis = Set(s)
+      for (_ <- 1 to 3) {
+        val nxt = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        levels.last.foreach { case (u, sig) =>
+          adj.getOrElse(u, Set.empty).filterNot(vis.contains)
+            .foreach(v => nxt(v) += sig)
+        }
+        levels :+= nxt.toMap
+        vis ++= nxt.keySet
+      }
+      // backward: integer micro-units, (2a+b) div (2b) per term
+      var dm = levels(3).map { case (w, _) => w -> 0L }
+      levels(3).keys.foreach { w => hits(w) += 1 }
+      for (t <- 2 to 1 by -1) {
+        dm = levels(t).map { case (v, sv) =>
+          val d = adj.getOrElse(v, Set.empty).toSeq
+            .filter(levels(t + 1).contains)
+            .map { w =>
+              halfUpDiv(sv * (1000000L + dm(w)), levels(t + 1)(w))
+            }.sum
+          v -> d
+        }
+        dm.foreach { case (v, d) => micro(v) += d; hits(v) += 1 }
+      }
+    }
+    val want = hits.keys.map { v =>
+      v -> (hits(v), micro(v).toDouble / 1000000)
+    }.toMap
+    assert(rows == want,
+      s"betweenness diverged: ${rows.size} query rows vs ${want.size}")
+    // sanity: at least one genuine broker exists (nonzero betweenness)
+    assert(rows.values.exists(_._2 > 0))
+  }
+
   test("ev_ab_ratio_delta: ratio and delta-method SE replay from per-user moments") {
     val r = EventQueries.evAbRatioDelta.fn(spark, sfDir).collect().head
     def r6(x: Double): Double =
