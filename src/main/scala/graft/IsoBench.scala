@@ -74,7 +74,10 @@ object IsoBench {
     // round-13 queries
     "dedup_clusters_incremental", "sim_recall_nng",
     "dedup_cluster_stats", "sim_hybrid_ivf", "sim_knn_classify_nng",
-    "win_pareto_share", "sample_kcenter")
+    "win_pareto_share", "sample_kcenter",
+    // round 14: the one new row above the warm band (the backward
+    // Brandes pass ≈ 2× closeness on the same graph)
+    "graph_betweenness")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
