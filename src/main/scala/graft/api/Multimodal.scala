@@ -80,4 +80,80 @@ object Multimodal {
     MultimodalPipeline.sampleFrames(canonical(media, id, payload, meta), n)
       .toDF().withColumnRenamed("doc_id", id)
   }
+
+  /** PER-ROW 16-bit perceptual hash of opaque binary payloads — the
+    * multimodal_phash_neardup signature computed entirely from each
+    * row's OWN expressions (no cross-row aggregate), so it is
+    * stateless and runs identically on batch and streaming frames:
+    * features are the payload's distinct byte-aligned 4-byte windows
+    * (step-2 8-grams over the hex string), each feature's ±1 bit
+    * votes fold into one 16-int balance array via a higher-order
+    * aggregate, and the signature is the sign vector. Returns
+    * (<id>, simhash) — bit-for-bit equal to
+    * [[Dedup.simhashSignatures]] over the same feature tokens
+    * (integer ±1 sums are order-free; MultimodalStreamsSpec pins it).
+    * Rows with payloads under 4 bytes (no windows) are dropped, as
+    * the aggregate form drops them. */
+  def phashRows(media: DataFrame, id: String,
+      payload: String): DataFrame = {
+    graft.functions.TextExpressions.register(media.sparkSession)
+    val balSql =
+      s"""aggregate(
+         |  array_distinct(char_ngrams(hex($payload), 8, 2)),
+         |  array_repeat(0, 16),
+         |  (acc, t) -> zip_with(acc,
+         |    transform(sequence(0, 15),
+         |      j -> CASE WHEN (shiftright(
+         |             CAST(conv(substr(md5(t), 1, 12), 16, 10)
+         |               AS BIGINT), j) & 1) = 1
+         |           THEN 1 ELSE -1 END),
+         |    (a, b) -> a + b))""".stripMargin
+    val simSql =
+      """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+        |  (s, j) -> s + CASE WHEN element_at(bal, j + 1) > 0
+        |    THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    media
+      .filter(length(col(payload)) >= 4)
+      .select(col(id), expr(balSql).as("bal"))
+      .select(col(id), expr(simSql).as("simhash"))
+  }
+
+  /** Persist a banded PERCEPTUAL-HASH index for continuous media
+    * ingestion — the [[Dedup.signatureIndexBuild]] discipline applied
+    * to the binary tier: each corpus payload's 16-bit signature is
+    * written once under its four 4-bit Hamming-band partition keys
+    * (`bands/band=?/bk=?`), so an arriving payload probes exactly its
+    * 4 band buckets and exact-verifies Hamming ≤ 3 from the carried
+    * signatures — the payload bytes never shuffle and the corpus is
+    * never re-hashed per arrival. */
+  def phashIndexBuild(media: DataFrame, id: String, payload: String,
+      path: String): Unit = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    Seq((16, 4)).toDF("bits", "band_width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    bandedSim(phashRows(media, id, payload), id)
+      .write.mode("overwrite").partitionBy("band", "bk")
+      .parquet(s"$path/bands")
+  }
+
+  /** Append new payloads' signatures to a saved [[phashIndexBuild]]
+    * index — only the arrivals' band buckets gain files. Ids must be
+    * new. */
+  def phashIndexAppend(newMedia: DataFrame, id: String,
+      payload: String, path: String): Unit =
+    bandedSim(phashRows(newMedia, id, payload), id)
+      .write.mode("append").partitionBy("band", "bk")
+      .parquet(s"$path/bands")
+
+  /** (id, simhash) → one row per 4-bit band: (band, bk, id, simhash).
+    * The band key is a pure function of the signature, so probe and
+    * build always agree. */
+  private[graft] def bandedSim(sim: DataFrame, id: String): DataFrame =
+    sim.select(col(id).as("id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bk",
+        expr("CAST(shiftright(simhash, band * 4) & 15 AS INT)"))
+      .select(col("band"), col("bk"), col("id"), col("simhash"))
 }

@@ -186,9 +186,11 @@ object MultimodalQueries {
       graft.api.Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
     }
 
-  /** DuckDB CTE chain ending in `pairs(doc1, doc2, hamming)` — the
-    * oracle twin of [[phashPairsSpark]]. */
-  private[operators] val phashPairsCte: String =
+  /** DuckDB CTE chain ending in `sim(doc_id, simhash)` — the shared
+    * signature replay (byte windows → portable hash → bit balances →
+    * sign vector) both the in-memory pair report and the saved-index
+    * ingest row build on. */
+  private[operators] val phashSimCte: String =
     s"""WITH pay AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    octet_length(encode(text)) AS nb
@@ -210,7 +212,12 @@ object MultimodalQueries {
        |  ${(0 to 15).map(j =>
            s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
            .mkString(" + ")} AS simhash
-       |  FROM bits),
+       |  FROM bits)""".stripMargin
+
+  /** DuckDB CTE chain ending in `pairs(doc1, doc2, hamming)` — the
+    * oracle twin of [[phashPairsSpark]]. */
+  private[operators] val phashPairsCte: String =
+    s"""$phashSimCte,
        |pairs AS (
        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -223,6 +230,51 @@ object MultimodalQueries {
        |SELECT doc1, doc2, hamming FROM pairs
        |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
     phashPairsSpark(s, dir).orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** CONTINUOUS MEDIA INGESTION against the SAVED perceptual-hash
+    * index — the ingest-family pattern (dedup / containment / lex /
+    * nng / ivf) finally applied to the binary tier: the corpus's
+    * 16-bit signatures persist once under their 4-bit Hamming-band
+    * partition keys (`Multimodal.phashIndexBuild` via IndexStore),
+    * and each arriving payload (doc_id % 10 = 3, the held-out slice)
+    * computes its signature as a pure per-row higher-order fold
+    * (`Multimodal.phashRows` — no aggregate, so the SAME probe runs
+    * stateless and Append-safe on a stream), joins only its 4 band
+    * buckets, and exact-verifies Hamming ≤ 3 from the carried
+    * signatures. Output: (arrival_id, corpus_id, hamming). The oracle
+    * replays signatures for BOTH sides from the shared sim chain and
+    * cross-joins the slices directly — index path vs direct
+    * computation, hash-certified equal.
+    *
+    * Scale shape: payload bytes never shuffle (each row collapses to
+    * one 16-bit signature at the scan task); the probe's candidate
+    * fan-in is banded (4 of 64 bucket directories per arrival, pruned
+    * at planning time on the batch path via a ≤64-entry bounded
+    * collect); the first-equal-band filter replaces a stateful
+    * distinct. */
+  val multimodalPhashIngest: GQuery = GQuery(
+    "multimodal_phash_ingest",
+    s"""$phashSimCte
+       |SELECT a.doc_id AS arrival_id, c.doc_id AS corpus_id,
+       |  CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+       |FROM sim a JOIN sim c
+       |  ON a.doc_id % 10 = 3 AND c.doc_id % 10 <> 3
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+       |ORDER BY arrival_id, corpus_id""".stripMargin) { (s, dir) =>
+    val media = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val path = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("phash_b16", dir,
+        "documents.parquet")) { tmp =>
+      graft.api.Multimodal.phashIndexBuild(
+        media.filter(col("doc_id") % 10 =!= 3), "doc_id", "payload",
+        tmp)
+    }
+    graft.streaming.MultimodalStreams.phashAgainstSavedIndex(
+        media.filter(col("doc_id") % 10 === 3), path, "doc_id",
+        "payload")
+      .orderBy(col("arrival_id"), col("corpus_id"))
   }
 
   /** CLUSTER-COMPOSITION profile — the SemDeDup-style QA readout over
@@ -382,5 +434,6 @@ object MultimodalQueries {
 
   val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures,
     multimodalDedup, multimodalShardManifest, multimodalPhashNeardup,
-    multimodalClusterProfile, multimodalFrameSample, multimodalPhashWide)
+    multimodalPhashIngest, multimodalClusterProfile,
+    multimodalFrameSample, multimodalPhashWide)
 }
