@@ -81,42 +81,65 @@ object Multimodal {
       .toDF().withColumnRenamed("doc_id", id)
   }
 
-  /** PER-ROW 16-bit perceptual hash of opaque binary payloads — the
-    * multimodal_phash_neardup signature computed entirely from each
-    * row's OWN expressions (no cross-row aggregate), so it is
+  /** PER-ROW perceptual hash (16- or 32-bit) of opaque binary
+    * payloads — the multimodal_phash signature computed entirely from
+    * each row's OWN expressions (no cross-row aggregate), so it is
     * stateless and runs identically on batch and streaming frames:
     * features are the payload's distinct byte-aligned 4-byte windows
-    * (step-2 8-grams over the hex string), each feature's ±1 bit
-    * votes fold into one 16-int balance array via a higher-order
-    * aggregate, and the signature is the sign vector. Returns
-    * (<id>, simhash) — bit-for-bit equal to
-    * [[Dedup.simhashSignatures]] over the same feature tokens
-    * (integer ±1 sums are order-free; MultimodalStreamsSpec pins it).
-    * Rows with payloads under 4 bytes (no windows) are dropped, as
-    * the aggregate form drops them. */
+    * (step-2 8-grams over the hex string), hashed ONCE each, and each
+    * feature's ±1 bit votes fold into one balance array via a
+    * higher-order aggregate; the signature is the sign vector.
+    * Returns (<id>, simhash) — bit-for-bit equal to [[aggPhashSigs]]
+    * / [[Dedup.simhashSignatures]] over the same feature tokens
+    * (integer ±1 sums are order-free; MultimodalStreamsSpec pins it
+    * at both widths). The HOF fold is interpreted (CodegenFallback) —
+    * right for a stream's micro-batches, wrong for corpus backfills:
+    * use [[aggPhashSigs]] wherever an aggregate is legal. Rows with
+    * payloads under 4 bytes (no windows) are dropped, as the
+    * aggregate form drops them. */
   def phashRows(media: DataFrame, id: String,
-      payload: String): DataFrame = {
+      payload: String, bits: Int = 16): DataFrame = {
+    require(bits == 16 || bits == 32, "phash tiers are 16 or 32 bits")
     graft.functions.TextExpressions.register(media.sparkSession)
     val balSql =
       s"""aggregate(
-         |  array_distinct(char_ngrams(hex($payload), 8, 2)),
-         |  array_repeat(0, 16),
-         |  (acc, t) -> zip_with(acc,
-         |    transform(sequence(0, 15),
-         |      j -> CASE WHEN (shiftright(
-         |             CAST(conv(substr(md5(t), 1, 12), 16, 10)
-         |               AS BIGINT), j) & 1) = 1
+         |  transform(array_distinct(char_ngrams(hex($payload), 8, 2)),
+         |    t -> CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT)),
+         |  array_repeat(0, $bits),
+         |  (acc, h) -> zip_with(acc,
+         |    transform(sequence(0, ${bits - 1}),
+         |      j -> CASE WHEN (shiftright(h, j) & 1) = 1
          |           THEN 1 ELSE -1 END),
          |    (a, b) -> a + b))""".stripMargin
     val simSql =
-      """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
-        |  (s, j) -> s + CASE WHEN element_at(bal, j + 1) > 0
-        |    THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)
-        |    ELSE CAST(0 AS BIGINT) END)""".stripMargin
+      s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+         |  (s, j) -> s + CASE WHEN element_at(bal, j + 1) > 0
+         |    THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END)""".stripMargin
     media
       .filter(length(col(payload)) >= 4)
       .select(col(id), expr(balSql).as("bal"))
       .select(col(id), expr(simSql).as("simhash"))
+  }
+
+  /** The SAME signature via the batch aggregate path
+    * ([[Dedup.simhashSignatures]]/32 over the feature-token string) —
+    * codegen'd explode + grouped ±1 sums, the fast form wherever an
+    * aggregate is legal (index builds, batch backfills). phashRows is
+    * the higher-order per-row twin a stream needs; the two are
+    * spec-pinned bit-for-bit equal, so callers mix them freely. */
+  def aggPhashSigs(media: DataFrame, id: String, payload: String,
+      bits: Int): DataFrame = {
+    graft.functions.TextExpressions.register(media.sparkSession)
+    val feats = media
+      .filter(length(col(payload)) >= 4)
+      .withColumn("__feats", array_join(
+        call_function("char_ngrams", hex(col(payload)), lit(8),
+          lit(2)), " "))
+    val sigs =
+      if (bits == 32) Dedup.simhashSignatures32(feats, id, "__feats")
+      else Dedup.simhashSignatures(feats, id, "__feats")
+    sigs.select(col(id), col("simhash"))
   }
 
   /** Persist a banded PERCEPTUAL-HASH index for continuous media
@@ -128,12 +151,12 @@ object Multimodal {
     * signatures — the payload bytes never shuffle and the corpus is
     * never re-hashed per arrival. */
   def phashIndexBuild(media: DataFrame, id: String, payload: String,
-      path: String): Unit = {
+      path: String, bits: Int = 32): Unit = {
     val spark = media.sparkSession
     import spark.implicits._
-    Seq((16, 4)).toDF("bits", "band_width")
+    Seq((bits, bits / 4)).toDF("bits", "band_width")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    bandedSim(phashRows(media, id, payload), id)
+    bandedSim(aggPhashSigs(media, id, payload, bits), id, bits / 4)
       .write.mode("overwrite").partitionBy("band", "bk")
       .parquet(s"$path/bands")
   }
@@ -142,18 +165,24 @@ object Multimodal {
     * index — only the arrivals' band buckets gain files. Ids must be
     * new. */
   def phashIndexAppend(newMedia: DataFrame, id: String,
-      payload: String, path: String): Unit =
-    bandedSim(phashRows(newMedia, id, payload), id)
+      payload: String, path: String): Unit = {
+    val spark = newMedia.sparkSession
+    val bits = spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("bits")
+    bandedSim(aggPhashSigs(newMedia, id, payload, bits), id, bits / 4)
       .write.mode("append").partitionBy("band", "bk")
       .parquet(s"$path/bands")
+  }
 
-  /** (id, simhash) → one row per 4-bit band: (band, bk, id, simhash).
-    * The band key is a pure function of the signature, so probe and
-    * build always agree. */
-  private[graft] def bandedSim(sim: DataFrame, id: String): DataFrame =
+  /** (id, simhash) → one row per `bw`-bit band: (band, bk, id,
+    * simhash). The band key is a pure function of the signature, so
+    * probe and build always agree. */
+  private[graft] def bandedSim(sim: DataFrame, id: String,
+      bw: Int): DataFrame =
     sim.select(col(id).as("id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bk",
-        expr("CAST(shiftright(simhash, band * 4) & 15 AS INT)"))
+        expr(s"CAST(shiftright(simhash, band * $bw)" +
+          s" & ${(1 << bw) - 1} AS INT)"))
       .select(col("band"), col("bk"), col("id"), col("simhash"))
 }

@@ -188,9 +188,10 @@ object MultimodalQueries {
 
   /** DuckDB CTE chain ending in `sim(doc_id, simhash)` — the shared
     * signature replay (byte windows → portable hash → bit balances →
-    * sign vector) both the in-memory pair report and the saved-index
-    * ingest row build on. */
-  private[operators] val phashSimCte: String =
+    * sign vector) the in-memory pair reports and the saved-index
+    * ingest row build on, width-parameterized so the 16-bit recall
+    * tier and the 32-bit precision tier share one spelling. */
+  private[operators] def phashSimCteBits(bits: Int): String =
     s"""WITH pay AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    octet_length(encode(text)) AS nb
@@ -204,15 +205,17 @@ object MultimodalQueries {
        |th AS (SELECT doc_id, term,
        |         ${DedupQueries.duckHash("term")} AS h FROM tok),
        |bits AS (SELECT doc_id,
-       |  ${(0 to 15).map(j =>
+       |  ${(0 until bits).map(j =>
            s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS bal$j")
            .mkString(", ")}
        |  FROM th GROUP BY doc_id),
        |sim AS (SELECT doc_id,
-       |  ${(0 to 15).map(j =>
+       |  ${(0 until bits).map(j =>
            s"CASE WHEN bal$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
            .mkString(" + ")} AS simhash
        |  FROM bits)""".stripMargin
+
+  private[operators] val phashSimCte: String = phashSimCteBits(16)
 
   /** DuckDB CTE chain ending in `pairs(doc1, doc2, hamming)` — the
     * oracle twin of [[phashPairsSpark]]. */
@@ -235,7 +238,7 @@ object MultimodalQueries {
   /** CONTINUOUS MEDIA INGESTION against the SAVED perceptual-hash
     * index — the ingest-family pattern (dedup / containment / lex /
     * nng / ivf) finally applied to the binary tier: the corpus's
-    * 16-bit signatures persist once under their 4-bit Hamming-band
+    * 32-bit signatures persist once under their 8-bit Hamming-band
     * partition keys (`Multimodal.phashIndexBuild` via IndexStore),
     * and each arriving payload (doc_id % 10 = 3, the held-out slice)
     * computes its signature as a pure per-row higher-order fold
@@ -247,15 +250,24 @@ object MultimodalQueries {
     * cross-joins the slices directly — index path vs direct
     * computation, hash-certified equal.
     *
+    * The tier is the WIDE 32-bit signature (multimodal_phash_wide's),
+    * not the 16-bit one, and that choice is measured, not aesthetic:
+    * at 10× the template-heavy corpus collapses 16-bit signatures so
+    * badly that band buckets go quadratic (279 s); the 256-way bands
+    * cut candidate fan-in ~16× (same probe, 26 s — BASELINE.md).
+    * Continuous ingestion is a precision workload: an arrival should
+    * match its near-copies, not a third of the corpus.
+    *
     * Scale shape: payload bytes never shuffle (each row collapses to
-    * one 16-bit signature at the scan task); the probe's candidate
-    * fan-in is banded (4 of 64 bucket directories per arrival, pruned
-    * at planning time on the batch path via a ≤64-entry bounded
-    * collect); the first-equal-band filter replaces a stateful
-    * distinct. */
+    * one signature at the scan task); candidate fan-in is banded
+    * (4 of 1024 bucket directories per arrival, pruned at planning
+    * time on the batch path via a bounded collect); the
+    * first-equal-band filter replaces a stateful distinct; the probe
+    * side's partitioning is pinned so AQE cannot serialize a
+    * clone-dense bucket's fan-out onto one task. */
   val multimodalPhashIngest: GQuery = GQuery(
     "multimodal_phash_ingest",
-    s"""$phashSimCte
+    s"""${phashSimCteBits(32)}
        |SELECT a.doc_id AS arrival_id, c.doc_id AS corpus_id,
        |  CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
        |FROM sim a JOIN sim c
@@ -265,11 +277,11 @@ object MultimodalQueries {
     val media = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val path = graft.IndexStore.ensure(
-      graft.IndexStore.stampedPath("phash_b16", dir,
+      graft.IndexStore.stampedPath("phash_b32", dir,
         "documents.parquet")) { tmp =>
       graft.api.Multimodal.phashIndexBuild(
         media.filter(col("doc_id") % 10 =!= 3), "doc_id", "payload",
-        tmp)
+        tmp, bits = 32)
     }
     graft.streaming.MultimodalStreams.phashAgainstSavedIndex(
         media.filter(col("doc_id") % 10 === 3), path, "doc_id",

@@ -8,10 +8,11 @@ import graft.api.Multimodal
 /** Streaming twin for the binary-payload tier: CONTINUOUS MEDIA
   * INGESTION against a saved perceptual-hash index — the
   * [[DedupStreams.nearDupsAgainstSavedIndex]] shape for payloads no
-  * tokenizer can see. An arriving asset's 16-bit signature is a pure
+  * tokenizer can see. An arriving asset's signature (width read
+  * from the index meta — the contract tier is 32-bit) is a pure
   * per-row expression ([[Multimodal.phashRows]] — a higher-order
   * fold over the payload's own byte windows, no aggregate), its four
-  * 4-bit Hamming bands equi-join the saved banded signatures, and
+  * Hamming bands equi-join the saved banded signatures, and
   * Hamming ≤ maxHamming is exact-verified from the two CARRIED
   * signatures. The first-equal-band filter keeps each colliding pair
   * exactly once WITHOUT a stateful distinct (the smallest agreeing
@@ -24,37 +25,58 @@ object MultimodalStreams {
   /** (arrival_id, corpus_id, hamming) for every arrival within
     * `maxHamming` (≤ 3 — the 4-band pigeonhole's exactness bound) of
     * a saved corpus payload. Batch frames take the same path, plus
-    * planning-time pruning of the probed band buckets (a ≤ 64-entry
-    * bounded collect — band×bk is 4×16). */
+    * planning-time pruning of the probed band buckets (a bounded
+    * collect — band×bk is at most 4×2^band_width entries). */
   def phashAgainstSavedIndex(stream: DataFrame, path: String,
       id: String, payload: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole is exact only for Hamming <= 3")
     val spark = stream.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (bits, bw) =
+      (meta.getAs[Int]("bits"), meta.getAs[Int]("band_width"))
+    val mask = (1 << bw) - 1
     val corpus = spark.read.parquet(s"$path/bands")
       .select(col("band"), col("bk"), col("id").as("corpus_id"),
         col("simhash").as("s2"))
-    val arrivals = Multimodal.bandedSim(
-        Multimodal.phashRows(stream, id, payload), id)
+    // per-row fold on a live stream (no aggregate allowed); the
+    // codegen'd aggregate twin on batch backfills (spec-pinned equal)
+    val arrivalSigs =
+      if (stream.isStreaming) Multimodal.phashRows(stream, id, payload, bits)
+      else Multimodal.aggPhashSigs(stream, id, payload, bits)
+    val arrivals = Multimodal.bandedSim(arrivalSigs, id, bw)
       .select(col("band"), col("bk"), col("id").as("arrival_id"),
         col("simhash").as("s1"))
     val prunedCorpus =
       if (stream.isStreaming) corpus
       else {
+        // one flat IN-list per band (4 branches, ≤ 2^band_width ints
+        // each) — a per-(band,bk) conjunction tree at the 32-bit
+        // tier's 1024 possible keys overflows the planner's stack
         val bks = arrivals.select(col("band"), col("bk")).distinct()
           .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-        corpus.filter(bks.map { case (b, k) =>
-          col("band") === b && col("bk") === k
-        }.reduce(_ || _))
+        val byBand = bks.groupBy(_._1).toSeq.map { case (b, ks) =>
+          col("band") === b && col("bk").isin(ks.map(_._2): _*)
+        }
+        corpus.filter(byBand.reduce(_ || _))
       }
     // first-equal-band dedup: keep the collision whose band is the
     // SMALLEST band on which the two signatures agree — a pure
     // function of (s1, s2), so no distinct is needed
     val firstEq: Column = (0 to 2).foldRight(lit(3): Column) { (b, els) =>
-      when(expr(s"(shiftright(s1, ${b * 4}) & 15)" +
-        s" = (shiftright(s2, ${b * 4}) & 15)"), lit(b)).otherwise(els)
+      when(expr(s"(shiftright(s1, ${b * bw}) & $mask)" +
+        s" = (shiftright(s2, ${b * bw}) & $mask)"), lit(b)).otherwise(els)
     }
-    arrivals.join(prunedCorpus, Seq("band", "bk"))
+    // pin the probe side's partitioning (the simhashPairsBanded
+    // discipline): the join's INPUT is a few bytes per row but its
+    // fan-out is quadratic in bucket occupancy on clone-dense
+    // corpora — without the pin, AQE's input-byte coalescing
+    // serializes the explosion onto one task (the 16-bit tier measured
+    // 290 s at 10× without it). On a stream the micro-batch is small and
+    // repartition is a legal stateless exchange.
+    val pinned = arrivals.repartition(
+      spark.sessionState.conf.numShufflePartitions)
+    pinned.join(prunedCorpus, Seq("band", "bk"))
       .filter(col("arrival_id") =!= col("corpus_id"))
       .filter(col("band") === firstEq)
       .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))

@@ -17,18 +17,26 @@ class MultimodalStreamsSpec extends SparkTestBase {
   private lazy val media = Tables.documents(spark, sfDir)
     .select($"doc_id", $"text".cast("binary").as("payload"))
 
-  test("per-row phash equals the aggregate SimHash signature exactly") {
-    val perRow = graft.api.Multimodal.phashRows(media, "doc_id", "payload")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  test("per-row phash equals the aggregate SimHash signature exactly " +
+      "at both widths") {
     // the aggregate form: features string -> tokenize -> grouped ±1
-    // bit balances (the multimodal_phash_neardup signature path)
+    // bit balances (the multimodal_phash_neardup/_wide signature path)
     graft.functions.TextExpressions.register(spark)
     val feats = media.withColumn("features", array_join(
       call_function("char_ngrams", hex($"payload"), lit(8), lit(2)), " "))
-    val agg = graft.api.Dedup.simhashSignatures(feats, "doc_id", "features")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(perRow == agg)
-    assert(perRow.nonEmpty)
+    for ((bits, aggSig) <- Seq(
+        16 -> graft.api.Dedup.simhashSignatures(feats, "doc_id",
+          "features"),
+        32 -> graft.api.Dedup.simhashSignatures32(feats, "doc_id",
+          "features"))) {
+      val perRow = graft.api.Multimodal
+        .phashRows(media, "doc_id", "payload", bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val agg = aggSig
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perRow == agg, s"$bits-bit per-row signature diverged")
+      assert(perRow.nonEmpty)
+    }
   }
 
   test("streaming phash probe of the SAVED index equals batch probe " +
@@ -66,7 +74,8 @@ class MultimodalStreamsSpec extends SparkTestBase {
     // slices: every arrival-corpus signature pair within Hamming 3
     val sigs = graft.api.Multimodal.phashRows(
         media.unionByName(arrivals.toDF("doc_id", "payload")
-          .filter($"doc_id" === 999999L)), "doc_id", "payload")
+          .filter($"doc_id" === 999999L)), "doc_id", "payload",
+        bits = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val corpusSigs = sigs.filter(t => t._1 % 10 != 3 && t._1 != 999999L)
     val direct = sigs.filter(t => t._1 % 10 == 3 || t._1 == 999999L)
