@@ -600,7 +600,92 @@ object AuditQueries {
         (col("dmax") > crit).cast("boolean").as("drift_detected"))
   }
 
+  /** NULL-RATE TREND monitoring — the schema-rot detector (a field
+    * silently going null is the classic upstream breakage: a renamed
+    * producer column arrives as NULL and every mean/sum downstream
+    * quietly drifts). The fixture has no null columns, so — the
+    * text_pii_audit planting precedent — nulls are PLANTED
+    * deterministically with a per-day RISING rate (null iff
+    * portable-hash(event_id) % 100 < 2 + day-of-month), and the audit
+    * must both report the daily profile and DETECT the trend: the
+    * Mann–Kendall S statistic over the daily null rates, computed in
+    * EXACT integer arithmetic (rate comparisons cross-multiply —
+    * sign(n_null_j·n_rows_i − n_null_i·n_rows_j) — so no float ever
+    * enters the ordering), with an integer verdict rule
+    * (10·|S| ≥ n_days·(n_days−1), i.e. |S| beyond 20% of the maximum
+    * pair count). Output: one row per day (day, n_rows, n_null,
+    * null_rate) + the global (s_stat, verdict) columns.
+    *
+    * Scale shape: one map-side-combining (day, dom) aggregate over
+    * the corpus; the MK pair join runs on the DAILY frame — bounded
+    * by the calendar (365 rows/year), never the corpus — and the two
+    * 1-row scalars broadcast. */
+  val dqNullTrend: GQuery = GQuery(
+    "dq_null_trend",
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+       |d AS (SELECT event_id, us // 86400000000 AS didx,
+       |        date_part('day', make_timestamp(us)) AS dom FROM e),
+       |n AS (SELECT didx, dom,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat(
+       |        'nul:', CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT)
+       |        % 100 < 2 + dom THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+       |  FROM d GROUP BY didx, dom),
+       |s AS (SELECT CAST(coalesce(sum(
+       |    CASE WHEN b.n_null * a.n_rows > a.n_null * b.n_rows THEN 1
+       |         WHEN b.n_null * a.n_rows < a.n_null * b.n_rows THEN -1
+       |         ELSE 0 END), 0) AS BIGINT) AS s_stat
+       |  FROM n a JOIN n b ON a.didx < b.didx),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM n)
+       |SELECT strftime(make_timestamp(didx * 86400000000),
+       |    '%Y-%m-%d') AS day,
+       |  n_rows, n_null,
+       |  round(CAST(n_null AS DOUBLE) / n_rows, 6) AS null_rate,
+       |  s.s_stat,
+       |  CASE WHEN 10 * s.s_stat >= c.n_days * (c.n_days - 1)
+       |         THEN 'rising'
+       |       WHEN 10 * s.s_stat <= -(c.n_days * (c.n_days - 1))
+       |         THEN 'falling'
+       |       ELSE 'stable' END AS verdict
+       |FROM n CROSS JOIN s CROSS JOIN c
+       |ORDER BY day""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir).select(
+      col("event_id"),
+      expr("unix_micros(ts) div 86400000000").as("didx"),
+      dayofmonth(col("ts")).as("dom"))
+    val planted = pmod(graft.api.Sampling.portableHash(
+      col("event_id"), "nul:"), lit(100L)) < (lit(2) + col("dom"))
+    val daily = d.groupBy(col("didx"), col("dom"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(when(planted, 1L).otherwise(0L)).cast("bigint")
+          .as("n_null"))
+    val a = daily.select(col("didx").as("di"),
+      col("n_rows").as("ra"), col("n_null").as("na"))
+    val b = daily.select(col("didx").as("dj"),
+      col("n_rows").as("rb"), col("n_null").as("nb"))
+    val sStat = a.join(b, col("di") < col("dj"))
+      .agg(coalesce(sum(
+        when(col("nb") * col("ra") > col("na") * col("rb"), 1L)
+          .when(col("nb") * col("ra") < col("na") * col("rb"), -1L)
+          .otherwise(0L)), lit(0L)).cast("bigint").as("s_stat"))
+    val nDays = daily.agg(count(lit(1)).cast("bigint").as("n_days"))
+    daily.crossJoin(broadcast(sStat)).crossJoin(broadcast(nDays))
+      .select(
+        date_format(expr("timestamp_micros(didx * 86400000000)"),
+          "yyyy-MM-dd").as("day"),
+        col("n_rows"), col("n_null"),
+        round(col("n_null").cast("double") / col("n_rows"), 6)
+          .as("null_rate"),
+        col("s_stat"),
+        when(lit(10L) * col("s_stat")
+            >= col("n_days") * (col("n_days") - 1), "rising")
+          .when(lit(10L) * col("s_stat")
+            <= -(col("n_days") * (col("n_days") - 1)), "falling")
+          .otherwise("stable").as("verdict"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] = Seq(dqAudit, dqProfile, dqFreshness, dqDriftPsi,
     dqDriftPsiNumeric, dqAnomalyIqr, dqBenford, dqFdViolations,
-    dqReconciliation, dqDistributionKs)
+    dqReconciliation, dqDistributionKs, dqNullTrend)
 }

@@ -246,6 +246,9 @@ class BroadcastPolicySpec extends SparkTestBase {
     "ev_late_data" -> 1,
     // the ≤k-row saved k-center frame every arrival assignment rides
     "sample_kcenter_assign" -> 1,
+    // the 1-row Mann–Kendall S scalar + the 1-row day count, joined
+    // back onto the calendar-bounded daily frame
+    "dq_null_trend" -> 2,
     // exact tier = cosineTopK's literal-filtered probe broadcast +
     // the saved-PQ serving probes: m·ksub probe ADC tables, bounded
     // probe-cell set, probe frame — all probe- or k-bounded (the

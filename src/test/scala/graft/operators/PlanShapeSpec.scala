@@ -89,6 +89,9 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_ivf_cell_stats", // 1-row (total, n_cells) scalar onto the ≤k cells frame
     "sim_ivf_rebuild",    // the same 1-row scalar, once per audited phase
     "sample_kcenter_assign", // corpus × the ≤k-row saved center frame
+    // the MK pair join (didx < didx) runs on the DAILY frame — bounded
+    // by the calendar, never the corpus — plus two 1-row scalars
+    "dq_null_trend",
     // ground-truth tier IS sim_cosine_topk's probe-broadcast scan
     // (the sim_recall_ivf adjudication, PQ serving side)
     "sim_recall_ivfpq")
