@@ -75,9 +75,10 @@ object IsoBench {
     "dedup_clusters_incremental", "sim_recall_nng",
     "dedup_cluster_stats", "sim_hybrid_ivf", "sim_knn_classify_nng",
     "win_pareto_share", "sample_kcenter",
-    // round 14: the one new row above the warm band (the backward
-    // Brandes pass ≈ 2× closeness on the same graph)
-    "graph_betweenness")
+    // round 14: the two new rows above the warm band (the backward
+    // Brandes pass ≈ 2× closeness on the same graph; the phash ingest
+    // probe is signature-scan-bound on the arrival slice)
+    "graph_betweenness", "multimodal_phash_ingest")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
