@@ -795,7 +795,9 @@ object GraphQueries {
           .agg(sum(col("sigma")).cast("bigint").as("sigma"))
           .ckpt()
         levels :+= nxt
-        vis = vis.unionByName(nxt.select(col("seed"), col("node"))).ckpt()
+        // vis is 3 unions of already-checkpointed level frames — no
+        // cut needed (each level's ckpt truncates the deep lineage)
+        vis = vis.unionByName(nxt.select(col("seed"), col("node")))
       }
       // backward: δ at the horizon is 0; each earlier level's δ(v)
       // folds its level-(t+1) successors' (σv/σw)·(1+δw). ALL-INTEGER
