@@ -268,4 +268,28 @@ class IvfIndexSpec extends SparkTestBase {
       f"rebuild regressed recall: pre $pre%.3f -> post $post%.3f")
     assert(post >= 0.5, f"rebuilt recall $post%.3f below the IVF floor")
   }
+
+  test("the rebuilt index accepts appends and serves them — the full lifecycle cycles") {
+    // build -> append -> rebuild -> append -> probe: the rebuild
+    // writes the standard layout, so the NEXT generation's arrivals
+    // ingest into it unchanged (ivfAppend reads the retrained
+    // centers) and a probe finds them immediately
+    val nextGen = ev.filter(col("vec_id") % 7 === 1).limit(5)
+      .select((col("vec_id") + lit(20000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(0.9) + lit(0.1)).as("v"))
+    val before = spark.read.parquet(s"$rebuiltPath/cells").count()
+    Similarity.ivfAppend(nextGen, "vec_id", "v", rebuiltPath)
+    val cells = spark.read.parquet(s"$rebuiltPath/cells")
+    assert(cells.count() == before + nextGen.count())
+    // a probe identical to an appended vector finds it at cosine 1.0
+    val planted = nextGen.limit(1)
+    val plantedId = planted.select(col("vec_id")).first().getLong(0)
+    val dup = planted.select((col("vec_id") + 1000L).as("vec_id"),
+      col("v"))
+    val hit = Similarity.ivfTopK(dup, "vec_id", "v", rebuiltPath,
+        k = 1, nProbe = 1)
+      .select(col("neighbor_id"), col("cosine")).first()
+    assert(hit.getLong(0) == plantedId && hit.getDouble(1) == 1.0,
+      s"appended-to-rebuilt vector $plantedId not served: $hit")
+  }
 }
