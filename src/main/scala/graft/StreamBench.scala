@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** MICRO-BATCH LATENCY benchmark for the streaming twins (SURVEY
+  * round-15 candidate (e)): every twin is spec-pinned result-equal to
+  * its batch form, but equality says nothing about per-arrival COST —
+  * this main drives the six representative serving shapes through
+  * MemoryStream at a fixed micro-batch cadence and clocks each
+  * `processAllAvailable`, reporting median and max per-batch
+  * milliseconds. The saved indexes build once through IndexStore
+  * (offline cost, excluded — the same posture as Bench's prebuilt
+  * list); the numbers are pure serving latency of the STATELESS
+  * plans: per-row signature/score expressions + stream-static joins,
+  * no state store, no watermark.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.StreamBench"
+  *
+  * Prints one JSON line
+  * {"metric":"stream_p50_ms", "twins":{name:{p50_ms,max_ms,...}}}. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val docRows = docs.as[(Long, String)].collect().toSeq
+    val vecRows = sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+
+    /** run `mk(stream frame)` over `feed` in nBatches equal slices;
+      * (p50_ms, max_ms, total_rows_out) over the per-batch clocks. */
+    def drive[T: org.apache.spark.sql.Encoder](name: String,
+        feed: Seq[T], cols: Seq[String],
+        mk: DataFrame => DataFrame): (Long, Long, Long) = {
+      val mem = MemoryStream[T]
+      val q = mk(mem.toDF().toDF(cols: _*))
+        .writeStream.format("memory").queryName(s"sb_$name")
+        .outputMode("append").start()
+      val size = math.max(1, feed.size / nBatches)
+      val times = feed.grouped(size).map { b =>
+        val t0 = System.nanoTime()
+        mem.addData(b)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1000000L
+      }.toSeq
+      q.stop()
+      val rows = spark.table(s"sb_$name").count()
+      val sorted = times.sorted
+      (sorted(sorted.size / 2), sorted.last, rows)
+    }
+
+    // saved indexes: offline builds through IndexStore (stamped, so
+    // re-runs are pure reads)
+    val corpusDocs = docs.filter($"doc_id" % 10 =!= 3)
+    val sigPath = IndexStore.ensure(IndexStore.stampedPath(
+        "sig_bands", sfDir, "documents.parquet")) { tmp =>
+      api.Dedup.signatureIndexBuild(corpusDocs, "doc_id", "text", tmp)
+    }
+    val dcnPath = IndexStore.ensure(IndexStore.stampedPath(
+        "dcn_eval_g4", sfDir, "documents.parquet")) { tmp =>
+      api.Text.evalGramIndexBuild(docs.filter(
+          pmod(api.Sampling.portableHash($"doc_id", "eval:"), lit(50L))
+            === 0L), "doc_id", "text", tmp)
+    }
+    val phashPath = IndexStore.ensure(IndexStore.stampedPath(
+        "phash_b32", sfDir, "documents.parquet")) { tmp =>
+      api.Multimodal.phashIndexBuild(
+        corpusDocs.select($"doc_id", $"text".cast("binary").as("payload")),
+        "doc_id", "payload", tmp, bits = 32)
+    }
+    val ivfPath = IndexStore.ensure(IndexStore.stampedPath(
+        "ivf_c8", sfDir, "embeddings.parquet")) { tmp =>
+      api.Similarity.ivfBuild(
+        vecRows.toDF("vec_id", "v"), "vec_id", "v", tmp,
+        k = 8, rounds = 2)
+    }
+    val kcPath = IndexStore.ensure(IndexStore.stampedPath(
+        "kcenter_c4", sfDir, "embeddings.parquet")) { tmp =>
+      api.Similarity.kcenterIndexBuild(
+        vecRows.toDF("vec_id", "v"), "vec_id", "v", tmp, 4)
+    }
+
+    val arrivalsDocs = docRows.filter(_._1 % 10 == 3)
+    val results = Seq(
+      ("quality_filter", drive("qf", docRows, Seq("doc_id", "text"),
+        df => streaming.TextStreams.qualityFilter(df, "doc_id", "text",
+          minQuality = 0.8))),
+      ("neardup_sig_index", drive("nd", arrivalsDocs,
+        Seq("doc_id", "text"),
+        df => streaming.DedupStreams.nearDupsAgainstSavedIndex(
+          df, sigPath, "doc_id", "text"))),
+      ("decontaminate_index", drive("dc", arrivalsDocs,
+        Seq("doc_id", "text"),
+        df => streaming.TextStreams.decontaminateAgainstSavedIndex(
+          df, dcnPath, "doc_id", "text"))),
+      ("phash_ingest_index", drive("ph",
+        arrivalsDocs.map { case (i, t) => (i, t.getBytes("UTF-8")) },
+        Seq("doc_id", "payload"),
+        df => streaming.MultimodalStreams.phashAgainstSavedIndex(
+          df, phashPath, "doc_id", "payload"))),
+      ("ivf_range_index", drive("ir", vecRows, Seq("vec_id", "v"),
+        df => streaming.SimStreams.rangeAgainstSavedIvfIndex(
+          df, "vec_id", "v", ivfPath, tau = 0.4))),
+      ("kcenter_assign_index", drive("kc", vecRows, Seq("vec_id", "v"),
+        df => streaming.SampleStreams.assignAgainstSavedCenters(
+          df, kcPath, "vec_id", "v"))))
+
+    val twins = results.map { case (n, (p50, mx, rows)) =>
+      s""""$n": {"p50_ms": $p50, "max_ms": $mx, "rows_out": $rows}"""
+    }.mkString(", ")
+    println(s"""{"metric": "stream_micro_batch_latency", """ +
+      s""""sf": "$sfDir", "cpus": $cpus, "n_batches": $nBatches, """ +
+      s""""loadavg_start": ${Bench.loadavg1m()}, "twins": {$twins}}""")
+    spark.stop()
+  }
+}

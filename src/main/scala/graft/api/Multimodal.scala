@@ -101,25 +101,17 @@ object Multimodal {
       payload: String, bits: Int = 16): DataFrame = {
     require(bits == 16 || bits == 32, "phash tiers are 16 or 32 bits")
     graft.functions.TextExpressions.register(media.sparkSession)
-    val balSql =
-      s"""aggregate(
-         |  transform(array_distinct(char_ngrams(hex($payload), 8, 2)),
-         |    t -> CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT)),
-         |  array_repeat(0, $bits),
-         |  (acc, h) -> zip_with(acc,
-         |    transform(sequence(0, ${bits - 1}),
-         |      j -> CASE WHEN (shiftright(h, j) & 1) = 1
-         |           THEN 1 ELSE -1 END),
-         |    (a, b) -> a + b))""".stripMargin
-    val simSql =
-      s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
-         |  (s, j) -> s + CASE WHEN element_at(bal, j + 1) > 0
-         |    THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)
-         |    ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    // the whole signature is ONE native single-pass expression
+    // (functions.SimhashSig): the composable HOF spelling
+    // (aggregate/transform/zip_with) evaluated interpreted lambdas
+    // per feature×bit and cost ~84 ms per arrival on the ingest
+    // stream; the native pass is one md5 per feature, primitive
+    // balances, no boxing
     media
       .filter(length(col(payload)) >= 4)
-      .select(col(id), expr(balSql).as("bal"))
-      .select(col(id), expr(simSql).as("simhash"))
+      .select(col(id), expr(
+        s"simhash_sig(array_distinct(char_ngrams(hex($payload), 8, 2))," +
+          s" $bits)").as("simhash"))
   }
 
   /** The SAME signature via the batch aggregate path

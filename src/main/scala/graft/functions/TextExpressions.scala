@@ -107,7 +107,8 @@ object TextExpressions {
     }
   }
 
-  /** Idempotently register word_ngrams(tokens, n) / char_ngrams(s, n). */
+  /** Idempotently register word_ngrams(tokens, n) / char_ngrams(s, n)
+    * / simhash_sig(features, bits). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("word_ngrams",
@@ -117,5 +118,70 @@ object TextExpressions {
       exprs => CharNgrams(exprs.head, intLitArg("char_ngrams", exprs(1)),
         if (exprs.length > 2) intLitArg("char_ngrams", exprs(2)) else 1),
       "built-in")
+    reg.createOrReplaceTempFunction("simhash_sig",
+      exprs => SimhashSig(exprs.head,
+        intLitArg("simhash_sig", exprs(1))),
+      "built-in")
   }
+}
+
+/** Per-row SimHash SIGNATURE as a single-pass native expression —
+  * sign vector of per-bit ±1 balances over the portable 48-bit hash
+  * (`CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT)` — the first
+  * 6 md5 bytes big-endian) of each feature string.
+  *
+  * The composable per-row form — `aggregate(transform(feats, md5…),
+  * zip_with(…bit votes…))` — evaluates interpreted lambdas per
+  * feature×bit with Catalyst value conversion at every step; on the
+  * multimodal phash ingest stream that cost ~84 ms per arrival. This
+  * expression does the identical arithmetic in one JVM pass: one md5
+  * per feature, primitive int balances, no boxing. Bit-for-bit equal
+  * to [[graft.api.Dedup.simhashSignatures]]/32 over the same feature
+  * tokens (±1 integer sums are order-free; MultimodalStreamsSpec pins
+  * all three forms). NOTE: callers pass DISTINCT features — this
+  * expression votes once per array element, exactly like the
+  * aggregate form votes once per distinct token.
+  *
+  * Registered as `simhash_sig(features array<string>, bits)` via
+  * [[TextExpressions.register]]. */
+case class SimhashSig(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits == 16 || bits == 32, "simhash tiers are 16 or 32 bits")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val feats = v.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bal = new Array[Int](bits)
+    var i = 0
+    val n = feats.numElements()
+    while (i < n) {
+      val t = feats.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        // first 12 hex chars = first 6 bytes, big-endian unsigned
+        var h = 0L
+        var k = 0
+        while (k < 6) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) bal(j) += 1 else bal(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (bal(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimhashSig =
+    copy(child = c)
 }
