@@ -52,7 +52,9 @@ object IndexBench {
       fields :+= f""""descent_build_sec": $tD%.2f"""
       fields :+= s""""descent_round_pool_edges": [${counts.mkString(", ")}]"""
     } else if (descentDone) {
-      fields :+= s""""descent_build_sec": "reused $base/descent""""
+      // keep *_sec fields numeric for cross-round tooling; the reuse
+      // is flagged separately
+      fields :+= s""""descent_reused": "$base/descent""""
     }
     if (which("exact")) {
       val (_, tE) = time(graft.api.Similarity.nngBuild(

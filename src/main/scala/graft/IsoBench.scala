@@ -137,7 +137,8 @@ object IsoBench {
     // still overrides both ways (the round-13 lesson: a /tmp/sfx probe
     // overwrote the 65-row artifact BASELINE.md adjudicates against).
     val isStandingCapture =
-      sfDir == "/root/testdata/sf0.1" && args.isEmpty && runs == 2
+      sfDir == "/root/testdata/sf0.1" && args.isEmpty && runs == 2 &&
+        !clearBetween && cpus == "32"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ISO_OUT",
       if (isStandingCapture) "ISOBENCH.json" else "ISOBENCH_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

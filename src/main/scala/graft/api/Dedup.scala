@@ -272,15 +272,25 @@ object Dedup {
   /** Banded pigeonhole pair core: 4 bands of `bw` bits each; exact
     * for Hamming ≤ 3 (4 bands, ≤ 3 differing bits → some band equal),
     * and every pair survives exactly once (first-equal-band filter). */
+  /** (id, simhash) → one row per 4 `bw`-bit Hamming bands:
+    * (<id>, simhash, band, bk). THE one spelling of the banding
+    * invariant — the in-memory pair joins and the saved phash index
+    * ([[Multimodal.phashIndexBuild]]) must extract identical band
+    * keys or probe and build silently desynchronize. */
+  private[graft] def simhashBanded(sim: DataFrame, id: String,
+      bw: Int): DataFrame =
+    sim.select(col(id), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bk",
+        expr(s"CAST(shiftright(simhash, band * $bw)" +
+          s" & ${(1 << bw) - 1} AS INT)"))
+
   private def simhashPairsBanded(sim: DataFrame, id: String,
       maxHamming: Int, bw: Int): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole is exact only for Hamming <= 3")
     val mask = (1 << bw) - 1
-    val banded = sim.select(col(id), col("simhash"),
-      explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bk",
-        expr(s"CAST(shiftright(simhash, band * $bw) & $mask AS INT)"))
+    val banded = simhashBanded(sim, id, bw)
     val a = banded.select(col("band"), col("bk"),
       col(id).as("doc1"), col("simhash").as("s1"))
     val b = banded.select(col("band"), col("bk"),

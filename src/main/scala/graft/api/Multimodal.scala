@@ -167,14 +167,12 @@ object Multimodal {
   }
 
   /** (id, simhash) → one row per `bw`-bit band: (band, bk, id,
-    * simhash). The band key is a pure function of the signature, so
-    * probe and build always agree. */
+    * simhash). Delegates to [[Dedup.simhashBanded]] — ONE spelling of
+    * the banding invariant, so the saved index and the in-memory pair
+    * joins can never desynchronize. */
   private[graft] def bandedSim(sim: DataFrame, id: String,
       bw: Int): DataFrame =
-    sim.select(col(id).as("id"), col("simhash"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bk",
-        expr(s"CAST(shiftright(simhash, band * $bw)" +
-          s" & ${(1 << bw) - 1} AS INT)"))
+    Dedup.simhashBanded(
+        sim.select(col(id).as("id"), col("simhash")), "id", bw)
       .select(col("band"), col("bk"), col("id"), col("simhash"))
 }

@@ -381,10 +381,17 @@ object Similarity {
     * never pairwise; the k bounded 1-row collects carry ids between
     * rounds (the nProbe discipline). */
   def kcenterSelect(corpus: DataFrame, id: String, vec: String,
-      k: Int): Seq[(Int, Long, Option[Double])] = {
-    val e = prep(corpus, id, vec)
+      k: Int): Seq[(Int, Long, Option[Double])] =
+    kcenterSelectPrepped(prep(corpus, id, vec)
       .select(col("vid").as("vec_id"), col("v"), col("nrm"))
-      .ckptLazy()
+      .ckpt(), k)
+
+  /** [[kcenterSelect]] over an already-prepped, already-checkpointed
+    * (vec_id, v, nrm) frame — so [[kcenterIndexBuild]] can reuse ONE
+    * materialized corpus for both the selection scans and the final
+    * center-row fetch. */
+  private def kcenterSelectPrepped(e: DataFrame,
+      k: Int): Seq[(Int, Long, Option[Double])] = {
     val c0 = e.agg(min(col("vec_id"))).head().getLong(0)
     var centers = Seq((0, c0, Option.empty[Double]))
     for (t <- 1 until k) {
@@ -413,11 +420,16 @@ object Similarity {
       path: String, k: Int): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sel = kcenterSelect(corpus, id, vec, k)
+    // ONE prepped+checkpointed corpus serves both the k selection
+    // scans and the final center-row fetch (a second prep scan here
+    // was pure waste — the selection already materialized the frame)
+    val e = prep(corpus, id, vec)
+      .select(col("vid").as("vec_id"), col("v"), col("nrm"))
+      .ckpt()
+    val sel = kcenterSelectPrepped(e, k)
     val ranks = sel.map { case (r, cid, _) => (r, cid) }
       .toDF("rank", "cid")
-    val e = prep(corpus, id, vec)
-    ranks.join(e.select(col("vid").as("cid"), col("v"), col("nrm")),
+    ranks.join(e.select(col("vec_id").as("cid"), col("v"), col("nrm")),
         Seq("cid"))
       .select(col("rank"), col("cid"), col("v"), col("nrm"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
@@ -732,7 +744,7 @@ object Similarity {
     // round 0: every probe scores the bounded entry set
     val v0 = score(p.select(col("probe_id"))
         .crossJoin(broadcast(entries)))
-      .ckptLazy()
+      .ckpt()
     val visited = (1 to rounds).foldLeft(v0) { (v, _) =>
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("node"))
@@ -744,7 +756,7 @@ object Similarity {
         .select(col("probe_id"), col("dst").as("node")).distinct()
         .join(v.select(col("probe_id"), col("node")),
           Seq("probe_id", "node"), "left_anti")
-      v.unionByName(score(cand)).ckptLazy()
+      v.unionByName(score(cand)).ckpt()
     }
     val wf = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("node"))
@@ -789,7 +801,7 @@ object Similarity {
   def nngBuildDescent(corpus: DataFrame, id: String, vec: String,
       path: String, k: Int = 10, rounds: Int = 6, pool: Int = 20,
       nEntries: Int = 8, maxJoinRows: Long = 64000000L): Seq[Long] = {
-    val e = prep(corpus, id, vec).ckptLazy()
+    val e = prep(corpus, id, vec).ckpt()
     // planning-time ring size (bounded 1-row collect, the ivf nProbe
     // discipline)
     val n = e.count()
@@ -797,7 +809,7 @@ object Similarity {
         row_number().over(Window.orderBy(
           Sampling.portableHash(col("vid"), "nngd:"), col("vid")))
           .minus(1).as("r"))
-      .ckptLazy()
+      .ckpt()
     val byRank = ranked.select(col("r").as("rb"), col("vid").as("dst"))
     def score(cand: DataFrame): DataFrame =
       cand.join(e.select(col("vid").as("src"), col("v").as("va"),
@@ -812,7 +824,7 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= nKeep)
         .select(col("src"), col("rk"), col("dst"), col("cosine"))
-        .ckptLazy()
+        .ckpt()
     }
     val init = ranked
       .withColumn("off", explode(lit((1 to pool).toArray)))
@@ -844,7 +856,7 @@ object Similarity {
       val d = cand.select(col("src"), col("dst"))
       val adj = d.unionByName(
         d.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().ckptLazy()
+        .distinct().ckpt()
       candParts = (0 until nChunks).map { c =>
         val adjC = if (nChunks == 1) adj else adj.filter(chunkOf === c)
         val dC = if (nChunks == 1) d else d.filter(chunkOf === c)
@@ -890,7 +902,7 @@ object Similarity {
       path: String, k: Int = 10, beam: Int = 10,
       rounds: Int = 4): DataFrame = {
     val links = nngTopK(arrivals, id, vec, path, k, beam, rounds)
-      .ckptLazy()
+      .ckpt()
     prep(arrivals, id, vec)
       .select(col("vid").as("vec_id"), col("v"), col("nrm"))
       .write.mode("append").parquet(s"$path/nodes")

@@ -390,7 +390,7 @@ object Text {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("seq", concat(lit(" "),
         regexp_replace(col("word"), "(.)", "$1 ")))
-      .ckptLazy()
+      .ckpt()
     var w = words
     var picks = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
@@ -402,7 +402,7 @@ object Text {
       // plan roots here, not in the whole prior trajectory (the MMR
       // greedy's plan-depth discipline)
       val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
-        .ckptLazy()
+        .ckpt()
       // fail loudly on a pairless vocabulary (every word one symbol —
       // merges exhausted): the crossJoin below would otherwise
       // silently annihilate the word table and drop this round's row

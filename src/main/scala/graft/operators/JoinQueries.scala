@@ -389,7 +389,7 @@ object JoinQueries {
     val saved = bloomRegime.map { case (k, _) => k -> s.conf.getOption(k) }
     bloomRegime.foreach { case (k, v) => s.conf.set(k, v) }
     try {
-      val out = build.ckptLazy()
+      val out = build.ckpt()
       lastBloomResult = Some(out)
       out
     } finally saved.foreach {

@@ -1662,7 +1662,7 @@ object SimQueries {
       val g = xa.join(xb, Seq("vec_id"))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("xa") * col("xb")).as("gram"))
-        .ckptLazy()
+        .ckpt()
       val v0 = g.filter(col("j") === 0).select(col("i").as("j"))
         .withColumn("v", lit(BigDecimal("0.125")).cast("decimal(10,8)"))
       val (v3, n3) = (1 to 3).foldLeft((v0, v0)) { case ((v, _), _) =>

@@ -43,7 +43,13 @@ object MultimodalStreams {
     // codegen'd aggregate twin on batch backfills (spec-pinned equal)
     val arrivalSigs =
       if (stream.isStreaming) Multimodal.phashRows(stream, id, payload, bits)
-      else Multimodal.aggPhashSigs(stream, id, payload, bits)
+      else {
+        // eager cut: the banded frame feeds BOTH the pruning collect
+        // and the join — without it the dominant signature scan
+        // (hex + md5 per feature) runs twice
+        import graft.Ckpt.CkptOps
+        Multimodal.aggPhashSigs(stream, id, payload, bits).ckpt()
+      }
     val arrivals = Multimodal.bandedSim(arrivalSigs, id, bw)
       .select(col("band"), col("bk"), col("id").as("arrival_id"),
         col("simhash").as("s1"))
@@ -58,7 +64,9 @@ object MultimodalStreams {
         val byBand = bks.groupBy(_._1).toSeq.map { case (b, ks) =>
           col("band") === b && col("bk").isin(ks.map(_._2): _*)
         }
-        corpus.filter(byBand.reduce(_ || _))
+        // an empty arrival frame (all payloads < 4 bytes) must yield
+        // an empty result, not an empty-reduce crash
+        corpus.filter(byBand.reduceOption(_ || _).getOrElse(lit(false)))
       }
     // first-equal-band dedup: keep the collision whose band is the
     // SMALLEST band on which the two signatures agree — a pure

@@ -43,9 +43,13 @@ object SampleStreams {
         col("nrm").as("cnrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("cosine").desc, col("cid"))
+    // zero-norm vectors have no defined nearest center (every cosine
+    // is NaN) and the batch window vs streaming fold would order NaN
+    // differently — drop them on BOTH arms, identically
     val scored = stream
       .select(col(id), col(vec).as("v"))
       .withColumn("nrm", expr("vec_norm(v)"))
+      .filter(col("nrm") > 0)
       .crossJoin(broadcast(centers))
       .select(col(id), col("rank"), col("cid"),
         round(expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")), 6)
@@ -61,6 +65,7 @@ object SampleStreams {
           .as("cs"))
         stream.select(col(id), col(vec).as("v"))
           .withColumn("nrm", expr("vec_norm(v)"))
+          .filter(col("nrm") > 0)
           .crossJoin(broadcast(centerList))
           .select(col(id), aggregate(
             transform(col("cs"), c => struct(
