@@ -1734,34 +1734,44 @@ object SimQueries {
     * runs on 20 rows per probe. At 100 TB the truncated columns live
     * in their own parquet column (ReadSchema prunes the full vector
     * until re-rank) or behind the IVF index. */
+  /** Shared serving path for the matryoshka tier: top-20 shortlist by
+    * 16-dim-prefix cosine, exact full-dimension re-rank to `k`, probes
+    * `vec_id < probeMax` — the ONE spelling sim_matryoshka_topk (the
+    * k = 5 readout) and sim_recall_matryoshka (k = 3 vs exact ground
+    * truth) both serve, so the recall row audits exactly the plan the
+    * serving row ships. Returned unordered; callers sort. */
+  private def matryoshkaTopKFrame(s: SparkSession, dir: String,
+      probeMax: Int, k: Int): DataFrame = {
+    val base = vecs(s, dir)
+      .withColumn("vt", expr("slice(v, 1, 16)"))
+      .withColumn("nt", expr("vec_norm(vt)"))
+    val c = base.select(col("vec_id").as("cand_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("vt").as("vtb"), col("nt").as("ntb"))
+    val p = base.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("probe_id"), col("v").as("va"),
+        col("nrm").as("na"), col("vt").as("vta"), col("nt").as("nta"))
+    val w1 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("tcos").desc, col("cand_id"))
+    val short = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .withColumn("tcos",
+        round(expr("vec_dot(vta, vtb)") / (col("nta") * col("ntb")), 6))
+      .withColumn("trk", row_number().over(w1))
+      .filter(col("trk") <= 20)
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    short
+      .withColumn("cosine",
+        round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"),
+        col("cand_id").as("neighbor_id"), col("cosine"))
+  }
+
   val simMatryoshkaTopk: GQuery = {
-    val sparkImpl = (s: SparkSession, dir: String) => {
-      val base = vecs(s, dir)
-        .withColumn("vt", expr("slice(v, 1, 16)"))
-        .withColumn("nt", expr("vec_norm(vt)"))
-      val c = base.select(col("vec_id").as("cand_id"), col("v").as("vb"),
-        col("nrm").as("nb"), col("vt").as("vtb"), col("nt").as("ntb"))
-      val p = base.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("v").as("va"),
-          col("nrm").as("na"), col("vt").as("vta"), col("nt").as("nta"))
-      val w1 = Window.partitionBy(col("probe_id"))
-        .orderBy(col("tcos").desc, col("cand_id"))
-      val short = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
-        .withColumn("tcos",
-          round(expr("vec_dot(vta, vtb)") / (col("nta") * col("ntb")), 6))
-        .withColumn("trk", row_number().over(w1))
-        .filter(col("trk") <= 20)
-      val w2 = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("cand_id"))
-      short
-        .withColumn("cosine",
-          round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 6))
-        .withColumn("rk", row_number().over(w2))
-        .filter(col("rk") <= 5)
-        .select(col("probe_id"), col("rk"),
-          col("cand_id").as("neighbor_id"), col("cosine"))
+    val sparkImpl = (s: SparkSession, dir: String) =>
+      matryoshkaTopKFrame(s, dir, probeMax = 5, k = 5)
         .orderBy(col("probe_id"), col("rk"))
-    }
     GQuery("sim_matryoshka_topk",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (
@@ -2070,6 +2080,223 @@ object SimQueries {
       .orderBy(col("probe_id"))
   }
 
+  /** Shared oracle head for the shortlist-tier recall rows: exact
+    * brute-force top-3 ground truth for the standard probe set
+    * (vec_id < 50), as `ex` over the normed corpus `n` — verbatim the
+    * sim_recall_eval/sim_recall_ivf ground-truth CTEs, factored so
+    * every tier's recall row measures against the SAME truth. */
+  /** The `ex` ground-truth CTE alone (requires an in-scope
+    * `n (vec_id, v, nrm)`), for oracles whose WITH clause is opened
+    * by another chain (sim_nprobe_sweep's kmeans CTEs). */
+  private val recallExCte =
+    """ex AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |        ORDER BY round(list_dot_product(p.v, c.v)
+      |                       / (p.nrm * c.nrm), 6) DESC,
+      |                 c.vec_id) AS rk
+      |    FROM n p JOIN n c ON p.vec_id < 50 AND c.vec_id != p.vec_id)
+      |  WHERE rk <= 3)""".stripMargin
+
+  private val recallExactSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |$recallExCte""".stripMargin
+
+  /** Shared oracle tail: per-probe hits vs the `ann` CTE and the
+    * recall@3 readout — identical across every recall row. */
+  private val recallTailSql =
+    """hits AS (
+      |  SELECT ex.probe_id, count(*) AS n_hits
+      |  FROM ex JOIN ann ON ex.probe_id = ann.probe_id
+      |                  AND ex.neighbor_id = ann.neighbor_id
+      |  GROUP BY ex.probe_id),
+      |den AS (SELECT probe_id, count(*) AS n_exact FROM ex
+      |        GROUP BY probe_id)
+      |SELECT den.probe_id, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6) AS recall
+      |FROM den LEFT JOIN hits ON den.probe_id = hits.probe_id
+      |ORDER BY den.probe_id""".stripMargin
+
+  /** Shared Spark-side recall readout: (probe_id, n_exact, n_hits,
+    * recall) from the exact and approximate (probe_id, neighbor_id)
+    * answer sets — the sim_recall_eval tail, factored for the
+    * shortlist-tier rows. */
+  private def recallReadout(exact: DataFrame, ann: DataFrame): DataFrame = {
+    val hits = ann.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Exact brute-force top-3 for the standard probe set — the ground
+    * truth every shortlist-tier recall row compares against. */
+  private def recallExactFrame(s: SparkSession, dir: String): DataFrame = {
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    graft.api.Similarity.cosineTopK(ev, ev.filter(col("vec_id") < 50),
+      "vec_id", "v", k = 3).select(col("probe_id"), col("neighbor_id"))
+  }
+
+  /** RECALL@3 for the SQ8 tier — the fifth row of the per-tier ANN
+    * recall matrix (sign-LSH, saved-IVF, saved-NNG, IVF-PQ, and now
+    * the int8 scalar-quantized shortlist): the same vec_id < 50
+    * probes, exact ground truth, served by the exact two-stage
+    * sq8TopK path sim_topk_sq8 ships (per-frame 127/max|x| scales,
+    * exact int8 shortlist of 40, float re-rank) at k = 3. The number
+    * answers "how much ranking does 4× byte compression cost?"
+    * BEFORE a 100 TB corpus is quantized — and like the other recall
+    * rows, the evaluation itself is deterministic arithmetic, so
+    * DuckDB replays quantize → shortlist → re-rank → intersect.
+    *
+    * Scale shape: ground truth probe-bounded (one broadcast-probe
+    * corpus scan); the SQ8 side is the serving row's own scan-bound
+    * plan; the recall join is ≤ 2·k rows per probe. */
+  val simRecallSq8: GQuery = GQuery(
+    "sim_recall_sq8",
+    s"""$recallExactSql,
+       |mxc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+       |        FROM e),
+       |mxp AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+       |        FROM e WHERE vec_id < 50),
+       |cq AS (
+       |  SELECT vec_id AS neighbor_id,
+       |    list_transform(v, x -> round(x * 127.0 / greatest(mx, 1e-30)))
+       |      AS qb
+       |  FROM e, mxc),
+       |cqn AS (SELECT neighbor_id, qb,
+       |          sqrt(list_dot_product(qb, qb)) AS qnb FROM cq),
+       |pq AS (
+       |  SELECT vec_id AS probe_id,
+       |    list_transform(v, x -> round(x * 127.0 / greatest(mx, 1e-30)))
+       |      AS qa
+       |  FROM e, mxp WHERE vec_id < 50),
+       |pqn AS (SELECT probe_id, qa,
+       |          sqrt(list_dot_product(qa, qa)) AS qna FROM pq),
+       |short AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.probe_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY round(list_dot_product(p.qa, c.qb)
+       |          / (p.qna * c.qnb), 6) DESC, c.neighbor_id) AS srk
+       |    FROM cqn c JOIN pqn p ON p.probe_id != c.neighbor_id)
+       |  WHERE srk <= 40),
+       |ann AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT s.probe_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.probe_id
+       |        ORDER BY round(list_dot_product(p.v, c.v)
+       |          / (p.nrm * c.nrm), 6) DESC, s.neighbor_id) AS rk
+       |    FROM short s JOIN n c ON c.vec_id = s.neighbor_id
+       |      JOIN n p ON p.vec_id = s.probe_id)
+       |  WHERE rk <= 3),
+       |$recallTailSql""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val ann = graft.api.Similarity.sq8TopK(ev,
+      ev.filter(col("vec_id") < 50), "vec_id", "v", k = 3, shortlist = 40)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallReadout(recallExactFrame(s, dir), ann)
+  }
+
+  /** RECALL@3 for the sign-bit Hamming tier: the same probes and
+    * ground truth, served by [[hammingTopKFrame]] — the EXACT plan
+    * sim_topk_hamming ships (8×8-bit sign bands, band-equality
+    * candidates, Hamming-64 shortlist, exact re-rank) at k = 3. Next
+    * to sim_recall_sq8 this prices the cheaper 64-bit signature
+    * against the 4×-larger int8 one; a 100 TB deployment reads the
+    * two rows together when choosing its shortlist bytes.
+    *
+    * Scale shape: the candidate join is band-bucketed (never
+    * all-pairs on the Spark side); ground truth probe-bounded; the
+    * recall join ≤ 2·k rows per probe. */
+  val simRecallHamming: GQuery = GQuery(
+    "sim_recall_hamming",
+    s"""$recallExactSql,
+       |b AS (SELECT vec_id, v, nrm,
+       |  list_transform(generate_series(0, 7), t ->
+       |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+       |      CASE WHEN v[8 * t + i] >= 0
+       |           THEN CAST(1 AS BIGINT) << (8 - i)
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bands
+       |  FROM n),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 8), j ->
+       |      CAST(bit_count(xor(p.bands[j], c.bands[j])) AS BIGINT)))
+       |      AS BIGINT) AS hamming,
+       |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+       |      AS cosine
+       |  FROM b p
+       |  JOIN b c ON p.vec_id < 50 AND c.vec_id != p.vec_id
+       |  CROSS JOIN generate_series(0, 7) AS g(t)
+       |  WHERE p.bands[t + 1] = c.bands[t + 1]),
+       |h AS (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY hamming, neighbor_id) AS hk
+       |  FROM cand),
+       |ann AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rk
+       |    FROM h WHERE hk <= 64)
+       |  WHERE rk <= 3),
+       |$recallTailSql""".stripMargin) { (s, dir) =>
+    val ann = hammingTopKFrame(s, dir, k = 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallReadout(recallExactFrame(s, dir), ann)
+  }
+
+  /** RECALL@3 for the matryoshka tier: the same probes and ground
+    * truth, served by [[matryoshkaTopKFrame]] — the EXACT plan
+    * sim_matryoshka_topk ships (16-of-64-dim prefix shortlist of 20,
+    * exact full-dimension re-rank) at k = 3. Completes the
+    * compressed-shortlist recall trio: prefix truncation (4× fewer
+    * multiplies) vs int8 quantization (4× fewer bytes) vs sign bands
+    * (32× fewer bytes), all priced against one ground truth.
+    *
+    * Scale shape: the truncated pass is a probe-broadcast corpus scan
+    * reading only the prefix slice; re-rank runs on 20 rows/probe. */
+  val simRecallMatryoshka: GQuery = GQuery(
+    "sim_recall_matryoshka",
+    s"""$recallExactSql,
+       |nt AS (
+       |  SELECT vec_id, v, nrm, v[1:16] AS vt,
+       |    sqrt(list_dot_product(v[1:16], v[1:16])) AS ntn
+       |  FROM n),
+       |s1 AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(p.vt, c.vt) / (p.ntn * c.ntn), 6)
+       |      AS tcos,
+       |    round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+       |      AS cosine
+       |  FROM nt p JOIN nt c ON p.vec_id < 50 AND c.vec_id != p.vec_id),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT probe_id, neighbor_id, cosine,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY tcos DESC, neighbor_id) AS trk
+       |    FROM s1) WHERE trk <= 20),
+       |ann AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rk
+       |    FROM short)
+       |  WHERE rk <= 3),
+       |$recallTailSql""".stripMargin) { (s, dir) =>
+    val ann = matryoshkaTopKFrame(s, dir, probeMax = 50, k = 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallReadout(recallExactFrame(s, dir), ann)
+  }
+
   /** PQ RECONSTRUCTION-DISTORTION audit — [[embedSq8Error]]'s readout
     * for the PRODUCT quantizer, served from the SAVED ivfpq_c8r8
     * index (fifth consumer: codebooks + per-vector codes are read
@@ -2241,46 +2468,56 @@ object SimQueries {
     * shortlist. At 100 TB the binary index is 1/32 the float bytes
     * and the band join prunes like the simhash pair join —
     * output-bound, fully keyed. */
-  val simTopkHamming: GQuery = {
-    val sparkImpl = (s: SparkSession, dir: String) => {
-      val e = vecs(s, dir)
-      val banded = e.select(col("vec_id"), col("v"), col("nrm"),
-        expr("""transform(sequence(0, 7), t ->
-               |  aggregate(transform(slice(v, 8 * t + 1, 8),
-               |    x -> CASE WHEN x >= CAST(0 AS DOUBLE)
-               |         THEN CAST(1 AS BIGINT)
-               |         ELSE CAST(0 AS BIGINT) END),
-               |    CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b))"""
-          .stripMargin).as("bands"))
-      val corpus = banded.select(col("vec_id").as("neighbor_id"),
-        col("v").as("vb"), col("nrm").as("nb"),
-        col("bands").as("bb"),
+  /** Shared serving path for the sign-bit Hamming tier: 8×8-bit sign
+    * bands, band-equality candidate generation, Hamming shortlist
+    * (hk ≤ 64), exact-cosine re-rank to `k`, probes vec_id < 50 — the
+    * ONE spelling sim_topk_hamming (k = 5 readout) and
+    * sim_recall_hamming (k = 3 vs exact ground truth) both serve.
+    * Returned unordered; callers sort. */
+  private def hammingTopKFrame(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val e = vecs(s, dir)
+    val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+      expr("""transform(sequence(0, 7), t ->
+             |  aggregate(transform(slice(v, 8 * t + 1, 8),
+             |    x -> CASE WHEN x >= CAST(0 AS DOUBLE)
+             |         THEN CAST(1 AS BIGINT)
+             |         ELSE CAST(0 AS BIGINT) END),
+             |    CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b))"""
+        .stripMargin).as("bands"))
+    val corpus = banded.select(col("vec_id").as("neighbor_id"),
+      col("v").as("vb"), col("nrm").as("nb"),
+      col("bands").as("bb"),
+      posexplode(col("bands")).as(Seq("t", "bv")))
+    val probes = banded.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("v").as("va"),
+        col("nrm").as("na"), col("bands").as("ba"),
         posexplode(col("bands")).as(Seq("t", "bv")))
-      val probes = banded.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("probe_id"), col("v").as("va"),
-          col("nrm").as("na"), col("bands").as("ba"),
-          posexplode(col("bands")).as(Seq("t", "bv")))
-      val cand = corpus.join(broadcast(probes), Seq("t", "bv"))
-        .filter(col("probe_id") =!= col("neighbor_id"))
-        .select(col("probe_id"), col("neighbor_id"),
-          expr("""aggregate(zip_with(ba, bb,
-                 |  (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),
-                 |  CAST(0 AS BIGINT), (acc, h) -> acc + h)"""
-            .stripMargin).as("hamming"),
-          round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
-        .distinct()
-      val w1 = Window.partitionBy(col("probe_id"))
-        .orderBy(col("hamming"), col("neighbor_id"))
-      val w2 = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      cand.withColumn("hk", row_number().over(w1))
-        .filter(col("hk") <= 64)
-        .withColumn("rk", row_number().over(w2))
-        .filter(col("rk") <= 5)
-        .select(col("probe_id"), col("rk"), col("neighbor_id"),
-          col("hamming"), col("cosine"))
+    val cand = corpus.join(broadcast(probes), Seq("t", "bv"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        expr("""aggregate(zip_with(ba, bb,
+               |  (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),
+               |  CAST(0 AS BIGINT), (acc, h) -> acc + h)"""
+          .stripMargin).as("hamming"),
+        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
+      .distinct()
+    val w1 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("hk", row_number().over(w1))
+      .filter(col("hk") <= 64)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"),
+        col("hamming"), col("cosine"))
+  }
+
+  val simTopkHamming: GQuery = {
+    val sparkImpl = (s: SparkSession, dir: String) =>
+      hammingTopKFrame(s, dir, k = 5)
         .orderBy(col("probe_id"), col("rk"))
-    }
     GQuery("sim_topk_hamming",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings),
@@ -3018,5 +3255,6 @@ object SimQueries {
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
       simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,
       simBm25Topk, simRecallIvf, embedPqError, simBm25Indexed,
-      embedQuantileClip, embedOutlierKnn, embedIsotropy)
+      embedQuantileClip, embedOutlierKnn, embedIsotropy,
+      simRecallSq8, simRecallHamming, simRecallMatryoshka)
 }

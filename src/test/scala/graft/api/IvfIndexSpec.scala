@@ -292,4 +292,51 @@ class IvfIndexSpec extends SparkTestBase {
     assert(hit.getLong(0) == plantedId && hit.getDouble(1) == 1.0,
       s"appended-to-rebuilt vector $plantedId not served: $hit")
   }
+
+  test("fixture regeneration restamps, republishes, and GCs the superseded REAL index generation") {
+    // The GC half of the index lifecycle (round-15 candidate (d)):
+    // IndexStoreSpec pins pruneSuperseded on synthetic marker dirs;
+    // this drives it through a REAL cid-partitioned IVF build — a
+    // regenerated source parquet mints a new stamp, ensure publishes
+    // generation 2, and generation 1's full parquet tree (cells +
+    // centers) is collected while serving continues from gen 2.
+    val srcDir = Files.createTempDirectory("graft_ivf_gen").toString
+    def regen(n: Int): Unit =
+      ev.limit(n).coalesce(1).write.mode("overwrite")
+        .parquet(s"$srcDir/emb.parquet")
+    def src = spark.read.parquet(s"$srcDir/emb.parquet")
+    regen(40)
+    val gen1 = graft.IndexStore.stampedPath("ivfgc_spec", srcDir,
+      "emb.parquet")
+    graft.IndexStore.ensure(gen1) { tmp =>
+      Similarity.ivfBuild(src, "vec_id", "v", tmp, k = 4, rounds = 2)
+    }
+    assert(graft.IndexStore.isComplete(gen1))
+    assert(spark.read.parquet(s"$gen1/cells").count() == 40)
+
+    // regenerate the fixture (different row count → different summed
+    // child length, so the stamp changes even within mtime resolution)
+    regen(60)
+    val gen2 = graft.IndexStore.stampedPath("ivfgc_spec", srcDir,
+      "emb.parquet")
+    assert(gen2 != gen1,
+      "a regenerated source must mint a different stamp")
+    graft.IndexStore.ensure(gen2) { tmp =>
+      Similarity.ivfBuild(src, "vec_id", "v", tmp, k = 4, rounds = 2)
+    }
+    assert(graft.IndexStore.isComplete(gen2))
+    assert(!new java.io.File(gen1).exists(),
+      "the superseded generation's real index tree must be collected")
+    // serving continues against generation 2: a probe equal to a
+    // corpus vector still finds itself at cosine 1.0
+    val probe = src.limit(1)
+    val pid = probe.select(col("vec_id")).first().getLong(0)
+    val dup2 = probe.select((col("vec_id") + 5000000L).as("vec_id"),
+      col("v"))
+    val h2 = Similarity.ivfTopK(dup2, "vec_id", "v", gen2,
+        k = 1, nProbe = 1)
+      .select(col("neighbor_id"), col("cosine")).first()
+    assert(h2.getLong(0) == pid && h2.getDouble(1) == 1.0,
+      s"generation-2 serving broken after GC: $h2")
+  }
 }
