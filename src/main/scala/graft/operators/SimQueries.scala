@@ -2297,6 +2297,93 @@ object SimQueries {
     recallReadout(recallExactFrame(s, dir), ann)
   }
 
+  /** nPROBE SIZING SWEEP — the number sim_ivf_cell_stats' scaladoc
+    * promises ("sizes nProbe"): recall@3 of the SAVED ivf_c8 index at
+    * nProbe = 1..4, each sweep point served by the real
+    * [[graft.api.Similarity.ivfTopK]] path (pruned partitions, bounded
+    * cid collect) against the shared brute-force ground truth. The
+    * curve is what a 100 TB deployment reads to pick the smallest
+    * nProbe above its recall floor — scan cost grows linearly in
+    * nProbe, so the knee of this curve IS the serving budget.
+    *
+    * Determinism: recall is MICRO recall (Σhits / Σexact) — both sums
+    * exact integers, one double divide rounded to 6 — never a
+    * float-sum of per-probe ratios (summation order would diverge
+    * across engines). With a constant per-probe denominator (k = 3)
+    * micro and macro recall coincide, so no information is lost.
+    *
+    * Scale shape: ground truth probe-bounded (computed ONCE, shared
+    * by all sweep points); each sweep point reads only its probed cid
+    * partitions; the hits join is ≤ 2·k rows per (probe, sweep). */
+  val simNprobeSweep: GQuery = GQuery(
+    "sim_nprobe_sweep",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM fin),
+       |$recallExCte,
+       |pd AS (
+       |  SELECT p.vec_id, p.v, p.nrm, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < 50) p, cfin c),
+       |pr AS (
+       |  SELECT vec_id, v, nrm, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM pd),
+       |nps AS (SELECT unnest([1, 2, 3, 4]) AS n_probe),
+       |pc AS (
+       |  SELECT nps.n_probe, pr.vec_id AS probe_id, pr.v AS pv,
+       |    pr.nrm AS pn, pr.cid
+       |  FROM pr, nps WHERE pr.rn <= nps.n_probe),
+       |ann AS (
+       |  SELECT n_probe, probe_id, neighbor_id FROM (
+       |    SELECT pc.n_probe, pc.probe_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY pc.n_probe, pc.probe_id
+       |        ORDER BY round(list_dot_product(pc.pv, n.v)
+       |          / (pc.pn * n.nrm), 6) DESC, n.vec_id) AS rk
+       |    FROM pc JOIN n ON n.cid = pc.cid AND n.vec_id != pc.probe_id)
+       |  WHERE rk <= 3),
+       |hits AS (
+       |  SELECT ann.n_probe, count(*) AS n_hits
+       |  FROM ann JOIN ex ON ann.probe_id = ex.probe_id
+       |                  AND ann.neighbor_id = ex.neighbor_id
+       |  GROUP BY ann.n_probe),
+       |den AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT CAST(nps.n_probe AS INT) AS n_probe,
+       |  CAST(den.n_exact AS BIGINT) AS n_exact,
+       |  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+       |    / den.n_exact, 6) AS recall
+       |FROM nps LEFT JOIN hits ON nps.n_probe = hits.n_probe
+       |CROSS JOIN den
+       |ORDER BY n_probe""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+    val probes = ev.filter(col("vec_id") < 50)
+    val exact = recallExactFrame(s, dir)
+    val ivfPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
+        k = 8, rounds = 2)
+    }
+    val ann = (1 to 4).map { np =>
+      graft.api.Similarity.ivfTopK(probes, "vec_id", "v", ivfPath,
+          k = 3, nProbe = np)
+        .select(lit(np).as("n_probe"), col("probe_id"),
+          col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = ann.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
+    val den = exact.agg(count(lit(1)).as("n_exact"))
+    s.range(1, 5).select(col("id").cast("int").as("n_probe"))
+      .join(hits, Seq("n_probe"), "left")
+      .crossJoin(den)
+      .select(col("n_probe"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+      .orderBy(col("n_probe"))
+  }
+
   /** PQ RECONSTRUCTION-DISTORTION audit — [[embedSq8Error]]'s readout
     * for the PRODUCT quantizer, served from the SAVED ivfpq_c8r8
     * index (fifth consumer: codebooks + per-vector codes are read
@@ -3256,5 +3343,6 @@ object SimQueries {
       simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,
       simBm25Topk, simRecallIvf, embedPqError, simBm25Indexed,
       embedQuantileClip, embedOutlierKnn, embedIsotropy,
-      simRecallSq8, simRecallHamming, simRecallMatryoshka)
+      simRecallSq8, simRecallHamming, simRecallMatryoshka,
+      simNprobeSweep)
 }
