@@ -56,7 +56,9 @@ object Bench {
         // round 14: the drift/rebuild pair, the eval-gram
         // decontamination index, and the saved k-center set
         "sim_ivf_rebuild", "text_decontaminate_indexed",
-        "sample_kcenter_assign")
+        "sample_kcenter_assign",
+        // round 15: the attributed (labeled-cells) IVF index
+        "sim_topk_ivf_filtered")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

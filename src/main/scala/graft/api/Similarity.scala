@@ -308,16 +308,31 @@ object Similarity {
     * training and corpus assignment run ONCE at build time, and every
     * [[ivfTopK]] probe afterwards reads only its nProbe cells'
     * partition directories (partition pruning) — the amortization an
-    * in-query re-train can never give. */
+    * in-query re-train can never give.
+    *
+    * `attrs`: optional metadata columns of `corpus` (labels, language,
+    * license tier …) stored INSIDE the cells layout, so a filtered
+    * probe ([[ivfTopKMatching]]) never joins a side table at serving
+    * time — at 100 TB the metadata travels with the vector bytes it
+    * filters, and the candidate join keys on (cid, attr) instead of
+    * cid alone. Quantizer training is attr-blind (same centers with
+    * or without attrs). */
   def ivfBuild(corpus: DataFrame, id: String, vec: String, path: String,
-      k: Int = 8, rounds: Int = 2): Unit = {
+      k: Int = 8, rounds: Int = 2, attrs: Seq[String] = Nil): Unit = {
     val e = prep(corpus, id, vec)
     val ev = e.select(col("vid").as("vec_id"), col("v"))
     val centers = VecKMeans.train(ev, k, rounds)
     centers.write.mode("overwrite").parquet(s"$path/centers")
-    VecKMeans.assign(ev, centers)
+    val base = VecKMeans.assign(ev, centers)
       .join(e.select(col("vid").as("vec_id"), col("nrm")), Seq("vec_id"))
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val withAttrs =
+      if (attrs.isEmpty) base
+      else base.join(
+        corpus.select(col(id).as("vec_id") +: attrs.map(col): _*),
+        Seq("vec_id"))
+    withAttrs
+      .select(Seq(col("cid"), col("vec_id"), col("v"), col("nrm")) ++
+        attrs.map(col): _*)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
   }
 
@@ -345,9 +360,29 @@ object Similarity {
         s"append vectors have dimension(s) ${dimRange.getInt(0)}.." +
           s"${dimRange.getInt(1)} but the saved index at $path expects " +
           s"$dim; rejecting the whole batch")
-    VecKMeans.assign(e.select(col("vid").as("vec_id"), col("v")), centers)
+    // GUARD: an attributed index ([[ivfBuild]] attrs) must stay
+    // attributed — appending rows without the metadata columns would
+    // silently null them out and every filtered probe afterwards
+    // would drop the arrivals. Carry the extra columns from the
+    // arrival frame, rejecting the batch if any is missing.
+    val extraAttrs = spark.read.parquet(s"$path/cells").schema
+      .map(_.name).filterNot(Set("cid", "vec_id", "v", "nrm"))
+    extraAttrs.foreach { a =>
+      require(newVecs.columns.contains(a),
+        s"saved index at $path stores attribute '$a' but the append " +
+          "batch lacks it; rejecting the whole batch")
+    }
+    val assigned = VecKMeans
+      .assign(e.select(col("vid").as("vec_id"), col("v")), centers)
       .join(e.select(col("vid").as("vec_id"), col("nrm")), Seq("vec_id"))
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val withAttrs =
+      if (extraAttrs.isEmpty) assigned
+      else assigned.join(
+        newVecs.select(col(id).as("vec_id") +: extraAttrs.map(col): _*),
+        Seq("vec_id"))
+    withAttrs
+      .select(Seq(col("cid"), col("vec_id"), col("v"), col("nrm")) ++
+        extraAttrs.map(col): _*)
       .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
   }
 
@@ -504,6 +539,57 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** FILTERED ANN from a saved ATTRIBUTED index ([[ivfBuild]] with
+    * `attrs`): top-k among candidates that share the probe's value on
+    * every `matchCols` column — the production RAG shape (metadata
+    * filter + vector search) served in ONE pruned scan. The probe
+    * frame must carry `matchCols`; the candidate join keys on
+    * (cid, matchCols*), so the filter SHRINKS the join fan-out
+    * instead of post-filtering ranked results (no over-fetch factor,
+    * exact top-k among the filtered candidate set by construction).
+    * Same pruning discipline as [[ivfTopK]]: literal cid IN-list →
+    * PartitionFilters; the metadata never joins a side table because
+    * it lives in the cells bytes. Returns (probe_id, rk, neighbor_id,
+    * cosine, matchCols*). */
+  def ivfTopKMatching(probes: DataFrame, id: String, vec: String,
+      path: String, k: Int, nProbe: Int,
+      matchCols: Seq[String]): DataFrame = {
+    require(matchCols.nonEmpty,
+      "ivfTopKMatching without matchCols is just ivfTopK — use that")
+    val spark = probes.sparkSession
+    val centers = spark.read.parquet(s"$path/centers")
+    val p = prep(probes, id, vec)
+      .join(probes.select(col(id).as("vid") +: matchCols.map(col): _*),
+        Seq("vid"))
+    val probeCells = VecKMeans
+      .assignTopN(p.select(col("vid").as("vec_id"), col("v")), centers,
+        nProbe)
+      .join(p.select(Seq(col("vid").as("vec_id"), col("nrm")) ++
+        matchCols.map(col): _*), Seq("vec_id"))
+      .select(Seq(col("cid"), col("vec_id").as("probe_id"),
+        col("v").as("va"), col("nrm").as("na")) ++
+        matchCols.map(col): _*)
+    val cids = probeCells.select(col("cid")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(cids: _*))
+      .select(Seq(col("cid"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb")) ++
+        matchCols.map(col): _*)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cells.join(broadcast(probeCells), "cid" +: matchCols)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(Seq(col("probe_id"), col("neighbor_id"),
+        round(expr(dot) / (col("na") * col("nb")), 6).as("cosine")) ++
+        matchCols.map(col): _*)
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(Seq(col("probe_id"), col("rk"), col("neighbor_id"),
+        col("cosine")) ++ matchCols.map(col): _*)
   }
 
   /** Build a saved LEXICAL POSTING index: the corpus's DISTINCT

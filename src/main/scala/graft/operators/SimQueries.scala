@@ -3084,6 +3084,72 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** FILTERED ANN served from the saved ATTRIBUTED IVF index — the
+    * production RAG shape (metadata filter + vector search) at the
+    * index tier: [[simTopkFiltered]] is the exact brute-force form
+    * (label-keyed all-pairs); this row serves the same same-label
+    * top-3 from a saved index whose cells STORE the label next to
+    * the vector bytes (`ivfBuild(attrs = label)`, family ivfl_c8),
+    * so the probe joins candidates on (cid, label) — the filter
+    * shrinks the candidate fan-out BEFORE ranking (no over-fetch
+    * factor, no post-filter re-rank, no side join to a metadata
+    * table at serving time). Probes vec_id < 50 carry their own
+    * label, mirroring the brute row's semantics so the two rows
+    * read side by side as exact-vs-indexed.
+    *
+    * Scale shape: identical to sim_topk_ivf (literal cid IN-list →
+    * PartitionFilters, bounded nProbe collect, broadcast probes) —
+    * the attr join key only ever REDUCES fan-out. At 100 TB the
+    * metadata travels inside the index partitions it filters. */
+  val simTopkIvfFiltered: GQuery = GQuery(
+    "sim_topk_ivf_filtered",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |n AS (
+       |  SELECT f.vec_id, f.v, f.cid,
+       |    sqrt(list_dot_product(f.v, f.v)) AS nrm, lab.label
+       |  FROM fin f JOIN lab ON f.vec_id = lab.vec_id),
+       |pd AS (
+       |  SELECT p.vec_id, p.v, p.nrm, p.label, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm, label FROM n WHERE vec_id < 50) p,
+       |    cfin c),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn, label, cid
+       |  FROM (
+       |    SELECT vec_id, v, nrm, label, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 3),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, cosine, label,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM (
+       |    SELECT pc.probe_id, n.vec_id AS neighbor_id,
+       |      round(list_dot_product(pc.pv, n.v) / (pc.pn * n.nrm), 6)
+       |        AS cosine, pc.label
+       |    FROM pc JOIN n ON n.cid = pc.cid AND n.label = pc.label
+       |                  AND n.vec_id != pc.probe_id))
+       |SELECT probe_id, rk, neighbor_id, cosine, label
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir)
+    val ivflPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivfl_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(
+        ev.select(col("vec_id"), col("label"), col("v")),
+        "vec_id", "v", tmp, k = 8, rounds = 2, attrs = Seq("label"))
+    }
+    graft.api.Similarity.ivfTopKMatching(
+        ev.filter(col("vec_id") < 50)
+          .select(col("vec_id"), col("label"), col("v")),
+        "vec_id", "v", ivflPath, k = 3, nProbe = 3,
+        matchCols = Seq("label"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** GRAPH-INDEX INGESTION — the online-maintenance shape of the nng
     * tier, completing the ingest family (dedup_ingest /
     * dedup_containment_ingest / sim_lex_ingest): arriving vectors
@@ -3344,5 +3410,5 @@ object SimQueries {
       simBm25Topk, simRecallIvf, embedPqError, simBm25Indexed,
       embedQuantileClip, embedOutlierKnn, embedIsotropy,
       simRecallSq8, simRecallHamming, simRecallMatryoshka,
-      simNprobeSweep)
+      simNprobeSweep, simTopkIvfFiltered)
 }

@@ -293,6 +293,46 @@ class IvfIndexSpec extends SparkTestBase {
       s"appended-to-rebuilt vector $plantedId not served: $hit")
   }
 
+  test("attributed index: matching probe prunes partitions; label-less append is rejected whole") {
+    // the filtered-ANN serving tier (sim_topk_ivf_filtered): labels
+    // stored INSIDE the cells, candidates joined on (cid, label)
+    val p = Files.createTempDirectory("graft_ivfl_spec").toString
+    val labeled = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    Similarity.ivfBuild(labeled, "vec_id", "v", p, k = 8, rounds = 2,
+      attrs = Seq("label"))
+    assert(spark.read.parquet(s"$p/cells").columns.contains("label"),
+      "attrs must be stored in the cells layout")
+    val probes = labeled.filter(col("vec_id") < 3)
+    val topk = Similarity.ivfTopKMatching(probes, "vec_id", "v", p,
+      k = 3, nProbe = 2, matchCols = Seq("label"))
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"no partition pruning on the filtered cells scan:\n$plan")
+    // every served neighbor carries the probe's own label
+    val probeLabels = probes.select(col("vec_id").as("probe_id"),
+      col("label").as("want"))
+    assert(topk.join(probeLabels, Seq("probe_id"))
+      .filter(col("label") =!= col("want")).count() == 0,
+      "a filtered probe must only see same-label candidates")
+    // an append batch without the stored attribute is rejected whole
+    val before = spark.read.parquet(s"$p/cells").count()
+    val noLabel = labeled.limit(2)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("v"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(noLabel, "vec_id", "v", p)
+    }
+    assert(spark.read.parquet(s"$p/cells").count() == before,
+      "a rejected attributed append must write nothing")
+    // a labeled append lands and is served through the filter
+    val withLabel = labeled.limit(2)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("label"),
+        col("v"))
+    Similarity.ivfAppend(withLabel, "vec_id", "v", p)
+    assert(spark.read.parquet(s"$p/cells").count() == before + 2)
+  }
+
   test("fixture regeneration restamps, republishes, and GCs the superseded REAL index generation") {
     // The GC half of the index lifecycle (round-15 candidate (d)):
     // IndexStoreSpec pins pruneSuperseded on synthetic marker dirs;
