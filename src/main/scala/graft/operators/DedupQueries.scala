@@ -863,11 +863,114 @@ object DedupQueries {
       .orderBy(col("tau"))
   }
 
+  /** LSH BAND-ARRANGEMENT SWEEP — the sizing matrix for the banding
+    * trade itself (the dedup twin of sim_nprobe_sweep): the SAME
+    * 8-hash signature table carved as 8×1 / 4×2 / 2×4 / 1×8
+    * (bands × rows-per-band), each arrangement's RAW candidate pairs
+    * scored against exact Jaccard ≥ 0.5 ground truth
+    * ([[graft.api.Dedup.jaccardPairs]], the dedup_ngram_jaccard
+    * kernel) — candidates, recall, precision per arrangement. This is
+    * the S-curve a 100 TB dedup deployment reads before choosing its
+    * banding: more rows per band → tighter buckets → fewer candidates
+    * to verify but lower recall; the shipped 4×2 tier's position on
+    * the curve becomes a measured fact. Recall/precision are ratios
+    * of exact integer counts (one rounded divide each — never a
+    * float-sum whose order could diverge across engines).
+    *
+    * Scale shape: every arrangement's pair generation is the banded
+    * BUCKET join (explode to (band, key), equi-join, never all-pairs
+    * on the Spark side); ground truth is the prefix-filtered exact
+    * kernel, computed once and semi-joined; rollup state is 4 rows. */
+  val dedupBandSweep: GQuery = {
+    def duckArr(r: Int): String = {
+      val cond = (0 until 8 / r).map { bi =>
+        (0 until r).map(j => s"a.h${bi * r + j} = b.h${bi * r + j}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""SELECT ${8 / r} AS bands, $r AS rows_per_band,
+         |    a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($cond)"""
+        .stripMargin
+    }
+    GQuery("dedup_band_sweep",
+      s"""$minhashSigCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tp AS (
+         |  SELECT d1 AS doc1, d2 AS doc2 FROM inter
+         |  JOIN sizes sa ON d1 = sa.doc_id
+         |  JOIN sizes sb ON d2 = sb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5),
+         |cand AS (
+         |${Seq(1, 2, 4, 8).map(duckArr).mkString("  ", "\n  UNION ALL\n  ",
+           "")}),
+         |cc AS (SELECT bands, rows_per_band, count(*) AS candidates
+         |       FROM cand GROUP BY bands, rows_per_band),
+         |h AS (SELECT cand.bands, count(*) AS n_hits
+         |      FROM cand JOIN tp ON cand.doc1 = tp.doc1
+         |                       AND cand.doc2 = tp.doc2
+         |      GROUP BY cand.bands),
+         |tpc AS (SELECT count(*) AS true_pairs FROM tp)
+         |SELECT CAST(cc.bands AS INT) AS bands,
+         |  CAST(cc.rows_per_band AS INT) AS rows_per_band,
+         |  CAST(cc.candidates AS BIGINT) AS candidates,
+         |  CAST(tpc.true_pairs AS BIGINT) AS true_pairs,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         |    / tpc.true_pairs, 6) AS recall,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         |    / cc.candidates, 6) AS prec
+         |FROM cc LEFT JOIN h ON cc.bands = h.bands
+         |CROSS JOIN tpc
+         |ORDER BY rows_per_band""".stripMargin) { (s, dir) =>
+      val sig = minhashSig(s, dir)
+      def bandPairs(r: Int): DataFrame = {
+        val bandArr = (0 until 8 / r).map { bi =>
+          val ks = (0 until r).map(j => s"'k$j', h${bi * r + j}")
+            .mkString(", ")
+          s"named_struct('b', $bi, $ks)"
+        }.mkString("array(", ", ", ")")
+        val banded = sig.select(col("doc_id"),
+          explode(expr(bandArr)).as("bd"))
+        banded.select(col("doc_id").as("doc1"), col("bd"))
+          .join(banded.select(col("doc_id").as("doc2"), col("bd")),
+            Seq("bd"))
+          .filter(col("doc1") < col("doc2"))
+          .select(col("doc1"), col("doc2")).distinct()
+      }
+      val cand = Seq(1, 2, 4, 8).map { r =>
+        bandPairs(r).select(lit(8 / r).as("bands"),
+          lit(r).as("rows_per_band"), col("doc1"), col("doc2"))
+      }.reduce(_.unionByName(_))
+      graft.plans.IntersectSizeRewrite.install(s)
+      val tp = graft.api.Dedup.jaccardPairs(shingles(s, dir), "doc_id",
+          num = 1, den = 2, dfreq = Some(shingleDfreq(s, dir)))
+        .select(col("doc1"), col("doc2"))
+      val cc = cand.groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("candidates"))
+      val h = cand.join(tp, Seq("doc1", "doc2"), "left_semi")
+        .groupBy(col("bands")).agg(count(lit(1)).as("n_hits"))
+      val tpc = tp.agg(count(lit(1)).as("true_pairs"))
+      cc.join(h, Seq("bands"), "left").crossJoin(tpc)
+        .select(col("bands"), col("rows_per_band"), col("candidates"),
+          col("true_pairs"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("true_pairs"), 6).as("recall"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("candidates"), 6).as("prec"))
+        .orderBy(col("rows_per_band"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
     dedupEditDistance, dedupClusters, dedupClustersTwoPhase,
     dedupClustersIncremental,
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
     dedupIngest, dedupContainment, dedupContainmentIngest,
     dedupSpanGlobal, dedupSplitLeakage, dedupMinhashError,
-    dedupThresholdSweep, dedupClusterStats)
+    dedupThresholdSweep, dedupClusterStats, dedupBandSweep)
 }
