@@ -3571,61 +3571,133 @@ object EventQueries {
     * same bounded-frame discipline as the distributed prefix sums in
     * api.Text). The carry frame attaches back by block id as a
     * broadcast. */
+  private val lateDelayUs = 1800000000L // 30-min watermark delay
+  private val lateJitterSpanUs = 7200000000L // arrival = event ± 1 h
+  private val lateBlockUs = 3600000000L // 1-h arrival blocks
+
+  /** Shared oracle CTEs ending in `w (event_type, us, pm)`: simulated
+    * arrival order (event time + bounded portable-hash jitter) and
+    * the strict-prior prefix max `pm` — DELAY-INDEPENDENT, so one
+    * chain serves both the fixed-watermark audit (ev_late_data) and
+    * the delay sweep (ev_watermark_sweep). */
+  private val lateArrivalCte =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, epoch_us(ts) AS us,
+       |    epoch_us(ts)
+       |      + (${DedupQueries.duckHash(
+              "concat('arr:', CAST(event_id AS VARCHAR))")}
+       |         % $lateJitterSpanUs) - ${lateJitterSpanUs / 2} AS arr
+       |  FROM events),
+       |w AS (
+       |  SELECT event_type, us,
+       |    max(us) OVER (ORDER BY arr, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM e)""".stripMargin
+
+  /** Spark twin of [[lateArrivalCte]]: (event_type, us, pm) with the
+    * blocked-prefix-max decomposition (within-block windows
+    * partitioned by 1-h arrival block; cross-block carry over the
+    * span-hours aggregate frame, broadcast back). */
+  private def lateArrivalFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("arr", col("us") +
+        graft.api.Sampling.portableHash(col("event_id"), "arr:")
+          % lateJitterSpanUs - lit(lateJitterSpanUs / 2))
+      .withColumn("blk", expr(s"arr div $lateBlockUs"))
+    // within-block prefix max EXCLUDING the current row, in exact
+    // arrival order (arr, event_id) — partitioned, so parallel
+    val inBlk = Window.partitionBy(col("blk"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // cross-block carry: running max of per-block maxima over all
+    // STRICTLY EARLIER blocks; the frame has span-hours rows
+    val carry = e.groupBy(col("blk")).agg(max(col("us")).as("bm"))
+      .withColumn("prev_bm", max(col("bm")).over(
+        Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("blk"), col("prev_bm"))
+    e.join(broadcast(carry), Seq("blk"))
+      .withColumn("pm", greatest(max(col("us")).over(inBlk),
+        col("prev_bm")))
+      .select(col("event_type"), col("us"), col("pm"))
+  }
+
   val evLateData: GQuery = {
-    val delayUs = 1800000000L // 30-min watermark delay
-    val jitterSpanUs = 7200000000L // arrival = event time ± 1 h
-    val blockUs = 3600000000L // 1-h arrival blocks for the prefix max
     GQuery("ev_late_data",
-      s"""WITH e AS (
-         |  SELECT event_id, event_type, epoch_us(ts) AS us,
-         |    epoch_us(ts)
-         |      + (${DedupQueries.duckHash(
-                  "concat('arr:', CAST(event_id AS VARCHAR))")}
-         |         % $jitterSpanUs) - ${jitterSpanUs / 2} AS arr
-         |  FROM events),
-         |w AS (
-         |  SELECT event_type, us,
-         |    max(us) OVER (ORDER BY arr, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-         |  FROM e)
+      s"""$lateArrivalCte
          |SELECT CAST((us // 86400000000) * 86400000000 AS BIGINT)
          |    AS win_start_us,
          |  event_type, CAST(count(*) AS BIGINT) AS n_events,
-         |  CAST(sum(CASE WHEN pm IS NOT NULL AND us <= pm - $delayUs
+         |  CAST(sum(CASE WHEN pm IS NOT NULL AND us <= pm - $lateDelayUs
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
          |FROM w
          |GROUP BY 1, 2
          |ORDER BY win_start_us, event_type""".stripMargin) { (s, dir) =>
-      val e = Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("arr", col("us") +
-          graft.api.Sampling.portableHash(col("event_id"), "arr:")
-            % jitterSpanUs - lit(jitterSpanUs / 2))
-        .withColumn("blk", expr(s"arr div $blockUs"))
-      // within-block prefix max EXCLUDING the current row, in exact
-      // arrival order (arr, event_id) — partitioned, so parallel
-      val inBlk = Window.partitionBy(col("blk"))
-        .orderBy(col("arr"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // cross-block carry: running max of per-block maxima over all
-      // STRICTLY EARLIER blocks; the frame has span-hours rows
-      val carry = e.groupBy(col("blk")).agg(max(col("us")).as("bm"))
-        .withColumn("prev_bm", max(col("bm")).over(
-          Window.orderBy(col("blk"))
-            .rowsBetween(Window.unboundedPreceding, -1)))
-        .select(col("blk"), col("prev_bm"))
-      e.join(broadcast(carry), Seq("blk"))
-        .withColumn("pm", greatest(max(col("us")).over(inBlk),
-          col("prev_bm")))
+      lateArrivalFrame(s, dir)
         .groupBy(expr("(us div 86400000000) * 86400000000")
             .cast("bigint").as("win_start_us"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("pm").isNotNull &&
-              col("us") <= col("pm") - delayUs, 1L).otherwise(0L))
+              col("us") <= col("pm") - lateDelayUs, 1L).otherwise(0L))
             .cast("bigint").as("n_late"))
         .orderBy(col("win_start_us"), col("event_type"))
+    }
+  }
+
+  /** WATERMARK SIZING SWEEP — the latency/completeness curve behind
+    * the §2.9 watermark choice (the third sizing sweep next to
+    * sim_nprobe_sweep and dedup_band_sweep): how many rows a delay of
+    * 5 / 15 / 30 / 60 / 120 minutes would drop under the same
+    * simulated arrival replay as ev_late_data. The strict-prior
+    * prefix max `pm` is DELAY-INDEPENDENT, so the expensive pass
+    * (the blocked prefix max) runs ONCE and the sweep is five
+    * aggregate predicates over it — a deployment reads the knee to
+    * pick the smallest state-retention delay above its completeness
+    * floor (state size and result latency both grow linearly in the
+    * delay; dropped-row share is what it buys down).
+    *
+    * Determinism: drop counts are exact integer sums under the same
+    * boundary-inclusive rule the engine exhibits (us ≤ pm − delay,
+    * MemoryStream-pinned in EventStreamsSpec); late_share is one
+    * rounded divide of two exact integers.
+    *
+    * Scale shape: identical to ev_late_data (partitioned within-block
+    * windows, calendar-bounded carry frame, broadcast attach) plus a
+    * constant ×5 per-row explode — no join, no extra shuffle. */
+  val evWatermarkSweep: GQuery = {
+    val delaysMin = Seq(5, 15, 30, 60, 120)
+    GQuery("ev_watermark_sweep",
+      s"""$lateArrivalCte,
+         |sweep AS (SELECT unnest([${delaysMin.mkString(", ")}])
+         |          AS delay_min)
+         |SELECT CAST(delay_min AS INT) AS delay_min,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN pm IS NOT NULL
+         |    AND us <= pm - CAST(delay_min AS BIGINT) * 60000000
+         |    THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_late,
+         |  round(CAST(sum(CASE WHEN pm IS NOT NULL
+         |    AND us <= pm - CAST(delay_min AS BIGINT) * 60000000
+         |    THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS late_share
+         |FROM w, sweep
+         |GROUP BY delay_min
+         |ORDER BY delay_min""".stripMargin) { (s, dir) =>
+      lateArrivalFrame(s, dir)
+        .withColumn("delay_min",
+          explode(array(delaysMin.map(d => lit(d)): _*)))
+        .groupBy(col("delay_min"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("pm").isNotNull && col("us") <=
+              col("pm") - col("delay_min").cast("long") * 60000000L, 1L)
+            .otherwise(0L)).cast("bigint").as("n_late"))
+        .select(col("delay_min"), col("n_events"), col("n_late"),
+          round(col("n_late").cast("double") / col("n_events"), 6)
+            .as("late_share"))
+        .orderBy(col("delay_min"))
     }
   }
 
@@ -3642,5 +3714,6 @@ object EventQueries {
     evAbWelch, evUpliftCuped, evPowerAnalysis, evUserEntropy,
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
     evDidAnalysis, evRetentionHalflife, evAttributionMarkov, evAbSprt,
-    evQuantileTe, evBanditUcb, evAttributionShapley, evLateData)
+    evQuantileTe, evBanditUcb, evAttributionShapley, evLateData,
+    evWatermarkSweep)
 }
