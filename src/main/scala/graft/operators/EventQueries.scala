@@ -3701,6 +3701,80 @@ object EventQueries {
     }
   }
 
+  /** SESSION-GAP SIZING SWEEP — the sessionization knob priced (the
+    * fourth sizing sweep): fleet session count, events/session, and
+    * mean session length at gap timeouts of 5/15/30/60 minutes. The
+    * insight that makes this ONE window pass instead of four
+    * sessionizations: every gap-dependent metric is a function of the
+    * per-user inter-event DELTA multiset — sessions(g) = users +
+    * |{δ ≥ g}| (each user's first event opens a session, each
+    * break opens another), and total in-session time(g) = Σ δ<g (a
+    * delta either breaks a session or lies inside one). So the lag
+    * window runs once and the sweep is four predicate aggregates —
+    * the ev_watermark_sweep discipline. The g = 30 min point is
+    * pinned ≡ the shipped ev_session row (same ≥-boundary rule:
+    * streaming session_window is half-open) in OperatorPropertySpec.
+    *
+    * Determinism: counts and µs sums are exact integers; the two
+    * per-session means use the established half-up integer-micro
+    * division ((2a + n) div 2n, then one double divide by 10⁶).
+    *
+    * Scale shape: one user-partitioned lag window (parallel in
+    * users), a ×4 per-row explode, map-side-combining aggregates to
+    * 4 rows; count(DISTINCT user) rides the same shuffle. */
+  val evSessionGapSweep: GQuery = {
+    val gapsMin = Seq(5, 15, 30, 60)
+    GQuery("ev_session_gap_sweep",
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |d AS (SELECT user_id,
+         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+         |      AS delta
+         |  FROM e),
+         |sweep AS (SELECT unnest([${gapsMin.mkString(", ")}])
+         |          AS gap_min),
+         |m AS (
+         |  SELECT gap_min,
+         |    count(*) AS n_events,
+         |    count(DISTINCT user_id)
+         |      + sum(CASE WHEN delta >= CAST(gap_min AS BIGINT) * 60000000
+         |            THEN 1 ELSE 0 END) AS n_sessions,
+         |    sum(CASE WHEN delta IS NOT NULL
+         |          AND delta < CAST(gap_min AS BIGINT) * 60000000
+         |          THEN delta ELSE 0 END) AS in_us
+         |  FROM d, sweep GROUP BY gap_min)
+         |SELECT CAST(gap_min AS INT) AS gap_min,
+         |  CAST(n_events AS BIGINT) AS n_events,
+         |  CAST(n_sessions AS BIGINT) AS n_sessions,
+         |  CAST((2 * n_events * 1000000 + n_sessions)
+         |    // (2 * n_sessions) AS DOUBLE) / 1000000
+         |    AS events_per_session,
+         |  CAST((2 * in_us + n_sessions) // (2 * n_sessions) AS DOUBLE)
+         |    / 1000000 AS avg_len_sec
+         |FROM m ORDER BY gap_min""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val gapUs = col("gap_min").cast("long") * 60000000L
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("delta", col("us") - lag(col("us"), 1).over(byUser))
+        .withColumn("gap_min",
+          explode(array(gapsMin.map(g => lit(g)): _*)))
+        .groupBy(col("gap_min"))
+        .agg(count(lit(1)).as("n_events"),
+          (countDistinct(col("user_id")) +
+            sum(when(col("delta") >= gapUs, 1L).otherwise(0L)))
+            .cast("bigint").as("n_sessions"),
+          sum(when(col("delta").isNotNull && col("delta") < gapUs,
+            col("delta")).otherwise(0L)).as("in_us"))
+        .select(col("gap_min"), col("n_events"), col("n_sessions"),
+          (expr("(2 * n_events * 1000000 + n_sessions)" +
+            " div (2 * n_sessions)").cast("double") / 1000000)
+            .as("events_per_session"),
+          (expr("(2 * in_us + n_sessions) div (2 * n_sessions)")
+            .cast("double") / 1000000).as("avg_len_sec"))
+        .orderBy(col("gap_min"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(evTumbling, evSliding, evSession,
     evDedupStream, evClickAttribution, evClickFunnel, evRetention,
     evTransitions, evAnomalyZscore, evGapFill, evFunnelSteps,
@@ -3715,5 +3789,5 @@ object EventQueries {
     evAbSrmCheck, evAbRatioDelta, evBotScore, evHoltWinters,
     evDidAnalysis, evRetentionHalflife, evAttributionMarkov, evAbSprt,
     evQuantileTe, evBanditUcb, evAttributionShapley, evLateData,
-    evWatermarkSweep)
+    evWatermarkSweep, evSessionGapSweep)
 }

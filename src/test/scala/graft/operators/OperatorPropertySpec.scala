@@ -4743,4 +4743,16 @@ class OperatorPropertySpec extends SparkTestBase {
       assert(r.getDouble(3) >= 0.0)
     }
   }
+  test("ev_session_gap_sweep: the 30-min point equals the shipped ev_session fleet totals") {
+    // the sweep derives sessions(g) from the delta multiset (users +
+    // breaks); the shipped row sessionizes per user with the same
+    // >=-boundary rule — the two spellings must agree exactly at the
+    // shared gap, including the exact in-session time behind the mean
+    val sweep = EventQueries.evSessionGapSweep.fn(spark, sfDir)
+      .filter($"gap_min" === 30).head()
+    val per = EventQueries.evSession.fn(spark, sfDir)
+      .agg(sum($"n_sessions"), sum($"n_events")).head()
+    assert(sweep.getLong(2) == per.getLong(0), "n_sessions at g=30")
+    assert(sweep.getLong(1) == per.getLong(1), "n_events")
+  }
 }
