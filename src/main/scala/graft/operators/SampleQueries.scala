@@ -269,6 +269,103 @@ object SampleQueries {
     }
   }
 
+  /** TOKEN-BUDGET SIZING SWEEP — the training-budget curve (the
+    * sampling-family sizing sweep, next to nProbe / bands /
+    * watermark / session-gap): what quality floor does each budget
+    * buy? The quality-ordered distributed prefix sum (the
+    * sample_token_budget pack) is BUDGET-INDEPENDENT, so it runs once
+    * and budgets of 1/16 … 1/2 of the corpus's tokens are four
+    * predicate aggregates over the cum column: docs admitted, tokens
+    * filled, and the MINIMUM quality admitted — the floor a data
+    * curator quotes when the training budget moves. min(quality) is
+    * order-independent (no float summation), counts and µs sums are
+    * exact integers; one rounded divide nowhere — the row is
+    * arithmetic-free beyond the per-doc scores both engines already
+    * replay for sample_token_budget.
+    *
+    * Scale shape: the one pack pass (quantile-bucketed prefix sum, no
+    * single-partition window — the api.Text discipline), a ×4
+    * per-row explode, rollup state 4 rows. */
+  val sampleBudgetSweep: GQuery = {
+    val stop = graft.api.Text.defaultStopwords
+      .map(w => s"'$w'").mkString("(", ",", ")")
+    val denoms = Seq(16, 8, 4, 2)
+    GQuery(
+      "sample_budget_sweep",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |per_doc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    count(DISTINCT term) AS n_distinct,
+         |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok GROUP BY doc_id),
+         |scored AS (SELECT doc_id, n_tokens,
+         |    CAST(round(
+         |      0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+         |                 AS DECIMAL(12,6))
+         |      + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+         |                        AS DECIMAL(12,6)))
+         |      + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
+         |  FROM per_doc),
+         |bt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total
+         |       FROM scored),
+         |c AS (SELECT doc_id, n_tokens, quality,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+         |      AS BIGINT) AS cum
+         |  FROM scored),
+         |sweep AS (SELECT unnest([${denoms.mkString(", ")}]) AS denom),
+         |m AS (
+         |  SELECT denom, count(*) AS n_docs,
+         |    max(cum) AS tokens_used, min(quality) AS min_quality
+         |  FROM c CROSS JOIN bt CROSS JOIN sweep
+         |  WHERE cum <= bt.total // denom
+         |  GROUP BY denom)
+         |SELECT CAST(sweep.denom AS INT) AS denom,
+         |  CAST(bt.total // sweep.denom AS BIGINT) AS budget,
+         |  CAST(coalesce(m.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(m.tokens_used, 0) AS BIGINT) AS tokens_used,
+         |  m.min_quality
+         |FROM sweep LEFT JOIN m ON sweep.denom = m.denom
+         |CROSS JOIN bt
+         |ORDER BY denom""".stripMargin) { (s, dir) =>
+      val scored = graft.api.Text.qualityScoreFromTokens(
+        TextQueries.tokens(s, dir).withColumnRenamed("term", "token"),
+        "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val docIdChecked = graft.api.Keys.checkedRange(
+        col("doc_id"), 0L, 100000000L,
+        "sample_budget_sweep: doc_id (8-digit composite-key field)")
+      val keyed = scored.select(
+        ((lit(1000000L) - round(col("quality") * 1e6).cast("long"))
+          * lit(100000000L) + docIdChecked).as("k"),
+        col("n_tokens").as("tok"))
+      val total = broadcast(
+        keyed.agg(sum(col("tok")).cast("long").as("total")))
+      val m = graft.api.Text.packFromCounts(keyed, "k", "tok", seqLen = 1)
+        .crossJoin(total)
+        .withColumn("cum", (col("off") + col("tok")).cast("bigint"))
+        .withColumn("denom",
+          explode(array(denoms.map(d => lit(d)): _*)))
+        .filter(col("cum") <= expr("total div denom"))
+        .withColumn("quality",
+          (lit(1000000L) - expr("k div 100000000"))
+            .cast("double") / 1e6)
+        .groupBy(col("denom"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum")).as("tokens_used"),
+          min(col("quality")).as("min_quality"))
+      s.range(1)
+        .select(explode(array(denoms.map(d => lit(d)): _*)).as("denom"))
+        .join(m, Seq("denom"), "left")
+        .crossJoin(total)
+        .select(col("denom"),
+          expr("total div denom").cast("bigint").as("budget"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("tokens_used"), lit(0L)).as("tokens_used"),
+          col("min_quality"))
+        .orderBy(col("denom"))
+    }
+  }
+
   /** BOTTOM-K UNIFORM SAMPLE — "exactly k rows, uniformly, without
     * replacement, in one distributed pass": keep the k rows with the
     * SMALLEST portable hash (the bottom-k sketch — the standard
@@ -605,7 +702,8 @@ object SampleQueries {
 
   val all: Seq[GQuery] = Seq(sampleHashMod, sampleStratified,
     sampleMixture, sampleMixtureUpsampled, sampleSplitAssign,
-    sampleTemperature, sampleTokenBudget, sampleBottomK,
+    sampleTemperature, sampleTokenBudget, sampleBudgetSweep,
+    sampleBottomK,
     sampleClassBalance, sampleKfoldAssign, sampleDedupWeights,
     sampleNeymanAlloc, sampleUnimax)
 }
