@@ -57,8 +57,11 @@ object Bench {
         // decontamination index, and the saved k-center set
         "sim_ivf_rebuild", "text_decontaminate_indexed",
         "sample_kcenter_assign",
-        // round 15: the attributed (labeled-cells) IVF index
-        "sim_topk_ivf_filtered")
+        // round 15: the attributed (labeled-cells) IVF index, and the
+        // banded phash index (missed when the row landed late in
+        // round 14 — its 15.9 s bench reading vs 4.2 s warm-iso was
+        // entirely the in-query index build)
+        "sim_topk_ivf_filtered", "multimodal_phash_ingest")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

@@ -78,7 +78,12 @@ object IsoBench {
     // round 14: the two new rows above the warm band (the backward
     // Brandes pass ≈ 2× closeness on the same graph; the phash ingest
     // probe is signature-scan-bound on the arrival slice)
-    "graph_betweenness", "multimodal_phash_ingest")
+    "graph_betweenness", "multimodal_phash_ingest",
+    // round 15: new rows above the 1 s warm band at sf0.1 (nprobe
+    // sweep 2.5 = 4 serving points + shared truth; band sweep 2.1 =
+    // 4 arrangements + exact truth; filtered IVF 2.1; recall_sq8 1.4)
+    "sim_nprobe_sweep", "dedup_band_sweep", "sim_topk_ivf_filtered",
+    "sim_recall_sq8")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()

@@ -128,6 +128,55 @@ object Graph {
     (r, i)
   }
 
+  /** PERSONALIZED (seed-teleport) PageRank: teleport mass lands only
+    * on `seeds` (uniformly), not on every node — the seed-propagated
+    * authority score web-corpus curation uses (trust flows out from a
+    * vetted seed list; a page's score is its random-walk proximity to
+    * the seeds, the Topic-Sensitive PageRank construction). Two
+    * deltas from [[pageRank]]: r₀ IS the teleport vector (mass starts
+    * at the seeds), and dangling mass returns to the SEEDS — under a
+    * personalized walk, restart mass must never leak to nodes outside
+    * the teleport support. Kept dense (every node gets a row, zeros
+    * included) so the readout is a total ranking and an oracle can
+    * hash it. Same per-step 8-place rounding and per-iteration
+    * lineage cut as [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .ckpt()
+    val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    val tele = nodes
+      .join(sd.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("s"))
+      .ckpt()
+    var r = tele.select(col("node"), round(col("s"), 8).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("r") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      val dangling = r.join(deg, r("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      r = tele.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(lit(1.0 - damping) * col("s") + lit(damping) *
+            (coalesce(col("cs"), lit(0.0)) + col("dm") * col("s")), 8)
+            .as("r"))
+      if (i != iters) r = r.ckpt()
+    }
+    r
+  }
+
   /** [[pageRankUntilWithIters]] returning just the ranks. */
   def pageRankUntil(edges: DataFrame, src: String, dst: String,
       tol: Double = 1e-6, maxIters: Int = 50,

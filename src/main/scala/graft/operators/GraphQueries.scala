@@ -109,6 +109,69 @@ object GraphQueries {
          |ORDER BY brand""".stripMargin)(sparkImpl)
   }
 
+  /** PERSONALIZED PageRank from a SEED set — the trust/quality
+    * propagation operator of web-corpus curation (a vetted seed list
+    * radiates authority; a node's score is its random-walk proximity
+    * to the seeds — Topic-Sensitive PageRank): seeds = the five
+    * brands ending in '1', teleport 1/|S| on seeds and 0 elsewhere,
+    * three power iterations with per-step 8-place rounding, dangling
+    * mass returned to the SEEDS (restart mass must never leak outside
+    * the teleport support). Read next to graph_pagerank: the global
+    * row says "centrally connected", this row says "close to what we
+    * trust" — the pair is how a curation pipeline separates generic
+    * hubs from seed-adjacent quality.
+    *
+    * Scale shape: identical to graph_pagerank (keyed edge join +
+    * map-side-combining aggregate per iteration, 1-row broadcasts,
+    * per-iteration lineage cut via the Ckpt policy). */
+  val graphPprSeeds: GQuery = {
+    val iters = 3
+    val sparkImpl = (s: SparkSession, dir: String) => {
+      val ed = edges(s, dir)
+      val seeds = ed.select(col("src").as("node"))
+        .union(ed.select(col("dst"))).distinct()
+        .filter(col("node").endsWith("1"))
+      graft.api.Graph.personalizedPageRank(ed, "src", "dst", seeds,
+          iters = iters, damping = 0.85)
+        .select(col("node").as("brand"),
+          round(col("r"), 6).cast("double").as("rank"))
+        .orderBy(col("brand"))
+    }
+    val duckIter = (t: Int) =>
+      s"""r$t AS (
+         |  SELECT t.node,
+         |    round(0.15 * t.s + 0.85 * (coalesce(c.cs, 0) + d.dm * t.s),
+         |      8) AS r
+         |  FROM tele t
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(rp.r / deg.outdeg) AS cs
+         |    FROM e JOIN r${t - 1} rp ON e.src = rp.node
+         |    JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst) c ON t.node = c.node
+         |  CROSS JOIN (
+         |    SELECT coalesce(sum(rp.r), 0) AS dm
+         |    FROM r${t - 1} rp LEFT JOIN deg ON rp.node = deg.src
+         |    WHERE deg.src IS NULL) d)""".stripMargin
+    GQuery("graph_ppr_seeds",
+      s"""$duckEdges,
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT src AS node FROM e
+         |          UNION SELECT dst FROM e),
+         |sd AS (SELECT node FROM nodes WHERE node LIKE '%1'),
+         |ns AS (SELECT count(*) AS ns FROM sd),
+         |tele AS (
+         |  SELECT nodes.node,
+         |    CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns.ns
+         |         ELSE 0.0 END AS s
+         |  FROM nodes LEFT JOIN sd ON nodes.node = sd.node
+         |  CROSS JOIN ns),
+         |r0 AS (SELECT node, round(s, 8) AS r FROM tele),
+         |${(1 to iters).map(duckIter).mkString(",\n")}
+         |SELECT node AS brand, CAST(round(r, 6) AS DOUBLE) AS rank
+         |FROM r$iters
+         |ORDER BY brand""".stripMargin)(sparkImpl)
+  }
+
   /** Triangle counting: per-brand triangle membership + the count of
     * distinct co-purchase triangles each brand closes. */
   val graphTriangles: GQuery = GQuery(
@@ -1064,5 +1127,5 @@ object GraphQueries {
     graphClusteringCoeff, graphHits, graphAssortativity,
     graphReachabilityCte, graphCloseness, graphBetweenness,
     graphRandomWalk,
-    graphModularity)
+    graphModularity, graphPprSeeds)
 }

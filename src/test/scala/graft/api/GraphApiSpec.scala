@@ -150,4 +150,30 @@ class GraphApiSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got2 == Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
+  test("personalizedPageRank: all-nodes seed set degenerates to standard pageRank; seed-only teleport conserves mass") {
+    // a 4-node path with a dangler exercises both PPR deltas: the
+    // teleport-to-seeds restart and the dangling-mass-to-seeds return
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val allNodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    // uniform seeds == uniform teleport: must equal pageRank exactly
+    // (same per-step 8-place rounding on both paths)
+    val ppr = Graph.personalizedPageRank(e, "s", "d", allNodes,
+        iters = 6, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = Graph.pageRank(e, "s", "d", iters = 6, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr == pr, s"uniform-seed PPR must equal pageRank: $ppr vs $pr")
+    // seed-only teleport: mass conserved, and the seed outranks a
+    // node upstream of it (mass restarts at 2, never at 1)
+    val seeded = Graph.personalizedPageRank(e, "s", "d",
+        Seq(2L).toDF("node"), iters = 10, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val total = seeded.values.sum
+    assert(math.abs(total - 1.0) < 1e-5,
+      s"personalized total rank $total drifted from 1.0")
+    assert(seeded(2L) > seeded(1L),
+      "the teleport seed must outrank a node the walk never restarts at")
+    assert(seeded(1L) == 0.0,
+      "a node unreachable from the seeds gets exactly zero")
+  }
 }

@@ -254,7 +254,32 @@ class BroadcastPolicySpec extends SparkTestBase {
     // probe-cell set, probe frame — all probe- or k-bounded (the
     // sim_topk_ivfpq proof, one fewer: codebooks load from the saved
     // index instead of training)
-    "sim_recall_ivfpq" -> 5
+    "sim_recall_ivfpq" -> 5,
+    // round-15 recall rows: every hint is the literal-filtered probe
+    // set (vec_id < 50) — the exact tier's cosineTopK broadcast plus
+    // the serving tier's own probe broadcasts (sq8TopK quantizes the
+    // probe frame twice: int8 shortlist + float re-rank, each branch
+    // resolving the bounded frame on its own lineage)
+    "sim_recall_sq8" -> 6,
+    "sim_recall_hamming" -> 3,
+    "sim_recall_matryoshka" -> 3,
+    // 4 sweep points × the nProbe-bounded probe-cell broadcast of
+    // ivfTopK, + the exact tier's probe broadcast + the 1-row
+    // n_exact scalar — all probe- or k-bounded
+    "sim_nprobe_sweep" -> 10,
+    // the (cid, label)-keyed probe-cell broadcast (nProbe-bounded,
+    // same as sim_topk_ivf) resolved on both serving branches
+    "sim_topk_ivf_filtered" -> 2,
+    // the same cross-block carry frame as ev_late_data (one row per
+    // 1-hour arrival block, calendar-bounded)
+    "ev_watermark_sweep" -> 1,
+    // the 1-row corpus-token total, resolved on the pack, filter,
+    // and readout branches' lineage
+    "sample_budget_sweep" -> 3,
+    // the final iteration's 1-row dangling-mass scalar (earlier
+    // iterations' scalar hints truncate at the per-iteration
+    // lineage cut, the pageRank discipline)
+    "graph_ppr_seeds" -> 1
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -94,7 +94,26 @@ class PlanShapeSpec extends SparkTestBase {
     "dq_null_trend",
     // ground-truth tier IS sim_cosine_topk's probe-broadcast scan
     // (the sim_recall_ivf adjudication, PQ serving side)
-    "sim_recall_ivfpq")
+    "sim_recall_ivfpq",
+    // round-15 recall rows: ground truth IS the probe-broadcast scan,
+    // and the sq8/matryoshka serving tiers are themselves
+    // probe-broadcast corpus scans (the shortlist join has a
+    // non-equi self-exclusion predicate only)
+    "sim_recall_sq8", "sim_recall_hamming", "sim_recall_matryoshka",
+    // probe-broadcast ground truth + 1-row n_exact scalar
+    "sim_nprobe_sweep",
+    // 1-row true-pair-total scalar onto the 4-row arrangement rollup
+    "dedup_band_sweep",
+    // k-row center broadcast (probe-cell assignment — the
+    // sim_range_ivf shape); the serving join itself is a
+    // BroadcastHashJoin on (cid, label), judge-checked
+    "sim_topk_ivf_filtered",
+    // 1-row corpus-token total onto the pack/filter/readout branches
+    "sample_budget_sweep",
+    // 1-row dangling-mass + seed-count scalars cross-joined per
+    // retained iteration (the pageRank step class; earlier
+    // iterations' scalars truncate at the lineage cut)
+    "graph_ppr_seeds")
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
