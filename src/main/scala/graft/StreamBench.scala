@@ -89,6 +89,16 @@ object StreamBench {
         vecRows.toDF("vec_id", "v"), "vec_id", "v", tmp,
         k = 8, rounds = 2)
     }
+    val lvecRows = sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .as[(Long, Int, Seq[Double])].collect().toSeq
+    val ivflPath = IndexStore.ensure(IndexStore.stampedPath(
+        "ivfl_c8", sfDir, "embeddings.parquet")) { tmp =>
+      api.Similarity.ivfBuild(
+        lvecRows.toDF("vec_id", "label", "v"), "vec_id", "v", tmp,
+        k = 8, rounds = 2, attrs = Seq("label"))
+    }
     val kcPath = IndexStore.ensure(IndexStore.stampedPath(
         "kcenter_c4", sfDir, "embeddings.parquet")) { tmp =>
       api.Similarity.kcenterIndexBuild(
@@ -116,6 +126,11 @@ object StreamBench {
       ("ivf_range_index", drive("ir", vecRows, Seq("vec_id", "v"),
         df => streaming.SimStreams.rangeAgainstSavedIvfIndex(
           df, "vec_id", "v", ivfPath, tau = 0.4))),
+      ("ivf_range_matched_index", drive("irm", lvecRows,
+        Seq("vec_id", "label", "v"),
+        df => streaming.SimStreams.rangeMatchingAgainstSavedIvfIndex(
+          df, "vec_id", "v", ivflPath, tau = 0.4, nProbe = 3,
+          matchCols = Seq("label")))),
       ("kcenter_assign_index", drive("kc", vecRows, Seq("vec_id", "v"),
         df => streaming.SampleStreams.assignAgainstSavedCenters(
           df, kcPath, "vec_id", "v"))))

@@ -77,11 +77,16 @@ object VecKMeans {
     * scaladoc carries the bit-parity argument), but the probe frame
     * never explodes k× and the per-vec_id window exchange is gone:
     * the same plan-shape win [[assign]] got from vec_argmin_code. */
-  def assignTopN(e: DataFrame, centers: DataFrame, n: Int): DataFrame = {
+  def assignTopN(e: DataFrame, centers: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     graft.functions.VectorExpressions.register(e.sparkSession)
+    // `carry`: extra columns of `e` preserved through the assignment
+    // projection — a STREAM caller cannot join them back afterwards
+    // (two derivations of one stream = a stream-stream join), so the
+    // attributed serving twins thread them through here.
     e.crossJoin(broadcast(codebook(centers)))
-      .select(col("vec_id"), col("v"),
-        explode(expr(s"vec_argmin_topn(v, cbs, $n)")).as("cid"))
+      .select(Seq(col("vec_id"), col("v")) ++ carry.map(col) :+
+        explode(expr(s"vec_argmin_topn(v, cbs, $n)")).as("cid"): _*)
   }
 
   /** the k-row center set as ONE cid-sorted codebook array row (the
