@@ -3150,6 +3150,91 @@ object SimQueries {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** RECALL@3 for the FILTERED serving tier — does cell pruning still
+    * hold recall when a metadata filter shrinks the candidate pool?
+    * Ground truth is the exact same-label top-3 (the sim_topk_filtered
+    * kernel at k = 3, probes vec_id < 50); the served answer is
+    * [[graft.api.Similarity.ivfTopKMatching]] over the attributed
+    * ivfl_c8 index at nProbe = 3. Filtered recall is the number a
+    * filtered-RAG deployment must read INSTEAD of plain sim_recall_ivf:
+    * a filter thins every cell, so at fixed nProbe the filtered
+    * candidate pool is sparser and recall can sit below the unfiltered
+    * row — measuring it closes the last unmeasured serving tier.
+    *
+    * Scale shape: ground truth is probe-bounded (label-keyed scan for
+    * 50 probes); the served side reads pruned cid partitions joined on
+    * (cid, label); the recall join is ≤ 2·k rows per probe. */
+  val simRecallIvfFiltered: GQuery = GQuery(
+    "sim_recall_ivf_filtered",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |n AS (
+       |  SELECT f.vec_id, f.v, f.cid,
+       |    sqrt(list_dot_product(f.v, f.v)) AS nrm, lab.label
+       |  FROM fin f JOIN lab ON f.vec_id = lab.vec_id),
+       |ex AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY round(list_dot_product(p.v, c.v)
+       |                       / (p.nrm * c.nrm), 6) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM n p JOIN n c ON p.vec_id < 50 AND c.label = p.label
+       |                     AND c.vec_id != p.vec_id)
+       |  WHERE rk <= 3),
+       |pd AS (
+       |  SELECT p.vec_id, p.v, p.nrm, p.label, c.cid,
+       |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)
+       |      + list_dot_product(c.c, c.c) AS d2
+       |  FROM (SELECT vec_id, v, nrm, label FROM n WHERE vec_id < 50) p,
+       |    cfin c),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn, label, cid
+       |  FROM (
+       |    SELECT vec_id, v, nrm, label, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 3),
+       |ann AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT pc.probe_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY pc.probe_id
+       |        ORDER BY round(list_dot_product(pc.pv, n.v)
+       |          / (pc.pn * n.nrm), 6) DESC, n.vec_id) AS rk
+       |    FROM pc JOIN n ON n.cid = pc.cid AND n.label = pc.label
+       |                  AND n.vec_id != pc.probe_id)
+       |  WHERE rk <= 3),
+       |$recallTailSql""".stripMargin) { (s, dir) =>
+    val ev = vecs(s, dir)
+    val probes = ev.filter(col("vec_id") < 50)
+    // exact same-label ground truth: the sim_topk_filtered plan at k=3
+    val p = probes.select(col("vec_id").as("probe_id"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val c = ev.select(col("vec_id").as("neighbor_id"),
+      col("label"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val exact = p.join(c, Seq("label"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(expr(dot) / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ivflPath = graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivfl_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(
+        ev.select(col("vec_id"), col("label"), col("v")),
+        "vec_id", "v", tmp, k = 8, rounds = 2, attrs = Seq("label"))
+    }
+    val ann = graft.api.Similarity.ivfTopKMatching(
+        probes.select(col("vec_id"), col("label"), col("v")),
+        "vec_id", "v", ivflPath, k = 3, nProbe = 3,
+        matchCols = Seq("label"))
+      .select(col("probe_id"), col("neighbor_id"))
+    recallReadout(exact, ann)
+  }
+
   /** GRAPH-INDEX INGESTION — the online-maintenance shape of the nng
     * tier, completing the ingest family (dedup_ingest /
     * dedup_containment_ingest / sim_lex_ingest): arriving vectors
@@ -3410,5 +3495,5 @@ object SimQueries {
       simBm25Topk, simRecallIvf, embedPqError, simBm25Indexed,
       embedQuantileClip, embedOutlierKnn, embedIsotropy,
       simRecallSq8, simRecallHamming, simRecallMatryoshka,
-      simNprobeSweep, simTopkIvfFiltered)
+      simNprobeSweep, simTopkIvfFiltered, simRecallIvfFiltered)
 }

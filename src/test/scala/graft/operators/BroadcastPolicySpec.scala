@@ -279,7 +279,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     // the final iteration's 1-row dangling-mass scalar (earlier
     // iterations' scalar hints truncate at the per-iteration
     // lineage cut, the pageRank discipline)
-    "graph_ppr_seeds" -> 1
+    "graph_ppr_seeds" -> 1,
+    // the served tier's nProbe-bounded (cid, label) probe-cell
+    // broadcast, resolved on both serving branches (the
+    // sim_topk_ivf_filtered budget)
+    "sim_recall_ivf_filtered" -> 2
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -113,7 +113,11 @@ class PlanShapeSpec extends SparkTestBase {
     // 1-row dangling-mass + seed-count scalars cross-joined per
     // retained iteration (the pageRank step class; earlier
     // iterations' scalars truncate at the lineage cut)
-    "graph_ppr_seeds")
+    "graph_ppr_seeds",
+    // k-row center broadcast (probe-cell assignment) on the served
+    // side — the sim_topk_ivf_filtered shape; the exact tier is a
+    // label-keyed equi join, no BNLJ of its own
+    "sim_recall_ivf_filtered")
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
