@@ -243,6 +243,84 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** AS-OF TOLERANCE SIZING SWEEP — the feature-store staleness knob
+    * priced (the sixth sizing sweep): match rate and mean staleness
+    * of the purchase→last-click as-of join at tolerances of
+    * 1/5/15/60 minutes. The as-of lag (purchase time − last prior
+    * click) is TOLERANCE-INDEPENDENT, so the window pass of
+    * join_asof_tolerance runs once and the sweep is four predicate
+    * aggregates — a deployment reads the curve to pick the loosest
+    * staleness bound its model can tolerate (tighter bound = fresher
+    * features but more unmatched rows imputed at serving time).
+    *
+    * Determinism: counts and µs lag sums are exact integers; mean
+    * staleness uses the half-up integer-micro division; match_share
+    * is one rounded divide of exact integers.
+    *
+    * Scale shape: one user-partitioned window (the join_asof plan),
+    * a ×4 per-row explode on the purchases slice only, 4-row rollup. */
+  val joinAsofSweep: GQuery = {
+    val tolsMin = Seq(1, 5, 15, 60)
+    GQuery("join_asof_sweep",
+      s"""WITH lc AS (
+         |  SELECT event_id,
+         |    epoch_us(ts) - epoch_us(last_click) AS lag_us
+         |  FROM (
+         |    SELECT event_id, ts, event_type,
+         |      max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        AS last_click
+         |    FROM events)
+         |  WHERE event_type = 'purchase'),
+         |sweep AS (SELECT unnest([${tolsMin.mkString(", ")}])
+         |          AS tol_min),
+         |m AS (
+         |  SELECT tol_min, count(*) AS n_purchases,
+         |    sum(CASE WHEN lag_us IS NOT NULL
+         |          AND lag_us <= CAST(tol_min AS BIGINT) * 60000000
+         |          THEN 1 ELSE 0 END) AS n_matched,
+         |    sum(CASE WHEN lag_us IS NOT NULL
+         |          AND lag_us <= CAST(tol_min AS BIGINT) * 60000000
+         |          THEN lag_us ELSE 0 END) AS lag_sum
+         |  FROM lc, sweep GROUP BY tol_min)
+         |SELECT CAST(tol_min AS INT) AS tol_min,
+         |  CAST(n_purchases AS BIGINT) AS n_purchases,
+         |  CAST(n_matched AS BIGINT) AS n_matched,
+         |  round(CAST(n_matched AS DOUBLE) / n_purchases, 6)
+         |    AS match_share,
+         |  CASE WHEN n_matched > 0
+         |    THEN CAST((2 * lag_sum + n_matched) // (2 * n_matched)
+         |      AS DOUBLE) / 1000000 END AS avg_staleness_sec
+         |FROM m ORDER BY tol_min""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tolUs = col("tol_min").cast("long") * 60000000L
+      val matched = col("lag_us").isNotNull && col("lag_us") <= tolUs
+      Tables.events(s, dir)
+        .withColumn("last_click",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select((unix_micros(col("ts"))
+          - unix_micros(col("last_click"))).as("lag_us"))
+        .withColumn("tol_min",
+          explode(array(tolsMin.map(t => lit(t)): _*)))
+        .groupBy(col("tol_min"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(matched, 1L).otherwise(0L)).cast("bigint")
+            .as("n_matched"),
+          sum(when(matched, col("lag_us")).otherwise(0L)).as("lag_sum"))
+        .select(col("tol_min"), col("n_purchases"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("n_purchases"), 6)
+            .as("match_share"),
+          when(col("n_matched") > 0,
+            expr("(2 * lag_sum + n_matched) div (2 * n_matched)")
+              .cast("double") / 1000000).as("avg_staleness_sec"))
+        .orderBy(col("tol_min"))
+    }
+  }
+
   /** Time-proximity self-join via BANDING — the scale form of a PURE
     * inequality join (no equi conjunct exists: any two events within
     * 5 s pair up, across all users). The naive |Δt| ≤ 5 s theta join
@@ -767,5 +845,6 @@ object JoinQueries {
     joinAsof, joinAsofTolerance, joinTimeProximity, joinFullOuter,
     joinCross, joinBloomFiltered, joinShuffleHash, joinNullSafe,
     joinPointInTime, joinIntervalOverlap, joinSkewSalted,
-    joinLateralTopk, joinAsofForward, joinAsofNearest)
+    joinLateralTopk, joinAsofForward, joinAsofNearest,
+    joinAsofSweep)
 }
