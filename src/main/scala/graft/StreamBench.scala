@@ -106,6 +106,12 @@ object StreamBench {
     }
 
     val arrivalsDocs = docRows.filter(_._1 % 10 == 3)
+    // stateful tier feed: time-ordered events (the watermark advances
+    // monotonically across micro-batches, the deployment shape)
+    val evRows = sources.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+      .orderBy($"ts", $"event_id")
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
     val results = Seq(
       ("quality_filter", drive("qf", docRows, Seq("doc_id", "text"),
         df => streaming.TextStreams.qualityFilter(df, "doc_id", "text",
@@ -133,7 +139,16 @@ object StreamBench {
           matchCols = Seq("label")))),
       ("kcenter_assign_index", drive("kc", vecRows, Seq("vec_id", "v"),
         df => streaming.SampleStreams.assignAgainstSavedCenters(
-          df, kcPath, "vec_id", "v"))))
+          df, kcPath, "vec_id", "v"))),
+      // STATEFUL tier — the two canonical state shapes next to the
+      // six stateless serving twins: watermark-bounded dedup state
+      // and session-window aggregation state
+      ("dedup_state", drive("dd", evRows,
+        Seq("event_id", "user_id", "ts"),
+        df => streaming.EventStreams.dedup(df))),
+      ("session_window_state", drive("sw", evRows,
+        Seq("event_id", "user_id", "ts"),
+        df => streaming.EventStreams.sessions(df))))
 
     val twins = results.map { case (n, (p50, mx, rows)) =>
       s""""$n": {"p50_ms": $p50, "max_ms": $mx, "rows_out": $rows}"""

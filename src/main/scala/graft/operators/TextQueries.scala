@@ -594,6 +594,73 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SEQUENCE-LENGTH SIZING SWEEP — the training-shape knob priced
+    * (the seventh sizing sweep): sequences produced and document
+    * boundary-splits at seq lengths 128/256/512/1024 under
+    * concat-and-chunk packing in doc_id (ingestion) order. The
+    * cumulative offset is LENGTH-INDEPENDENT, so the distributed
+    * prefix sum (the text_pack_sequences machinery) runs once and the
+    * sweep is four predicate aggregates: a doc's split count under
+    * length L is ((off+tok−1) div L) − (off div L), pure integer
+    * arithmetic on the one off column. Longer sequences = fewer
+    * attention windows but more cross-document token bleed (every
+    * split is a attention-mask seam a trainer must handle); this
+    * curve is what sizes that trade.
+    *
+    * Scale shape: the one pack pass (quantile-bucketed prefix sum,
+    * never a single-partition window), a ×4 per-row explode, 4-row
+    * rollup; the totals scalar is a 1-row broadcast. */
+  val textPackSweep: GQuery = {
+    val lens = Seq(128, 256, 512, 1024)
+    GQuery("text_pack_sweep",
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, tok,
+         |        CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS off
+         |      FROM t),
+         |bt AS (SELECT CAST(sum(tok) AS BIGINT) AS total FROM t),
+         |sweep AS (SELECT unnest([${lens.mkString(", ")}]) AS seq_len),
+         |m AS (
+         |  SELECT seq_len, count(*) AS n_docs,
+         |    sum((off + tok - 1) // seq_len - off // seq_len)
+         |      AS n_splits
+         |  FROM c, sweep GROUP BY seq_len)
+         |SELECT CAST(m.seq_len AS INT) AS seq_len,
+         |  CAST(m.n_docs AS BIGINT) AS n_docs,
+         |  CAST((bt.total + m.seq_len - 1) // m.seq_len AS BIGINT)
+         |    AS n_sequences,
+         |  CAST(m.n_splits AS BIGINT) AS n_splits,
+         |  CAST((2 * m.n_splits * 1000000 + m.n_docs)
+         |    // (2 * m.n_docs) AS DOUBLE) / 1000000 AS splits_per_doc
+         |FROM m CROSS JOIN bt
+         |ORDER BY seq_len""".stripMargin) { (s, dir) =>
+      val perDoc = tokens(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("tok"))
+      val packed = graft.api.Text.packFromCounts(perDoc, "doc_id",
+        "tok", seqLen = 1)
+      val total = broadcast(
+        perDoc.agg(sum(col("tok")).cast("long").as("total")))
+      packed
+        .withColumn("seq_len",
+          explode(array(lens.map(l => lit(l)): _*)))
+        .groupBy(col("seq_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("(off + tok - 1) div seq_len - off div seq_len"))
+            .as("n_splits"))
+        .crossJoin(total)
+        .select(col("seq_len"), col("n_docs"),
+          expr("(total + seq_len - 1) div seq_len").cast("bigint")
+            .as("n_sequences"),
+          col("n_splits").cast("bigint").as("n_splits"),
+          (expr("(2 * n_splits * 1000000 + n_docs) div (2 * n_docs)")
+            .cast("double") / 1000000).as("splits_per_doc"))
+        .orderBy(col("seq_len"))
+    }
+  }
+
   /** Exact heavy hitters over the token stream (count > n/100),
     * served by the mergeable Misra–Gries sketch: pass 1 ships O(k)
     * state per task instead of shuffling the full vocabulary, pass 2
@@ -1760,5 +1827,6 @@ object TextQueries {
     textDecontaminateIndexed, textZipfFit,
     textLangidConfusion, textVocabGrowth, textNgramNovelty, textTtr,
     textPmiCollocations, textRakeKeywords, textQualityBuckets,
-    textReadability, textGopherRules, textWinnowing)
+    textReadability, textGopherRules, textWinnowing,
+    textPackSweep)
 }

@@ -283,7 +283,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     // the served tier's nProbe-bounded (cid, label) probe-cell
     // broadcast, resolved on both serving branches (the
     // sim_topk_ivf_filtered budget)
-    "sim_recall_ivf_filtered" -> 2
+    "sim_recall_ivf_filtered" -> 2,
+    // packFromCounts' 8-row bucket-base-offset frame + the 1-row
+    // corpus-token total (the text_pack_sequences /
+    // sample_token_budget budgets combined)
+    "text_pack_sweep" -> 2
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

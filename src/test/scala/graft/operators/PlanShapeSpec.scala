@@ -117,7 +117,9 @@ class PlanShapeSpec extends SparkTestBase {
     // k-row center broadcast (probe-cell assignment) on the served
     // side — the sim_topk_ivf_filtered shape; the exact tier is a
     // label-keyed equi join, no BNLJ of its own
-    "sim_recall_ivf_filtered")
+    "sim_recall_ivf_filtered",
+    // 1-row corpus-token total onto the 4-row sweep rollup
+    "text_pack_sweep")
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
