@@ -104,17 +104,26 @@ object Text {
   def surprisalFromTokens(t: DataFrame, id: String,
       token: String = "token"): DataFrame = {
     val tok = t.select(col(id), col(token).as("token"))
-    val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val sc = cnt.crossJoin(broadcast(tot))
-      .select(col("token"),
-        round(-log((col("c").cast("double") + 1) / (col("n") + col("v")),
-          ), 8).cast("decimal(14,8)").as("s"))
-    tok.join(sc, Seq("token"))
+    tok.join(surprisalTokenScores(tok), Seq("token"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("s")).cast("double") / count(lit(1)), 6)
           .as("surprisal"))
+  }
+
+  /** The add-1 unigram token-score dictionary alone: (token, s) on
+    * the DECIMAL(14,8) grid — factored from [[surprisalFromTokens]]
+    * so domain-level rollups (sample_doremi_weights) score tokens
+    * with the SAME dictionary the per-doc row uses. */
+  def surprisalTokenScores(t: DataFrame,
+      token: String = "token"): DataFrame = {
+    val tok = t.select(col(token).as("token"))
+    val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(-log((col("c").cast("double") + 1) / (col("n") + col("v")),
+          ), 8).cast("decimal(14,8)").as("s"))
   }
 
   /** Per-document mean BIGRAM surprisal under the corpus's own add-1

@@ -269,6 +269,101 @@ object SampleQueries {
     }
   }
 
+  /** DoReMi-FLAVORED DOMAIN REWEIGHTING — the mixture-weight operator
+    * of modern pre-training data pipelines (Xie et al. 2023's DoReMi
+    * uses a proxy model's excess loss per domain; this deterministic
+    * relational form uses the corpus's own add-1 unigram surprisal as
+    * the loss proxy, the text_surprisal dictionary): per language
+    * domain — token count, mean token surprisal, EXCESS surprisal
+    * over the corpus mean, and the renormalized mixture weight
+    * w_d ∝ n_tokens_d · (1 + excess_d). Domains whose text is harder
+    * than average under the shared model are upweighted; the weights
+    * column is what sample_mixture consumes as its target shares.
+    *
+    * Determinism end to end: per-token scores live on the
+    * DECIMAL(14,8) grid (exact order-free sums); the two means are
+    * single rounded divides of exact aggregates; excess goes through
+    * a comparison (never a −0.0-producing round of a negative
+    * near-zero); the weight numerator is INTEGER micro-units
+    * (n_tokens × round((1+excess)·10⁶)) so the normalizer is an
+    * exact integer sum — no float-sum ordering anywhere.
+    *
+    * Scale shape: one token explode scored against the shared
+    * dictionary (vocabulary-keyed join, AQE-promoted), rollup state
+    * ≤ |domains| rows; the corpus-total and normalizer scalars are
+    * 1-row broadcasts. */
+  val sampleDoremiWeights: GQuery = GQuery(
+    "sample_doremi_weights",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt),
+      |sc AS (SELECT token,
+      |         CAST(round(-ln((c + 1.0) / (n + v)), 8) AS DECIMAL(14,8))
+      |           AS s
+      |       FROM cnt CROSS JOIN tot),
+      |lt AS (SELECT d.lang, sc.s
+      |       FROM tok JOIN sc USING (token)
+      |       JOIN documents d USING (doc_id)),
+      |dom AS (SELECT lang, count(*) AS n_tokens, sum(s) AS ssum
+      |        FROM lt GROUP BY lang),
+      |dp AS (SELECT lang, count(*) AS n_docs FROM documents
+      |       GROUP BY lang),
+      |gt AS (SELECT sum(ssum) AS gsum,
+      |          CAST(sum(n_tokens) AS BIGINT) AS gtok FROM dom),
+      |m AS (SELECT dom.lang, dp.n_docs, dom.n_tokens,
+      |        round(CAST(ssum AS DOUBLE) / n_tokens, 6)
+      |          AS mean_surprisal,
+      |        round(CAST(gsum AS DOUBLE) / gtok, 6) AS gmean
+      |      FROM dom JOIN dp USING (lang) CROSS JOIN gt),
+      |e AS (SELECT lang, n_docs, n_tokens, mean_surprisal,
+      |        CASE WHEN mean_surprisal > gmean
+      |             THEN round(mean_surprisal - gmean, 6)
+      |             ELSE 0.0 END AS excess
+      |      FROM m),
+      |r AS (SELECT *, n_tokens
+      |        * CAST(round((1 + excess) * 1000000) AS BIGINT) AS raw
+      |      FROM e),
+      |nrm AS (SELECT CAST(sum(raw) AS BIGINT) AS norm FROM r)
+      |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  mean_surprisal, excess,
+      |  round(CAST(raw AS DOUBLE) / norm, 6) AS weight
+      |FROM r CROSS JOIN nrm
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val tok = TextQueries.tokens(s, dir)
+      .withColumnRenamed("term", "token")
+      .select(col("doc_id"), col("token"))
+    val sc = graft.api.Text.surprisalTokenScores(tok)
+    val langs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+    val dom = tok.join(sc, Seq("token"))
+      .join(langs, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("ssum"))
+    val dp = langs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val glob = dom.agg(sum(col("ssum")).as("gsum"),
+      sum(col("n_tokens")).cast("long").as("gtok"))
+    val e = dom.join(dp, Seq("lang")).crossJoin(broadcast(glob))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("ssum").cast("double") / col("n_tokens"), 6)
+          .as("mean_surprisal"),
+        round(col("gsum").cast("double") / col("gtok"), 6).as("gmean"))
+      .withColumn("excess",
+        when(col("mean_surprisal") > col("gmean"),
+          round(col("mean_surprisal") - col("gmean"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("raw", col("n_tokens") *
+        round((lit(1.0) + col("excess")) * 1000000, 0).cast("long"))
+    val nrm = e.agg(sum(col("raw")).cast("long").as("norm"))
+    e.crossJoin(broadcast(nrm))
+      .select(col("lang"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("mean_surprisal"), col("excess"),
+        round(col("raw").cast("double") / col("norm"), 6).as("weight"))
+      .orderBy(col("lang"))
+  }
+
   /** TOKEN-BUDGET SIZING SWEEP — the training-budget curve (the
     * sampling-family sizing sweep, next to nProbe / bands /
     * watermark / session-gap): what quality floor does each budget
@@ -705,5 +800,5 @@ object SampleQueries {
     sampleTemperature, sampleTokenBudget, sampleBudgetSweep,
     sampleBottomK,
     sampleClassBalance, sampleKfoldAssign, sampleDedupWeights,
-    sampleNeymanAlloc, sampleUnimax)
+    sampleNeymanAlloc, sampleUnimax, sampleDoremiWeights)
 }

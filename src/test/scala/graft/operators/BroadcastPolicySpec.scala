@@ -287,7 +287,13 @@ class BroadcastPolicySpec extends SparkTestBase {
     // packFromCounts' 8-row bucket-base-offset frame + the 1-row
     // corpus-token total (the text_pack_sequences /
     // sample_token_budget budgets combined)
-    "text_pack_sweep" -> 2
+    "text_pack_sweep" -> 2,
+    // three 1-row scalars — the (N, V) dictionary model size (the
+    // text_surprisal hint, re-resolved on the domain and global
+    // branches), the global surprisal totals, and the integer weight
+    // normalizer — each appearing on every downstream branch of the
+    // ≤|domains|-row chain
+    "sample_doremi_weights" -> 7
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

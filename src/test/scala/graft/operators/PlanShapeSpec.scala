@@ -119,7 +119,10 @@ class PlanShapeSpec extends SparkTestBase {
     // label-keyed equi join, no BNLJ of its own
     "sim_recall_ivf_filtered",
     // 1-row corpus-token total onto the 4-row sweep rollup
-    "text_pack_sweep")
+    "text_pack_sweep",
+    // three 1-row scalars (vocabulary model size, global surprisal
+    // totals, integer weight normalizer) onto the ≤|domains| frame
+    "sample_doremi_weights")
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
