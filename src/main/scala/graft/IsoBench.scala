@@ -83,7 +83,8 @@ object IsoBench {
     // sweep 2.5 = 4 serving points + shared truth; band sweep 2.1 =
     // 4 arrangements + exact truth; filtered IVF 2.1; recall_sq8 1.4)
     "sim_nprobe_sweep", "dedup_band_sweep", "sim_topk_ivf_filtered",
-    "sim_recall_sq8", "graph_ppr_seeds", "sim_recall_ivf_filtered")
+    "sim_recall_sq8", "graph_ppr_seeds", "sim_recall_ivf_filtered",
+    "text_pack_sweep", "sample_doremi_weights")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
