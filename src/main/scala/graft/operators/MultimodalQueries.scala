@@ -235,6 +235,65 @@ object MultimodalQueries {
     phashPairsSpark(s, dir).orderBy(col("doc1"), col("doc2"))
   }
 
+  /** HAMMING-RADIUS SIZING SWEEP for the binary near-dup tier (the
+    * eighth one-pass sweep): candidate pairs and documents touched at
+    * maxHamming 0/1/2/3 — the strictness knob of perceptual-hash
+    * dedup (0 = byte-level near-exact, 3 = the 4-band pigeonhole's
+    * exactness bound). The banded pair generation is
+    * RADIUS-INDEPENDENT for every h ≤ 3 (any pair within Hamming 3
+    * shares a band, so the one memoized banded pass already carries
+    * all of them with their exact distances); the sweep is four
+    * predicate aggregates over the carried `hamming` column. A media
+    * pipeline reads the curve to pick the radius whose pair volume
+    * its review/rewrite stage can absorb.
+    *
+    * Scale shape: the pairs frame is the banded bucket join (payload
+    * bytes never shuffle, the phash_neardup plan, memoized); the
+    * sweep adds a ×4 explode over PAIRS (already collision-sparse),
+    * a 4-row rollup, and a pair-bounded distinct for the doc count. */
+  val multimodalPhashSweep: GQuery = GQuery(
+    "multimodal_phash_sweep",
+    s"""$phashPairsCte,
+       |sweep AS (SELECT unnest([0, 1, 2, 3]) AS max_hamming),
+       |f AS (SELECT sweep.max_hamming, pairs.doc1, pairs.doc2
+       |      FROM pairs, sweep
+       |      WHERE pairs.hamming <= sweep.max_hamming),
+       |p AS (SELECT max_hamming, count(*) AS n_pairs FROM f
+       |      GROUP BY 1),
+       |d AS (SELECT max_hamming, count(DISTINCT doc_id) AS n_docs
+       |      FROM (SELECT max_hamming, doc1 AS doc_id FROM f
+       |            UNION ALL SELECT max_hamming, doc2 FROM f)
+       |      GROUP BY 1)
+       |SELECT CAST(sweep.max_hamming AS INT) AS max_hamming,
+       |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs
+       |FROM sweep
+       |LEFT JOIN p ON sweep.max_hamming = p.max_hamming
+       |LEFT JOIN d ON sweep.max_hamming = d.max_hamming
+       |ORDER BY max_hamming""".stripMargin) { (s, dir) =>
+    val f = phashPairsSpark(s, dir)
+      .withColumn("max_hamming",
+        explode(array((0 to 3).map(h => lit(h)): _*)))
+      .filter(col("hamming") <= col("max_hamming"))
+      .select(col("max_hamming"), col("doc1"), col("doc2"))
+    val p = f.groupBy(col("max_hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val d = f.select(col("max_hamming"), col("doc1").as("doc_id"))
+      .unionByName(f.select(col("max_hamming"),
+        col("doc2").as("doc_id")))
+      .groupBy(col("max_hamming"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    s.range(1)
+      .select(explode(array((0 to 3).map(h => lit(h)): _*))
+        .as("max_hamming"))
+      .join(p, Seq("max_hamming"), "left")
+      .join(d, Seq("max_hamming"), "left")
+      .select(col("max_hamming"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("max_hamming"))
+  }
+
   /** CONTINUOUS MEDIA INGESTION against the SAVED perceptual-hash
     * index — the ingest-family pattern (dedup / containment / lex /
     * nng / ivf) finally applied to the binary tier: the corpus's
@@ -447,5 +506,6 @@ object MultimodalQueries {
   val all: Seq[GQuery] = Seq(multimodalJoin, multimodalFeatures,
     multimodalDedup, multimodalShardManifest, multimodalPhashNeardup,
     multimodalPhashIngest, multimodalClusterProfile,
-    multimodalFrameSample, multimodalPhashWide)
+    multimodalFrameSample, multimodalPhashWide,
+    multimodalPhashSweep)
 }
