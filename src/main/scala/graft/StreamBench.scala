@@ -26,10 +26,24 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // SPARK_GRAFT_STREAM_STATE=rocksdb swaps the state-store provider
+    // for the STATEFUL tier (dedup / session windows) — the measured
+    // 1.4 s p50 floor of the default HDFS-backed store is the
+    // per-batch snapshot across 32 store instances; RocksDB commits
+    // changelogs instead, so this toggle prices the provider choice
+    // the way the tier table priced stateless-vs-stateful. Stateless
+    // twins are unaffected (no state store in their plans).
+    val stateProvider =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE", "hdfs")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (stateProvider == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -155,6 +169,7 @@ object StreamBench {
     }.mkString(", ")
     println(s"""{"metric": "stream_micro_batch_latency", """ +
       s""""sf": "$sfDir", "cpus": $cpus, "n_batches": $nBatches, """ +
+      s""""state_provider": "$stateProvider", """ +
       s""""loadavg_start": ${Bench.loadavg1m()}, "twins": {$twins}}""")
     spark.stop()
   }
