@@ -280,6 +280,208 @@ object PipelineQueries {
       .orderBy(col("stage_idx"))
   }
 
+  /** KNOB CARD — the sizing sweeps turned into CERTIFIED DECISIONS
+    * (the dedup_cluster_stats pattern: don't just expose the planning
+    * inputs, hash-check the planning OUTPUT): five one-table sweeps
+    * (watermark delay, session gap, as-of tolerance, token budget,
+    * packing sequence length) are each reduced to one operating point
+    * by a fixed total rule — "smallest knob value satisfying the
+    * bound, else the safest extreme" — and the five chosen points are
+    * the row. A pipeline deploys FROM this card; oracle parity means
+    * both engines agree not just on every curve but on every CHOICE.
+    * Rules (documented bounds, not tuned): watermark = smallest delay
+    * with late_share ≤ 5%; session gap = smallest gap within 2% of
+    * the 60-min session count (integer compare 100·n ≤ 102·ref);
+    * as-of = smallest tolerance with match_share ≥ 2%; budget =
+    * largest budget (smallest denominator) holding the 0.63 quality
+    * floor; packing = smallest seqLen with ≤ 0.2 splits/doc.
+    *
+    * Spark side composes the five CONTRACT sweeps' own frames
+    * (each .fn reused verbatim — the card can never disagree with
+    * the curves it summarizes); the oracle replays all five chains
+    * prefixed into one WITH clause. Selection is an ok-flag sort with
+    * a deterministic fallback key, LIMIT 1 per knob.
+    *
+    * Scale shape: the five sweeps' own shapes (each one pass +
+    * predicate aggregates, all probed to 100×); selection adds five
+    * ≤5-row sorts. */
+  val pipelineKnobCard: GQuery = {
+    val stop = graft.api.Text.defaultStopwords
+      .map(w => s"'$w'").mkString("(", ",", ")")
+    val jitter = DedupQueries.duckHash(
+      "concat('arr:', CAST(event_id AS VARCHAR))")
+    GQuery("pipeline_knob_card",
+      s"""WITH w1e AS (
+         |  SELECT event_id, epoch_us(ts) AS us,
+         |    epoch_us(ts) + ($jitter % 7200000000) - 3600000000 AS arr
+         |  FROM events),
+         |w1w AS (
+         |  SELECT us, max(us) OVER (ORDER BY arr, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM w1e),
+         |w1s AS (SELECT unnest([5, 15, 30, 60, 120]) AS delay_min),
+         |w1m AS (
+         |  SELECT delay_min, count(*) AS n_events,
+         |    sum(CASE WHEN pm IS NOT NULL
+         |      AND us <= pm - CAST(delay_min AS BIGINT) * 60000000
+         |      THEN 1 ELSE 0 END) AS n_late
+         |  FROM w1w, w1s GROUP BY delay_min),
+         |w1f AS (SELECT delay_min,
+         |    round(CAST(n_late AS DOUBLE) / n_events, 6) AS late_share
+         |  FROM w1m),
+         |s1e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |s1d AS (SELECT user_id,
+         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+         |      AS delta
+         |  FROM s1e),
+         |s1s AS (SELECT unnest([5, 15, 30, 60]) AS gap_min),
+         |s1m AS (
+         |  SELECT gap_min, count(DISTINCT user_id)
+         |    + sum(CASE WHEN delta >= CAST(gap_min AS BIGINT) * 60000000
+         |          THEN 1 ELSE 0 END) AS n_sessions
+         |  FROM s1d, s1s GROUP BY gap_min),
+         |s1f AS (SELECT gap_min, n_sessions,
+         |    min(n_sessions) OVER () AS ref FROM s1m),
+         |a1l AS (
+         |  SELECT epoch_us(ts) - epoch_us(last_click) AS lag_us
+         |  FROM (
+         |    SELECT ts, event_type,
+         |      max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        AS last_click
+         |    FROM events)
+         |  WHERE event_type = 'purchase'),
+         |a1s AS (SELECT unnest([1, 5, 15, 60]) AS tol_min),
+         |a1m AS (
+         |  SELECT tol_min, count(*) AS n_p,
+         |    sum(CASE WHEN lag_us IS NOT NULL
+         |      AND lag_us <= CAST(tol_min AS BIGINT) * 60000000
+         |      THEN 1 ELSE 0 END) AS n_m
+         |  FROM a1l, a1s GROUP BY tol_min),
+         |a1f AS (SELECT tol_min,
+         |    round(CAST(n_m AS DOUBLE) / n_p, 6) AS match_share
+         |  FROM a1m),
+         |b1t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents),
+         |b1p AS (SELECT doc_id, count(*) AS n_tokens,
+         |    count(DISTINCT term) AS n_distinct,
+         |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
+         |  FROM b1t GROUP BY doc_id),
+         |b1q AS (SELECT doc_id, n_tokens,
+         |    CAST(round(
+         |      0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+         |                 AS DECIMAL(12,6))
+         |      + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+         |                        AS DECIMAL(12,6)))
+         |      + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
+         |  FROM b1p),
+         |b1b AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM b1q),
+         |b1c AS (SELECT doc_id, quality,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+         |      AS BIGINT) AS cum
+         |  FROM b1q),
+         |b1s AS (SELECT unnest([16, 8, 4, 2]) AS denom),
+         |b1m AS (
+         |  SELECT denom, min(quality) AS min_quality
+         |  FROM b1c CROSS JOIN b1b CROSS JOIN b1s
+         |  WHERE cum <= b1b.total // denom
+         |  GROUP BY denom),
+         |b1f AS (SELECT b1s.denom, b1m.min_quality
+         |        FROM b1s LEFT JOIN b1m ON b1s.denom = b1m.denom),
+         |p1t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents),
+         |p1c AS (SELECT doc_id, tok,
+         |    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM p1t),
+         |p1s AS (SELECT unnest([128, 256, 512, 1024]) AS seq_len),
+         |p1m AS (
+         |  SELECT seq_len, count(*) AS n_docs,
+         |    sum((off + tok - 1) // seq_len - off // seq_len) AS n_splits
+         |  FROM p1c, p1s GROUP BY seq_len),
+         |p1f AS (SELECT seq_len,
+         |    CAST((2 * n_splits * 1000000 + n_docs) // (2 * n_docs)
+         |      AS DOUBLE) / 1000000 AS splits_per_doc
+         |  FROM p1m)
+         |SELECT * FROM (
+         |  (SELECT 'asof_tolerance_min' AS knob,
+         |     CAST(tol_min AS INT) AS chosen,
+         |     CAST(match_share AS DOUBLE) AS metric
+         |   FROM (SELECT *, CASE WHEN match_share >= 0.02
+         |                   THEN 1 ELSE 0 END AS ok FROM a1f)
+         |   ORDER BY ok DESC,
+         |     CASE WHEN ok = 1 THEN tol_min ELSE -tol_min END
+         |   LIMIT 1)
+         |  UNION ALL
+         |  (SELECT 'pack_seq_len', CAST(seq_len AS INT),
+         |     CAST(splits_per_doc AS DOUBLE)
+         |   FROM (SELECT *, CASE WHEN splits_per_doc <= 0.2
+         |                   THEN 1 ELSE 0 END AS ok FROM p1f)
+         |   ORDER BY ok DESC,
+         |     CASE WHEN ok = 1 THEN seq_len ELSE -seq_len END
+         |   LIMIT 1)
+         |  UNION ALL
+         |  (SELECT 'session_gap_min', CAST(gap_min AS INT),
+         |     round(CAST(n_sessions AS DOUBLE) / ref, 6)
+         |   FROM (SELECT *, CASE WHEN 100 * n_sessions <= 102 * ref
+         |                   THEN 1 ELSE 0 END AS ok FROM s1f)
+         |   ORDER BY ok DESC,
+         |     CASE WHEN ok = 1 THEN gap_min ELSE -gap_min END
+         |   LIMIT 1)
+         |  UNION ALL
+         |  (SELECT 'token_budget_denom', CAST(denom AS INT),
+         |     CAST(min_quality AS DOUBLE)
+         |   FROM (SELECT *, CASE WHEN min_quality >= 0.63
+         |                   THEN 1 ELSE 0 END AS ok FROM b1f)
+         |   ORDER BY ok DESC,
+         |     CASE WHEN ok = 1 THEN denom ELSE -denom END
+         |   LIMIT 1)
+         |  UNION ALL
+         |  (SELECT 'watermark_delay_min', CAST(delay_min AS INT),
+         |     CAST(late_share AS DOUBLE)
+         |   FROM (SELECT *, CASE WHEN late_share <= 0.05
+         |                   THEN 1 ELSE 0 END AS ok FROM w1f)
+         |   ORDER BY ok DESC,
+         |     CASE WHEN ok = 1 THEN delay_min ELSE -delay_min END
+         |   LIMIT 1))
+         |ORDER BY knob""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.{Column, DataFrame}
+      def pick(df: DataFrame, ok: Column, key: Column, knob: String,
+          metric: Column): DataFrame =
+        df.withColumn("ok", when(ok, 1).otherwise(0))
+          .orderBy(col("ok").desc,
+            when(col("ok") === 1, key).otherwise(-key))
+          .limit(1)
+          .select(lit(knob).as("knob"), key.cast("int").as("chosen"),
+            metric.cast("double").as("metric"))
+      val wm = pick(EventQueries.evWatermarkSweep.fn(s, dir),
+        col("late_share") <= 0.05, col("delay_min"),
+        "watermark_delay_min", col("late_share"))
+      val sg = pick(
+        EventQueries.evSessionGapSweep.fn(s, dir)
+          .withColumn("ref",
+            min(col("n_sessions")).over(Window.partitionBy())),
+        col("n_sessions") * 100 <= col("ref") * 102, col("gap_min"),
+        "session_gap_min",
+        round(col("n_sessions").cast("double") / col("ref"), 6))
+      val af = pick(JoinQueries.joinAsofSweep.fn(s, dir),
+        col("match_share") >= 0.02, col("tol_min"),
+        "asof_tolerance_min", col("match_share"))
+      val bu = pick(SampleQueries.sampleBudgetSweep.fn(s, dir),
+        col("min_quality") >= 0.63, col("denom"),
+        "token_budget_denom", col("min_quality"))
+      val pk = pick(TextQueries.textPackSweep.fn(s, dir),
+        col("splits_per_doc") <= 0.2, col("seq_len"),
+        "pack_seq_len", col("splits_per_doc"))
+      wm.unionByName(sg).unionByName(af).unionByName(bu)
+        .unionByName(pk).orderBy(col("knob"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(pipelineCorpusPrep, pipelineDatasetCard,
-    pipelineSkewReport, pipelineFilterFunnel)
+    pipelineSkewReport, pipelineFilterFunnel, pipelineKnobCard)
 }

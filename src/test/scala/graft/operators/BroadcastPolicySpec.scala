@@ -293,7 +293,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     // branches), the global surprisal totals, and the integer weight
     // normalizer — each appearing on every downstream branch of the
     // ≤|domains|-row chain
-    "sample_doremi_weights" -> 7
+    "sample_doremi_weights" -> 7,
+    // composes five contract sweeps verbatim — the union of their
+    // own budgets that survive the final projections (the watermark
+    // carry frame, the budget token-total, the pack bucket offsets)
+    "pipeline_knob_card" -> 6
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

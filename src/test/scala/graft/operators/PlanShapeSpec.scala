@@ -122,7 +122,10 @@ class PlanShapeSpec extends SparkTestBase {
     "text_pack_sweep",
     // three 1-row scalars (vocabulary model size, global surprisal
     // totals, integer weight normalizer) onto the ≤|domains| frame
-    "sample_doremi_weights")
+    "sample_doremi_weights",
+    // composes five contract sweeps verbatim, inheriting their
+    // bounded scalar cross joins (budget total, pack offsets)
+    "pipeline_knob_card")
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
