@@ -57,10 +57,22 @@ object StreamBench {
       .as[(Long, Seq[Double])].collect().toSeq
 
     /** run `mk(stream frame)` over `feed` in nBatches equal slices;
-      * (p50_ms, max_ms, total_rows_out) over the per-batch clocks. */
+      * (p50_ms, max_ms, total_rows_out) over the per-batch clocks.
+      *
+      * `flushFeed` (stateful append-mode twins only): a sentinel
+      * far-future batch fed AFTER the timed loop, untimed — append
+      * mode only emits a windowed/session aggregate once the
+      * watermark passes it, so without a final watermark push the
+      * sessions still open when the feed ends are never emitted and
+      * rows_out systematically undercounts (round-14 ADVICE). The
+      * sentinel's own session is never emitted (nothing advances the
+      * watermark past IT), so rows_out counts exactly the fed data's
+      * output; its flush cost is deliberately outside the per-batch
+      * clocks (it prices shutdown, not serving). */
     def drive[T: org.apache.spark.sql.Encoder](name: String,
         feed: Seq[T], cols: Seq[String],
-        mk: DataFrame => DataFrame): (Long, Long, Long) = {
+        mk: DataFrame => DataFrame,
+        flushFeed: Seq[T] = Nil): (Long, Long, Long) = {
       val mem = MemoryStream[T]
       val q = mk(mem.toDF().toDF(cols: _*))
         .writeStream.format("memory").queryName(s"sb_$name")
@@ -72,6 +84,10 @@ object StreamBench {
         q.processAllAvailable()
         (System.nanoTime() - t0) / 1000000L
       }.toSeq
+      if (flushFeed.nonEmpty) {
+        mem.addData(flushFeed)
+        q.processAllAvailable()
+      }
       q.stop()
       val rows = spark.table(s"sb_$name").count()
       val sorted = times.sorted
@@ -162,7 +178,11 @@ object StreamBench {
         df => streaming.EventStreams.dedup(df))),
       ("session_window_state", drive("sw", evRows,
         Seq("event_id", "user_id", "ts"),
-        df => streaming.EventStreams.sessions(df))))
+        df => streaming.EventStreams.sessions(df),
+        // sentinel watermark push: one far-future event closes every
+        // real session so append mode emits them (see drive's doc)
+        flushFeed = Seq((-1L, -1L, new java.sql.Timestamp(
+          evRows.last._3.getTime + 366L * 24 * 3600 * 1000))))))
 
     val twins = results.map { case (n, (p50, mx, rows)) =>
       s""""$n": {"p50_ms": $p50, "max_ms": $mx, "rows_out": $rows}"""

@@ -298,6 +298,60 @@ object Similarity {
       .select(col("cid"), col("v1"), col("v2"), col("cosine"))
   }
 
+  /** Cell-density PATH PROBE for semantic dedup — the ccScheduleProbe
+    * pattern (certify the PLANNING DECISION, not just its output)
+    * applied to the in-memory-vs-indexed choice `dedup_semantic` /
+    * `dedup_semantic_indexed` left open: reads ONLY the saved index's
+    * `cid` partition column (parquet metadata, not vector bytes — the
+    * sim_ivf_cell_stats discipline) and returns (n_vecs, n_cells,
+    * max_cell, Σc(c−1), path). Integer-exact decision, replayable by
+    * any engine: `indexed` iff Σc(c−1) ≥ 2·`avgCandidateDegree`·n —
+    * i.e. when the within-cell candidate join averages more than
+    * `avgCandidateDegree` scored candidates per vector, the quadratic
+    * pair stage dominates the linear train+assign stage, and the
+    * amortized saved-index serving path (train once per corpus
+    * generation, cells pre-partitioned on disk) is mandated; below
+    * it, a per-run in-memory train is cheaper than the publish. On
+    * clone-dense corpora (cells concentrating duplicates) Σc(c−1)
+    * grows quadratically in the clone mass, so exactly the regime
+    * that made the in-memory row output-bound at the 100× probe is
+    * the regime the probe routes to the indexed path. */
+  def semanticPathProbe(spark: org.apache.spark.sql.SparkSession,
+      path: String, avgCandidateDegree: Long = 64)
+      : (Long, Long, Long, Long, String) = {
+    val r = spark.read.parquet(s"$path/cells")
+      .groupBy(col("cid")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast("long"), count(lit(1)).cast("long"),
+        max(col("c")).cast("long"),
+        sum(col("c") * (col("c") - lit(1L))).cast("long"))
+      .head()
+    val (n, k, mx, p2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val chosen =
+      if (p2 >= 2 * avgCandidateDegree * n) "indexed" else "inmemory"
+    (n, k, mx, p2, chosen)
+  }
+
+  /** [[semanticPairs]] with the path CHOSEN by [[semanticPathProbe]]
+    * (the connectedComponentsAuto move): probe the saved index's cell
+    * profile, then serve the within-cell pair sweep either from the
+    * saved cells (`indexed` — candidate join dominates, amortize the
+    * quantizer) or from a per-run in-memory train (`inmemory` — the
+    * corpus is small/balanced enough that a fresh train is cheaper
+    * than reading the published artifact). Both paths are
+    * result-identical (deterministic quantizer, spec-pinned), so the
+    * choice is pure plan routing. Returns (pairs, chosen path). */
+  def semanticPairsAuto(vecs: DataFrame, id: String, vec: String,
+      path: String, tau: Double, k: Int = 8, rounds: Int = 2,
+      blocks: Int = 8): (DataFrame, String) = {
+    val spark = vecs.sparkSession
+    val chosen = semanticPathProbe(spark, path)._5
+    val pairs =
+      if (chosen == "indexed") semanticPairsFromIndex(spark, path, tau, blocks)
+      else semanticPairs(vecs, id, vec, tau, k, rounds, blocks)
+    (pairs, chosen)
+  }
+
   /** Build and SAVE an IVF (inverted-file) ANN index: a coarse
     * k-means quantizer ([[VecKMeans.train]]) partitions the corpus
     * into `k` cells; cell assignments (with the vector and its norm)
@@ -398,13 +452,25 @@ object Similarity {
     * same deterministic seeding/rounding as the build, and writes the
     * standard layout, so the caller republishes atomically via
     * IndexStore.ensure and every consumer (topk / range / semantic
-    * dedup / cell stats) serves the new index unchanged. */
+    * dedup / cell stats) serves the new index unchanged.
+    *
+    * An ATTRIBUTED index ([[ivfBuild]] attrs) stays attributed: the
+    * metadata columns are discovered from the cells schema (the
+    * [[ivfAppend]] move) and carried through the retrain — without
+    * this, a rebuild would silently strip them and every filtered
+    * probe against the rebuilt index would fail resolving the
+    * attribute column at serving time. */
   def ivfRebuild(spark: org.apache.spark.sql.SparkSession,
       oldPath: String, newPath: String, k: Int = 8,
-      rounds: Int = 2): Unit =
-    ivfBuild(spark.read.parquet(s"$oldPath/cells")
-        .select(col("vec_id"), col("v")),
-      "vec_id", "v", newPath, k = k, rounds = rounds)
+      rounds: Int = 2): Unit = {
+    val cells = spark.read.parquet(s"$oldPath/cells")
+    val extraAttrs = cells.schema.map(_.name)
+      .filterNot(Set("cid", "vec_id", "v", "nrm"))
+    ivfBuild(cells.select(
+        (Seq("vec_id", "v") ++ extraAttrs).map(col): _*),
+      "vec_id", "v", newPath, k = k, rounds = rounds,
+      attrs = extraAttrs)
+  }
 
   /** Greedy k-CENTER (Gonzalez farthest-point) exemplar selection —
     * the `sample_kcenter` traversal as a reusable API: start at the

@@ -3575,24 +3575,77 @@ object EventQueries {
   private val lateJitterSpanUs = 7200000000L // arrival = event ± 1 h
   private val lateBlockUs = 3600000000L // 1-h arrival blocks
 
-  /** Shared oracle CTEs ending in `w (event_type, us, pm)`: simulated
-    * arrival order (event time + bounded portable-hash jitter) and
-    * the strict-prior prefix max `pm` — DELAY-INDEPENDENT, so one
-    * chain serves both the fixed-watermark audit (ev_late_data) and
-    * the delay sweep (ev_watermark_sweep). */
-  private val lateArrivalCte =
-    s"""WITH e AS (
-       |  SELECT event_id, event_type, epoch_us(ts) AS us,
+  /** Arrival-order CTE pair with caller-chosen names (`<p>e`,
+    * `<p>w`): simulated arrival order (event time + bounded
+    * portable-hash jitter) and the strict-prior prefix max `pm`.
+    * Parameterized on the CTE-name prefix so the SAME string builds
+    * both the standalone oracles (empty prefix) and the knob card's
+    * combined WITH clause (unique `w1` prefix) — the card can never
+    * desync from the chain it summarizes (round-14 ADVICE). */
+  private def arrivalChain(p: String, extraCols: String): String =
+    s"""${p}e AS (
+       |  SELECT event_id, ${extraCols}epoch_us(ts) AS us,
        |    epoch_us(ts)
        |      + (${DedupQueries.duckHash(
               "concat('arr:', CAST(event_id AS VARCHAR))")}
        |         % $lateJitterSpanUs) - ${lateJitterSpanUs / 2} AS arr
        |  FROM events),
-       |w AS (
-       |  SELECT event_type, us,
+       |${p}w AS (
+       |  SELECT ${extraCols}us,
        |    max(us) OVER (ORDER BY arr, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-       |  FROM e)""".stripMargin
+       |  FROM ${p}e)""".stripMargin
+
+  /** Shared oracle CTEs ending in `w (event_type, us, pm)` —
+    * DELAY-INDEPENDENT, so one chain serves both the fixed-watermark
+    * audit (ev_late_data) and the delay sweep (ev_watermark_sweep). */
+  private val lateArrivalCte =
+    "WITH " + arrivalChain("", "event_type, ")
+
+  private val watermarkDelaysMin = Seq(5, 15, 30, 60, 120)
+
+  /** The watermark sweep's full oracle chain (unique `w1*` CTE names)
+    * ending in `w1f (delay_min, n_events, n_late, late_share)` —
+    * shared verbatim with pipeline_knob_card's oracle. */
+  private[operators] val watermarkSweepCte: String =
+    s"""${arrivalChain("w1", "")},
+       |w1s AS (SELECT unnest([${watermarkDelaysMin.mkString(", ")}])
+       |        AS delay_min),
+       |w1m AS (
+       |  SELECT delay_min, count(*) AS n_events,
+       |    sum(CASE WHEN pm IS NOT NULL
+       |      AND us <= pm - CAST(delay_min AS BIGINT) * 60000000
+       |      THEN 1 ELSE 0 END) AS n_late
+       |  FROM w1w, w1s GROUP BY delay_min),
+       |w1f AS (SELECT delay_min, n_events, n_late,
+       |    round(CAST(n_late AS DOUBLE) / n_events, 6) AS late_share
+       |  FROM w1m)""".stripMargin
+
+  private val sessionGapsMin = Seq(5, 15, 30, 60)
+
+  /** The session-gap sweep's full oracle chain (unique `s1*` CTE
+    * names) ending in `s1f (gap_min, n_events, n_sessions, in_us,
+    * ref)` — shared verbatim with pipeline_knob_card's oracle. */
+  private[operators] val sessionGapSweepCte: String =
+    s"""s1e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |s1d AS (SELECT user_id,
+       |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+       |      AS delta
+       |  FROM s1e),
+       |s1s AS (SELECT unnest([${sessionGapsMin.mkString(", ")}])
+       |        AS gap_min),
+       |s1m AS (
+       |  SELECT gap_min,
+       |    count(*) AS n_events,
+       |    count(DISTINCT user_id)
+       |      + sum(CASE WHEN delta >= CAST(gap_min AS BIGINT) * 60000000
+       |            THEN 1 ELSE 0 END) AS n_sessions,
+       |    sum(CASE WHEN delta IS NOT NULL
+       |          AND delta < CAST(gap_min AS BIGINT) * 60000000
+       |          THEN delta ELSE 0 END) AS in_us
+       |  FROM s1d, s1s GROUP BY gap_min),
+       |s1f AS (SELECT gap_min, n_events, n_sessions, in_us,
+       |    min(n_sessions) OVER () AS ref FROM s1m)""".stripMargin
 
   /** Spark twin of [[lateArrivalCte]]: (event_type, us, pm) with the
     * blocked-prefix-max decomposition (within-block windows
@@ -3668,23 +3721,14 @@ object EventQueries {
     * windows, calendar-bounded carry frame, broadcast attach) plus a
     * constant ×5 per-row explode — no join, no extra shuffle. */
   val evWatermarkSweep: GQuery = {
-    val delaysMin = Seq(5, 15, 30, 60, 120)
+    val delaysMin = watermarkDelaysMin
     GQuery("ev_watermark_sweep",
-      s"""$lateArrivalCte,
-         |sweep AS (SELECT unnest([${delaysMin.mkString(", ")}])
-         |          AS delay_min)
+      s"""WITH $watermarkSweepCte
          |SELECT CAST(delay_min AS INT) AS delay_min,
-         |  CAST(count(*) AS BIGINT) AS n_events,
-         |  CAST(sum(CASE WHEN pm IS NOT NULL
-         |    AND us <= pm - CAST(delay_min AS BIGINT) * 60000000
-         |    THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_late,
-         |  round(CAST(sum(CASE WHEN pm IS NOT NULL
-         |    AND us <= pm - CAST(delay_min AS BIGINT) * 60000000
-         |    THEN 1 ELSE 0 END)
-         |    AS DOUBLE) / count(*), 6) AS late_share
-         |FROM w, sweep
-         |GROUP BY delay_min
+         |  CAST(n_events AS BIGINT) AS n_events,
+         |  CAST(n_late AS BIGINT) AS n_late,
+         |  late_share
+         |FROM w1f
          |ORDER BY delay_min""".stripMargin) { (s, dir) =>
       lateArrivalFrame(s, dir)
         .withColumn("delay_min",
@@ -3723,25 +3767,9 @@ object EventQueries {
     * users), a ×4 per-row explode, map-side-combining aggregates to
     * 4 rows; count(DISTINCT user) rides the same shuffle. */
   val evSessionGapSweep: GQuery = {
-    val gapsMin = Seq(5, 15, 30, 60)
+    val gapsMin = sessionGapsMin
     GQuery("ev_session_gap_sweep",
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-         |d AS (SELECT user_id,
-         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-         |      AS delta
-         |  FROM e),
-         |sweep AS (SELECT unnest([${gapsMin.mkString(", ")}])
-         |          AS gap_min),
-         |m AS (
-         |  SELECT gap_min,
-         |    count(*) AS n_events,
-         |    count(DISTINCT user_id)
-         |      + sum(CASE WHEN delta >= CAST(gap_min AS BIGINT) * 60000000
-         |            THEN 1 ELSE 0 END) AS n_sessions,
-         |    sum(CASE WHEN delta IS NOT NULL
-         |          AND delta < CAST(gap_min AS BIGINT) * 60000000
-         |          THEN delta ELSE 0 END) AS in_us
-         |  FROM d, sweep GROUP BY gap_min)
+      s"""WITH $sessionGapSweepCte
          |SELECT CAST(gap_min AS INT) AS gap_min,
          |  CAST(n_events AS BIGINT) AS n_events,
          |  CAST(n_sessions AS BIGINT) AS n_sessions,
@@ -3750,7 +3778,7 @@ object EventQueries {
          |    AS events_per_session,
          |  CAST((2 * in_us + n_sessions) // (2 * n_sessions) AS DOUBLE)
          |    / 1000000 AS avg_len_sec
-         |FROM m ORDER BY gap_min""".stripMargin) { (s, dir) =>
+         |FROM s1f ORDER BY gap_min""".stripMargin) { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
       val gapUs = col("gap_min").cast("long") * 60000000L
       Tables.events(s, dir)

@@ -63,16 +63,47 @@ object GraphQueries {
     3
   }
 
-  /** directed co-purchase brand edges (symmetric), memoized; derives
-    * from the (order, brand) frame shared with mining_copurchase. */
-  private def edges(s: SparkSession, dir: String): DataFrame =
-    PlanCache.memo(s, dir, "brand_edges") {
-      val ob = MiningQueries.orderBrands(s, dir)
-      ob.join(ob.select(col("okey"), col("brand").as("dst")), Seq("okey"))
-        .filter(col("brand") =!= col("dst"))
-        .select(col("brand").as("src"), col("dst"))
-        .distinct()
+  /** SAVED edge artifact + session memo: the edge derivation (a
+    * distinct self-join over lineitem, or the bigram threshold graph
+    * over documents) runs ONCE PER CORPUS GENERATION, published under
+    * IndexStore (family `graph_edges_<kind>`, stamped on the source
+    * parquet like ivf_c8 / nngd / phash_b32), and every later
+    * session — in this process or any other on the host — reads the
+    * edge parquet instead of re-deriving the join. The session memo
+    * still persists the read (16 graph queries consume each frame
+    * many times per run). This was the graph family's last shared
+    * cost paid per-session rather than per-generation (round-14
+    * VERDICT item 2); the brand/part stamps ride lineitem and the
+    * colloc stamp rides documents — fixtures regenerate as a whole
+    * directory, so one source file's stamp covers the derivation's
+    * other inputs (part, the tokenizer) too. */
+  private[operators] def savedEdges(s: SparkSession, dir: String,
+      kind: String, sourceFile: String)(build: => DataFrame): DataFrame =
+    PlanCache.memo(s, dir, kind) {
+      val path = graft.IndexStore.ensure(graft.IndexStore.stampedPath(
+          s"graph_edges_$kind", dir, sourceFile)) { tmp =>
+        build.write.parquet(s"$tmp/edges")
+      }
+      s.read.parquet(s"$path/edges")
     }
+
+  /** The brand-edge derivation itself — exposed for the saved ≡
+    * derived spec pin. */
+  private[graft] def brandEdgesDerived(s: SparkSession,
+      dir: String): DataFrame = {
+    val ob = MiningQueries.orderBrands(s, dir)
+    ob.join(ob.select(col("okey"), col("brand").as("dst")), Seq("okey"))
+      .filter(col("brand") =!= col("dst"))
+      .select(col("brand").as("src"), col("dst"))
+      .distinct()
+  }
+
+  /** directed co-purchase brand edges (symmetric), saved + memoized;
+    * derives from the (order, brand) frame shared with
+    * mining_copurchase. */
+  private[graft] def edges(s: SparkSession, dir: String): DataFrame =
+    savedEdges(s, dir, "brand_edges", "lineitem.parquet")(
+      brandEdgesDerived(s, dir))
 
   /** PageRank, damping 0.85, 3 power iterations — a thin binding of
     * graft.api.Graph.pageRank (per-iteration localCheckpoint,
@@ -265,16 +296,22 @@ object GraphQueries {
     * any SF), so density-sensitive algorithms like k-core need the
     * 2000-node part graph, whose degrees actually spread (42–206 at
     * sf0.01). */
-  private def partEdges(s: SparkSession, dir: String): DataFrame =
-    PlanCache.memo(s, dir, "part_edges") {
-      val ob = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-        .distinct()
-      ob.join(ob.select(col("okey"), col("pk").as("dst")), Seq("okey"))
-        .filter(col("pk") =!= col("dst"))
-        .select(col("pk").as("src"), col("dst"))
-        .distinct()
-    }
+  /** The part-edge derivation itself — exposed for the saved ≡
+    * derived spec pin. */
+  private[graft] def partEdgesDerived(s: SparkSession,
+      dir: String): DataFrame = {
+    val ob = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    ob.join(ob.select(col("okey"), col("pk").as("dst")), Seq("okey"))
+      .filter(col("pk") =!= col("dst"))
+      .select(col("pk").as("src"), col("dst"))
+      .distinct()
+  }
+
+  private[graft] def partEdges(s: SparkSession, dir: String): DataFrame =
+    savedEdges(s, dir, "part_edges", "lineitem.parquet")(
+      partEdgesDerived(s, dir))
 
   /** Bounded-round K-CORE decomposition of the part co-purchase
     * graph — a thin binding of graft.api.Graph.kCore: 4 synchronous
@@ -619,20 +656,26 @@ object GraphQueries {
     * the one fixture graph with real degree structure at every SF.
     * Memoized: assortativity and the recursive-CTE reachability both
     * read it. */
-  private def collocEdges(s: SparkSession, dir: String): DataFrame =
-    PlanCache.memo(s, dir, "colloc_edges") {
-      val pairs = TextQueries.bigrams(s, dir)
-        .select(split(col("ngram"), " ").getItem(0).as("a"),
-          split(col("ngram"), " ").getItem(1).as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-      val th = pairs.agg(
-        expr("percentile(CAST(c AS DOUBLE), 0.75d)").as("t"))
-      val strong = pairs.crossJoin(broadcast(th))
-        .filter(col("c") > col("t") && col("a") =!= col("b"))
-      strong.select(col("a").as("src"), col("b").as("dst"))
-        .union(strong.select(col("b").as("src"), col("a").as("dst")))
-        .distinct()
-    }
+  /** The collocation-edge derivation itself — exposed for the saved
+    * ≡ derived spec pin. */
+  private[graft] def collocEdgesDerived(s: SparkSession,
+      dir: String): DataFrame = {
+    val pairs = TextQueries.bigrams(s, dir)
+      .select(split(col("ngram"), " ").getItem(0).as("a"),
+        split(col("ngram"), " ").getItem(1).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val th = pairs.agg(
+      expr("percentile(CAST(c AS DOUBLE), 0.75d)").as("t"))
+    val strong = pairs.crossJoin(broadcast(th))
+      .filter(col("c") > col("t") && col("a") =!= col("b"))
+    strong.select(col("a").as("src"), col("b").as("dst"))
+      .union(strong.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+  }
+
+  private[graft] def collocEdges(s: SparkSession, dir: String): DataFrame =
+    savedEdges(s, dir, "colloc_edges", "documents.parquet")(
+      collocEdgesDerived(s, dir))
 
   val graphAssortativity: GQuery = GQuery(
     "graph_assortativity",

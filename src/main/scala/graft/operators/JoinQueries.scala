@@ -243,6 +243,41 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  private val asofTolsMin = Seq(1, 5, 15, 60)
+
+  /** The as-of sweep's full oracle chain (unique `a1*` CTE names)
+    * ending in `a1f (tol_min, n_purchases, n_matched, lag_sum,
+    * match_share)` — shared verbatim with pipeline_knob_card's
+    * oracle (round-14 ADVICE: the card's oracle must be built from
+    * the same strings as the sweeps' own oracles). */
+  private[operators] val asofSweepCte: String =
+    s"""a1l AS (
+       |  SELECT event_id,
+       |    epoch_us(ts) - epoch_us(last_click) AS lag_us
+       |  FROM (
+       |    SELECT event_id, ts, event_type,
+       |      max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+       |        PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        AS last_click
+       |    FROM events)
+       |  WHERE event_type = 'purchase'),
+       |a1s AS (SELECT unnest([${asofTolsMin.mkString(", ")}])
+       |        AS tol_min),
+       |a1m AS (
+       |  SELECT tol_min, count(*) AS n_purchases,
+       |    sum(CASE WHEN lag_us IS NOT NULL
+       |          AND lag_us <= CAST(tol_min AS BIGINT) * 60000000
+       |          THEN 1 ELSE 0 END) AS n_matched,
+       |    sum(CASE WHEN lag_us IS NOT NULL
+       |          AND lag_us <= CAST(tol_min AS BIGINT) * 60000000
+       |          THEN lag_us ELSE 0 END) AS lag_sum
+       |  FROM a1l, a1s GROUP BY tol_min),
+       |a1f AS (SELECT tol_min, n_purchases, n_matched, lag_sum,
+       |    round(CAST(n_matched AS DOUBLE) / n_purchases, 6)
+       |      AS match_share
+       |  FROM a1m)""".stripMargin
+
   /** AS-OF TOLERANCE SIZING SWEEP — the feature-store staleness knob
     * priced (the sixth sizing sweep): match rate and mean staleness
     * of the purchase→last-click as-of join at tolerances of
@@ -260,39 +295,17 @@ object JoinQueries {
     * Scale shape: one user-partitioned window (the join_asof plan),
     * a ×4 per-row explode on the purchases slice only, 4-row rollup. */
   val joinAsofSweep: GQuery = {
-    val tolsMin = Seq(1, 5, 15, 60)
+    val tolsMin = asofTolsMin
     GQuery("join_asof_sweep",
-      s"""WITH lc AS (
-         |  SELECT event_id,
-         |    epoch_us(ts) - epoch_us(last_click) AS lag_us
-         |  FROM (
-         |    SELECT event_id, ts, event_type,
-         |      max(CASE WHEN event_type = 'click' THEN ts END) OVER (
-         |        PARTITION BY user_id ORDER BY ts, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |        AS last_click
-         |    FROM events)
-         |  WHERE event_type = 'purchase'),
-         |sweep AS (SELECT unnest([${tolsMin.mkString(", ")}])
-         |          AS tol_min),
-         |m AS (
-         |  SELECT tol_min, count(*) AS n_purchases,
-         |    sum(CASE WHEN lag_us IS NOT NULL
-         |          AND lag_us <= CAST(tol_min AS BIGINT) * 60000000
-         |          THEN 1 ELSE 0 END) AS n_matched,
-         |    sum(CASE WHEN lag_us IS NOT NULL
-         |          AND lag_us <= CAST(tol_min AS BIGINT) * 60000000
-         |          THEN lag_us ELSE 0 END) AS lag_sum
-         |  FROM lc, sweep GROUP BY tol_min)
+      s"""WITH $asofSweepCte
          |SELECT CAST(tol_min AS INT) AS tol_min,
          |  CAST(n_purchases AS BIGINT) AS n_purchases,
          |  CAST(n_matched AS BIGINT) AS n_matched,
-         |  round(CAST(n_matched AS DOUBLE) / n_purchases, 6)
-         |    AS match_share,
+         |  match_share,
          |  CASE WHEN n_matched > 0
          |    THEN CAST((2 * lag_sum + n_matched) // (2 * n_matched)
          |      AS DOUBLE) / 1000000 END AS avg_staleness_sec
-         |FROM m ORDER BY tol_min""".stripMargin) { (s, dir) =>
+         |FROM a1f ORDER BY tol_min""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)

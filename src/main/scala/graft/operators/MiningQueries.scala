@@ -22,9 +22,11 @@ object MiningQueries {
     * classic co-occurrence shape; the per-order fan-out is bounded by
     * lines-per-order, so the join is near-linear). */
   /** distinct (order, brand) pairs — the shared base of the
-    * co-purchase and graph families, memoized per (session, dir). */
+    * co-purchase and graph families, saved once per corpus generation
+    * (the graph_edges artifact discipline, GraphQueries.savedEdges)
+    * and memoized per (session, dir). */
   private[operators] def orderBrands(s: SparkSession, dir: String): DataFrame =
-    PlanCache.memo(s, dir, "order_brands") {
+    GraphQueries.savedEdges(s, dir, "order_brands", "lineitem.parquet") {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("okey"), col("l_partkey"))
         .join(Tables.part(s, dir)

@@ -298,114 +298,25 @@ object PipelineQueries {
     *
     * Spark side composes the five CONTRACT sweeps' own frames
     * (each .fn reused verbatim — the card can never disagree with
-    * the curves it summarizes); the oracle replays all five chains
-    * prefixed into one WITH clause. Selection is an ok-flag sort with
-    * a deterministic fallback key, LIMIT 1 per knob.
+    * the curves it summarizes); the oracle composes the five sweeps'
+    * SHARED CTE-chain constants (watermarkSweepCte /
+    * sessionGapSweepCte / asofSweepCte / budgetSweepCte /
+    * packSweepCte — the same strings the sweeps' own oracles are
+    * built from, so a future edit to any sweep's chain or scoring
+    * formula flows into the card automatically; round-14 ADVICE).
+    * Selection is an ok-flag sort with a deterministic fallback key,
+    * LIMIT 1 per knob.
     *
     * Scale shape: the five sweeps' own shapes (each one pass +
     * predicate aggregates, all probed to 100×); selection adds five
     * ≤5-row sorts. */
   val pipelineKnobCard: GQuery = {
-    val stop = graft.api.Text.defaultStopwords
-      .map(w => s"'$w'").mkString("(", ",", ")")
-    val jitter = DedupQueries.duckHash(
-      "concat('arr:', CAST(event_id AS VARCHAR))")
     GQuery("pipeline_knob_card",
-      s"""WITH w1e AS (
-         |  SELECT event_id, epoch_us(ts) AS us,
-         |    epoch_us(ts) + ($jitter % 7200000000) - 3600000000 AS arr
-         |  FROM events),
-         |w1w AS (
-         |  SELECT us, max(us) OVER (ORDER BY arr, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-         |  FROM w1e),
-         |w1s AS (SELECT unnest([5, 15, 30, 60, 120]) AS delay_min),
-         |w1m AS (
-         |  SELECT delay_min, count(*) AS n_events,
-         |    sum(CASE WHEN pm IS NOT NULL
-         |      AND us <= pm - CAST(delay_min AS BIGINT) * 60000000
-         |      THEN 1 ELSE 0 END) AS n_late
-         |  FROM w1w, w1s GROUP BY delay_min),
-         |w1f AS (SELECT delay_min,
-         |    round(CAST(n_late AS DOUBLE) / n_events, 6) AS late_share
-         |  FROM w1m),
-         |s1e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-         |s1d AS (SELECT user_id,
-         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-         |      AS delta
-         |  FROM s1e),
-         |s1s AS (SELECT unnest([5, 15, 30, 60]) AS gap_min),
-         |s1m AS (
-         |  SELECT gap_min, count(DISTINCT user_id)
-         |    + sum(CASE WHEN delta >= CAST(gap_min AS BIGINT) * 60000000
-         |          THEN 1 ELSE 0 END) AS n_sessions
-         |  FROM s1d, s1s GROUP BY gap_min),
-         |s1f AS (SELECT gap_min, n_sessions,
-         |    min(n_sessions) OVER () AS ref FROM s1m),
-         |a1l AS (
-         |  SELECT epoch_us(ts) - epoch_us(last_click) AS lag_us
-         |  FROM (
-         |    SELECT ts, event_type,
-         |      max(CASE WHEN event_type = 'click' THEN ts END) OVER (
-         |        PARTITION BY user_id ORDER BY ts, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |        AS last_click
-         |    FROM events)
-         |  WHERE event_type = 'purchase'),
-         |a1s AS (SELECT unnest([1, 5, 15, 60]) AS tol_min),
-         |a1m AS (
-         |  SELECT tol_min, count(*) AS n_p,
-         |    sum(CASE WHEN lag_us IS NOT NULL
-         |      AND lag_us <= CAST(tol_min AS BIGINT) * 60000000
-         |      THEN 1 ELSE 0 END) AS n_m
-         |  FROM a1l, a1s GROUP BY tol_min),
-         |a1f AS (SELECT tol_min,
-         |    round(CAST(n_m AS DOUBLE) / n_p, 6) AS match_share
-         |  FROM a1m),
-         |b1t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |        FROM documents),
-         |b1p AS (SELECT doc_id, count(*) AS n_tokens,
-         |    count(DISTINCT term) AS n_distinct,
-         |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
-         |  FROM b1t GROUP BY doc_id),
-         |b1q AS (SELECT doc_id, n_tokens,
-         |    CAST(round(
-         |      0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
-         |                 AS DECIMAL(12,6))
-         |      + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
-         |                        AS DECIMAL(12,6)))
-         |      + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
-         |  FROM b1p),
-         |b1b AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM b1q),
-         |b1c AS (SELECT doc_id, quality,
-         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
-         |      AS BIGINT) AS cum
-         |  FROM b1q),
-         |b1s AS (SELECT unnest([16, 8, 4, 2]) AS denom),
-         |b1m AS (
-         |  SELECT denom, min(quality) AS min_quality
-         |  FROM b1c CROSS JOIN b1b CROSS JOIN b1s
-         |  WHERE cum <= b1b.total // denom
-         |  GROUP BY denom),
-         |b1f AS (SELECT b1s.denom, b1m.min_quality
-         |        FROM b1s LEFT JOIN b1m ON b1s.denom = b1m.denom),
-         |p1t AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-         |  FROM documents),
-         |p1c AS (SELECT doc_id, tok,
-         |    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS BIGINT) AS off
-         |  FROM p1t),
-         |p1s AS (SELECT unnest([128, 256, 512, 1024]) AS seq_len),
-         |p1m AS (
-         |  SELECT seq_len, count(*) AS n_docs,
-         |    sum((off + tok - 1) // seq_len - off // seq_len) AS n_splits
-         |  FROM p1c, p1s GROUP BY seq_len),
-         |p1f AS (SELECT seq_len,
-         |    CAST((2 * n_splits * 1000000 + n_docs) // (2 * n_docs)
-         |      AS DOUBLE) / 1000000 AS splits_per_doc
-         |  FROM p1m)
+      s"""WITH ${EventQueries.watermarkSweepCte},
+         |${EventQueries.sessionGapSweepCte},
+         |${JoinQueries.asofSweepCte},
+         |${SampleQueries.budgetSweepCte},
+         |${TextQueries.packSweepCte}
          |SELECT * FROM (
          |  (SELECT 'asof_tolerance_min' AS knob,
          |     CAST(tol_min AS INT) AS chosen,

@@ -364,6 +364,53 @@ object SampleQueries {
       .orderBy(col("lang"))
   }
 
+  private val budgetDenoms = Seq(16, 8, 4, 2)
+
+  /** The token-budget sweep's full oracle chain (unique `b1*` CTE
+    * names) ending in `b1f (denom, budget, n_docs, tokens_used,
+    * min_quality)` — shared verbatim with pipeline_knob_card's
+    * oracle, including the quality-score formula (round-14 ADVICE:
+    * one string, two consumers, no silent desync). */
+  private[operators] val budgetSweepCte: String = {
+    val stop = graft.api.Text.defaultStopwords
+      .map(w => s"'$w'").mkString("(", ",", ")")
+    s"""b1t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents),
+       |b1p AS (SELECT doc_id, count(*) AS n_tokens,
+       |    count(DISTINCT term) AS n_distinct,
+       |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
+       |  FROM b1t GROUP BY doc_id),
+       |b1q AS (SELECT doc_id, n_tokens,
+       |    CAST(round(
+       |      0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+       |                 AS DECIMAL(12,6))
+       |      + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+       |                        AS DECIMAL(12,6)))
+       |      + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
+       |  FROM b1p),
+       |b1b AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total
+       |        FROM b1q),
+       |b1c AS (SELECT doc_id, n_tokens, quality,
+       |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+       |      AS BIGINT) AS cum
+       |  FROM b1q),
+       |b1s AS (SELECT unnest([${budgetDenoms.mkString(", ")}])
+       |        AS denom),
+       |b1m AS (
+       |  SELECT denom, count(*) AS n_docs,
+       |    max(cum) AS tokens_used, min(quality) AS min_quality
+       |  FROM b1c CROSS JOIN b1b CROSS JOIN b1s
+       |  WHERE cum <= b1b.total // denom
+       |  GROUP BY denom),
+       |b1f AS (
+       |  SELECT b1s.denom, b1b.total // b1s.denom AS budget,
+       |    coalesce(b1m.n_docs, 0) AS n_docs,
+       |    coalesce(b1m.tokens_used, 0) AS tokens_used,
+       |    b1m.min_quality
+       |  FROM b1s LEFT JOIN b1m ON b1s.denom = b1m.denom
+       |  CROSS JOIN b1b)""".stripMargin
+  }
+
   /** TOKEN-BUDGET SIZING SWEEP — the training-budget curve (the
     * sampling-family sizing sweep, next to nProbe / bands /
     * watermark / session-gap): what quality floor does each budget
@@ -382,45 +429,16 @@ object SampleQueries {
     * single-partition window — the api.Text discipline), a ×4
     * per-row explode, rollup state 4 rows. */
   val sampleBudgetSweep: GQuery = {
-    val stop = graft.api.Text.defaultStopwords
-      .map(w => s"'$w'").mkString("(", ",", ")")
-    val denoms = Seq(16, 8, 4, 2)
+    val denoms = budgetDenoms
     GQuery(
       "sample_budget_sweep",
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |             FROM documents),
-         |per_doc AS (SELECT doc_id, count(*) AS n_tokens,
-         |    count(DISTINCT term) AS n_distinct,
-         |    sum(CASE WHEN term IN $stop THEN 1 ELSE 0 END) AS n_stop
-         |  FROM tok GROUP BY doc_id),
-         |scored AS (SELECT doc_id, n_tokens,
-         |    CAST(round(
-         |      0.5 * CAST(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
-         |                 AS DECIMAL(12,6))
-         |      + 0.3 * (1 - CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
-         |                        AS DECIMAL(12,6)))
-         |      + 0.002 * least(n_tokens, 100), 6) AS DOUBLE) AS quality
-         |  FROM per_doc),
-         |bt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total
-         |       FROM scored),
-         |c AS (SELECT doc_id, n_tokens, quality,
-         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
-         |      AS BIGINT) AS cum
-         |  FROM scored),
-         |sweep AS (SELECT unnest([${denoms.mkString(", ")}]) AS denom),
-         |m AS (
-         |  SELECT denom, count(*) AS n_docs,
-         |    max(cum) AS tokens_used, min(quality) AS min_quality
-         |  FROM c CROSS JOIN bt CROSS JOIN sweep
-         |  WHERE cum <= bt.total // denom
-         |  GROUP BY denom)
-         |SELECT CAST(sweep.denom AS INT) AS denom,
-         |  CAST(bt.total // sweep.denom AS BIGINT) AS budget,
-         |  CAST(coalesce(m.n_docs, 0) AS BIGINT) AS n_docs,
-         |  CAST(coalesce(m.tokens_used, 0) AS BIGINT) AS tokens_used,
-         |  m.min_quality
-         |FROM sweep LEFT JOIN m ON sweep.denom = m.denom
-         |CROSS JOIN bt
+      s"""WITH $budgetSweepCte
+         |SELECT CAST(denom AS INT) AS denom,
+         |  CAST(budget AS BIGINT) AS budget,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(tokens_used AS BIGINT) AS tokens_used,
+         |  min_quality
+         |FROM b1f
          |ORDER BY denom""".stripMargin) { (s, dir) =>
       val scored = graft.api.Text.qualityScoreFromTokens(
         TextQueries.tokens(s, dir).withColumnRenamed("term", "token"),

@@ -280,12 +280,7 @@ object SimQueries {
        |  n_vectors * n_cells * 5 <= total AS cold
        |FROM pc CROSS JOIN t
        |ORDER BY cid""".stripMargin) { (s, dir) =>
-    val ev = vecs(s, dir).select(col("vec_id"), col("v"))
-    val ivfPath = graft.IndexStore.ensure(
-      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
-      tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
-        k = 8, rounds = 2)
-    }
+    val ivfPath = ensureIvfC8(s, dir)
     val perCell = s.read.parquet(s"$ivfPath/cells")
       .select(col("cid").cast("int").as("cid"))
       .groupBy(col("cid"))
@@ -789,10 +784,66 @@ object SimQueries {
     * serialization. */
   val dedupSemantic: GQuery = GQuery("dedup_semantic", semanticSql) {
     (s, dir) =>
-      graft.api.Similarity.semanticPairs(
+      // path chosen by the measured cell-density probe (the
+      // connectedComponentsAuto move): inmemory at fixture balance,
+      // indexed once the within-cell candidate join dominates — both
+      // paths produce identical pairs, so the oracle is path-blind
+      // and `dedup_semantic_stats` certifies the decision itself
+      graft.api.Similarity.semanticPairsAuto(
         vecs(s, dir).select(col("vec_id"), col("v")),
-        "vec_id", "v", tau = 0.4, k = 8, rounds = 2)
+        "vec_id", "v", ensureIvfC8(s, dir), tau = 0.4, k = 8,
+        rounds = 2)._1
         .orderBy(col("cid"), col("v1"), col("v2"))
+  }
+
+  /** The shared ivf_c8 build-if-absent (one stamped artifact, many
+    * consumers: ANN top-k, range, semantic dedup, cell stats, the
+    * path probe). */
+  private def ensureIvfC8(s: SparkSession, dir: String): String =
+    graft.IndexStore.ensure(
+      graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
+      tmp => graft.api.Similarity.ivfBuild(
+        vecs(s, dir).select(col("vec_id"), col("v")), "vec_id", "v",
+        tmp, k = 8, rounds = 2)
+    }
+
+  /** The semantic-dedup PATH CHOOSER's cell-density probe as an
+    * oracle-backed row (round-14 VERDICT item 3 — the
+    * dedup_cluster_stats pattern: hash-certify the PLANNING DECISION):
+    * the k = 8 quantizer's cell profile reduced to the integer-exact
+    * statistic Σc(c−1) (twice the within-cell candidate-pair count)
+    * and the decision `indexed` iff Σc(c−1) ≥ 128·n — i.e. the
+    * saved-index serving path is mandated once the exact pair join
+    * averages > 64 scored candidates per vector, the regime where the
+    * quadratic stage dominates the linear train+assign and where the
+    * 100× clone-dense probe measured dedup_semantic output-bound
+    * (BASELINE.md: 153.6 s). DuckDB replays the quantizer and the
+    * same integer compare, so the hash gate certifies the CHOICE,
+    * not just the pairs it routes to.
+    *
+    * Scale shape: reads only the saved index's `cid` partition
+    * column (parquet metadata, not vector bytes), one ≤k-row
+    * aggregate, 1-row output assembled driver-side from bounded
+    * scalars — the dedup_cluster_stats discipline. */
+  val dedupSemanticStats: GQuery = GQuery(
+    "dedup_semantic_stats",
+    s"""${MiningQueries.kmeansOracleCte(8, 2)},
+       |cc AS (SELECT cid, count(*) AS c FROM fin GROUP BY cid),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_vecs,
+       |             CAST(count(*) AS BIGINT) AS n_cells,
+       |             CAST(max(c) AS BIGINT) AS max_cell,
+       |             CAST(sum(c * (c - 1)) AS BIGINT) AS pair2
+       |      FROM cc)
+       |SELECT n_vecs, n_cells, max_cell,
+       |  CAST(pair2 // 2 AS BIGINT) AS n_candidate_pairs,
+       |  CASE WHEN pair2 >= 128 * n_vecs
+       |    THEN 'indexed' ELSE 'inmemory' END AS path
+       |FROM t""".stripMargin) { (s, dir) =>
+    val (n, k, mx, p2, chosen) = graft.api.Similarity
+      .semanticPathProbe(s, ensureIvfC8(s, dir))
+    import s.implicits._
+    Seq((n, k, mx, p2 / 2, chosen))
+      .toDF("n_vecs", "n_cells", "max_cell", "n_candidate_pairs", "path")
   }
 
   /** [[dedupSemantic]] served from the SAVED IVF index — the SAME
@@ -804,13 +855,8 @@ object SimQueries {
     * SQL as its twin. */
   val dedupSemanticIndexed: GQuery =
     GQuery("dedup_semantic_indexed", semanticSql) { (s, dir) =>
-      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
-      val ivfPath = graft.IndexStore.ensure(
-        graft.IndexStore.stampedPath("ivf_c8", dir, "embeddings.parquet")) {
-        tmp => graft.api.Similarity.ivfBuild(ev, "vec_id", "v", tmp,
-          k = 8, rounds = 2)
-      }
-      graft.api.Similarity.semanticPairsFromIndex(s, ivfPath, tau = 0.4)
+      graft.api.Similarity
+        .semanticPairsFromIndex(s, ensureIvfC8(s, dir), tau = 0.4)
         .orderBy(col("cid"), col("v1"), col("v2"))
     }
 
@@ -3488,7 +3534,8 @@ object SimQueries {
       simTopkFiltered, simTopkHamming, simCosineTopk,
       simPairThreshold, simPairThresholdSalted,
       simTopkLsh, simTopkIvf, simTopkIvfPq, simTopkSq8, dedupSemantic,
-      dedupSemanticIndexed, simTopkMmr, simRangeIvf, embedDimStats,
+      dedupSemanticIndexed, dedupSemanticStats, simTopkMmr, simRangeIvf,
+      embedDimStats,
       simKnnClassify, embedStandardize, simRecallEval, simCentroidDrift,
       simHybridSearch, simHybridIndexed, simHybridIvf, simLexIngest,
       simKnnGraph, embedPcaPower, simMatryoshkaTopk, embedSq8Error,

@@ -594,10 +594,40 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  private val packSeqLens = Seq(128, 256, 512, 1024)
+
+  /** The packing sweep's full oracle chain (unique `p1*` CTE names)
+    * ending in `p1f (seq_len, n_docs, n_splits, splits_per_doc)`
+    * plus the totals CTE `p1b` — shared verbatim with
+    * pipeline_knob_card's oracle (round-14 ADVICE). */
+  private[operators] val packSweepCte: String =
+    s"""p1t AS (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |        FROM documents),
+       |p1c AS (SELECT doc_id, tok,
+       |    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off
+       |  FROM p1t),
+       |p1b AS (SELECT CAST(sum(tok) AS BIGINT) AS total FROM p1t),
+       |p1s AS (SELECT unnest([${packSeqLens.mkString(", ")}])
+       |        AS seq_len),
+       |p1m AS (
+       |  SELECT seq_len, count(*) AS n_docs,
+       |    sum((off + tok - 1) // seq_len - off // seq_len)
+       |      AS n_splits
+       |  FROM p1c, p1s GROUP BY seq_len),
+       |p1f AS (SELECT seq_len, n_docs, n_splits,
+       |    CAST((2 * n_splits * 1000000 + n_docs)
+       |      // (2 * n_docs) AS DOUBLE) / 1000000 AS splits_per_doc
+       |  FROM p1m)""".stripMargin
+
   /** SEQUENCE-LENGTH SIZING SWEEP — the training-shape knob priced
     * (the seventh sizing sweep): sequences produced and document
     * boundary-splits at seq lengths 128/256/512/1024 under
     * concat-and-chunk packing in doc_id (ingestion) order. The
+    * oracle chain lives in [[packSweepCte]], shared verbatim with
+    * pipeline_knob_card (round-14 ADVICE). The
     * cumulative offset is LENGTH-INDEPENDENT, so the distributed
     * prefix sum (the text_pack_sequences machinery) runs once and the
     * sweep is four predicate aggregates: a doc's split count under
@@ -611,31 +641,16 @@ object TextQueries {
     * never a single-partition window), a ×4 per-row explode, 4-row
     * rollup; the totals scalar is a 1-row broadcast. */
   val textPackSweep: GQuery = {
-    val lens = Seq(128, 256, 512, 1024)
+    val lens = packSeqLens
     GQuery("text_pack_sweep",
-      s"""WITH t AS (SELECT doc_id,
-         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-         |           FROM documents),
-         |c AS (SELECT doc_id, tok,
-         |        CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |          AS BIGINT) AS off
-         |      FROM t),
-         |bt AS (SELECT CAST(sum(tok) AS BIGINT) AS total FROM t),
-         |sweep AS (SELECT unnest([${lens.mkString(", ")}]) AS seq_len),
-         |m AS (
-         |  SELECT seq_len, count(*) AS n_docs,
-         |    sum((off + tok - 1) // seq_len - off // seq_len)
-         |      AS n_splits
-         |  FROM c, sweep GROUP BY seq_len)
-         |SELECT CAST(m.seq_len AS INT) AS seq_len,
-         |  CAST(m.n_docs AS BIGINT) AS n_docs,
-         |  CAST((bt.total + m.seq_len - 1) // m.seq_len AS BIGINT)
+      s"""WITH $packSweepCte
+         |SELECT CAST(p1f.seq_len AS INT) AS seq_len,
+         |  CAST(p1f.n_docs AS BIGINT) AS n_docs,
+         |  CAST((p1b.total + p1f.seq_len - 1) // p1f.seq_len AS BIGINT)
          |    AS n_sequences,
-         |  CAST(m.n_splits AS BIGINT) AS n_splits,
-         |  CAST((2 * m.n_splits * 1000000 + m.n_docs)
-         |    // (2 * m.n_docs) AS DOUBLE) / 1000000 AS splits_per_doc
-         |FROM m CROSS JOIN bt
+         |  CAST(p1f.n_splits AS BIGINT) AS n_splits,
+         |  p1f.splits_per_doc
+         |FROM p1f CROSS JOIN p1b
          |ORDER BY seq_len""".stripMargin) { (s, dir) =>
       val perDoc = tokens(s, dir).groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("bigint").as("tok"))

@@ -51,10 +51,12 @@ object MultimodalStreams {
     val corpusRaw = spark.read.parquet(s"$path/bands")
       .select(col("band"), col("bk"), col("id").as("corpus_id"),
         col("simhash").as("s2"))
+    // PlanCache-memoized (not a bare persist): many short-lived
+    // streams over one index share ONE pinned copy, released by
+    // PlanCache.evict/clear (round-14 ADVICE)
     val corpus =
       if (stream.isStreaming && cacheStatic)
-        corpusRaw.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.PlanCache.memo(spark, path, "stream_phash_bands")(corpusRaw)
       else corpusRaw
     // per-row fold on a live stream (no aggregate allowed); the
     // codegen'd aggregate twin on batch backfills (spec-pinned equal)

@@ -46,7 +46,12 @@ object SimStreams {
     * persisted MEMORY_AND_DISK — a stream cannot prune partitions
     * with a planning-time collect, so without the cache every
     * micro-batch re-scans the whole cells parquet (the measured
-    * phash-twin lesson, BASELINE.md round-15). */
+    * phash-twin lesson, BASELINE.md round-15). The persist rides
+    * [[graft.PlanCache]] keyed on (session, index path, matchCols):
+    * a session that starts/stops many streams over one index pins ONE
+    * cached copy, not one per call, and `PlanCache.evict(session)` /
+    * `clear()` is the release path the harness mains already use
+    * (round-14 ADVICE). */
   def rangeMatchingAgainstSavedIvfIndex(stream: DataFrame, id: String,
       vec: String, path: String, tau: Double, nProbe: Int,
       matchCols: Seq[String], cacheStatic: Boolean = true): DataFrame = {
@@ -75,8 +80,8 @@ object SimStreams {
         matchCols.map(col): _*)
     val cells =
       if (stream.isStreaming && cacheStatic)
-        cellsRaw.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.PlanCache.memo(spark, path,
+          "stream_ivf_cells_" + matchCols.mkString(","))(cellsRaw)
       else cellsRaw
     probeCells.join(cells, "cid" +: matchCols)
       .filter(col("probe_id") =!= col("neighbor_id"))

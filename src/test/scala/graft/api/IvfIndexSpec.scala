@@ -333,6 +333,73 @@ class IvfIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$p/cells").count() == before + 2)
   }
 
+  test("ivfRebuild preserves stored attributes; matching probe serves the rebuilt index") {
+    // round-14 ADVICE (medium): a rebuild that selects only
+    // (vec_id, v) from the cells strips the attrs an attributed build
+    // stored, violating the invariant ivfAppend enforces — then every
+    // ivfTopKMatching probe against the rebuilt index dies on an
+    // unresolved `label` column at serving time. The rebuild must
+    // derive the attrs from the cells schema and carry them through.
+    val p = Files.createTempDirectory("graft_ivfl_rb_src").toString
+    val labeled = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    Similarity.ivfBuild(labeled, "vec_id", "v", p, k = 8, rounds = 2,
+      attrs = Seq("label"))
+    val rb = Files.createTempDirectory("graft_ivfl_rb_dst").toString
+    Similarity.ivfRebuild(spark, p, rb, k = 8, rounds = 2)
+    val rbCells = spark.read.parquet(s"$rb/cells")
+    assert(rbCells.columns.contains("label"),
+      "rebuild must keep the stored attribute columns")
+    // every (vec_id, label) pair survives the retrain unchanged
+    val origPairs = spark.read.parquet(s"$p/cells")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val rbPairs = rbCells.select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(rbPairs == origPairs,
+      "rebuild must carry each vector's attribute value unchanged")
+    // and the filtered serving path works against the rebuilt index
+    val probes = labeled.filter(col("vec_id") < 3)
+    val topk = Similarity.ivfTopKMatching(probes, "vec_id", "v", rb,
+      k = 3, nProbe = 2, matchCols = Seq("label"))
+    val probeLabels = probes.select(col("vec_id").as("probe_id"),
+      col("label").as("want"))
+    assert(topk.count() > 0 &&
+      topk.join(probeLabels, Seq("probe_id"))
+        .filter(col("label") =!= col("want")).count() == 0,
+      "rebuilt attributed index must serve filtered probes")
+  }
+
+  test("semanticPathProbe: integer decision replays the cell profile; auto route is result-identical on both paths") {
+    // the dedup_semantic_stats contract (round-14 VERDICT item 3):
+    // the probe's statistic is exactly Σc(c−1) over the cell counts,
+    // the decision is the integer compare Σc(c−1) ≥ 128·n, and the
+    // routed pair sweep is identical whichever path is chosen
+    val (n, k, mx, p2, chosen) =
+      Similarity.semanticPathProbe(spark, indexPath)
+    val counts = spark.read.parquet(s"$indexPath/cells")
+      .groupBy(col("cid")).count()
+      .collect().map(_.getLong(1))
+    assert(n == counts.sum && k == counts.length && mx == counts.max)
+    assert(p2 == counts.map(c => c * (c - 1)).sum)
+    assert(chosen == (if (p2 >= 128 * n) "indexed" else "inmemory"))
+    // a tighter degree bound must flip the same profile to indexed
+    // (p2 > 0 on any non-singleton cell profile)
+    assert(Similarity.semanticPathProbe(spark, indexPath,
+      avgCandidateDegree = 0)._5 == "indexed")
+    val viaAuto = Similarity.semanticPairsAuto(ev, "vec_id", "v",
+      indexPath, tau = 0.4)
+    val inMem = Similarity.semanticPairs(ev, "vec_id", "v", tau = 0.4)
+      .collect().map(_.toSeq).toSet
+    val fromIdx = Similarity.semanticPairsFromIndex(spark, indexPath,
+      tau = 0.4).collect().map(_.toSeq).toSet
+    assert(inMem == fromIdx,
+      "both semantic-pair paths must agree (deterministic quantizer)")
+    assert(viaAuto._1.collect().map(_.toSeq).toSet == inMem)
+    assert(viaAuto._2 == chosen)
+  }
+
   test("fixture regeneration restamps, republishes, and GCs the superseded REAL index generation") {
     // The GC half of the index lifecycle (round-15 candidate (d)):
     // IndexStoreSpec pins pruneSuperseded on synthetic marker dirs;
