@@ -80,6 +80,39 @@ object IndexBench {
         fields :+= f""""descent_edge_coverage": ${deN.toDouble / (n * 10)}%.4f"""
       }
     }
+    if (which("entries")) {
+      // ENTRY-MODE RECALL SWEEP (round-14 VERDICT item 5): recall@3
+      // at EQUAL beam/rounds for the three entry layers — the flat
+      // hash pick the graph ships with, the k-means cell-medoid
+      // coarse layer, and degree-seeded hubs — against brute-force
+      // ground truth. Requires the exact graph (run `exact` first or
+      // reuse via SPARK_GRAFT_IDX_BASE); probes every 5th vector.
+      val graphPath = s"$base/exact"
+      require(new java.io.File(s"$graphPath/entries").exists,
+        s"entries stage needs an exact graph at $graphPath")
+      import graft.Ckpt.CkptOps
+      val probes = ev.filter(col("vec_id") % 5 === 0)
+      val nP = probes.count()
+      fields :+= s""""entries_n_probes": $nP"""
+      val truth = graft.api.Similarity.cosineTopK(ev, probes,
+          "vec_id", "v", 3)
+        .select(col("probe_id"), col("neighbor_id")).ckpt()
+      def recall(entries: Option[org.apache.spark.sql.DataFrame]): Double = {
+        val got = graft.api.Similarity.nngTopK(probes, "vec_id", "v",
+          graphPath, k = 3, beam = 10, rounds = 4,
+          entriesOverride = entries)
+        val hits = got.join(truth, Seq("probe_id", "neighbor_id"),
+          "left_semi").count()
+        hits.toDouble / (nP * 3)
+      }
+      val medoid = graft.api.Similarity
+        .nngEntriesMedoid(spark, graphPath).ckpt()
+      val degree = graft.api.Similarity
+        .nngEntriesDegree(spark, graphPath).ckpt()
+      fields :+= f""""recall_entries_hash": ${recall(None)}%.4f"""
+      fields :+= f""""recall_entries_medoid": ${recall(Some(medoid))}%.4f"""
+      fields :+= f""""recall_entries_degree": ${recall(Some(degree))}%.4f"""
+    }
     if (which("serve")) {
       // the ONLINE half over the descent-built graph: probes are every
       // 500th vector (400 probes at the 200k-vector 100x corpus — the

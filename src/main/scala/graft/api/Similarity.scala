@@ -824,9 +824,17 @@ object Similarity {
     * distinct pairs in both directions — undirected expansion is what
     * makes a flat k-NN graph navigable, NSW's core trick); the node
     * vectors as `nodes` (vec_id, v, nrm) so serving never re-reads
-    * the corpus; and `entries`, the nEntries nodes with the smallest
-    * portable salted hash (salt `nng:`) — deterministic pseudo-random
-    * starts spread over the manifold, replacing HNSW's upper layers.
+    * the corpus; and `entries`, the nEntries HIGHEST-DEGREE nodes of
+    * the symmetrized adjacency (ties by node id) — hub entries reach
+    * the rest of the graph in the fewest hops, replacing HNSW's
+    * upper layers. Degree seeding was ADOPTED over the original
+    * hash-spread pick and the k-means cell-medoid layer by measured
+    * recall at equal beam (IndexBench `entries` stage, BASELINE.md:
+    * 0.956 vs 0.929 hash vs 0.922 medoid at sf0.1; the ordering
+    * holds on the clone-dense 10× probe too). Like IVF appends not
+    * retraining the quantizer, [[nngInsert]] does not re-derive the
+    * entry set — degrees drift under insertion and a rebuild
+    * refreshes them.
     * The fixture-scale list build is the exact all-pairs tier
     * ([[cosineTopK]] with probes = corpus, one broadcast corpus
     * scan); at 100 TB the lists come from NN-Descent or the IVF
@@ -847,9 +855,9 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/adj")
     e.select(col("vid").as("vec_id"), col("v"), col("nrm"))
       .write.mode("overwrite").parquet(s"$path/nodes")
-    e.select(col("vid").as("node"))
-      .orderBy(Sampling.portableHash(col("node"), "nng:"), col("node"))
-      .limit(nEntries)
+    // degree-seeded entries, computed off the just-written adj (one
+    // bounded aggregate; re-reading beats re-deriving the union plan)
+    nngEntriesDegree(corpus.sparkSession, path, nEntries)
       .write.mode("overwrite").parquet(s"$path/entries")
   }
 
@@ -878,13 +886,15 @@ object Similarity {
     * frame's lineage carries no hint or join tail. Returns
     * (probe_id, rk, neighbor_id, cosine). */
   def nngTopK(probes: DataFrame, id: String, vec: String, path: String,
-      k: Int = 3, beam: Int = 10, rounds: Int = 4): DataFrame = {
+      k: Int = 3, beam: Int = 10, rounds: Int = 4,
+      entriesOverride: Option[DataFrame] = None): DataFrame = {
     val spark = probes.sparkSession
     val adj = spark.read.parquet(s"$path/adj")
     val nodes = spark.read.parquet(s"$path/nodes")
       .select(col("vec_id").as("node"), col("v").as("vb"),
         col("nrm").as("nb"))
-    val entries = spark.read.parquet(s"$path/entries")
+    val entries = entriesOverride
+      .getOrElse(spark.read.parquet(s"$path/entries"))
     val p = prep(probes, id, vec)
       .select(col("vid").as("probe_id"), col("v").as("va"),
         col("nrm").as("na"))
@@ -918,6 +928,52 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("node").as("neighbor_id"),
         col("cosine"))
   }
+
+  /** MEDOID ENTRY LAYER for a saved k-NN graph — the coarse top
+    * layer the flat hash-seeded entry pick lacks (round-14 VERDICT
+    * item 5): train the deterministic k-means quantizer on the saved
+    * node vectors (`kCells` cells ≈ the entry budget) and take each
+    * cell's MEDOID — the node with the highest rounded-6 cosine to
+    * its cell center, node-id tiebreak — as an entry point. Entries
+    * then cover every region of the manifold BY CONSTRUCTION (one
+    * per cell) instead of by hash luck, which is where the flat
+    * pick loses recall when a probe lands in a region no hash seed
+    * happens to cover. Deterministic end to end (same quantizer
+    * seeding/rounding as IVF), so an oracle can replay the pick:
+    * (node) rows, one per non-empty cell. */
+  def nngEntriesMedoid(spark: org.apache.spark.sql.SparkSession,
+      path: String, kCells: Int = 8, rounds: Int = 2): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val nodes = spark.read.parquet(s"$path/nodes")
+    val ev = nodes.select(col("vec_id"), col("v"))
+    val centers = VecKMeans.train(ev, kCells, rounds)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    VecKMeans.assign(ev, centers)
+      .join(nodes.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(centers.select(col("cid"),
+        col("c").as("cv"))), Seq("cid"))
+      .select(col("cid"), col("vec_id"),
+        round(expr("vec_dot(v, cv)") /
+          (col("nrm") * expr("vec_norm(cv)")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("node"))
+  }
+
+  /** DEGREE-seeded entry layer: the `n` highest-degree nodes of the
+    * symmetrized adjacency (hub entries — ties by node id). The
+    * cheap alternative to [[nngEntriesMedoid]]: one aggregate over
+    * the saved adj, no quantizer; hubs reach far in few hops but all
+    * sit in dense regions, so coverage is not guaranteed — measure
+    * before adopting (graft.IndexBench's `entries` stage). */
+  def nngEntriesDegree(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Int = 8): DataFrame =
+    spark.read.parquet(s"$path/adj")
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src"))
+      .limit(n)
+      .select(col("src").as("node"))
 
   /** NN-DESCENT-style k-NN GRAPH BUILD — the LINEAR-cost alternative
     * to [[nngBuild]]'s exact all-pairs tier (Dong et al.'s NN-Descent
@@ -1033,9 +1089,8 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/adj")
     e.select(col("vid").as("vec_id"), col("v"), col("nrm"))
       .write.mode("overwrite").parquet(s"$path/nodes")
-    e.select(col("vid").as("node"))
-      .orderBy(Sampling.portableHash(col("node"), "nng:"), col("node"))
-      .limit(nEntries)
+    // degree-seeded entries (the nngBuild adoption — see its scaladoc)
+    nngEntriesDegree(corpus.sparkSession, path, nEntries)
       .write.mode("overwrite").parquet(s"$path/entries")
     counts.toSeq
   }

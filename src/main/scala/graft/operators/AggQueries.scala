@@ -326,6 +326,46 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
   }
 
+  /** SAVED MERGEABLE-SKETCH percentile serving (round-14 VERDICT
+    * item 6 — the saved-index treatment the sim/dedup families got,
+    * applied to the quantile dashboards a 100 TB deployment re-reads
+    * daily): per-DAY DDSketch frames (graft.api.Sketch — log-scaled
+    * buckets, relative error ≤ α = 0.02, merge = bucket-count
+    * addition, provably exact) build once per corpus generation under
+    * IndexStore, and this row serves p25/p50/p75 of event value per
+    * event type by MERGING the saved per-day sketch rows — the raw
+    * events are never re-scanned at serving time. Declared no-oracle
+    * like its sketch siblings (agg_approx_percentile /
+    * agg_approx_distinct: a foreign engine cannot replay bucket
+    * midpoints through its own log/pow ulps); SketchSpec pins the
+    * merge-exactness (whole-corpus sketch ≡ merged per-day sketches,
+    * bucket-for-bucket) and the ≤ α relative-error bound vs exact
+    * percentiles AFTER the merge.
+    *
+    * Scale shape: serving reads O(days · types · ln(range)/α) sketch
+    * rows — corpus-size-invariant; the readout window runs over ≤
+    * ~550 buckets per group. */
+  val aggPercentileIndexed: GQuery =
+    GQuery.noOracle("agg_percentile_indexed") { (s, dir) =>
+      val alpha = 0.02
+      val path = graft.IndexStore.ensure(graft.IndexStore.stampedPath(
+          "ddsketch_events_a2", dir, "events.parquet")) { tmp =>
+        graft.api.Sketch.ddSketch(
+          Tables.events(s, dir)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          Seq("day", "event_type"), "value", alpha)
+          .write.parquet(s"$tmp/sketch")
+      }
+      val merged = graft.api.Sketch.ddMerge(
+        s.read.parquet(s"$path/sketch"), Seq("event_type"))
+      graft.api.Sketch.ddQuantiles(merged, Seq("event_type"),
+          Seq(0.25, 0.5, 0.75), alpha)
+        .select(col("event_type"), col("q"),
+          round(col("estimate"), 4).as("value_est"),
+          col("n").cast("bigint").as("n"))
+        .orderBy(col("event_type"), col("q"))
+    }
+
   /** Deterministic MODE (modal user per event type) via the min-struct
     * argmax — Spark's built-in `mode()` breaks ties arbitrarily, so the
     * contract form aggregates min(struct(-count, user)) instead: same
@@ -1120,5 +1160,6 @@ object AggQueries {
     aggMode, aggBitmapDistinct, aggFilterClause, aggHllPartitioned,
     aggWeightedPercentile, aggSkewKurtosis, aggGiniConcentration,
     aggMad, aggWinsorizedMean, aggRegression, aggBootstrapCi,
-    aggWilsonCi, aggChi2Independence, aggMutualInfo)
+    aggWilsonCi, aggChi2Independence, aggMutualInfo,
+    aggPercentileIndexed)
 }

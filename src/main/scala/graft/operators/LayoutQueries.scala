@@ -1012,6 +1012,100 @@ object LayoutQueries {
       .orderBy(col("mon"))
   }
 
+  /** EXACTLY-ONCE SINK AUDIT for the streaming CDC path (round-14
+    * VERDICT item 7): the merge_cdc_apply feed is driven through the
+    * REAL idempotent sink (graft.streaming.MergeStreams.applyCdcBatch
+    * — versioned keyed merge + crash-safe rename-aside publish onto
+    * on-disk parquet state) under AT-LEAST-ONCE delivery: every batch
+    * is applied twice, and batch 1 is replayed AGAIN after batch 2
+    * has landed (the restarted-stream-from-an-old-checkpoint
+    * scenario). The audit reads the final published state FILES and
+    * rolls them up per segment; the oracle states the ONCE-delivered
+    * semantics (latest version per key, deletes dropped) — the row is
+    * green iff duplicate delivery changed NOTHING, i.e. the
+    * version-ordered merge turns at-least-once delivery into
+    * exactly-once state at the sink boundary. The state dir is
+    * rebuilt from empty each run (deterministic bytes under a
+    * deterministic /tmp path, the layout-family discipline).
+    *
+    * Scale shape: each apply is one keyed full-outer merge of state ×
+    * batch + one state rewrite (the table-format MERGE core); the
+    * audit is a map-side-combining aggregate over the state files. */
+  val mergeCdcExactlyOnce: GQuery = GQuery(
+    "merge_cdc_exactly_once",
+    """WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+      |               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |             FROM customer),
+      |feed AS (
+      |  SELECT k AS ck, seg AS cseg,
+      |    CASE WHEN k % 17 = 3 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(bal + 50 AS DECIMAL(12,2)) AS cbal, 1 AS version
+      |  FROM dim WHERE k % 10 = 0 OR k % 17 = 3
+      |  UNION ALL
+      |  SELECT k, seg, CASE WHEN k % 23 = 5 THEN 'D' ELSE 'U' END,
+      |    CAST(bal + 100 AS DECIMAL(12,2)), 2
+      |  FROM dim WHERE k % 20 = 0 OR k % 23 = 5
+      |  UNION ALL
+      |  SELECT k + (SELECT max(k) FROM dim), 'SEG_CDC', 'I',
+      |    CAST(100.00 AS DECIMAL(12,2)), 2
+      |  FROM dim WHERE k % 25 = 3),
+      |latest AS (
+      |  SELECT ck, cseg, op, cbal FROM (
+      |    SELECT ck, cseg, op, cbal,
+      |      row_number() OVER (PARTITION BY ck ORDER BY version DESC)
+      |        AS rn
+      |    FROM feed)
+      |  WHERE rn = 1)
+      |SELECT cseg AS seg, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(round(sum(cbal), 2) AS DOUBLE) AS sum_bal
+      |FROM latest WHERE op <> 'D'
+      |GROUP BY cseg
+      |ORDER BY seg""".stripMargin) { (s, dir) =>
+    val dim = Tables.customer(s, dir).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val maxK = dim.agg(max(col("k")).as("mxk"))
+    val b1 = dim.filter(col("k") % 10 === 0 || col("k") % 17 === 3)
+      .select(col("k"), col("seg"),
+        (col("bal") + 50).cast("decimal(12,2)").as("bal"),
+        when(col("k") % 17 === 3, "D").otherwise("U").as("op"),
+        lit(1L).as("version"))
+    val b2 = dim.filter(col("k") % 20 === 0 || col("k") % 23 === 5)
+      .select(col("k"), col("seg"),
+        (col("bal") + 100).cast("decimal(12,2)").as("bal"),
+        when(col("k") % 23 === 5, "D").otherwise("U").as("op"),
+        lit(2L).as("version"))
+      .unionAll(dim.filter(col("k") % 25 === 3)
+        .crossJoin(broadcast(maxK))
+        .select((col("k") + col("mxk")).as("k"),
+          lit("SEG_CDC").as("seg"),
+          lit(BigDecimal("100.00")).cast("decimal(12,2)").as("bal"),
+          lit("I").as("op"), lit(2L).as("version")))
+    val statePath = tmpDir("cdc_exactly_once", dir)
+    // fresh state each run: the audit certifies THIS replay sequence
+    Seq("", "_tmp", "_old").foreach { sfx =>
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(statePath + sfx))
+    }
+    import graft.streaming.MergeStreams
+    // at-least-once delivery: every batch twice, plus batch 1 again
+    // AFTER batch 2 (stale-checkpoint restart)
+    MergeStreams.applyCdcBatch(b1, statePath)
+    MergeStreams.applyCdcBatch(b1, statePath)
+    MergeStreams.applyCdcBatch(b2, statePath)
+    MergeStreams.applyCdcBatch(b1, statePath)
+    MergeStreams.applyCdcBatch(b2, statePath)
+    s.read.parquet(statePath)
+      .filter(!col("deleted"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("bal")), 2).cast("double").as("sum_bal"))
+      .orderBy(col("seg"))
+  }
+
   /** TIME-TRAVEL READ over the minimal snapshot/manifest table format
     * ([[graft.sources.SnapshotTable]] — round-14 VERDICT "what's
     * missing" item 1): v1 = the base orders state, v2 = the upsert
@@ -1103,5 +1197,5 @@ object LayoutQueries {
     mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
     mergeDeleteApply, mergePartitionOverwrite, mergeScd2Asof,
     mergeSnapshotDiff, mergeIncrementalAgg, mergeSchemaEvolution,
-    mergeTimeTravel)
+    mergeTimeTravel, mergeCdcExactlyOnce)
 }

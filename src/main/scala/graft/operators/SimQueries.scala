@@ -2754,9 +2754,11 @@ object SimQueries {
     * k-NN graph (graft.api.Similarity.nngBuild/nngTopK), the
     * NSW/HNSW serving family that completes the ANN tier matrix next
     * to the bucketed ones (sign-LSH, IVF, IVF-PQ, SQ8, Matryoshka,
-    * Hamming multi-index): probes vec_id < 50, 8 portable-hash-picked
-    * entry points (HNSW's upper layers replaced by deterministic
-    * spread starts), UNDIRECTED expansion over the symmetrized k=10
+    * Hamming multi-index): probes vec_id < 50, 8 DEGREE-SEEDED
+    * entry points (highest symmetrized degree, id ties — HNSW's
+    * upper layers replaced by hub starts; adopted over the original
+    * hash-spread pick by measured recall at equal beam, BASELINE.md
+    * round-15: 0.956 vs 0.929 at sf0.1), UNDIRECTED expansion over the symmetrized k=10
     * lists (NSW's navigability trick — a directed 10-NN graph strands
     * the walk in local clusters; measured recall@3 0.05 directed/
     * single-entry vs 0.85 with this spelling), beam 10, 4 rounds,
@@ -2764,7 +2766,7 @@ object SimQueries {
     * function of (graph, entries, probe) — cosines round to 6 before
     * every ranking with node-id tiebreaks — so the DuckDB oracle
     * replays the ENTIRE search: the all-pairs edge lists, the
-    * symmetrization, the hash-ordered entry pick, then each round's
+    * symmetrization, the degree-ordered entry pick, then each round's
     * top-beam frontier / unseen-expansion / scoring as chained CTEs.
     *
     * Scale shape: query time never scans the corpus — each round is
@@ -2784,7 +2786,7 @@ object SimQueries {
     * (sim_nng_ingest: graph over the base slice, probes = arrivals)
     * replay ONE spelling: builds `e`/`n`, the graph CTEs over
     * `baseWhere` rows (directed top-kNeighbors lists, symmetrized
-    * adj, hash-ordered entries), probes from `probeWhere`, then
+    * adj, degree-ordered entries), probes from `probeWhere`, then
     * `rounds` beam-expansion rounds ending in `v{rounds}` =
     * (probe_id, node, cosine), every visited node scored. */
   /** The greedy-beam-walk CTE rounds — assumes CTEs `adj(src, dst)`
@@ -2841,10 +2843,9 @@ object SimQueries {
        |p AS (SELECT vec_id AS probe_id, v, nrm FROM n
        |      WHERE $probeWhere),
        |ent AS (
-       |  SELECT vec_id AS node FROM nb
-       |  ORDER BY CAST(concat('0x', substr(md5(
-       |    concat('nng:', CAST(vec_id AS VARCHAR))), 1, 12)) AS BIGINT),
-       |    vec_id
+       |  SELECT src AS node FROM adj
+       |  GROUP BY src
+       |  ORDER BY count(*) DESC, src
        |  LIMIT $nEntries),
        |${nngBeamCtes(beam, rounds)}""".stripMargin
   }
@@ -2935,7 +2936,7 @@ object SimQueries {
     *
     * Scale shape: serving identical to sim_topk_nng (corpus never
     * scanned, visited set corpus-invariant); the build is offline
-    * through IndexStore (family nngd_k10p20r10), each round two keyed
+    * through IndexStore (family nngd_k10p20r10d), each round two keyed
     * self-joins + one scoring join + a per-src window — no stage ever
     * materializes more than |nodes|·(2·pool)² rows. */
   val simTopkNngDescent: GQuery = {
@@ -2951,10 +2952,9 @@ object SimQueries {
          |p AS (SELECT vec_id AS probe_id, v, nrm FROM n
          |      WHERE vec_id < 50),
          |ent AS (
-         |  SELECT vec_id AS node FROM e
-         |  ORDER BY CAST(concat('0x', substr(md5(
-         |    concat('nng:', CAST(vec_id AS VARCHAR))), 1, 12)) AS BIGINT),
-         |    vec_id
+         |  SELECT src AS node FROM adj
+         |  GROUP BY src
+         |  ORDER BY count(*) DESC, src
          |  LIMIT $nEntries),
          |${nngBeamCtes(beam, walkRounds)}
          |SELECT probe_id, rk, node AS neighbor_id, cosine FROM (
@@ -2965,7 +2965,7 @@ object SimQueries {
          |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
       val ev = vecs(s, dir).select(col("vec_id"), col("v"))
       val nngPath = graft.IndexStore.ensure(
-        graft.IndexStore.stampedPath("nngd_k10p20r10", dir,
+        graft.IndexStore.stampedPath("nngd_k10p20r10d", dir,
           "embeddings.parquet")) {
         tmp => graft.api.Similarity.nngBuildDescent(ev, "vec_id", "v",
           tmp, k = k, rounds = buildRounds, pool = pool,
@@ -2991,7 +2991,7 @@ object SimQueries {
          |ORDER BY probe_id, rk""".stripMargin) { (s, dir) =>
       val ev = vecs(s, dir).select(col("vec_id"), col("v"))
       val nngPath = graft.IndexStore.ensure(
-        graft.IndexStore.stampedPath("nng_k10e8", dir,
+        graft.IndexStore.stampedPath("nng_k10d8", dir,
           "embeddings.parquet")) {
         tmp => graft.api.Similarity.nngBuild(ev, "vec_id", "v", tmp,
           k = kNeighbors, nEntries = nEntries)
@@ -3009,7 +3009,7 @@ object SimQueries {
     * rows this completes the PER-TIER ANN DECISION MATRIX — the three
     * numbers (plus each tier's serving cost from the bench) that
     * decide bits vs cells vs graph degree/beam before a 100 TB corpus
-    * is indexed. Same nng_k10e8 family, one build, second consumer;
+    * is indexed. Same nng_k10d8 family, one build, second consumer;
     * the whole evaluation is deterministic, so even the recall table
     * is oracle-replayable (walk CTEs + exact CTE + the hit join).
     *
@@ -3054,7 +3054,7 @@ object SimQueries {
       val exact = graft.api.Similarity.cosineTopK(ev, probes, "vec_id",
         "v", k = 3).select(col("probe_id"), col("neighbor_id"))
       val nngPath = graft.IndexStore.ensure(
-        graft.IndexStore.stampedPath("nng_k10e8", dir,
+        graft.IndexStore.stampedPath("nng_k10d8", dir,
           "embeddings.parquet")) {
         tmp => graft.api.Similarity.nngBuild(ev, "vec_id", "v", tmp,
           k = kNeighbors, nEntries = nEntries)
@@ -3317,7 +3317,7 @@ object SimQueries {
       val ev = vecs(s, dir).select(col("vec_id"), col("v"))
       val base = ev.filter(col("vec_id") % 5 < 4)
       val nngPath = graft.IndexStore.ensure(
-        graft.IndexStore.stampedPath("nng_base_k10e8", dir,
+        graft.IndexStore.stampedPath("nng_base_k10d8", dir,
           "embeddings.parquet")) {
         tmp => graft.api.Similarity.nngBuild(base, "vec_id", "v", tmp,
           k = kNeighbors, nEntries = nEntries)
@@ -3335,7 +3335,7 @@ object SimQueries {
     * shortlist-agnostic, so at 100 TB the same classifier rides
     * whichever ANN tier the corpus is already indexed under). The
     * labeled corpus (vec_id % 50 != 0) gets its own saved NSW graph
-    * (family nng_lab_k10e8 — the graph must exclude the held-out
+    * (family nng_lab_k10d8 — the graph must exclude the held-out
     * probes, unlike sim_topk_nng's full-corpus graph); each probe
     * beam-walks it for a top-5 shortlist and the majority vote (ties
     * to the smallest label) predicts. Predictions differ from the
@@ -3379,7 +3379,7 @@ object SimQueries {
         .select(col("vec_id"), col("v"))
       val probes = e.filter(col("vec_id") % 50 === 0)
       val nngPath = graft.IndexStore.ensure(
-        graft.IndexStore.stampedPath("nng_lab_k10e8", dir,
+        graft.IndexStore.stampedPath("nng_lab_k10d8", dir,
           "embeddings.parquet")) {
         tmp => graft.api.Similarity.nngBuild(corpus, "vec_id", "v",
           tmp, k = kNeighbors, nEntries = nEntries)

@@ -4162,13 +4162,10 @@ class OperatorPropertySpec extends SparkTestBase {
         ds.flatMap(d => Seq(s2 -> d, d -> s2)) }
       both.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
     }
-    // 8 entries by smallest portable hash (salt nng:)
-    def phash(id2: Long): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"nng:$id2".getBytes("UTF-8"))
-      md.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
-    }
-    val entries = vecs.map(_._1).sortBy(i => (phash(i), i)).take(8)
+    // 8 degree-seeded entries: highest symmetrized degree, id ties
+    // (the adopted entry layer — Similarity.nngBuild scaladoc)
+    val entries = adj.toSeq.map { case (n, ds) => (n, ds.size) }
+      .sortBy { case (n, deg) => (-deg, n) }.take(8).map(_._1)
     val probes = vecs.map(_._1).filter(_ < 50)
     // replay the greedy beam walk: beam 10, 4 rounds
     val expected = probes.flatMap { pid =>
