@@ -61,7 +61,13 @@ object Bench {
         // banded phash index (missed when the row landed late in
         // round 14 — its 15.9 s bench reading vs 4.2 s warm-iso was
         // entirely the in-query index build)
-        "sim_topk_ivf_filtered", "multimodal_phash_ingest")
+        "sim_topk_ivf_filtered", "multimodal_phash_ingest",
+        // round 16: the two-snapshot table (merge_time_travel), the
+        // per-day DDSketch frames (agg_percentile_indexed), and the
+        // semantic path probe's shared ivf_c8 — all stamped builds a
+        // timed query must not pay
+        "merge_time_travel", "agg_percentile_indexed",
+        "dedup_semantic_stats")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

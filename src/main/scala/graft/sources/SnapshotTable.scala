@@ -138,6 +138,18 @@ object SnapshotTable {
     spark.read.parquet(files: _*)
   }
 
+  /** MANIFEST-DRIVEN COMPACTION: rewrite the latest snapshot's file
+    * set into `targetFiles` files and commit the result as a NEW
+    * snapshot. Readers of prior versions are untouched (immutable
+    * file sets); the fragmented files stay on disk serving their
+    * versions until [[vacuum]] passes the retention floor — the
+    * compaction/GC split every table format makes, so a compactor
+    * can run concurrently with readers at any version. Returns the
+    * committed version. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetFiles: Int = 1): Int =
+    commit(read(spark, tableDir).repartition(targetFiles), tableDir)
+
   /** Drop every data file not referenced by a manifest ≥
     * `retainFrom`, and the manifests below it. Callers guarantee no
     * reader still holds an older snapshot (the retention-window

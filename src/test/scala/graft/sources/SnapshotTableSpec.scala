@@ -82,6 +82,23 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, t, 3).count() == 3)
   }
 
+  test("compact rewrites the latest snapshot smaller as a NEW version; old versions untouched") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(64, "frag").repartition(8), t)
+    val fragFiles = Files.readAllLines(
+      new File(s"$t/_snaplog/v1.manifest").toPath).size
+    assert(fragFiles == 8, s"fixture should fragment into 8, got $fragFiles")
+    val v = SnapshotTable.compact(spark, t, targetFiles = 1)
+    assert(v == 2)
+    val compactedFiles = Files.readAllLines(
+      new File(s"$t/_snaplog/v2.manifest").toPath).size
+    assert(compactedFiles == 1)
+    // content identical, fragmented version still readable
+    def content(ver: Int) = SnapshotTable.read(spark, t, ver)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(content(2) == content(1) && content(1).size == 64)
+  }
+
   test("vacuum drops unreferenced files and old manifests; retained snapshots keep serving") {
     val t = freshDir()
     SnapshotTable.commit(rows(3, "v1"), t)
