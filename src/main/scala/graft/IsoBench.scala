@@ -85,6 +85,11 @@ object IsoBench {
     "sim_nprobe_sweep", "dedup_band_sweep", "sim_topk_ivf_filtered",
     "sim_recall_sq8", "graph_ppr_seeds", "sim_recall_ivf_filtered",
     "text_pack_sweep", "sample_doremi_weights",
+    // round 16: the one new row above the 1 s warm band — five
+    // sequential state publishes (keyed merge + rename-aside each)
+    // by design; the other three new rows serve from saved artifacts
+    // sub-second
+    "merge_cdc_exactly_once",
     // the composed knob card: ~8.6 s warm ≈ the five sweep chains +
     // one composite plan's codegen/scheduling (measured: eager
     // per-pick lineage cuts made it SLOWER, 11.0 s — the overhead is

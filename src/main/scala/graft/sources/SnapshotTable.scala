@@ -123,6 +123,68 @@ object SnapshotTable {
     v
   }
 
+  /** The data-file lines of one manifest ('#'-prefixed metadata
+    * headers — e.g. the exactly-once batch marker — excluded). */
+  private def manifestFiles(tableDir: String, v: Int): Seq[String] =
+    Files.readAllLines(manifest(tableDir, v).toPath).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  /** APPEND commit: the new snapshot = the latest snapshot's file set
+    * plus `df`'s new files — the continuous-ingestion shape, where
+    * CoW [[commit]] is the rewrite shape. Unlike commit, an append's
+    * CONTENT depends on the base version, so the optimistic retry
+    * must RE-DERIVE it: on a manifest collision the loop re-reads the
+    * new latest manifest and re-publishes (the table-format commit
+    * loop), never blindly re-linking a stale file list — two racing
+    * appenders both land, neither loses the other's files.
+    *
+    * `marker`: optional metadata header (`#`-prefixed in the
+    * manifest) — the exactly-once hook: [[appendOnce]] passes the
+    * micro-batch id, and a replayed batch is detected by its marker
+    * IN the atomically-published manifest itself, so there is no
+    * commit-then-mark window where a crash double-appends. */
+  def append(df: DataFrame, tableDir: String,
+      marker: Option[String] = None): Int = {
+    val dataSub = s"data/a${ProcessHandle.current().pid()}" +
+      s"_${System.nanoTime()}"
+    df.write.parquet(s"$tableDir/$dataSub")
+    val newFiles = new File(tableDir, dataSub).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+      .map(f => s"$dataSub/${f.getName}").sorted.toSeq
+    Files.createDirectories(logDir(tableDir).toPath)
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(tableDir)
+      val prior = if (base > 0) manifestFiles(tableDir, base) else Seq.empty
+      val lines = marker.map(m => s"#$m").toSeq ++ prior ++ newFiles
+      val tmp = new File(logDir(tableDir), s".tmp-" +
+        s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      Files.write(tmp.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      try {
+        Files.createLink(manifest(tableDir, base + 1).toPath, tmp.toPath)
+        committed = base + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // re-derive
+      } finally Files.deleteIfExists(tmp.toPath)
+    }
+    committed
+  }
+
+  /** Exactly-once append for replayable sources: `append` keyed by a
+    * batch id — a batch whose marker already sits in a published
+    * manifest is skipped (returns that version), so an at-least-once
+    * replay (restarted stream, stale checkpoint) commits each batch's
+    * rows exactly once. The marker rides INSIDE the atomically-linked
+    * manifest, so commit and mark are one filesystem operation — no
+    * crash window between them. */
+  def appendOnce(df: DataFrame, tableDir: String, batchId: Long): Int = {
+    val m = s"batch:$batchId"
+    versions(tableDir).find { v =>
+      Files.readAllLines(manifest(tableDir, v).toPath).asScala
+        .headOption.contains(s"#$m")
+    }.getOrElse(append(df, tableDir, Some(m)))
+  }
+
   /** Read snapshot `version` (≤ 0 ⇒ latest). The manifest's file list
     * is resolved HERE, once — later commits cannot change what this
     * frame scans, and committed files are immutable, so the read is
@@ -133,8 +195,7 @@ object SnapshotTable {
     require(manifest(tableDir, v).exists(),
       s"snapshot v$v does not exist at $tableDir " +
         s"(committed: ${versions(tableDir).mkString(",")})")
-    val files = Files.readAllLines(manifest(tableDir, v).toPath)
-      .asScala.filter(_.nonEmpty).map(rel => s"$tableDir/$rel").toSeq
+    val files = manifestFiles(tableDir, v).map(rel => s"$tableDir/$rel")
     spark.read.parquet(files: _*)
   }
 
@@ -156,8 +217,7 @@ object SnapshotTable {
     * contract every table format has). */
   def vacuum(tableDir: String, retainFrom: Int): Unit = {
     val keep = versions(tableDir).filter(_ >= retainFrom)
-    val referenced = keep.flatMap(v =>
-      Files.readAllLines(manifest(tableDir, v).toPath).asScala)
+    val referenced = keep.flatMap(v => manifestFiles(tableDir, v))
       .map(rel => new File(tableDir, rel).getCanonicalPath).toSet
     val dataRoot = new File(tableDir, "data")
     val subdirs = dataRoot.listFiles()

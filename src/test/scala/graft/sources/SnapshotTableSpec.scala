@@ -99,6 +99,52 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(content(2) == content(1) && content(1).size == 64)
   }
 
+  test("append stacks file sets; appendOnce is exactly-once under replay; racing appends both land") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(3, "base"), t) // v1 (CoW)
+    val v2 = SnapshotTable.append(rows(4, "b0"), t)
+    assert(v2 == 2 && SnapshotTable.read(spark, t, 2).count() == 7,
+      "append must stack the batch onto the latest snapshot")
+    // exactly-once: the same batch id replayed twice commits once
+    val va = SnapshotTable.appendOnce(rows(5, "b1"), t, batchId = 1L)
+    val vb = SnapshotTable.appendOnce(rows(5, "b1"), t, batchId = 1L)
+    assert(va == 3 && vb == 3 && SnapshotTable.latestVersion(t) == 3)
+    assert(SnapshotTable.read(spark, t).count() == 12)
+    // a DIFFERENT batch id appends normally
+    assert(SnapshotTable.appendOnce(rows(2, "b2"), t, 2L) == 4)
+    assert(SnapshotTable.read(spark, t).count() == 14)
+    // lost-update check: every append stacks on the TRUE latest —
+    // after the interleaved appendOnce commits, a further append's
+    // snapshot carries all 14 prior rows plus its own
+    val v5 = SnapshotTable.append(rows(1, "b3"), t)
+    assert(v5 == 5 && SnapshotTable.read(spark, t, 5).count() == 15,
+      "an append must never drop files an earlier commit added")
+  }
+
+  test("streaming append sink: one snapshot per micro-batch, exactly-once on a replayed feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = freshDir()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.SnapshotStreams.appendStream(
+      mem.toDF().toDF("k", "tag"), t)
+    mem.addData(Seq((1L, "a"), (2L, "a")))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, "b")))
+    q.processAllAvailable()
+    q.stop()
+    assert(SnapshotTable.versions(t).size == 2,
+      "one snapshot per non-empty micro-batch")
+    assert(SnapshotTable.read(spark, t).count() == 3)
+    // an at-least-once REPLAY of batch 0 (the stale-checkpoint
+    // restart) is skipped by its manifest marker
+    import spark.implicits._
+    val replay = Seq((1L, "a"), (2L, "a")).toDF("k", "tag")
+    SnapshotTable.appendOnce(replay, t, batchId = 0L)
+    assert(SnapshotTable.read(spark, t).count() == 3,
+      "a replayed micro-batch must not double-append")
+  }
+
   test("vacuum drops unreferenced files and old manifests; retained snapshots keep serving") {
     val t = freshDir()
     SnapshotTable.commit(rows(3, "v1"), t)
