@@ -4752,4 +4752,71 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(sweep.getLong(2) == per.getLong(0), "n_sessions at g=30")
     assert(sweep.getLong(1) == per.getLong(1), "n_events")
   }
+
+  test("dq_binomial_test: p-values replay an independent exact binomial tail") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderpriority").collect()
+    val p0 = orders.count(_.getString(1) == "1-URGENT").toDouble /
+      orders.length
+    // independent spelling: log-free exact tail via BigDecimal-safe
+    // double recursion in the OPPOSITE direction (upper tail summed
+    // directly, not 1 - lower) — agreement to 6 places certifies the
+    // fold is computing the right quantity, not just a stable one
+    def upperTail(n: Int, x: Int): Double = {
+      var pmf = math.pow(1 - p0, n)
+      var k = 0
+      var lower = 0.0
+      while (k < x) {
+        lower += pmf
+        pmf = pmf * (n - k) / (k + 1) * p0 / (1 - p0)
+        k += 1
+      }
+      1.0 - lower
+    }
+    val rows = AuditQueries.dqBinomialTest.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val grid = orders.groupBy(_.getLong(0)).toSeq.map { case (_, os) =>
+      (os.length, os.count(_.getString(1) == "1-URGENT"))
+    }.groupBy(identity).map { case (k, v) => (k, v.size) }
+    assert(rows.length == grid.size, "one row per (n, x) cell")
+    rows.foreach { r =>
+      val (n, x) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      assert(r.getLong(2) == grid((n, x)).toLong, s"cell count ($n,$x)")
+      assert(math.abs(r.getDouble(4) - r6(upperTail(n, x))) <= 1e-6,
+        s"p-value at ($n,$x)")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      if (x == 0) assert(r.getDouble(4) == 1.0, "x=0 tail is 1")
+    }
+    // sum over cells of n_customers = customer count
+    assert(rows.map(_.getLong(2)).sum == grid.values.sum.toLong)
+  }
+
+  test("dq_bh_fdr: step-up contract — monotone rejections, planted FDR under alpha, exact split") {
+    val rows = AuditQueries.dqBhFdr.fn(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val byAlpha = rows.sortBy(_.getDouble(0))
+    // rejections monotone in alpha
+    assert(byAlpha.map(_.getLong(2)).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)), "monotone in alpha")
+    byAlpha.foreach { r =>
+      val (alpha, m, rej, tp, fp) = (r.getDouble(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rej == tp + fp, "split is exact")
+      assert(tp <= m / 10, "true positives bounded by planted cohort")
+      if (rej > 0) {
+        // BH promise holds on the planted ground truth
+        assert(r.getDouble(5) <= alpha, s"FDR at alpha=$alpha")
+        // the cut is a rejected p-value, so it sits under its own
+        // step-up bar k*·alpha/m
+        assert(r.getDouble(6) <= r.getDouble(7) + 1e-9,
+          "p_cut under bh_threshold")
+      } else {
+        assert(r.getDouble(5) == 0.0 && r.getDouble(6) == -1.0)
+      }
+    }
+    // the planted cohort is detectable at all: some alpha rejects
+    assert(byAlpha.last.getLong(2) > 0, "alpha=0.25 rejects")
+  }
 }
