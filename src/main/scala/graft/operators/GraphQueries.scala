@@ -881,70 +881,198 @@ object GraphQueries {
          |  CAST(sum(dmicro) AS DOUBLE) / 1000000 AS betweenness
          |FROM alld GROUP BY node
          |ORDER BY partkey""".stripMargin) { (s, dir) =>
-      val L = 3
       val e = partEdges(s, dir)
       val seeds = e.select(col("src").as("seed")).distinct()
         .orderBy(col("seed")).limit(8)
-      // forward: levels(t) = nodes first reached at distance t, with
-      // exact shortest-path counts (sums of predecessor sigmas)
-      var levels = Vector(
-        seeds.select(col("seed"), col("seed").as("node"),
-          lit(1L).as("sigma")).ckpt())
-      var vis = levels(0).select(col("seed"), col("node"))
-      for (t <- 1 to L) {
-        val nxt = e.join(levels(t - 1)
-            .select(col("seed"), col("node").as("src"), col("sigma")),
-            Seq("src"))
-          .select(col("seed"), col("dst").as("node"), col("sigma"))
-          .join(vis, Seq("seed", "node"), "left_anti")
-          .groupBy(col("seed"), col("node"))
-          .agg(sum(col("sigma")).cast("bigint").as("sigma"))
-          .ckpt()
-        levels :+= nxt
-        // vis is 3 unions of already-checkpointed level frames — no
-        // cut needed (each level's ckpt truncates the deep lineage)
-        vis = vis.unionByName(nxt.select(col("seed"), col("node")))
-      }
-      // backward: δ at the horizon is 0; each earlier level's δ(v)
-      // folds its level-(t+1) successors' (σv/σw)·(1+δw). ALL-INTEGER
-      // micro-units (1e-6): each term is the half-up integer division
-      // (2a + b) div (2b) — the sample_unimax/EventQueries discipline
-      // — so no double ever enters the recursion and half-boundary
-      // σ ratios (1/128, ...) cannot diverge cross-engine; ONE double
-      // division at the very end.
-      var wfr = levels(L).select(col("seed"), col("node"), col("sigma"),
-        lit(0L).as("dmicro"))
-      val acc = scala.collection.mutable.ArrayBuffer(
-        wfr.select(col("seed"), col("node"), col("dmicro")))
-      for (t <- (L - 1) to 1 by -1) {
-        val wr = wfr.select(col("seed"), col("node").as("dst"),
-          col("sigma").as("sigma_w"), col("dmicro").as("dmicro_w"))
-        val contribs = levels(t)
-          .select(col("seed"), col("node"), col("sigma").as("sigma_v"))
-          .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
-          .join(wr, Seq("seed", "dst"))
-          .select(col("seed"), col("node"),
-            expr("(2 * sigma_v * (1000000 + dmicro_w) + sigma_w)" +
-              " div (2 * sigma_w)").as("m"))
-        val dt = levels(t)
-          .join(contribs.groupBy(col("seed"), col("node"))
-            .agg(sum(col("m")).as("dm")),
-            Seq("seed", "node"), "left")
-          .select(col("seed"), col("node"), col("sigma"),
-            coalesce(col("dm"), lit(0L)).cast("bigint").as("dmicro"))
-          .ckpt()
-        acc += dt.select(col("seed"), col("node"), col("dmicro"))
-        wfr = dt
-      }
-      acc.reduce(_ unionByName _)
-        .groupBy(col("node"))
-        .agg(count(lit(1)).cast("bigint").as("n_seed_hits"),
-          (sum(col("dmicro")).cast("double") / lit(1000000))
-            .as("betweenness"))
+      brandes(e, seeds, L = 3)
         .select(col("node").as("partkey"), col("n_seed_hits"),
           col("betweenness"))
         .orderBy(col("partkey"))
     }
+  }
+
+  /** Seed-sampled horizon-L Brandes over a symmetric edge list —
+    * the shared machinery behind [[graphBetweenness]] (dense
+    * co-purchase graph, L = 3 exhausts reachability) and
+    * [[graphBetweennessKnn]] (sparse semantic kNN graph, L = 6).
+    * Returns (node, n_seed_hits, betweenness), unordered.
+    *
+    * Forward: levels(t) = nodes first reached at distance t with
+    * exact BIGINT shortest-path counts (sums of predecessor sigmas).
+    * Backward: δ at the horizon is 0; each earlier level's δ(v)
+    * folds its level-(t+1) successors' (σv/σw)·(1+δw) ENTIRELY in
+    * integer micro-units (1e-6) — each term is the half-up integer
+    * division (2a + b) div (2b), the sample_unimax discipline, so no
+    * double enters the recursion and half-boundary σ ratios (1/128,
+    * ...) cannot diverge cross-engine; ONE double division at the
+    * very end. (seed, node)-keyed equi-joins only; every level and
+    * every backward frame eagerly checkpointed, so plan depth stays
+    * constant in L. */
+  private def brandes(e: DataFrame, seeds: DataFrame,
+      L: Int): DataFrame = {
+    var levels = Vector(
+      seeds.select(col("seed"), col("seed").as("node"),
+        lit(1L).as("sigma")).ckpt())
+    var vis = levels(0).select(col("seed"), col("node"))
+    for (t <- 1 to L) {
+      val nxt = e.join(levels(t - 1)
+          .select(col("seed"), col("node").as("src"), col("sigma")),
+          Seq("src"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+        .join(vis, Seq("seed", "node"), "left_anti")
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("sigma")).cast("bigint").as("sigma"))
+        .ckpt()
+      levels :+= nxt
+      // vis is L unions of already-checkpointed level frames — no
+      // cut needed (each level's ckpt truncates the deep lineage)
+      vis = vis.unionByName(nxt.select(col("seed"), col("node")))
+    }
+    var wfr = levels(L).select(col("seed"), col("node"), col("sigma"),
+      lit(0L).as("dmicro"))
+    val acc = scala.collection.mutable.ArrayBuffer(
+      wfr.select(col("seed"), col("node"), col("dmicro")))
+    for (t <- (L - 1) to 1 by -1) {
+      val wr = wfr.select(col("seed"), col("node").as("dst"),
+        col("sigma").as("sigma_w"), col("dmicro").as("dmicro_w"))
+      val contribs = levels(t)
+        .select(col("seed"), col("node"), col("sigma").as("sigma_v"))
+        .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
+        .join(wr, Seq("seed", "dst"))
+        .select(col("seed"), col("node"),
+          expr("(2 * sigma_v * (1000000 + dmicro_w) + sigma_w)" +
+            " div (2 * sigma_w)").as("m"))
+      val dt = levels(t)
+        .join(contribs.groupBy(col("seed"), col("node"))
+          .agg(sum(col("m")).as("dm")),
+          Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("dm"), lit(0L)).cast("bigint").as("dmicro"))
+        .ckpt()
+      acc += dt.select(col("seed"), col("node"), col("dmicro"))
+      wfr = dt
+    }
+    acc.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("bigint").as("n_seed_hits"),
+        (sum(col("dmicro")).cast("double") / lit(1000000))
+          .as("betweenness"))
+      .select(col("node"), col("n_seed_hits"), col("betweenness"))
+  }
+
+  /** WIDE-HORIZON betweenness over the SPARSE semantic kNN graph —
+    * the "wider horizon" the dense co-purchase graph could never
+    * exercise (its 3-hop ball is already the whole component; this
+    * was the standing blocked candidate item since round 13). Nodes
+    * are embedding vectors; directed exact 4-NN edges (by the
+    * house-standard rounded-cosine/vec_id rank) are symmetrized, so
+    * out-degree is bounded by construction (4–8) and shortest paths
+    * stretch to many hops: L = 6 here vs 3 on the co-purchase graph.
+    * The readout is the semantic-bridge score a curation pipeline
+    * uses to find documents that CONNECT topic clusters (high
+    * betweenness = transit hub between embedding neighborhoods).
+    *
+    * Scale shape: the kNN build is the one quadratic piece and rides
+    * the bounded fixture table (500 vectors; at corpus scale you'd
+    * feed the saved NNG/IVF artifact's edge list instead — the graph
+    * machinery is edge-source-agnostic); the Brandes passes touch
+    * ≤ seeds·|V| (seed, node) rows per level with k-bounded fan-out
+    * per hop — the sparse regime where horizon-bounded Brandes is
+    * actually cheap, unlike the dense graph where the edge join
+    * dominates. Oracle CTEs are generated level-by-level from the
+    * same recurrences ([[betweennessCtes]]). */
+  val graphBetweennessKnn: GQuery = {
+    val L = 6
+    GQuery("graph_betweenness_knn",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS MATERIALIZED (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |  FROM e),
+         |knn AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS dst,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round(list_dot_product(a.v, b.v)
+         |                       / (a.nrm * b.nrm), 6) DESC,
+         |                 b.vec_id) AS rk
+         |    FROM n a JOIN n b ON b.vec_id != a.vec_id)
+         |  WHERE rk <= 4),
+         |e1 AS MATERIALIZED (
+         |  SELECT src, dst FROM knn
+         |  UNION SELECT dst, src FROM knn),
+         |seeds AS (SELECT DISTINCT src AS seed FROM e1
+         |          ORDER BY seed LIMIT 8),
+         |${betweennessCtes(L)}
+         |SELECT node AS vec_id,
+         |  CAST(count(*) AS BIGINT) AS n_seed_hits,
+         |  CAST(sum(dmicro) AS DOUBLE) / 1000000 AS betweenness
+         |FROM alld GROUP BY node
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val knn = graft.api.Similarity
+        .cosineTopK(emb, emb, "vec_id", "v", k = 4)
+        .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+      val e1 = knn
+        .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = e1.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed")).limit(8)
+      brandes(e1, seeds, L)
+        .select(col("node").as("vec_id"), col("n_seed_hits"),
+          col("betweenness"))
+        .orderBy(col("vec_id"))
+    }
+  }
+
+  /** Oracle twin of [[brandes]]: forward level CTEs f1..fL with a
+    * cumulative visited chain v1..vL, then the backward micro-unit
+    * δ recursion dL..d1 — the same recurrences the Spark loops run,
+    * emitted level by level. Expects `e1 (src, dst)` and
+    * `seeds (seed)` in scope; leaves `alld (seed, node, dmicro)`. */
+  private def betweennessCtes(L: Int): String = {
+    val fwd = (1 to L).map { t =>
+      s"""f$t AS MATERIALIZED (
+         |  SELECT f.seed, e1.dst AS node,
+         |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM e1 JOIN f${t - 1} f ON e1.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${t - 1} x
+         |                    WHERE x.seed = f.seed AND x.node = e1.dst)
+         |  GROUP BY 1, 2),
+         |v$t AS MATERIALIZED (
+         |  SELECT seed, node FROM v${t - 1}
+         |  UNION ALL SELECT seed, node FROM f$t)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((L - 1) to 1 by -1).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT v.seed, v.node,
+         |    (2 * v.sigma * (1000000 + w.dmicro) + w.sigma)
+         |      // (2 * w.sigma) AS m
+         |  FROM f$t v JOIN e1 ON e1.src = v.node
+         |  JOIN d${t + 1} w ON w.seed = v.seed AND w.node = e1.dst),
+         |d$t AS MATERIALIZED (
+         |  SELECT v.seed, v.node, v.sigma,
+         |    CAST(coalesce(s.dm, 0) AS BIGINT) AS dmicro
+         |  FROM f$t v LEFT JOIN (
+         |    SELECT seed, node, sum(m) AS dm FROM p$t
+         |    GROUP BY 1, 2) s
+         |    ON s.seed = v.seed AND s.node = v.node)""".stripMargin
+    }.mkString(",\n")
+    val alld = ((1 until L).map(t => s"SELECT seed, node, dmicro FROM d$t")
+      :+ s"SELECT seed, node, CAST(0 AS BIGINT) FROM f$L")
+      .mkString("\n  UNION ALL ")
+    s"""f0 AS MATERIALIZED (
+       |  SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+       |  FROM seeds),
+       |v0 AS MATERIALIZED (SELECT seed, node FROM f0),
+       |$fwd,
+       |d$L AS MATERIALIZED (
+       |  SELECT seed, node, sigma, CAST(0 AS BIGINT) AS dmicro
+       |  FROM f$L),
+       |$bwd,
+       |alld AS (
+       |  $alld)""".stripMargin
   }
 
   val graphCloseness: GQuery = {
@@ -1169,6 +1297,6 @@ object GraphQueries {
     graphDegreeDistribution, graphJaccardLinkpred,
     graphClusteringCoeff, graphHits, graphAssortativity,
     graphReachabilityCte, graphCloseness, graphBetweenness,
-    graphRandomWalk,
+    graphBetweennessKnn, graphRandomWalk,
     graphModularity, graphPprSeeds)
 }

@@ -1191,11 +1191,72 @@ object LayoutQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** CHANGE-DATA-FEED read over the snapshot/manifest table format —
+    * the incremental-consumption contract [[graft.sources
+    * .SnapshotTable.changes]] provides: orders are ingested as an
+    * append-log history (v1 = CoW base commit of keys ≡0 mod 3, v2 /
+    * v3 = appends of keys ≡1 / ≡2), and the feed for each version is
+    * recovered purely from the MANIFEST file-set difference — no
+    * row-level diff, no base scan, O(appended bytes) per consumed
+    * version (the Delta/Iceberg CDF mechanism for append-only
+    * tables; across a CoW rewrite the row-accurate delta is
+    * merge_snapshot_diff's relational job instead, documented on the
+    * API). The oracle replays the batch carvings relationally, so
+    * the row is green iff every appended file set round-trips its
+    * batch exactly — nothing leaked from the base, nothing lost.
+    *
+    * The three-version table is built once per corpus generation
+    * under an IndexStore stamp; re-runs are two manifest reads plus
+    * parquet scans of only the appended files. Scale shape: the
+    * whole query never touches v1's data — the audit aggregates are
+    * map-side-combining over just the delta files. */
+  val mergeChangeFeed: GQuery = GQuery(
+    "merge_change_feed",
+    """WITH b AS (
+      |  SELECT o_orderkey % 3 AS bat, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders)
+      |SELECT CAST(bat + 1 AS INT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_appended,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_price
+      |FROM b WHERE bat >= 1
+      |GROUP BY bat
+      |ORDER BY version""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val tableDir = graft.IndexStore.ensure(graft.IndexStore.stampedPath(
+        "snap_orders_feed", dir, "orders.parquet")) { tmp =>
+      val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      SnapshotTable.commit(
+        orders.filter(col("o_orderkey") % 3 === 0), tmp) // v1: base
+      SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 3 === 1), tmp) // v2
+      SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 3 === 2), tmp) // v3
+      ()
+    }
+    (2 to 3).map { v =>
+      SnapshotTable.changes(s, tableDir, v - 1, v)
+        .select(lit(v).as("version"), col("o_orderkey"), col("price"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).cast("bigint").as("n_appended"),
+        min(col("o_orderkey")).cast("bigint").as("min_key"),
+        max(col("o_orderkey")).cast("bigint").as("max_key"),
+        round(sum(col("price")), 2).cast("double").as("sum_price"))
+      .select(col("version").cast("int").as("version"),
+        col("n_appended"), col("min_key"), col("max_key"),
+        col("sum_price"))
+      .orderBy(col("version"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
     mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
     mergeDeleteApply, mergePartitionOverwrite, mergeScd2Asof,
     mergeSnapshotDiff, mergeIncrementalAgg, mergeSchemaEvolution,
-    mergeTimeTravel, mergeCdcExactlyOnce)
+    mergeTimeTravel, mergeCdcExactlyOnce, mergeChangeFeed)
 }

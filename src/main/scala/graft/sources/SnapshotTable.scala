@@ -199,6 +199,27 @@ object SnapshotTable {
     spark.read.parquet(files: _*)
   }
 
+  /** CHANGE FEED between two committed versions: the rows of every
+    * data file listed by `toV`'s manifest but NOT by `fromV`'s — the
+    * manifest-set difference that makes incremental consumption
+    * O(appended bytes) instead of O(table): no row-level diff, no
+    * scan of the base, just the log. This is row-accurate for
+    * APPEND-log history (each append's delta is exactly its new
+    * files — the Delta/Iceberg change-data-feed mechanism for
+    * append-only tables); across a copy-on-write [[commit]] or
+    * [[compact]] the file-set difference is the whole rewritten
+    * snapshot, and a row-accurate delta needs the relational diff
+    * (the merge_snapshot_diff operator) instead. Returns an empty
+    * frame in `toV`'s schema when no files were added (e.g. a
+    * replayed [[appendOnce]] batch). */
+  def changes(spark: SparkSession, tableDir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    val before = manifestFiles(tableDir, fromV).toSet
+    val added = manifestFiles(tableDir, toV).filterNot(before)
+    if (added.isEmpty) read(spark, tableDir, toV).limit(0)
+    else spark.read.parquet(added.map(rel => s"$tableDir/$rel"): _*)
+  }
+
   /** MANIFEST-DRIVEN COMPACTION: rewrite the latest snapshot's file
     * set into `targetFiles` files and commit the result as a NEW
     * snapshot. Readers of prior versions are untouched (immutable

@@ -4753,6 +4753,20 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(sweep.getLong(1) == per.getLong(1), "n_events")
   }
 
+  test("graph_betweenness_knn: wide-horizon Brandes readout is internally consistent") {
+    val rows = GraphQueries.graphBetweennessKnn.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 500)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 8, "seed hits in [1,8]")
+      assert(r.getDouble(2) >= 0.0, "betweenness non-negative")
+    }
+    // the sparse graph actually exercises the wider horizon: strictly
+    // more nodes are reached than the seeds' 3-hop ball on a 4-NN
+    // graph could guarantee, and some node carries transit credit
+    assert(rows.count(_.getDouble(2) > 0) > 8, "real transit hubs exist")
+  }
+
   test("dq_binomial_test: p-values replay an independent exact binomial tail") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

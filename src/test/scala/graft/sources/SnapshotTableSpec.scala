@@ -145,6 +145,33 @@ class SnapshotTableSpec extends SparkTestBase {
       "a replayed micro-batch must not double-append")
   }
 
+  test("changes: append deltas are row-exact, replayed batches yield empty, CoW diff is the rewrite") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(3, "base"), t)        // v1 (CoW)
+    SnapshotTable.append(rows(4, "d1"), t)          // v2
+    SnapshotTable.appendOnce(rows(2, "d2"), t, 7L)  // v3
+    // append deltas: exactly the appended batch, nothing from base
+    val d12 = SnapshotTable.changes(spark, t, 1, 2).collect()
+    assert(d12.length == 4 && d12.forall(_.getString(1) == "d1"))
+    val d23 = SnapshotTable.changes(spark, t, 2, 3)
+    assert(d23.count() == 2 &&
+      d23.filter(col("tag") =!= "d2").count() == 0)
+    // spanning feed = union of per-version deltas
+    assert(SnapshotTable.changes(spark, t, 1, 3).count() == 6)
+    // a replayed appendOnce adds no version and no delta
+    SnapshotTable.appendOnce(rows(2, "d2"), t, 7L)
+    assert(SnapshotTable.latestVersion(t) == 3)
+    // an idempotent same-version feed is empty (schema preserved)
+    val same = SnapshotTable.changes(spark, t, 3, 3)
+    assert(same.count() == 0 &&
+      same.columns.toSeq == Seq("k", "tag"))
+    // across a CoW rewrite the file-set difference is the WHOLE new
+    // snapshot (documented: row-accurate deltas need the relational
+    // diff there)
+    SnapshotTable.commit(rows(1, "rewrite"), t)     // v4 (CoW)
+    assert(SnapshotTable.changes(spark, t, 3, 4).count() == 1)
+  }
+
   test("vacuum drops unreferenced files and old manifests; retained snapshots keep serving") {
     val t = freshDir()
     SnapshotTable.commit(rows(3, "v1"), t)
