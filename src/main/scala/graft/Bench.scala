@@ -67,7 +67,11 @@ object Bench {
         // semantic path probe's shared ivf_c8 — all stamped builds a
         // timed query must not pay
         "merge_time_travel", "agg_percentile_indexed",
-        "dedup_semantic_stats")
+        "dedup_semantic_stats",
+        // round 17: the diversified NNG (nngdiv_k10c30d8) and the
+        // append-log snapshot table behind the change feed
+        "sim_recall_nng_diverse", "merge_change_feed",
+        "merge_mor_delete")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

@@ -113,6 +113,54 @@ object IndexBench {
       fields :+= f""""recall_entries_medoid": ${recall(Some(medoid))}%.4f"""
       fields :+= f""""recall_entries_degree": ${recall(Some(degree))}%.4f"""
     }
+    if (which("diverse")) {
+      // CLONE-ROBUSTNESS PROBE (round-16 candidate (c)): recall@3 at
+      // EQUAL beam/rounds for the plain exact top-k graph vs the
+      // diversity-selected graph (Similarity.nngBuildDiverse — HNSW
+      // select-neighbors, order-independent relaxation). On a clone-
+      // dense corpus the plain graph decomposes into clone cliques
+      // (recall ≤ 0.04 at the 10x probe, every entry mode); the
+      // diversified lists keep one clone representative and the
+      // graph reconnects. Requires the exact graph for the plain
+      // column (run `exact` first or reuse via SPARK_GRAFT_IDX_BASE).
+      import graft.Ckpt.CkptOps
+      // SPARK_GRAFT_KCAND sizes the shortlist: it must exceed the
+      // corpus's clone multiplicity + k for diversification to have
+      // anything diverse to surface (the documented boundary)
+      val kCand = sys.env.getOrElse("SPARK_GRAFT_KCAND", "30").toInt
+      val dvPath = s"$base/diverse_c$kCand"
+      if (new java.io.File(s"$dvPath/entries").exists) {
+        fields :+= s""""diverse_reused": "$dvPath""""
+      } else {
+        val (_, tDv) = time(graft.api.Similarity.nngBuildDiverse(
+          ev, "vec_id", "v", dvPath, k = 10, kCand = kCand))
+        fields :+= f""""diverse_build_sec": $tDv%.2f"""
+      }
+      fields :+= s""""diverse_kcand": $kCand"""
+      val probes = ev.filter(col("vec_id") % 5 === 0)
+      val nP = probes.count()
+      fields :+= s""""diverse_n_probes": $nP"""
+      val truth = graft.api.Similarity.cosineTopK(ev, probes,
+          "vec_id", "v", 3)
+        .select(col("probe_id"), col("neighbor_id")).ckpt()
+      def recallAt(path: String, rounds: Int): Double = {
+        val got = graft.api.Similarity.nngTopK(probes, "vec_id", "v",
+          path, k = 3, beam = 10, rounds = rounds)
+        got.join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+          .count().toDouble / (nP * 3)
+      }
+      // rounds sweep: a cliqued plain graph is HORIZON-INVARIANT
+      // (unreachable is unreachable), a reconnected one climbs with
+      // walk depth — the signature that separates "low recall because
+      // disconnected" from "low recall because the walk is short"
+      for (r <- Seq(4, 8, 12)) {
+        fields :+= f""""recall_diverse_r$r": ${
+          recallAt(dvPath, r)}%.4f"""
+        if (new java.io.File(s"$base/exact/entries").exists)
+          fields :+= f""""recall_plain_r$r": ${
+            recallAt(s"$base/exact", r)}%.4f"""
+      }
+    }
     if (which("serve")) {
       // the ONLINE half over the descent-built graph: probes are every
       // 500th vector (400 probes at the 200k-vector 100x corpus — the

@@ -861,6 +861,99 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/entries")
   }
 
+  /** DIVERSIFIED k-NN graph build — the clone-robust variant of
+    * [[nngBuild]] (the round-16 "clone-robust graph ANN" candidate):
+    * on a clone-dense corpus (every document duplicated ~100×, the
+    * crawl-mirror regime) the plain top-k lists are PURE clones —
+    * cosine-1 copies fill all k slots, the symmetrized graph
+    * decomposes into disconnected clone cliques, and beam-walk
+    * recall collapses (measured ≤ 0.04 at the 10× probe for every
+    * entry mode). The published fix is HNSW's select-neighbors
+    * diversification (Malkov & Yashunin 2018, Algorithm 4; NSG's
+    * MRNG edge rule is the same idea): keep a candidate only if it
+    * is closer to the node than to any already-kept neighbor.
+    *
+    * That rule is a sequential greedy fold; this build uses its
+    * ORDER-INDEPENDENT relaxation so the whole selection is one
+    * relational plan: from a kCand-deep exact shortlist, candidate c
+    * is REDUNDANT iff some higher-ranked candidate s is STRICTLY
+    * closer to c than the node is (round6 cos(c, s) > cos(q, c)), or
+    * is c's exact duplicate (cos(c, s) = 1.0 on the rounded grid) —
+    * pruning against all closer candidates rather than kept ones
+    * only, and the pruned are PADDED BACK in ascending-
+    * redundancy order until k edges stand (HNSW's
+    * keepPrunedConnections, with the padding order doing the real
+    * clone work: a clone's redundancy is 1.0, a diverse candidate's
+    * is its cluster cohesion, so freed slots go to the least-
+    * redundant survivors first). Exact clone groups therefore
+    * contribute ONE representative edge each and the graph
+    * reconnects. Fully deterministic (rounded-6 comparisons, rank
+    * then id tiebreaks), so a DuckDB oracle replays the selection.
+    *
+    * BOUNDARY (measured in NngDiverseSpec and the IndexBench
+    * `diverse` stage): padding can only surface what the shortlist
+    * CONTAINS — kCand must exceed clone-multiplicity + k, or the
+    * shortlist itself is pure clones and the graph stays cliqued. At
+    * crawl-mirror densities beyond kCand (the 100× probe's 99-copy
+    * groups vs kCand = 30) the right tool is semantic dedup BEFORE
+    * indexing ([[Dedup]]/SemDeDup, which this library ships) —
+    * diversification is the fix for the 5–30-copy regime.
+    *
+    * Same saved layout as [[nngBuild]] (edges/adj/nodes/entries —
+    * [[nngTopK]] serves either interchangeably). Scale shape: the
+    * redundancy pass is one keyed self-join of the shortlist
+    * (≤ kCand²/2 pairs per node, each scored by one dot product) +
+    * a per-src window over ≤ kCand rows — linear in nodes with a
+    * kCand²-bounded constant; no new corpus-sized stage. */
+  def nngBuildDiverse(corpus: DataFrame, id: String, vec: String,
+      path: String, k: Int = 10, kCand: Int = 30,
+      nEntries: Int = 8): Unit = {
+    val e = prep(corpus, id, vec).ckpt()
+    val cand = cosineTopK(corpus, corpus, id, vec, kCand)
+      .select(col("probe_id").as("src"), col("rk"),
+        col("neighbor_id").as("dst"), col("cosine")).ckpt()
+    val cs = cand.select(col("src"), col("rk"), col("dst"))
+    val red = cs
+      .join(cs.select(col("src"), col("rk").as("rks"),
+        col("dst").as("ds")), Seq("src"))
+      .filter(col("rks") < col("rk"))
+      .join(e.select(col("vid").as("dst"), col("v").as("va"),
+        col("nrm").as("na")), Seq("dst"))
+      .join(e.select(col("vid").as("ds"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("ds"))
+      .groupBy(col("src"), col("rk"))
+      .agg(max(round(expr(dot) / (col("na") * col("nb")), 6)).as("red"))
+    // diverse ⇔ not STRICTLY more redundant than close to the node,
+    // AND not an exact duplicate (rounded cosine 1.0) of a higher-
+    // ranked candidate. The ≤ (not <) matters on clone corpora: a
+    // candidate whose redundancy merely TIES its probe cosine is an
+    // artifact of the probe having exact clones ranked above it
+    // (cos(c, clone-of-q) ≡ cos(c, q)), not genuine redundancy —
+    // the strict rule would prune every cross-group representative
+    // and leave the graph cliqued (measured: recall flat at 0.16 on
+    // the 10× probe under <, climbing under ≤).
+    val diverse = col("redc") <= col("cosine") && col("redc") < 1.0
+    val w = Window.partitionBy(col("src")).orderBy(
+      when(diverse, 0).otherwise(1),
+      when(diverse, col("rk").cast("double")).otherwise(col("redc")),
+      col("rk"), col("dst"))
+    val edges = cand.join(red, Seq("src", "rk"), "left")
+      .withColumn("redc", coalesce(col("red"), lit(-2.0)))
+      .withColumn("rk2", row_number().over(w))
+      .filter(col("rk2") <= k)
+      .select(col("src"), col("rk2").as("rk"), col("dst"),
+        col("cosine"))
+    edges.write.mode("overwrite").parquet(s"$path/edges")
+    val d = edges.select(col("src"), col("dst"))
+    d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/adj")
+    e.select(col("vid").as("vec_id"), col("v"), col("nrm"))
+      .write.mode("overwrite").parquet(s"$path/nodes")
+    nngEntriesDegree(corpus.sparkSession, path, nEntries)
+      .write.mode("overwrite").parquet(s"$path/entries")
+  }
+
   /** GREEDY BEAM SEARCH over a saved k-NN graph — the graph-traversal
     * ANN serving family next to the bucketed tiers (LSH/IVF/PQ/SQ8):
     * every probe scores the saved entry points, then `rounds` times

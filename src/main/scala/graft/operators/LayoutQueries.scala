@@ -1252,11 +1252,92 @@ object LayoutQueries {
       .orderBy(col("version"))
   }
 
+  /** MERGE-ON-READ row-level DELETE over the snapshot table — the
+    * other half of the delete story ([[mergeDeleteApply]] is the
+    * copy-on-write half, rewriting the surviving rows): `SnapshotTable
+    * .delete` commits a DELETE FILE (just the keys, '-'-listed in the
+    * manifest) and never touches the base data files; every read
+    * applies the delete files as anti-joins at scan time, and the
+    * deferred cost is folded away by the next compaction (the
+    * MoR→CoW handoff Iceberg/Delta schedule). History: v1 = base
+    * orders, v2 = MoR delete of keys ≡2 mod 7, v3 = append of
+    * shifted-key rows carved from keys ≡4 mod 9 — the audit reads
+    * all three snapshots back through the log (delete lines carry
+    * through the append untouched), so the row is green iff deletes
+    * apply to exactly the keyed rows at every version ≥ v2 and prior
+    * versions still see them (snapshot isolation across a delete).
+    *
+    * Scale shape: the delete writes O(keys) bytes and reads nothing;
+    * each audit read is a manifest + listed-file scan + ONE keyed
+    * anti-join; aggregates are map-side-combining. At 100 TB this is
+    * the only delete a GDPR pipeline can afford on the hot path —
+    * the rewrite happens once, inside compaction, off the query
+    * path. */
+  val mergeMorDelete: GQuery = GQuery(
+    "merge_mor_delete",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mxk FROM base),
+      |v2 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 2),
+      |app AS (
+      |  SELECT o_orderkey + mxk AS o_orderkey, o_orderpriority, price
+      |  FROM base, mx WHERE o_orderkey % 9 = 4),
+      |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM app),
+      |a1 AS (SELECT o_orderpriority, count(*) AS n1, sum(price) AS s1
+      |       FROM base GROUP BY 1),
+      |a2 AS (SELECT o_orderpriority, count(*) AS n2, sum(price) AS s2
+      |       FROM v2 GROUP BY 1),
+      |a3 AS (SELECT o_orderpriority, count(*) AS n3, sum(price) AS s3
+      |       FROM v3 GROUP BY 1)
+      |SELECT a1.o_orderpriority,
+      |  CAST(n1 AS BIGINT) AS n_v1, CAST(n2 AS BIGINT) AS n_v2,
+      |  CAST(n3 AS BIGINT) AS n_v3,
+      |  CAST(round(s1, 2) AS DOUBLE) AS sum_v1,
+      |  CAST(round(s2, 2) AS DOUBLE) AS sum_v2,
+      |  CAST(round(s3, 2) AS DOUBLE) AS sum_v3
+      |FROM a1
+      |JOIN a2 ON a1.o_orderpriority = a2.o_orderpriority
+      |JOIN a3 ON a1.o_orderpriority = a3.o_orderpriority
+      |ORDER BY a1.o_orderpriority""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val tableDir = graft.IndexStore.ensure(graft.IndexStore.stampedPath(
+        "snap_orders_mor", dir, "orders.parquet")) { tmp =>
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val mxk = base.agg(max(col("o_orderkey")).as("mxk"))
+      SnapshotTable.commit(base, tmp)                       // v1
+      SnapshotTable.delete(
+        base.filter(col("o_orderkey") % 7 === 2)
+          .select(col("o_orderkey")), tmp)                  // v2 (MoR)
+      SnapshotTable.append(
+        base.filter(col("o_orderkey") % 9 === 4)
+          .crossJoin(broadcast(mxk))
+          .select((col("o_orderkey") + col("mxk")).as("o_orderkey"),
+            col("o_orderpriority"), col("price")), tmp)     // v3
+      ()
+    }
+    def audit(v: Int, n: String, sm: String): DataFrame =
+      SnapshotTable.read(s, tableDir, v)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as(n),
+          round(sum(col("price")), 2).cast("double").as(sm))
+    audit(1, "n_v1", "sum_v1")
+      .join(audit(2, "n_v2", "sum_v2"), Seq("o_orderpriority"))
+      .join(audit(3, "n_v3", "sum_v3"), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_v1"), col("n_v2"),
+        col("n_v3"), col("sum_v1"), col("sum_v2"), col("sum_v3"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[GQuery] = Seq(
     sinkPartitionedPrune, joinBucketedColocated, sourceTextScan,
     sinkZorderCluster, joinPartitionPrunedRuntime, sinkCompactSmallFiles,
     mergeUpsertSnapshot, sourceSchemaDrift, mergeScd2, mergeCdcApply,
     mergeDeleteApply, mergePartitionOverwrite, mergeScd2Asof,
     mergeSnapshotDiff, mergeIncrementalAgg, mergeSchemaEvolution,
-    mergeTimeTravel, mergeCdcExactlyOnce, mergeChangeFeed)
+    mergeTimeTravel, mergeCdcExactlyOnce, mergeChangeFeed,
+    mergeMorDelete)
 }

@@ -3075,6 +3075,143 @@ object SimQueries {
     }
   }
 
+  /** The diversified graph's oracle CTE chain (graft.api.Similarity
+    * .nngBuildDiverse): kCand-deep exact shortlist `dvc`, per-
+    * candidate redundancy `dvr` (max rounded-6 cosine to any HIGHER-
+    * ranked candidate of the same src), then the padded selection —
+    * diverse-first (redundancy strictly under the candidate's own
+    * probe cosine, original rank order), pruned padded back in
+    * ascending-redundancy order — cut at k as `g`, symmetrized as
+    * `adj`, degree entries as `ent`. The CASE keys are copied
+    * verbatim from the Spark window. AS MATERIALIZED throughout: the
+    * walk CTEs re-reference the graph every round and DuckDB 1.0's
+    * inliner would re-evaluate the O(n²) shortlist per reference. */
+  private def nngDiverseGraphCtes(kCand: Int, k: Int,
+      nEntries: Int): String = {
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e),
+       |nb AS (SELECT * FROM n),
+       |dvc AS MATERIALIZED (
+       |  SELECT src, rk, dst, cosine FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       |        AS cosine,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(list_dot_product(a.v, b.v)
+       |                       / (a.nrm * b.nrm), 6) DESC,
+       |                 b.vec_id) AS rk
+       |    FROM nb a JOIN nb b ON b.vec_id != a.vec_id)
+       |  WHERE rk <= $kCand),
+       |dvr AS MATERIALIZED (
+       |  SELECT c.src, c.rk,
+       |    max(round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6))
+       |      AS red
+       |  FROM dvc c JOIN dvc s ON s.src = c.src AND s.rk < c.rk
+       |  JOIN n x ON x.vec_id = c.dst
+       |  JOIN n y ON y.vec_id = s.dst
+       |  GROUP BY 1, 2),
+       |g AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT c.src, c.dst, row_number() OVER (PARTITION BY c.src
+       |      ORDER BY
+       |        CASE WHEN coalesce(r.red, -2) <= c.cosine
+       |              AND coalesce(r.red, -2) < 1.0
+       |             THEN 0 ELSE 1 END,
+       |        CASE WHEN coalesce(r.red, -2) <= c.cosine
+       |              AND coalesce(r.red, -2) < 1.0
+       |             THEN CAST(c.rk AS DOUBLE)
+       |             ELSE coalesce(r.red, -2) END,
+       |        c.rk, c.dst) AS rk2
+       |    FROM dvc c LEFT JOIN dvr r ON r.src = c.src AND r.rk = c.rk)
+       |  WHERE rk2 <= $k),
+       |adj AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g
+       |    UNION ALL SELECT dst AS src, src AS dst FROM g)),
+       |p AS (SELECT vec_id AS probe_id, v, nrm FROM n
+       |      WHERE vec_id < 50),
+       |ent AS (
+       |  SELECT src AS node FROM adj
+       |  GROUP BY src
+       |  ORDER BY count(*) DESC, src
+       |  LIMIT $nEntries)""".stripMargin
+  }
+
+  /** ANN RECALL for the DIVERSIFIED graph tier ([[graft.api
+    * .Similarity.nngBuildDiverse]] — the clone-robust build closing
+    * the round-16 "clone-robust graph ANN" candidate): same recall
+    * harness, probes, ground truth, beam, and walk as
+    * [[simRecallNng]], over the graph whose neighbor lists are
+    * diversity-selected (HNSW select-neighbors, order-independent
+    * relaxation) instead of plain top-k. On the clean fixture the
+    * two tiers should score comparably — the row certifies the
+    * SELECTION's determinism end to end; the regime that mandates
+    * this tier is the clone-dense probe, where plain-graph recall
+    * collapses to ≤ 0.04 and the diversified graph reconnects
+    * (measured in BASELINE.md). Scale shape: build adds one
+    * kCand²-bounded keyed self-join per node; serving identical to
+    * sim_topk_nng. */
+  val simRecallNngDiverse: GQuery = {
+    val (kNeighbors, kCand, nEntries, beam, rounds) = (10, 30, 8, 10, 4)
+    GQuery("sim_recall_nng_diverse",
+      s"""WITH ${nngDiverseGraphCtes(kCand, kNeighbors, nEntries)},
+         |${nngBeamCtes(beam, rounds)},
+         |ex AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(list_dot_product(p.v, c.v)
+         |                       / (p.nrm * c.nrm), 6) DESC,
+         |                 c.vec_id) AS rk
+         |    FROM n p JOIN n c ON p.vec_id < 50 AND c.vec_id != p.vec_id)
+         |  WHERE rk <= 3),
+         |ann AS (
+         |  SELECT probe_id, node AS neighbor_id FROM (
+         |    SELECT probe_id, node, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
+         |    FROM v$rounds WHERE node != probe_id)
+         |  WHERE rk <= 3),
+         |hits AS (
+         |  SELECT ex.probe_id, count(*) AS n_hits
+         |  FROM ex JOIN ann ON ex.probe_id = ann.probe_id
+         |                  AND ex.neighbor_id = ann.neighbor_id
+         |  GROUP BY ex.probe_id),
+         |den AS (SELECT probe_id, count(*) AS n_exact FROM ex
+         |        GROUP BY probe_id)
+         |SELECT den.probe_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6)
+         |    AS recall
+         |FROM den LEFT JOIN hits ON den.probe_id = hits.probe_id
+         |ORDER BY den.probe_id""".stripMargin) { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val probes = ev.filter(col("vec_id") < 50)
+      val exact = graft.api.Similarity.cosineTopK(ev, probes, "vec_id",
+        "v", k = 3).select(col("probe_id"), col("neighbor_id"))
+      val nngPath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("nngdiv2_k10c30d8", dir,
+          "embeddings.parquet")) {
+        tmp => graft.api.Similarity.nngBuildDiverse(ev, "vec_id", "v",
+          tmp, k = kNeighbors, kCand = kCand, nEntries = nEntries)
+      }
+      val ann = graft.api.Similarity.nngTopK(probes, "vec_id", "v",
+        nngPath, k = 3, beam = beam, rounds = rounds)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = ann.join(exact, Seq("probe_id", "neighbor_id"),
+        "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact"), 6).as("recall"))
+        .orderBy(col("probe_id"))
+    }
+  }
+
   /** FILTERED VECTOR SEARCH — exact top-3 cosine among corpus vectors
     * sharing the probe's LABEL (label-constrained retrieval, the
     * "filtered ANN" mode every production vector store treats as
@@ -3528,7 +3665,8 @@ object SimQueries {
   }
 
   val all: Seq[GQuery] =
-    Seq(simTopkNng, simNngIngest, simRecallNng, simTopkNngDescent,
+    Seq(simTopkNng, simNngIngest, simRecallNng, simRecallNngDiverse,
+      simTopkNngDescent,
       simKnnClassifyNng, sampleKcenter, sampleKcenterAssign,
       simIvfCellStats, simIvfRebuild, simRecallIvfPq,
       simTopkFiltered, simTopkHamming, simCosineTopk,

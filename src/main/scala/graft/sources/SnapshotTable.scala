@@ -124,10 +124,70 @@ object SnapshotTable {
   }
 
   /** The data-file lines of one manifest ('#'-prefixed metadata
-    * headers — e.g. the exactly-once batch marker — excluded). */
+    * headers — e.g. the exactly-once batch marker — and '-'-prefixed
+    * delete-file lines excluded). */
   private def manifestFiles(tableDir: String, v: Int): Seq[String] =
     Files.readAllLines(manifest(tableDir, v).toPath).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#") &&
+        !l.startsWith("-")).toSeq
+
+  /** The delete-file lines of one manifest (prefix stripped). */
+  private def manifestDeleteFiles(tableDir: String,
+      v: Int): Seq[String] =
+    Files.readAllLines(manifest(tableDir, v).toPath).asScala
+      .filter(_.startsWith("-")).map(_.stripPrefix("-")).toSeq
+
+  /** Every non-header line of one manifest, delete prefixes intact —
+    * what an [[append]] or [[delete]] must carry forward verbatim. */
+  private def manifestCarryLines(tableDir: String,
+      v: Int): Seq[String] =
+    Files.readAllLines(manifest(tableDir, v).toPath).asScala
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  /** MERGE-ON-READ row-level DELETE: `keys` (a single-column frame
+    * whose column names the delete key) is written as a DELETE FILE
+    * and the new snapshot's manifest lists it with a '-' prefix —
+    * the base data files are NEVER rewritten (contrast
+    * merge_delete_apply's copy-on-write). [[read]] applies every
+    * listed delete file as an anti-join at scan time; [[compact]]
+    * folds the deletes into a rewritten file set (the MoR→CoW
+    * handoff every table format schedules); prior versions still
+    * read the undeleted rows (snapshot isolation holds — a delete is
+    * just a new manifest). Same optimistic commit loop as [[append]]
+    * (re-derives against the new latest on collision), and delete
+    * lines carry forward through later appends/deletes verbatim.
+    *
+    * Scale shape: a delete costs O(delete keys) written bytes —
+    * nothing is read, nothing is rewritten; the deferred cost is one
+    * anti-join per read until a compaction folds it. */
+  def delete(keys: DataFrame, tableDir: String): Int = {
+    val dataSub = s"data/d${ProcessHandle.current().pid()}" +
+      s"_${System.nanoTime()}"
+    require(keys.columns.length == 1,
+      "delete keys must be a single-column frame (the key column)")
+    keys.write.parquet(s"$tableDir/$dataSub")
+    val delFiles = new File(tableDir, dataSub).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+      .map(f => s"-$dataSub/${f.getName}").sorted.toSeq
+    Files.createDirectories(logDir(tableDir).toPath)
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(tableDir)
+      val prior =
+        if (base > 0) manifestCarryLines(tableDir, base) else Seq.empty
+      val lines = prior ++ delFiles
+      val tmp = new File(logDir(tableDir), s".tmp-" +
+        s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      Files.write(tmp.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      try {
+        Files.createLink(manifest(tableDir, base + 1).toPath, tmp.toPath)
+        committed = base + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      } finally Files.deleteIfExists(tmp.toPath)
+    }
+    committed
+  }
 
   /** APPEND commit: the new snapshot = the latest snapshot's file set
     * plus `df`'s new files — the continuous-ingestion shape, where
@@ -155,7 +215,8 @@ object SnapshotTable {
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(tableDir)
-      val prior = if (base > 0) manifestFiles(tableDir, base) else Seq.empty
+      val prior =
+        if (base > 0) manifestCarryLines(tableDir, base) else Seq.empty
       val lines = marker.map(m => s"#$m").toSeq ++ prior ++ newFiles
       val tmp = new File(logDir(tableDir), s".tmp-" +
         s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
@@ -196,7 +257,18 @@ object SnapshotTable {
       s"snapshot v$v does not exist at $tableDir " +
         s"(committed: ${versions(tableDir).mkString(",")})")
     val files = manifestFiles(tableDir, v).map(rel => s"$tableDir/$rel")
-    spark.read.parquet(files: _*)
+    val base = spark.read.parquet(files: _*)
+    val dels = manifestDeleteFiles(tableDir, v)
+      .map(rel => s"$tableDir/$rel")
+    if (dels.isEmpty) base
+    else {
+      // merge-on-read: every delete file is one anti-join on its own
+      // key column — base files untouched
+      val keys = spark.read.parquet(dels: _*)
+      val kc = keys.columns.head
+      base.join(keys.select(org.apache.spark.sql.functions.col(kc))
+        .distinct(), Seq(kc), "left_anti")
+    }
   }
 
   /** CHANGE FEED between two committed versions: the rows of every
@@ -238,7 +310,8 @@ object SnapshotTable {
     * contract every table format has). */
   def vacuum(tableDir: String, retainFrom: Int): Unit = {
     val keep = versions(tableDir).filter(_ >= retainFrom)
-    val referenced = keep.flatMap(v => manifestFiles(tableDir, v))
+    val referenced = keep.flatMap(v => manifestFiles(tableDir, v) ++
+        manifestDeleteFiles(tableDir, v))
       .map(rel => new File(tableDir, rel).getCanonicalPath).toSet
     val dataRoot = new File(tableDir, "data")
     val subdirs = dataRoot.listFiles()

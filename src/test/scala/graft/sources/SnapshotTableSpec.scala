@@ -172,6 +172,47 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.changes(spark, t, 3, 4).count() == 1)
   }
 
+  test("merge-on-read delete: keys vanish at scan time, base files untouched, compaction folds") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(10, "base"), t)               // v1
+    val baseFiles = SnapshotTable.read(spark, t, 1)
+      .inputFiles.sorted.toSeq
+    val v2 = SnapshotTable.delete(
+      Seq(2L, 4L, 6L).toDF("k"), t)                         // v2 (MoR)
+    assert(v2 == 2)
+    val got = SnapshotTable.read(spark, t, 2)
+    assert(got.count() == 7 &&
+      got.filter($"k".isin(2L, 4L, 6L)).count() == 0,
+      "deleted keys must vanish from the MoR read")
+    // the base data files were NOT rewritten — the same files serve
+    // v2 (plus the delete file the anti-join scans, under data/d*)
+    assert(got.inputFiles.filterNot(_.contains("/data/d"))
+      .sorted.toSeq == baseFiles,
+      "MoR delete must not touch base data files")
+    // snapshot isolation across a delete: v1 still sees all rows
+    assert(SnapshotTable.read(spark, t, 1).count() == 10)
+    // delete lines carry through a later append; an appended row
+    // whose key sits in a delete file is dropped too (key deletes
+    // are position-independent)
+    SnapshotTable.append(
+      Seq((4L, "late"), (11L, "new")).toDF("k", "tag"), t)  // v3
+    val v3r = SnapshotTable.read(spark, t, 3)
+    assert(v3r.count() == 8 &&
+      v3r.filter($"k" === 11L).count() == 1 &&
+      v3r.filter($"k" === 4L).count() == 0)
+    // compaction folds the deletes: new snapshot, no '-' lines, same
+    // visible rows, and reads stop paying the anti-join
+    val v4 = SnapshotTable.compact(spark, t)
+    val manifest = new String(Files.readAllBytes(
+      new File(s"$t/_snaplog/v$v4.manifest").toPath), "UTF-8")
+    assert(!manifest.lines().anyMatch(_.startsWith("-")),
+      "compaction must fold delete files away")
+    assert(SnapshotTable.read(spark, t, v4).count() == 8)
+    // vacuum to the compacted version keeps serving it
+    SnapshotTable.vacuum(t, retainFrom = v4)
+    assert(SnapshotTable.read(spark, t).count() == 8)
+  }
+
   test("vacuum drops unreferenced files and old manifests; retained snapshots keep serving") {
     val t = freshDir()
     SnapshotTable.commit(rows(3, "v1"), t)
