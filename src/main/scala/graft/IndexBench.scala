@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * descent graph's edge agreement against the exact lists. Usage:
   *
   *   SPARK_GRAFT_SF_DIR=/tmp/sfx10 SPARK_GRAFT_CPUS=32 \
-  *     sbt "runMain graft.IndexBench [exact] [descent] [serve]"
+  *     sbt "runMain graft.IndexBench [exact] [descent] [entries]
+  *          [diverse] [serve]"
   *
   * (args filter which stages run; default exact+descent. The exact
   * build is O(n²) — skip it above ~50k vectors.) The `serve` stage
