@@ -297,7 +297,20 @@ class BroadcastPolicySpec extends SparkTestBase {
     // composes five contract sweeps verbatim — the union of their
     // own budgets that survive the final projections (the watermark
     // carry frame, the budget token-total, the pack bucket offsets)
-    "pipeline_knob_card" -> 6
+    "pipeline_knob_card" -> 6,
+    // round 17: the diversified-build shortlist is cosineTopK with
+    // probes = corpus ON THE BOUNDED 500-row embeddings fixture at
+    // index-BUILD time (offline, once per corpus generation — at
+    // scale the shortlist comes from the IVF/descent tier), + the
+    // walk's probe broadcast (vec_id < 50, literal-bounded)
+    "sim_recall_nng_diverse" -> 2,
+    // the 1-row global urgent/total rate scalar onto the (n, x) grid
+    "dq_binomial_test" -> 1,
+    // the same 1-row rate scalar + the 1-row m-total + the 4-row
+    // alpha frame, each re-resolved on the grid/k*/true-positive
+    // branches of the ≤|grid|-row step-up chain — every frame 1-row
+    // or alpha-bounded, never corpus-sized
+    "dq_bh_fdr" -> 9
   )
 
   /** Scan markers of tables whose cardinality scales with SF — a

@@ -125,7 +125,17 @@ class PlanShapeSpec extends SparkTestBase {
     "sample_doremi_weights",
     // composes five contract sweeps verbatim, inheriting their
     // bounded scalar cross joins (budget total, pack offsets)
-    "pipeline_knob_card")
+    "pipeline_knob_card",
+    // round 17: index-BUILD-time cosineTopK over the bounded 500-row
+    // embeddings fixture (self-exclusion non-equi predicate) + the
+    // probe-broadcast walk — the sim_recall_* class
+    "sim_recall_nng_diverse",
+    // 1-row rate scalar onto the bounded (n, x) grid
+    "dq_binomial_test",
+    // 1-row scalars (rate, m-total) + 4-row alpha frame onto the
+    // grid-sized step-up chain; the p <= p_cut true-positive join is
+    // a non-equi join of the 4-row k* frame with the grid
+    "dq_bh_fdr")
 
   test("no contract query plans a BroadcastNestedLoopJoin (allowlisted exceptions)") {
     PlanCache.clear()
