@@ -60,7 +60,8 @@ object GraphQueries {
     edges(s, dir).count()
     partEdges(s, dir).count()
     collocEdges(s, dir).count()
-    3
+    knnEdges(s, dir).count()
+    4
   }
 
   /** SAVED edge artifact + session memo: the edge derivation (a
@@ -1009,14 +1010,7 @@ object GraphQueries {
          |  CAST(sum(dmicro) AS DOUBLE) / 1000000 AS betweenness
          |FROM alld GROUP BY node
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val knn = graft.api.Similarity
-        .cosineTopK(emb, emb, "vec_id", "v", k = 4)
-        .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
-      val e1 = knn
-        .union(knn.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
+      val e1 = knnEdges(s, dir)
       val seeds = e1.select(col("src").as("seed")).distinct()
         .orderBy(col("seed")).limit(8)
       brandes(e1, seeds, L)
@@ -1025,6 +1019,28 @@ object GraphQueries {
         .orderBy(col("vec_id"))
     }
   }
+
+  /** The semantic kNN edge derivation itself — exposed for the saved
+    * ≡ derived spec pin: exact 4-NN by rounded cosine, symmetrized.
+    * Saved + memoized like the other graph edge sets (the Brandes
+    * passes reference the frame in ~20 joins; without the artifact
+    * every join re-derived the all-pairs scoring + per-src rank
+    * window — measured 133 s/query at sf0.1, vs the artifact's
+    * once-per-corpus-generation build). */
+  private[graft] def knnEdgesDerived(s: SparkSession,
+      dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val knn = graft.api.Similarity
+      .cosineTopK(emb, emb, "vec_id", "v", k = 4)
+      .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+    knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  private[graft] def knnEdges(s: SparkSession, dir: String): DataFrame =
+    savedEdges(s, dir, "knn4_edges", "embeddings.parquet")(
+      knnEdgesDerived(s, dir))
 
   /** Oracle twin of [[brandes]]: forward level CTEs f1..fL with a
     * cumulative visited chain v1..vL, then the backward micro-unit

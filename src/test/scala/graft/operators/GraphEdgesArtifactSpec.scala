@@ -40,6 +40,13 @@ class GraphEdgesArtifactSpec extends SparkTestBase {
       edgeSet(GraphQueries.collocEdgesDerived(spark, sfDir)))
   }
 
+  test("saved knn4 edges == derived knn4 edges; symmetric by construction") {
+    val saved = edgeSet(GraphQueries.knnEdges(spark, sfDir))
+    assert(saved == edgeSet(GraphQueries.knnEdgesDerived(spark, sfDir)))
+    assert(saved.forall { case (a, b) => saved.contains((b, a)) },
+      "symmetrized edge set must contain both directions")
+  }
+
   test("second serve reads the published artifact without rebuilding") {
     GraphQueries.edges(spark, sfDir).count()
     val path = IndexStore.stampedPath("graph_edges_brand_edges", sfDir,
