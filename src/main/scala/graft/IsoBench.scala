@@ -95,7 +95,12 @@ object IsoBench {
     // per-pick lineage cuts made it SLOWER, 11.0 s — the overhead is
     // not plan compile). An offline once-per-corpus-generation
     // artifact; recorded so the bench reading has its adjudicator.
-    "pipeline_knob_card")
+    "pipeline_knob_card",
+    // round 17: the two new rows above the 1 s warm band — the
+    // 11-round (L=6 forward + 5 backward) sparse-graph Brandes over
+    // the saved knn4 edge artifact, and the diversified-graph recall
+    // row (probe-broadcast ground truth + beam walk at equal beam)
+    "graph_betweenness_knn", "sim_recall_nng_diverse")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
