@@ -68,7 +68,7 @@ object Bench {
         // timed query must not pay
         "merge_time_travel", "agg_percentile_indexed",
         "dedup_semantic_stats",
-        // round 17: the diversified NNG (nngdiv_k10c30d8) and the
+        // round 17: the diversified NNG (nngdiv2_k10c30d8) and the
         // append-log snapshot table behind the change feed
         "sim_recall_nng_diverse", "merge_change_feed",
         "merge_mor_delete")

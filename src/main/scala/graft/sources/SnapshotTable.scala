@@ -49,6 +49,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * drops everything no retained manifest references — the
   * compaction/GC contract, kept separate from commit so readers of
   * retained versions are never raced. */
+/** Thrown by [[SnapshotTable.commitIfUnchanged]] when another writer
+  * committed between the caller's read and its publish — the
+  * optimistic-concurrency conflict every table format surfaces rather
+  * than silently clobbering. */
+class SnapshotConflictException(msg: String)
+  extends java.util.ConcurrentModificationException(msg)
+
 object SnapshotTable {
 
   private def logDir(tableDir: String) = new File(tableDir, "_snaplog")
@@ -74,7 +81,10 @@ object SnapshotTable {
     * frame IS the new table state). Returns the committed version.
     * The data files are written under a version-proposed directory;
     * if the manifest rename loses a race, the publish retries at the
-    * next version, re-pointing the SAME data files — no rewrite. */
+    * next version, re-pointing the SAME data files — no rewrite.
+    * Exactly-once batch markers of the base version carry forward
+    * (re-derived per retry), so a CoW rewrite or [[compact]] never
+    * forgets which batches already landed. */
   def commit(df: DataFrame, tableDir: String): Int = {
     val proposed = latestVersion(tableDir) + 1
     // unique data dir per attempt: two racing writers must never
@@ -85,7 +95,67 @@ object SnapshotTable {
     val files = new File(tableDir, dataSub).listFiles()
       .filter(f => f.getName.endsWith(".parquet") && f.isFile)
       .map(f => s"$dataSub/${f.getName}").sorted.toSeq
-    publishManifest(tableDir, files, proposed)
+    Files.createDirectories(logDir(tableDir).toPath)
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(tableDir)
+      val markers =
+        if (base > 0) manifestMarkers(tableDir, base) else Seq.empty
+      val tmp = new File(logDir(tableDir), s".tmp-" +
+        s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      Files.write(tmp.toPath,
+        (markers ++ files).mkString("\n").getBytes("UTF-8"))
+      try {
+        Files.createLink(manifest(tableDir, base + 1).toPath, tmp.toPath)
+        committed = base + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // re-derive
+      } finally Files.deleteIfExists(tmp.toPath)
+    }
+    committed
+  }
+
+  /** Copy-on-write commit WITH optimistic content-conflict detection —
+    * the check Iceberg/Delta make that plain [[commit]] (by documented
+    * design) does not: the caller states the version its new state was
+    * DERIVED FROM, and if any other writer has committed since, the
+    * publish FAILS with [[SnapshotConflictException]] instead of
+    * silently last-writer-winning over content it never saw. The check
+    * is the atomic link itself — we link at exactly
+    * `expectedVersion + 1` and never retry at a later slot, so there
+    * is no TOCTOU window between "check latest" and "publish".
+    * Orphaned data files of a failed attempt are invisible (no
+    * manifest) and get swept by the next [[vacuum]]. */
+  def commitIfUnchanged(df: DataFrame, tableDir: String,
+      expectedVersion: Int): Int = {
+    if (latestVersion(tableDir) != expectedVersion)
+      throw new SnapshotConflictException(
+        s"stale base: expected v$expectedVersion, table is at " +
+          s"v${latestVersion(tableDir)} — re-read and re-derive")
+    val dataSub = s"data/v${expectedVersion + 1}_" +
+      s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    df.write.parquet(s"$tableDir/$dataSub")
+    val files = new File(tableDir, dataSub).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+      .map(f => s"$dataSub/${f.getName}").sorted.toSeq
+    val markers = if (expectedVersion > 0)
+      manifestMarkers(tableDir, expectedVersion) else Seq.empty
+    Files.createDirectories(logDir(tableDir).toPath)
+    val tmp = new File(logDir(tableDir), s".tmp-" +
+      s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    Files.write(tmp.toPath,
+      (markers ++ files).mkString("\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(
+        manifest(tableDir, expectedVersion + 1).toPath, tmp.toPath)
+      expectedVersion + 1
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new SnapshotConflictException(
+          s"concurrent commit: expected to publish " +
+            s"v${expectedVersion + 1} at $tableDir but another writer " +
+            s"got there first (table now at v${latestVersion(tableDir)})")
+    } finally Files.deleteIfExists(tmp.toPath)
   }
 
   /** Publish a manifest listing `files` at the first free version ≥
@@ -144,12 +214,26 @@ object SnapshotTable {
     Files.readAllLines(manifest(tableDir, v).toPath).asScala
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
 
+  /** The metadata-header lines ('#'-prefixed, e.g. exactly-once batch
+    * markers) of one manifest. Markers CARRY FORWARD through every
+    * later commit (append, delete, CoW rewrite, compaction), so the
+    * LATEST manifest always holds the complete marker set — that is
+    * what keeps [[appendOnce]] exactly-once after a [[vacuum]] has
+    * deleted the manifest that introduced a marker (the round-15
+    * durability edge: markers that lived only in their birth manifest
+    * silently died with it). O(batches) text lines per manifest — the
+    * same order as Delta's per-source txn versions. */
+  private def manifestMarkers(tableDir: String, v: Int): Seq[String] =
+    Files.readAllLines(manifest(tableDir, v).toPath).asScala
+      .filter(_.startsWith("#")).toSeq
+
   /** MERGE-ON-READ row-level DELETE: `keys` (a single-column frame
     * whose column names the delete key) is written as a DELETE FILE
     * and the new snapshot's manifest lists it with a '-' prefix —
     * the base data files are NEVER rewritten (contrast
-    * merge_delete_apply's copy-on-write). [[read]] applies every
-    * listed delete file as an anti-join at scan time; [[compact]]
+    * merge_delete_apply's copy-on-write). [[read]] applies the listed
+    * delete files at scan time — one anti-join per distinct key
+    * column, each file joining on its own key; [[compact]]
     * folds the deletes into a rewritten file set (the MoR→CoW
     * handoff every table format schedules); prior versions still
     * read the undeleted rows (snapshot isolation holds — a delete is
@@ -161,6 +245,9 @@ object SnapshotTable {
     * nothing is read, nothing is rewritten; the deferred cost is one
     * anti-join per read until a compaction folds it. */
   def delete(keys: DataFrame, tableDir: String): Int = {
+    require(latestVersion(tableDir) > 0,
+      s"cannot delete from an empty table (no committed snapshot " +
+        s"at $tableDir)")
     val dataSub = s"data/d${ProcessHandle.current().pid()}" +
       s"_${System.nanoTime()}"
     require(keys.columns.length == 1,
@@ -173,9 +260,11 @@ object SnapshotTable {
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(tableDir)
+      val markers =
+        if (base > 0) manifestMarkers(tableDir, base) else Seq.empty
       val prior =
         if (base > 0) manifestCarryLines(tableDir, base) else Seq.empty
-      val lines = prior ++ delFiles
+      val lines = markers ++ prior ++ delFiles
       val tmp = new File(logDir(tableDir), s".tmp-" +
         s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
       Files.write(tmp.toPath, lines.mkString("\n").getBytes("UTF-8"))
@@ -215,9 +304,12 @@ object SnapshotTable {
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(tableDir)
+      val priorMarkers =
+        if (base > 0) manifestMarkers(tableDir, base) else Seq.empty
       val prior =
         if (base > 0) manifestCarryLines(tableDir, base) else Seq.empty
-      val lines = marker.map(m => s"#$m").toSeq ++ prior ++ newFiles
+      val lines = (marker.map(m => s"#$m").toSeq ++ priorMarkers)
+        .distinct ++ prior ++ newFiles
       val tmp = new File(logDir(tableDir), s".tmp-" +
         s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
       Files.write(tmp.toPath, lines.mkString("\n").getBytes("UTF-8"))
@@ -237,13 +329,17 @@ object SnapshotTable {
     * replay (restarted stream, stale checkpoint) commits each batch's
     * rows exactly once. The marker rides INSIDE the atomically-linked
     * manifest, so commit and mark are one filesystem operation — no
-    * crash window between them. */
+    * crash window between them; and markers CARRY FORWARD through
+    * every later commit/append/delete/compact, so the guarantee
+    * survives a [[vacuum]] that deleted the marker's birth manifest
+    * (a stale checkpoint replaying across a vacuum still finds the
+    * marker in every retained manifest). */
   def appendOnce(df: DataFrame, tableDir: String, batchId: Long): Int = {
-    val m = s"batch:$batchId"
+    val m = s"#batch:$batchId"
     versions(tableDir).find { v =>
       Files.readAllLines(manifest(tableDir, v).toPath).asScala
-        .headOption.contains(s"#$m")
-    }.getOrElse(append(df, tableDir, Some(m)))
+        .takeWhile(_.startsWith("#")).contains(m)
+    }.getOrElse(append(df, tableDir, Some(s"batch:$batchId")))
   }
 
   /** Read snapshot `version` (≤ 0 ⇒ latest). The manifest's file list
@@ -258,18 +354,32 @@ object SnapshotTable {
         s"(committed: ${versions(tableDir).mkString(",")})")
     val files = manifestFiles(tableDir, v).map(rel => s"$tableDir/$rel")
     val base = spark.read.parquet(files: _*)
-    val dels = manifestDeleteFiles(tableDir, v)
-      .map(rel => s"$tableDir/$rel")
-    if (dels.isEmpty) base
-    else {
-      // merge-on-read: every delete file is one anti-join on its own
-      // key column — base files untouched
-      val keys = spark.read.parquet(dels: _*)
-      val kc = keys.columns.head
-      base.join(keys.select(org.apache.spark.sql.functions.col(kc))
-        .distinct(), Seq(kc), "left_anti")
-    }
+    applyDeletes(spark, base,
+      manifestDeleteFiles(tableDir, v).map(rel => s"$tableDir/$rel"))
   }
+
+  /** Merge-on-read delete application: ONE anti-join per distinct
+    * delete-key COLUMN, never one mixed-schema union — two delete
+    * commits keyed on different columns (say `o_orderkey` then
+    * `o_custkey`) each anti-join on their own key; a single-frame
+    * union would null the second file's column under the first's
+    * schema and silently resurrect its rows (the round-15 advisory's
+    * medium finding). Grouping is by the files' parquet schema, read
+    * driver-side from the footers (no job); files sharing a key
+    * column coalesce into one distinct + one anti-join, so the read
+    * pays O(distinct key columns) joins, not O(delete commits). */
+  private def applyDeletes(spark: SparkSession, base: DataFrame,
+      delPaths: Seq[String]): DataFrame =
+    if (delPaths.isEmpty) base
+    else delPaths
+      .groupBy(p => spark.read.parquet(p).schema.fieldNames.head)
+      .toSeq.sortBy(_._1)
+      .foldLeft(base) { case (acc, (kc, paths)) =>
+        acc.join(
+          spark.read.parquet(paths: _*)
+            .select(org.apache.spark.sql.functions.col(kc)).distinct(),
+          Seq(kc), "left_anti")
+      }
 
   /** CHANGE FEED between two committed versions: the rows of every
     * data file listed by `toV`'s manifest but NOT by `fromV`'s — the
@@ -283,13 +393,26 @@ object SnapshotTable {
     * snapshot, and a row-accurate delta needs the relational diff
     * (the merge_snapshot_diff operator) instead. Returns an empty
     * frame in `toV`'s schema when no files were added (e.g. a
-    * replayed [[appendOnce]] batch). */
+    * replayed [[appendOnce]] batch).
+    *
+    * Row-level deletes: the feed is INSERT-ONLY — a [[delete]] in
+    * `(fromV, toV]` adds no data files and therefore emits no rows
+    * for the deletion itself (a retraction feed needs the relational
+    * diff); but `toV`'s delete files ARE applied to the appended-file
+    * scan, so a row that is invisible in `read(toV)` (its key sits in
+    * a carried-forward delete file) is never emitted as a change —
+    * the feed is a subset of the snapshot it claims to lead to. */
   def changes(spark: SparkSession, tableDir: String, fromV: Int,
       toV: Int): DataFrame = {
+    Seq(fromV, toV).foreach(v => require(manifest(tableDir, v).exists(),
+      s"snapshot v$v does not exist at $tableDir " +
+        s"(committed: ${versions(tableDir).mkString(",")})"))
     val before = manifestFiles(tableDir, fromV).toSet
     val added = manifestFiles(tableDir, toV).filterNot(before)
     if (added.isEmpty) read(spark, tableDir, toV).limit(0)
-    else spark.read.parquet(added.map(rel => s"$tableDir/$rel"): _*)
+    else applyDeletes(spark,
+      spark.read.parquet(added.map(rel => s"$tableDir/$rel"): _*),
+      manifestDeleteFiles(tableDir, toV).map(rel => s"$tableDir/$rel"))
   }
 
   /** MANIFEST-DRIVEN COMPACTION: rewrite the latest snapshot's file

@@ -213,6 +213,98 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.read(spark, t).count() == 8)
   }
 
+  test("deletes keyed on DIFFERENT columns each anti-join on their own key") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(10, "keep")
+      .union(Seq((11L, "drop_me"), (12L, "drop_me")).toDF("k", "tag")), t)
+    SnapshotTable.delete(Seq(2L, 4L).toDF("k"), t)          // v2: by k
+    SnapshotTable.delete(Seq("drop_me").toDF("tag"), t)     // v3: by tag
+    val got = SnapshotTable.read(spark, t)
+    // both delete commits must apply — a mixed-schema union would
+    // null the second file's column and resurrect its rows
+    assert(got.count() == 8)
+    assert(got.filter($"k".isin(2L, 4L)).count() == 0,
+      "the k-keyed delete must still apply after a tag-keyed delete")
+    assert(got.filter($"tag" === "drop_me").count() == 0,
+      "the tag-keyed delete must not be nulled under the k schema")
+    // v2 saw only the k-delete
+    assert(SnapshotTable.read(spark, t, 2).count() == 10)
+  }
+
+  test("delete on an empty table fails fast; changes on uncommitted versions fails fast") {
+    val t = freshDir()
+    intercept[IllegalArgumentException] {
+      SnapshotTable.delete(Seq(1L).toDF("k"), t)
+    }
+    SnapshotTable.commit(rows(2, "a"), t)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changes(spark, t, 1, 9)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changes(spark, t, 0, 1)
+    }
+  }
+
+  test("change feed is delete-aware: rows invisible in read(toV) are never emitted") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(5, "base"), t)                 // v1
+    SnapshotTable.delete(Seq(3L, 4L).toDF("k"), t)           // v2 (MoR)
+    // v3 appends a row whose key sits in the carried-forward delete
+    SnapshotTable.append(
+      Seq((4L, "late"), (11L, "new")).toDF("k", "tag"), t)   // v3
+    val feed = SnapshotTable.changes(spark, t, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((11L, "new")),
+      "the feed must be a subset of read(toV): (4,late) is invisible there")
+    // the delete itself emits nothing (insert-only feed, documented)
+    assert(SnapshotTable.changes(spark, t, 1, 2).count() == 0)
+  }
+
+  test("appendOnce stays exactly-once after vacuum removed the marker's birth manifest") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(3, "base"), t)                 // v1
+    SnapshotTable.appendOnce(rows(4, "b0"), t, batchId = 0L) // v2
+    SnapshotTable.appendOnce(rows(2, "b1"), t, batchId = 1L) // v3
+    val v4 = SnapshotTable.compact(spark, t)                 // v4 (CoW)
+    assert(v4 == 4)
+    SnapshotTable.vacuum(t, retainFrom = 4)
+    assert(SnapshotTable.versions(t) == Seq(4),
+      "the marker birth manifests v2/v3 are gone")
+    // the stale-checkpoint replay across the vacuum: both batches
+    // must be recognized from the carried-forward markers
+    SnapshotTable.appendOnce(rows(4, "b0"), t, batchId = 0L)
+    SnapshotTable.appendOnce(rows(2, "b1"), t, batchId = 1L)
+    assert(SnapshotTable.latestVersion(t) == 4 &&
+      SnapshotTable.read(spark, t).count() == 9,
+      "a replay whose marker manifest was vacuumed must not double-append")
+    // a genuinely NEW batch still lands, and carries the marker set on
+    assert(SnapshotTable.appendOnce(rows(1, "b2"), t, 2L) == 5)
+    SnapshotTable.vacuum(t, retainFrom = 5)
+    SnapshotTable.appendOnce(rows(1, "b2"), t, 2L)
+    assert(SnapshotTable.read(spark, t).count() == 10)
+  }
+
+  test("commitIfUnchanged: the racing loser gets a conflict, not a silent clobber") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(3, "v1"), t)
+    val baseSeen = SnapshotTable.latestVersion(t) // writer A reads v1
+    // writer B lands first
+    SnapshotTable.commit(rows(5, "writer_b"), t)
+    // writer A's conditional publish must FAIL, and B's content stands
+    intercept[SnapshotConflictException] {
+      SnapshotTable.commitIfUnchanged(rows(9, "writer_a"), t, baseSeen)
+    }
+    assert(SnapshotTable.latestVersion(t) == 2)
+    assert(SnapshotTable.read(spark, t).filter($"tag" === "writer_b")
+      .count() == 5, "the first writer's content must stand")
+    // with a fresh base the conditional commit succeeds
+    assert(SnapshotTable.commitIfUnchanged(rows(1, "retry"), t, 2) == 3)
+    // and a stale base fails fast even before writing data
+    intercept[SnapshotConflictException] {
+      SnapshotTable.commitIfUnchanged(rows(1, "stale"), t, 1)
+    }
+  }
+
   test("vacuum drops unreferenced files and old manifests; retained snapshots keep serving") {
     val t = freshDir()
     SnapshotTable.commit(rows(3, "v1"), t)
