@@ -66,6 +66,18 @@ object DedupQueries {
       |          for i in generate_series(1, len(t) - 2)]) AS shingle
       |  FROM toks)""".stripMargin
 
+  /** The clone-density router's integer rule as a 1-row CTE `m(f)`:
+    * f = 1 (route to the clone-safe arm) iff the exact-text clone
+    * mass Σc(c−1) ≥ 2·n_docs — shared by the routed band sweep and
+    * the routed ngram-jaccard join (and certified by their stats
+    * rows). Declared ahead of every val that splices it (object vals
+    * initialize in declaration order). */
+  private val bandSweepChooserCte =
+    """m AS (SELECT CASE WHEN coalesce(sum(c * (c - 1)), 0)
+      |    >= 2 * CAST(sum(c) AS BIGINT) THEN 1 ELSE 0 END AS f
+      |  FROM (SELECT count(*) AS c FROM documents GROUP BY text))"""
+      .stripMargin
+
   /** Exact dedup on text (keep min doc_id), survivors per lang.
     *
     * The survivor of a text group is its minimum doc_id row, so the
@@ -462,14 +474,37 @@ object DedupQueries {
     val sparkImpl = (s: SparkSession, dir: String) => {
       // delegate to the ONE copy of the stats-driven strategy chooser
       // in graft.api, donating the memoized df table so the probe and
-      // the PPJoin global order never recount postings
+      // the PPJoin global order never recount postings. A THIRD arm
+      // sits in front of both (round-15 VERDICT item 6): when the
+      // corpus is clone-dense (the [[dedupNgramStats]] integer rule —
+      // exact-text clone mass ≥ 2·n_docs), exact clones collapse to
+      // their min-doc_id representative BEFORE the pair join, so the
+      // output is the FACTORED pair relation over distinct texts (the
+      // within-clone jaccard-1.0 pairs are dedup_exact's groups; the
+      // quadratic expansion is the client's choice to materialize).
+      // The oracle replays the same rule and the same collapse.
       graft.plans.IntersectSizeRewrite.install(s)
-      graft.api.Dedup.jaccardPairs(shingles(s, dir), "doc_id",
-        num = 1, den = 2, dfreq = Some(shingleDfreq(s, dir)))
+      val sh =
+        if (cloneMass(s, dir)) {
+          val reps = Tables.documents(s, dir)
+            .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"))
+          shingles(s, dir).join(reps, Seq("doc_id"), "left_semi")
+        } else shingles(s, dir)
+      graft.api.Dedup.jaccardPairs(sh, "doc_id",
+        num = 1, den = 2,
+        dfreq = if (cloneMass(s, dir)) None
+                else Some(shingleDfreq(s, dir)))
         .orderBy(col("doc1"), col("doc2"))
     }
     GQuery("dedup_ngram_jaccard",
-      s"""$duckShingles,
+      s"""WITH $bandSweepChooserCte,
+         |docs_eff AS (
+         |  SELECT d.doc_id, d.text FROM documents d, m WHERE m.f = 0
+         |  UNION ALL
+         |  SELECT min(doc_id) AS doc_id, text FROM documents, m
+         |  WHERE m.f = 1 GROUP BY text),
+         |${duckShinglesFrom("docs_eff")},
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
          |  FROM sh a JOIN sh b
@@ -482,6 +517,123 @@ object DedupQueries {
          |JOIN sizes sb ON d2 = sb.doc_id
          |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
          |ORDER BY doc1, doc2""".stripMargin)(sparkImpl)
+  }
+
+  /** The ngram-jaccard router's probe memo: `true` = clone-dense
+    * (collapse first). One map-side-combining aggregate over the
+    * corpus, memoized per (session, dir) — the router and the main
+    * row's dfreq decision both read it, and it never runs twice. */
+  private def cloneMass(s: SparkSession, dir: String): Boolean =
+    cloneMassMemo.computeIfAbsent((s, dir), { _ =>
+      val st = Tables.documents(s, dir)
+        .groupBy(col("text")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1)")), lit(0L)).as("mass"),
+          sum(col("c")).as("n"))
+        .head()
+      st.getLong(0) >= 2 * st.getLong(1)
+    })
+  private val cloneMassMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
+  /** [[duckShingles]] parameterized on its document source. */
+  private def duckShinglesFrom(src: String): String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM SRC),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |          for i in generate_series(1, len(t) - 2)]) AS shingle
+      |  FROM toks)""".stripMargin.replace("SRC", src)
+
+  /** The ALWAYS-COLLAPSED arm as its own contract row — what keeps
+    * the clone-collapse path hash-certified at fixture clone density
+    * (where the routed [[dedupNgramJaccard]] exercises the flat
+    * arms): near-dup pairs among distinct-text representatives, each
+    * row carrying `n_pairs` = c₁·c₂ — the number of underlying
+    * doc-level pairs the factored row stands for, so the quadratic
+    * expansion is ACCOUNTED without being materialized. At 100 TB
+    * this is the only affordable exact posture on a clone-dense
+    * corpus: the pair join runs on distinct texts (collapse is one
+    * map-side-combining aggregate), and Σ n_pairs audits exactly what
+    * was factored away. */
+  val dedupNgramJaccardCollapsed: GQuery = GQuery(
+    "dedup_ngram_jaccard_collapsed",
+    s"""WITH g AS (SELECT min(doc_id) AS doc_id, text,
+       |    count(*) AS c FROM documents GROUP BY text),
+       |${duckShinglesFrom("g")},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1 AS doc1, d2 AS doc2,
+       |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard,
+       |  CAST(ga.c * gb.c AS BIGINT) AS n_pairs
+       |FROM inter
+       |JOIN sizes sa ON d1 = sa.doc_id
+       |JOIN sizes sb ON d2 = sb.doc_id
+       |JOIN g ga ON d1 = ga.doc_id
+       |JOIN g gb ON d2 = gb.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+       |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+    graft.plans.IntersectSizeRewrite.install(s)
+    val g = Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"))
+    val sh = shingles(s, dir)
+      .join(g.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    graft.api.Dedup.jaccardPairs(sh, "doc_id", num = 1, den = 2)
+      .join(g.select(col("doc_id").as("doc1"), col("c").as("c1")),
+        Seq("doc1"))
+      .join(g.select(col("doc_id").as("doc2"), col("c").as("c2")),
+        Seq("doc2"))
+      .select(col("doc1"), col("doc2"), col("jaccard"),
+        (col("c1") * col("c2")).cast("bigint").as("n_pairs"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** The ngram-jaccard THREE-WAY chooser certified as an oracle row
+    * (the dedup_band_sweep_stats sibling): clone-dense → `collapsed`
+    * (collapse exact clones before the join — the output-bound
+    * regime); otherwise the [[graft.api.Dedup.jaccardPairs]] integer
+    * rule — `inverted` while the naive posting bound Σdf(df−1)/2 is
+    * within 20× of the posting count, `ppjoin` once a hot shingle
+    * blows the bound. All three statistics are integers; DuckDB
+    * replays the same aggregates and compares, so the hash gate
+    * certifies the ROUTE the pair join takes at this corpus. */
+  val dedupNgramStats: GQuery = GQuery(
+    "dedup_ngram_stats",
+    s"""WITH cc AS (SELECT count(*) AS c FROM documents GROUP BY text),
+       |cm AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(c * (c - 1)), 0) AS BIGINT) AS clone_mass
+       |  FROM cc),
+       |${duckShingles.stripPrefix("WITH ")},
+       |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |ds AS (SELECT CAST(coalesce(sum(df * (df - 1)), 0) // 2 AS BIGINT)
+       |    AS naive_pairs,
+       |  CAST(coalesce(sum(df), 0) AS BIGINT) AS postings FROM dfq)
+       |SELECT n_docs, clone_mass, naive_pairs, postings,
+       |  CASE WHEN clone_mass >= 2 * n_docs THEN 'collapsed'
+       |       WHEN naive_pairs <= 20 * postings THEN 'inverted'
+       |       ELSE 'ppjoin' END AS path
+       |FROM cm, ds""".stripMargin) { (s, dir) =>
+    val cm = Tables.documents(s, dir)
+      .groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast("bigint").as("n_docs"),
+        coalesce(sum(expr("c * (c - 1)")), lit(0L)).cast("bigint")
+          .as("clone_mass"))
+    val ds = shingleDfreq(s, dir)
+      .agg((coalesce(sum(expr("df * (df - 1)")), lit(0L)) / 2)
+          .cast("bigint").as("naive_pairs"),
+        coalesce(sum(col("df")), lit(0L)).cast("bigint").as("postings"))
+    cm.crossJoin(ds)
+      .select(col("n_docs"), col("clone_mass"), col("naive_pairs"),
+        col("postings"),
+        when(col("clone_mass") >= lit(2) * col("n_docs"), "collapsed")
+          .when(col("naive_pairs") <= lit(20) * col("postings"),
+            "inverted")
+          .otherwise("ppjoin").as("path"))
   }
 
   /** Embedding-cosine near-dup: global pairs with cosine ≥ 0.4.
@@ -883,14 +1035,22 @@ object DedupQueries {
     * kernel, computed once and semi-joined; rollup state is 4 rows.
     * The exact-truth side is OUTPUT-quadratic in clone multiplicity
     * (the dedup_ngram_jaccard precedent: 2.6M true pairs at the 10×
-    * worst-case probe) — at deployment scale a banding sweep runs on
-    * a CORPUS SAMPLE, exactly as the ANN recall harnesses bound their
-    * ground truth to sampled probes; the sized banding then serves
-    * the full corpus. Measured: 2.1 s at sf0.1, 46.4 s at the
-    * 10× 99-clone-density probe (truth side), 100× not probed (the
-    * truth join spills past local disk — the sample posture above is
-    * the deployment answer, not a bigger disk). */
-  val dedupBandSweep: GQuery = {
+    * worst-case probe) — so the sweep routes through the SAMPLED-TRUTH
+    * lever (round-15 VERDICT item 1): when the corpus is clone-dense
+    * OR simply larger than the ≈ 20k-doc slice cap (the integer rule
+    * [[dedupBandSweepStats]] certifies — modulus, not just flag),
+    * BOTH the banded candidates and the exact truth run on the
+    * deterministic hash slice (`portableHash(doc_id, "bsw:") % md = 0`
+    * — the sample_hash_mod kernel), exactly as the ANN recall
+    * harnesses bound their ground truth to sampled probes; the sized
+    * banding then serves the full corpus. The oracle replays the SAME
+    * rule and the SAME slice, so the routing decision itself is
+    * inside the hash gate. Measured: 2.1 s full at sf0.1; the
+    * 10×/100× clone-dense probes flip to sampled and COMPLETE (the
+    * full-truth 100× attempt formerly spilled past local disk; see
+    * BASELINE.md round-16 table). */
+  private def bandSweepSql(docSrc: String,
+      chooser: Option[String]): String = {
     def duckArr(r: Int): String = {
       val cond = (0 until 8 / r).map { bi =>
         (0 until r).map(j => s"a.h${bi * r + j} = b.h${bi * r + j}")
@@ -901,78 +1061,201 @@ object DedupQueries {
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($cond)"""
         .stripMargin
     }
-    GQuery("dedup_band_sweep",
-      s"""$minhashSigCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM sh a JOIN sh b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |tp AS (
-         |  SELECT d1 AS doc1, d2 AS doc2 FROM inter
-         |  JOIN sizes sa ON d1 = sa.doc_id
-         |  JOIN sizes sb ON d2 = sb.doc_id
-         |  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5),
-         |cand AS (
-         |${Seq(1, 2, 4, 8).map(duckArr).mkString("  ", "\n  UNION ALL\n  ",
-           "")}),
-         |cc AS (SELECT bands, rows_per_band, count(*) AS candidates
-         |       FROM cand GROUP BY bands, rows_per_band),
-         |h AS (SELECT cand.bands, count(*) AS n_hits
-         |      FROM cand JOIN tp ON cand.doc1 = tp.doc1
-         |                       AND cand.doc2 = tp.doc2
-         |      GROUP BY cand.bands),
-         |tpc AS (SELECT count(*) AS true_pairs FROM tp)
-         |SELECT CAST(cc.bands AS INT) AS bands,
-         |  CAST(cc.rows_per_band AS INT) AS rows_per_band,
-         |  CAST(cc.candidates AS BIGINT) AS candidates,
-         |  CAST(tpc.true_pairs AS BIGINT) AS true_pairs,
-         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
-         |    / tpc.true_pairs, 6) AS recall,
-         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
-         |    / cc.candidates, 6) AS prec
-         |FROM cc LEFT JOIN h ON cc.bands = h.bands
-         |CROSS JOIN tpc
-         |ORDER BY rows_per_band""".stripMargin) { (s, dir) =>
-      val sig = minhashSig(s, dir)
-      def bandPairs(r: Int): DataFrame = {
-        val bandArr = (0 until 8 / r).map { bi =>
-          val ks = (0 until r).map(j => s"'k$j', h${bi * r + j}")
-            .mkString(", ")
-          s"named_struct('b', $bi, $ks)"
-        }.mkString("array(", ", ", ")")
-        val banded = sig.select(col("doc_id"),
-          explode(expr(bandArr)).as("bd"))
-        banded.select(col("doc_id").as("doc1"), col("bd"))
-          .join(banded.select(col("doc_id").as("doc2"), col("bd")),
-            Seq("bd"))
-          .filter(col("doc1") < col("doc2"))
-          .select(col("doc1"), col("doc2")).distinct()
-      }
-      val cand = Seq(1, 2, 4, 8).map { r =>
-        bandPairs(r).select(lit(8 / r).as("bands"),
-          lit(r).as("rows_per_band"), col("doc1"), col("doc2"))
-      }.reduce(_.unionByName(_))
-      graft.plans.IntersectSizeRewrite.install(s)
-      val tp = graft.api.Dedup.jaccardPairs(shingles(s, dir), "doc_id",
-          num = 1, den = 2, dfreq = Some(shingleDfreq(s, dir)))
-        .select(col("doc1"), col("doc2"))
-      val cc = cand.groupBy(col("bands"), col("rows_per_band"))
-        .agg(count(lit(1)).as("candidates"))
-      val h = cand.join(tp, Seq("doc1", "doc2"), "left_semi")
-        .groupBy(col("bands")).agg(count(lit(1)).as("n_hits"))
-      val tpc = tp.agg(count(lit(1)).as("true_pairs"))
-      cc.join(h, Seq("bands"), "left").crossJoin(tpc)
-        .select(col("bands"), col("rows_per_band"), col("candidates"),
-          col("true_pairs"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          round(coalesce(col("n_hits"), lit(0L)).cast("double")
-            / col("true_pairs"), 6).as("recall"),
-          round(coalesce(col("n_hits"), lit(0L)).cast("double")
-            / col("candidates"), 6).as("prec"))
-        .orderBy(col("rows_per_band"))
+    val sigCte = minhashSigCte.replace("FROM documents", s"FROM $docSrc")
+    val lead = chooser match {
+      case Some(c) => "WITH " + c + ",\n" + sigCte.stripPrefix("WITH ")
+      case None => sigCte
     }
+    s"""$lead,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |tp AS (
+       |  SELECT d1 AS doc1, d2 AS doc2 FROM inter
+       |  JOIN sizes sa ON d1 = sa.doc_id
+       |  JOIN sizes sb ON d2 = sb.doc_id
+       |  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5),
+       |cand AS (
+       |${Seq(1, 2, 4, 8).map(duckArr).mkString("  ", "\n  UNION ALL\n  ",
+         "")}),
+       |cc AS (SELECT bands, rows_per_band, count(*) AS candidates
+       |       FROM cand GROUP BY bands, rows_per_band),
+       |h AS (SELECT cand.bands, count(*) AS n_hits
+       |      FROM cand JOIN tp ON cand.doc1 = tp.doc1
+       |                       AND cand.doc2 = tp.doc2
+       |      GROUP BY cand.bands),
+       |tpc AS (SELECT count(*) AS true_pairs FROM tp)
+       |SELECT CAST(cc.bands AS INT) AS bands,
+       |  CAST(cc.rows_per_band AS INT) AS rows_per_band,
+       |  CAST(cc.candidates AS BIGINT) AS candidates,
+       |  CAST(tpc.true_pairs AS BIGINT) AS true_pairs,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+       |    / tpc.true_pairs, 6) AS recall,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+       |    / cc.candidates, 6) AS prec
+       |FROM cc LEFT JOIN h ON cc.bands = h.bands
+       |CROSS JOIN tpc
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
+  /** DuckDB spelling of the sweep's deterministic doc-slice hash. */
+  private def bswHash(qual: String): String =
+    duckHash(s"concat('bsw:', CAST(${qual}doc_id AS VARCHAR))")
+
+  /** DuckDB spelling of the fixed 1-in-4 doc slice (the always-
+    * sampled contract row). */
+  private def bswSlice(qual: String): String =
+    s"${bswHash(qual)} % 4 = 0"
+
+  /** The band sweep's router CTE `ms(f, md)`: md = the slice modulus
+    * GREATEST(⌈n_docs / 20000⌉, 4 if clone-dense else 1) — the slice
+    * is bounded in SIZE (≈ 20k docs, 4× the sf0.1 fixture), not in
+    * fraction, because the 8×1 arrangement's candidate set is
+    * bucket-quadratic in however many docs enter the sweep (the 100×
+    * probe at a fixed 25% slice spilled past local disk on candidates
+    * alone — corpus size, not clone density, was the blow-up). f = 1
+    * iff md > 1. */
+  private val bandSweepModCte =
+    """ms AS (SELECT CAST(md AS BIGINT) AS md,
+      |    CASE WHEN md > 1 THEN 1 ELSE 0 END AS f
+      |  FROM (SELECT GREATEST((sum(c) + 19999) // 20000,
+      |      CASE WHEN coalesce(sum(c * (c - 1)), 0)
+      |        >= 2 * CAST(sum(c) AS BIGINT) THEN 4 ELSE 1 END) AS md
+      |    FROM (SELECT count(*) AS c FROM documents GROUP BY text)))"""
+      .stripMargin
+
+  /** Spark side of the sweep at one sampling posture (None = full
+    * corpus; Some(m) = the deterministic 1/m doc slice applied to
+    * BOTH the banded candidates and the exact truth). The signature
+    * and shingle tables stay the session memos — sampling is a pure
+    * per-row filter on top, so a routed re-run never recomputes
+    * signatures. The sampled truth recounts df on the slice (the
+    * full-corpus dfreq memo would mislead jaccardPairs' path probe). */
+  private def bandSweepBody(s: SparkSession, dir: String,
+      sampleMod: Option[Int]): DataFrame = {
+    val keep = sampleMod.map(m =>
+      graft.api.Sampling.portableHash(col("doc_id"), "bsw:") % m === 0)
+    def slice(df: DataFrame): DataFrame =
+      keep.map(df.filter).getOrElse(df)
+    val sig = slice(minhashSig(s, dir))
+    def bandPairs(r: Int): DataFrame = {
+      val bandArr = (0 until 8 / r).map { bi =>
+        val ks = (0 until r).map(j => s"'k$j', h${bi * r + j}")
+          .mkString(", ")
+        s"named_struct('b', $bi, $ks)"
+      }.mkString("array(", ", ", ")")
+      val banded = sig.select(col("doc_id"),
+        explode(expr(bandArr)).as("bd"))
+      banded.select(col("doc_id").as("doc1"), col("bd"))
+        .join(banded.select(col("doc_id").as("doc2"), col("bd")),
+          Seq("bd"))
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2")).distinct()
+    }
+    val cand = Seq(1, 2, 4, 8).map { r =>
+      bandPairs(r).select(lit(8 / r).as("bands"),
+        lit(r).as("rows_per_band"), col("doc1"), col("doc2"))
+    }.reduce(_.unionByName(_))
+    graft.plans.IntersectSizeRewrite.install(s)
+    val tp = graft.api.Dedup.jaccardPairs(slice(shingles(s, dir)),
+        "doc_id", num = 1, den = 2,
+        dfreq = if (sampleMod.isEmpty) Some(shingleDfreq(s, dir)) else None)
+      .select(col("doc1"), col("doc2"))
+    val cc = cand.groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("candidates"))
+    val h = cand.join(tp, Seq("doc1", "doc2"), "left_semi")
+      .groupBy(col("bands")).agg(count(lit(1)).as("n_hits"))
+    val tpc = tp.agg(count(lit(1)).as("true_pairs"))
+    cc.join(h, Seq("bands"), "left").crossJoin(tpc)
+      .select(col("bands"), col("rows_per_band"), col("candidates"),
+        col("true_pairs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("true_pairs"), 6).as("recall"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("candidates"), 6).as("prec"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  /** The routed sweep: full-corpus truth at fixture scale, the
+    * bounded hash slice once the corpus is clone-dense OR simply
+    * large — decision and modulus by the [[dedupBandSweepStats]]
+    * integer rule, replayed verbatim by the oracle (router CTE +
+    * conditional doc source), so the ROUTE is hash-certified, not
+    * just each arm. */
+  val dedupBandSweep: GQuery = GQuery("dedup_band_sweep",
+    bandSweepSql(
+      s"(SELECT d.* FROM documents d, ms WHERE ms.f = 0 " +
+        s"OR ${bswHash("d.")} % ms.md = 0)",
+      Some(bandSweepModCte))) { (s, dir) =>
+    val st = Tables.documents(s, dir)
+      .groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1)")), lit(0L)).as("mass"),
+        sum(col("c")).as("n"))
+      .head()
+    val modScale = ((st.getLong(1) + 19999L) / 20000L).toInt
+    val modClone = if (st.getLong(0) >= 2 * st.getLong(1)) 4 else 1
+    val mod = math.max(modScale, modClone)
+    bandSweepBody(s, dir, if (mod > 1) Some(mod) else None)
+  }
+
+  /** The always-sampled arm as its own contract row: at fixture clone
+    * density the routed [[dedupBandSweep]] exercises the full arm, so
+    * this row is what keeps the SAMPLED arm hash-certified every
+    * round (both arms green at every fixture, whichever the router
+    * picks). */
+  val dedupBandSweepSampled: GQuery = GQuery("dedup_band_sweep_sampled",
+    bandSweepSql(
+      s"(SELECT * FROM documents WHERE ${bswSlice("")})", None)) {
+    (s, dir) => bandSweepBody(s, dir, Some(4))
+  }
+
+  /** The sweep router's SIZING PROBE as an oracle row (the
+    * dedup_semantic_stats pattern: hash-certify the planning
+    * decision): exact-text clone mass Σc(c−1) — twice the
+    * exact-duplicate pair count, an integer one GROUP BY away, no
+    * signature pass needed at planning time — and the slice modulus
+    * md = GREATEST(⌈n/20000⌉, 4 if clone_mass ≥ 2·n else 1). Two
+    * regimes mandate the slice: clone density (exact clones alone
+    * guarantee ≥ n true pairs — the truth join is output-bound;
+    * measured mass/doc 0.003 at sf0.1 vs 6.0/66.1 at the 10×/100×
+    * probes) and plain corpus size (the 8×1 arrangement's candidates
+    * are bucket-quadratic in sweep input — the 100× probe at a fixed
+    * 25% slice spilled on candidates alone, so the slice is bounded
+    * at ≈ 20k docs, 4× the fixture every arrangement measures
+    * comfortably on). */
+  val dedupBandSweepStats: GQuery = GQuery(
+    "dedup_band_sweep_stats",
+    """WITH cc AS (SELECT count(*) AS c FROM documents GROUP BY text),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_clone_groups,
+      |  CAST(coalesce(sum(c * (c - 1)), 0) AS BIGINT) AS clone_mass
+      |  FROM cc)
+      |SELECT n_docs, n_clone_groups, clone_mass,
+      |  CAST(GREATEST((n_docs + 19999) // 20000,
+      |    CASE WHEN clone_mass >= 2 * n_docs THEN 4 ELSE 1 END)
+      |    AS INT) AS slice_mod,
+      |  CASE WHEN GREATEST((n_docs + 19999) // 20000,
+      |    CASE WHEN clone_mass >= 2 * n_docs THEN 4 ELSE 1 END) > 1
+      |    THEN 'sampled' ELSE 'full' END AS path
+      |FROM t""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast("bigint").as("n_docs"),
+        count(when(col("c") > 1, 1)).cast("bigint").as("n_clone_groups"),
+        coalesce(sum(expr("c * (c - 1)")), lit(0L)).cast("bigint")
+          .as("clone_mass"))
+      .select(col("n_docs"), col("n_clone_groups"), col("clone_mass"),
+        greatest(expr("(n_docs + 19999) div 20000"),
+          when(col("clone_mass") >= lit(2) * col("n_docs"), 4L)
+            .otherwise(1L)).cast("int").as("slice_mod"),
+        when(greatest(expr("(n_docs + 19999) div 20000"),
+          when(col("clone_mass") >= lit(2) * col("n_docs"), 4L)
+            .otherwise(1L)) > 1, "sampled")
+          .otherwise("full").as("path"))
   }
 
   val all: Seq[GQuery] = Seq(dedupExact, dedupNearMinhash,
@@ -981,5 +1264,7 @@ object DedupQueries {
     dedupKeepList, dedupSimhash, dedupNgramJaccard, dedupEmbedCosine,
     dedupIngest, dedupContainment, dedupContainmentIngest,
     dedupSpanGlobal, dedupSplitLeakage, dedupMinhashError,
-    dedupThresholdSweep, dedupClusterStats, dedupBandSweep)
+    dedupThresholdSweep, dedupClusterStats, dedupBandSweep,
+    dedupBandSweepSampled, dedupBandSweepStats,
+    dedupNgramJaccardCollapsed, dedupNgramStats)
 }
