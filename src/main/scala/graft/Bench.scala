@@ -71,7 +71,10 @@ object Bench {
         // round 17: the diversified NNG (nngdiv2_k10c30d8) and the
         // append-log snapshot table behind the change feed
         "sim_recall_nng_diverse", "merge_change_feed",
-        "merge_mor_delete")
+        "merge_mor_delete",
+        // round 18: the hierarchical coarse entry layer's stamped
+        // build (nng_hier_c256k4 — a 256-node layer graph)
+        "sim_recall_nng_hier")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

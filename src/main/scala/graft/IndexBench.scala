@@ -113,6 +113,18 @@ object IndexBench {
       fields :+= f""""recall_entries_hash": ${recall(None)}%.4f"""
       fields :+= f""""recall_entries_medoid": ${recall(Some(medoid))}%.4f"""
       fields :+= f""""recall_entries_degree": ${recall(Some(degree))}%.4f"""
+      // round 16: the HIERARCHICAL coarse layer (Similarity
+      // .nngBuildHierLayer + per-probe entries from its beam walk) —
+      // same base beam/rounds, so the column isolates the entry
+      // layer's contribution exactly like the other three.
+      val hierPath = s"$base/hier"
+      if (!new java.io.File(s"$hierPath/entries").exists)
+        graft.api.Similarity.nngBuildHierLayer(ev, "vec_id", "v",
+          hierPath)
+      val pe = graft.api.Similarity.nngTopK(probes, "vec_id", "v",
+          hierPath, k = 8, beam = 4, rounds = 2)
+        .select(col("probe_id"), col("neighbor_id").as("node")).ckpt()
+      fields :+= f""""recall_entries_hier": ${recall(Some(pe))}%.4f"""
     }
     if (which("diverse")) {
       // CLONE-ROBUSTNESS PROBE (round-16 candidate (c)): recall@3 at

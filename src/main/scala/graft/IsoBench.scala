@@ -100,7 +100,11 @@ object IsoBench {
     // 11-round (L=6 forward + 5 backward) sparse-graph Brandes over
     // the saved knn4 edge artifact, and the diversified-graph recall
     // row (probe-broadcast ground truth + beam walk at equal beam)
-    "graph_betweenness_knn", "sim_recall_nng_diverse")
+    "graph_betweenness_knn", "sim_recall_nng_diverse",
+    // round 18: the two-walk hierarchical recall row (coarse walk +
+    // base walk + brute-force truth) and the routed sweeps whose
+    // fixture posture changed this round
+    "sim_recall_nng_hier", "dedup_ngram_jaccard_collapsed")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()

@@ -996,10 +996,15 @@ object Similarity {
         .join(broadcast(p), Seq("probe_id"))
         .select(col("probe_id"), col("node"),
           round(expr(dot) / (col("na") * col("nb")), 6).as("cosine"))
-    // round 0: every probe scores the bounded entry set
-    val v0 = score(p.select(col("probe_id"))
-        .crossJoin(broadcast(entries)))
-      .ckpt()
+    // round 0: every probe scores the bounded entry set. An entries
+    // frame carrying a probe_id column is PER-PROBE (the hierarchical
+    // coarse walk's output — [[nngTopKHier]]); a plain (node) frame
+    // is the shared saved entry set.
+    val e0 =
+      if (entries.columns.contains("probe_id"))
+        entries.select(col("probe_id"), col("node"))
+      else p.select(col("probe_id")).crossJoin(broadcast(entries))
+    val v0 = score(e0).ckpt()
     val visited = (1 to rounds).foldLeft(v0) { (v, _) =>
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("node"))
@@ -1067,6 +1072,53 @@ object Similarity {
       .orderBy(col("deg").desc, col("src"))
       .limit(n)
       .select(col("src").as("node"))
+
+  /** HIERARCHICAL COARSE ENTRY LAYER for the NSW family — the
+    * HNSW-style skip structure over the flat graph's fixed shared
+    * entries (Malkov & Yashunin 2018's upper layers, reduced to the
+    * one coarse level these corpus scales need): a deterministic
+    * hash-sampled subset of the corpus, SIZE-capped at `layerCap`
+    * nodes (modulus ⌈n/layerCap⌉ — the layer build's all-pairs kNN
+    * is therefore CONSTANT cost at any corpus size, like an IVF
+    * centroid table), indexed as its own small k-NN graph in the
+    * standard edges/adj/nodes/entries layout — [[nngTopK]] serves it
+    * unchanged. A probe greedily walks THIS layer first (cheap: a
+    * few-hundred-node graph) and its per-probe coarse top-k become
+    * the base walk's ENTRY POINTS ([[nngTopKHier]]) — entries land
+    * in the probe's own region instead of at the 8 shared hubs, the
+    * standard recall lever at equal beam. Beyond ~10⁷ nodes the
+    * layer itself would be sampled again (HNSW's log-layer recursion);
+    * one level covers the measured range here. Fully deterministic
+    * (portable hash sampling, the nngBuild pipeline), so a DuckDB
+    * oracle replays layer selection, layer graph, and both walks. */
+  def nngBuildHierLayer(corpus: DataFrame, id: String, vec: String,
+      path: String, layerCap: Int = 256, k: Int = 4,
+      nEntries: Int = 4): Unit = {
+    val n = corpus.count()
+    val mod = math.max(1L, (n + layerCap - 1) / layerCap)
+    nngBuild(corpus.filter(
+        Sampling.portableHash(col(id), "nngh:") % mod === 0),
+      id, vec, path, k, nEntries)
+  }
+
+  /** Two-level NSW serving: walk the saved coarse layer
+    * ([[nngBuildHierLayer]] at `hierPath`), take each probe's top
+    * `nEntries` coarse results as its PERSONAL entry points, then run
+    * the standard base walk at `basePath` from those — equal base
+    * beam/rounds to the flat walk, so any recall difference is the
+    * entry layer's alone. Cost: the coarse walk joins against a
+    * ≤ layerCap-node graph (its frontier work is a rounding error
+    * next to the base walk); the base walk is unchanged. */
+  def nngTopKHier(probes: DataFrame, id: String, vec: String,
+      basePath: String, hierPath: String, k: Int = 3, beam: Int = 10,
+      rounds: Int = 4, nEntries: Int = 8, beamTop: Int = 4,
+      roundsTop: Int = 2): DataFrame = {
+    val pe = nngTopK(probes, id, vec, hierPath, k = nEntries,
+        beam = beamTop, rounds = roundsTop)
+      .select(col("probe_id"), col("neighbor_id").as("node"))
+    nngTopK(probes, id, vec, basePath, k, beam, rounds,
+      entriesOverride = Some(pe))
+  }
 
   /** NN-DESCENT-style k-NN GRAPH BUILD — the LINEAR-cost alternative
     * to [[nngBuild]]'s exact all-pairs tier (Dong et al.'s NN-Descent

@@ -2794,31 +2794,50 @@ object SimQueries {
     * `p(probe_id, v, nrm)` (probes), and `ent(node)` (entry points)
     * are already in scope; produces `v0..v{rounds}` with every
     * visited (probe_id, node, cosine). */
-  private def nngBeamCtes(beam: Int, rounds: Int): String = {
+  /** Generalized beam-walk CTE chain: `pfx` prefixes every round CTE
+    * (so two walks — e.g. the hierarchical coarse walk and the base
+    * walk — compose in one query without name collisions), `adjName`/
+    * `nbName` point the walk at its graph, and `entryPairs` is the
+    * round-0 (probe_id, node) source — the shared `p CROSS JOIN ent`
+    * for flat walks, a per-probe frame for hierarchical ones. */
+  private def nngBeamCtesGen(beam: Int, rounds: Int, pfx: String,
+      adjName: String, nbName: String, entryPairs: String): String = {
     val sc = "round(list_dot_product(p.v, nn.v) / (p.nrm * nn.nrm), 6)"
     val roundCte = (r: Int) =>
-      s"""f$r AS (
+      s"""${pfx}f$r AS (
          |  SELECT probe_id, node FROM (
          |    SELECT probe_id, node, row_number() OVER (
          |      PARTITION BY probe_id ORDER BY cosine DESC, node) AS rn
-         |    FROM v${r - 1})
+         |    FROM ${pfx}v${r - 1})
          |  WHERE rn <= $beam),
-         |c$r AS (
-         |  SELECT DISTINCT f.probe_id, adj.dst AS node
-         |  FROM f$r f JOIN adj ON adj.src = f.node
-         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
-         |    WHERE x.probe_id = f.probe_id AND x.node = adj.dst)),
-         |s$r AS (
+         |${pfx}c$r AS (
+         |  SELECT DISTINCT f.probe_id, $adjName.dst AS node
+         |  FROM ${pfx}f$r f JOIN $adjName ON $adjName.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${pfx}v${r - 1} x
+         |    WHERE x.probe_id = f.probe_id AND x.node = $adjName.dst)),
+         |${pfx}s$r AS (
          |  SELECT c.probe_id, c.node, $sc AS cosine
-         |  FROM c$r c JOIN p ON p.probe_id = c.probe_id
-         |             JOIN nb nn ON nn.vec_id = c.node),
-         |v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r)"""
+         |  FROM ${pfx}c$r c JOIN p ON p.probe_id = c.probe_id
+         |             JOIN $nbName nn ON nn.vec_id = c.node),
+         |${pfx}v$r AS MATERIALIZED (SELECT * FROM ${pfx}v${r - 1}
+         |  UNION ALL SELECT * FROM ${pfx}s$r)"""
         .stripMargin
-    s"""v0 AS (
-       |  SELECT p.probe_id, ent.node, $sc AS cosine
-       |  FROM p CROSS JOIN ent JOIN nb nn ON nn.vec_id = ent.node),
+    // AS MATERIALIZED on every visited-set CTE: each round references
+    // v_{r-1} three times (frontier cut, NOT EXISTS, union), so
+    // DuckDB's default inlining re-evaluates the whole prior walk
+    // 3^rounds times — tolerable for one flat walk, fatal once the
+    // hierarchical rows chain TWO walks in one query.
+    s"""${pfx}v0 AS MATERIALIZED (
+       |  SELECT ep.probe_id, ep.node, $sc AS cosine
+       |  FROM ($entryPairs) ep
+       |  JOIN p ON p.probe_id = ep.probe_id
+       |  JOIN $nbName nn ON nn.vec_id = ep.node),
        |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
   }
+
+  private def nngBeamCtes(beam: Int, rounds: Int): String =
+    nngBeamCtesGen(beam, rounds, "", "adj", "nb",
+      "SELECT p.probe_id, ent.node FROM p CROSS JOIN ent")
 
   private def nngWalkCtes(kNeighbors: Int, nEntries: Int, beam: Int,
       rounds: Int, baseWhere: String, probeWhere: String): String = {
@@ -3061,6 +3080,142 @@ object SimQueries {
       }
       val ann = graft.api.Similarity.nngTopK(probes, "vec_id", "v",
         nngPath, k = 3, beam = beam, rounds = rounds)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = ann.join(exact, Seq("probe_id", "neighbor_id"),
+        "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact"), 6).as("recall"))
+        .orderBy(col("probe_id"))
+    }
+  }
+
+  /** ANN RECALL for the HIERARCHICAL (two-level) NSW serving path —
+    * [[graft.api.Similarity.nngTopKHier]] over the flat nng_k10d8
+    * graph plus the saved coarse entry layer
+    * ([[graft.api.Similarity.nngBuildHierLayer]]: deterministic
+    * hash-sampled, SIZE-capped at 256 nodes, its own k = 4 graph in
+    * the standard layout): each probe walks the coarse layer first
+    * (beam 4, 2 rounds — a few-hundred-node graph, rounding-error
+    * cost) and its top-8 coarse hits become its PERSONAL entry points
+    * for the base walk at the SAME beam/rounds as [[simRecallNng]] —
+    * so the recall delta between the two rows isolates exactly what
+    * the entry layer buys (the round-15 VERDICT's remaining ANN
+    * refinement). Ground truth, probes, and harness identical to the
+    * flat row; the oracle replays layer selection (portable hash,
+    * ⌈n/256⌉ modulus), the layer's kNN graph, BOTH walks (prefixed
+    * CTE chains), and the recall join. */
+  val simRecallNngHier: GQuery = {
+    val (kNeighbors, beam, rounds) = (10, 10, 4)
+    val (layerCap, kTop, entTop, beamTop, roundsTop, nEntries) =
+      (256, 4, 4, 4, 2, 8)
+    val hHash = "CAST(concat('0x', substr(md5(concat('nngh:', " +
+      "CAST(vec_id AS VARCHAR))), 1, 12)) AS BIGINT)"
+    GQuery("sim_recall_nng_hier",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM e),
+         |nb AS (SELECT * FROM n),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |      AS cosine
+         |  FROM nb a JOIN nb b ON a.vec_id != b.vec_id),
+         |g AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY cosine DESC, dst) AS rk
+         |    FROM pairs) WHERE rk <= $kNeighbors),
+         |adj AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM g
+         |    UNION ALL SELECT dst AS src, src AS dst FROM g)),
+         |p AS (SELECT vec_id AS probe_id, v, nrm FROM n
+         |      WHERE vec_id < 50),
+         |hmod AS (SELECT GREATEST(1, (count(*) + ${layerCap - 1})
+         |  // $layerCap) AS md FROM n),
+         |hn AS MATERIALIZED (SELECT n.* FROM n, hmod WHERE $hHash % hmod.md = 0),
+         |hpairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |      AS cosine
+         |  FROM hn a JOIN hn b ON a.vec_id != b.vec_id),
+         |hg AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY cosine DESC, dst) AS rk
+         |    FROM hpairs) WHERE rk <= $kTop),
+         |hadj AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM hg
+         |    UNION ALL SELECT dst AS src, src AS dst FROM hg)),
+         |hent AS (
+         |  SELECT src AS node FROM hadj
+         |  GROUP BY src
+         |  ORDER BY count(*) DESC, src
+         |  LIMIT $entTop),
+         |${nngBeamCtesGen(beamTop, roundsTop, "h", "hadj", "hn",
+             "SELECT p.probe_id, hent.node FROM p CROSS JOIN hent")},
+         |pe AS MATERIALIZED (
+         |  SELECT probe_id, node FROM (
+         |    SELECT probe_id, node, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
+         |    FROM hv$roundsTop WHERE node != probe_id)
+         |  WHERE rk <= $nEntries),
+         |${nngBeamCtesGen(beam, rounds, "", "adj", "nb",
+             "SELECT probe_id, node FROM pe")},
+         |ex AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(list_dot_product(p.v, c.v)
+         |                       / (p.nrm * c.nrm), 6) DESC,
+         |                 c.vec_id) AS rk
+         |    FROM n p JOIN n c ON p.vec_id < 50 AND c.vec_id != p.vec_id)
+         |  WHERE rk <= 3),
+         |ann AS (
+         |  SELECT probe_id, node AS neighbor_id FROM (
+         |    SELECT probe_id, node, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
+         |    FROM v$rounds WHERE node != probe_id)
+         |  WHERE rk <= 3),
+         |hits AS (
+         |  SELECT ex.probe_id, count(*) AS n_hits
+         |  FROM ex JOIN ann ON ex.probe_id = ann.probe_id
+         |                  AND ex.neighbor_id = ann.neighbor_id
+         |  GROUP BY ex.probe_id),
+         |den AS (SELECT probe_id, count(*) AS n_exact FROM ex
+         |        GROUP BY probe_id)
+         |SELECT den.probe_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6)
+         |    AS recall
+         |FROM den LEFT JOIN hits ON den.probe_id = hits.probe_id
+         |ORDER BY den.probe_id""".stripMargin) { (s, dir) =>
+      val ev = vecs(s, dir).select(col("vec_id"), col("v"))
+      val probes = ev.filter(col("vec_id") < 50)
+      val exact = graft.api.Similarity.cosineTopK(ev, probes, "vec_id",
+        "v", k = 3).select(col("probe_id"), col("neighbor_id"))
+      val nngPath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("nng_k10d8", dir,
+          "embeddings.parquet")) {
+        tmp => graft.api.Similarity.nngBuild(ev, "vec_id", "v", tmp,
+          k = kNeighbors, nEntries = 8)
+      }
+      val hierPath = graft.IndexStore.ensure(
+        graft.IndexStore.stampedPath("nng_hier_c256k4", dir,
+          "embeddings.parquet")) {
+        tmp => graft.api.Similarity.nngBuildHierLayer(ev, "vec_id",
+          "v", tmp, layerCap = layerCap, k = kTop, nEntries = entTop)
+      }
+      val ann = graft.api.Similarity.nngTopKHier(probes, "vec_id", "v",
+        nngPath, hierPath, k = 3, beam = beam, rounds = rounds,
+        nEntries = nEntries, beamTop = beamTop, roundsTop = roundsTop)
         .select(col("probe_id"), col("neighbor_id"))
       val hits = ann.join(exact, Seq("probe_id", "neighbor_id"),
         "left_semi")
@@ -3665,7 +3820,8 @@ object SimQueries {
   }
 
   val all: Seq[GQuery] =
-    Seq(simTopkNng, simNngIngest, simRecallNng, simRecallNngDiverse,
+    Seq(simTopkNng, simNngIngest, simRecallNng, simRecallNngHier,
+      simRecallNngDiverse,
       simTopkNngDescent,
       simKnnClassifyNng, sampleKcenter, sampleKcenterAssign,
       simIvfCellStats, simIvfRebuild, simRecallIvfPq,

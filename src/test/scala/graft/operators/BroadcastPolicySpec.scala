@@ -176,6 +176,11 @@ class BroadcastPolicySpec extends SparkTestBase {
     // merge_cdc_apply situation); the nng walk side contributes no
     // hints — its lineage is checkpoint-truncated
     "sim_recall_nng" -> 2,
+    // the flat row's class: probe-bounded exact-tier hint resolved
+    // on both the hit join and the denominator; both walks' own
+    // hints sit behind their per-round checkpoints, and the
+    // per-probe entry frame is never hinted
+    "sim_recall_nng_hier" -> 2,
     // 1-row corpus-total scalar (the fold-share divide)
     "sample_kfold_assign" -> 1,
     // 1-row (N, V) surprisal-model scalar (inherited text_surprisal

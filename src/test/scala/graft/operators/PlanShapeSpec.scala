@@ -104,6 +104,15 @@ class PlanShapeSpec extends SparkTestBase {
     "sim_nprobe_sweep",
     // 1-row true-pair-total scalar onto the 4-row arrangement rollup
     "dedup_band_sweep",
+    // the same 1-row scalar in the always-sampled arm
+    "dedup_band_sweep_sampled",
+    // two 1-row statistic frames (clone mass, df stats) cross-joined
+    // into the single decision row
+    "dedup_ngram_stats",
+    // the sim_recall_nng class (probe-broadcast ground truth +
+    // non-equi self-exclusion) plus the coarse walk's ≤4-row entry
+    // cross join
+    "sim_recall_nng_hier",
     // k-row center broadcast (probe-cell assignment — the
     // sim_range_ivf shape); the serving join itself is a
     // BroadcastHashJoin on (cid, label), judge-checked
