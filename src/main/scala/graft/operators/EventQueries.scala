@@ -3730,18 +3730,22 @@ object EventQueries {
          |  late_share
          |FROM w1f
          |ORDER BY delay_min""".stripMargin) { (s, dir) =>
-      lateArrivalFrame(s, dir)
-        .withColumn("delay_min",
-          explode(array(delaysMin.map(d => lit(d)): _*)))
-        .groupBy(col("delay_min"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("pm").isNotNull && col("us") <=
-              col("pm") - col("delay_min").cast("long") * 60000000L, 1L)
-            .otherwise(0L)).cast("bigint").as("n_late"))
-        .select(col("delay_min"), col("n_events"), col("n_late"),
-          round(col("n_late").cast("double") / col("n_events"), 6)
-            .as("late_share"))
-        .orderBy(col("delay_min"))
+      // the 4-row curve is a planning artifact — memoized per
+      // (session, dir) so the standalone row and pipeline_knob_card
+      // share ONE materialization (round-15 VERDICT item 7)
+      graft.PlanCache.memo(s, dir, "wm_sweep_curve") {
+        lateArrivalFrame(s, dir)
+          .withColumn("delay_min",
+            explode(array(delaysMin.map(d => lit(d)): _*)))
+          .groupBy(col("delay_min"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("pm").isNotNull && col("us") <=
+                col("pm") - col("delay_min").cast("long") * 60000000L, 1L)
+              .otherwise(0L)).cast("bigint").as("n_late"))
+          .select(col("delay_min"), col("n_events"), col("n_late"),
+            round(col("n_late").cast("double") / col("n_events"), 6)
+              .as("late_share"))
+      }.orderBy(col("delay_min"))
     }
   }
 
@@ -3781,25 +3785,29 @@ object EventQueries {
          |FROM s1f ORDER BY gap_min""".stripMargin) { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
       val gapUs = col("gap_min").cast("long") * 60000000L
-      Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("delta", col("us") - lag(col("us"), 1).over(byUser))
-        .withColumn("gap_min",
-          explode(array(gapsMin.map(g => lit(g)): _*)))
-        .groupBy(col("gap_min"))
-        .agg(count(lit(1)).as("n_events"),
-          (countDistinct(col("user_id")) +
-            sum(when(col("delta") >= gapUs, 1L).otherwise(0L)))
-            .cast("bigint").as("n_sessions"),
-          sum(when(col("delta").isNotNull && col("delta") < gapUs,
-            col("delta")).otherwise(0L)).as("in_us"))
-        .select(col("gap_min"), col("n_events"), col("n_sessions"),
-          (expr("(2 * n_events * 1000000 + n_sessions)" +
-            " div (2 * n_sessions)").cast("double") / 1000000)
-            .as("events_per_session"),
-          (expr("(2 * in_us + n_sessions) div (2 * n_sessions)")
-            .cast("double") / 1000000).as("avg_len_sec"))
-        .orderBy(col("gap_min"))
+      // 4-row planning curve, memoized per (session, dir): the
+      // standalone row and pipeline_knob_card share one
+      // materialization (round-15 VERDICT item 7)
+      graft.PlanCache.memo(s, dir, "session_gap_curve") {
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("delta", col("us") - lag(col("us"), 1).over(byUser))
+          .withColumn("gap_min",
+            explode(array(gapsMin.map(g => lit(g)): _*)))
+          .groupBy(col("gap_min"))
+          .agg(count(lit(1)).as("n_events"),
+            (countDistinct(col("user_id")) +
+              sum(when(col("delta") >= gapUs, 1L).otherwise(0L)))
+              .cast("bigint").as("n_sessions"),
+            sum(when(col("delta").isNotNull && col("delta") < gapUs,
+              col("delta")).otherwise(0L)).as("in_us"))
+          .select(col("gap_min"), col("n_events"), col("n_sessions"),
+            (expr("(2 * n_events * 1000000 + n_sessions)" +
+              " div (2 * n_sessions)").cast("double") / 1000000)
+              .as("events_per_session"),
+            (expr("(2 * in_us + n_sessions) div (2 * n_sessions)")
+              .cast("double") / 1000000).as("avg_len_sec"))
+      }.orderBy(col("gap_min"))
     }
   }
 

@@ -311,26 +311,30 @@ object JoinQueries {
         .rowsBetween(Window.unboundedPreceding, -1)
       val tolUs = col("tol_min").cast("long") * 60000000L
       val matched = col("lag_us").isNotNull && col("lag_us") <= tolUs
-      Tables.events(s, dir)
-        .withColumn("last_click",
-          max(when(col("event_type") === "click", col("ts"))).over(w))
-        .filter(col("event_type") === "purchase")
-        .select((unix_micros(col("ts"))
-          - unix_micros(col("last_click"))).as("lag_us"))
-        .withColumn("tol_min",
-          explode(array(tolsMin.map(t => lit(t)): _*)))
-        .groupBy(col("tol_min"))
-        .agg(count(lit(1)).as("n_purchases"),
-          sum(when(matched, 1L).otherwise(0L)).cast("bigint")
-            .as("n_matched"),
-          sum(when(matched, col("lag_us")).otherwise(0L)).as("lag_sum"))
-        .select(col("tol_min"), col("n_purchases"), col("n_matched"),
-          round(col("n_matched").cast("double") / col("n_purchases"), 6)
-            .as("match_share"),
-          when(col("n_matched") > 0,
-            expr("(2 * lag_sum + n_matched) div (2 * n_matched)")
-              .cast("double") / 1000000).as("avg_staleness_sec"))
-        .orderBy(col("tol_min"))
+      // 5-row planning curve, memoized per (session, dir): the
+      // standalone row and pipeline_knob_card share one
+      // materialization (round-15 VERDICT item 7)
+      graft.PlanCache.memo(s, dir, "asof_sweep_curve") {
+        Tables.events(s, dir)
+          .withColumn("last_click",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select((unix_micros(col("ts"))
+            - unix_micros(col("last_click"))).as("lag_us"))
+          .withColumn("tol_min",
+            explode(array(tolsMin.map(t => lit(t)): _*)))
+          .groupBy(col("tol_min"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(matched, 1L).otherwise(0L)).cast("bigint")
+              .as("n_matched"),
+            sum(when(matched, col("lag_us")).otherwise(0L)).as("lag_sum"))
+          .select(col("tol_min"), col("n_purchases"), col("n_matched"),
+            round(col("n_matched").cast("double") / col("n_purchases"), 6)
+              .as("match_share"),
+            when(col("n_matched") > 0,
+              expr("(2 * lag_sum + n_matched) div (2 * n_matched)")
+                .cast("double") / 1000000).as("avg_staleness_sec"))
+      }.orderBy(col("tol_min"))
     }
   }
 

@@ -440,6 +440,10 @@ object SampleQueries {
          |  min_quality
          |FROM b1f
          |ORDER BY denom""".stripMargin) { (s, dir) =>
+      // ≤5-row planning curve, memoized per (session, dir): the
+      // standalone row and pipeline_knob_card share one
+      // materialization (round-15 VERDICT item 7)
+      graft.PlanCache.memo(s, dir, "budget_sweep_curve") {
       val scored = graft.api.Text.qualityScoreFromTokens(
         TextQueries.tokens(s, dir).withColumnRenamed("term", "token"),
         "doc_id")
@@ -475,7 +479,7 @@ object SampleQueries {
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("tokens_used"), lit(0L)).as("tokens_used"),
           col("min_quality"))
-        .orderBy(col("denom"))
+      }.orderBy(col("denom"))
     }
   }
 

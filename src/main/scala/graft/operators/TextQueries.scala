@@ -652,27 +652,31 @@ object TextQueries {
          |  p1f.splits_per_doc
          |FROM p1f CROSS JOIN p1b
          |ORDER BY seq_len""".stripMargin) { (s, dir) =>
-      val perDoc = tokens(s, dir).groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("bigint").as("tok"))
-      val packed = graft.api.Text.packFromCounts(perDoc, "doc_id",
-        "tok", seqLen = 1)
-      val total = broadcast(
-        perDoc.agg(sum(col("tok")).cast("long").as("total")))
-      packed
-        .withColumn("seq_len",
-          explode(array(lens.map(l => lit(l)): _*)))
-        .groupBy(col("seq_len"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(expr("(off + tok - 1) div seq_len - off div seq_len"))
-            .as("n_splits"))
-        .crossJoin(total)
-        .select(col("seq_len"), col("n_docs"),
-          expr("(total + seq_len - 1) div seq_len").cast("bigint")
-            .as("n_sequences"),
-          col("n_splits").cast("bigint").as("n_splits"),
-          (expr("(2 * n_splits * 1000000 + n_docs) div (2 * n_docs)")
-            .cast("double") / 1000000).as("splits_per_doc"))
-        .orderBy(col("seq_len"))
+      // 4-row planning curve, memoized per (session, dir): the
+      // standalone row and pipeline_knob_card share one
+      // materialization (round-15 VERDICT item 7)
+      graft.PlanCache.memo(s, dir, "pack_sweep_curve") {
+        val perDoc = tokens(s, dir).groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("tok"))
+        val packed = graft.api.Text.packFromCounts(perDoc, "doc_id",
+          "tok", seqLen = 1)
+        val total = broadcast(
+          perDoc.agg(sum(col("tok")).cast("long").as("total")))
+        packed
+          .withColumn("seq_len",
+            explode(array(lens.map(l => lit(l)): _*)))
+          .groupBy(col("seq_len"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("(off + tok - 1) div seq_len - off div seq_len"))
+              .as("n_splits"))
+          .crossJoin(total)
+          .select(col("seq_len"), col("n_docs"),
+            expr("(total + seq_len - 1) div seq_len").cast("bigint")
+              .as("n_sequences"),
+            col("n_splits").cast("bigint").as("n_splits"),
+            (expr("(2 * n_splits * 1000000 + n_docs) div (2 * n_docs)")
+              .cast("double") / 1000000).as("splits_per_doc"))
+      }.orderBy(col("seq_len"))
     }
   }
 
