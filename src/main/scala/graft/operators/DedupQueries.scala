@@ -555,7 +555,18 @@ object DedupQueries {
     * this is the only affordable exact posture on a clone-dense
     * corpus: the pair join runs on distinct texts (collapse is one
     * map-side-combining aggregate), and Σ n_pairs audits exactly what
-    * was factored away. */
+    * was factored away.
+    *
+    * BOUNDARY (probed, BASELINE.md round-18 table): the collapse
+    * covers EXACT-clone density only — at the 100× crawl-mirror
+    * probe, where variants are distinct texts with near-identical
+    * shingles, the representatives themselves form ~100-member
+    * near-dup cliques and ANY exact spelling of the pair relation is
+    * output-quadratic (~10⁹ pairs; the probe spilled past local disk
+    * and was stopped). The pipeline answer there is
+    * dedup-before-pairing (minhash/span/semantic dedup, shipped) —
+    * the diversified-NNG boundary restated. Measured domain: 10×
+    * exact-clone probe 55 → 14.5 s. */
   val dedupNgramJaccardCollapsed: GQuery = GQuery(
     "dedup_ngram_jaccard_collapsed",
     s"""WITH g AS (SELECT min(doc_id) AS doc_id, text,
