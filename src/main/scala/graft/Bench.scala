@@ -9,8 +9,47 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Cumulative (steal, total) jiffies from /proc/stat's aggregate
+    * `cpu` line — steal is hypervisor-withheld CPU, the noise source
+    * loadavg provably misses (round 16: four sub-2-loadavg captures,
+    * all ~1.67× uniformly inflated). (-1, -1) when unreadable or when
+    * the hypervisor doesn't export steal. */
+  private[graft] def stealTotals(): (Long, Long) =
+    try {
+      val cols = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal guest gnice
+      (if (cols.length > 7) cols(7) else -1L, cols.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Fixed-work single-thread calibration probe: 400M xorshift64
+    * steps, deterministic, allocation-free — pure guest CPU. On a
+    * quiet host its wall time is a stable per-host constant (~0.3 s
+    * here); hypervisor steal inflates it proportionally, so the
+    * START/MID/END triple stamped into each bench artifact is the
+    * in-artifact noise meter that ends the per-round loadavg
+    * adjudication essays (round-16 VERDICT item 2). Callers must run
+    * [[calibrateWarmup]] once first so JIT compilation is never
+    * charged to the first reading. */
+  private[graft] def calibrate(iters: Long = 400000000L): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    // data dependence defeats dead-code elimination; never true
+    if (x == 0L) System.err.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+  private[graft] def calibrateWarmup(): Unit = { calibrate(20000000L); () }
+
   def main(args: Array[String]): Unit = {
     val load0 = loadavg1m()
+    val (steal0, jif0) = stealTotals()
+    calibrateWarmup()
+    val cal0 = calibrate()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -117,23 +156,42 @@ object Bench {
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // per-query value: elapsed seconds, or the -1.0 sentinel when the
     // query THREW (so failures are never mistaken for fast successes).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def timeQ(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val sortedQ = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (half1, half2) = sortedQ.splitAt(sortedQ.size / 2)
+    val r1 = half1.map { case (n, f) => timeQ(n, f) }
+    val calMid = calibrate()
+    val r2 = half2.map { case (n, f) => timeQ(n, f) }
+    val results = r1 ++ r2
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val load1 = loadavg1m()
+    val cal1 = calibrate()
+    val (steal1, jif1) = stealTotals()
+    // In-artifact noise telemetry (round-16 VERDICT item 2): the
+    // fixed-work calibration triple (start/mid/end; quiet-host
+    // constant, inflates 1:1 with hypervisor steal) and the
+    // cumulative steal-jiffy delta across the run. loadavg alone
+    // provably cannot adjudicate host quiet.
+    val noise = s""""cal_sec":[$cal0,$calMid,$cal1],""" +
+      s""""steal_jiffies_delta":${if (steal0 >= 0 && steal1 >= 0)
+        steal1 - steal0 else -1},""" +
+      s""""cpu_jiffies_delta":${if (jif0 >= 0 && jif1 >= 0)
+        jif1 - jif0 else -1}"""
     // full line first, compact total-only line LAST: the driver tails
     // stdout, and the long per-query line was truncated in round 1
     // ("parsed": null) — the final line must stay short.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prebuilt_indexes":$prebuilt,"prewarmed_memos":$prewarmedMemos,"prewarm_memos_sec":$prewarmSec,"loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prebuilt_indexes":$prebuilt,"prewarmed_memos":$prewarmedMemos,"prewarm_memos_sec":$prewarmSec,$noise,"loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,$noise,"loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}""")
     PlanCache.clear()
     spark.stop()
   }

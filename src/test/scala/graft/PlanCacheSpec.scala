@@ -69,4 +69,28 @@ class PlanCacheSpec extends SparkTestBase {
     assert(again.count() == 25)
     PlanCache.clear()
   }
+
+  test("scalar memo caches per (session, dir, key) and evicts dead sessions") {
+    PlanCache.clear()
+    val builds = new AtomicInteger(0)
+    def probe(s: org.apache.spark.sql.SparkSession): Boolean =
+      PlanCache.memoScalar(s, sfDir, "scalar_probe") {
+        builds.incrementAndGet(); true
+      }
+    assert(probe(spark) && probe(spark) && builds.get() == 1,
+      "second read must hit the memo")
+    // a discarded session's scalar entries must be evictable — the
+    // round-16 cloneMassMemo leak: a ConcurrentHashMap keyed by
+    // (session, dir) with no pruning pins every dead session forever
+    val s2 = spark.newSession()
+    probe(s2)
+    assert(PlanCache.scalarSize == 2)
+    PlanCache.evictWhere(_ eq s2)
+    assert(PlanCache.scalarSize == 1,
+      "dead session's scalar entries must be evicted")
+    assert(probe(spark) && builds.get() == 2,
+      "live session's entry must survive the eviction")
+    PlanCache.clear()
+    assert(PlanCache.scalarSize == 0)
+  }
 }

@@ -85,13 +85,14 @@ class SnapshotTableSpec extends SparkTestBase {
   test("compact rewrites the latest snapshot smaller as a NEW version; old versions untouched") {
     val t = freshDir()
     SnapshotTable.commit(rows(64, "frag").repartition(8), t)
-    val fragFiles = Files.readAllLines(
-      new File(s"$t/_snaplog/v1.manifest").toPath).size
+    def dataLines(v: Int) = Files.readAllLines(
+      new File(s"$t/_snaplog/v$v.manifest").toPath)
+      .stream().filter(l => !l.startsWith("#")).count().toInt
+    val fragFiles = dataLines(1)
     assert(fragFiles == 8, s"fixture should fragment into 8, got $fragFiles")
     val v = SnapshotTable.compact(spark, t, targetFiles = 1)
     assert(v == 2)
-    val compactedFiles = Files.readAllLines(
-      new File(s"$t/_snaplog/v2.manifest").toPath).size
+    val compactedFiles = dataLines(2)
     assert(compactedFiles == 1)
     // content identical, fragmented version still readable
     def content(ver: Int) = SnapshotTable.read(spark, t, ver)
@@ -305,6 +306,103 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("schema evolution: append with an added column null-fills old files on read") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(3, "v1"), t)
+    SnapshotTable.append(
+      Seq((10L, "v2", 0.5)).toDF("k", "tag", "score"), t)
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.columns.toSeq == Seq("k", "tag", "score"),
+      "committed columns first, added column appended")
+    val byK = latest.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byK(10L) == Some(0.5) &&
+      (1L to 3L).forall(byK(_).isEmpty),
+      "files that predate the column must read NULL for it")
+    // time travel: v1's recorded schema has NO score column
+    assert(SnapshotTable.read(spark, t, 1).columns.toSeq ==
+      Seq("k", "tag"))
+  }
+
+  test("schema evolution: a frame may omit committed columns (null-fill, never drop)") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(2, "v1"), t)
+    SnapshotTable.append(Seq(Tuple1(99L)).toDF("k"), t)
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.columns.toSeq == Seq("k", "tag"))
+    val tags = latest.collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!tags(1L) && !tags(2L) && tags(99L),
+      "the omitting frame's rows read NULL; the column is not dropped")
+  }
+
+  test("schema evolution: int widens to long across the whole read; long->int is rejected") {
+    val t = freshDir()
+    SnapshotTable.commit(
+      Seq((1, "a"), (2, "b")).toDF("k", "tag"), t)  // k: int
+    SnapshotTable.append(
+      Seq((3000000000L, "c")).toDF("k", "tag"), t)  // k: long
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "resolved type must be the widened long")
+    assert(latest.select($"k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3000000000L),
+      "narrow files widen losslessly under the resolved schema")
+    // an int frame arriving into the (now long) column is still legal
+    // — the narrow FILE reads losslessly under the wide schema and the
+    // resolved type stays long
+    SnapshotTable.append(Seq((7, "d")).toDF("k", "tag")
+      .select($"k".cast("int").as("k"), $"tag"), t)
+    assert(SnapshotTable.read(spark, t).select($"k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 7L, 3000000000L))
+    // but long→double would LOSE precision: not a widening — reject,
+    // with no version consumed
+    val vBefore = SnapshotTable.latestVersion(t)
+    intercept[SnapshotSchemaException] {
+      SnapshotTable.append(Seq((7.5, "e")).toDF("k", "tag"), t)
+    }
+    assert(SnapshotTable.latestVersion(t) == vBefore)
+  }
+
+  test("schema evolution: incompatible type drift fails fast before any bytes are written") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(2, "v1"), t)
+    val dataDirsBefore = Option(new File(s"$t/data").listFiles())
+      .map(_.length).getOrElse(0)
+    intercept[SnapshotSchemaException] {
+      SnapshotTable.append(
+        Seq(("oops", "v2")).toDF("k", "tag"), t)  // k: string vs long
+    }
+    assert(SnapshotTable.latestVersion(t) == 1)
+    val dataDirsAfter = Option(new File(s"$t/data").listFiles())
+      .map(_.length).getOrElse(0)
+    assert(dataDirsAfter == dataDirsBefore,
+      "the gate must fire BEFORE the data write — no orphan files")
+    // CoW commit() legitimately REDEFINES the schema (it is a rewrite)
+    assert(SnapshotTable.commit(
+      Seq(("now-a-string", "v2")).toDF("k", "tag"), t) == 2)
+    assert(SnapshotTable.read(spark, t).schema("k").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("schema evolution: markers and delete files carry through evolved appends") {
+    val t = freshDir()
+    SnapshotTable.commit(rows(4, "v1"), t)
+    SnapshotTable.appendOnce(Seq((50L, "b1", 1.0))
+      .toDF("k", "tag", "w"), t, batchId = 1)
+    SnapshotTable.delete(Seq(Tuple1(2L)).toDF("k"), t)
+    // the replay of batch 1 after evolution + delete must still skip
+    val v = SnapshotTable.appendOnce(Seq((50L, "b1", 1.0))
+      .toDF("k", "tag", "w"), t, batchId = 1)
+    assert(SnapshotTable.latestVersion(t) == 3 && v <= 3,
+      "replayed batch must not double-append across schema evolution")
+    val got = SnapshotTable.read(spark, t).select($"k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L, 50L),
+      "delete applies, evolved row present, no duplicate batch")
+  }
+
   test("vacuum drops unreferenced files and old manifests; retained snapshots keep serving") {
     val t = freshDir()
     SnapshotTable.commit(rows(3, "v1"), t)
@@ -326,7 +424,8 @@ class SnapshotTableSpec extends SparkTestBase {
       Option(d.listFiles()).getOrElse(Array.empty[File]))
       .count(_.getName.endsWith(".parquet"))
     val v3listed = Files.readAllLines(
-      new File(s"$t/_snaplog/v3.manifest").toPath).size
+      new File(s"$t/_snaplog/v3.manifest").toPath)
+      .stream().filter(l => !l.startsWith("#")).count().toInt
     assert(liveFiles == v3listed,
       s"only v3's $v3listed files may survive, found $liveFiles")
   }
