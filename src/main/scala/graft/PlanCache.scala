@@ -96,6 +96,12 @@ object PlanCache {
     scalarCache.keys.foreach { k => if (p(k._1)) scalarCache.remove(k) }
   }
 
+  /** Drop ONE memoized frame and unpersist its blocks — for callers
+    * that mutate the artifact a memo was read from (e.g. an NSW graph
+    * append invalidating its serving memo). No-op when absent. */
+  def drop(s: SparkSession, dir: String, key: String): Unit =
+    cache.remove((s, dir, key)).foreach(_.unpersist(blocking = false))
+
   /** Number of live memoized frames (for leak assertions in specs). */
   def size: Int = cache.size
 

@@ -982,10 +982,23 @@ object Similarity {
       k: Int = 3, beam: Int = 10, rounds: Int = 4,
       entriesOverride: Option[DataFrame] = None): DataFrame = {
     val spark = probes.sparkSession
-    val adj = spark.read.parquet(s"$path/adj")
-    val nodes = spark.read.parquet(s"$path/nodes")
-      .select(col("vec_id").as("node"), col("v").as("vb"),
-        col("nrm").as("nb"))
+    // The walk joins adj/nodes once per round (rounds+1 scans, each
+    // behind its own eager per-round checkpoint, so no within-plan
+    // exchange reuse is possible): memoize both saved-index frames
+    // persisted PRE-PARTITIONED on their join keys, so every round's
+    // index side is a cached, exchange-free scan (guide §2.4; r17
+    // opt). Keyed by the index path; [[nngInsert]] drops both keys
+    // after appending so a grown graph is never served stale.
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val adj = graft.PlanCache.memo(spark, path, "nng_adj") {
+      spark.read.parquet(s"$path/adj").repartition(nPart, col("src"))
+    }
+    val nodes = graft.PlanCache.memo(spark, path, "nng_nodes") {
+      spark.read.parquet(s"$path/nodes")
+        .select(col("vec_id").as("node"), col("v").as("vb"),
+          col("nrm").as("nb"))
+        .repartition(nPart, col("node"))
+    }
     val entries = entriesOverride
       .getOrElse(spark.read.parquet(s"$path/entries"))
     val p = prep(probes, id, vec)
@@ -1262,6 +1275,10 @@ object Similarity {
       col("neighbor_id").as("dst"))
     d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
       .write.mode("append").parquet(s"$path/adj")
+    // the serving memos ([[nngTopK]]) predate the append — drop them
+    // so the next walk reads the grown graph, not a stale cache
+    graft.PlanCache.drop(arrivals.sparkSession, path, "nng_adj")
+    graft.PlanCache.drop(arrivals.sparkSession, path, "nng_nodes")
     links
   }
 }

@@ -1357,13 +1357,23 @@ object DedupQueries {
       docs.groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("c"))
     }
-    // stage 2: near-dup collapse over representatives only — the
-    // shingle/signature/band passes all run at rep cardinality
+    // stage 2: near-dup collapse over representatives only. Per-doc
+    // independence makes both input frames pure FILTERS of the
+    // session's shared artifacts (the dedup_ngram_jaccard_collapsed
+    // precedent): a rep's text IS its clone group's text, so the
+    // memoized full-corpus shingle and signature tables restricted to
+    // rep ids equal wordShingles(g) / minhashSignatures(shingles(g))
+    // value-for-value — tokenize + digest run once per session, not
+    // once more for this stage (r17 opt: 14.2 → see OPTIMIZATION_r17).
+    // The band JOIN still runs at rep cardinality — the quadratic
+    // piece stage 1 exists to collapse never sees clone-dense buckets.
+    val repIds = g.select(col("doc_id"))
     val shReps = PlanCache.memo(s, dir, "dbp_shingles_reps") {
-      graft.api.Dedup.wordShingles(g, "doc_id", "text")
+      shingles(s, dir).join(repIds, Seq("doc_id"), "left_semi")
     }
     val surv = PlanCache.memo(s, dir, "dbp_survivors") {
-      val sig = graft.api.Dedup.minhashSignatures(shReps, "doc_id")
+      val sig = minhashSig(s, dir)
+        .join(repIds, Seq("doc_id"), "left_semi")
       val pairs = graft.api.Dedup.minhashBandPairs(sig, "doc_id")
         .select(col("doc1"), col("doc2"))
       val labels = graft.api.Dedup

@@ -85,7 +85,18 @@ object GraphQueries {
           s"graph_edges_$kind", dir, sourceFile)) { tmp =>
         build.write.parquet(s"$tmp/edges")
       }
-      s.read.parquet(s"$path/edges")
+      // Persist PRE-PARTITIONED on the join key (src for edge lists,
+      // else the leading column — okey for the order_brands artifact):
+      // every iterative kernel joins the frontier against this frame
+      // (Brandes alone ~11 times, PageRank/closeness/k-core once per
+      // round), so the cached blocks carrying
+      // hashpartitioning(key, numShufflePartitions) let each of those
+      // joins reuse the memo's one exchange instead of re-shuffling
+      // the frame per round (guide §2.4 — r17 opt; joins keyed on dst
+      // behave exactly as before).
+      val df = s.read.parquet(s"$path/edges")
+      val key = if (df.columns.contains("src")) "src" else df.columns.head
+      df.repartition(s.sessionState.conf.numShufflePartitions, col(key))
     }
 
   /** The brand-edge derivation itself — exposed for the saved ≡
@@ -425,7 +436,12 @@ object GraphQueries {
       .join(Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o_orderkey"),
           col("l_partkey").as("part")), Seq("o_orderkey"))
-      .select(col("cust"), col("part")).distinct()
+      .select(col("cust"), col("part"))
+      // one cust-keyed shuffle serves the distinct AND both sides of
+      // the wedge self-join below (hashpartitioning(cust) clusters the
+      // (cust, part) aggregate too) — was 3 exchanges of the
+      // interaction frame (guide §2.4 — r17 opt)
+      .repartition(col("cust")).distinct()
     val deg = cp.groupBy(col("part")).agg(count(lit(1)).as("d"))
     val common = cp.select(col("cust"), col("part").as("p1"))
       .join(cp.select(col("cust"), col("part").as("p2")), Seq("cust"))

@@ -417,7 +417,13 @@ object MiningQueries {
       .join(Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey").as("ck")),
         Seq("o_orderkey"))
-      .select(col("ck"), col("brand")).distinct()
+      .select(col("ck"), col("brand"))
+      // partition by ck BEFORE the distinct: hashpartitioning(ck)
+      // satisfies the (ck, brand) aggregate's clustering AND both
+      // sides of the ck-keyed pair self-join below, so the matrix is
+      // shuffled once instead of once for the distinct plus once per
+      // join side (guide §2.4 — r17 opt)
+      .repartition(col("ck")).distinct()
     val n = cb.groupBy(col("brand"))
       .agg(count(lit(1)).cast("bigint").as("nu"))
     val co = cb.join(cb.select(col("ck"), col("brand").as("other")),

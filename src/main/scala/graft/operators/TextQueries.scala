@@ -1797,17 +1797,21 @@ object TextQueries {
       |JOIN cnt cb ON p.doc_b = cb.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     graft.functions.TextExpressions.register(s)
+    // ng (grams per doc) is a ROW-LOCAL fact — char_ngrams at step 1
+    // yields exactly length − 7 grams — so it rides the projection
+    // instead of a count-over-partition window: one full window pass
+    // (buffer every gram row per doc) removed from the hot path
+    // (r17 opt; the sliding-min window below is the only one left).
     val g = Tables.documentsSpread(s, dir)
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"),
+      .select(col("doc_id"), (length(col("text")) - 7).as("ng"),
         posexplode(call_function("char_ngrams", col("text"), lit(8),
           lit(1))).as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
-    val h = g.select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), col("ng"), (col("p0") + 1).as("pos"),
+        col("gram"))
+    val h = g.select(col("doc_id"), col("pos"), col("ng"),
         (expr("CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT)")
           * 1024 + (lit(1023) - col("pos"))).as("e"))
-      .withColumn("ng",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val wmin = h.withColumn("emin",
         min(col("e")).over(Window.partitionBy(col("doc_id"))
           .orderBy(col("pos")).rowsBetween(0, 3)))

@@ -360,8 +360,11 @@ object WindowQueries {
       |  SELECT d, rev, n,
       |    round(CAST(s AS DOUBLE) / n, 6) AS ma7,
       |    CASE WHEN n = 7 THEN
-      |      round(sqrt((7 * CAST(s2 AS DOUBLE)
-      |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 42), 6)
+      |      floor(sqrt(CAST(7 * CAST(s2 * 10000 AS DECIMAL(38,0))
+      |          - CAST(s * 100 AS DECIMAL(19,0))
+      |            * CAST(s * 100 AS DECIMAL(19,0)) AS DOUBLE)
+      |          / 420000.0)
+      |        * 1000000.0 + 0.5) / 1000000.0
       |    END AS sd7
       |  FROM w),
       |b AS (
@@ -390,9 +393,24 @@ object WindowQueries {
         sum((col("rev") * col("rev")).cast("decimal(30,4)")).over(win))
     val f = w
       .withColumn("ma7", round(col("s").cast("double") / col("n"), 6))
+      // sd7 rides ONE FIXED FLOAT EXPRESSION over an EXACT INTEGER
+      // numerator on BOTH engines: n4 = 7·(s2·10⁴) − (s·100)² is a
+      // DECIMAL(38,0) integer (exact in both engines' decimal math;
+      // the cents/1e-4 grids make every factor integral), and
+      // sd7 = floor(sqrt(n4/420000)·1e6 + 0.5)/1e6 is then identical
+      // IEEE ops from identical inputs. The previous spelling cast the
+      // 18-digit DECIMAL s2 to double on each engine — DuckDB's
+      // decimal→double cast is 1 ulp off correctly-rounded there,
+      // which flipped day 575's 6th decimal at sf0.1 (sd within
+      // 2.5e-13 of the rounding boundary) — an INHERITED half-ULP
+      // parity bug, fixed this round (r17). Integer→double casts are
+      // correctly rounded on both engines (measured).
       .withColumn("sd7", when(col("n") === 7,
-        round(sqrt((lit(7) * col("s2").cast("double")
-          - col("s").cast("double") * col("s").cast("double")) / 42), 6)))
+        floor(sqrt((lit(7) * (col("s2") * 10000).cast("decimal(38,0)")
+          - (col("s") * 100).cast("decimal(19,0)")
+            * (col("s") * 100).cast("decimal(19,0)")).cast("double")
+          / lit(420000.0))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)))
     f.withColumn("upper_band", round(col("ma7") + lit(2) * col("sd7"), 6))
       .withColumn("lower_band", round(col("ma7") - lit(2) * col("sd7"), 6))
       .select(

@@ -1755,10 +1755,14 @@ class OperatorPropertySpec extends SparkTestBase {
       val s2 = frame.map(v => (BigDecimal(v) * BigDecimal(v))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
       val ma = r6(s.toDouble / n)
-      val sd = if (n == 7)
-        Some(r6(math.sqrt(
-          (7 * s2.toDouble - s.toDouble * s.toDouble) / 42)))
-      else None
+      // replay the query's exact-integer-numerator spelling: n4 =
+      // 7·(s2·10⁴) − (s·100)² is an exact integer BigDecimal, then one
+      // fixed float expression (the r17 half-ULP fix)
+      val sd = if (n == 7) {
+        val n4 = BigDecimal(7) * (s2 * 10000) - (s * 100) * (s * 100)
+        Some(math.floor(
+          math.sqrt(n4.toDouble / 420000.0) * 1e6 + 0.5) / 1e6)
+      } else None
       val up = sd.map(v => r6(ma + 2 * v))
       val lo = sd.map(v => r6(ma - 2 * v))
       val rev = revs(i).doubleValue
