@@ -47,14 +47,20 @@ object Pipeline {
       rates: Map[String, Double], defaultRate: Double,
       minEst: Double = 0.5, containNum: Int = 1, containDen: Int = 2,
       shingles: Option[DataFrame] = None,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[DataFrame] = None,
+      tokens: Option[DataFrame] = None): DataFrame = {
 
     // 1. quality gate; eval rows leave the training corpus here.
     // The gated corpus feeds FOUR consumers (pair narrowing, dedup,
     // decontamination membership, the final mixture join) — without
     // an eager materialization each one would replay the full
-    // tokenize-and-aggregate quality pass.
-    val qual = Text.qualityScore(docs, id, text)
+    // tokenize-and-aggregate quality pass. A caller holding the
+    // materialized (id, token) explode donates it via `tokens` (the
+    // shingles/pairs donation pattern) and the gate skips its own
+    // tokenize entirely (r17 opt).
+    val qual = tokens
+      .map(t => Text.qualityScoreFromTokens(t, id))
+      .getOrElse(Text.qualityScore(docs, id, text))
       .select(col(id), col("quality"))
     val corpus = docs.join(qual, Seq(id))
       .filter(!isEval && col("quality") >= minQuality)

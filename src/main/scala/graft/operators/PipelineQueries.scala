@@ -94,10 +94,13 @@ object PipelineQueries {
       Tables.documents(s, dir), "doc_id", "text", "source",
       isEval = col("doc_id") % 10 === 7, minQuality = 0.61,
       rates = rates.toMap, defaultRate = 0.125,
-      // donate the session-memoized shingle table and full-corpus
-      // near-dup pair list shared with the dedup family
+      // donate the session-memoized shingle table, full-corpus
+      // near-dup pair list (dedup family) and token explode (text
+      // family) — the quality gate then tokenizes nothing (r17 opt)
       shingles = Some(DedupQueries.shingles(s, dir)),
-      pairs = Some(DedupQueries.minhashPairsSpark(s, dir)))
+      pairs = Some(DedupQueries.minhashPairsSpark(s, dir)),
+      tokens = Some(TextQueries.tokens(s, dir)
+        .select(col("doc_id"), col("term").as("token"))))
       .select(col("doc_id"), col("source"), col("lang"), col("quality"))
       .orderBy(col("doc_id"))
   }
@@ -254,17 +257,33 @@ object PipelineQueries {
        |  CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept,
        |  round(CAST(n_kept AS DOUBLE) / n_in, 6) AS keep_rate
        |FROM n ORDER BY stage_idx""".stripMargin) { (s, dir) =>
+    import graft.Ckpt.CkptOps
     val s0 = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
     val s1 = s0.filter(col("n_chars") >= 150)
-    val qual = graft.api.Text.qualityScore(s1, "doc_id", "text")
+    // r17 opt, two fixes to the same waste (guide §1.2):
+    //  - the quality and repetition scores now FILTER the session's
+    //    memoized token/bigram explodes (per-doc independence — the
+    //    dedup_before_pairing argument) instead of re-tokenizing each
+    //    surviving stage;
+    //  - s2/s3 are checkpointed, so the five stage counts below
+    //    execute each gate ONCE — previously n3 re-ran the quality
+    //    chain and n4 re-ran quality + repetition (3× tokenize).
+    val s1Ids = s1.select(col("doc_id"))
+    val qual = graft.api.Text.qualityScoreFromTokens(
+        TextQueries.tokens(s, dir).select(col("doc_id"), col("term"))
+          .join(s1Ids, Seq("doc_id"), "left_semi"),
+        "doc_id", token = "term")
       .select(col("doc_id"), col("quality"))
     val s2 = s1.join(qual, Seq("doc_id")).filter(col("quality") >= 0.62)
-      .select(col("doc_id"), col("text"))
-    val rep = graft.api.Text.repetition(s2, "doc_id", "text")
+      .select(col("doc_id"), col("text")).ckpt()
+    val rep = graft.api.Text.repetitionFromNgrams(
+        TextQueries.bigrams(s, dir)
+          .join(s2.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        "doc_id")
       .select(col("doc_id"), col("dup_frac"))
     val s3 = s2.join(rep, Seq("doc_id")).filter(col("dup_frac") <= 0.2)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")).ckpt()
     val s4 = s3.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     // one count per stage frame; the tiny stage-count rows then union
     val Seq(n0, n1, n2, n3, n4) = Seq(s0, s1, s2, s3, s4).map(_.count())
