@@ -534,7 +534,9 @@ object Dedup {
       .select(greatest(col("x"), col("y")).as("a"),
         least(col("x"), col("y")).as("b"))
       .distinct()
-      .ckpt()
+      // lazy: every caller counts cur0 immediately (the loop's cnt0 /
+      // the schedule probe), and that count materializes the cut
+      .ckptLazy()
     (cur, selfLoops)
   }
 
@@ -600,8 +602,12 @@ object Dedup {
     while (!done && rounds < maxRounds) {
       // large-star flows un-deduped into small-star: its output is
       // ≤ |cur| rows and small-star dedups right after — one
-      // materialization per round, not two
-      val ss = smallStarPass(largeStarPass(cur)).ckpt()
+      // materialization per round, not two. The cut is LAZY: the
+      // count() below scans every partition, so it IS the
+      // materializing action — an eager ckpt would spend a separate
+      // job per round on the same work (r18 opt, guide §1.2; the
+      // convergence check then reads the stored blocks)
+      val ss = smallStarPass(largeStarPass(cur)).ckptLazy()
       rounds += 1
       val ssCnt = ss.count()
       // both frames are distinct sets, so equal count + empty
@@ -642,7 +648,9 @@ object Dedup {
       var changed = false
       var stable = false
       while (!stable && passes < maxPasses) {
-        val nxt = pass(cur).distinct().ckpt()
+        // lazy cut + materializing count — one job per pass instead
+        // of two (see alternatingLoop)
+        val nxt = pass(cur).distinct().ckptLazy()
         passes += 1
         val cnt = nxt.count()
         stable = cnt == curCnt && nxt.except(cur).isEmpty
@@ -713,6 +721,69 @@ object Dedup {
   def ccScheduleProbe(pairs: DataFrame, src: String, dst: String,
       denseAvgDegree: Double = 4.0): (Long, Long, String) =
     scheduleProbe(canonicalEdges(pairs, src, dst)._1, denseAvgDegree)
+
+  /** INCREMENTAL connected-components apply: given yesterday's saved
+    * labeling `state` (one (node, label) row per base-graph node,
+    * label = component minimum) and today's `newPairs`, return the
+    * labeling of the merged graph — equal to
+    * `CC(state-as-edges ∪ newPairs)` but ITERATING ONLY ON
+    * DELTA-TOUCHED COMPONENTS:
+    *
+    *  - a base component none of whose members touches a new pair
+    *    cannot gain or lose members, and its label (its minimum node
+    *    id) cannot change — its state rows pass straight to the
+    *    output, no contraction work;
+    *  - the contraction runs on the touched components' label edges
+    *    plus the new pairs only. Every member of a touched component
+    *    is present (each has a state row keyed by the touched label),
+    *    labels are min node ids, so the merged component's minimum is
+    *    found by the restricted CC exactly as the full one would.
+    *
+    * Scale shape: the daily apply costs two semi-joins of the state
+    * (both keyed, map-side-combining distincts) plus a CC whose input
+    * is |touched state rows| + |new pairs| — arrival-bounded, while
+    * `CC(state ∪ newPairs)` re-contracts every base star every day.
+    * Pinned ≡ the unrestricted merge in ConnectedComponentsSpec. */
+  def connectedComponentsIncremental(state: DataFrame, node: String,
+      label: String, newPairs: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val st = state.select(col(node).as("node"), col(label).as("label"))
+    val np = newPairs.select(col(src).as("p1"), col(dst).as("p2"))
+    // QUOTIENT graph: contract each arrival-pair endpoint through
+    // yesterday's labeling (an endpoint with no state row — a fresh
+    // arrival, or a base node that had no base pairs — stays itself).
+    // Super-nodes are component labels and fresh ids; CC runs on
+    // |newPairs| quotient edges REGARDLESS of how many members the
+    // touched components have (contracting to label edges and
+    // re-walking member stars — the previous shape — pays |touched
+    // members| rows per pass; a touched million-member component costs
+    // a million star edges there, one super-node here).
+    val e1 = np
+      .join(st.select(col("node").as("p1"), col("label").as("l1")),
+        Seq("p1"), "left")
+      .join(st.select(col("node").as("p2"), col("label").as("l2")),
+        Seq("p2"), "left")
+      .select(coalesce(col("l1"), col("p1")).as("q1"),
+        coalesce(col("l2"), col("p2")).as("q2"))
+    // Labels are component MINIMUM ids, so the min over a merged
+    // super-component's super-node ids IS the min over its underlying
+    // nodes — CC on the quotient graph yields the exact global labels.
+    // ckpt: three consumers below (two relabel joins + the fresh-id
+    // anti-join) must not re-run the contraction per subtree.
+    val qlab = connectedComponents(e1, "q1", "q2").ckpt()
+    val sup = qlab.select(col("node").as("label"), col("label").as("nl"))
+    // touched members: state rows relabeled through their
+    // super-component; fresh ids: their own quotient row IS the
+    // labeling; untouched components: state rows pass through (no new
+    // pair touches any member, so membership and minimum are frozen)
+    val touchedOut = st.join(sup, Seq("label"))
+      .select(col("node"), col("nl").as("label"))
+    val freshOut = qlab.join(st, Seq("node"), "left_anti")
+    val untouched = st.join(sup.select(col("label")),
+      Seq("label"), "left_anti")
+    touchedOut.unionByName(freshOut)
+      .unionByName(untouched.select(col("node"), col("label")))
+  }
 
   /** The end-to-end per-document dedup DECISION a training pipeline
     * ships: one row per document with its fate — `drop_exact`

@@ -101,6 +101,46 @@ class ConnectedComponentsSpec extends SparkTestBase {
     (10L to 14L).foreach(v => assert(lab(v) == 10L))
   }
 
+  test("incremental apply == CC(state ∪ newPairs); untouched components never re-contract") {
+    val rnd = new Random(20260819L)
+    (1 to 3).foreach { trial =>
+      val n = 120
+      val baseEdges = Seq.fill(80)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // yesterday's state: full CC labels of the base graph
+      val state = Dedup.connectedComponents(
+        baseEdges.toDF("s", "d"), "s", "d")
+      // today's arrivals: some pairs touch base nodes (merges), some
+      // land on fresh ids (new components), some straddle
+      val newPairs = Seq.fill(25)(
+        (rnd.nextInt(2 * n).toLong, rnd.nextInt(2 * n).toLong))
+        .filter { case (a, b) => a != b }.toDF("s", "d")
+      val inc = Dedup.connectedComponentsIncremental(
+          state, "node", "label", newPairs, "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents(
+          state.select(col("node").as("s"), col("label").as("d"))
+            .unionByName(newPairs), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"trial $trial: incremental != full merge")
+    }
+    // degenerate shapes: no new pairs → state passes through verbatim
+    val st = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("node", "label")
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    val passthrough = Dedup.connectedComponentsIncremental(
+        st, "node", "label", empty, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(passthrough == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    // new pairs only on fresh ids: state labels untouched, new
+    // component labeled by its own minimum
+    val freshOnly = Dedup.connectedComponentsIncremental(
+        st, "node", "label", Seq((50L, 51L)).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(freshOnly ==
+      Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 50L -> 50L, 51L -> 50L))
+  }
+
   test("auto chooser: sparse pairs → alternating, clone-dense → two_phase, labels schedule-invariant") {
     // sparse: 2-cliques (pairs) — avg degree 1, fixture-like
     val sparse = (0L until 40L by 2L).map(i => (i, i + 1))
