@@ -211,12 +211,22 @@ object Graph {
     * are `localCheckpoint`ed per round: lineage stays one round deep
     * at any iteration count, the pageRank discipline. */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
-      iters: Int): DataFrame = {
+      iters: Int, symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct().ckpt()
+    // `symmetric = true` is a DONATION flag (the shingles/pairs/tokens
+    // pattern): a caller holding an already-symmetric, deduped,
+    // loop-free edge frame (the co-purchase builders produce exactly
+    // that, materialized in the session memo) skips the
+    // union+reverse+distinct+ckpt re-canonicalization — at sf0.1 that
+    // pass doubled the frame to 4.8M rows and re-materialized what the
+    // memo already holds (r18 opt, guide §1.2). Labels are identical
+    // by construction; pinned in GraphApiSpec.
+    val ue =
+      if (symmetric) e
+      else e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct().ckpt()
     var labels = ue.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
@@ -366,10 +376,15 @@ object Graph {
       if (t < iters) {
         // checkpoint the peeled edge frame too: without this, round
         // t's degree pass replays every earlier round's joins off the
-        // raw edges — O(rounds²) join work instead of O(rounds)
+        // raw edges — O(rounds²) join work instead of O(rounds).
+        // dst-restriction FIRST, src-restriction LAST (r18, guide
+        // §2.4): the surviving frame then carries hashpartitioning(src)
+        // through the checkpoint, so the next round's degree aggregate
+        // and src-restriction reuse it instead of re-shuffling the
+        // peeled edges every round.
         cur = cur
-          .join(surv.select(col("node").as("src")), Seq("src"))
           .join(surv.select(col("node").as("dst")), Seq("dst"))
+          .join(surv.select(col("node").as("src")), Seq("src"))
           .ckpt()
       }
     }

@@ -61,7 +61,8 @@ object GraphQueries {
     partEdges(s, dir).count()
     collocEdges(s, dir).count()
     knnEdges(s, dir).count()
-    4
+    custPartEdges(s, dir).count()
+    5
   }
 
   /** SAVED edge artifact + session memo: the edge derivation (a
@@ -79,23 +80,28 @@ object GraphQueries {
     * directory, so one source file's stamp covers the derivation's
     * other inputs (part, the tokenizer) too. */
   private[operators] def savedEdges(s: SparkSession, dir: String,
-      kind: String, sourceFile: String)(build: => DataFrame): DataFrame =
+      kind: String, sourceFile: String, partitionKey: Option[String] = None)
+      (build: => DataFrame): DataFrame =
     PlanCache.memo(s, dir, kind) {
       val path = graft.IndexStore.ensure(graft.IndexStore.stampedPath(
           s"graph_edges_$kind", dir, sourceFile)) { tmp =>
         build.write.parquet(s"$tmp/edges")
       }
-      // Persist PRE-PARTITIONED on the join key (src for edge lists,
-      // else the leading column — okey for the order_brands artifact):
-      // every iterative kernel joins the frontier against this frame
+      // Persist PRE-PARTITIONED on the artifact's hot join key —
+      // explicit per artifact kind (r18, round-17 ADVICE: inferring it
+      // from column order would silently mis-partition a future
+      // artifact whose leading column is not its join key), defaulting
+      // to src-else-leading for the existing edge lists: every
+      // iterative kernel joins the frontier against this frame
       // (Brandes alone ~11 times, PageRank/closeness/k-core once per
       // round), so the cached blocks carrying
       // hashpartitioning(key, numShufflePartitions) let each of those
       // joins reuse the memo's one exchange instead of re-shuffling
-      // the frame per round (guide §2.4 — r17 opt; joins keyed on dst
-      // behave exactly as before).
+      // the frame per round (guide §2.4 — r17 opt; joins keyed on
+      // other columns behave exactly as before).
       val df = s.read.parquet(s"$path/edges")
-      val key = if (df.columns.contains("src")) "src" else df.columns.head
+      val key = partitionKey.getOrElse(
+        if (df.columns.contains("src")) "src" else df.columns.head)
       df.repartition(s.sessionState.conf.numShufflePartitions, col(key))
     }
 
@@ -264,8 +270,10 @@ object GraphQueries {
          |${(1 to 2).map(duckRound).mkString(",\n")}
          |SELECT node AS brand, lbl AS community FROM l2
          |ORDER BY brand""".stripMargin) { (s, dir) =>
+      // symmetric donation: the brand co-purchase edges are symmetric,
+      // deduped and loop-free by construction (r18 opt)
       graft.api.Graph.labelPropagation(edges(s, dir), "src", "dst",
-          iters = 2)
+          iters = 2, symmetric = true)
         .select(col("node").as("brand"), col("lbl").as("community"))
         .orderBy(col("brand"))
     }
@@ -324,6 +332,28 @@ object GraphQueries {
   private[graft] def partEdges(s: SparkSession, dir: String): DataFrame =
     savedEdges(s, dir, "part_edges", "lineitem.parquet")(
       partEdgesDerived(s, dir))
+
+  /** The customer→part purchase BIPARTITE edge set (src = custkey,
+    * dst = partkey, distinct), derived per query by BOTH graph_hits
+    * and graph_jaccard_linkpred until r18 — now a saved artifact like
+    * the other graph edge sets. Partitioned on dst: HITS touches the
+    * frame three times per run keyed on dst (the a₁ in-degree
+    * aggregate and both hub half-steps) and once on src; linkpred
+    * re-keys it on cust (= src) for the wedge join, paying that one
+    * exchange explicitly. */
+  private[graft] def custPartEdgesDerived(s: SparkSession,
+      dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("src"), col("o_orderkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("dst")), Seq("o_orderkey"))
+      .select(col("src"), col("dst"))
+      .distinct()
+
+  private[graft] def custPartEdges(s: SparkSession, dir: String): DataFrame =
+    savedEdges(s, dir, "cust_part_edges", "lineitem.parquet",
+      partitionKey = Some("dst"))(custPartEdgesDerived(s, dir))
 
   /** Bounded-round K-CORE decomposition of the part co-purchase
     * graph — a thin binding of graft.api.Graph.kCore: 4 synchronous
@@ -431,17 +461,22 @@ object GraphQueries {
       |JOIN deg d2 ON common.p2 = d2.part
       |ORDER BY jaccard DESC, p1, p2
       |LIMIT 20""".stripMargin) { (s, dir) =>
-    val cp = Tables.orders(s, dir)
-      .select(col("o_custkey").as("cust"), col("o_orderkey"))
-      .join(Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o_orderkey"),
-          col("l_partkey").as("part")), Seq("o_orderkey"))
-      .select(col("cust"), col("part"))
-      // one cust-keyed shuffle serves the distinct AND both sides of
-      // the wedge self-join below (hashpartitioning(cust) clusters the
-      // (cust, part) aggregate too) — was 3 exchanges of the
-      // interaction frame (guide §2.4 — r17 opt)
-      .repartition(col("cust")).distinct()
+    // one cust-keyed shuffle (off the shared saved artifact — r18)
+    // serves both sides of the wedge self-join below (guide §2.4 —
+    // r17 opt). The partition count is PINNED to the session's
+    // shuffle parallelism: the wedge fan-out is quadratic in basket
+    // width while the exchange's INPUT bytes are small, so AQE's
+    // byte-based coalescing squeezed the self-join onto 5 of 32 slots
+    // (the multimodal phash pin discipline — see OPTIMIZATION_r18.md
+    // for the measurement). Skew note: custkeys are basket-bounded
+    // (TPC-H uniform; measured at sf0.1: max basket 105 parts vs
+    // median 39, hottest key's share of the pair fan-out 4.1e-4 —
+    // far under AQE's 5× skew factor) — a hot customer at corpus
+    // scale salts exactly like join_skew_salted.
+    val cp = custPartEdges(s, dir)
+      .select(col("src").as("cust"), col("dst").as("part"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("cust"))
     val deg = cp.groupBy(col("part")).agg(count(lit(1)).as("d"))
     val common = cp.select(col("cust"), col("part").as("p1"))
       .join(cp.select(col("cust"), col("part").as("p2")), Seq("cust"))
@@ -577,13 +612,12 @@ object GraphQueries {
     // (api/Graph.scala:12) — each normalized frame is referenced
     // twice downstream (the next half-step and its own max scalar),
     // so without truncation both lineage and the hinted-scalar
-    // subtrees double per round
-    val e = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
-      .distinct()
-      .ckpt()
+    // subtrees double per round. The edge frame itself is the shared
+    // saved artifact (r18 opt, guide §2.4): dst-partitioned, so the
+    // in-degree aggregate and both hub half-step joins reuse the
+    // memo's one exchange (previously the orders × lineitem distinct
+    // re-derived + ckpt'd per invocation).
+    val e = custPartEdges(s, dir)
     def norm8(x: org.apache.spark.sql.Column,
         m: org.apache.spark.sql.Column) =
       round(x.cast("double") / m.cast("double"), 8).cast("decimal(12,8)")
@@ -932,13 +966,21 @@ object GraphQueries {
         lit(1L).as("sigma")).ckpt())
     var vis = levels(0).select(col("seed"), col("node"))
     for (t <- 1 to L) {
+      // aggregate BEFORE the visited anti-join (r18 opt, guide §2.3):
+      // the frontier × edge fan-out (|levels(t−1)| · avg-degree rows —
+      // ~96M at sf0.1's level 2) partial-aggregates map-side down to
+      // ≤ seeds·|V| rows, so the (seed, node) exchange carries the
+      // collapsed sums instead of every relaxation. Identical result:
+      // the anti-join excludes whole (seed, node) groups (a visited
+      // node drops with all its contributions), never individual
+      // contribution rows, so filtering after the sum ≡ before it.
       val nxt = e.join(levels(t - 1)
           .select(col("seed"), col("node").as("src"), col("sigma")),
           Seq("src"))
         .select(col("seed"), col("dst").as("node"), col("sigma"))
-        .join(vis, Seq("seed", "node"), "left_anti")
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("sigma")).cast("bigint").as("sigma"))
+        .join(vis, Seq("seed", "node"), "left_anti")
         .ckpt()
       levels :+= nxt
       // vis is L unions of already-checkpointed level frames — no
@@ -1290,8 +1332,11 @@ object GraphQueries {
          |CROSS JOIN m2
          |ORDER BY c.community""".stripMargin) { (s, dir) =>
       val e = partEdges(s, dir)
+      // symmetric donation: partEdges is symmetric, deduped and
+      // loop-free by construction (and memoized pre-partitioned), so
+      // the kernel skips its re-canonicalization pass (r18 opt)
       val labels = graft.api.Graph.labelPropagation(e, "src", "dst",
-        iters = 2)
+        iters = 2, symmetric = true)
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).cast("bigint").as("d"))
       val m2 = e.agg(count(lit(1)).cast("bigint").as("m"))

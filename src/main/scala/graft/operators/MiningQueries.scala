@@ -422,8 +422,17 @@ object MiningQueries {
       // satisfies the (ck, brand) aggregate's clustering AND both
       // sides of the ck-keyed pair self-join below, so the matrix is
       // shuffled once instead of once for the distinct plus once per
-      // join side (guide §2.4 — r17 opt)
-      .repartition(col("ck")).distinct()
+      // join side (guide §2.4 — r17 opt). Partition count PINNED to
+      // the session's shuffle parallelism (r18): the self-join's
+      // fan-out is quadratic in basket width while the exchange's
+      // input bytes are small, so AQE's byte-based coalescing would
+      // serialize the pair blow-up onto a few slots (the multimodal
+      // phash pin discipline). Skew note: ck is basket-bounded
+      // (uniform TPC-H custkeys; measured histogram in
+      // OPTIMIZATION_r18.md) — a hot customer at corpus scale salts
+      // exactly like join_skew_salted.
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("ck")).distinct()
     val n = cb.groupBy(col("brand"))
       .agg(count(lit(1)).cast("bigint").as("nu"))
     val co = cb.join(cb.select(col("ck"), col("brand").as("other")),

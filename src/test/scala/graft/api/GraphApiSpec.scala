@@ -97,6 +97,12 @@ class GraphApiSpec extends SparkTestBase {
     val again = Graph.labelPropagation(e, "s", "d", iters = 2)
       .as[(Long, Long)].collect().toMap
     assert(got == again)
+    // symmetric donation: on an already-symmetric deduped loop-free
+    // frame, skipping the re-canonicalization pass changes nothing
+    val donated = Graph.labelPropagation(e.distinct(), "s", "d",
+        iters = 2, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(donated == got)
   }
 
   test("triangles counts the clique + star fixture exactly") {
