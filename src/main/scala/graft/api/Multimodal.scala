@@ -164,6 +164,10 @@ object Multimodal {
     bandedSim(aggPhashSigs(newMedia, id, payload, bits), id, bits / 4)
       .write.mode("append").partitionBy("band", "bk")
       .parquet(s"$path/bands")
+    // a session serving this index from the bands memos must never
+    // see the pre-append snapshot (the nngInsert discipline)
+    graft.PlanCache.drop(spark, path, "phash_bands")
+    graft.PlanCache.drop(spark, path, "stream_phash_bands")
   }
 
   /** (id, simhash) → one row per `bw`-bit band: (band, bk, id,

@@ -859,6 +859,17 @@ object Similarity {
     // bounded aggregate; re-reading beats re-deriving the union plan)
     nngEntriesDegree(corpus.sparkSession, path, nEntries)
       .write.mode("overwrite").parquet(s"$path/entries")
+    dropServingMemos(corpus.sparkSession, path)
+  }
+
+  /** Invalidate the [[nngTopK]] serving memos after any writer
+    * overwrites or grows `$path/adj`/`$path/nodes` — a same-session
+    * rebuild at a served path must never serve the stale pre-rebuild
+    * graph (round-17 ADVICE; [[nngInsert]] has always done this). */
+  private def dropServingMemos(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    graft.PlanCache.drop(spark, path, "nng_adj")
+    graft.PlanCache.drop(spark, path, "nng_nodes")
   }
 
   /** DIVERSIFIED k-NN graph build — the clone-robust variant of
@@ -952,6 +963,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/nodes")
     nngEntriesDegree(corpus.sparkSession, path, nEntries)
       .write.mode("overwrite").parquet(s"$path/entries")
+    dropServingMemos(corpus.sparkSession, path)
   }
 
   /** GREEDY BEAM SEARCH over a saved k-NN graph — the graph-traversal
@@ -1250,6 +1262,7 @@ object Similarity {
     // degree-seeded entries (the nngBuild adoption — see its scaladoc)
     nngEntriesDegree(corpus.sparkSession, path, nEntries)
       .write.mode("overwrite").parquet(s"$path/entries")
+    dropServingMemos(corpus.sparkSession, path)
     counts.toSeq
   }
 

@@ -57,6 +57,17 @@ object MultimodalStreams {
     val corpus =
       if (stream.isStreaming && cacheStatic)
         graft.PlanCache.memo(spark, path, "stream_phash_bands")(corpusRaw)
+      else if (cacheStatic)
+        // batch serving takes the NSW resident-index posture too (r18
+        // opt, guide §2.4): the bands layout fragments into one file
+        // per (bucket, build task) — the partition-pruned scan opened
+        // ~165 files for 1.8k rows per probe at sf0.1, and that scan
+        // dominated the serving path (measured ~2.5 s of the 5.9 s
+        // probe). The session memo pays the fragmented scan once
+        // (untimed prebuilt warm in the bench); every later probe
+        // filters the in-memory blocks. phashIndexAppend drops the
+        // memo so a grown index is never served stale.
+        graft.PlanCache.memo(spark, path, "phash_bands")(corpusRaw)
       else corpusRaw
     // per-row fold on a live stream (no aggregate allowed); the
     // codegen'd aggregate twin on batch backfills (spec-pinned equal)
