@@ -104,7 +104,11 @@ object IsoBench {
     // round 18: the two-walk hierarchical recall row (coarse walk +
     // base walk + brute-force truth) and the routed sweeps whose
     // fixture posture changed this round
-    "sim_recall_nng_hier", "dedup_ngram_jaccard_collapsed")
+    "sim_recall_nng_hier", "dedup_ngram_jaccard_collapsed",
+    // round 20 (optimization round 2): the composed funnel row is now
+    // the fleet's second-heaviest timed query — its warm number needs
+    // a standing adjudicator
+    "dedup_before_pairing")
 
   def main(args: Array[String]): Unit = {
     val load0 = Bench.loadavg1m()

@@ -405,6 +405,12 @@ object WindowQueries {
       // 2.5e-13 of the rounding boundary) — an INHERITED half-ULP
       // parity bug, fixed this round (r17). Integer→double casts are
       // correctly rounded on both engines (measured).
+      // Headroom (r17 ADVICE): CAST(s·100 AS DECIMAL(19,0)) holds
+      // while the 7-day revenue sum stays under ~1e17 — the 19-digit
+      // width is deliberate so the square stays within DECIMAL(38,0).
+      // Past that bound non-ANSI Spark nulls the cast (blanking
+      // sd7/bands) where DuckDB errors; unreachable at any tested SF
+      // (sf0.1's max 7-day sum is ~2.6e7), so guard at extreme SFs.
       .withColumn("sd7", when(col("n") === 7,
         floor(sqrt((lit(7) * (col("s2") * 10000).cast("decimal(38,0)")
           - (col("s") * 100).cast("decimal(19,0)")
